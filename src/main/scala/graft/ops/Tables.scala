@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table readers. All engine queries take a scale-factor directory and
+  * read the driver-generated parquet tables (TESTDATA.md). Column pruning /
+  * predicate pushdown happens at the parquet scan via Catalyst — callers
+  * just declare projections and filters.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as raw nanos (legacy conf) and
+    * truncate to the µs timestamp domain — the same ns→µs truncation
+    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP, so both
+    * engines see identical instants. Integer `div` (not FP division):
+    * epoch-nanos exceed double's 53-bit mantissa.
+    */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEvents(table(spark, dir, "events"))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

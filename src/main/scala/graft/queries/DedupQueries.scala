@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.ops.{FeatureOps, Hashing, Tables, VectorOps}
+import graft.oracle.OracleSql._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** q20 + q33-q36 — deduplication operators for a training-data pipeline
+  * (builder north star): exact hash dedup, MinHash signatures + LSH band
+  * candidate pairs, SimHash, n-gram Jaccard similarity, and embedding-
+  * cosine near-duplicate pairs.
+  *
+  * Scale design: every pairwise operator goes through a bucketing stage
+  * first (LSH bands / sign buckets) so the join is per-bucket, never the
+  * full cross product — at 100 TB the shuffle is on the band/bucket key and
+  * bucket sizes stay bounded by the hash, which is the standard
+  * MinHash-LSH/SimHash scale path.
+  */
+object DedupQueries {
+
+  private def ws: Column = split(col("text"), " ")
+
+  /** MinHash component j over the doc's 3-word shingles. */
+  private def mh(j: Int): Column =
+    array_min(transform(Hashing.shingles(ws, 3), x => Hashing.h60(concat(lit(s"$j:"), x))))
+
+  private def mhSql(j: Int): String = {
+    val sh = shingles("string_split(text, ' ')", 3)
+    s"list_aggregate(list_transform($sh, x -> ${h60(s"'$j:' || x")}), 'min')"
+  }
+
+  /** LSH band key k over two adjacent minhash components (already-computed
+    * columns mh1..mh4): h60("bk:mh_{2k-1}_mh_{2k}").
+    */
+  private def bandCol(k: Int): Column =
+    Hashing.h60(
+      concat(
+        lit(s"b$k:"),
+        col(s"mh${2 * k - 1}").cast("string"),
+        lit("_"),
+        col(s"mh${2 * k}").cast("string")
+      )
+    )
+
+  private def bandSql(k: Int): String =
+    h60(s"'b$k:' || CAST(mh${2 * k - 1} AS VARCHAR) || '_' || CAST(mh${2 * k} AS VARCHAR)")
+
+  /** doc_id + mh1..mh4 subquery, shared by q33's signature and pair stages. */
+  private val mhCteSql: String =
+    s"""mhs AS (SELECT doc_id, ${(1 to 4).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")}
+       FROM documents)"""
+
+  val all: Seq[Q] = Seq(
+    // Exact dedup: group on md5(text), keep the smallest doc_id — the
+    // canonical representative-selection shape (one shuffle on the hash).
+    Q(
+      "q20_dedup_exact",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy("doc_id"),
+      Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY doc_id""")
+    ),
+    // MinHash signatures (4 permutations via salted h60) + 2 LSH band keys.
+    Q(
+      "q33_minhash_lsh",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
+          .select(
+            col("*") +: (1 to 2).map(k => bandCol(k).as(s"band$k")): _*
+          )
+          .orderBy("doc_id"),
+      Some(s"""WITH $mhCteSql
+        SELECT doc_id, mh1, mh2, mh3, mh4,
+               ${(1 to 2).map(k => s"${bandSql(k)} AS band$k").mkString(", ")}
+        FROM mhs ORDER BY doc_id""")
+    ),
+    // LSH candidate pairs: docs sharing either band key (the per-band
+    // self-join — bucket-bounded, never a cross product), deduplicated.
+    Q(
+      "q34_minhash_pairs",
+      (s, dir) => {
+        val sig = Tables
+          .documents(s, dir)
+          .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
+        val banded = sig
+          .select(
+            col("doc_id"),
+            explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
+          )
+        banded
+          .as("a")
+          .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $mhCteSql,
+        banded AS (
+          SELECT doc_id, unnest([${(1 to 2).map(bandSql).mkString(", ")}]) AS band
+          FROM mhs)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""")
+    ),
+    // SimHash-16 from per-word h60 bit votes (hash each word once, then 16
+    // integer folds over the hash list — exact integer arithmetic).
+    Q(
+      "q35_simhash",
+      (s, dir) => {
+        val hs = transform(ws, w => Hashing.h60(w))
+        val sim = (0 until 16)
+          .map { j =>
+            val votes = aggregate(
+              hs,
+              lit(0L),
+              (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+            )
+            when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+          }
+          .reduce(_ + _)
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), sim.as("simhash16"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val votes = (0 until 16)
+          .map { j =>
+            val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+              s"list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)), (a, b) -> a + b)"
+            s"(CASE WHEN $fold > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }
+          .mkString(" + ")
+        s"""SELECT doc_id, $votes AS simhash16
+          FROM (SELECT doc_id,
+                  list_transform(string_split(text, ' '), w -> ${h60("w")}) AS hs
+                FROM documents) ORDER BY doc_id"""
+      }
+    ),
+    // n-gram Jaccard similarity of every doc against probe doc_id=0, on
+    // distinct 3-word shingle sets. Single broadcast probe → no shuffle.
+    Q(
+      "q36_jaccard_probe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val shSet = array_distinct(Hashing.shingles(ws, 3))
+        val withSh = docs.select(col("doc_id"), shSet.as("sh"))
+        val probe = withSh.filter(col("doc_id") === 0).select(col("sh").as("psh"))
+        withSh
+          .crossJoin(broadcast(probe))
+          .select(
+            col("doc_id"),
+            FeatureOps.r6(
+              size(array_intersect(col("sh"), col("psh"))).cast("double") /
+                size(array_union(col("sh"), col("psh"))).cast("double")).as("jaccard")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = s"list_distinct(${shingles("string_split(text, ' ')", 3)})"
+        s"""WITH shs AS (SELECT doc_id, $sh AS sh FROM documents),
+          probe AS (SELECT sh AS psh FROM shs WHERE doc_id = 0)
+          SELECT doc_id,
+            floor((CAST(len(list_intersect(sh, psh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(sh, psh))) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS jaccard
+          FROM shs, probe ORDER BY doc_id"""
+      }
+    ),
+    // Embedding-cosine near-dup pairs inside sign-LSH buckets (8 axis
+    // hyperplanes). The bucket join is the scale path: cosine is computed
+    // only within buckets.
+    Q(
+      "q37_embed_neardup",
+      (s, dir) => {
+        val e = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        e.as("a")
+          .join(e.as("b"), col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            FeatureOps.r6(VectorOps.cosine(col("a.embedding"), col("b.embedding"))).as("cos")
+          )
+          .filter(col("cos") >= 0.3)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH be AS (SELECT vec_id, embedding, ${signBucket("embedding", 8)} AS bkt
+          FROM embeddings)
+        SELECT vec_a, vec_b, cos FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 floor((${cosine("a.embedding", "b.embedding")}) * 1e6 + 5e-1) / 1e6 AS cos
+          FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        WHERE cos >= 3e-1 ORDER BY vec_a, vec_b""")
+    )
+  )
+}

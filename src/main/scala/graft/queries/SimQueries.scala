@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.ops.{FeatureOps, Tables, VectorOps}
+import graft.oracle.OracleSql._
+import org.apache.spark.sql.functions._
+
+/** q22 + q38-q39 — similarity search over the `embeddings` table
+  * (vec_id, embedding array<float>, label).
+  *
+  * q22 is the brute-force baseline: one probe broadcast against the full
+  * table — O(n) per probe, embarrassingly parallel, the right plan for a
+  * single probe even at 100 TB (no shuffle at all; the scan dominates).
+  * q38 restricts candidates to the probe's sign-LSH bucket (the ANN scale
+  * path: bucket first, rank inside), q39 is the batch variant — top-k for
+  * EVERY vector via the per-bucket self-join, never a cross product.
+  */
+object SimQueries {
+
+  val all: Seq[Q] = Seq(
+    // Brute-force cosine top-5 to probe vec_id=0. Round before ordering so
+    // the sort key is the bit-identical rounded double on both engines.
+    Q(
+      "q22_knn_cosine",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(
+            col("vec_id"),
+            col("label"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")
+          )
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, floor((${cosine("embedding", "p")}) * 1e6 + 5e-1) / 1e6 AS cos
+        FROM embeddings, probe WHERE vec_id <> 0
+        ORDER BY cos DESC, vec_id LIMIT 5""")
+    ),
+    // LSH-bucketed k-NN: candidates = probe's sign bucket only.
+    Q(
+      "q38_knn_lsh",
+      (s, dir) => {
+        val e = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p"), col("bkt").as("pbkt"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .filter(col("bkt") === col("pbkt"))
+          .select(
+            col("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")
+          )
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH be AS (SELECT vec_id, embedding, ${signBucket("embedding", 8)} AS bkt
+          FROM embeddings),
+        probe AS (SELECT embedding AS p, bkt AS pbkt FROM be WHERE vec_id = 0)
+        SELECT vec_id, floor((${cosine("embedding", "p")}) * 1e6 + 5e-1) / 1e6 AS cos
+        FROM be, probe WHERE vec_id <> 0 AND bkt = pbkt
+        ORDER BY cos DESC, vec_id LIMIT 5""")
+    ),
+    // Batch ANN: top-3 neighbors per vector within its sign bucket.
+    Q(
+      "q39_ann_bucket_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        val pairs = e
+          .as("a")
+          .join(e.as("b"), col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            FeatureOps.r6(VectorOps.cosine(col("a.embedding"), col("b.embedding"))).as("cos")
+          )
+        pairs
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b"))
+            ).cast("long")
+          )
+          .filter(col("rk") <= 3)
+          .orderBy("vec_a", "rk")
+      },
+      Some(s"""WITH be AS (SELECT vec_id, embedding, ${signBucket("embedding", 8)} AS bkt
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 floor((${cosine("a.embedding", "b.embedding")}) * 1e6 + 5e-1) / 1e6 AS cos
+          FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS BIGINT) AS rk
+          FROM pairs)
+        SELECT vec_a, vec_b, cos, rk FROM ranked WHERE rk <= 3 ORDER BY vec_a, rk""")
+    )
+  )
+}

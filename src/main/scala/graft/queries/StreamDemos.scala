@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.model.FeaturesConfig
+import graft.ops.Tables
+import graft.oracle.OracleSql._
+import graft.pipeline.Features
+import graft.sinks.DuckDbSink
+import graft.streaming.StreamBars
+import org.apache.spark.sql.functions._
+
+/** s01-s03 — the sink/streaming capability surface (SURVEY.md §2.3
+  * non-SQL operators). s03 has an oracle anyway: the streaming day-bar
+  * build must hash-match the BATCH oracle (q04's SQL) — batch-stream
+  * parity checked by the driver itself.
+  */
+object StreamDemos {
+
+  private val cfg = FeaturesConfig()
+
+  val all: Seq[Q] = Seq(
+    // O20-O21: dynamic-DDL DuckDB-compatible sink over the flagship
+    // features output (parquet + generated DDL/INSERT the driver's DuckDB
+    // could execute verbatim).
+    Q(
+      "s01_duckdb_sink",
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_s01_")
+          .toAbsolutePath
+          .toString
+        val df = Features.featuresFull(Tables.events(s, dir), cfg)
+        val (ddl, ins) = DuckDbSink.write(df, "Features", out)
+        val n = s.read.parquet(out).count()
+        Seq((ddl, ins, n)).toDF("ddl", "insert_sql", "n_rows")
+      },
+      None
+    ),
+    // s02: commit-cadence analog — epoch-batched foreachBatch export with
+    // checkpointing; summarized as (epoch, rows) rows.
+    Q(
+      "s02_commit_cadence",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_s02_").toAbsolutePath
+        val eventsPath = s"$dir/events.parquet"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(eventsPath).schema
+        val epochs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+        val q = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("basePath", dir)
+          .parquet(s"$dir/events*.parquet")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+            epochs.put(epoch, b.count())
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        epochs.asScala.toSeq.sortBy(_._1).toDF("epoch", "n_rows")
+      },
+      None
+    ),
+    // s03: streaming day bars — watermarked tumbling window, verified
+    // against the BATCH oracle (parity with q04).
+    Q(
+      "s03_stream_bars",
+      (s, dir) => StreamBars.runDayBars(s, s"$dir/events.parquet"),
+      Some(s"WITH $barsCte SELECT * FROM bars ORDER BY user_id, day")
+    )
+  )
+}

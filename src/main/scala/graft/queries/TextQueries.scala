@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.ops.{FeatureOps, Hashing, Tables}
+import graft.oracle.OracleSql._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** q21 + q29-q32 — text-analysis operators for a training-data pipeline
+  * (builder north star; SURVEY.md §2.3 q21 and §7 extension plan): grouped
+  * text stats, token counting (whitespace + regex token classes), language
+  * ID (marker-word heuristic), quality scoring (length/stopword/word-shape
+  * ratios), and document fingerprinting (min-hash of word shingles).
+  *
+  * All run over the `documents` table (doc_id, text, lang, source,
+  * n_chars). Scale notes: every query is a single scan + narrow projection
+  * (no shuffle except q21's groupBy on `lang` — tiny key domain, partial
+  * aggregation does nearly all the work map-side).
+  */
+object TextQueries {
+
+  /** Marker word sets for the language-ID heuristic. Deterministic and
+    * shared verbatim with the oracle SQL; accuracy is a non-goal (the test
+    * corpus is synthetic), determinism is the contract.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ein", "das"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "los", "de", "una"),
+    "fr" -> Seq("le", "les", "et", "un", "du")
+  )
+
+  private def ws: Column = split(col("text"), " ")
+
+  private def hitsCol(set: Seq[String]): Column =
+    size(array_intersect(array_distinct(ws), array(set.map(lit): _*))).cast("long")
+
+  private def hitsSql(set: Seq[String]): String =
+    s"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), " +
+      set.mkString("['", "', '", "']") + ")) AS BIGINT)"
+
+  /** Token-class regex shared with the oracle: letter runs, digit runs,
+    * single other non-space chars — a BPE-ish pre-tokenizer shape.
+    */
+  private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  val all: Seq[Q] = Seq(
+    // Per-language corpus stats. avg computed as exact BIGINT sum / count,
+    // divided once — immune to partial-aggregation order.
+    Q(
+      "q21_text_stats",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            FeatureOps.r6(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            max(length(col("text"))).cast("long").as("max_len")
+          )
+          .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1e6 + 5e-1) / 1e6 AS avg_chars,
+        CAST(max(length(text)) AS BIGINT) AS max_len
+        FROM documents GROUP BY lang ORDER BY lang""")
+    ),
+    // Token counting: whitespace tokens and regex token classes.
+    Q(
+      "q29_token_count",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(ws).cast("long").as("ws_tokens"),
+            regexp_count(col("text"), lit(tokenRe)).cast("long").as("re_tokens")
+          )
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS re_tokens
+        FROM documents ORDER BY doc_id""")
+    ),
+    // Language ID: distinct-marker-word hits per language, argmax with a
+    // fixed alphabetical tie-break.
+    Q(
+      "q30_lang_id",
+      (s, dir) => {
+        val hits = markers.map { case (l, set) => l -> hitsCol(set) }
+        val Seq(de, en, es, fr) = hits.map(_._2)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id") +: col("lang").as("lang_true") +:
+              hits.map { case (l, c) => c.as(s"${l}_hits") } :+
+              when(de >= en && de >= es && de >= fr, "de")
+                .when(en >= es && en >= fr, "en")
+                .when(es >= fr, "es")
+                .otherwise("fr")
+                .as("lang_pred"): _*
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = markers.map { case (l, set) => s"${hitsSql(set)} AS ${l}_hits" }.mkString(", ")
+        s"""SELECT doc_id, lang AS lang_true, $h,
+          CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+               WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+               WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred
+          FROM (SELECT doc_id, lang, text FROM documents) ORDER BY doc_id"""
+      }
+    ),
+    // Quality score: word count, mean word length, stopword occurrence
+    // ratio, folded into one bounded score. Single-division ratios, fixed
+    // expression-tree order → bit-identical across engines.
+    Q(
+      "q31_quality_score",
+      (s, dir) => {
+        val en = markers.toMap.apply("en")
+        val nw = size(ws).cast("long")
+        val alpha = length(regexp_replace(col("text"), " ", "")).cast("double")
+        val awl = alpha / nw.cast("double")
+        val stopHits = size(filter(ws, w => w.isInCollection(en))).cast("double")
+        val stopRatio = stopHits / nw.cast("double")
+        val score =
+          least(nw.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+            (lit(1.0) - stopRatio) * lit(0.3) +
+            least(awl / lit(8.0), lit(1.0)) * lit(0.3)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            nw.as("n_words"),
+            FeatureOps.r6(awl).as("avg_word_len"),
+            FeatureOps.r6(stopRatio).as("stop_ratio"),
+            FeatureOps.r6(score).as("quality")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markers.toMap.apply("en").mkString("('", "', '", "')")
+        s"""SELECT doc_id, n_words, floor((awl) * 1e6 + 5e-1) / 1e6 AS avg_word_len,
+          floor((stop_ratio) * 1e6 + 5e-1) / 1e6 AS stop_ratio,
+          floor((least(CAST(n_words AS DOUBLE) / 100e0, 1e0) * 4e-1
+                + (1e0 - stop_ratio) * 3e-1
+                + least(awl / 8e0, 1e0) * 3e-1) * 1e6 + 5e-1) / 1e6 AS quality
+          FROM (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl,
+                  CAST(len(list_filter(string_split(text, ' '), w -> w IN $en)) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+                FROM documents) ORDER BY doc_id"""
+      }
+    ),
+    // Document fingerprint: min h60 over 3-word shingles (a 1-permutation
+    // minhash — the rolling-hash fingerprint surface).
+    Q(
+      "q32_fingerprint",
+      (s, dir) => {
+        val sh = Hashing.shingles(ws, 3)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            array_min(transform(sh, x => Hashing.h60(x))).as("fp"),
+            size(sh).cast("long").as("n_shingles")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = shingles("string_split(text, ' ')", 3)
+        s"""SELECT doc_id,
+          list_aggregate(list_transform($sh, x -> ${h60("x")}), 'min') AS fp,
+          CAST(len($sh) AS BIGINT) AS n_shingles
+          FROM documents ORDER BY doc_id"""
+      }
+    )
+  )
+}

@@ -42,6 +42,28 @@ final case class FeaturesBar(
     Volume: Double
 )
 
+/** The engine's keyed features output row: `FeaturesBar` plus the series
+  * key — the shape `pipeline.Features.featuresFull` and the streaming
+  * analog (`streaming.StreamFeatures`) both produce.
+  */
+final case class FeaturesRow(
+    user_id: Long,
+    Close: Double,
+    Day: Long,
+    F_CloseLocationValue: Double,
+    F_MovingAverageAutocorrelation: Double,
+    F_MovingAverageDistance: Double,
+    F_MovingAverageSlope: Double,
+    F_MovingAverageSlowAutocorrelation: Double,
+    F_MovingAverageSlowDistance: Double,
+    F_OpenLocationValue: Double,
+    High: Double,
+    Low: Double,
+    Open: Double,
+    Time: Long,
+    Volume: Double
+)
+
 /** Pipeline knobs — reference `FeaturesBarConfig.cs:3-9` +
   * `StrategyAnalyzerExporter.cs:86,96-97,124-125` defaults.
   *

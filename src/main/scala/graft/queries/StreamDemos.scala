@@ -74,6 +74,15 @@ object StreamDemos {
       "s03_stream_bars",
       (s, dir) => StreamBars.runDayBars(s, s"$dir/events.parquet"),
       Some(s"WITH $barsCte SELECT * FROM bars ORDER BY user_id, day")
+    ),
+    // s04: stateful streaming features (flatMapGroupsWithState, day-keyed
+    // ring-buffer state) — verified against the BATCH oracle (parity with
+    // q18, the flagship pipeline).
+    Q(
+      "s04_stream_features",
+      (s, dir) => graft.streaming.StreamFeatures.runFeatures(s, s"$dir/events.parquet"),
+      Some(s"""WITH $featCte SELECT $featuresSelect FROM feat
+        WHERE rn >= ${cfg.barsRequiredToTrade} ORDER BY user_id, day""")
     )
   )
 }

@@ -23,4 +23,21 @@ class StreamParitySpec extends AnyFunSuite {
       .toSeq
     assert(stream.map(_.toSeq) == batch.map(_.toSeq))
   }
+
+  test("stateful streaming features equal the batch flagship pipeline on sf0.001 (bit-exact)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.pipeline.Features
+      .featuresFull(Tables.events(spark, dir))
+      .collect()
+      .toSeq
+    val cols = graft.pipeline.Features
+      .featuresFull(Tables.events(spark, dir))
+      .columns
+    val stream = graft.streaming.StreamFeatures
+      .runFeatures(spark, s"$dir/events.parquet")
+      .selectExpr(cols: _*)
+      .collect()
+      .toSeq
+    assert(stream.map(_.toSeq) == batch.map(_.toSeq))
+  }
 }

@@ -51,7 +51,16 @@ object Folds {
     * The input is the ordered window frame of the series; determinism
     * requires the frame to come from an ORDER BY'd rows-frame window.
     */
-  def emaLR(xs: Column, period: Int): Column = {
+  def emaLR(xs: Column, period: Int): Column =
+    call_function("graft_ema", xs, lit(period))
+
+  /** The composed higher-order-function form of emaLR — same fold,
+    * expressed with `aggregate()`. Kept as the parity reference for the
+    * codegen'd `graft_ema` expression (FoldExpressions.EmaFold), which
+    * replaced it on the hot path (~10x: interpreted per-element lambda
+    * eval vs a generated Java loop).
+    */
+  def emaLRHof(xs: Column, period: Int): Column = {
     val k = 2.0 / (period + 1.0)
     val omk = 1.0 - k
     foldLR(xs, (acc, x) => acc * lit(omk) + x * lit(k))
@@ -61,7 +70,13 @@ object Folds {
     * `Common.cs:29-60`: mean over n, num = Σ_{i≥2}(x_i−μ)(x_{i−1}−μ),
     * den = Σ(x_i−μ)², 0.0 when n ≤ lag or |den| < tol.
     */
-  def autocorrLag1(xs: Column, tol: Double): Column = {
+  def autocorrLag1(xs: Column, tol: Double): Column =
+    call_function("graft_autocorr1", xs, lit(tol))
+
+  /** Composed HOF form of autocorrLag1 — parity reference for the
+    * codegen'd `graft_autocorr1` (FoldExpressions.AutocorrLag1).
+    */
+  def autocorrLag1Hof(xs: Column, tol: Double): Column = {
     val n = size(xs)
     val mu = sumZ(xs) / n
     val num = sumZ(

@@ -8,8 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * just declare projections and filters.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every query path reads through here and the driver harness builds
+    // its own SparkSession, so this is the engine's central hook to make
+    // the native graft_* functions resolvable (idempotent).
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects; read it as raw nanos (legacy conf) and

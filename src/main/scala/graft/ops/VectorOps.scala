@@ -19,6 +19,12 @@ object VectorOps {
     *  i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))), (x,y) -> x+y)`.
     */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dotf", a, b)
+
+  /** Composed HOF form of dot — parity reference for the codegen'd
+    * `graft_dotf` (FoldExpressions.DotF).
+    */
+  def dotHof(a: Column, b: Column): Column =
     Folds.sumZ(
       transform(
         sequence(lit(1), size(a)),

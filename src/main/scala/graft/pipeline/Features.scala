@@ -28,10 +28,14 @@ object Features {
     */
   def barsWithEma(events: DataFrame, cfg: FeaturesConfig = FeaturesConfig()): DataFrame = {
     val w = BarOps.wEma(cfg.emaMaxLookback)
+    // One collect_list window buffer feeds both folds (the folds are plain
+    // projections) — halves the WindowExec frame work vs collecting per EMA.
     BarOps
       .dayBars(events)
-      .withColumn("ema_fast", Folds.emaLR(collect_list(col("close")).over(w), cfg.lookbackFast))
-      .withColumn("ema_slow", Folds.emaLR(collect_list(col("close")).over(w), cfg.lookbackSlow))
+      .withColumn("_lc", collect_list(col("close")).over(w))
+      .withColumn("ema_fast", Folds.emaLR(col("_lc"), cfg.lookbackFast))
+      .withColumn("ema_slow", Folds.emaLR(col("_lc"), cfg.lookbackSlow))
+      .drop("_lc")
   }
 
   /** Full enriched frame: every bar column, both EMAs, all seven features,
@@ -67,9 +71,13 @@ object Features {
     * the per-series buffer holds ≥ barsRequiredToTrade rows
     * (`FeaturesBarService.cs:44`).
     */
-  def featuresFull(events: DataFrame, cfg: FeaturesConfig = FeaturesConfig()): DataFrame = {
+  def featuresFull(
+      events: DataFrame,
+      cfg: FeaturesConfig = FeaturesConfig(),
+      ordered: Boolean = true
+  ): DataFrame = {
     def r6(c: String) = FeatureOps.r6(col(c))
-    enriched(events, cfg)
+    val out = enriched(events, cfg)
       .filter(col("rn") >= cfg.barsRequiredToTrade)
       .select(
         col("user_id"),
@@ -88,7 +96,10 @@ object Features {
         col("time").as("Time"),
         col("volume").cast("double").as("Volume")
       )
-      .orderBy("user_id", "Day")
+    // The sort exists for oracle determinism; sinks skip it (a global sort
+    // before a write is a pure range-exchange tax — and the write path
+    // executes the plan twice: once to sample range bounds, once to write).
+    if (ordered) out.orderBy("user_id", "Day") else out
   }
 
   /** featuresFull with the reference sink's float32 downcast

@@ -20,9 +20,12 @@ object DedupQueries {
 
   private def ws: Column = split(col("text"), " ")
 
-  /** MinHash component j over the doc's 3-word shingles. */
+  /** MinHash component j over the doc's 3-word shingles (native kernel —
+    * one digest per shingle; ≡ array_min(transform(shingles, h60(salt||x))),
+    * parity in HashParitySpec).
+    */
   private def mh(j: Int): Column =
-    array_min(transform(Hashing.shingles(ws, 3), x => Hashing.h60(concat(lit(s"$j:"), x))))
+    call_function("graft_minhash", ws, lit(3), lit(s"$j:"))
 
   private def mhSql(j: Int): String = {
     val sh = shingles("string_split(text, ' ')", 3)
@@ -71,6 +74,9 @@ object DedupQueries {
       (s, dir) =>
         Tables
           .documents(s, dir)
+          // the input is a single small parquet split; spread the md5-heavy
+          // shingle hashing across cores before any of it runs
+          .repartition(col("doc_id"))
           .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
           .select(
             col("*") +: (1 to 2).map(k => bandCol(k).as(s"band$k")): _*
@@ -88,12 +94,17 @@ object DedupQueries {
       (s, dir) => {
         val sig = Tables
           .documents(s, dir)
+          .repartition(col("doc_id"))
           .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
+        // persist: the self-join would otherwise recompute the full minhash
+        // lineage (4 salted md5 per shingle) on BOTH sides — at scale the
+        // signature table is materialized once, then joined.
         val banded = sig
           .select(
             col("doc_id"),
             explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
           )
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         banded
           .as("a")
           .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -114,20 +125,10 @@ object DedupQueries {
     Q(
       "q35_simhash",
       (s, dir) => {
-        val hs = transform(ws, w => Hashing.h60(w))
-        val sim = (0 until 16)
-          .map { j =>
-            val votes = aggregate(
-              hs,
-              lit(0L),
-              (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-            )
-            when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-          }
-          .reduce(_ + _)
         Tables
           .documents(s, dir)
-          .select(col("doc_id"), sim.as("simhash16"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), call_function("graft_simhash", ws, lit(16)).as("simhash16"))
           .orderBy("doc_id")
       },
       Some {
@@ -150,16 +151,13 @@ object DedupQueries {
       "q36_jaccard_probe",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val shSet = array_distinct(Hashing.shingles(ws, 3))
-        val withSh = docs.select(col("doc_id"), shSet.as("sh"))
-        val probe = withSh.filter(col("doc_id") === 0).select(col("sh").as("psh"))
-        withSh
+        val withW = docs.repartition(col("doc_id")).select(col("doc_id"), ws.as("w"))
+        val probe = withW.filter(col("doc_id") === 0).select(col("w").as("pw"))
+        withW
           .crossJoin(broadcast(probe))
           .select(
             col("doc_id"),
-            FeatureOps.r6(
-              size(array_intersect(col("sh"), col("psh"))).cast("double") /
-                size(array_union(col("sh"), col("psh"))).cast("double")).as("jaccard")
+            FeatureOps.r6(call_function("graft_jaccard", col("w"), col("pw"), lit(3))).as("jaccard")
           )
           .orderBy("doc_id")
       },

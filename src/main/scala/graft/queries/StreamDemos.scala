@@ -29,7 +29,7 @@ object StreamDemos {
           .createTempDirectory("graft_s01_")
           .toAbsolutePath
           .toString
-        val df = Features.featuresFull(Tables.events(s, dir), cfg)
+        val df = Features.featuresFull(Tables.events(s, dir), cfg, ordered = false)
         val (ddl, ins) = DuckDbSink.write(df, "Features", out)
         val n = s.read.parquet(out).count()
         Seq((ddl, ins, n)).toDF("ddl", "insert_sql", "n_rows")

@@ -156,13 +156,13 @@ object TextQueries {
     Q(
       "q32_fingerprint",
       (s, dir) => {
-        val sh = Hashing.shingles(ws, 3)
         Tables
           .documents(s, dir)
+          .repartition(col("doc_id"))
           .select(
             col("doc_id"),
-            array_min(transform(sh, x => Hashing.h60(x))).as("fp"),
-            size(sh).cast("long").as("n_shingles")
+            call_function("graft_minhash", ws, lit(3), lit("")).as("fp"),
+            greatest(size(ws) - 2, lit(0)).cast("long").as("n_shingles")
           )
           .orderBy("doc_id")
       },

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Hashing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native hash kernels (graft_minhash / graft_simhash) must equal the
+  * composed md5-based column forms they replaced.
+  */
+class HashParitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private val vocab = Vector("scan", "join", "filter", "agg", "the", "fast", "row", "key", "ümlaut", "日本")
+  private val docs: Seq[String] =
+    (1 to 100).map(_ => Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("a", "a b", "a b c") // shorter-than-shingle edges
+
+  private def ws = split(col("text"), " ")
+
+  test("graft_minhash == array_min over salted h60 shingles (incl. unicode, short docs)") {
+    val composed = array_min(transform(Hashing.shingles(ws, 3), x => Hashing.h60(concat(lit("2:"), x))))
+    val native = call_function("graft_minhash", ws, lit(3), lit("2:"))
+    val got = docs.toDF("text").select(native, composed).as[(Option[Long], Option[Long])].collect()
+    got.foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("graft_jaccard == array_intersect/array_union over distinct shingle sets") {
+    val probeWords = split(lit("scan join filter agg the fast row key scan join"), " ")
+    val shA = array_distinct(Hashing.shingles(ws, 3))
+    val shB = array_distinct(Hashing.shingles(probeWords, 3))
+    val composed = size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB)).cast("double")
+    val native = call_function("graft_jaccard", ws, probeWords, lit(3))
+    val got = docs.toDF("text").select(native, composed).as[(Double, Double)].collect()
+    got.foreach { case (n, c) => assert(n == c || (n.isNaN && c.isNaN)) }
+  }
+
+  test("graft_simhash == 16 bit-vote folds over per-word h60") {
+    val hs = transform(ws, w => Hashing.h60(w))
+    val composed = (0 until 16)
+      .map { j =>
+        val votes = aggregate(hs, lit(0L), (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+        when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    val native = call_function("graft_simhash", ws, lit(16))
+    val got = docs.toDF("text").select(native, composed).as[(Long, Long)].collect()
+    got.foreach { case (n, c) => assert(n == c) }
+  }
+}

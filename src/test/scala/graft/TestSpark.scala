@@ -14,6 +14,7 @@ object TestSpark {
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

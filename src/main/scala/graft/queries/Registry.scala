@@ -16,5 +16,5 @@ object Registry {
   /** All declared queries, assembled by SparkEntry. */
   def all: Seq[Q] =
     BarQueries.all ++ RelQueries.all ++ DedupQueries.all ++
-      SimQueries.all ++ TextQueries.all ++ StreamDemos.all
+      SimQueries.all ++ TextQueries.all ++ MediaQueries.all ++ StreamDemos.all
 }

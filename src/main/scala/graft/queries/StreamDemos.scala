@@ -83,6 +83,12 @@ object StreamDemos {
       (s, dir) => graft.streaming.StreamFeatures.runFeatures(s, s"$dir/events.parquet"),
       Some(s"""WITH $featCte SELECT $featuresSelect FROM feat
         WHERE rn >= ${cfg.barsRequiredToTrade} ORDER BY user_id, day""")
+    ),
+    // s06: telemetry — QueryExecutionListener + accumulator counters (O23).
+    Q(
+      "s06_telemetry",
+      (s, dir) => graft.telemetry.Telemetry.instrumentedScan(s, dir),
+      None
     )
   )
 }

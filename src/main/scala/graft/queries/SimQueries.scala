@@ -100,6 +100,59 @@ object SimQueries {
           SELECT *, CAST(row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS BIGINT) AS rk
           FROM pairs)
         SELECT vec_a, vec_b, cos, rk FROM ranked WHERE rk <= 3 ORDER BY vec_a, rk""")
+    ),
+    // IVF-style ANN: a deterministic 8-vector codebook (vec_id < 8 plays
+    // the trained centroids), every vector assigned to its argmax-dot
+    // inverted list, probe searches ONLY its cell's list. The scale path:
+    // the codebook broadcasts, assignment is a map-side argmax over 8
+    // dots, and search touches 1/K of the data.
+    Q(
+      "q41_knn_ivf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        val scored = e
+          .filter(col("vec_id") >= 8)
+          .crossJoin(broadcast(cents))
+          .select(
+            col("vec_id"),
+            col("embedding"),
+            col("cent_id"),
+            FeatureOps.r6(VectorOps.dot(col("embedding"), col("cent"))).as("cdot")
+          )
+        val assigned = scored
+          .withColumn(
+            "rk",
+            row_number().over(Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cent_id")))
+          )
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val probe = assigned
+          .filter(col("vec_id") === 100)
+          .select(col("embedding").as("p"), col("cell").as("pcell"))
+        assigned
+          .crossJoin(broadcast(probe))
+          .filter(col("cell") === col("pcell") && col("vec_id") =!= 100)
+          .select(col("vec_id"), FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some {
+        val cdot = r6(dot("e.embedding", "c.cent"))
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, e.embedding, c.cent_id, $cdot AS cdot
+            FROM embeddings e, cents c WHERE e.vec_id >= 8),
+          assigned AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rk
+              FROM scored) WHERE rk = 1),
+          probe AS (SELECT embedding AS p, cell AS pcell FROM assigned WHERE vec_id = 100)
+          SELECT vec_id, ${r6(cosine("embedding", "p"))} AS cos
+          FROM assigned, probe WHERE cell = pcell AND vec_id <> 100
+          ORDER BY cos DESC, vec_id LIMIT 5"""
+      }
     )
   )
 }

@@ -1,0 +1,31 @@
+package graft
+
+import graft.ops.Tables
+import graft.pipeline.Features
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden end-to-end snapshot (SURVEY.md §5.2.5): the flagship q18
+  * pipeline over sf0.001 events, hashed canonically. Any change to §2.3
+  * semantics must regenerate this hash AND be recorded in SURVEY.md §2.4.
+  */
+class GoldenSpec extends AnyFunSuite {
+
+  private def canonical(v: Any): String = v match {
+    case d: Double => if (d == 0.0) "0" else java.lang.Double.toString(d) // normalize -0.0
+    case x => String.valueOf(x)
+  }
+
+  test("q18_features_full sf0.001 golden hash") {
+    val rows = Features
+      .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(rows.length == 112)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      md.update(r.toSeq.map(canonical).mkString("|").getBytes("UTF-8"))
+      md.update('\n'.toByte)
+    }
+    val hash = md.digest().map("%02x".format(_)).mkString
+    assert(hash == "449440dacaf643c3bc754536b3ec3111")
+  }
+}

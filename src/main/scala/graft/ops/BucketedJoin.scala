@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join — the shuffle-elimination path for repeated
+  * big⋈big joins (SURVEY.md §4: "bucketing for co-located joins"). Both
+  * sides are written bucketed+sorted on the join key; the sort-merge join
+  * then reads bucket-aligned files with NO exchange on either side — at
+  * 100 TB this turns the dominant repeated shuffle into a one-time write
+  * cost.
+  */
+object BucketedJoin {
+
+  /** Write lineitem/orders bucketed by order key, join co-located, and
+    * report (row count, revenue, whether any shuffle appeared on the join
+    * inputs). Broadcast is disabled for the demo so the plan genuinely
+    * exercises the bucket path; the conf is restored afterwards.
+    */
+  def demo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val base = java.nio.file.Files.createTempDirectory("graft_s08_").toAbsolutePath.toString
+    val li = s"li_b_$suffix"
+    val ord = s"o_b_$suffix"
+    Tables
+      .lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write
+      .bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", s"$base/li")
+      .saveAsTable(li)
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus")
+      .write
+      .bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey")
+      .option("path", s"$base/o")
+      .saveAsTable(ord)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark
+        .table(li)
+        .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+      // inspect the JOIN plan (pre-aggregation): bucketed sides must join
+      // with zero exchanges; the tiny global agg below shuffles by design
+      val shuffles = joined.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val Array(row) = joined
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .as("revenue")
+        )
+        .collect()
+      Seq((row.getLong(0), row.getDouble(1), shuffles.isEmpty))
+        .toDF("n_rows", "revenue", "join_without_shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $li")
+      spark.sql(s"DROP TABLE IF EXISTS $ord")
+    }
+  }
+}

@@ -89,6 +89,20 @@ object StreamDemos {
       "s06_telemetry",
       (s, dir) => graft.telemetry.Telemetry.instrumentedScan(s, dir),
       None
+    ),
+    // s07: watermark + late-data handling over a deterministic two-batch
+    // replay (semantics asserted against a Scala model in WatermarkSpec).
+    Q(
+      "s07_watermark_late",
+      (s, dir) => graft.streaming.Watermarks.lateDataCounts(s, dir),
+      None
+    ),
+    // s08: bucketed co-located join — both sides bucket-aligned on the
+    // join key, sort-merge join with zero exchanges (asserted in-row).
+    Q(
+      "s08_bucketed_join",
+      (s, dir) => graft.ops.BucketedJoin.demo(s, dir),
+      None
     )
   )
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.ops.{Tables, TimeCodec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Watermark + late-data semantics — absent from the reference (its host
+  * delivers bars in order, one at a time, `StrategyAnalyzerExporter.cs:73`,
+  * so late data cannot occur; SURVEY.md §2.2) but essential for the same
+  * pipeline fed by a real out-of-order stream.
+  *
+  * Spark's actual contract (verified against progress metrics): a late row
+  * is dropped only once the watermark has passed its window END — i.e.
+  * once the window was finalized, emitted (append mode) and its state
+  * evicted. While a window's state is still open, stragglers keep merging
+  * regardless of age. The demo makes both behaviors observable with a
+  * deterministic three-batch replay of `events`:
+  *   batch 0: all rows up to day `splitDay` — builds open state;
+  *   batch 1: rows after `splitDay` — advances the watermark past the
+  *            old windows, which emit and evict;
+  *   batch 2: an exact replay of batch-0 rows for the first 5 days —
+  *            all LATE beyond the watermark → dropped (if they weren't,
+  *            append mode would emit duplicate finalized windows and the
+  *            final counts would double).
+  * WatermarkSpec checks the emitted windows against a Scala model of this
+  * trace.
+  */
+object Watermarks {
+
+  private val splitDay = 20240126L
+  private val replayBefore = 20240106L
+
+  /** Stage events as an ordered three-file stream directory (mtimes and
+    * names increasing so FileStreamSource processes them in order with
+    * maxFilesPerTrigger=1).
+    */
+  def stageBatches(spark: SparkSession, dir: String): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_s07_").toAbsolutePath.toString
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("day", TimeCodec.dayInt(col("ts")))
+    def writeOne(df: DataFrame, out: String, name: String, mtime: Long): Unit = {
+      df.drop("day").coalesce(1).write.mode("overwrite").parquet(out)
+      val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$base/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeOne(ev.filter(col("day") <= splitDay), s"$base/_b0", "0.parquet", 1000000L)
+    writeOne(ev.filter(col("day") > splitDay), s"$base/_b1", "1.parquet", 2000000L)
+    writeOne(ev.filter(col("day") < replayBefore), s"$base/_b2", "2.parquet", 3000000L)
+    base
+  }
+
+  /** Watermarked day-window counts over the staged three-batch stream. */
+  def lateDataCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val counts = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), TimeCodec.dayInt(col("w.start")).as("day"), col("n_events"))
+    val name = "s07_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "day")
+  }
+}

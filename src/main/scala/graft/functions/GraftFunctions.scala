@@ -48,6 +48,11 @@ object GraftFunctions {
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardShingles].getName, "graft_jaccard"),
       (es: Seq[Expression]) => JaccardShingles(es(0), es(1), es(2))
+    ),
+    (
+      FunctionIdentifier("graft_ema_run"),
+      new ExpressionInfo(classOf[EmaRunning].getName, "graft_ema_run"),
+      (es: Seq[Expression]) => EmaRunning(es(0), es(1))
     )
   )
 

@@ -290,6 +290,31 @@ object BarQueries {
       Some(s"""WITH $featCte SELECT $featuresSelect FROM feat
         WHERE rn >= ${cfg.barsRequiredToTrade} ORDER BY user_id, day""")
     ),
+    // O7 (NT-faithful variant): running EMA from partition start via the
+    // graft_ema_run TypedImperativeAggregate over an unbounded running
+    // frame — O(1) state per row instead of the capped collect_list+fold
+    // (the reference's own incremental recurrence,
+    // StrategyAnalyzerExporter.cs:138-139).
+    Q(
+      "q42_ema_running",
+      (s, dir) => {
+        val wRun = BarOps.wSeries.rowsBetween(Long.MinValue, 0)
+        BarOps
+          .dayBars(Tables.events(s, dir))
+          .select(
+            col("user_id"),
+            col("day"),
+            FeatureOps.r6(call_function("graft_ema_run", col("close"), lit(9)).over(wRun)).as("ema_run")
+          )
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH $barsCte,
+        framed AS (
+          SELECT user_id, day, list(close) OVER wr AS lc FROM bars
+          WINDOW wr AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING))
+        SELECT user_id, day, ${r6(ema("lc", 9))} AS ema_run
+        FROM framed ORDER BY user_id, day""")
+    ),
     // O2: the one-bar export lag, session-scoped so it never leaks across
     // days (StrategyAnalyzerExporter.cs:204-216; SURVEY.md §7.4.4).
     Q(

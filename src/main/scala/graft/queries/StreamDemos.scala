@@ -103,6 +103,40 @@ object StreamDemos {
       "s08_bucketed_join",
       (s, dir) => graft.ops.BucketedJoin.demo(s, dir),
       None
+    ),
+    // s09: salted skew join — lineitem⋈orders spread over 8 salts; the
+    // oracle is the plain join (salting must not change results).
+    Q(
+      "s09_salted_join",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        graft.ops.Salting
+          .saltedJoin(
+            l, o,
+            col("l_orderkey"), col("o_orderkey"),
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+            salts = 8
+          )
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+              .cast("double")
+              .as("revenue")
+          )
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    ),
+    // s10: Day-partitioned export + partition-pruned read-back.
+    Q(
+      "s10_partitioned_export",
+      (s, dir) => graft.ops.PartitionedExport.demo(s, dir),
+      None
     )
   )
 }

@@ -137,6 +137,14 @@ object StreamDemos {
       "s10_partitioned_export",
       (s, dir) => graft.ops.PartitionedExport.demo(s, dir),
       None
+    ),
+    // s11: streaming exact dedup — dropDuplicates over a replayed stream
+    // must exactly undo the duplication (oracle = the original table).
+    Q(
+      "s11_stream_dedup",
+      (s, dir) => graft.streaming.Watermarks.streamDedupCounts(s, dir),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

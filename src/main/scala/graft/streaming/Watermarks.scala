@@ -31,11 +31,17 @@ object Watermarks {
   private val splitDay = 20240126L
   private val replayBefore = 20240106L
 
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Stage events as an ordered three-file stream directory (mtimes and
     * names increasing so FileStreamSource processes them in order with
-    * maxFilesPerTrigger=1).
+    * maxFilesPerTrigger=1). Memoized per source dir — s07 and s11 share
+    * one staging.
     */
-  def stageBatches(spark: SparkSession, dir: String): String = {
+  def stageBatches(spark: SparkSession, dir: String): String =
+    stageCache.computeIfAbsent(dir, d => stageBatchesUncached(spark, d))
+
+  private def stageBatchesUncached(spark: SparkSession, dir: String): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_s07_").toAbsolutePath.toString
     val ev = Tables
       .events(spark, dir)
@@ -52,6 +58,39 @@ object Watermarks {
     writeOne(ev.filter(col("day") > splitDay), s"$base/_b1", "1.parquet", 2000000L)
     writeOne(ev.filter(col("day") < replayBefore), s"$base/_b2", "2.parquet", 3000000L)
     base
+  }
+
+  /** Streaming exact dedup: the staged replay re-delivers batch-0 rows,
+    * and `dropDuplicates(event_id)` must drop them — the streaming form
+    * of q20's exact dedup. The deduped stream lands in a memory sink and
+    * is summarized per user; the oracle is the ORIGINAL events table
+    * (dedup must exactly undo the replay).
+    */
+  def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val deduped = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .dropDuplicates("event_id")
+    val name = "s11_dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark
+      .table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id")
   }
 
   /** Watermarked day-window counts over the staged three-batch stream. */

@@ -107,6 +107,101 @@ object RelQueries {
       Some("""SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
         ORDER BY c_custkey""")
     ),
+    // Set op: nations present among both customers and suppliers.
+    Q(
+      "q43_intersect",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""")
+    ),
+    // Set op: distinct union of customer and supplier nations.
+    Q(
+      "q44_union",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .select(col("c_nationkey").as("nationkey"))
+          .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")
+    ),
+    // String / date / math scalar functions over orders.
+    Q(
+      "q45_scalar_fns",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            upper(substring(col("o_orderstatus"), 1, 1)).as("status_u"),
+            length(col("o_orderpriority")).cast("long").as("prio_len"),
+            concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+            datediff(to_date(lit("2026-01-01")), to_date(col("o_orderdate"))).cast("long").as("age_days"),
+            graft.ops.FeatureOps.r6(sqrt(abs(col("o_totalprice")))).as("sqrt_price"),
+            graft.ops.FeatureOps.r6(pow(col("o_totalprice"), lit(0.25))).as("price_q")
+          )
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        upper(substr(o_orderstatus, 1, 1)) AS status_u,
+        CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS age_days,
+        floor((sqrt(abs(o_totalprice))) * 1e6 + 5e-1) / 1e6 AS sqrt_price,
+        floor((pow(o_totalprice, 25e-2)) * 1e6 + 5e-1) / 1e6 AS price_q
+        FROM orders ORDER BY o_orderkey""")
+    ),
+    // Grouping sets: CUBE over region x market segment.
+    Q(
+      "q46_cube",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .cube(col("r_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT r_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE(r_name, c_mktsegment)
+        ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")
+    ),
+    // Session windows: 2h-gap sessionization per user (Spark
+    // session_window ↔ DuckDB gaps-and-islands).
+    Q(
+      "q47_session_windows",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 2 HOUR
+                 THEN 1 ELSE 0 END AS newsess
+          FROM events),
+        sess AS (
+          SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")
+    ),
     // JSON scalar extraction from the events props column.
     Q(
       "q28_json_props",

@@ -202,6 +202,81 @@ object RelQueries {
         SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")
     ),
+    // Anti join ↔ NOT EXISTS (the explicit join-type form of q27).
+    Q(
+      "q48_antijoin",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(broadcast(o), c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")
+    ),
+    // As-of join (self, point-in-time): for every event, the user's most
+    // recent STRICTLY-PRIOR purchase timestamp — composed from existing
+    // window ops (SURVEY.md §7.3 preference (a)): no shuffle beyond the
+    // per-user window exchange.
+    Q(
+      "q49_asof_last_purchase",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, -1)
+        Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("ts"),
+            max(when(col("event_type") === "purchase", col("ts"))).over(w).as("last_purchase_ts")
+          )
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("last_purchase_ts"),
+            (col("ts").cast("long") - col("last_purchase_ts").cast("long")).as("gap_s")
+          )
+          .orderBy("event_id")
+      },
+      // floor() before the BIGINT cast: DuckDB's cast ROUNDS fractional
+      // seconds while Spark's timestamp→long floors them
+      Some("""SELECT event_id, user_id, last_purchase_ts,
+        CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_purchase_ts)) AS BIGINT) AS gap_s
+        FROM (
+          SELECT event_id, user_id, ts,
+            max(CASE WHEN event_type = 'purchase' THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+          FROM events) ORDER BY event_id""")
+    ),
+    // Range join: orders of the user's mapped customer cohort falling in
+    // the 30 days before each event — equi key (pruned to a hash join)
+    // plus a range post-filter; the small side broadcasts.
+    Q(
+      "q50_range_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"))
+        e.join(
+          broadcast(o),
+          pmod(col("o_custkey"), lit(15)) === col("user_id") &&
+            col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAYS") &&
+            col("o_orderdate") <= col("ts"),
+          "left_outer"
+        ).groupBy(col("event_id"))
+          .agg(count(col("o_custkey")).as("n_orders_30d"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(count(o_custkey) AS BIGINT) AS n_orders_30d
+        FROM events e LEFT JOIN orders o
+          ON (o.o_custkey % 15) = e.user_id
+         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+         AND o.o_orderdate <= e.ts
+        GROUP BY event_id ORDER BY event_id""")
+    ),
     // JSON scalar extraction from the events props column.
     Q(
       "q28_json_props",

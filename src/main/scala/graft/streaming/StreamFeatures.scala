@@ -167,16 +167,18 @@ object StreamFeatures {
   def runFeatures(
       spark: SparkSession,
       eventsPath: String,
-      cfg: FeaturesConfig = FeaturesConfig()
+      cfg: FeaturesConfig = FeaturesConfig(),
+      maxFilesPerTrigger: Option[Int] = None,
+      fileGlob: String = "events*.parquet"
   ): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     val baseDir = java.nio.file.Paths.get(eventsPath).getParent.toString
+    val reader = spark.readStream.schema(schema).option("basePath", baseDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val evs = graft.ops.Tables
-      .normalizeEvents(
-        spark.readStream.schema(schema).option("basePath", baseDir)
-          .parquet(s"$baseDir/events*.parquet"))
+      .normalizeEvents(reader.parquet(s"$baseDir/$fileGlob"))
       .select("user_id", "ts", "value")
       .as[Ev]
     val rows = evs

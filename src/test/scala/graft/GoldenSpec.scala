@@ -28,4 +28,22 @@ class GoldenSpec extends AnyFunSuite {
     val hash = md.digest().map("%02x".format(_)).mkString
     assert(hash == "449440dacaf643c3bc754536b3ec3111")
   }
+
+  test("driver entry smoke: rows > 0 on sf0.001") {
+    assert(SparkEntry.entry(TestSpark.spark).count() == 112)
+  }
+
+  test("native functions resolve through the plain SQL surface") {
+    val spark = TestSpark.spark
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark
+      .sql("SELECT graft_ema(array(1.0d, 2.0d, 3.0d), 9) AS e, " +
+        "graft_simhash(array('a','b'), 16) AS sh, " +
+        "graft_jaccard(array('a','b','c'), array('a','b','c'), 3) AS j")
+      .head()
+    val k = 2.0 / 10.0
+    assert(r.getDouble(0) == (1.0 * (1 - k) + 2.0 * k) * (1 - k) + 3.0 * k)
+    assert(r.getLong(1) >= 0L)
+    assert(r.getDouble(2) == 1.0)
+  }
 }

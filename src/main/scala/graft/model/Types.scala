@@ -68,9 +68,12 @@ final case class FeaturesRow(
   * `StrategyAnalyzerExporter.cs:86,96-97,124-125` defaults.
   *
   * `barsRequiredToTrade`: warm-up row count before features are emitted
-  * (`FeaturesBarService.cs:44`). `emaMaxLookback`: cap on the EMA fold frame
-  * — the analog of the host's `MaximumBarsLookBack.TwoHundredFiftySix`
-  * (`StrategyAnalyzerExporter.cs:79`); truncation error (1-k)^256 < 3e-11.
+  * (`FeaturesBarService.cs:44`). `emaMaxLookback`: legacy cap for the
+  * capped-fold EMA form (`Folds.emaLR` over `BarOps.wEma`) — the analog of
+  * the host's `MaximumBarsLookBack.TwoHundredFiftySix`
+  * (`StrategyAnalyzerExporter.cs:79`). The pipeline now uses the
+  * NT-faithful UNCAPPED running EMA (`graft_ema_run`), so this knob only
+  * parameterizes the legacy composed form.
   * `tolerance`: the guard epsilon used by every feature function
   * (`Common.cs:14,29`, `Price.cs:24,32`, `MovingAverage.cs:35`).
   */

@@ -48,10 +48,9 @@ object BarOps {
     */
   def wSeries: WindowSpec = Window.partitionBy("user_id").orderBy("day")
 
-  /** EMA fold frame, capped at `maxLookback` rows — the analog of the
-    * host's MaximumBarsLookBack=256 (`StrategyAnalyzerExporter.cs:79`);
-    * truncation error (1-k)^255 < 3e-11 for k=2/22, far below the 1e-6
-    * output rounding.
+  /** Capped EMA fold frame (legacy composed form; the pipeline now uses
+    * the uncapped running `graft_ema_run` aggregate) — the analog of the
+    * host's MaximumBarsLookBack=256 (`StrategyAnalyzerExporter.cs:79`).
     */
   def wEma(maxLookback: Int): WindowSpec =
     wSeries.rowsBetween(-(maxLookback - 1), 0)

@@ -100,13 +100,16 @@ object OracleSql {
               arg_max(value, ts) AS close, CAST(count(*) AS BIGINT) AS volume
        FROM events GROUP BY 1, 2)"""
 
-  /** bars + EMA CTE chain ↔ Features.barsWithEma (final CTE named `ema`). */
+  /** bars + EMA CTE chain ↔ Features.barsWithEma (final CTE named `ema`):
+    * running EMA from partition start — unbounded frame, mirroring the
+    * graft_ema_run incremental aggregate's recurrence exactly.
+    */
   val emaCte: String =
     s"""$barsCte,
        framed AS (
          SELECT *, list(close) OVER wema AS lc FROM bars
          WINDOW wema AS (PARTITION BY user_id ORDER BY day
-                         ROWS BETWEEN 255 PRECEDING AND CURRENT ROW)),
+                         ROWS UNBOUNDED PRECEDING)),
        ema AS (
          SELECT user_id, day, time, open, high, low, close, volume,
                 ${ema("lc", 9)} AS ema_fast, ${ema("lc", 21)} AS ema_slow

@@ -27,15 +27,17 @@ object Features {
     * §2.4.3).
     */
   def barsWithEma(events: DataFrame, cfg: FeaturesConfig = FeaturesConfig()): DataFrame = {
-    val w = BarOps.wEma(cfg.emaMaxLookback)
-    // One collect_list window buffer feeds both folds (the folds are plain
-    // projections) — halves the WindowExec frame work vs collecting per EMA.
+    // Running EMA from partition start via the graft_ema_run aggregate —
+    // O(1) state per row over an incremental running frame, no per-row
+    // array materialization, and NT-faithful (the reference's EMA
+    // indicators run over the whole loaded series with no lookback cap,
+    // StrategyAnalyzerExporter.cs:138-139). Oracle mirror: unbounded
+    // list(close) + list_reduce — bit-identical recurrence.
+    val wRun = BarOps.wSeries.rowsBetween(Long.MinValue, 0)
     BarOps
       .dayBars(events)
-      .withColumn("_lc", collect_list(col("close")).over(w))
-      .withColumn("ema_fast", Folds.emaLR(col("_lc"), cfg.lookbackFast))
-      .withColumn("ema_slow", Folds.emaLR(col("_lc"), cfg.lookbackSlow))
-      .drop("_lc")
+      .withColumn("ema_fast", call_function("graft_ema_run", col("close"), lit(cfg.lookbackFast)).over(wRun))
+      .withColumn("ema_slow", call_function("graft_ema_run", col("close"), lit(cfg.lookbackSlow)).over(wRun))
   }
 
   /** Full enriched frame: every bar column, both EMAs, all seven features,

@@ -27,7 +27,10 @@ object StreamFeatures {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  /** Series state: open-bar accumulators + bounded fold buffers. */
+  /** Series state: open-bar accumulators, O(1) running EMAs, and the two
+    * bounded ≤21-value feature buffers (the reference's ring-buffer
+    * memory model).
+    */
   case class SeriesState(
       curDay: Long,
       open: Double,
@@ -36,20 +39,24 @@ object StreamFeatures {
       close: Double,
       volume: Long,
       lastTime: Long,
-      closes: Seq[Double],
+      runFast: Double,
+      runSlow: Double,
+      emaInit: Boolean,
       emaF: Seq[Double],
       emaS: Seq[Double],
       barCount: Int
   )
 
-  private val empty = SeriesState(0L, 0, 0, 0, 0, 0, 0, Vector.empty, Vector.empty, Vector.empty, 0)
+  private val empty =
+    SeriesState(0L, 0, 0, 0, 0, 0, 0, 0.0, 0.0, emaInit = false, Vector.empty, Vector.empty, 0)
 
   // ---- exact mirrors of the batch Column expressions (ops.Folds /
   // ops.FeatureOps) — identical operation order, hence identical doubles.
 
-  private def emaSeed(xs: Seq[Double], period: Int): Double = {
-    val k = 2.0 / (period + 1.0); val omk = 1.0 - k
-    xs.tail.foldLeft(xs.head)((acc, x) => acc * omk + x * k)
+  /** One running-EMA step — the exact update of functions.EmaRunning. */
+  private def emaStep(prev: Double, init: Boolean, x: Double, period: Int): Double = {
+    val k = 2.0 / (period + 1.0)
+    if (!init) x else prev * (1.0 - k) + x * k
   }
 
   private def autocorr1(xs: Seq[Double], tol: Double): Double = {
@@ -94,9 +101,8 @@ object StreamFeatures {
       st: SeriesState,
       cfg: FeaturesConfig
   ): (SeriesState, Option[FeaturesRow]) = {
-    val closes = (st.closes :+ st.close).takeRight(cfg.emaMaxLookback)
-    val ef = emaSeed(closes, cfg.lookbackFast)
-    val es = emaSeed(closes, cfg.lookbackSlow)
+    val ef = emaStep(st.runFast, st.emaInit, st.close, cfg.lookbackFast)
+    val es = emaStep(st.runSlow, st.emaInit, st.close, cfg.lookbackSlow)
     val bufF = (st.emaF :+ ef).takeRight(cfg.barsRequiredToTrade + 1)
     val bufS = (st.emaS :+ es).takeRight(cfg.barsRequiredToTrade + 1)
     val n = st.barCount + 1
@@ -122,7 +128,10 @@ object StreamFeatures {
           )
         )
       else None
-    (st.copy(closes = closes, emaF = bufF, emaS = bufS, barCount = n), row)
+    (
+      st.copy(runFast = ef, runSlow = es, emaInit = true, emaF = bufF, emaS = bufS, barCount = n),
+      row
+    )
   }
 
   private def startBar(st: SeriesState, day: Long, time: Long, v: Double): SeriesState =

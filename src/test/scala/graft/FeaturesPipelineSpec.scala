@@ -52,7 +52,7 @@ class FeaturesPipelineSpec extends AnyFunSuite {
     // warm-up: rows 20..25 (1-indexed) → 6 rows
     assert(got.length == prices.length - cfg.barsRequiredToTrade + 1)
 
-    val emaF = prices.indices.map(i => emaRef(prices.slice(math.max(0, i - 255), i + 1), 9))
+    val emaF = prices.indices.map(i => emaRef(prices.slice(0, i + 1), 9))
     got.zipWithIndex.foreach { case ((day, close, maDist, slope, ac, clv, vol), gi) =>
       val i = gi + cfg.barsRequiredToTrade - 1 // 0-based bar index
       assert(day == 20240101L + i)

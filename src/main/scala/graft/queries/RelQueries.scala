@@ -277,6 +277,60 @@ object RelQueries {
          AND o.o_orderdate <= e.ts
         GROUP BY event_id ORDER BY event_id""")
     ),
+    // Distinct aggregation: count(DISTINCT …) alongside plain counts.
+    Q(
+      "q51_distinct_agg",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            countDistinct(col("event_type")).as("n_types"),
+            count(lit(1)).as("n_events")
+          )
+          .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+    // Pivot: user x event_type count matrix (explicit value list so the
+    // output schema is static — the scale-safe pivot form).
+    Q(
+      "q52_pivot",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+    // Exact percentiles (linear interpolation — both engines implement
+    // the same p*(n-1) rule; rounded like every other double output).
+    Q(
+      "q53_percentiles",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            graft.ops.FeatureOps.r6(expr("percentile(value, 0.5)")).as("p50"),
+            graft.ops.FeatureOps.r6(expr("percentile(value, 0.9)")).as("p90")
+          )
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+        floor((quantile_cont(value, 5e-1)) * 1e6 + 5e-1) / 1e6 AS p50,
+        floor((quantile_cont(value, 9e-1)) * 1e6 + 5e-1) / 1e6 AS p90
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
     // JSON scalar extraction from the events props column.
     Q(
       "q28_json_props",

@@ -44,15 +44,17 @@ object StreamDemos {
         import s.implicits._
         import org.apache.spark.sql.streaming.Trigger
         val base = java.nio.file.Files.createTempDirectory("graft_s02_").toAbsolutePath
-        val eventsPath = s"$dir/events.parquet"
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(eventsPath).schema
+        // the staged multi-file replay gives one epoch per file — each
+        // epoch is a transaction (append + checkpoint), the commit-cadence
+        // analog of CommitEveryRows/CHECKPOINT
+        val staged = graft.streaming.Watermarks.stageBatches(s, dir)
+        val schema = s.read.parquet(s"$staged/0.parquet").schema
         val epochs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
         val q = s.readStream
           .schema(schema)
           .option("maxFilesPerTrigger", "1")
-          .option("basePath", dir)
-          .parquet(s"$dir/events*.parquet")
+          .parquet(s"$staged/*.parquet")
           .writeStream
           .option("checkpointLocation", s"$base/ckpt")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Tables
+import graft.pipeline.Features
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe: widen the events table N× by unioning shifted
+  * copies (new user_id ranges, same per-series distribution — more
+  * SERIES, the way real scale arrives for this workload) and measure the
+  * flagship pipeline at each multiple. Near-linear wall-clock growth and
+  * stable per-row cost indicate the plan has no accidental quadratic or
+  * single-reducer stage.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiples...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.events(spark, sfDir).select("user_id", "ts", "value")
+    val nUsers = base.agg(max("user_id")).head().getLong(0) + 1
+    // materialize each multiple once so the probe times the pipeline, not
+    // repeated parquet decodes of the same file
+    def widened(m: Int) = {
+      val out = s"${java.nio.file.Files.createTempDirectory("graft_scale_")}/ev"
+      (0 until m)
+        .map(i => base.withColumn("user_id", col("user_id") + lit(i * nUsers)))
+        .reduce(_ union _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    // warm-up
+    Features.featuresFull(base, ordered = false).write.format("noop").mode("overwrite").save()
+    val results = mults.map { m =>
+      val path = widened(m)
+      val df = spark.read.parquet(path)
+      val rows = df.count()
+      val t0 = System.nanoTime()
+      Features
+        .featuresFull(df, ordered = false)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] x$m%-3d events=$rows%9d  features_full=$sec%7.2f s  (${rows / sec / 1e6}%.2f M rows/s)")
+      (m, rows, sec)
+    }
+    val (m0, r0, s0) = results.head
+    val (mN, rN, sN) = results.last
+    println(f"[scale] growth: data x${rN.toDouble / r0}%.0f, time x${sN / s0}%.1f (linear would be x${rN.toDouble / r0}%.0f)")
+    spark.stop()
+  }
+}

@@ -28,8 +28,10 @@ object Media {
       size_bytes: Long
   )
 
-  /** Extracted features: decoded dimensions + a fixed-width float vector
-    * (here: 16-bin byte histogram from the stub decoder).
+  /** Extracted features: decoded dimensions, the resize plan (long edge
+    * 640, aspect preserved), the frame-sample plan (every 4th frame, ≤32),
+    * and a fixed-width float vector (16-bin byte histogram from the stub
+    * decoder).
     */
   case class MediaFeatures(
       doc_id: Long,
@@ -37,6 +39,9 @@ object Media {
       width: Int,
       height: Int,
       n_frames: Int,
+      out_width: Int,
+      out_height: Int,
+      n_sampled_frames: Int,
       feature: Array[Float]
   )
 
@@ -81,7 +86,9 @@ object Media {
       // not per row) — the stub has none.
       it.map { m =>
         val d = MediaCodec.decode(m.kind, m.content)
-        MediaFeatures(m.doc_id, m.kind, d.width, d.height, d.nFrames, d.histogram)
+        val (ow, oh) = resizeDims(d.width, d.height, targetLong = 640)
+        val sampled = sampleFrameIndices(d.nFrames, everyK = 4, maxFrames = 32)
+        MediaFeatures(m.doc_id, m.kind, d.width, d.height, d.nFrames, ow, oh, sampled.length, d.histogram)
       }
     }
   }

@@ -44,6 +44,9 @@ object MediaQueries {
             col("width"),
             col("height"),
             col("n_frames"),
+            col("out_width"),
+            col("out_height"),
+            col("n_sampled_frames"),
             round(element_at(col("feature"), 1), 6).as("f0")
           )
           .orderBy("doc_id")

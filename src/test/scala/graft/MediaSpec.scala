@@ -32,6 +32,9 @@ class MediaSpec extends AnyFunSuite {
     assert(feats(0).n_frames == expect.nFrames)
     assert(feats(0).feature.toSeq == expect.histogram.toSeq)
     assert(feats(0).feature.length == 16)
+    assert((feats(0).out_width, feats(0).out_height) ==
+      Media.resizeDims(expect.width, expect.height, 640))
+    assert(feats(0).n_sampled_frames == Media.sampleFrameIndices(expect.nFrames, 4, 32).length)
     // histogram is normalized
     assert(math.abs(feats(0).feature.sum - 1.0f) < 1e-4)
   }

@@ -331,6 +331,56 @@ object RelQueries {
         floor((quantile_cont(value, 9e-1)) * 1e6 + 5e-1) / 1e6 AS p90
         FROM events GROUP BY user_id ORDER BY user_id""")
     ),
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (SURVEY.md §4 "subquery decorrelation ... for
+    // free"). max, not avg: a double avg is partial-aggregation-order
+    // sensitive and a threshold filter would turn ULP noise into
+    // membership differences.
+    Q(
+      "q54_correlated_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_v o
+          WHERE o_totalprice >= (SELECT max(o2.o_totalprice)
+                                 FROM orders_v o2
+                                 WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice >= (SELECT max(o2.o_totalprice)
+                               FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    ),
+    // Ranking window functions: rank / dense_rank / ntile / lead over a
+    // total per-user order (ts is unique per user).
+    Q(
+      "q55_rank_fns",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            rank().over(w).cast("long").as("rk"),
+            dense_rank().over(w).cast("long").as("drk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lead(col("value"), 1).over(w).as("next_value")
+          )
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(rank() OVER w AS BIGINT) AS rk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        lead(value, 1) OVER w AS next_value
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY event_id""")
+    ),
     // JSON scalar extraction from the events props column.
     Q(
       "q28_json_props",

@@ -32,9 +32,11 @@ object Bench {
       .map { case (name, fn) =>
         System.gc() // drain garbage from the previous query off this one's clock
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        // a failed query must read as a failure, not as a fast run
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,7 +26,10 @@ object PartitionedExport {
     val back = spark.read.parquet(out)
     val days = back.select("Day").distinct().count()
     val total = back.count()
-    val day = feats.agg(min("Day")).head().getLong(0)
+    // min over the written partition values — NOT over `feats`, which
+    // would re-execute the whole feature pipeline a second time. Partition
+    // value inference types `Day` as int on read-back, hence the cast.
+    val day = back.agg(min(col("Day").cast("long"))).head().getLong(0)
     val oneDay = back.filter(col("Day") === day)
     val scans = oneDay.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
     val pruned = scans.nonEmpty && scans.forall { s =>

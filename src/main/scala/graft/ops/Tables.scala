@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Every query path reads through here and the driver harness builds
-    // its own SparkSession, so this is the engine's central hook to make
-    // the native graft_* functions resolvable (idempotent).
+    // its own SparkSession, so this is the engine's central hook: register
+    // the native graft_* functions (idempotent) and pin the session
+    // timezone — every time codec (year()/hour() etc.) and every DuckDB
+    // oracle assumes UTC, and a driver session inheriting a non-UTC JVM
+    // default would silently shift all day/time codes.
     graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -105,12 +105,18 @@ object DedupQueries {
             explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
           )
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        banded
+        val pairs = banded
           .as("a")
           .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
           .orderBy("doc_a", "doc_b")
+          // eager local checkpoint: materializes the (small) pair set so the
+          // big cached signature table can be released immediately instead
+          // of pinning block-manager memory for the rest of the session
+          .localCheckpoint()
+        banded.unpersist()
+        pairs
       },
       Some(s"""WITH $mhCteSql,
         banded AS (

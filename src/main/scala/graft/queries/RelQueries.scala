@@ -192,7 +192,7 @@ object RelQueries {
       Some("""WITH flagged AS (
           SELECT user_id, ts,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 2 HOUR
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
                  THEN 1 ELSE 0 END AS newsess
           FROM events),
         sess AS (

@@ -172,6 +172,14 @@ object StreamFeatures {
 
   /** Run the streaming feature pipeline over a parquet events path to
     * completion; returns the settled rows in (user_id, Day) order.
+    *
+    * Multi-batch caveat (`maxFilesPerTrigger`): split your files at DAY
+    * boundaries. A file ending mid-day makes that batch's provisional row
+    * for the open day a PARTIAL bar; the next batch appends the corrected
+    * row but append mode cannot retract the stale one, so downstream
+    * would see two conflicting rows for that (user_id, Day). With
+    * day-aligned files (or the default single batch) provisional rows are
+    * already final and duplicates are exact (distinct() removes them).
     */
   def runFeatures(
       spark: SparkSession,

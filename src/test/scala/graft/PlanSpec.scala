@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guardrails: pin the physical-plan properties the 100 TB
+  * posture depends on (PLANS.md), so a refactor that silently introduces
+  * an extra shuffle, loses a broadcast, or widens a scan fails here — not
+  * in a cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q18 flagship: exactly 3 exchanges (partial-agg, window lineage, final sort)") {
+    assert(count(plan("q18_features_full"), "Exchange") == 3)
+  }
+
+  test("q18 scan is pruned to the 3 used event columns") {
+    val p = plan("q18_features_full")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"))
+  }
+
+  test("q24 star join: all three dimensions broadcast, fact side never pre-shuffled") {
+    val p = plan("q24_star_join_agg")
+    assert(count(p, "BroadcastHashJoin") == 3)
+    // only the aggregation + final sort may exchange
+    assert(count(p, "Exchange hashpartitioning") <= 1)
+  }
+
+  test("q25 top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("q25_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q23 semi join stays broadcast") {
+    val p = plan("q23_semijoin_exists")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("q02 pushes the time-gate scan filters") {
+    // the filter happens on a derived column, but the scan must still be
+    // column-pruned to what the query touches
+    val p = plan("q02_time_gate")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>"))
+  }
+}

@@ -381,6 +381,67 @@ object RelQueries {
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ORDER BY event_id""")
     ),
+    // TPC-H Q1 shape: pricing summary per returnflag/linestatus. Every
+    // money aggregate sums exactly in DECIMAL before one cast; averages
+    // divide one exact sum by the count.
+    Q(
+      "q56_pricing_summary",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,6)")).cast("double")
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+              .as("sum_charge"),
+            graft.ops.FeatureOps.r6(
+              sum(col("l_quantity").cast("decimal(28,6)")).cast("double") / count(lit(1))
+            ).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*)) * 1e6 + 5e-1) / 1e6 AS avg_qty,
+        CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    ),
+    // TPC-H Q6 shape: filtered revenue sum — the shipdate range and
+    // discount band reach the parquet scan as PushedFilters.
+    Q(
+      "q57_filtered_revenue",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .filter(
+            col("l_shipdate") >= lit("2024-03-01").cast("timestamp") &&
+              col("l_shipdate") < lit("2024-09-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 30
+          )
+          .agg(
+            sum((col("l_extendedprice") * col("l_discount")).cast("decimal(28,6)"))
+              .cast("double")
+              .as("revenue"),
+            count(lit(1)).as("n_items")
+          ),
+      Some("""SELECT
+        CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '2024-09-01 00:00:00'
+          AND l_discount BETWEEN 2e-2 AND 6e-2
+          AND l_quantity < 30
+        ORDER BY revenue""")
+    ),
     // JSON scalar extraction from the events props column.
     Q(
       "q28_json_props",

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "prints ONE JSON line" parsed by the driver
+// from sbt stdout. Two sbt behaviors break that: forked-run stdout is logged
+// as "[info] <line>" (LoggedOutput), and "[success] Total time: …" trails the
+// run. Pass child stdout through raw and drop the success/timing footer so
+// the JSON line is the literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -258,11 +258,31 @@ object RelQueries {
     Q(
       "q50_range_join",
       (s, dir) => {
-        val e = Tables.events(s, dir)
-        val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"))
+        // Bucketed range join: the user_id equi-key alone has 15 values, so a
+        // plain hash join would scan ~1/15 of orders per event — O(|E|·|O|)
+        // at scale. Quantizing time into 30-day buckets adds a second
+        // equi-key: an order at bucket b can only satisfy the 30-day range
+        // for events in buckets {b, b+1}, so each order is emitted under
+        // those two keys and the range predicate only post-filters within a
+        // bucket. Result-identical (the bucket condition is implied by the
+        // range condition) but probe work drops from O(span) to O(1 bucket).
+        val bucketSecs = 30L * 86400L
+        val e = Tables
+          .events(s, dir)
+          .withColumn("ebkt", floor(unix_timestamp(col("ts")) / bucketSecs))
+        val o = Tables
+          .orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"))
+          .withColumn("obkt", floor(unix_timestamp(col("o_orderdate")) / bucketSecs))
+          .select(
+            col("o_custkey"),
+            col("o_orderdate"),
+            explode(array(col("obkt"), col("obkt") + 1)).as("jbkt")
+          )
         e.join(
           broadcast(o),
           pmod(col("o_custkey"), lit(15)) === col("user_id") &&
+            col("ebkt") === col("jbkt") &&
             col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAYS") &&
             col("o_orderdate") <= col("ts"),
           "left_outer"

@@ -40,7 +40,8 @@ object StreamDemos {
     // checkpointing; summarized as (epoch, rows) rows.
     Q(
       "s02_commit_cadence",
-      (s, dir) => {
+      (outer, dir) => {
+        val s = graft.streaming.StreamSessions.tuned(outer)
         import s.implicits._
         import org.apache.spark.sql.streaming.Trigger
         val base = java.nio.file.Files.createTempDirectory("graft_s02_").toAbsolutePath

@@ -24,7 +24,8 @@ object StreamBars {
     * in an in-memory sink; returns the settled result. Batch-stream parity:
     * output is hash-identical to `BarOps.dayBars` (same oracle as q04).
     */
-  def runDayBars(spark: SparkSession, eventsPath: String): DataFrame = {
+  def runDayBars(session: SparkSession, eventsPath: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // A glob path: FileStreamSource force-sets basePath to the literal path

@@ -182,12 +182,13 @@ object StreamFeatures {
     * already final and duplicates are exact (distinct() removes them).
     */
   def runFeatures(
-      spark: SparkSession,
+      session: SparkSession,
       eventsPath: String,
       cfg: FeaturesConfig = FeaturesConfig(),
       maxFilesPerTrigger: Option[Int] = None,
       fileGlob: String = "events*.parquet"
   ): DataFrame = {
+    val spark = StreamSessions.tuned(session)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema

@@ -1,0 +1,26 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Session sizing for streaming queries.
+  *
+  * A streaming query's state-store partition count is fixed for the life of
+  * the query from `spark.sql.shuffle.partitions` at start (AQE cannot
+  * re-plan a stateful stream), so real streaming deployments size that knob
+  * explicitly to expected state volume rather than inheriting the batch
+  * default. The demo replays here carry ~1e4-1e5 rows per epoch; running
+  * their stateful shuffles at the full core count (32) makes every epoch pay
+  * 32 state-store commits for a handful of keys. A derived session pins a
+  * proportionate partition count without disturbing the batch session.
+  */
+object StreamSessions {
+
+  /** A sibling session (shared SparkContext, isolated SQL conf) with
+    * streaming-appropriate shuffle/state partitioning.
+    */
+  def tuned(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ns
+  }
+}

@@ -66,7 +66,8 @@ object Watermarks {
     * is summarized per user; the oracle is the ORIGINAL events table
     * (dedup must exactly undo the replay).
     */
-  def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedupCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = stageBatches(spark, dir)
     val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
@@ -94,7 +95,8 @@ object Watermarks {
   }
 
   /** Watermarked day-window counts over the staged three-batch stream. */
-  def lateDataCounts(spark: SparkSession, dir: String): DataFrame = {
+  def lateDataCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = stageBatches(spark, dir)
     val schema = spark.read.parquet(s"$streamDir/0.parquet").schema

@@ -202,13 +202,17 @@ object RelQueries {
         SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")
     ),
-    // Anti join ↔ NOT EXISTS (the explicit join-type form of q27).
+    // Anti join ↔ NOT EXISTS (the explicit join-type form of q27). No
+    // broadcast hint: orders is the FACT side — only its key column is
+    // shuffled (projection below), and AQE may still choose a broadcast at
+    // runtime when the key set turns out small. Hinting broadcast(orders)
+    // here would pin a driver/executor OOM at 100×.
     Q(
       "q48_antijoin",
       (s, dir) => {
         val c = Tables.customer(s, dir)
-        val o = Tables.orders(s, dir)
-        c.join(broadcast(o), c("c_custkey") === o("o_custkey"), "left_anti")
+        val o = Tables.orders(s, dir).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy("c_custkey")
       },
@@ -279,8 +283,13 @@ object RelQueries {
             col("o_orderdate"),
             explode(array(col("obkt"), col("obkt") + 1)).as("jbkt")
           )
+        // No broadcast hint: the (cohort, bucket) equi-keys already admit a
+        // shuffle hash join, and the exploded orders side is 2× the fact
+        // table — broadcasting it is exactly the plan that dies at 100×.
+        // AQE still converts to broadcast at runtime when the side is
+        // genuinely small (as it is at test SFs).
         e.join(
-          broadcast(o),
+          o,
           pmod(col("o_custkey"), lit(15)) === col("user_id") &&
             col("ebkt") === col("jbkt") &&
             col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAYS") &&

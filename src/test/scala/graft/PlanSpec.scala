@@ -42,6 +42,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
   }
 
+  test("q48 anti join carries no broadcast hint on the orders fact side") {
+    // The scale contract: broadcast must stay a size-based (AQE/static
+    // estimator) decision, never a pinned hint — a hinted broadcast(orders)
+    // is a driver OOM at 100×. An explicit hint survives into the optimized
+    // plan as a join-strategy annotation; its absence is what we pin.
+    val opt = SparkEntry
+      .queries("q48_antijoin")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"))
+    // and only the key column of orders is read for the anti join
+    assert(plan("q48_antijoin").contains("ReadSchema: struct<o_custkey:bigint>"))
+  }
+
+  test("q50 range join carries no broadcast hint on the exploded orders side") {
+    val opt = SparkEntry
+      .queries("q50_range_join")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"))
+  }
+
   test("q02 pushes the time-gate scan filters") {
     // the filter happens on a derived column, but the scan must still be
     // column-pruned to what the query touches

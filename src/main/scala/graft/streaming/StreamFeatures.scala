@@ -173,13 +173,20 @@ object StreamFeatures {
   /** Run the streaming feature pipeline over a parquet events path to
     * completion; returns the settled rows in (user_id, Day) order.
     *
-    * Multi-batch caveat (`maxFilesPerTrigger`): split your files at DAY
-    * boundaries. A file ending mid-day makes that batch's provisional row
-    * for the open day a PARTIAL bar; the next batch appends the corrected
-    * row but append mode cannot retract the stale one, so downstream
-    * would see two conflicting rows for that (user_id, Day). With
-    * day-aligned files (or the default single batch) provisional rows are
-    * already final and duplicates are exact (distinct() removes them).
+    * Multi-batch convergence: a file ending MID-day makes that batch's
+    * provisional row for the open day a partial bar; the next batch
+    * appends the corrected row, and append mode cannot retract the stale
+    * one. The settled view therefore deduplicates on read, keyed by
+    * (user_id, Day), keeping the max-Volume row: Volume is the day's
+    * event count, so a later (more complete) emission of the same day
+    * always carries strictly greater Volume, and equal-Volume duplicates
+    * (a batch boundary landing exactly on a day boundary) are bit-exact
+    * copies. This is the standard compaction view over an append log —
+    * at scale the same window runs over the sink table partitioned by
+    * key, matching the reference's ordered single-threaded replay
+    * (`StrategyAnalyzerExporter.cs:179-182`) without requiring
+    * day-aligned input files. Production sinks follow the same pattern:
+    * stream append (foreachBatch / toTable) + this dedup-on-read view.
     */
   def runFeatures(
       session: SparkSession,
@@ -213,6 +220,22 @@ object StreamFeatures {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "Day")
+    settle(spark.table(name)).orderBy("user_id", "Day")
+  }
+
+  /** Dedup-on-read compaction of the appended feature rows: one row per
+    * (user_id, Day), the max-Volume (most complete) emission winning.
+    * Ties are bit-exact duplicates, so any deterministic tie-break works.
+    */
+  def settle(appended: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window
+      .partitionBy(col("user_id"), col("Day"))
+      .orderBy(col("Volume").desc, col("Time").desc)
+    appended
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
   }
 }

@@ -28,9 +28,29 @@ class StreamParitySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     // split at a day boundary: batch 1 = days ≤ 20240120, batch 2 = rest.
-    // Boundary days are fully contained in one batch, so batch-1's
-    // provisional rows are already final and the only duplicates are
-    // exact; distinct(output) must equal the batch pipeline.
+    // Batch-1's provisional rows are already final; the settled view's
+    // dedup-on-read must equal the batch pipeline exactly (no distinct()).
+    val staged = stageSplit(dir, col("ts") <= to_timestamp(lit("2024-01-20 23:59:59.999999")))
+    assertStreamEqualsBatch(dir, staged)
+  }
+
+  test("mid-day file split still converges to the batch pipeline (dedup-on-read)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // split MID-day (noon of 2024-01-20): batch 1 ends with a PARTIAL bar
+    // for every user's open day, so its provisional rows are stale; the
+    // max-Volume dedup-on-read view must retract them and converge to the
+    // batch pipeline bit-exactly. This was the round-3 caveat
+    // (day-aligned files required) — now removed.
+    val staged = stageSplit(dir, col("ts") <= to_timestamp(lit("2024-01-20 12:00:00")))
+    assertStreamEqualsBatch(dir, staged)
+  }
+
+  /** Stage events into two stream files split by `firstBatch` (per-user
+    * timestamp order is preserved: the predicate is a ts cut, so every
+    * file-0 event precedes every file-1 event).
+    */
+  private def stageSplit(dir: String, firstBatch: org.apache.spark.sql.Column): String = {
     val staged = java.nio.file.Files.createTempDirectory("graft_s04mb_").toAbsolutePath.toString
     val ev = Tables.events(spark, dir)
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
@@ -41,16 +61,18 @@ class StreamParitySpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(mtime)
     }
-    val day = graft.ops.TimeCodec.dayInt(col("ts"))
-    writeOne(ev.filter(day <= 20240120L), "ev0.parquet", 1000000L)
-    writeOne(ev.filter(day > 20240120L), "ev1.parquet", 2000000L)
+    writeOne(ev.filter(firstBatch), "ev0.parquet", 1000000L)
+    writeOne(ev.filter(!firstBatch), "ev1.parquet", 2000000L)
+    staged
+  }
 
+  private def assertStreamEqualsBatch(dir: String, staged: String): Unit = {
+    val ev = Tables.events(spark, dir)
     val batch = graft.pipeline.Features.featuresFull(ev).collect().map(_.toSeq).toSet
     val cols = graft.pipeline.Features.featuresFull(ev).columns
     val stream = graft.streaming.StreamFeatures
       .runFeatures(spark, s"$staged/ev0.parquet", maxFilesPerTrigger = Some(1), fileGlob = "ev*.parquet")
       .selectExpr(cols: _*)
-      .distinct()
       .collect()
       .map(_.toSeq)
     assert(stream.length == batch.size)

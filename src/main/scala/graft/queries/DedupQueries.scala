@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{FeatureOps, Hashing, Tables, VectorOps}
+import graft.ops.{BucketCap, FeatureOps, Hashing, Tables, VectorOps}
 import graft.oracle.OracleSql._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -105,7 +105,13 @@ object DedupQueries {
             explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
           )
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = banded
+        // degenerate-corpus guard: cap the LEFT side per band bucket (the
+        // lowest doc_ids) so an all-identical corpus yields O(n·cap) pairs,
+        // not O(n²) on one reducer; never fires on healthy buckets (≤8 on
+        // this corpus) so the oracle needs no counterpart. BucketCapSpec
+        // pins both the bound and cluster connectivity.
+        val capped = BucketCap.capSide(banded, col("band"), col("doc_id"), tag = "q34")
+        val pairs = capped
           .as("a")
           .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -186,7 +192,11 @@ object DedupQueries {
         val e = Tables
           .embeddings(s, dir)
           .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
-        e.as("a")
+        // degenerate-corpus guard (see BucketCap): left side capped per
+        // sign bucket; healthy buckets (≤16 here) are untouched.
+        val capped = BucketCap.capSide(e, col("bkt"), col("vec_id"), tag = "q37")
+        capped
+          .as("a")
           .join(e.as("b"), col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"),

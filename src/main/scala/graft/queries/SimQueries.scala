@@ -72,9 +72,14 @@ object SimQueries {
         val e = Tables
           .embeddings(s, dir)
           .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        // degenerate-corpus guard (see BucketCap): the CANDIDATE (right)
+        // side is capped per bucket so every vector still gets a top-k,
+        // drawn from the cap lowest-id members — O(n·cap) pairs, never
+        // O(n²); healthy buckets (≤16 here) are untouched.
+        val cand = graft.ops.BucketCap.capSide(e, col("bkt"), col("vec_id"), tag = "q39")
         val pairs = e
           .as("a")
-          .join(e.as("b"), col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
+          .join(cand.as("b"), col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"),
             col("b.vec_id").as("vec_b"),

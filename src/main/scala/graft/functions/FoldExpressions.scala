@@ -175,23 +175,31 @@ case class AutocorrLag1(left: Expression, right: Expression) extends BinaryExpre
     copy(left = newLeft, right = newRight)
 }
 
-/** graft_dotf(a array<float>, b array<float>): order-deterministic dot
-  * product with per-element float→double widening — mirrors
-  * VectorOps.dot's fold exactly. Length = min(len(a), len(b)) (inputs are
-  * fixed-width embedding vectors).
+/** graft_dotf(a array<float|double>, b array<float|double>):
+  * order-deterministic dot product with per-element widening to double —
+  * mirrors VectorOps.dot's fold exactly. float→double widening is exact,
+  * so accepting double arrays (e.g. a trained IVF codebook) adds no new
+  * FP behavior. Length = min(len(a), len(b)) (inputs are fixed-width
+  * embedding vectors).
   */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dotf"
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_dotf expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
-    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dotf expects (array<float|double>, array<float|double>), got (${left.dataType}, ${right.dataType})")
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -200,10 +208,17 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     if (xa == null || xb == null) return null
     val a = xa.asInstanceOf[ArrayData]
     val b = xb.asInstanceOf[ArrayData]
+    val af = isFloat(left.dataType)
+    val bf = isFloat(right.dataType)
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s = s + a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      s = s + x * y
+      i += 1
+    }
     s
   }
 
@@ -215,6 +230,10 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     val n = ctx.freshName("n")
     val s = ctx.freshName("s")
     val i = ctx.freshName("i")
+    def get(v: String, fl: Boolean): String =
+      if (fl) s"(double)$v.getFloat($i)" else s"$v.getDouble($i)"
+    val ax = get(a, isFloat(left.dataType))
+    val bx = get(b, isFloat(right.dataType))
     ev.copy(code = code"""
       ${l.code}
       ${r.code}
@@ -226,7 +245,7 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $s = $s + (double)$a.getFloat($i) * (double)$b.getFloat($i);
+          $s = $s + $ax * $bx;
         }
         ${ev.isNull} = false;
         ${ev.value} = $s;

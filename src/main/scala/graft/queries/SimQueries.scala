@@ -106,33 +106,20 @@ object SimQueries {
           FROM pairs)
         SELECT vec_a, vec_b, cos, rk FROM ranked WHERE rk <= 3 ORDER BY vec_a, rk""")
     ),
-    // IVF-style ANN: a deterministic 8-vector codebook (vec_id < 8 plays
-    // the trained centroids), every vector assigned to its argmax-dot
+    // IVF ANN with a TRAINED codebook: deterministic Lloyd k-means
+    // (graft.ops.IvfKMeans — init = 8 lowest vec_ids, 2 iterations,
+    // integer-quantized centroid means so both engines reproduce the
+    // recurrence bit-exactly), every vector assigned to its argmax-dot
     // inverted list, probe searches ONLY its cell's list. The scale path:
     // the codebook broadcasts, assignment is a map-side argmax over 8
     // dots, and search touches 1/K of the data.
     Q(
       "q41_knn_ivf",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = Tables.embeddings(s, dir)
-        val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-        val scored = e
-          .filter(col("vec_id") >= 8)
-          .crossJoin(broadcast(cents))
-          .select(
-            col("vec_id"),
-            col("embedding"),
-            col("cent_id"),
-            FeatureOps.r6(VectorOps.dot(col("embedding"), col("cent"))).as("cdot")
-          )
-        val assigned = scored
-          .withColumn(
-            "rk",
-            row_number().over(Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cent_id")))
-          )
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val assigned = graft.ops.IvfKMeans
+          .assign(e.filter(col("vec_id") >= graft.ops.IvfKMeans.K).select("vec_id", "embedding"), cents)
         val probe = assigned
           .filter(col("vec_id") === 100)
           .select(col("embedding").as("p"), col("cell").as("pcell"))
@@ -144,15 +131,31 @@ object SimQueries {
           .limit(5)
       },
       Some {
-        val cdot = r6(dot("e.embedding", "c.cent"))
-        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
-          scored AS (
-            SELECT e.vec_id, e.embedding, c.cent_id, $cdot AS cdot
-            FROM embeddings e, cents c WHERE e.vec_id >= 8),
-          assigned AS (
-            SELECT vec_id, embedding, cent_id AS cell FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS rk
-              FROM scored) WHERE rk = 1),
+        // the identical k-means recurrence, unrolled as CTEs
+        val quantList =
+          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))"
+        def assignSql(cents: String): String =
+          s"""SELECT vec_id, embedding, cell FROM (
+             SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ${r6(dot("e.embedding", "c.cent"))} DESC, c.cent_id) AS rk
+             FROM vecs e, $cents c) WHERE rk = 1"""
+        def updateSql(assigned: String): String =
+          s"""SELECT cell AS cent_id, list(v ORDER BY i) AS cent FROM (
+             SELECT cell, i, CAST(sum(qx) AS DOUBLE)/(CAST(count(*) AS DOUBLE)*1e6) AS v
+             FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
+                          unnest($quantList) AS qx
+                   FROM $assigned)
+             GROUP BY cell, i) GROUP BY cell"""
+        s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+          cents0 AS (SELECT vec_id AS cent_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+                     FROM embeddings WHERE vec_id < 8),
+          a0 AS (${assignSql("cents0")}),
+          cents1 AS (${updateSql("a0")}),
+          a1 AS (${assignSql("cents1")}),
+          cents2 AS (${updateSql("a1")}),
+          assigned AS (${assignSql("cents2")}),
           probe AS (SELECT embedding AS p, cell AS pcell FROM assigned WHERE vec_id = 100)
           SELECT vec_id, ${r6(cosine("embedding", "p"))} AS cos
           FROM assigned, probe WHERE cell = pcell AND vec_id <> 100

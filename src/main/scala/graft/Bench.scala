@@ -61,15 +61,20 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0
       else { val s = ts.sorted; s(s.length / 2) }
+    // per-query noise floor (max−min across runs) — makes the 2×-gate's
+    // error bars visible instead of leaving medians to be over-read
+    def spread(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else ts.max - ts.min
     val medians = results.map { case (n, ts) => n -> median(ts) }
     // failures carry -1 per query; keep them out of the suite total
     val total = medians.map(_._2).filter(_ >= 0).sum
-    // full-fidelity report → file (full names, every run, medians)
+    val totalSpread = results.map { case (_, ts) => spread(ts) }.filter(_ >= 0).sum
+    // full-fidelity report → file (full names, every run, medians, spreads)
     val fullJson = {
       val qs = results.map { case (n, ts) =>
-        s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))}}"""
+        s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -80,7 +85,7 @@ object Bench {
       .map { case (n, v) => s""""${n.takeWhile(_ != '_')}":${fmt(v)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsCompact,"sf":"$sfDir","file":"$outPath"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs":$runs,"spread":${fmt(totalSpread)},"queries":$qsCompact,"sf":"$sfDir","file":"$outPath"}"""
     )
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,35 +11,44 @@ import org.apache.spark.sql.functions._
   *
   *   - init: the K lowest-vec_id vectors, widened float→double (exact);
   *   - assign: argmax of r6(dot(x, cent)), ties to the lowest cent_id —
-  *     dot is the order-deterministic fold (graft_dotf), r6 the shared
+  *     dot is the left-to-right fold (graft_dotf's order), r6 the shared
   *     6-decimal floor-round, so assignments match the oracle bit-for-bit;
   *   - update: per-cell element-wise mean over vectors QUANTIZED to
-  *     integers (floor(x·1e6 + 0.5) as BIGINT). Integer sums are exact and
-  *     order-free — the one place a naive double sum would diverge between
-  *     engines (and across Spark partial-aggregation orders) — and the
-  *     final division (sum / (n·1e6)) is a single deterministic IEEE op.
+  *     integers (floor(x·1e6 + 0.5) as Long). Integer sums are exact and
+  *     ORDER-FREE — the one place a naive double sum would diverge between
+  *     engines (and across aggregation orders) — and the final division
+  *     (sum / (n·1e6)) is a single deterministic IEEE op. Cells that lose
+  *     all members drop out, exactly as in the oracle's GROUP BY.
   *
-  * Scale path: assignment is a broadcast of K centroids + a map-side
-  * argmax; the update is one partial-aggregated shuffle of (cell, dim)
-  * keys per iteration (K·dim groups, tiny). At 100 TB you train on a
-  * sample with the same recurrence; the codebook itself is metadata
-  * (K·dim doubles) and is collected to the driver exactly like any
-  * production IVF index build.
+  * Training runs driver-side over the collected training set — the
+  * standard IVF index build (train on a bounded sample, the codebook is
+  * K·dim doubles of index METADATA, not data). At 100 TB pass a sampled
+  * DataFrame; the recurrence is sample-order-independent either way.
+  * Only `assign` — the per-row data path — is distributed: a broadcast of
+  * K centroids plus a map-side argmax.
   */
 object IvfKMeans {
 
   val K = 8
   val Iters = 2
 
-  /** floor(x·1e6 + 0.5) per element, as exact BIGINTs. Oracle mirror:
-    * `list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))`.
+  /** ↔ FeatureOps.r6 (floor(x·1e6 + 0.5)/1e6; the double-floor value is
+    * bit-identical to Spark's long-floor for every magnitude we round).
     */
-  private def quant(e: Column): Column =
-    transform(e, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  /** Assign every vector to its nearest (argmax rounded-dot) centroid.
-    * `cents`: (cent_id, cent array<double>). Output: (vec_id, embedding,
-    * cell).
+  /** ↔ graft_dotf: left-to-right fold with float→double widening. */
+  private def dotD(a: Array[Float], c: Array[Double]): Double = {
+    val n = math.min(a.length, c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s = s + a(i).toDouble * c(i); i += 1 }
+    s
+  }
+
+  /** Assign every vector to its nearest (argmax rounded-dot) centroid —
+    * the distributed data path. `cents`: (cent_id, cent array<double>).
+    * Output: (vec_id, embedding, cell).
     */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs
@@ -57,44 +66,52 @@ object IvfKMeans {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
 
-  /** Recompute centroids as the per-cell element-wise quantized mean.
-    * Exact integer sums per (cell, dim) → order-independent; array
-    * rebuilt in dim order via array_sort on (dim, value) structs.
-    */
-  def update(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(quant(col("embedding"))).as(Seq("i", "qx")))
-      .groupBy(col("cell"), col("i"))
-      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
-      .groupBy(col("cell"))
-      .agg(
-        array_sort(
-          collect_list(
-            struct(col("i"), (col("sq").cast("double") / (col("n").cast("double") * lit(1e6))).as("v"))
-          )
-        ).as("pv")
-      )
-      .select(col("cell").as("cent_id"), transform(col("pv"), p => p("v")).as("cent"))
-
   /** Train the codebook over `e` (vec_id, embedding): init from the K
-    * lowest vec_ids, `Iters` Lloyd steps over the remaining vectors, then
-    * collect the K·dim doubles to the driver (codebook = index metadata,
-    * not data — the standard IVF build) and return them as a literal
-    * DataFrame so downstream plans broadcast a leaf, not the training
-    * lineage.
+    * lowest vec_ids, `Iters` Lloyd steps over the remaining vectors.
+    * Returns a literal (cent_id, cent) DataFrame so downstream plans
+    * broadcast a leaf, not the training lineage.
     */
   def codebook(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
-    val vecs = e.filter(col("vec_id") >= K).select("vec_id", "embedding")
-    var cents = e
+    val seeds: Seq[(Long, Array[Double])] = e
       .filter(col("vec_id") < K)
-      .select(col("vec_id").as("cent_id"), transform(col("embedding"), _.cast("double")).as("cent"))
-    for (_ <- 1 to Iters) cents = update(assign(vecs, cents))
-    cents
-      .as[(Long, Seq[Double])]
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
       .collect()
       .sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
       .toSeq
-      .toDF("cent_id", "cent")
+    val train: Array[Array[Float]] = e
+      .filter(col("vec_id") >= K)
+      .select("embedding")
+      .as[Array[Float]]
+      .collect()
+
+    var cents = seeds
+    for (_ <- 1 to Iters) {
+      val dim = cents.head._2.length
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      train.foreach { v =>
+        // argmax over ascending cent_id with strict '>' → lowest id wins ties
+        var best = 0
+        var bestD = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          val d = r6d(dotD(v, cents(j)._2))
+          if (d > bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += math.floor(v(i).toDouble * 1e6 + 0.5).toLong; i += 1 }
+      }
+      cents = cents.indices.collect {
+        case j if counts(j) > 0 =>
+          (cents(j)._1, sums(j).map(sq => sq.toDouble / (counts(j).toDouble * 1e6)))
+      }
+    }
+    cents.map { case (id, c) => (id, c.toSeq) }.toDF("cent_id", "cent")
   }
 }

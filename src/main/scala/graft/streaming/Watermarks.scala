@@ -94,7 +94,13 @@ object Watermarks {
       .orderBy("user_id")
   }
 
-  /** Watermarked day-window counts over the staged three-batch stream. */
+  /** Watermarked day-window counts over the staged three-batch stream.
+    * The memory sink only settles the demo's result for the oracle; in
+    * production the same plan appends to a real sink (writeStream
+    * .format("parquet")/.toTable with a checkpoint) — append mode emits
+    * each window exactly once, when the watermark finalizes it, so no
+    * dedup-on-read view is needed here.
+    */
   def lateDataCounts(session: SparkSession, dir: String): DataFrame = {
     val spark = StreamSessions.tuned(session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

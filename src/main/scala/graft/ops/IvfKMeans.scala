@@ -46,11 +46,12 @@ object IvfKMeans {
     s
   }
 
-  /** Assign every vector to its nearest (argmax rounded-dot) centroid —
-    * the distributed data path. `cents`: (cent_id, cent array<double>).
-    * Output: (vec_id, embedding, cell).
+  /** Rank all K centroids per vector by rounded dot (descending, ties to
+    * the lowest cent_id) and keep the nearest `p` — the shared kernel for
+    * single-cell assignment (p=1) and multi-probe search (p>1). `cents`:
+    * (cent_id, cent array<double>). Output: (vec_id, embedding, cell, rk).
     */
-  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  def assignTopP(vecs: DataFrame, cents: DataFrame, p: Int): DataFrame =
     vecs
       .crossJoin(broadcast(cents))
       .select(
@@ -63,8 +64,14 @@ object IvfKMeans {
         "rk",
         row_number().over(Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cent_id")))
       )
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .filter(col("rk") <= p)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("rk"))
+
+  /** Assign every vector to its nearest (argmax rounded-dot) centroid —
+    * the distributed data path. Output: (vec_id, embedding, cell).
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    assignTopP(vecs, cents, 1).drop("rk")
 
   /** Train the codebook over `e` (vec_id, embedding): init from the K
     * lowest vec_ids, `Iters` Lloyd steps over the remaining vectors.

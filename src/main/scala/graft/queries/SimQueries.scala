@@ -16,6 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object SimQueries {
 
+  /** DuckDB replay of graft.ops.IvfKMeans's training recurrence, unrolled
+    * as CTEs (shared by q41 and q58): quantized-integer centroid sums so
+    * the element-wise means are order-free on both engines.
+    */
+  private val quantList =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))"
+
+  private def assignSql(cents: String): String =
+    s"""SELECT vec_id, embedding, cell FROM (
+       SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${r6(dot("e.embedding", "c.cent"))} DESC, c.cent_id) AS rk
+       FROM vecs e, $cents c) WHERE rk = 1"""
+
+  private def updateSql(assigned: String): String =
+    s"""SELECT cell AS cent_id, list(v ORDER BY i) AS cent FROM (
+       SELECT cell, i, CAST(sum(qx) AS DOUBLE)/(CAST(count(*) AS DOUBLE)*1e6) AS v
+       FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
+                    unnest($quantList) AS qx
+             FROM $assigned)
+       GROUP BY cell, i) GROUP BY cell"""
+
+  /** WITH-chain ending in `assigned` (vec_id, embedding, cell) under the
+    * 2-iteration trained codebook `cents2` — append query-specific CTEs.
+    */
+  private val ivfCtes: String =
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+      cents0 AS (SELECT vec_id AS cent_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+                 FROM embeddings WHERE vec_id < 8),
+      a0 AS (${assignSql("cents0")}),
+      cents1 AS (${updateSql("a0")}),
+      a1 AS (${assignSql("cents1")}),
+      cents2 AS (${updateSql("a1")}),
+      assigned AS (${assignSql("cents2")})"""
+
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-5 to probe vec_id=0. Round before ordering so
     // the sort key is the bit-identical rounded double on both engines.
@@ -130,37 +166,46 @@ object SimQueries {
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(5)
       },
-      Some {
-        // the identical k-means recurrence, unrolled as CTEs
-        val quantList =
-          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))"
-        def assignSql(cents: String): String =
-          s"""SELECT vec_id, embedding, cell FROM (
-             SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY ${r6(dot("e.embedding", "c.cent"))} DESC, c.cent_id) AS rk
-             FROM vecs e, $cents c) WHERE rk = 1"""
-        def updateSql(assigned: String): String =
-          s"""SELECT cell AS cent_id, list(v ORDER BY i) AS cent FROM (
-             SELECT cell, i, CAST(sum(qx) AS DOUBLE)/(CAST(count(*) AS DOUBLE)*1e6) AS v
-             FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
-                          unnest($quantList) AS qx
-                   FROM $assigned)
-             GROUP BY cell, i) GROUP BY cell"""
-        s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
-          cents0 AS (SELECT vec_id AS cent_id,
-                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-                     FROM embeddings WHERE vec_id < 8),
-          a0 AS (${assignSql("cents0")}),
-          cents1 AS (${updateSql("a0")}),
-          a1 AS (${assignSql("cents1")}),
-          cents2 AS (${updateSql("a1")}),
-          assigned AS (${assignSql("cents2")}),
+      Some(s"""$ivfCtes,
           probe AS (SELECT embedding AS p, cell AS pcell FROM assigned WHERE vec_id = 100)
           SELECT vec_id, ${r6(cosine("embedding", "p"))} AS cos
           FROM assigned, probe WHERE cell = pcell AND vec_id <> 100
-          ORDER BY cos DESC, vec_id LIMIT 5"""
-      }
+          ORDER BY cos DESC, vec_id LIMIT 5""")
+    ),
+    // IVF multi-probe: the probe searches its nearest P=2 cells instead of
+    // 1 — the standard recall knob (a cell boundary can split a probe from
+    // its true neighbors; probing the runner-up cell recovers most of that
+    // loss for 2/K of the scan cost). Cell ranking reuses the assignment
+    // kernel (r6(dot) desc, cent_id tie-break) so both engines pick the
+    // same cells; the probe-cell set broadcasts as a 2-row semi-join.
+    Q(
+      "q58_knn_ivf_multiprobe",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val vecs = e.filter(col("vec_id") >= graft.ops.IvfKMeans.K).select("vec_id", "embedding")
+        val assigned = graft.ops.IvfKMeans.assign(vecs, cents)
+        val probeVec = vecs.filter(col("vec_id") === 100)
+        val probeCells = graft.ops.IvfKMeans.assignTopP(probeVec, cents, 2).select("cell")
+        val probe = probeVec.select(col("embedding").as("p"))
+        assigned
+          .join(broadcast(probeCells), Seq("cell"), "left_semi")
+          .crossJoin(broadcast(probe))
+          .filter(col("vec_id") =!= 100)
+          .select(col("vec_id"), FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""$ivfCtes,
+          probe_cells AS (SELECT cell FROM (
+            SELECT c.cent_id AS cell,
+              row_number() OVER (ORDER BY ${r6(dot("p.embedding", "c.cent"))} DESC, c.cent_id) AS rk
+            FROM (SELECT embedding FROM vecs WHERE vec_id = 100) p, cents2 c) WHERE rk <= 2),
+          probe AS (SELECT embedding AS p FROM vecs WHERE vec_id = 100)
+          SELECT vec_id, ${r6(cosine("embedding", "p"))} AS cos
+          FROM assigned, probe
+          WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 100
+          ORDER BY cos DESC, vec_id LIMIT 5""")
     )
   )
 }

@@ -19,21 +19,30 @@ import org.apache.spark.sql.functions._
   *
   * The cap (64) sits ~8× above the largest bucket observed on the test
   * corpus (band buckets ≤8, sign buckets ≤16 at sf0.1), so it never fires
-  * on healthy data and the oracle SQL needs no counterpart; when it does
-  * fire the dropped-member count is logged. At 100 TB the same constant
-  * holds for BAND buckets (size tracks near-dup cluster size, not corpus
-  * size); sign/IVF buckets must instead scale bucket COUNT (more
-  * hyperplanes / centroids) with the corpus, and the cap is the backstop.
+  * on healthy data and the oracle SQL needs no counterpart. BAND buckets
+  * keep that property at 100 TB unaided (size tracks near-dup cluster
+  * size, not corpus size); sign buckets scale their COUNT with the corpus
+  * (VectorOps.adaptivePlanes) so the cap stays a degenerate-corpus
+  * backstop at every scale, never a silent result-shaper on healthy data.
+  *
+  * Diagnostics are mode-driven via `spark.graft.bucketCap.mode`:
+  *   - `silent` (default): cap only — no extra action, so bench/query runs
+  *     never pay a diagnostic scan;
+  *   - `log`: count dropped members (one small map-side-combined
+  *     aggregate) and report to stderr when > 0;
+  *   - `fail`: same count, but THROW when the cap fired — Verify runs in
+  *     this mode, so the oracle correctness gate ASSERTS the cap never
+  *     shaped an oracle-checked result.
   */
 object BucketCap {
 
   /** Default cap: ≥8× the max healthy-corpus bucket observed at sf0.1. */
   val MaxPerBucket = 64
 
-  /** The `maxPerBucket` lowest-`id` members of every `bucket`. Logs the
-    * number of members dropped from the capped join side when > 0 (one
-    * small aggregate over `df` — at scale a map-side-combined count).
-    */
+  /** silent | log | fail — see object doc. */
+  val ModeConf = "spark.graft.bucketCap.mode"
+
+  /** The `maxPerBucket` lowest-`id` members of every `bucket`. */
   def capSide(
       df: DataFrame,
       bucket: Column,
@@ -41,17 +50,26 @@ object BucketCap {
       maxPerBucket: Int = MaxPerBucket,
       tag: String = "bucket-cap"
   ): DataFrame = {
-    val over = df
-      .groupBy(bucket)
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > maxPerBucket)
-      .agg(coalesce(sum(col("_n") - maxPerBucket), lit(0L)), count(lit(1)))
-      .collect()(0)
-    if (over.getLong(0) > 0L)
-      System.err.println(
-        s"[graft] $tag: ${over.getLong(1)} oversized bucket(s); dropped " +
-          s"${over.getLong(0)} member(s) from the capped join side (cap=$maxPerBucket)"
-      )
+    val mode = df.sparkSession.conf.get(ModeConf, "silent")
+    if (mode != "silent") {
+      val over = df
+        .groupBy(bucket)
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxPerBucket)
+        .agg(coalesce(sum(col("_n") - maxPerBucket), lit(0L)), count(lit(1)))
+        .collect()(0)
+      if (over.getLong(0) > 0L) {
+        val msg =
+          s"[graft] $tag: ${over.getLong(1)} oversized bucket(s); dropped " +
+            s"${over.getLong(0)} member(s) from the capped join side (cap=$maxPerBucket)"
+        if (mode == "fail")
+          throw new IllegalStateException(
+            s"$msg — the cap must never fire on an oracle-checked corpus; " +
+              "scale the bucket count (adaptivePlanes) instead"
+          )
+        System.err.println(msg)
+      }
+    }
     df.withColumn("_bc_rk", row_number().over(Window.partitionBy(bucket).orderBy(id)))
       .filter(col("_bc_rk") <= maxPerBucket)
       .drop("_bc_rk")

@@ -32,6 +32,17 @@ object IvfKMeans {
   val K = 8
   val Iters = 2
 
+  /** Driver-side training-set bound: the TrainLimit lowest vec_ids ≥ K —
+    * a deterministic, pushdown-friendly range predicate, not a sample
+    * that would need shared random state with the oracle. Caps the
+    * codebook() collect at TrainLimit·dim floats regardless of corpus
+    * size (round-4 ADVICE item 2: the previous unbounded collect pulled
+    * the whole table to the driver). Covers every test corpus (≤2000
+    * vectors) entirely, so results are unchanged where training data is
+    * under the bound.
+    */
+  val TrainLimit = 2048L
+
   /** ↔ FeatureOps.r6 (floor(x·1e6 + 0.5)/1e6; the double-floor value is
     * bit-identical to Spark's long-floor for every magnitude we round).
     */
@@ -74,9 +85,11 @@ object IvfKMeans {
     assignTopP(vecs, cents, 1).drop("rk")
 
   /** Train the codebook over `e` (vec_id, embedding): init from the K
-    * lowest vec_ids, `Iters` Lloyd steps over the remaining vectors.
-    * Returns a literal (cent_id, cent) DataFrame so downstream plans
-    * broadcast a leaf, not the training lineage.
+    * lowest vec_ids, `Iters` Lloyd steps over the next ≤TrainLimit
+    * vectors (vec_id ∈ [K, K+TrainLimit) — the standard IVF build trains
+    * on a bounded sample; the codebook is K·dim doubles of index
+    * METADATA). Returns a literal (cent_id, cent) DataFrame so downstream
+    * plans broadcast a leaf, not the training lineage.
     */
   def codebook(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
@@ -89,7 +102,7 @@ object IvfKMeans {
       .map { case (id, v) => (id, v.map(_.toDouble)) }
       .toSeq
     val train: Array[Array[Float]] = e
-      .filter(col("vec_id") >= K)
+      .filter(col("vec_id") >= K && col("vec_id") < K + TrainLimit)
       .select("embedding")
       .as[Array[Float]]
       .collect()

@@ -44,4 +44,28 @@ object VectorOps {
     (1 to bits)
       .map(j => when(element_at(e, j) > lit(0.0f), lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Adaptive plane-count bounds: [8, 20] planes (256 … ~1M buckets); the
+    * embedding dim (64) comfortably covers MaxPlanes axis hyperplanes.
+    */
+  val MinPlanes = 8
+  val MaxPlanes = 20
+
+  /** Expected members per sign bucket the plane count targets. */
+  val TargetBucketSize = 16L
+
+  /** Smallest p in [MinPlanes, MaxPlanes] whose 2^p buckets hold an
+    * n-vector corpus at ~TargetBucketSize members each (n ≤ 16·2^p) —
+    * integer comparisons only, so the DuckDB oracle replays the identical
+    * choice (OracleSql.signBucketAdaptive). Scaling the bucket COUNT with
+    * the corpus keeps per-bucket pair joins bounded at any scale and
+    * leaves BucketCap as a purely degenerate-corpus backstop; with fixed
+    * planes, healthy buckets would grow linearly with the corpus and the
+    * cap would silently shape results (round-4 ADVICE item 1).
+    */
+  def adaptivePlanes(n: Long): Int = {
+    var p = MinPlanes
+    while (p < MaxPlanes && n > (TargetBucketSize << p)) p += 1
+    p
+  }
 }

@@ -88,6 +88,20 @@ object OracleSql {
       .map(j => s"(CASE WHEN $e[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** Adaptive sign-LSH bucket ↔ VectorOps.adaptivePlanes + signBucket:
+    * the MaxPlanes-plane bucket masked down to the smallest p in
+    * [MinPlanes, MaxPlanes] with nExpr ≤ TargetBucketSize·2^p — masking
+    * the high bits is exactly the p-plane bucket, and the threshold CASE
+    * is integer-only so both engines pick the same p.
+    */
+  def signBucketAdaptive(e: String, nExpr: String): String = {
+    import graft.ops.VectorOps.{MaxPlanes, MinPlanes, TargetBucketSize}
+    val whens = (MinPlanes until MaxPlanes)
+      .map(p => s"WHEN ($nExpr) <= ${TargetBucketSize << p} THEN ${(1L << p) - 1}")
+      .mkString(" ")
+    s"(${signBucket(e, MaxPlanes)} & (CASE $whens ELSE ${(1L << MaxPlanes) - 1} END))"
+  }
+
   /** Word-split + n-gram shingle list ↔ graft.ops.Hashing.shingles. */
   def shingles(w: String, n: Int): String =
     s"list_transform(generate_series(1, len($w) - ${n - 1}), i -> array_to_string($w[i:i+${n - 1}], ' '))"

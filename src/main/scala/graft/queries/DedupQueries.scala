@@ -183,15 +183,18 @@ object DedupQueries {
           FROM shs, probe ORDER BY doc_id"""
       }
     ),
-    // Embedding-cosine near-dup pairs inside sign-LSH buckets (8 axis
-    // hyperplanes). The bucket join is the scale path: cosine is computed
-    // only within buckets.
+    // Embedding-cosine near-dup pairs inside sign-LSH buckets. The bucket
+    // join is the scale path: cosine is computed only within buckets, and
+    // the plane count ADAPTS to the corpus size (VectorOps.adaptivePlanes;
+    // the count-star is a metadata-cheap job amortized by the pair join)
+    // so healthy buckets stay ~16 members at any scale.
     Q(
       "q37_embed_neardup",
       (s, dir) => {
-        val e = Tables
-          .embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        val tbl = Tables.embeddings(s, dir)
+        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val e = tbl
+          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), planes).as("bkt"))
         // degenerate-corpus guard (see BucketCap): left side capped per
         // sign bucket; healthy buckets (≤16 here) are untouched.
         val capped = BucketCap.capSide(e, col("bkt"), col("vec_id"), tag = "q37")
@@ -206,7 +209,8 @@ object DedupQueries {
           .filter(col("cos") >= 0.3)
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""WITH be AS (SELECT vec_id, embedding, ${signBucket("embedding", 8)} AS bkt
+      Some(s"""WITH be AS (SELECT vec_id, embedding,
+            ${signBucketAdaptive("embedding", "(SELECT count(*) FROM embeddings)")} AS bkt
           FROM embeddings)
         SELECT vec_a, vec_b, cos FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -23,12 +23,12 @@ object SimQueries {
   private val quantList =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))"
 
-  private def assignSql(cents: String): String =
+  private def assignSql(src: String, cents: String): String =
     s"""SELECT vec_id, embedding, cell FROM (
        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY ${r6(dot("e.embedding", "c.cent"))} DESC, c.cent_id) AS rk
-       FROM vecs e, $cents c) WHERE rk = 1"""
+       FROM $src e, $cents c) WHERE rk = 1"""
 
   private def updateSql(assigned: String): String =
     s"""SELECT cell AS cent_id, list(v ORDER BY i) AS cent FROM (
@@ -40,17 +40,24 @@ object SimQueries {
 
   /** WITH-chain ending in `assigned` (vec_id, embedding, cell) under the
     * 2-iteration trained codebook `cents2` — append query-specific CTEs.
+    * Training folds over `tvecs`, the bounded vec_id ∈ [K, K+TrainLimit)
+    * set mirroring IvfKMeans.TrainLimit; the final assignment covers ALL
+    * vectors (`vecs`).
     */
-  private val ivfCtes: String =
+  private val ivfCtes: String = {
+    val hi = graft.ops.IvfKMeans.K + graft.ops.IvfKMeans.TrainLimit
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+      tvecs AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= 8 AND vec_id < $hi),
       cents0 AS (SELECT vec_id AS cent_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
                  FROM embeddings WHERE vec_id < 8),
-      a0 AS (${assignSql("cents0")}),
+      a0 AS (${assignSql("tvecs", "cents0")}),
       cents1 AS (${updateSql("a0")}),
-      a1 AS (${assignSql("cents1")}),
+      a1 AS (${assignSql("tvecs", "cents1")}),
       cents2 AS (${updateSql("a1")}),
-      assigned AS (${assignSql("cents2")})"""
+      assigned AS (${assignSql("vecs", "cents2")})"""
+  }
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-5 to probe vec_id=0. Round before ordering so
@@ -75,13 +82,16 @@ object SimQueries {
         FROM embeddings, probe WHERE vec_id <> 0
         ORDER BY cos DESC, vec_id LIMIT 5""")
     ),
-    // LSH-bucketed k-NN: candidates = probe's sign bucket only.
+    // LSH-bucketed k-NN: candidates = probe's sign bucket only. Plane
+    // count adapts to corpus size (VectorOps.adaptivePlanes) so the
+    // candidate set stays ~16 vectors at any scale.
     Q(
       "q38_knn_lsh",
       (s, dir) => {
-        val e = Tables
-          .embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        val tbl = Tables.embeddings(s, dir)
+        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val e = tbl
+          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), planes).as("bkt"))
         val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p"), col("bkt").as("pbkt"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(probe))
@@ -93,7 +103,8 @@ object SimQueries {
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(5)
       },
-      Some(s"""WITH be AS (SELECT vec_id, embedding, ${signBucket("embedding", 8)} AS bkt
+      Some(s"""WITH be AS (SELECT vec_id, embedding,
+            ${signBucketAdaptive("embedding", "(SELECT count(*) FROM embeddings)")} AS bkt
           FROM embeddings),
         probe AS (SELECT embedding AS p, bkt AS pbkt FROM be WHERE vec_id = 0)
         SELECT vec_id, floor((${cosine("embedding", "p")}) * 1e6 + 5e-1) / 1e6 AS cos
@@ -105,9 +116,10 @@ object SimQueries {
       "q39_ann_bucket_topk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val e = Tables
-          .embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bkt"))
+        val tbl = Tables.embeddings(s, dir)
+        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val e = tbl
+          .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), planes).as("bkt"))
         // degenerate-corpus guard (see BucketCap): the CANDIDATE (right)
         // side is capped per bucket so every vector still gets a top-k,
         // drawn from the cap lowest-id members — O(n·cap) pairs, never
@@ -131,7 +143,8 @@ object SimQueries {
           .filter(col("rk") <= 3)
           .orderBy("vec_a", "rk")
       },
-      Some(s"""WITH be AS (SELECT vec_id, embedding, ${signBucket("embedding", 8)} AS bkt
+      Some(s"""WITH be AS (SELECT vec_id, embedding,
+            ${signBucketAdaptive("embedding", "(SELECT count(*) FROM embeddings)")} AS bkt
           FROM embeddings),
         pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -25,6 +25,21 @@ class BucketCapSpec extends AnyFunSuite {
     assert(kept == Set(("hot", 0L), ("hot", 1L), ("hot", 2L), ("hot", 3L), ("cold", 0L), ("cold", 1L)))
   }
 
+  test("fail mode throws when the cap fires, passes untouched buckets through") {
+    val df = ((0L until 10L).map(("hot", _)) ++ Seq(("cold", 0L))).toDF("bkt", "id")
+    spark.conf.set(BucketCap.ModeConf, "fail")
+    try {
+      val e = intercept[IllegalStateException] {
+        BucketCap.capSide(df, col("bkt"), col("id"), maxPerBucket = 4, tag = "spec-fail")
+      }
+      assert(e.getMessage.contains("spec-fail"))
+      // no oversized bucket → no throw, cap is a no-op
+      val ok = BucketCap
+        .capSide(df.filter(col("id") < 4), col("bkt"), col("id"), maxPerBucket = 4, tag = "spec-ok")
+      assert(ok.count() == 5)
+    } finally spark.conf.unset(BucketCap.ModeConf)
+  }
+
   test("q34 stays bounded on 1000 identical documents and keeps cluster connectivity") {
     val n = 1000
     val cap = BucketCap.MaxPerBucket

@@ -28,6 +28,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(g2 == 0.0)
   }
 
+  test("adaptivePlanes grows the bucket count with the corpus and clamps to [8, 20]") {
+    import graft.ops.VectorOps._
+    assert(adaptivePlanes(0L) == 8)
+    assert(adaptivePlanes(500L) == 8) // sf0.01 corpus → unchanged vs fixed-8
+    assert(adaptivePlanes(2000L) == 8) // sf0.1 corpus → unchanged vs fixed-8
+    assert(adaptivePlanes(16L << 8) == 8) // exactly at the 8-plane capacity
+    assert(adaptivePlanes((16L << 8) + 1) == 9) // one past → 9 planes
+    assert(adaptivePlanes(16L << 12) == 12)
+    assert(adaptivePlanes(Long.MaxValue / 4) == 20) // clamped at MaxPlanes
+    // invariant: healthy expected bucket size ≤ TargetBucketSize until clamp
+    (8 to 19).foreach { p =>
+      val n = 16L << p
+      assert(n <= (TargetBucketSize << adaptivePlanes(n)))
+    }
+  }
+
   test("signBucket sets bit j-1 iff dim j is positive") {
     val v = Seq(1.0f, -1.0f, 2.0f, 0.0f, 5.0f, -3.0f, 1.0f, -1.0f)
     val got = Seq(v).toDF("e").select(VectorOps.signBucket(col("e"), 8)).as[Long].head()

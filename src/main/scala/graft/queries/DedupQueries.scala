@@ -53,6 +53,44 @@ object DedupQueries {
     s"""mhs AS (SELECT doc_id, ${(1 to 4).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")}
        FROM documents)"""
 
+  /** banded + pairs CTE tail shared by q34 and q59 (follows mhCteSql). */
+  private val pairsCteSql: String =
+    s"""banded AS (
+          SELECT doc_id, unnest([${(1 to 2).map(bandSql).mkString(", ")}]) AS band
+          FROM mhs),
+        prs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)"""
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, distinct), the shared
+    * engine path for q34 and q59: signature table materialized once
+    * (persist), left join side capped per band bucket (BucketCap — an
+    * all-identical corpus yields O(n·cap) pairs with cluster connectivity
+    * preserved, so q59's components are unchanged by the cap), result
+    * eagerly localCheckpoint'ed so the big cached signature table is
+    * released immediately.
+    */
+  private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String, tag: String) = {
+    val banded = Tables
+      .documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
+      .select(
+        col("doc_id"),
+        explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = BucketCap.capSide(banded, col("band"), col("doc_id"), tag = tag)
+    val pairs = capped
+      .as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    banded.unpersist()
+    pairs
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup: group on md5(text), keep the smallest doc_id — the
     // canonical representative-selection shape (one shuffle on the hash).
@@ -89,48 +127,46 @@ object DedupQueries {
     ),
     // LSH candidate pairs: docs sharing either band key (the per-band
     // self-join — bucket-bounded, never a cross product), deduplicated.
+    // Engine path shared with q59 (candidatePairs): signature table
+    // persisted once, left side band-capped (degenerate-corpus guard),
+    // pair set localCheckpoint'ed to release the cache.
     Q(
       "q34_minhash_pairs",
+      (s, dir) => candidatePairs(s, dir, "q34").orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $mhCteSql, $pairsCteSql
+        SELECT doc_a, doc_b FROM prs ORDER BY doc_a, doc_b""")
+    ),
+    // Duplicate-cluster assignment: connected components over the LSH
+    // candidate pairs, cluster id = min doc_id in the component (the
+    // representative every training-data dedup keeps). Engine path:
+    // iterative min-label propagation (ops/ConnectedComponents — rounds
+    // bounded by component diameter; LSH dup clusters are shallow, the
+    // all-identical degenerate corpus is a 2-round star). The cap on the
+    // pair side preserves connectivity (BucketCapSpec), so components
+    // equal the oracle's closure over UNCAPPED pairs. Oracle: WITH
+    // RECURSIVE reachability closure, min label per node.
+    Q(
+      "q59_dedup_components",
       (s, dir) => {
-        val sig = Tables
+        val pairs = candidatePairs(s, dir, "q59")
+        val labels = graft.ops.ConnectedComponents.minLabel(pairs.select("doc_a", "doc_b"))
+        Tables
           .documents(s, dir)
-          .repartition(col("doc_id"))
-          .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
-        // persist: the self-join would otherwise recompute the full minhash
-        // lineage (4 salted md5 per shingle) on BOTH sides — at scale the
-        // signature table is materialized once, then joined.
-        val banded = sig
-          .select(
-            col("doc_id"),
-            explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
-          )
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // degenerate-corpus guard: cap the LEFT side per band bucket (the
-        // lowest doc_ids) so an all-identical corpus yields O(n·cap) pairs,
-        // not O(n²) on one reducer; never fires on healthy buckets (≤8 on
-        // this corpus) so the oracle needs no counterpart. BucketCapSpec
-        // pins both the bound and cluster connectivity.
-        val capped = BucketCap.capSide(banded, col("band"), col("doc_id"), tag = "q34")
-        val pairs = capped
-          .as("a")
-          .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-          // eager local checkpoint: materializes the (small) pair set so the
-          // big cached signature table can be released immediately instead
-          // of pinning block-manager memory for the rest of the session
-          .localCheckpoint()
-        banded.unpersist()
-        pairs
+          .select(col("doc_id"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH $mhCteSql,
-        banded AS (
-          SELECT doc_id, unnest([${(1 to 2).map(bandSql).mkString(", ")}]) AS band
-          FROM mhs)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b""")
+      Some(s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+        comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
+        SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ORDER BY d.doc_id""")
     ),
     // SimHash-16 from per-word h60 bit votes (hash each word once, then 16
     // integer folds over the hash list — exact integer arithmetic).

@@ -173,6 +173,66 @@ object TextQueries {
           CAST(len($sh) AS BIGINT) AS n_shingles
           FROM documents ORDER BY doc_id"""
       }
+    ),
+    // Corpus n-gram top-k: the 20 most frequent 3-word shingles — the
+    // standard contamination/boilerplate probe over a training corpus.
+    // Scale shape: explode → hash-agg with map-side partial combine (one
+    // shuffle on the gram key) → TakeOrderedAndProject; the (count desc,
+    // gram asc) order is total, so the LIMIT boundary is deterministic.
+    Q(
+      "q60_ngram_topk",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(explode(Hashing.shingles(ws, 3)).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram"))
+          .limit(20),
+      Some(s"""SELECT gram, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(${shingles("string_split(text, ' ')", 3)}) AS gram
+              FROM documents)
+        GROUP BY gram ORDER BY n DESC, gram LIMIT 20""")
+    ),
+    // Deterministic 20% sample: keep docs whose salted id-hash lands in
+    // the first 20 of 100 hash slots — reproducible across engines, runs
+    // and partitionings (unlike rand()-based sampling), map-only, and the
+    // salt gives independent samples per use case. The training-data
+    // holdout/subset primitive.
+    Q(
+      "q61_det_sample",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .filter(Hashing.h60(concat(lit("smp:"), col("doc_id").cast("string"))) % 100 < 20)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE ${h60("'smp:' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+        ORDER BY doc_id""")
+    ),
+    // Document-length histogram: 100-char buckets clamped to a tail bucket
+    // — corpus length-distribution stats (single scan, map-side partials
+    // into ≤10 groups). Integer-exact bucketing on both engines (floor of
+    // a nonneg double ratio ≡ DuckDB's integer division).
+    Q(
+      "q62_length_histogram",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .groupBy(least(floor(col("n_chars") / lit(100)), lit(9L)).as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars")
+          )
+          .orderBy("bucket"),
+      Some("""SELECT CAST(least(n_chars // 100, 9) AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(min(n_chars) AS BIGINT) AS min_chars,
+        CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY 1 ORDER BY bucket""")
     )
   )
 }

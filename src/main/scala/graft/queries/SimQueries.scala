@@ -219,6 +219,39 @@ object SimQueries {
           FROM assigned, probe
           WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 100
           ORDER BY cos DESC, vec_id LIMIT 5""")
+    ),
+    // Per-label embedding centroids (element-wise mean), long format
+    // (label, dim, mean) — embedding-space class statistics for corpus
+    // curation. Exactness across engines and aggregation orders via the
+    // IvfKMeans integer-quantization trick: sum floor(x·1e6 + .5) as
+    // BIGINT (exact, order-free), one final IEEE division. Scale shape:
+    // posexplode fans each vector into dim rows, then ONE shuffle on the
+    // (label, dim) key with map-side partial sums — never collects
+    // vectors anywhere.
+    Q(
+      "q64_label_centroids",
+      (s, dir) =>
+        Tables
+          .embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(
+            col("label").cast("long").as("label"),
+            (col("pos") + 1).cast("long").as("i"),
+            floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("qx")
+          )
+          .groupBy("label", "i")
+          .agg(
+            (sum(col("qx")).cast("double") / (count(lit(1)).cast("double") * lit(1e6))).as("v"),
+            count(lit(1)).as("n_vecs")
+          )
+          .orderBy("label", "i"),
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+          CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6) AS v,
+          CAST(count(*) AS BIGINT) AS n_vecs
+        FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+                     unnest($quantList) AS qx
+              FROM embeddings)
+        GROUP BY label, i ORDER BY label, i""")
     )
   )
 }

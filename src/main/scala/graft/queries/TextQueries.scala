@@ -233,6 +233,43 @@ object TextQueries {
         CAST(min(n_chars) AS BIGINT) AS min_chars,
         CAST(max(n_chars) AS BIGINT) AS max_chars
         FROM documents GROUP BY 1 ORDER BY bucket""")
+    ),
+    // Token-budget packing: assign docs (in id order) to ~2000-token packs
+    // by integer-dividing the running token count BEFORE each doc —
+    // context-window chunking for training export. Sequential packing is
+    // inherently order-dependent, so it runs PER SOURCE shard (the window
+    // partitions by `source`): at scale each shard packs independently on
+    // its own reducer — no global single-partition window, which would be
+    // the classic scale-killer here. Integer-exact on both engines.
+    Q(
+      "q63_token_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy("source")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables
+          .documents(s, dir)
+          .select(col("source"), col("doc_id"), size(ws).cast("long").as("n_tokens"))
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(
+            col("source"),
+            col("doc_id"),
+            col("n_tokens"),
+            expr("cum_before div 2000").as("pack_id")
+          )
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id, n_tokens,
+        CAST(coalesce(cum_before, 0) // 2000 AS BIGINT) AS pack_id
+        FROM (SELECT source, doc_id, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+              FROM (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents))
+        ORDER BY source, doc_id""")
     )
   )
 }

@@ -68,4 +68,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q02_time_gate")
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>"))
   }
+
+  test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
+    val p = plan("q60_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    // map-side combine: a partial_count aggregate below the gram exchange
+    assert(p.contains("partial_count"))
+    // scan pruned to the repartition key + text
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q61 deterministic sample is map-only over a pruned scan") {
+    val p = plan("q61_det_sample")
+    assert(count(p, "Exchange") <= 1, "sample + order may exchange at most for the final sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"))
+  }
+
+  test("q62 histogram aggregates map-side into <=10 groups over a 1-column scan") {
+    val p = plan("q62_length_histogram")
+    assert(p.contains("partial_count"))
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"))
+  }
+
+  test("q37 adaptive sign buckets: pair join is a hash join on the bucket key, never cartesian") {
+    val p = plan("q37_embed_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
+  }
 }

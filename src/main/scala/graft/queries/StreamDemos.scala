@@ -161,6 +161,23 @@ object StreamDemos {
       (s, dir) => graft.streaming.Watermarks.streamDedupCounts(s, dir),
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s12: streaming near-dup clustering — running aggregate keyed by the
+    // content fingerprint (q32's minhash), state maintained across
+    // micro-batches; oracle = the identical batch group-by (stream-batch
+    // parity).
+    Q(
+      "s12_stream_neardup",
+      (s, dir) => graft.streaming.Watermarks.streamNearDupClusters(s, dir),
+      Some {
+        val sh = shingles("string_split(text, ' ')", 3)
+        s"""SELECT fp, rep_doc, n_dups FROM (
+          SELECT list_aggregate(list_transform($sh, x -> ${h60("x")}), 'min') AS fp,
+                 CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                 CAST(count(*) AS BIGINT) AS n_dups
+          FROM documents GROUP BY 1)
+        ORDER BY rep_doc"""
+      }
     )
   )
 }

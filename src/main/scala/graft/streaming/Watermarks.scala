@@ -94,6 +94,66 @@ object Watermarks {
       .orderBy("user_id")
   }
 
+  private val docStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage `documents` as an ordered two-file stream (doc_id < 250, then
+    * the rest) — memoized per source dir.
+    */
+  private def stageDocBatches(spark: SparkSession, dir: String): String =
+    docStageCache.computeIfAbsent(
+      dir,
+      d => {
+        val base = java.nio.file.Files.createTempDirectory("graft_s12_").toAbsolutePath.toString
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        def writeOne(df: DataFrame, out: String, name: String, mtime: Long): Unit = {
+          df.coalesce(1).write.mode("overwrite").parquet(out)
+          val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$base/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(mtime)
+        }
+        writeOne(docs.filter(col("doc_id") < 250), s"$base/_b0", "0.parquet", 1000000L)
+        writeOne(docs.filter(col("doc_id") >= 250), s"$base/_b1", "1.parquet", 2000000L)
+        base
+      }
+    )
+
+  /** Streaming near-dup clustering: a running aggregate keyed by the
+    * content FINGERPRINT (q32's 1-permutation minhash over 3-word
+    * shingles — the `graft_minhash` native kernel), maintained across
+    * micro-batches by Structured Streaming's aggregation state. Each
+    * fingerprint cluster carries its representative (min doc_id) and
+    * size; complete mode settles the final table for the oracle — the
+    * production path is update mode into an upserting sink keyed by fp.
+    * Unlike s11's exact `dropDuplicates` (which keys on the full row id),
+    * this dedups by CONTENT identity, so re-worded duplicates with fresh
+    * doc_ids still cluster — the streaming form of q32+q20 composed.
+    * Oracle: the identical group-by on the batch table (stream-batch
+    * parity under AvailableNow).
+    */
+  def streamNearDupClusters(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    val streamDir = stageDocBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val fp = call_function("graft_minhash", split(col("text"), " "), lit(3), lit(""))
+    val clusters = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/*.parquet")
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_dups"))
+    val name = "s12_nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = clusters.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("rep_doc")
+  }
+
   /** Watermarked day-window counts over the staged three-batch stream.
     * The memory sink only settles the demo's result for the oracle; in
     * production the same plan appends to a real sink (writeStream

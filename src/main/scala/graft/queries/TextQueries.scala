@@ -43,6 +43,37 @@ object TextQueries {
     */
   private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** q31's quality score as a reusable Column (shared by q31 and q65). */
+  private def qualityCol: Column = {
+    val en = markers.toMap.apply("en")
+    val nw = size(ws).cast("long")
+    val alpha = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val awl = alpha / nw.cast("double")
+    val stopHits = size(filter(ws, w => w.isInCollection(en))).cast("double")
+    val stopRatio = stopHits / nw.cast("double")
+    least(nw.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - stopRatio) * lit(0.3) +
+      least(awl / lit(8.0), lit(1.0)) * lit(0.3)
+  }
+
+  /** q31's quality score as the equivalent DuckDB scalar subexpressions
+    * (returns the SELECT-list fragment computing `quality` from a
+    * documents row) — kept textually in lockstep with qualityCol.
+    */
+  private val qualitySqlFromParts: String =
+    """least(CAST(n_words AS DOUBLE) / 100e0, 1e0) * 4e-1
+      + (1e0 - stop_ratio) * 3e-1
+      + least(awl / 8e0, 1e0) * 3e-1"""
+
+  private def qualityPartsSql(enSet: String): String =
+    s"""SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl,
+          CAST(len(list_filter(string_split(text, ' '), w -> w IN $enSet)) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents"""
+
   val all: Seq[Q] = Seq(
     // Per-language corpus stats. avg computed as exact BIGINT sum / count,
     // divided once — immune to partial-aggregation order.
@@ -270,6 +301,68 @@ object TextQueries {
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                     FROM documents))
         ORDER BY source, doc_id""")
+    ),
+    // Data selection: top-5 quality documents per language (q31's score,
+    // rounded BEFORE ranking so both engines rank identical doubles) —
+    // the curriculum/quality-filter primitive. Scale shape: scan-side
+    // score, one shuffle on lang for the window, rank prunes to 5/group.
+    Q(
+      "q65_quality_topk_per_lang",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables
+          .documents(s, dir)
+          .select(col("lang"), col("doc_id"), FeatureOps.r6(qualityCol).as("quality"))
+          .withColumn(
+            "rk",
+            row_number()
+              .over(Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id")))
+              .cast("long")
+          )
+          .filter(col("rk") <= 5)
+          .orderBy("lang", "rk")
+      },
+      Some {
+        val en = markers.toMap.apply("en").mkString("('", "', '", "')")
+        s"""WITH parts AS (${qualityPartsSql(en)}),
+          scored AS (SELECT lang, doc_id,
+                       floor(($qualitySqlFromParts) * 1e6 + 5e-1) / 1e6 AS quality
+                     FROM parts),
+          ranked AS (SELECT *, CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+                     FROM scored)
+          SELECT lang, doc_id, quality, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk"""
+      }
+    ),
+    // Contamination probe: documents sharing >= 1 distinct 3-gram with a
+    // probe document (doc 0), with the shared-gram count — the benchmark-
+    // contamination check. Scale shape: the probe's gram set broadcasts
+    // (tiny), the corpus side explodes + LEFT SEMI joins against it
+    // map-side, then one small aggregate on doc_id — the corpus is never
+    // shuffled on the gram key.
+    Q(
+      "q66_contamination_probe",
+      (s, dir) => {
+        val grams = Tables
+          .documents(s, dir)
+          .select(col("doc_id"), explode(Hashing.shingles(ws, 3)).as("gram"))
+          .distinct()
+        val probe = grams.filter(col("doc_id") === 0).select(col("gram").as("pg"))
+        grams
+          .filter(col("doc_id") =!= 0)
+          .join(broadcast(probe), col("gram") === col("pg"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = shingles("string_split(text, ' ')", 3)
+        s"""WITH grams AS (SELECT DISTINCT doc_id, unnest($sh) AS gram FROM documents),
+          probe AS (SELECT gram FROM grams WHERE doc_id = 0)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM grams WHERE doc_id <> 0 AND gram IN (SELECT gram FROM probe)
+          GROUP BY doc_id ORDER BY doc_id"""
+      }
     )
   )
 }

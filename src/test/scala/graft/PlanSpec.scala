@@ -90,6 +90,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<n_chars:bigint>"))
   }
 
+  test("q66 contamination probe: probe gram set broadcasts, corpus side semi-joins map-side") {
+    val p = plan("q66_contamination_probe")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"), "the corpus must never shuffle on the gram key")
+  }
+
   test("q37 adaptive sign buckets: pair join is a hash join on the bucket key, never cartesian") {
     val p = plan("q37_embed_neardup")
     assert(!p.contains("CartesianProduct"))

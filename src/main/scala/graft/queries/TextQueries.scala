@@ -343,10 +343,12 @@ object TextQueries {
     Q(
       "q66_contamination_probe",
       (s, dir) => {
+        // per-doc distinct grams dedup MAP-SIDE (array_distinct before the
+        // explode) — a .distinct() here would shuffle the whole exploded
+        // corpus on the gram key
         val grams = Tables
           .documents(s, dir)
-          .select(col("doc_id"), explode(Hashing.shingles(ws, 3)).as("gram"))
-          .distinct()
+          .select(col("doc_id"), explode(array_distinct(Hashing.shingles(ws, 3))).as("gram"))
         val probe = grams.filter(col("doc_id") === 0).select(col("gram").as("pg"))
         grams
           .filter(col("doc_id") =!= 0)

@@ -94,6 +94,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q66_contamination_probe")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
     assert(!p.contains("SortMergeJoin"), "the corpus must never shuffle on the gram key")
+    // map-side per-doc dedup: only the doc_id aggregate + final sort may
+    // SHUFFLE (the broadcast exchange for the probe side is expected)
+    assert(count(p, "Exchange hashpartitioning") <= 1)
   }
 
   test("q37 adaptive sign buckets: pair join is a hash join on the bucket key, never cartesian") {

@@ -37,6 +37,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("matches a union-find referee on a 20k-edge pseudo-random graph") {
+    // deterministic LCG so the graph is stable across runs
+    var seed = 0x5deece66dL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val n = 5000
+    val edges = Seq.fill(20000)((next(n).toLong, next(n).toLong)).filter(e => e._1 != e._2)
+
+    // referee: path-compressed union-find, relabeled to min member per root
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val minOfRoot = scala.collection.mutable.Map[Int, Long]()
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.sorted.foreach { v =>
+      val r = find(v.toInt)
+      if (!minOfRoot.contains(r) || minOfRoot(r) > v) minOfRoot(r) = v
+    }
+    val expected = nodes.map(v => v -> minOfRoot(find(v.toInt))).toMap
+
+    val got = components(edges)
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("q59 clusters the degenerate all-identical corpus into one component") {
     val n = 300
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_").toAbsolutePath.toString

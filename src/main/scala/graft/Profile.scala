@@ -44,6 +44,27 @@ object Profile {
     t("q33 forced (noop)")(
       SparkEntry.queries("q33_minhash_lsh")(spark, sfDir).write.format("noop").mode("overwrite").save()
     )
+    // q60 decomposition: shingle explode alone vs + count-agg vs full
+    import org.apache.spark.sql.functions._
+    t("q60 explode only (noop)") {
+      docs
+        .repartition(col("doc_id"))
+        .select(explode(graft.ops.Hashing.shingles(split(col("text"), " "), 3)).as("gram"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("q60 explode+agg (noop)") {
+      docs
+        .repartition(col("doc_id"))
+        .select(explode(graft.ops.Hashing.shingles(split(col("text"), " "), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("q60 full")(SparkEntry.queries("q60_ngram_topk")(spark, sfDir).count())
+    t("q60 no-repartition explode (noop)") {
+      docs
+        .select(explode(graft.ops.Hashing.shingles(split(col("text"), " "), 3)).as("gram"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,11 @@ object GraftFunctions {
       FunctionIdentifier("graft_ema_run"),
       new ExpressionInfo(classOf[EmaRunning].getName, "graft_ema_run"),
       (es: Seq[Expression]) => EmaRunning(es(0), es(1))
+    ),
+    (
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (es: Seq[Expression]) => Shingles(es(0), es(1))
     )
   )
 

@@ -206,6 +206,57 @@ case class JaccardShingles(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** graft_shingles(words array<string>, n int): array<string> — the n-word
+  * shingle strings (space-joined windows); empty array below n words.
+  * ≡ Hashing.shinglesHof (the transform+slice+concat_ws composition),
+  * which evaluates its lambda interpreted PER ELEMENT and dominated q60's
+  * bench cost; here the whole row is one compiled loop over UTF8String
+  * slices (same CodegenFallback rationale as the hash kernels above).
+  * Parity with the composed form pinned in HashParitySpec.
+  */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles expects (array<string>, int), got $t")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val w = left.eval(input)
+    val nv = right.eval(input)
+    if (w == null || nv == null) return null
+    val words = w.asInstanceOf[ArrayData]
+    val n = nv.asInstanceOf[Int]
+    val m = words.numElements() - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = words.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_simhash(words array<string>, bits int): bigint — SimHash of the
   * word multiset from per-word h60 bit votes.
   */

@@ -25,13 +25,21 @@ object Hashing {
   def words(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles: array of space-joined n-word windows; empty
-    * array when the doc has fewer than n words (Spark's `sequence` counts
-    * DOWN when stop < start, so the short case must be guarded out).
+    * array when the doc has fewer than n words. Backed by the compiled
+    * `graft_shingles` kernel (the composed HOF form below evaluates its
+    * lambda interpreted per element and dominated q60's cost).
     * Oracle mirror: `list_transform(generate_series(1, len(w)-(n-1)),
     * i -> array_to_string(w[i:i+n-1], ' '))` (DuckDB's generate_series is
     * empty when stop < start).
     */
   def shingles(ws: Column, n: Int): Column =
+    call_function("graft_shingles", ws, lit(n))
+
+  /** Composed HOF form of shingles — parity reference for the kernel
+    * (HashParitySpec); Spark's `sequence` counts DOWN when stop < start,
+    * so the short case must be guarded out.
+    */
+  def shinglesHof(ws: Column, n: Int): Column =
     when(
       size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)), i => concat_ws(" ", slice(ws, i, lit(n))))

@@ -26,6 +26,15 @@ class HashParitySpec extends AnyFunSuite {
     got.foreach { case (n, c) => assert(n == c) }
   }
 
+  test("graft_shingles == the composed transform/slice/concat_ws form (incl. unicode, short docs)") {
+    val got = docs
+      .toDF("text")
+      .select(Hashing.shingles(ws, 3), Hashing.shinglesHof(ws, 3))
+      .as[(Seq[String], Seq[String])]
+      .collect()
+    got.foreach { case (n, c) => assert(n == c) }
+  }
+
   test("graft_jaccard == array_intersect/array_union over distinct shingle sets") {
     val probeWords = split(lit("scan join filter agg the fast row key scan join"), " ")
     val shA = array_distinct(Hashing.shingles(ws, 3))

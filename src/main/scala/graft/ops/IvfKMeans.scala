@@ -46,10 +46,10 @@ object IvfKMeans {
   /** ↔ FeatureOps.r6 (floor(x·1e6 + 0.5)/1e6; the double-floor value is
     * bit-identical to Spark's long-floor for every magnitude we round).
     */
-  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private[graft] def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** ↔ graft_dotf: left-to-right fold with float→double widening. */
-  private def dotD(a: Array[Float], c: Array[Double]): Double = {
+  private[graft] def dotD(a: Array[Float], c: Array[Double]): Double = {
     val n = math.min(a.length, c.length)
     var s = 0.0
     var i = 0
@@ -93,6 +93,16 @@ object IvfKMeans {
     */
   def codebook(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
+    codebookSeq(spark, e).map { case (id, c) => (id, c.toSeq) }.toDF("cent_id", "cent")
+  }
+
+  /** The trained codebook as driver-side data — the shared kernel behind
+    * `codebook` (which wraps it as a literal DataFrame) and the PQ
+    * operator (q67), which trains one codebook per SUBSPACE and folds the
+    * centroids into literal scoring expressions.
+    */
+  def codebookSeq(spark: SparkSession, e: DataFrame): Seq[(Long, Array[Double])] = {
+    import spark.implicits._
     val seeds: Seq[(Long, Array[Double])] = e
       .filter(col("vec_id") < K)
       .select("vec_id", "embedding")
@@ -132,6 +142,6 @@ object IvfKMeans {
           (cents(j)._1, sums(j).map(sq => sq.toDouble / (counts(j).toDouble * 1e6)))
       }
     }
-    cents.map { case (id, c) => (id, c.toSeq) }.toDF("cent_id", "cent")
+    cents
   }
 }

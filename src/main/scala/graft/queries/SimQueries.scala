@@ -220,6 +220,104 @@ object SimQueries {
           WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 100
           ORDER BY cos DESC, vec_id LIMIT 5""")
     ),
+    // Product-quantization ANN (q67): the third ANN family next to
+    // sign-LSH (q38/q39) and IVF (q41/q58). Index build: the 64-dim space
+    // splits into M=4 subspaces of 16 dims; each subspace trains its own
+    // 8-centroid codebook (the IvfKMeans recurrence verbatim on the
+    // sliced vectors), and every vector is ENCODED as 4 small codes
+    // (argmax rounded-dot per subspace, ties to the lowest cent_id).
+    // Search is asymmetric-distance (ADC): the probe collects to the
+    // driver (1 row — FAISS-style query prep), a 4×8 lookup table of
+    // r6(dot(probe_m, cent_{m,c})) becomes literal CASE expressions, and
+    // score(x) = Σ_m lut_m[code_m(x)] in fixed subspace order. The whole
+    // search is ONE map-side pass over the encoded table + TakeOrdered —
+    // no shuffle, no join; at scale the codes (4 bytes/vector here) are
+    // the only thing re-read per query, the PQ memory win. The oracle
+    // replays training, encoding, and the LUT join per subspace.
+    Q(
+      "q67_knn_pq",
+      (s, dir) => {
+        import s.implicits._
+        val M = 4
+        val sub = 16
+        val K = graft.ops.IvfKMeans.K
+        val e = Tables.embeddings(s, dir)
+        val cents: Seq[Seq[(Long, Array[Double])]] = (0 until M).map { m =>
+          graft.ops.IvfKMeans.codebookSeq(
+            s,
+            e.select(col("vec_id"), slice(col("embedding"), m * sub + 1, sub).as("embedding"))
+          )
+        }
+        val probe: Array[Float] =
+          e.filter(col("vec_id") === 100).select("embedding").as[Array[Float]].head()
+        val lut: Seq[Map[Long, Double]] = (0 until M).map { m =>
+          val pm = probe.slice(m * sub, (m + 1) * sub)
+          cents(m).map { case (cid, c) =>
+            cid -> graft.ops.IvfKMeans.r6d(graft.ops.IvfKMeans.dotD(pm, c))
+          }.toMap
+        }
+        // code_m(x): argmax over centroids of r6(dot(x_m, cent)), ties to
+        // the lowest cent_id — greatest() over (d, -cent_id, cent_id)
+        // structs is that argmax as one expression
+        def codeCol(m: Int): org.apache.spark.sql.Column =
+          greatest(cents(m).map { case (cid, c) =>
+            struct(
+              FeatureOps
+                .r6(VectorOps.dot(slice(col("embedding"), m * sub + 1, sub), typedLit(c.toSeq)))
+                .as("d"),
+              lit(-cid).as("negid"),
+              lit(cid).as("cid")
+            )
+          }: _*).getField("cid")
+        val encoded = e
+          .filter(col("vec_id") >= K && col("vec_id") =!= 100)
+          .select(col("vec_id") +: (0 until M).map(m => codeCol(m).as(s"code$m")): _*)
+        def lutCol(m: Int): org.apache.spark.sql.Column = {
+          val pairs = cents(m).map { case (cid, _) => (cid, lut(m)(cid)) }
+          pairs.tail.foldLeft(when(col(s"code$m") === lit(pairs.head._1), lit(pairs.head._2))) {
+            case (acc, (cid, v)) => acc.when(col(s"code$m") === lit(cid), lit(v))
+          }
+        }
+        encoded
+          .select(col("vec_id"), (lutCol(0) + lutCol(1) + lutCol(2) + lutCol(3)).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some {
+        val hi = graft.ops.IvfKMeans.K + graft.ops.IvfKMeans.TrainLimit
+        val subs = (0 until 4).map { m =>
+          val lo = m * 16 + 1
+          val hi2 = (m + 1) * 16
+          s"""vecs$m AS (SELECT vec_id, embedding[$lo:$hi2] AS embedding
+                FROM embeddings WHERE vec_id >= 8),
+            tvecs$m AS (SELECT vec_id, embedding[$lo:$hi2] AS embedding
+                FROM embeddings WHERE vec_id >= 8 AND vec_id < $hi),
+            cents0_$m AS (SELECT vec_id AS cent_id,
+                  list_transform(embedding[$lo:$hi2], x -> CAST(x AS DOUBLE)) AS cent
+                FROM embeddings WHERE vec_id < 8),
+            a0_$m AS (${assignSql(s"tvecs$m", s"cents0_$m")}),
+            cents1_$m AS (${updateSql(s"a0_$m")}),
+            a1_$m AS (${assignSql(s"tvecs$m", s"cents1_$m")}),
+            cents2_$m AS (${updateSql(s"a1_$m")}),
+            assigned$m AS (${assignSql(s"vecs$m", s"cents2_$m")}),
+            probe$m AS (SELECT embedding FROM vecs$m WHERE vec_id = 100),
+            lut$m AS (SELECT c.cent_id, ${r6(dot("p.embedding", "c.cent"))} AS v
+                FROM cents2_$m c, probe$m p)"""
+        }
+        s"""WITH ${subs.mkString(",\n")}
+          SELECT a0.vec_id, (l0.v + l1.v + l2.v + l3.v) AS score
+          FROM assigned0 a0
+            JOIN assigned1 a1 USING (vec_id)
+            JOIN assigned2 a2 USING (vec_id)
+            JOIN assigned3 a3 USING (vec_id)
+            JOIN lut0 l0 ON l0.cent_id = a0.cell
+            JOIN lut1 l1 ON l1.cent_id = a1.cell
+            JOIN lut2 l2 ON l2.cent_id = a2.cell
+            JOIN lut3 l3 ON l3.cent_id = a3.cell
+          WHERE a0.vec_id <> 100
+          ORDER BY score DESC, vec_id LIMIT 5"""
+      }
+    ),
     // Per-label embedding centroids (element-wise mean), long format
     // (label, dim, mean) — embedding-space class statistics for corpus
     // curation. Exactness across engines and aggregation orders via the

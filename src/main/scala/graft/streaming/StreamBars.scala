@@ -58,6 +58,6 @@ object StreamBars {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "day")
+    StreamSessions.settleLocal(spark, name, spark.table(name).orderBy("user_id", "day"))
   }
 }

@@ -220,7 +220,7 @@ object StreamFeatures {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    settle(spark.table(name)).orderBy("user_id", "Day")
+    StreamSessions.settleLocal(spark, name, settle(spark.table(name)).orderBy("user_id", "Day"))
   }
 
   /** Dedup-on-read compaction of the appended feature rows: one row per

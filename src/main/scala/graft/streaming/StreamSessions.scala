@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session sizing for streaming queries.
   *
@@ -36,5 +36,24 @@ object StreamSessions {
     ns.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(ns)
     ns
+  }
+
+  /** Settle a streaming demo's FINAL result driver-locally and release the
+    * streaming machinery: collect the (small, already-ordered) output into
+    * a LocalRelation, drop the memory-sink temp view and forget terminated
+    * queries. Without this, each demo's in-memory sink — e.g. s11's full
+    * deduped event stream, ~1e5 rows at sf0.1 — stays reachable from the
+    * sub-session for the rest of the JVM, and a long bench suite
+    * accumulates every sink from every run. Settled outputs are bounded
+    * (≤ a few thousand rows) by construction; the big intermediate state
+    * lives only for the query's lifetime.
+    */
+  def settleLocal(spark: SparkSession, sinkName: String, result: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = result.collect().toSeq
+    val schema = result.schema
+    spark.catalog.dropTempView(sinkName)
+    spark.streams.resetTerminated()
+    spark.createDataFrame(rows.asJava, schema)
   }
 }

@@ -87,11 +87,15 @@ object Watermarks {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark
-      .table(name)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .orderBy("user_id")
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark
+        .table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    )
   }
 
   private val docStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -151,7 +155,7 @@ object Watermarks {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("rep_doc")
+    StreamSessions.settleLocal(spark, name, spark.table(name).orderBy("rep_doc"))
   }
 
   /** Watermarked day-window counts over the staged three-batch stream.
@@ -185,6 +189,6 @@ object Watermarks {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "day")
+    StreamSessions.settleLocal(spark, name, spark.table(name).orderBy("user_id", "day"))
   }
 }

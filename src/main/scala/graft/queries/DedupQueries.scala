@@ -219,6 +219,76 @@ object DedupQueries {
           FROM shs, probe ORDER BY doc_id"""
       }
     ),
+    // SimHash near-dup pairs: candidates share one of two 8-bit bands of
+    // the 16-bit SimHash (pigeonhole: any pair within hamming 1 shares a
+    // band; wider radii are caught with falling probability), verified by
+    // exact hamming distance (bit_count of xor) <= 3. Completes the
+    // SimHash family: q35 computes signatures, this runs the banded pair
+    // search over them — same bucket-first scale shape as q34, with the
+    // band INDEX folded into the key so high/low bands never collide.
+    // Unlike minhash bands, simhash band values CLUSTER on any corpus
+    // (vote bits correlate with the vocabulary), so the candidate side is
+    // capped at 64 lowest doc_ids per band AS PART OF THE OPERATOR'S
+    // SEMANTICS, mirrored verbatim in the oracle (mirrored = true) — the
+    // standard bounded-candidates discipline of production simhash dedup.
+    Q(
+      "q68_simhash_neardup",
+      (s, dir) => {
+        val sims = Tables
+          .documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), call_function("graft_simhash", ws, lit(16)).as("sh"))
+        val banded = sims
+          .select(
+            col("doc_id"),
+            col("sh"),
+            explode(
+              array(shiftright(col("sh"), 8), lit(256L) + col("sh").bitwiseAND(lit(255L)))
+            ).as("bkey")
+          )
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val capped =
+          BucketCap.capSide(banded, col("bkey"), col("doc_id"), tag = "q68", mirrored = true)
+        val pairs = capped
+          .as("a")
+          .join(banded.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming")
+          )
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint()
+        banded.unpersist()
+        pairs
+      },
+      Some {
+        val votes = (0 until 16)
+          .map { j =>
+            val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+              s"list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)), (a, b) -> a + b)"
+            s"(CASE WHEN $fold > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }
+          .mkString(" + ")
+        s"""WITH sims AS (
+            SELECT doc_id, $votes AS sh
+            FROM (SELECT doc_id,
+                    list_transform(string_split(text, ' '), w -> ${h60("w")}) AS hs
+                  FROM documents)),
+          banded AS (SELECT doc_id, sh, unnest([sh // 256, 256 + (sh % 256)]) AS bkey FROM sims),
+          capped AS (SELECT doc_id, sh, bkey FROM (
+                       SELECT *, row_number() OVER (PARTITION BY bkey ORDER BY doc_id) AS rk
+                       FROM banded) WHERE rk <= ${BucketCap.MaxPerBucket}),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                    FROM capped a JOIN banded b
+                      ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+          ORDER BY doc_a, doc_b"""
+      }
+    ),
     // Embedding-cosine near-dup pairs inside sign-LSH buckets. The bucket
     // join is the scale path: cosine is computed only within buckets, and
     // the plane count ADAPTS to the corpus size (VectorOps.adaptivePlanes;

@@ -162,6 +162,47 @@ object StreamDemos {
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id ORDER BY user_id""")
     ),
+    // s13: runtime bloom-filter join — Catalyst's InjectRuntimeFilter
+    // builds a bloom filter from the SELECTIVE side of a shuffle join at
+    // runtime and pushes it as a semi-filter onto the big side's scan, so
+    // at 100 TB the fact table drops non-matching rows BEFORE the shuffle
+    // (the AQE-era replacement for hand-rolled pre-join filters; result-
+    // transparent, which is exactly what the oracle checks). The demo
+    // session disables auto-broadcast to force the shuffle join and
+    // zeroes the application-side size threshold (tuned for real
+    // clusters, not sf0.1); the query asserts in-row that the filter
+    // actually injected into the optimized plan.
+    Q(
+      "s13_runtime_filter_join",
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        val j = l
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty")
+          )
+          .orderBy("o_orderpriority")
+        val opt = j.queryExecution.optimizedPlan.toString
+        require(
+          opt.contains("bloom_filter_agg") || opt.contains("might_contain"),
+          "runtime bloom filter did not inject into the join"
+        )
+        j
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
     // s12: streaming near-dup clustering — running aggregate keyed by the
     // content fingerprint (q32's minhash), state maintained across
     // micro-batches; oracle = the identical batch group-by (stream-batch

@@ -52,6 +52,29 @@ object MediaQueries {
           .orderBy("doc_id")
       },
       None
+    ),
+    // Exact media dedup: the multimodal analog of q20 — blobs grouped by
+    // (content hash, byte size), keeping the lowest doc_id as the
+    // representative. One shuffle on the hash; at 100 TB the first pass
+    // of any media-dedup pipeline (hash computed in the scan projection,
+    // payload bytes never shuffled — only the 16-byte digest + size).
+    Q(
+      "q69_media_dedup",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("content"))
+          .groupBy(
+            md5(col("content")).as("content_md5"),
+            octet_length(col("content")).cast("long").as("n_bytes")
+          )
+          .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_copies"))
+          .orderBy("rep_doc"),
+      Some("""SELECT md5(text) AS content_md5,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(min(doc_id) AS BIGINT) AS rep_doc,
+        CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1, 2 ORDER BY rep_doc""")
     )
   )
 }

@@ -257,8 +257,11 @@ object DedupQueries {
             col("b.doc_id").as("doc_b"),
             bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming")
           )
-          .distinct()
+          // hamming is a function of the pair, so filtering BEFORE the
+          // distinct is result-identical and shrinks the dedup shuffle to
+          // the near-dup survivors only
           .filter(col("hamming") <= 3)
+          .distinct()
           .orderBy("doc_a", "doc_b")
           .localCheckpoint()
         banded.unpersist()

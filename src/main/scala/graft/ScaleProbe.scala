@@ -57,6 +57,49 @@ object ScaleProbe {
     val (m0, r0, s0) = results.head
     val (mN, rN, sN) = results.last
     println(f"[scale] growth: data x${rN.toDouble / r0}%.0f, time x${sN / s0}%.1f (linear would be x${rN.toDouble / r0}%.0f)")
+
+    // Dedup-pipeline linearity: widen documents m× by RENAMING THE
+    // VOCABULARY per copy (every word prefixed with the copy tag). A
+    // bijection on words preserves each copy's intra-corpus near-dup
+    // structure exactly while making shingle sets across copies disjoint
+    // — the faithful model of a corpus growing with mostly-new content.
+    // (A trailing doc suffix leaves the min-shingle — and thus the whole
+    // MinHash signature — unchanged, collapsing all copies into the same
+    // band buckets; a shared inter-word salt token manufactures "salt w
+    // salt" shingles shared by every doc pair. Both measure a synthetic
+    // quadratic, not the pipeline.) q34 = signature + banded pair join
+    // (the scale-critical shape); near-linear time and ~m× pair growth
+    // mean no accidental cross-bucket blowup.
+    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docsBase.agg(max("doc_id")).head().getLong(0) + 1
+    def widenedDocs(m: Int): String = {
+      val out = s"${java.nio.file.Files.createTempDirectory("graft_scale_d_")}"
+      (0 until m)
+        .map(i =>
+          docsBase
+            .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+            .withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1c$i"))
+        )
+        .reduce(_ union _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out
+    }
+    val q34 = SparkEntry.queries("q34_minhash_pairs")
+    val dedupResults = mults.map { m =>
+      val dir = widenedDocs(m)
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      val t0 = System.nanoTime()
+      val pairs = q34(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] x$m%-3d docs=$rows%9d  q34_minhash_pairs=$sec%7.2f s  ($pairs pairs)")
+      (m, rows, sec)
+    }
+    val (_, dr0, ds0) = dedupResults.head
+    val (_, drN, dsN) = dedupResults.last
+    println(
+      f"[scale] dedup growth: data x${drN.toDouble / dr0}%.0f, time x${dsN / ds0}%.1f (linear would be x${drN.toDouble / dr0}%.0f)"
+    )
     spark.stop()
   }
 }

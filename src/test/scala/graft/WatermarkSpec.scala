@@ -12,6 +12,40 @@ import org.scalatest.funsuite.AnyFunSuite
 class WatermarkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("s12 fingerprint clusters merge across the two-batch split (stream == batch)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = Watermarks
+      .streamNearDupClusters(spark, dir)
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1), r.getLong(2)))
+      .toSeq
+      .sortBy(_._2)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.functions.GraftFunctions.register(spark)
+    val fp = call_function("graft_minhash", split(col("text"), " "), lit(3), lit(""))
+    val batch = docs
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_dups"))
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1), r.getLong(2)))
+      .toSeq
+      .sortBy(_._2)
+    assert(got == batch)
+
+    // precondition that the test exercises cross-batch state: at least one
+    // fingerprint cluster spans the doc_id=250 staging split
+    val spans = docs
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") < 250 && col("hi") >= 250)
+      .count()
+    assert(spans > 0, "corpus has no fingerprint cluster spanning the batch split")
+  }
+
   test("late replays behind the watermark are dropped; open windows are withheld") {
     val dir = "/root/testdata/sf0.001"
     val got = Watermarks

@@ -219,6 +219,50 @@ object DedupQueries {
           FROM shs, probe ORDER BY doc_id"""
       }
     ),
+    // Per-source dedup-rate report — the summary every dedup pipeline
+    // ships: docs, distinct duplicate-clusters, and the dup rate
+    // (1 − clusters/docs) per source shard, over the q59 components.
+    // Cross-source clusters count once per source they touch (defined,
+    // engine-mirrored semantics). Single-division rate, r6-rounded.
+    Q(
+      "q70_dedup_report",
+      (s, dir) => {
+        val pairs = candidatePairs(s, dir, "q70")
+        val labels = graft.ops.ConnectedComponents.minLabel(pairs.select("doc_a", "doc_b"))
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("source"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("source"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            FeatureOps
+              .r6(
+                (count(lit(1)) - countDistinct(col("cluster"))).cast("double") /
+                  count(lit(1)).cast("double")
+              )
+              .as("dup_rate")
+          )
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+        comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+        assigned AS (SELECT d.source,
+                       CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+                     FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+          floor((CAST(count(*) - count(DISTINCT cluster) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS dup_rate
+        FROM assigned GROUP BY source ORDER BY source""")
+    ),
     // SimHash near-dup pairs: candidates share one of two 8-bit bands of
     // the 16-bit SimHash (pigeonhole: any pair within hamming 1 shares a
     // band; wider radii are caught with falling probability), verified by

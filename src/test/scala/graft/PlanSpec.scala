@@ -90,6 +90,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<n_chars:bigint>"))
   }
 
+  test("q63 token packing: one hash exchange on the source shard key feeds the window") {
+    val p = plan("q63_token_packing")
+    // window partitioned by source + the final sort — never a global
+    // single-partition window (no 'Exchange SinglePartition' before Window)
+    assert(!p.contains("Exchange SinglePartition\n"), "packing must not funnel into one partition")
+    assert(p.contains("Window"))
+  }
+
+  test("q64 label centroids: quantized partial sums combine below the (label, dim) exchange") {
+    val p = plan("q64_label_centroids")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>"))
+  }
+
   test("q66 contamination probe: probe gram set broadcasts, corpus side semi-joins map-side") {
     val p = plan("q66_contamination_probe")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

@@ -484,6 +484,32 @@ object RelQueries {
           .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events ORDER BY event_id""")
+    ),
+    // Raw SQL entry point: the same engine surface via spark.sql over
+    // parquet.`path` tables — a user of the reference queries its DuckDB
+    // exports with SQL text, and this is that path on our side (TPC-H
+    // Q3-ish: top-10 open orders by revenue). Catalyst plans it exactly
+    // like the DataFrame forms (same pushdown/broadcast decisions);
+    // decimal-exact revenue, 1e0 double literals on both engines.
+    Q(
+      "q72_sql_api",
+      (s, dir) =>
+        s.sql(s"""
+          SELECT o.o_orderkey,
+                 CAST(SUM(CAST(l.l_extendedprice * (1e0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_items
+          FROM parquet.`$dir/lineitem.parquet` l
+          JOIN parquet.`$dir/orders.parquet` o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'O'
+          GROUP BY o.o_orderkey
+          ORDER BY revenue DESC, o_orderkey
+          LIMIT 10"""),
+      Some("""SELECT o_orderkey,
+        CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""")
     )
   )
 }

@@ -42,9 +42,9 @@ object SimQueries {
     * 2-iteration trained codebook `cents2` — append query-specific CTEs.
     * Training folds over `tvecs`, the bounded vec_id ∈ [K, K+TrainLimit)
     * set mirroring IvfKMeans.TrainLimit; the final assignment covers ALL
-    * vectors (`vecs`).
+    * vectors (`vecs`). Shared with s14's streaming-assignment oracle.
     */
-  private val ivfCtes: String = {
+  private[queries] val ivfCtes: String = {
     val hi = graft.ops.IvfKMeans.K + graft.ops.IvfKMeans.TrainLimit
     s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
       tvecs AS (SELECT vec_id, embedding FROM embeddings
@@ -316,6 +316,52 @@ object SimQueries {
             JOIN lut3 l3 ON l3.cent_id = a3.cell
           WHERE a0.vec_id <> 100
           ORDER BY score DESC, vec_id LIMIT 5"""
+      }
+    ),
+    // Embedding quantization export (q71): L2 norm + int8 quantization
+    // (floor(x/‖x‖·127 + ½), clipped to ±127) — the serving-export step
+    // of an embedding pipeline, reported as the exact integer SUM of the
+    // quantized vector (order-free) + saturation count rather than the
+    // array itself (scalar outputs hash-compare robustly across engines).
+    // Map-only over a 2-column scan; zero-norm guarded to 0 on both
+    // engines (floor(NaN) would cast differently).
+    Q(
+      "q71_embed_quantize",
+      (s, dir) => {
+        val nrm = sqrt(VectorOps.dot(col("embedding"), col("embedding")))
+        def qd(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          greatest(
+            least(
+              floor(
+                when(nrm < lit(1e-12), lit(0.0))
+                  .otherwise(x.cast("double") / nrm * lit(127.0) + lit(0.5))
+              ),
+              lit(127L)
+            ),
+            lit(-127L)
+          )
+        val ql = transform(col("embedding"), x => qd(x))
+        Tables
+          .embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            FeatureOps.r6(nrm).as("norm"),
+            aggregate(ql, lit(0L), (a, b) => a + b).as("sum_q"),
+            size(filter(ql, v => abs(v) === lit(127L))).cast("long").as("n_sat")
+          )
+          .orderBy("vec_id")
+      },
+      Some {
+        val nrm = s"sqrt(${dot("embedding", "embedding")})"
+        val qx = s"""greatest(least(CAST(floor(
+            CASE WHEN $nrm < 1e-12 THEN 0e0
+                 ELSE CAST(x AS DOUBLE) / $nrm * 127e0 + 5e-1 END) AS BIGINT), 127), -127)"""
+        s"""SELECT vec_id, ${r6(nrm)} AS norm,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(embedding, x -> $qx)), (a, b) -> a + b) AS sum_q,
+          CAST(len(list_filter(list_transform(embedding, x -> $qx),
+            v -> abs(v) = 127)) AS BIGINT) AS n_sat
+          FROM embeddings ORDER BY vec_id"""
       }
     ),
     // Per-label embedding centroids (element-wise mean), long format

@@ -203,6 +203,18 @@ object StreamDemos {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
+    // s14: streaming IVF cell assignment — codebook trained before the
+    // stream, assignment fully map-side (literal argmax, stream-safe),
+    // running per-cell census via streaming aggregation state; oracle =
+    // the identical batch assignment (stream-batch parity).
+    Q(
+      "s14_stream_cell_assign",
+      (s, dir) => graft.streaming.StreamAssign.cellCensus(s, dir),
+      Some(s"""${SimQueries.ivfCtes}
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(vec_id) AS BIGINT) AS min_vec
+        FROM assigned GROUP BY cell ORDER BY cell""")
+    ),
     // s12: streaming near-dup clustering — running aggregate keyed by the
     // content fingerprint (q32's minhash), state maintained across
     // micro-batches; oracle = the identical batch group-by (stream-batch

@@ -203,6 +203,30 @@ object StreamDemos {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
+    // s15: JSONL export round-trip — the training-data interchange
+    // format: documents written as JSON lines (the export), read back
+    // under a pinned schema (no inference pass), content fidelity proven
+    // byte-exactly via md5 against the ORIGINAL table as oracle. At
+    // scale this is the map-only export stage of a training pipeline;
+    // JSON string escaping must round-trip exactly for the hashes to
+    // match.
+    Q(
+      "s15_jsonl_export",
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s15_").toAbsolutePath.toString
+        val docs = Tables
+          .documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        docs.coalesce(4).write.mode("overwrite").json(out)
+        s.read
+          .schema(docs.schema)
+          .json(out)
+          .select(col("doc_id"), col("n_chars"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, md5(text) AS text_md5
+        FROM documents ORDER BY doc_id""")
+    ),
     // s14: streaming IVF cell assignment — codebook trained before the
     // stream, assignment fully map-side (literal argmax, stream-safe),
     // running per-cell census via streaming aggregation state; oracle =

@@ -334,6 +334,90 @@ object TextQueries {
           SELECT lang, doc_id, quality, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk"""
       }
     ),
+    // Length winsorization: keep documents inside the [p5, p95] length
+    // band — the standard outlier-trim cleaning pass. Two-phase shape:
+    // a 1-row percentile aggregate (q53's proven quantile_cont parity)
+    // broadcast back over the scan, so the filter itself is map-side.
+    Q(
+      "q73_length_winsorize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bounds = docs.agg(
+          expr("percentile(n_chars, 0.05)").as("p5"),
+          expr("percentile(n_chars, 0.95)").as("p95")
+        )
+        docs
+          .crossJoin(broadcast(bounds))
+          .filter(
+            col("n_chars").cast("double") >= col("p5") &&
+              col("n_chars").cast("double") <= col("p95")
+          )
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+        WHERE CAST(n_chars AS DOUBLE) >= (SELECT quantile_cont(n_chars, 5e-2) FROM documents)
+          AND CAST(n_chars AS DOUBLE) <= (SELECT quantile_cont(n_chars, 95e-2) FROM documents)
+        ORDER BY doc_id""")
+    ),
+    // Per-language term salience: top-10 words by tf·(N/df) — keyword
+    // extraction without the transcendental (ln-free IDF keeps the score
+    // a product/division chain, bit-identical across engines; log() can
+    // differ in the last ulp between libm and the JVM). Scale shape:
+    // word explode → two hash-aggs (term freq per lang, doc freq per
+    // word) → shuffle join on the word key (vocab-sized, NOT broadcast
+    // at corpus scale) → per-lang rank window.
+    Q(
+      "q74_term_salience",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.count()
+        val words = docs
+          .repartition(col("doc_id"))
+          .select(col("lang"), col("doc_id"), explode(ws).as("w"))
+        val tf = words.groupBy("lang", "w").agg(count(lit(1)).as("tfreq"))
+        val df = words
+          .select("doc_id", "w")
+          .distinct()
+          .groupBy("w")
+          .agg(count(lit(1)).as("dfreq"))
+        tf.join(df, "w")
+          .select(
+            col("lang"),
+            col("w"),
+            col("tfreq"),
+            col("dfreq"),
+            FeatureOps
+              .r6(
+                col("tfreq").cast("double") *
+                  (lit(nDocs).cast("double") / col("dfreq").cast("double"))
+              )
+              .as("score")
+          )
+          .withColumn(
+            "rk",
+            row_number()
+              .over(Window.partitionBy("lang").orderBy(col("score").desc, col("w")))
+              .cast("long")
+          )
+          .filter(col("rk") <= 10)
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH words AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS tfreq FROM words GROUP BY lang, w),
+        df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq FROM words GROUP BY w),
+        scored AS (SELECT lang, tf.w AS w, tfreq, dfreq,
+            floor((CAST(tfreq AS DOUBLE)
+                  * (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                     / CAST(dfreq AS DOUBLE))) * 1e6 + 5e-1) / 1e6 AS score
+          FROM tf JOIN df ON tf.w = df.w),
+        ranked AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY score DESC, w) AS BIGINT) AS rk FROM scored)
+        SELECT lang, w, tfreq, dfreq, score, rk FROM ranked WHERE rk <= 10
+        ORDER BY lang, rk""")
+    ),
     // Contamination probe: documents sharing >= 1 distinct 3-gram with a
     // probe document (doc 0), with the shared-gram count — the benchmark-
     // contamination check. Scale shape: the probe's gram set broadcasts

@@ -43,16 +43,19 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("nid"))
         .agg(min(col("lbl")).as("nlbl"))
+      // carry the previous label through the round: the convergence check
+      // is then a filter over the just-checkpointed frame instead of an
+      // extra join against the old labels
       val next = labels
         .join(nbr, col("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(
+          col("id"),
+          col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
+        )
         .localCheckpoint()
-      changed = next
-        .as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.drop("prev")
     }
     labels
   }

@@ -418,6 +418,50 @@ object TextQueries {
         SELECT lang, w, tfreq, dfreq, score, rk FROM ranked WHERE rk <= 10
         ORDER BY lang, rk""")
     ),
+    // Per-document n-gram novelty: the fraction of a doc's distinct
+    // 3-grams that appear in NO other doc (1 − shared/total) — the
+    // memorization/duplication-pressure metric of a training corpus.
+    // Shape: map-side per-doc distinct grams (array_distinct before the
+    // explode), gram document-frequency hash-agg, vocab-keyed join back,
+    // per-doc aggregate; one exact division, r6-rounded. Docs shorter
+    // than the shingle width have no grams and drop out on both engines.
+    Q(
+      "q75_gram_novelty",
+      (s, dir) => {
+        val grams = Tables
+          .documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(array_distinct(Hashing.shingles(ws, 3))).as("gram"))
+        val df = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+        grams
+          .join(df, "gram")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("gdf") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared")
+          )
+          .select(
+            col("doc_id"),
+            col("n_grams"),
+            col("n_shared"),
+            FeatureOps
+              .r6(lit(1.0) - col("n_shared").cast("double") / col("n_grams").cast("double"))
+              .as("novelty")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = shingles("string_split(text, ' ')", 3)
+        s"""WITH grams AS (SELECT doc_id, unnest(list_distinct($sh)) AS gram FROM documents),
+          df AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM grams GROUP BY gram),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                    CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                  FROM grams JOIN df USING (gram) GROUP BY doc_id)
+          SELECT doc_id, n_grams, n_shared,
+            floor((1e0 - CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS novelty
+          FROM per ORDER BY doc_id"""
+      }
+    ),
     // Contamination probe: documents sharing >= 1 distinct 3-gram with a
     // probe document (doc 0), with the shared-gram count — the benchmark-
     // contamination check. Scale shape: the probe's gram set broadcasts

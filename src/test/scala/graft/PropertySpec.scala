@@ -90,4 +90,33 @@ class PropertySpec extends AnyFunSuite {
       df.select(Folds.emaLR(col("xs"), p)).as[Double].collect().foreach(v => assert(v == 73.25))
     }
   }
+
+  test("graft_shingles equals the Scala sliding-window model on 200 random word arrays") {
+    val vocab = Vector("a", "bb", "ccc", "δδ", "e1", "f", "gg2", "日本", "i", "j")
+    val wordCases: Seq[Seq[String]] =
+      (1 to 200).map(_ => Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val df = wordCases.toDF("ws")
+    Seq(2, 3, 5).foreach { n =>
+      val got = df
+        .select(graft.ops.Hashing.shingles(col("ws"), n))
+        .as[Seq[String]]
+        .collect()
+      wordCases.zip(got).foreach { case (ws, sh) =>
+        val ref = if (ws.length < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+        assert(sh == ref)
+      }
+    }
+  }
+
+  test("adaptivePlanes is monotone in n and keeps expected bucket size <= target until clamp") {
+    import graft.ops.VectorOps._
+    var prev = MinPlanes
+    Seq(0L, 100L, 4096L, 4097L, 100000L, 1000000L, 10000000L, Long.MaxValue / 2).foreach { n =>
+      val p = adaptivePlanes(n)
+      assert(p >= prev, s"plane count must not shrink as n grows (n=$n)")
+      assert(p >= MinPlanes && p <= MaxPlanes)
+      if (p < MaxPlanes) assert(n <= (TargetBucketSize << p))
+      prev = p
+    }
+  }
 }

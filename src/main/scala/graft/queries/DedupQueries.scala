@@ -336,6 +336,40 @@ object DedupQueries {
           ORDER BY doc_a, doc_b"""
       }
     ),
+    // Dataset-QA: language conflicts among fingerprint-duplicate clusters
+    // — near-identical documents carrying different lang labels are
+    // metadata errors every curation pipeline hunts for. One hash-agg on
+    // the q32 content fingerprint with countDistinct(lang) per cluster.
+    Q(
+      "q77_dup_label_conflicts",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            call_function("graft_minhash", ws, lit(3), lit("")).as("fp")
+          )
+          .groupBy("fp")
+          .agg(
+            min(col("doc_id")).as("rep_doc"),
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs")
+          )
+          .filter(col("n_docs") > 1 && col("n_langs") > 1)
+          .orderBy("rep_doc"),
+      Some {
+        val sh = shingles("string_split(text, ' ')", 3)
+        s"""SELECT fp, rep_doc, n_docs, n_langs FROM (
+            SELECT list_aggregate(list_transform($sh, x -> ${h60("x")}), 'min') AS fp,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY 1)
+          WHERE n_docs > 1 AND n_langs > 1 ORDER BY rep_doc"""
+      }
+    ),
     // Embedding-cosine near-dup pairs inside sign-LSH buckets. The bucket
     // join is the scale path: cosine is computed only within buckets, and
     // the plane count ADAPTS to the corpus size (VectorOps.adaptivePlanes;

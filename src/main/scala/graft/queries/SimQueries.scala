@@ -318,6 +318,46 @@ object SimQueries {
           ORDER BY score DESC, vec_id LIMIT 5"""
       }
     ),
+    // Dataset-QA: label conflicts among embedding near-duplicates (q76) —
+    // pairs of near-identical embeddings (q37's bucketed cosine path)
+    // whose class labels DISAGREE: the label-noise probe of an embedding
+    // dataset. Same adaptive sign-bucket join as q37, plus the label
+    // columns and a label-mismatch filter.
+    Q(
+      "q76_label_conflicts",
+      (s, dir) => {
+        val tbl = Tables.embeddings(s, dir)
+        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val e = tbl.select(
+          col("vec_id"),
+          col("embedding"),
+          col("label").cast("long").as("label"),
+          VectorOps.signBucket(col("embedding"), planes).as("bkt")
+        )
+        val capped = graft.ops.BucketCap.capSide(e, col("bkt"), col("vec_id"), tag = "q76")
+        capped
+          .as("a")
+          .join(e.as("b"), col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            col("a.label").as("label_a"),
+            col("b.label").as("label_b"),
+            FeatureOps.r6(VectorOps.cosine(col("a.embedding"), col("b.embedding"))).as("cos")
+          )
+          .filter(col("cos") >= 0.3 && col("label_a") =!= col("label_b"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH be AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+            ${signBucketAdaptive("embedding", "(SELECT count(*) FROM embeddings)")} AS bkt
+          FROM embeddings)
+        SELECT vec_a, vec_b, label_a, label_b, cos FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 a.label AS label_a, b.label AS label_b,
+                 floor((${cosine("a.embedding", "b.embedding")}) * 1e6 + 5e-1) / 1e6 AS cos
+          FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        WHERE cos >= 3e-1 AND label_a <> label_b ORDER BY vec_a, vec_b""")
+    ),
     // Embedding quantization export (q71): L2 norm + int8 quantization
     // (floor(x/‖x‖·127 + ½), clipped to ±127) — the serving-export step
     // of an embedding pipeline, reported as the exact integer SUM of the

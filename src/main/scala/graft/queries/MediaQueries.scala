@@ -53,6 +53,32 @@ object MediaQueries {
       },
       None
     ),
+    // Per-kind media storage stats: object count, total/max bytes, and
+    // DEDUP-AWARE unique-content count per media kind — the storage
+    // census a multimodal corpus audit starts with. One hash-agg over
+    // the media table (kind domain ≤3, partial aggregation is map-side;
+    // the distinct-digest count shuffles digests, never payloads).
+    Q(
+      "q78_media_stats",
+      (s, dir) => {
+        val m = Media.fromDocuments(Tables.documents(s, dir)).toDF()
+        m.groupBy("kind")
+          .agg(
+            count(lit(1)).as("n_objects"),
+            sum(col("size_bytes")).as("total_bytes"),
+            max(col("size_bytes")).as("max_bytes"),
+            countDistinct(md5(col("content"))).as("n_unique")
+          )
+          .orderBy("kind")
+      },
+      Some("""SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+        CAST(count(*) AS BIGINT) AS n_objects,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        FROM documents GROUP BY 1 ORDER BY kind""")
+    ),
     // Exact media dedup: the multimodal analog of q20 — blobs grouped by
     // (content hash, byte size), keeping the lowest doc_id as the
     // representative. One shuffle on the hash; at 100 TB the first pass

@@ -11,6 +11,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class IvfKMeansSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("driver-side r6d/dotD replay the Spark kernels bit-exactly (the q67 LUT contract)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(_ => Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val cent = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+    val sparkSide = vecs
+      .toDF("v")
+      .select(
+        graft.ops.FeatureOps
+          .r6(graft.ops.VectorOps.dot(col("v"), typedLit(cent.toSeq)))
+          .as("d")
+      )
+      .as[Double]
+      .collect()
+    vecs.zip(sparkSide).foreach { case (v, d) =>
+      assert(graft.ops.IvfKMeans.r6d(graft.ops.IvfKMeans.dotD(v, cent)) == d)
+    }
+  }
+
   test("codebook is bit-identical across partitionings and moves off the seed vectors") {
     val dir = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, dir)

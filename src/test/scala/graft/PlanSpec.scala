@@ -113,6 +113,20 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") <= 1)
   }
 
+  test("q67 PQ search: zero shuffles and zero joins — one map-side pass + TakeOrdered") {
+    val p = plan("q67_knn_pq")
+    assert(count(p, "Exchange hashpartitioning") == 0, "PQ search must not shuffle")
+    assert(!p.contains("Join"), "PQ search must not join — codes and LUT are literals")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q71 quantization export is map-only over a 2-column scan") {
+    val p = plan("q71_embed_quantize")
+    assert(count(p, "Exchange hashpartitioning") == 0, "export is map-only; only the sort exchanges")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,vec_id:bigint>")
+      || p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
   test("q37 adaptive sign buckets: pair join is a hash join on the bucket key, never cartesian") {
     val p = plan("q37_embed_neardup")
     assert(!p.contains("CartesianProduct"))

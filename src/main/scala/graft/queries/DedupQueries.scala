@@ -336,6 +336,70 @@ object DedupQueries {
           ORDER BY doc_a, doc_b"""
       }
     ),
+    // Curation master table (q79) — the capstone composition a corpus
+    // curator actually materializes: every document joined with its
+    // quality score (q31), duplicate-cluster id + representative flag
+    // (q59's components), and embedding L2 norm (doc_id ↔ vec_id).
+    // Scale shape: quality is scan-side, the components labels and the
+    // norm table join on the doc key (two shuffles over narrow frames),
+    // and the output is the export every downstream filter reads.
+    Q(
+      "q79_curation_table",
+      (s, dir) => {
+        val labels = graft.ops.ConnectedComponents
+          .minLabel(candidatePairs(s, dir, "q79").select("doc_a", "doc_b"))
+        val nrm = Tables
+          .embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            FeatureOps.r6(sqrt(VectorOps.dot(col("embedding"), col("embedding")))).as("norm")
+          )
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_chars"),
+            FeatureOps.r6(TextQueries.qualityCol).as("quality")
+          )
+          .join(labels, col("doc_id") === col("id"), "left")
+          .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+          .join(nrm, col("doc_id") === col("vec_id"), "left")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_chars"),
+            col("quality"),
+            col("cluster"),
+            coalesce(col("norm"), lit(0.0)).as("norm"),
+            when(col("cluster") === col("doc_id"), lit(1L)).otherwise(lit(0L)).as("is_rep")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = Seq("the", "a", "and", "of", "to").mkString("('", "', '", "')")
+        s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                    UNION ALL SELECT doc_b, doc_a FROM prs),
+          r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+          comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+          q AS (SELECT doc_id, lang, n_chars,
+                  floor((${TextQueries.qualitySqlFromParts}) * 1e6 + 5e-1) / 1e6 AS quality
+                FROM (${TextQueries.qualityPartsSql(en)})),
+          nrm AS (SELECT vec_id,
+                    floor(sqrt(${dot("embedding", "embedding")}) * 1e6 + 5e-1) / 1e6 AS norm
+                  FROM embeddings)
+          SELECT d.doc_id, d.lang, d.n_chars, d.quality,
+            CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+            coalesce(n.norm, 0e0) AS norm,
+            CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+          FROM q d LEFT JOIN comp c ON d.doc_id = c.id
+          LEFT JOIN nrm n ON d.doc_id = n.vec_id
+          ORDER BY d.doc_id"""
+      }
+    ),
     // Dataset-QA: language conflicts among fingerprint-duplicate clusters
     // — near-identical documents carrying different lang labels are
     // metadata errors every curation pipeline hunts for. One hash-agg on

@@ -43,8 +43,8 @@ object TextQueries {
     */
   private val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  /** q31's quality score as a reusable Column (shared by q31 and q65). */
-  private def qualityCol: Column = {
+  /** q31's quality score as a reusable Column (q31, q65, q79). */
+  private[queries] def qualityCol: Column = {
     val en = markers.toMap.apply("en")
     val nw = size(ws).cast("long")
     val alpha = length(regexp_replace(col("text"), " ", "")).cast("double")
@@ -60,13 +60,13 @@ object TextQueries {
     * (returns the SELECT-list fragment computing `quality` from a
     * documents row) — kept textually in lockstep with qualityCol.
     */
-  private val qualitySqlFromParts: String =
+  private[queries] val qualitySqlFromParts: String =
     """least(CAST(n_words AS DOUBLE) / 100e0, 1e0) * 4e-1
       + (1e0 - stop_ratio) * 3e-1
       + least(awl / 8e0, 1e0) * 3e-1"""
 
-  private def qualityPartsSql(enSet: String): String =
-    s"""SELECT doc_id, lang,
+  private[queries] def qualityPartsSql(enSet: String): String =
+    s"""SELECT doc_id, lang, n_chars,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl,

@@ -15,6 +15,24 @@ class GoldenSpec extends AnyFunSuite {
     case x => String.valueOf(x)
   }
 
+  private def queryHash(name: String): (Long, String) = {
+    val rows = SparkEntry.queries(name)(TestSpark.spark, "/root/testdata/sf0.001").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      md.update(r.toSeq.map(canonical).mkString("|").getBytes("UTF-8"))
+      md.update('\n'.toByte)
+    }
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  test("q59 dedup components sf0.001 golden hash") {
+    assert(queryHash("q59_dedup_components") == ((500L, "0ddc91f0a53cf06ca4276531ab23f4e5")))
+  }
+
+  test("q67 PQ search sf0.001 golden hash") {
+    assert(queryHash("q67_knn_pq") == ((5L, "02a7ae9d3d1e9467c6f4cfa3e9f58743")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

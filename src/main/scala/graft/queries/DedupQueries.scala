@@ -400,6 +400,54 @@ object DedupQueries {
           ORDER BY d.doc_id"""
       }
     ),
+    // Dedup resolution (q80): the step after clustering — keep ONE doc
+    // per duplicate cluster, chosen by QUALITY (q31's score, rounded
+    // before ranking; ties to the lowest doc_id), not by id: real
+    // pipelines keep the best member, the min-id `cluster` key is just
+    // the cluster's name. Completes the dedup arc: detect (q34/q37/q68)
+    // → cluster (q59) → report (q70) → resolve (q80) → curate (q79).
+    Q(
+      "q80_dedup_resolve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val labels = graft.ops.ConnectedComponents
+          .minLabel(candidatePairs(s, dir, "q80").select("doc_a", "doc_b"))
+        val w = Window.partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), FeatureOps.r6(TextQueries.qualityCol).as("quality"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")).cast("long"))
+          .filter(col("rk") === 1)
+          .select(col("cluster"), col("doc_id").as("kept_doc"), col("quality").as("kept_quality"), col("n_members"))
+          .orderBy("cluster")
+      },
+      Some {
+        val en = Seq("the", "a", "and", "of", "to").mkString("('", "', '", "')")
+        s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                    UNION ALL SELECT doc_b, doc_a FROM prs),
+          r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+          comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+          q AS (SELECT doc_id,
+                  floor((${TextQueries.qualitySqlFromParts}) * 1e6 + 5e-1) / 1e6 AS quality
+                FROM (${TextQueries.qualityPartsSql(en)})),
+          assigned AS (SELECT d.doc_id, d.quality,
+                         CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+                       FROM q d LEFT JOIN comp c ON d.doc_id = c.id),
+          ranked AS (SELECT *,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY quality DESC, doc_id) AS rk,
+                       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+                     FROM assigned)
+          SELECT cluster, doc_id AS kept_doc, quality AS kept_quality, n_members
+          FROM ranked WHERE rk = 1 ORDER BY cluster"""
+      }
+    ),
     // Dataset-QA: language conflicts among fingerprint-duplicate clusters
     // — near-identical documents carrying different lang labels are
     // metadata errors every curation pipeline hunts for. One hash-agg on

@@ -47,10 +47,10 @@ object BucketCap {
     * `mirrored = true` declares that the ORACLE replays this cap verbatim
     * (a row_number-per-bucket QUALIFY) — the cap is then part of the
     * operator's declared semantics, not a backstop, so the mode-driven
-    * diagnostics (including Verify's fail mode) don't apply. Used by q68,
-    * where SimHash band values cluster on ANY corpus (vote bits are
-    * correlated with the vocabulary), so bounded candidates per band is
-    * the operator definition, as in production simhash dedup under skew.
+    * diagnostics (including Verify's fail mode) don't apply. No current
+    * query needs it: q68's round-6 widening (60-bit signature, 4x15-bit
+    * bands) made its band-key space scale with the corpus, so every LSH
+    * operator now runs the cap as a pure degenerate-corpus backstop.
     */
   def capSide(
       df: DataFrame,

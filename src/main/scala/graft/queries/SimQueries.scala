@@ -89,7 +89,7 @@ object SimQueries {
       "q38_knn_lsh",
       (s, dir) => {
         val tbl = Tables.embeddings(s, dir)
-        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val planes = VectorOps.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
         val e = tbl
           .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), planes).as("bkt"))
         val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p"), col("bkt").as("pbkt"))
@@ -117,7 +117,7 @@ object SimQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val tbl = Tables.embeddings(s, dir)
-        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val planes = VectorOps.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
         val e = tbl
           .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), planes).as("bkt"))
         // degenerate-corpus guard (see BucketCap): the CANDIDATE (right)
@@ -327,7 +327,7 @@ object SimQueries {
       "q76_label_conflicts",
       (s, dir) => {
         val tbl = Tables.embeddings(s, dir)
-        val planes = VectorOps.adaptivePlanes(tbl.count())
+        val planes = VectorOps.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
         val e = tbl.select(
           col("vec_id"),
           col("embedding"),

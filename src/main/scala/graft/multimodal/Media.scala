@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * Dataset — the JVM analog of a Pandas-batch UDF: one iterator per
   * partition, amortized per-batch setup, vectorizable inner loop).
   *
-  * The actual media codecs are NOT available in this environment, so
-  * `MediaCodec.decode` is a clearly-marked STUB with a deterministic fake
-  * (see `MediaCodec.DecodeIsStub`): the Spark-side plumbing — schema,
-  * binary transport, partitioning, batch shape, feature vector layout —
-  * is real and tested; swapping in a real codec changes only the stub
-  * body.
+  * IMAGE decode is REAL: `javax.imageio.ImageIO` ships inside every JDK
+  * (PNG/JPEG/BMP/GIF), so image payloads are decoded to actual pixels and
+  * the width/height/histogram features come from the decoded raster.
+  * Audio/video codecs are NOT available in this environment, so those two
+  * kinds keep a clearly-marked deterministic stub (see
+  * `MediaCodec.decodeIsStub`): the Spark-side plumbing — schema, binary
+  * transport, partitioning, batch shape, feature vector layout — is
+  * identical across kinds; swapping in a real audio/video codec changes
+  * only the stub branch.
   */
 object Media {
 
@@ -74,6 +77,27 @@ object Media {
       .as[MediaRow]
   }
 
+  /** `fromDocuments` with image rows carrying a REAL encoded PNG
+    * (deterministically generated from the doc_id — dims and pixels are a
+    * pure function of it), so the decode stage downstream exercises the
+    * genuine `javax.imageio` path. Audio/video rows keep the opaque text
+    * bytes (their codecs stay stubbed). Used by s05; the transport/dedup
+    * queries (q40/q69/q78) keep `fromDocuments`, whose payload identity
+    * (content = UTF-8 text bytes) their oracles mirror in SQL.
+    */
+  def fromDocumentsDecodable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocuments(docs).mapPartitions { it =>
+      it.map { m =>
+        if (m.kind == "image") {
+          val png = MediaCodec.encodePng(m.doc_id)
+          m.copy(content = png, size_bytes = png.length.toLong)
+        } else m
+      }
+    }
+  }
+
   /** Batched partition-level decode + feature extraction — the
     * mapPartitions shape: per-partition setup once, then a streamed
     * per-row inner loop.
@@ -111,33 +135,99 @@ object Media {
   }
 }
 
-/** STUB media codec — deterministic fake in place of real image/audio/
-  * video libraries (not present in this container). Every value is a pure
-  * function of the payload bytes so tests and the driver's rows-only check
-  * are reproducible.
+/** Media codec: IMAGES decode for real via `javax.imageio` (in every JDK —
+  * no extra jar); audio/video remain a deterministic STUB (those codecs
+  * are not present in this container). Stub values are a pure function of
+  * the payload bytes so tests and the driver's rows-only check are
+  * reproducible.
   */
 object MediaCodec {
 
-  /** Marker: decode is a stub; replace `decode` with a real codec binding
-    * (e.g. TwelveMonkeys/JCodec on the JVM) to productionize.
+  /** Which kinds still run the deterministic stub. Replace the stub
+    * branch of `decode` with a real codec binding (e.g. JCodec on the
+    * JVM) to productionize audio/video; images are already real.
     */
-  final val DecodeIsStub = true
+  def decodeIsStub(kind: String): Boolean = kind != "image"
+
+  // ImageIO's default file-backed stream cache would write temp files per
+  // decode on every executor thread; in-memory streams only.
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class Decoded(width: Int, height: Int, nFrames: Int, histogram: Array[Float])
 
-  def decode(kind: String, bytes: Array[Byte]): Decoded = {
-    val n = bytes.length
-    // deterministic fake dimensions from payload size
-    val (w, h, frames) = kind match {
-      case "image" => (64 + n % 577, 64 + n % 353, 1)
-      case "audio" => (1, 1, 1 + n % 977) // "frames" = sample blocks
-      case _ => (64 + n % 577, 64 + n % 353, 1 + n % 97)
+  /** Deterministic PNG dims for the generated image of `docId` — every
+    * 10th image is wide beyond the 640 resize target so the real decode
+    * path exercises the resize plan too.
+    */
+  def pngDims(docId: Long): (Int, Int) = {
+    val w = 16 + (docId % 37).toInt
+    val h = 12 + (docId % 29).toInt
+    if (docId % 10 == 0) (w * 24, h) else (w, h)
+  }
+
+  /** A real PNG payload, pixels a pure function of (docId, x, y). */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val id = (docId % 251).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 31 + y * 17 + id) & 0xff
+        val g = (x * 13 + y * 43 + id * 3) & 0xff
+        val b = (x * 59 + y * 7 + id * 5) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
     }
-    // real feature shape: fixed-width normalized byte histogram (16 bins)
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < n) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-    if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n.toFloat; j += 1 } }
-    Decoded(w, h, frames, hist)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decode(kind: String, bytes: Array[Byte]): Decoded = kind match {
+    case "image" =>
+      // REAL decode: actual pixels from the compressed payload. An
+      // undecodable payload is a corrupt media object — report it as
+      // (0, 0, 0, zero-histogram) the way a production pipeline tags
+      // corrupt blobs for quarantine, never as fake dims.
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) Decoded(0, 0, 0, new Array[Float](16))
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            hist(((rgb >> 16) & 0xff) >> 4) += 1f
+            hist(((rgb >> 8) & 0xff) >> 4) += 1f
+            hist((rgb & 0xff) >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = 3f * w * h
+        if (n > 0f) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
+        Decoded(w, h, 1, hist)
+      }
+    case _ =>
+      val n = bytes.length
+      // deterministic STUB dimensions from payload size (audio/video)
+      val (w, h, frames) =
+        if (kind == "audio") (1, 1, 1 + n % 977) // "frames" = sample blocks
+        else (64 + n % 577, 64 + n % 353, 1 + n % 97)
+      // real feature shape: fixed-width normalized byte histogram (16 bins)
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < n) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n.toFloat; j += 1 } }
+      Decoded(w, h, frames, hist)
   }
 }

@@ -29,11 +29,13 @@ object MediaQueries {
         md5(text) AS content_md5 FROM documents ORDER BY doc_id""")
     ),
     // Batched partition-level decode + feature extraction over the media
-    // table (stub codec — deterministic fake; plumbing is real).
+    // table. IMAGE rows carry real generated PNGs and are decoded by
+    // javax.imageio (width/height/histogram from actual pixels);
+    // audio/video keep the deterministic stub codec.
     Q(
       "s05_media_features",
       (s, dir) => {
-        val media = Media.fromDocuments(
+        val media = Media.fromDocumentsDecodable(
           Tables.documents(s, dir).repartition(col("doc_id")))
         Media
           .extractFeatures(media)

@@ -111,7 +111,20 @@ object StreamDemos {
     Q(
       "s07_watermark_late",
       (s, dir) => graft.streaming.Watermarks.lateDataCounts(s, dir),
-      None
+      // The three-batch replay is deterministic, so the post-watermark
+      // append output IS batch-expressible: day windows whose END is at
+      // or before the final watermark (max ts - 1 day) are exactly the
+      // finalized-and-emitted set, each source row counted once — the
+      // batch-2 replay rows are all late beyond the watermark and
+      // contribute nothing (if the stream failed to drop them, append
+      // mode would emit duplicate windows and the hash would diverge).
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
+        SELECT user_id,
+          CAST(year(d)*10000 + month(d)*100 + day(d) AS BIGINT) AS day,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id, date_trunc('day', ts) AS d FROM events), wm
+        WHERE d + INTERVAL 1 DAY <= wm
+        GROUP BY user_id, d ORDER BY user_id, day""")
     ),
     // s08: bucketed co-located join — both sides bucket-aligned on the
     // join key, sort-merge join with zero exchanges (asserted in-row).

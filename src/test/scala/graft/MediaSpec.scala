@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing: binary transport, typed metadata, batched
-  * partition-level feature extraction (stub codec), frame-sampling and
-  * resize planning.
+  * partition-level feature extraction (REAL javax.imageio decode for
+  * images, stub codec for audio/video), frame-sampling and resize
+  * planning.
   */
 class MediaSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -26,17 +27,57 @@ class MediaSpec extends AnyFunSuite {
     assert(m(0).mime_type == "image/png")
   }
 
-  test("extractFeatures runs per-partition and matches the stub codec directly") {
-    val feats = Media.extractFeatures(Media.fromDocuments(docs)).collect().sortBy(_.doc_id)
-    val expect = MediaCodec.decode("image", "the fast key order sort".getBytes("UTF-8"))
-    assert(feats(0).n_frames == expect.nFrames)
-    assert(feats(0).feature.toSeq == expect.histogram.toSeq)
+  test("fromDocumentsDecodable swaps image payloads for real PNGs, keeps others") {
+    val m = Media.fromDocumentsDecodable(docs).collect().sortBy(_.doc_id)
+    // PNG magic bytes on the image row
+    assert(m(0).content.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    assert(m(0).size_bytes == m(0).content.length.toLong)
+    // audio/video rows untouched
+    assert(m(1).content.toSeq == "join a filter window row".getBytes("UTF-8").toSeq)
+    assert(m(2).content.toSeq == "agg line group hash vector".getBytes("UTF-8").toSeq)
+  }
+
+  test("image decode is REAL: javax.imageio round-trips generated dims and pixels") {
+    val d0 = MediaCodec.decode("image", MediaCodec.encodePng(7L))
+    assert((d0.width, d0.height) == MediaCodec.pngDims(7L))
+    assert(d0.nFrames == 1)
+    assert(math.abs(d0.histogram.sum - 1.0f) < 1e-4)
+    // a doc_id % 10 == 0 image is wider than the 640 resize target
+    val wide = MediaCodec.pngDims(30L)
+    assert(wide._1 > 640)
+    assert(Media.resizeDims(wide._1, wide._2, 640)._1 == 640)
+    // decoded histogram reflects the pixel formula, not the payload bytes:
+    // a solid-color image concentrates all mass in the pixel-value bins
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, 0x102030)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = MediaCodec.decode("image", bos.toByteArray)
+    assert((d.width, d.height) == ((4, 4)))
+    assert(d.histogram(1) > 0.33f && d.histogram(2) > 0.33f && d.histogram(3) > 0.33f)
+  }
+
+  test("undecodable image payload is tagged corrupt, not faked") {
+    val d = MediaCodec.decode("image", "not a png".getBytes("UTF-8"))
+    assert((d.width, d.height, d.nFrames) == ((0, 0, 0)))
+    assert(d.histogram.forall(_ == 0f))
+  }
+
+  test("extractFeatures runs per-partition: real image decode + stub audio") {
+    val feats = Media.extractFeatures(Media.fromDocumentsDecodable(docs)).collect().sortBy(_.doc_id)
+    // image row: features come from the DECODED raster
+    val expectImg = MediaCodec.decode("image", MediaCodec.encodePng(0L))
+    assert((feats(0).width, feats(0).height) == MediaCodec.pngDims(0L))
+    assert(feats(0).feature.toSeq == expectImg.histogram.toSeq)
     assert(feats(0).feature.length == 16)
     assert((feats(0).out_width, feats(0).out_height) ==
-      Media.resizeDims(expect.width, expect.height, 640))
-    assert(feats(0).n_sampled_frames == Media.sampleFrameIndices(expect.nFrames, 4, 32).length)
-    // histogram is normalized
+      Media.resizeDims(expectImg.width, expectImg.height, 640))
     assert(math.abs(feats(0).feature.sum - 1.0f) < 1e-4)
+    // audio row: stub decode over the raw text bytes
+    val expectAud = MediaCodec.decode("audio", "join a filter window row".getBytes("UTF-8"))
+    assert(feats(1).n_frames == expectAud.nFrames)
+    assert(feats(1).feature.toSeq == expectAud.histogram.toSeq)
+    assert(feats(1).n_sampled_frames == Media.sampleFrameIndices(expectAud.nFrames, 4, 32).length)
   }
 
   test("frame sampling picks every k-th index, capped") {
@@ -52,7 +93,9 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.resizeDims(0, 100, 640) == ((0, 0)))
   }
 
-  test("decode stub is marked as a stub") {
-    assert(MediaCodec.DecodeIsStub)
+  test("stub flag: images are real, audio/video remain stubbed") {
+    assert(!MediaCodec.decodeIsStub("image"))
+    assert(MediaCodec.decodeIsStub("audio"))
+    assert(MediaCodec.decodeIsStub("video"))
   }
 }

@@ -78,15 +78,21 @@ object DedupQueries {
     * eagerly localCheckpoint'ed so the big cached signature table is
     * released immediately.
     */
-  private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String, tag: String) = {
-    val banded = Tables
-      .documents(s, dir)
+  /** (doc_id, band) LSH signature rows for an arbitrary docs frame — the
+    * per-doc stage of candidatePairs, also the "signature index" the
+    * incremental path (q81) probes with a new batch.
+    */
+  private def bandedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
       .select(
         col("doc_id"),
         explode(array((1 to 2).map(k => bandCol(k)): _*)).as("band")
       )
+
+  private def candidatePairs(s: org.apache.spark.sql.SparkSession, dir: String, tag: String) = {
+    val banded = bandedDocs(Tables.documents(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = BucketCap.capSide(banded, col("band"), col("doc_id"), tag = tag)
     val pairs = capped
@@ -126,6 +132,148 @@ object DedupQueries {
           )
       }
     )
+
+  /** The curation-table assembly shared by q79 (from-scratch labels) and
+    * q81 (incrementally-merged labels): every document joined with its
+    * quality score, cluster id + representative flag, and embedding norm.
+    */
+  private def curationAssembly(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      labels: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val nrm = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        FeatureOps.r6(sqrt(VectorOps.dot(col("embedding"), col("embedding")))).as("norm")
+      )
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        FeatureOps.r6(TextQueries.qualityCol).as("quality")
+      )
+      .join(labels, col("doc_id") === col("id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+      .join(nrm, col("doc_id") === col("vec_id"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        col("quality"),
+        col("cluster"),
+        coalesce(col("norm"), lit(0.0)).as("norm"),
+        when(col("cluster") === col("doc_id"), lit(1L)).otherwise(lit(0L)).as("is_rep")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** From-scratch curation oracle over the full corpus — shared verbatim
+    * by q79 and q81: the incremental merge must land on EXACTLY the table
+    * a full recompute produces.
+    */
+  private val curationOracleSql: String = {
+    val en = Seq("the", "a", "and", "of", "to").mkString("('", "', '", "')")
+    s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                UNION ALL SELECT doc_b, doc_a FROM prs),
+      r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+            UNION
+            SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+      q AS (SELECT doc_id, lang, n_chars,
+              floor((${TextQueries.qualitySqlFromParts}) * 1e6 + 5e-1) / 1e6 AS quality
+            FROM (${TextQueries.qualityPartsSql(en)})),
+      nrm AS (SELECT vec_id,
+                floor(sqrt(${dot("embedding", "embedding")}) * 1e6 + 5e-1) / 1e6 AS norm
+              FROM embeddings)
+      SELECT d.doc_id, d.lang, d.n_chars, d.quality,
+        CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+        coalesce(n.norm, 0e0) AS norm,
+        CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+      FROM q d LEFT JOIN comp c ON d.doc_id = c.id
+      LEFT JOIN nrm n ON d.doc_id = n.vec_id
+      ORDER BY d.doc_id"""
+  }
+
+  /** Incremental cluster maintenance (q81's engine): treat docs with
+    * doc_id % 5 == 3 as a NEWLY APPENDED batch and merge them into the
+    * existing (base-corpus) cluster labels without re-clustering the
+    * world — the batch analog of s12's cross-batch merge, and the
+    * incremental-append design point of the reference's exporter
+    * (`ExporterDatabaseManager.cs:52-68` upserts new rows into a live
+    * table rather than rebuilding it).
+    *
+    * Steps, each with work proportional to the BATCH (plus touched
+    * clusters), never the corpus:
+    *   1. base labels — the "existing table" (in production this is read,
+    *      not recomputed);
+    *   2. probe: the batch's band keys join the signature index, yielding
+    *      only pairs that touch a new doc;
+    *   3. contract: old endpoints collapse to their base cluster label
+    *      (the label IS the cluster's min doc_id, so min-label arithmetic
+    *      composes exactly);
+    *   4. delta CC on the contracted touch graph — nodes are new docs +
+    *      touched cluster reps only;
+    *   5. relabel: base labels route through the delta; untouched
+    *      clusters pass through unchanged.
+    * Equality with the from-scratch q79 table (the oracle) holds because
+    * per-doc band keys are corpus-independent: union-corpus pairs are
+    * exactly base pairs ∪ touch pairs, and CC over a graph equals CC over
+    * its base-component contraction.
+    */
+  private def incrementalLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = pmod(col("doc_id"), lit(5)) === 3
+    val basePairs = {
+      val banded = bandedDocs(docs.filter(!isNew))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = BucketCap.capSide(banded, col("band"), col("doc_id"), tag = "q81base")
+      val p = capped
+        .as("a")
+        .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      banded.unpersist()
+      p
+    }
+    val baseLabels = graft.ops.ConnectedComponents.minLabel(basePairs)
+    // signature index over the union corpus; only the batch's keys probe it
+    val allBanded = bandedDocs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBanded = allBanded.filter(pmod(col("doc_id"), lit(5)) === 3)
+    val capped = BucketCap.capSide(allBanded, col("band"), col("doc_id"), tag = "q81")
+    val touch = newBanded
+      .as("a")
+      .join(capped.as("b"), col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    allBanded.unpersist()
+    val contracted = touch
+      .join(
+        baseLabels.select(col("id").as("dst"), col("lbl").as("dlbl")),
+        Seq("dst"),
+        "left"
+      )
+      .select(col("src"), coalesce(col("dlbl"), col("dst")).as("dst"))
+    val delta = graft.ops.ConnectedComponents.minLabel(contracted)
+    // old docs route through their (possibly re-labeled) base cluster;
+    // delta rows not shadowing a base row cover new docs + old singletons
+    val relabeledBase = baseLabels
+      .as("bl")
+      .join(delta.as("d"), col("bl.lbl") === col("d.id"), "left")
+      .select(col("bl.id").as("id"), coalesce(col("d.lbl"), col("bl.lbl")).as("lbl"))
+    val fresh = delta.join(baseLabels.select("id"), Seq("id"), "left_anti")
+    relabeledBase.union(fresh).localCheckpoint()
+  }
 
   val all: Seq[Q] = Seq(
     // Exact dedup: group on md5(text), keep the smallest doc_id — the
@@ -393,59 +541,19 @@ object DedupQueries {
     // and the output is the export every downstream filter reads.
     Q(
       "q79_curation_table",
-      (s, dir) => {
-        val labels = componentLabels(s, dir)
-        val nrm = Tables
-          .embeddings(s, dir)
-          .select(
-            col("vec_id"),
-            FeatureOps.r6(sqrt(VectorOps.dot(col("embedding"), col("embedding")))).as("norm")
-          )
-        Tables
-          .documents(s, dir)
-          .select(
-            col("doc_id"),
-            col("lang"),
-            col("n_chars"),
-            FeatureOps.r6(TextQueries.qualityCol).as("quality")
-          )
-          .join(labels, col("doc_id") === col("id"), "left")
-          .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
-          .join(nrm, col("doc_id") === col("vec_id"), "left")
-          .select(
-            col("doc_id"),
-            col("lang"),
-            col("n_chars"),
-            col("quality"),
-            col("cluster"),
-            coalesce(col("norm"), lit(0.0)).as("norm"),
-            when(col("cluster") === col("doc_id"), lit(1L)).otherwise(lit(0L)).as("is_rep")
-          )
-          .orderBy("doc_id")
-      },
-      Some {
-        val en = Seq("the", "a", "and", "of", "to").mkString("('", "', '", "')")
-        s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
-                    UNION ALL SELECT doc_b, doc_a FROM prs),
-          r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
-                UNION
-                SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
-          comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
-          q AS (SELECT doc_id, lang, n_chars,
-                  floor((${TextQueries.qualitySqlFromParts}) * 1e6 + 5e-1) / 1e6 AS quality
-                FROM (${TextQueries.qualityPartsSql(en)})),
-          nrm AS (SELECT vec_id,
-                    floor(sqrt(${dot("embedding", "embedding")}) * 1e6 + 5e-1) / 1e6 AS norm
-                  FROM embeddings)
-          SELECT d.doc_id, d.lang, d.n_chars, d.quality,
-            CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster,
-            coalesce(n.norm, 0e0) AS norm,
-            CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
-          FROM q d LEFT JOIN comp c ON d.doc_id = c.id
-          LEFT JOIN nrm n ON d.doc_id = n.vec_id
-          ORDER BY d.doc_id"""
-      }
+      (s, dir) => curationAssembly(s, dir, componentLabels(s, dir)),
+      Some(curationOracleSql)
+    ),
+    // Incremental curation update (q81): the q79 table maintained by
+    // APPEND — a new doc batch merges into the existing cluster labels
+    // via a signature-index probe + delta CC over touched components
+    // only (incrementalLabels above). The oracle is the FROM-SCRATCH
+    // q79 SQL on the union corpus: incremental maintenance must be
+    // indistinguishable from a full rebuild, row for row.
+    Q(
+      "q81_curation_incremental",
+      (s, dir) => curationAssembly(s, dir, incrementalLabels(s, dir)),
+      Some(curationOracleSql)
     ),
     // Dedup resolution (q80): the step after clustering — keep ONE doc
     // per duplicate cluster, chosen by QUALITY (q31's score, rounded

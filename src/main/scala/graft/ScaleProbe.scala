@@ -85,20 +85,35 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       out
     }
+    // q68 rides the same widened corpora: its round-6 block-combination
+    // banding (60-bit signature, C(6,3)=20 triple keys) must stay
+    // near-linear where the round-5 16-bit design collapsed — beyond
+    // ~32k docs (= x64 of sf0.01) the old <=512-key band space made the
+    // 64/band cap the dominant semantics. The copy-renamed vocabulary
+    // gives each copy distinct word hashes, hence distinct vote bits and
+    // signatures — corpus growth with mostly-new content.
     val q34 = SparkEntry.queries("q34_minhash_pairs")
+    val q68 = SparkEntry.queries("q68_simhash_neardup")
     val dedupResults = mults.map { m =>
       val dir = widenedDocs(m)
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
       val t0 = System.nanoTime()
       val pairs = q34(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] x$m%-3d docs=$rows%9d  q34_minhash_pairs=$sec%7.2f s  ($pairs pairs)")
-      (m, rows, sec)
+      val sec34 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val simPairs = q68(spark, dir).count()
+      val sec68 = (System.nanoTime() - t1) / 1e9
+      println(
+        f"[scale] x$m%-3d docs=$rows%9d  q34_minhash_pairs=$sec34%7.2f s ($pairs pairs)  " +
+          f"q68_simhash_neardup=$sec68%7.2f s ($simPairs pairs)"
+      )
+      (m, rows, sec34, sec68)
     }
-    val (_, dr0, ds0) = dedupResults.head
-    val (_, drN, dsN) = dedupResults.last
+    val (_, dr0, ds0, dsim0) = dedupResults.head
+    val (_, drN, dsN, dsimN) = dedupResults.last
     println(
-      f"[scale] dedup growth: data x${drN.toDouble / dr0}%.0f, time x${dsN / ds0}%.1f (linear would be x${drN.toDouble / dr0}%.0f)"
+      f"[scale] dedup growth: data x${drN.toDouble / dr0}%.0f, q34 time x${dsN / ds0}%.1f, " +
+        f"q68 time x${dsimN / dsim0}%.1f (linear would be x${drN.toDouble / dr0}%.0f)"
     )
     spark.stop()
   }

@@ -98,6 +98,23 @@ object Media {
     }
   }
 
+  /** Stage the decodable media table to parquet once per (JVM, source
+    * key) — PNG ENCODING is corpus staging, not the measured operator (at
+    * 100 TB the encoded media already sits in storage; a pipeline run
+    * scans and DECODES it). Repeated s05 runs therefore measure the real
+    * repeating cost: parquet scan + imageio decode + feature extraction.
+    */
+  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stageDecodable(docs: DataFrame, key: String): String =
+    stagedCache.computeIfAbsent(
+      key,
+      _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_s05_").toAbsolutePath.toString + "/media"
+        fromDocumentsDecodable(docs).write.mode("overwrite").parquet(out)
+        out
+      }
+    )
+
   /** Batched partition-level decode + feature extraction — the
     * mapPartitions shape: per-partition setup once, then a streamed
     * per-row inner loop.

@@ -35,8 +35,12 @@ object MediaQueries {
     Q(
       "s05_media_features",
       (s, dir) => {
-        val media = Media.fromDocumentsDecodable(
-          Tables.documents(s, dir).repartition(col("doc_id")))
+        import s.implicits._
+        val staged = Media.stageDecodable(
+          Tables.documents(s, dir).repartition(col("doc_id")),
+          dir
+        )
+        val media = s.read.parquet(staged).as[Media.MediaRow]
         Media
           .extractFeatures(media)
           .toDF()

@@ -462,6 +462,84 @@ object TextQueries {
           FROM per ORDER BY doc_id"""
       }
     ),
+    // Within-doc repetition filter (q82): fraction of duplicate 3-gram
+    // occurrences per document — the MassiveText/C4-style repetition
+    // quality signal (a doc whose text loops emits the same grams over
+    // and over; high ratio => machine-generated/boilerplate). Map-only:
+    // gram list, distinct count, one ratio per row; flag computed from
+    // the ROUNDED ratio so both engines compare the identical double.
+    Q(
+      "q82_repetition_ratio",
+      (s, dir) => {
+        val grams = call_function("graft_shingles", ws, lit(3))
+        val total = size(grams).cast("long")
+        val distinctN = size(array_distinct(grams)).cast("long")
+        val ratio = FeatureOps.r6(
+          when(total === 0L, lit(0.0))
+            .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        )
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            total.as("total_grams"),
+            distinctN.as("distinct_grams"),
+            ratio.as("rep_ratio"),
+            when(ratio > lit(0.2), lit(1L)).otherwise(lit(0L)).as("is_repetitive")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = shingles("string_split(text, ' ')", 3)
+        val ratio = "floor((CASE WHEN len(grams) = 0 THEN 0e0 ELSE " +
+          "1e0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END)" +
+          " * 1e6 + 5e-1) / 1e6"
+        s"""SELECT doc_id, CAST(len(grams) AS BIGINT) AS total_grams,
+          CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+          $ratio AS rep_ratio,
+          CAST(CASE WHEN $ratio > 2e-1 THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        FROM (SELECT doc_id, $sh AS grams FROM documents) ORDER BY doc_id"""
+      }
+    ),
+    // Sliding-window chunker (q83): overlapping word-window chunks
+    // (size 32, stride 24 — 8 words of overlap), the standard document →
+    // training-sample/RAG-passage splitter. Map-only explode over the
+    // scan (zero shuffle except the determinism ORDER BY): at 100 TB
+    // chunking is embarrassingly parallel and this plan keeps it so.
+    // Chunk ids are ordinal per doc; the tail window is kept short
+    // (slice truncates), matching every production chunker's default.
+    Q(
+      "q83_doc_chunks",
+      (s, dir) => {
+        val n = size(ws)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("text"),
+            posexplode(sequence(lit(0), n - 1, lit(24))).as(Seq("chunk_id", "start"))
+          )
+          .select(
+            col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            slice(ws, col("start") + 1, lit(32)).as("chunk")
+          )
+          .select(
+            col("doc_id"),
+            col("chunk_id"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            concat_ws(" ", col("chunk")).as("chunk_text")
+          )
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""SELECT doc_id,
+          CAST((st - 1) // 24 AS BIGINT) AS chunk_id,
+          CAST(len(w[st:st+31]) AS BIGINT) AS n_tokens,
+          array_to_string(w[st:st+31], ' ') AS chunk_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          LATERAL unnest(generate_series(1, len(w), 24)) AS t(st)
+        ORDER BY doc_id, chunk_id""")
+    ),
     // Contamination probe: documents sharing >= 1 distinct 3-gram with a
     // probe document (doc 0), with the shared-gram count — the benchmark-
     // contamination check. Scale shape: the probe's gram set broadcasts

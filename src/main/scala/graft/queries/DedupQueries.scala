@@ -665,6 +665,64 @@ object DedupQueries {
           WHERE n_docs > 1 AND n_langs > 1 ORDER BY rep_doc"""
       }
     ),
+    // Train/eval split decontamination audit (q85): near-dup candidate
+    // pairs that CROSS a declared train/eval split (sources src0-src4
+    // play the held-out eval set) — the contamination count every LLM
+    // pipeline measures before training. Pairs come from the memoized
+    // signature index (one band join); the split classification is two
+    // narrow joins on the doc key; output is per-eval-source pair and
+    // distinct-doc-hit counts. Eval sources with no contamination are
+    // absent (inner semantics, oracle-mirrored).
+    Q(
+      "q85_split_contamination",
+      (s, dir) => {
+        val evalSrcs = (0 to 4).map(i => s"src$i")
+        val pairs = candidatePairs(s, dir, "q85")
+        val lab = Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("source").isin(evalSrcs.map(x => x: Any): _*).as("ev")
+          )
+        pairs
+          .join(
+            lab.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("ev").as("ev_a")),
+            "doc_a"
+          )
+          .join(
+            lab.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("ev").as("ev_b")),
+            "doc_b"
+          )
+          .filter(col("ev_a") =!= col("ev_b"))
+          .select(
+            when(col("ev_a"), col("src_a")).otherwise(col("src_b")).as("eval_source"),
+            when(col("ev_a"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc")
+          )
+          .groupBy("eval_source")
+          .agg(
+            count(lit(1)).as("n_cross_pairs"),
+            countDistinct(col("eval_doc")).as("n_eval_docs_hit")
+          )
+          .orderBy("eval_source")
+      },
+      Some {
+        val evalIn = (0 to 4).map(i => s"'src$i'").mkString("(", ", ", ")")
+        s"""WITH $mhCteSql, $pairsCteSql,
+          lab AS (SELECT doc_id, source,
+                    CASE WHEN source IN $evalIn THEN 1 ELSE 0 END AS ev
+                  FROM documents),
+          xp AS (SELECT CASE WHEN a.ev = 1 THEN a.source ELSE b.source END AS eval_source,
+                   CASE WHEN a.ev = 1 THEN p.doc_a ELSE p.doc_b END AS eval_doc
+                 FROM prs p
+                 JOIN lab a ON p.doc_a = a.doc_id
+                 JOIN lab b ON p.doc_b = b.doc_id
+                 WHERE a.ev <> b.ev)
+          SELECT eval_source, CAST(count(*) AS BIGINT) AS n_cross_pairs,
+            CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs_hit
+          FROM xp GROUP BY eval_source ORDER BY eval_source"""
+      }
+    ),
     // Embedding-cosine near-dup pairs inside sign-LSH buckets. The bucket
     // join is the scale path: cosine is computed only within buckets, and
     // the plane count ADAPTS to the corpus size (VectorOps.adaptivePlanes;

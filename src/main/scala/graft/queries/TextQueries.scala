@@ -205,6 +205,48 @@ object TextQueries {
           FROM documents ORDER BY doc_id"""
       }
     ),
+    // Normalization-aware fingerprint (q84): the dedup-normalization
+    // step every curation pipeline applies before fingerprinting —
+    // here, stripping the (deterministic, oracle-shared) stopword set
+    // so documents differing ONLY in stopwords collide on norm_fp while
+    // their raw fps differ. Map-only; `changed` marks docs whose
+    // fingerprint moved under normalization (null-safe: short docs can
+    // lose their shingles entirely).
+    Q(
+      "q84_norm_fingerprint",
+      (s, dir) => {
+        val stop = Seq("the", "a", "and", "of", "to")
+        val normWs = filter(ws, w => !w.isin(stop.map(x => x: Any): _*))
+        val rawFp = call_function("graft_minhash", ws, lit(3), lit(""))
+        val normFp = call_function("graft_minhash", normWs, lit(3), lit(""))
+        Tables
+          .documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(
+            col("doc_id"),
+            size(ws).cast("long").as("n_raw_tokens"),
+            size(normWs).cast("long").as("n_norm_tokens"),
+            rawFp.as("raw_fp"),
+            normFp.as("norm_fp"),
+            when(rawFp <=> normFp, lit(0L)).otherwise(lit(1L)).as("changed")
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val stop = Seq("the", "a", "and", "of", "to").mkString("['", "', '", "']")
+        val w = "string_split(text, ' ')"
+        val nw = s"list_filter($w, t -> NOT list_contains($stop, t))"
+        def fp(words: String) =
+          s"list_aggregate(list_transform(${shingles(words, 3)}, x -> ${h60("x")}), 'min')"
+        s"""SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_raw_tokens,
+          CAST(len(nw) AS BIGINT) AS n_norm_tokens,
+          ${fp("w")} AS raw_fp,
+          ${fp("nw")} AS norm_fp,
+          CAST(CASE WHEN ${fp("w")} IS NOT DISTINCT FROM ${fp("nw")} THEN 0 ELSE 1 END AS BIGINT) AS changed
+        FROM (SELECT doc_id, $w AS w, $nw AS nw FROM documents) ORDER BY doc_id"""
+      }
+    ),
     // Corpus n-gram top-k: the 20 most frequent 3-word shingles — the
     // standard contamination/boilerplate probe over a training corpus.
     // Scale shape: explode → hash-agg with map-side partial combine (one

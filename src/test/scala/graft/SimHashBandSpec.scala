@@ -66,4 +66,28 @@ class SimHashBandSpec extends AnyFunSuite {
     // headroom: the key space is 20 * 2^30, far above any occupancy here
     assert(large <= 20L * 2000L)
   }
+
+  test("degenerate corpus (all-identical docs): cap bounds pairs at O(n*cap), connectivity survives") {
+    import spark.implicits._
+    val n = 200
+    val base = java.nio.file.Files.createTempDirectory("graft_sh_degen_").toAbsolutePath.toString
+    (0 until n)
+      .map(i => (i.toLong, "spark scan join filter agg row key", "en", "s0", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val pairs = SparkEntry
+      .queries("q68_simhash_neardup")(spark, base)
+      .select("doc_a", "doc_b")
+      .as[(Long, Long)]
+      .collect()
+    // every triple bucket holds all n docs; the capped side keeps the 64
+    // lowest ids, so pairs are O(n*cap) per triple, never O(n^2)
+    assert(pairs.nonEmpty && pairs.length <= 64 * n)
+    // connectivity: every non-representative doc still pairs with doc 0
+    // (the bucket representative survives the cap), so union-find over
+    // the capped pairs yields ONE component
+    val withRep = pairs.filter(_._1 == 0L).map(_._2).toSet
+    assert((1 until n).forall(i => withRep.contains(i.toLong)))
+  }
 }

@@ -33,6 +33,18 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q67_knn_pq") == ((5L, "02a7ae9d3d1e9467c6f4cfa3e9f58743")))
   }
 
+  test("q68 simhash near-dup (60-bit block-triple banding) sf0.001 golden hash") {
+    assert(queryHash("q68_simhash_neardup") == ((25L, "a7f1090c8b4b00ab45667329b147317c")))
+  }
+
+  test("round-6 additions sf0.001 golden hashes") {
+    assert(queryHash("q81_curation_incremental") == ((500L, "2ded5adad9a8cf8e88c7b8eede73439d")))
+    assert(queryHash("q82_repetition_ratio") == ((500L, "a53dc8b487a4197f22ad5e035309f8f1")))
+    assert(queryHash("q83_doc_chunks") == ((1388L, "cd849e84e753c1d33f883077a7b97f74")))
+    assert(queryHash("q84_norm_fingerprint") == ((500L, "bed8d3bdb48262d4ae18554222b3d91f")))
+    assert(queryHash("q85_split_contamination") == ((4L, "04b437a199a36cf34e6bc6d961e1e611")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

@@ -45,7 +45,8 @@ object Media {
       out_width: Int,
       out_height: Int,
       n_sampled_frames: Int,
-      feature: Array[Float]
+      feature: Array[Float],
+      hist_counts: Array[Long] // raw integer bin counts behind `feature`
   )
 
   private val kinds = Array("image", "audio", "video")
@@ -129,7 +130,9 @@ object Media {
         val d = MediaCodec.decode(m.kind, m.content)
         val (ow, oh) = resizeDims(d.width, d.height, targetLong = 640)
         val sampled = sampleFrameIndices(d.nFrames, everyK = 4, maxFrames = 32)
-        MediaFeatures(m.doc_id, m.kind, d.width, d.height, d.nFrames, ow, oh, sampled.length, d.histogram)
+        MediaFeatures(
+          m.doc_id, m.kind, d.width, d.height, d.nFrames, ow, oh, sampled.length,
+          d.histogram, d.histCounts)
       }
     }
   }
@@ -170,7 +173,13 @@ object MediaCodec {
   // decode on every executor thread; in-memory streams only.
   javax.imageio.ImageIO.setUseCache(false)
 
-  case class Decoded(width: Int, height: Int, nFrames: Int, histogram: Array[Float])
+  case class Decoded(
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      histogram: Array[Float],
+      histCounts: Array[Long]
+  )
 
   /** Deterministic PNG dims for the generated image of `docId` — every
     * 10th image is wide beyond the 640 resize target so the real decode
@@ -213,26 +222,27 @@ object MediaCodec {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: java.io.IOException => null }
-      if (img == null) Decoded(0, 0, 0, new Array[Float](16))
+      if (img == null) Decoded(0, 0, 0, new Array[Float](16), new Array[Long](16))
       else {
         val w = img.getWidth
         val h = img.getHeight
-        val hist = new Array[Float](16)
+        val counts = new Array[Long](16)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val rgb = img.getRGB(x, y)
-            hist(((rgb >> 16) & 0xff) >> 4) += 1f
-            hist(((rgb >> 8) & 0xff) >> 4) += 1f
-            hist((rgb & 0xff) >> 4) += 1f
+            counts(((rgb >> 16) & 0xff) >> 4) += 1L
+            counts(((rgb >> 8) & 0xff) >> 4) += 1L
+            counts((rgb & 0xff) >> 4) += 1L
             x += 1
           }
           y += 1
         }
         val n = 3f * w * h
-        if (n > 0f) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
-        Decoded(w, h, 1, hist)
+        val hist = new Array[Float](16)
+        if (n > 0f) { var j = 0; while (j < 16) { hist(j) = counts(j).toFloat / n; j += 1 } }
+        Decoded(w, h, 1, hist, counts)
       }
     case _ =>
       val n = bytes.length
@@ -240,11 +250,14 @@ object MediaCodec {
       val (w, h, frames) =
         if (kind == "audio") (1, 1, 1 + n % 977) // "frames" = sample blocks
         else (64 + n % 577, 64 + n % 353, 1 + n % 97)
-      // real feature shape: fixed-width normalized byte histogram (16 bins)
-      val hist = new Array[Float](16)
+      // real feature shape: fixed-width byte histogram (16 bins), integer
+      // counts kept beside the normalized floats (the counts are exact,
+      // hence oracle-expressible — q86)
+      val counts = new Array[Long](16)
       var i = 0
-      while (i < n) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-      if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n.toFloat; j += 1 } }
-      Decoded(w, h, frames, hist)
+      while (i < n) { counts((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
+      val hist = new Array[Float](16)
+      if (n > 0) { var j = 0; while (j < 16) { hist(j) = counts(j).toFloat / n.toFloat; j += 1 } }
+      Decoded(w, h, frames, hist, counts)
   }
 }

@@ -59,6 +59,42 @@ object MediaQueries {
       },
       None
     ),
+    // Audio feature histogram (q86): the stub audio decode's EXACT
+    // integer bin counts (byte high-nibble histogram) + frame count,
+    // through the real extractFeatures mapPartitions path — the
+    // oracle-checked facet of the media feature pipeline (the float
+    // `feature` vector is these counts normalized; image decode stays
+    // rows-only in s05 because PNG decode isn't SQL-expressible).
+    // Oracle counts code points, which equal bytes on this corpus
+    // (ASCII-only, asserted: octet_length == length for every doc).
+    Q(
+      "q86_audio_histogram",
+      (s, dir) => {
+        val media = Media.fromDocuments(Tables.documents(s, dir).repartition(col("doc_id")))
+        Media
+          .extractFeatures(media.filter(col("kind") === "audio"))
+          .toDF()
+          .select(
+            col("doc_id") +:
+              col("n_frames").cast("long").as("n_frames") +:
+              (0 until 16).map(j => element_at(col("hist_counts"), j + 1).as(s"b$j")): _*
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val bins = (0 until 16)
+          .map(j => s"CAST(len(list_filter(nib, x -> x = $j)) AS BIGINT) AS b$j")
+          .mkString(", ")
+        s"""WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+              FROM documents WHERE doc_id % 3 = 1),
+          c AS (SELECT doc_id, n,
+                  list_transform(generate_series(1, length(text)),
+                                 i -> ord(substring(text, i, 1)) // 16) AS nib
+                FROM a)
+          SELECT doc_id, CAST(1 + n % 977 AS BIGINT) AS n_frames, $bins
+          FROM c ORDER BY doc_id"""
+      }
+    ),
     // Per-kind media storage stats: object count, total/max bytes, and
     // DEDUP-AWARE unique-content count per media kind — the storage
     // census a multimodal corpus audit starts with. One hash-agg over

@@ -165,7 +165,18 @@ object StreamDemos {
     Q(
       "s10_partitioned_export",
       (s, dir) => graft.ops.PartitionedExport.demo(s, dir),
-      None
+      // The day counts are batch-expressible through the q18 feature CTE
+      // chain, and the oracle expects pruned = TRUE — so the in-plan
+      // partition-pruning assertion is HASH-CHECKED: if a regression ever
+      // makes the read-back scan more than one partition, the Spark side
+      // emits false and the gate fails.
+      Some(s"""WITH $featCte,
+          f AS (SELECT user_id, day FROM feat WHERE rn >= ${cfg.barsRequiredToTrade})
+        SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+          CAST(count(*) AS BIGINT) AS rows_total,
+          CAST(sum(CASE WHEN day = (SELECT min(day) FROM f) THEN 1 ELSE 0 END) AS BIGINT) AS rows_one_day,
+          TRUE AS pruned
+        FROM f ORDER BY n_days""")
     ),
     // s11: streaming exact dedup — dropDuplicates over a replayed stream
     // must exactly undo the duplication (oracle = the original table).

@@ -78,6 +78,16 @@ class MediaSpec extends AnyFunSuite {
     assert(feats(1).n_frames == expectAud.nFrames)
     assert(feats(1).feature.toSeq == expectAud.histogram.toSeq)
     assert(feats(1).n_sampled_frames == Media.sampleFrameIndices(expectAud.nFrames, 4, 32).length)
+    // integer counts ride beside the floats: they sum to the byte count
+    // (audio: one vote per payload byte) resp. 3*w*h (image: one vote per
+    // channel), and the float histogram is exactly counts normalized
+    assert(feats(1).hist_counts.sum == "join a filter window row".getBytes("UTF-8").length.toLong)
+    assert(feats(1).hist_counts.toSeq == expectAud.histCounts.toSeq)
+    assert(feats(0).hist_counts.sum == 3L * feats(0).width * feats(0).height)
+    assert(
+      feats(0).feature.toSeq ==
+        feats(0).hist_counts.map(c => c.toFloat / (3f * feats(0).width * feats(0).height)).toSeq
+    )
   }
 
   test("frame sampling picks every k-th index, capped") {

@@ -115,6 +115,53 @@ object ScaleProbe {
       f"[scale] dedup growth: data x${drN.toDouble / dr0}%.0f, q34 time x${dsN / ds0}%.1f, " +
         f"q68 time x${dsimN / dsim0}%.1f (linear would be x${drN.toDouble / dr0}%.0f)"
     )
+
+    // ANN-pipeline linearity: widen embeddings m× by flipping each
+    // copy's dimensions with a deterministic per-(copy, dim) ±1 mask —
+    // an orthogonal-ish transform that preserves intra-copy geometry
+    // (near-dup pairs survive sign flips applied to BOTH vectors) while
+    // giving every copy fresh sign-LSH bucket keys, the faithful model
+    // of an embedding corpus growing with new content. q37 = adaptive
+    // sign-bucket cosine near-dup (the scale-critical ANN shape):
+    // adaptivePlanes raises the plane count as n grows, so per-bucket
+    // join sizes stay ~TargetBucketSize and time stays near-linear.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVecs = embBase.agg(max("vec_id")).head().getLong(0) + 1
+    def widenedEmb(m: Int): String = {
+      val out = s"${java.nio.file.Files.createTempDirectory("graft_scale_e_")}"
+      (0 until m)
+        .map { i =>
+          embBase
+            .withColumn("vec_id", col("vec_id") + lit(i * nVecs))
+            .withColumn(
+              "embedding",
+              transform(
+                col("embedding"),
+                (x, j) => x * (pmod(graft.ops.Hashing.h60(concat(lit(s"m$i:"), j.cast("string"))), lit(2)) * 2 - 1).cast("float")
+              )
+            )
+        }
+        .reduce(_ union _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      out
+    }
+    val q37 = SparkEntry.queries("q37_embed_neardup")
+    val annResults = mults.map { m =>
+      val dir = widenedEmb(m)
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val t0 = System.nanoTime()
+      val pairs = q37(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val planes = graft.ops.VectorOps.adaptivePlanes(rows)
+      println(f"[scale] x$m%-3d vecs=$rows%9d  q37_embed_neardup=$sec%7.2f s ($pairs pairs, $planes planes)")
+      (m, rows, sec)
+    }
+    val (_, ar0, as0) = annResults.head
+    val (_, arN, asN) = annResults.last
+    println(
+      f"[scale] ann growth: data x${arN.toDouble / ar0}%.0f, q37 time x${asN / as0}%.1f (linear would be x${arN.toDouble / ar0}%.0f)"
+    )
     spark.stop()
   }
 }

@@ -131,7 +131,17 @@ object StreamDemos {
     Q(
       "s08_bucketed_join",
       (s, dir) => graft.ops.BucketedJoin.demo(s, dir),
-      None
+      // Join cardinality + revenue are plain SQL; the oracle expects
+      // join_without_shuffle = TRUE, so the zero-exchange bucketed-join
+      // assertion is HASH-CHECKED (an exchange sneaking back into the
+      // join plan flips the flag and fails the gate). Revenue decimal
+      // discipline matches q56: per-term cast to DECIMAL(18,4), exact
+      // decimal sum, one final cast to double.
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          TRUE AS join_without_shuffle
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY n_rows""")
     ),
     // s09: salted skew join — lineitem⋈orders spread over 8 salts; the
     // oracle is the plain join (salting must not change results).

@@ -82,7 +82,21 @@ object StreamDemos {
         )
         epochs.asScala.toSeq.sortBy(_._1).toDF("epoch", "n_rows")
       },
-      None
+      // Deterministic staging (ordered files, maxFilesPerTrigger=1, fresh
+      // checkpoint) makes the epoch ledger batch-expressible: epoch i's
+      // row count is staged file i's filter over `events`. A dropped or
+      // merged epoch (commit-cadence regression) changes the ledger and
+      // fails the hash.
+      Some(s"""SELECT CAST(0 AS BIGINT) AS epoch,
+            (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE ${dayInt("ts")} <= ${graft.streaming.Watermarks.splitDay}) AS n_rows
+          UNION ALL SELECT CAST(1 AS BIGINT),
+            (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE ${dayInt("ts")} > ${graft.streaming.Watermarks.splitDay})
+          UNION ALL SELECT CAST(2 AS BIGINT),
+            (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE ${dayInt("ts")} < ${graft.streaming.Watermarks.replayBefore})
+          ORDER BY epoch""")
     ),
     // s03: streaming day bars — watermarked tumbling window, verified
     // against the BATCH oracle (parity with q04).

@@ -28,8 +28,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Watermarks {
 
-  private val splitDay = 20240126L
-  private val replayBefore = 20240106L
+  /** Batch boundaries of the staged three-file replay — public so the
+    * s02 oracle can mirror the per-epoch row counts in SQL.
+    */
+  val splitDay = 20240126L
+  val replayBefore = 20240106L
 
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -115,10 +115,17 @@ object StreamDemos {
         WHERE rn >= ${cfg.barsRequiredToTrade} ORDER BY user_id, day""")
     ),
     // s06: telemetry — QueryExecutionListener + accumulator counters (O23).
+    // The accumulator's distributed tally must equal the true row count
+    // (the reference's committed-rows ≡ actual-rows invariant,
+    // `ExporterDatabaseManager.cs:183-185`), and the oracle expects
+    // listener_fired = TRUE — both telemetry channels are hash-enforced.
     Q(
       "s06_telemetry",
       (s, dir) => graft.telemetry.Telemetry.instrumentedScan(s, dir),
-      None
+      Some("""SELECT 'events_scan' AS action,
+          CAST(count(*) AS BIGINT) AS rows_counted,
+          TRUE AS listener_fired
+        FROM events ORDER BY action""")
     ),
     // s07: watermark + late-data handling over a deterministic two-batch
     // replay (semantics asserted against a Scala model in WatermarkSpec).

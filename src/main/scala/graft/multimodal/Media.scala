@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `javax.imageio.ImageIO` ships inside every JDK
   * (PNG/JPEG/BMP/GIF), so image payloads are decoded to actual pixels and
   * the width/height/histogram features come from the decoded raster.
-  * Audio/video codecs are NOT available in this environment, so those two
-  * kinds keep a clearly-marked deterministic stub (see
-  * `MediaCodec.decodeIsStub`): the Spark-side plumbing — schema, binary
-  * transport, partitioning, batch shape, feature vector layout — is
-  * identical across kinds; swapping in a real audio/video codec changes
-  * only the stub branch.
+  * AUDIO decode is REAL too: `javax.sound.sampled.AudioSystem` (module
+  * `java.desktop`, same as imageio) parses WAV/PCM containers, so audio
+  * payloads are decoded to actual sample frames and the frame count /
+  * histogram features come from the decoded samples. Only VIDEO keeps a
+  * clearly-marked deterministic stub (no JVM-bundled video codec exists —
+  * see `MediaCodec.decodeIsStub`): the Spark-side plumbing — schema,
+  * binary transport, partitioning, batch shape, feature vector layout — is
+  * identical across kinds; swapping in a real video codec (e.g. JCodec)
+  * changes only the stub branch.
   */
 object Media {
 
@@ -80,24 +83,40 @@ object Media {
 
   /** `fromDocuments` with image rows carrying a REAL encoded PNG
     * (deterministically generated from the doc_id — dims and pixels are a
-    * pure function of it), so the decode stage downstream exercises the
-    * genuine `javax.imageio` path. Audio/video rows keep the opaque text
-    * bytes (their codecs stay stubbed). Used by s05; the transport/dedup
-    * queries (q40/q69/q78) keep `fromDocuments`, whose payload identity
-    * (content = UTF-8 text bytes) their oracles mirror in SQL.
+    * pure function of it) and audio rows carrying a REAL PCM WAV container
+    * (8-bit unsigned mono; the sample frames ARE the doc's UTF-8 text
+    * bytes, so the decoded sample histogram is closed-form in the text —
+    * the q86 oracle). Video rows keep the opaque text bytes (that codec
+    * stays stubbed). A deterministic slice of rows (`isCorrupt`) gets its
+    * payload truncated mid-header — undecodable on purpose — so the
+    * quarantine path is a first-class, oracle-visible part of the
+    * pipeline, the way a 100 TB corpus always carries corrupt blobs.
+    * The transport/dedup queries (q40/q69/q78) keep `fromDocuments`,
+    * whose payload identity (content = UTF-8 text bytes) their oracles
+    * mirror in SQL.
     */
   def fromDocumentsDecodable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     fromDocuments(docs).mapPartitions { it =>
       it.map { m =>
-        if (m.kind == "image") {
-          val png = MediaCodec.encodePng(m.doc_id)
-          m.copy(content = png, size_bytes = png.length.toLong)
-        } else m
+        val encoded = m.kind match {
+          case "image" => MediaCodec.encodePng(m.doc_id)
+          case "audio" => MediaCodec.encodeWav(m.content)
+          case _       => m.content
+        }
+        val payload =
+          if (MediaCodec.isCorrupt(m.doc_id) && m.kind != "video") encoded.take(12)
+          else encoded
+        m.copy(content = payload, size_bytes = payload.length.toLong)
       }
     }
   }
+
+  /** Deterministic corrupt-payload slice of the decodable table — see
+    * `MediaCodec.isCorrupt`.
+    */
+  def isCorrupt(docId: Long): Boolean = MediaCodec.isCorrupt(docId)
 
   /** Stage the decodable media table to parquet once per (JVM, source
     * key) — PNG ENCODING is corpus staging, not the measured operator (at
@@ -155,19 +174,28 @@ object Media {
   }
 }
 
-/** Media codec: IMAGES decode for real via `javax.imageio` (in every JDK —
-  * no extra jar); audio/video remain a deterministic STUB (those codecs
-  * are not present in this container). Stub values are a pure function of
-  * the payload bytes so tests and the driver's rows-only check are
-  * reproducible.
+/** Media codec: IMAGES decode for real via `javax.imageio` and AUDIO
+  * (WAV/PCM) for real via `javax.sound.sampled` — both ship inside every
+  * JDK (`java.desktop` module), no extra jar. Only VIDEO remains a
+  * deterministic STUB (no JVM-bundled video codec exists). Stub values are
+  * a pure function of the payload bytes so tests and the driver's
+  * rows-only check are reproducible.
   */
 object MediaCodec {
 
   /** Which kinds still run the deterministic stub. Replace the stub
     * branch of `decode` with a real codec binding (e.g. JCodec on the
-    * JVM) to productionize audio/video; images are already real.
+    * JVM) to productionize video; images and audio are already real.
     */
-  def decodeIsStub(kind: String): Boolean = kind != "image"
+  def decodeIsStub(kind: String): Boolean = kind == "video"
+
+  /** Deterministic corrupt-payload slice for the decodable media table:
+    * these rows ship a truncated (mid-header) payload so every run
+    * exercises the quarantine path end-to-end. Closed-form in doc_id so
+    * the DuckDB oracles (q86/q87) can mirror exactly which rows
+    * quarantine.
+    */
+  def isCorrupt(docId: Long): Boolean = docId % 67 == 13
 
   // ImageIO's default file-backed stream cache would write temp files per
   // decode on every executor thread; in-memory streams only.
@@ -213,6 +241,32 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** The quarantine row a corrupt (undecodable) payload maps to. */
+  private def quarantined: Decoded =
+    Decoded(0, 0, 0, new Array[Float](16), new Array[Long](16))
+
+  private def normalize(counts: Array[Long]): Array[Float] = {
+    val n = counts.sum.toFloat
+    val hist = new Array[Float](16)
+    if (n > 0f) { var j = 0; while (j < 16) { hist(j) = counts(j).toFloat / n; j += 1 } }
+    hist
+  }
+
+  /** A real PCM WAV payload (8-bit unsigned, mono, 8 kHz) whose sample
+    * frames are exactly `samples` — the audio analog of `encodePng`.
+    * Written through `javax.sound.sampled.AudioSystem`, i.e. a genuine
+    * RIFF/WAVE container, not a hand-rolled header.
+    */
+  def encodeWav(samples: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def decode(kind: String, bytes: Array[Byte]): Decoded = kind match {
     case "image" =>
       // REAL decode: actual pixels from the compressed payload. An
@@ -221,7 +275,7 @@ object MediaCodec {
       // corrupt blobs for quarantine, never as fake dims.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) Decoded(0, 0, 0, new Array[Float](16), new Array[Long](16))
       else {
         val w = img.getWidth
@@ -239,25 +293,42 @@ object MediaCodec {
           }
           y += 1
         }
-        val n = 3f * w * h
-        val hist = new Array[Float](16)
-        if (n > 0f) { var j = 0; while (j < 16) { hist(j) = counts(j).toFloat / n; j += 1 } }
-        Decoded(w, h, 1, hist, counts)
+        Decoded(w, h, 1, normalize(counts), counts)
+      }
+    case "audio" =>
+      // REAL decode: `AudioSystem` parses the WAV container and streams
+      // raw sample frames. Features come from the DECODED samples:
+      // n_frames = the container's actual frame count, histogram = the
+      // 16-bin high-nibble census of the 8-bit samples (integer-exact,
+      // hence oracle-expressible — q86). width/height carry the stream's
+      // (channels, sampleSizeInBits). Undecodable payloads quarantine.
+      val parsed =
+        try {
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          try Some((ais.getFormat, ais.readAllBytes()))
+          finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed match {
+        case None => quarantined
+        case Some((fmt, data)) =>
+          val frameSize = math.max(1, fmt.getFrameSize)
+          val counts = new Array[Long](16)
+          var i = 0
+          while (i < data.length) { counts((data(i) & 0xff) >> 4) += 1L; i += 1 }
+          Decoded(
+            fmt.getChannels, fmt.getSampleSizeInBits, data.length / frameSize,
+            normalize(counts), counts)
       }
     case _ =>
       val n = bytes.length
-      // deterministic STUB dimensions from payload size (audio/video)
-      val (w, h, frames) =
-        if (kind == "audio") (1, 1, 1 + n % 977) // "frames" = sample blocks
-        else (64 + n % 577, 64 + n % 353, 1 + n % 97)
+      // deterministic STUB dimensions from payload size (video only)
+      val (w, h, frames) = (64 + n % 577, 64 + n % 353, 1 + n % 97)
       // real feature shape: fixed-width byte histogram (16 bins), integer
-      // counts kept beside the normalized floats (the counts are exact,
-      // hence oracle-expressible — q86)
+      // counts kept beside the normalized floats
       val counts = new Array[Long](16)
       var i = 0
       while (i < n) { counts((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
-      val hist = new Array[Float](16)
-      if (n > 0) { var j = 0; while (j < 16) { hist(j) = counts(j).toFloat / n.toFloat; j += 1 } }
-      Decoded(w, h, frames, hist, counts)
+      Decoded(w, h, frames, normalize(counts), counts)
   }
 }

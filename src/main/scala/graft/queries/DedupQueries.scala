@@ -75,8 +75,8 @@ object DedupQueries {
     * incremental path (q81) probes with a new batch.
     */
   private def bandedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .repartition(col("doc_id"))
+    Tables
+      .spread(docs)
       .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
       .select(
         col("doc_id"),
@@ -324,10 +324,7 @@ object DedupQueries {
       "q33_minhash_lsh",
       (s, dir) =>
         Tables
-          .documents(s, dir)
-          // the input is a single small parquet split; spread the md5-heavy
-          // shingle hashing across cores before any of it runs
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(col("doc_id") +: (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
           .select(
             col("*") +: (1 to 2).map(k => bandCol(k).as(s"band$k")): _*
@@ -386,8 +383,7 @@ object DedupQueries {
       "q35_simhash",
       (s, dir) => {
         Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(col("doc_id"), call_function("graft_simhash", ws, lit(16)).as("simhash16"))
           .orderBy("doc_id")
       },
@@ -411,7 +407,7 @@ object DedupQueries {
       "q36_jaccard_probe",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val withW = docs.repartition(col("doc_id")).select(col("doc_id"), ws.as("w"))
+        val withW = Tables.spread(docs).select(col("doc_id"), ws.as("w"))
         val probe = withW.filter(col("doc_id") === 0).select(col("w").as("pw"))
         withW
           .crossJoin(broadcast(probe))
@@ -496,8 +492,7 @@ object DedupQueries {
       "q68_simhash_neardup",
       (s, dir) => {
         val sims = Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(col("doc_id"), call_function("graft_simhash", ws, lit(60)).as("sh"))
         val banded = sims
           .select(
@@ -639,8 +634,7 @@ object DedupQueries {
       "q77_dup_label_conflicts",
       (s, dir) =>
         Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(
             col("doc_id"),
             col("lang"),

@@ -29,15 +29,19 @@ object MediaQueries {
         md5(text) AS content_md5 FROM documents ORDER BY doc_id""")
     ),
     // Batched partition-level decode + feature extraction over the media
-    // table. IMAGE rows carry real generated PNGs and are decoded by
-    // javax.imageio (width/height/histogram from actual pixels);
-    // audio/video keep the deterministic stub codec.
+    // table. IMAGE rows carry real generated PNGs decoded by javax.imageio
+    // (width/height/histogram from actual pixels); AUDIO rows carry real
+    // PCM WAV containers decoded by javax.sound.sampled (frame count /
+    // histogram from actual samples); only video keeps the deterministic
+    // stub codec. The corrupt slice quarantines. This demo stays rows-only
+    // for the float `feature` column; the integer-exact facets are
+    // hash-checked by q86 (audio) and q87 (image).
     Q(
       "s05_media_features",
       (s, dir) => {
         import s.implicits._
         val staged = Media.stageDecodable(
-          Tables.documents(s, dir).repartition(col("doc_id")),
+          Tables.documentsSpread(s, dir),
           dir
         )
         val media = s.read.parquet(staged).as[Media.MediaRow]
@@ -59,18 +63,22 @@ object MediaQueries {
       },
       None
     ),
-    // Audio feature histogram (q86): the stub audio decode's EXACT
-    // integer bin counts (byte high-nibble histogram) + frame count,
-    // through the real extractFeatures mapPartitions path — the
-    // oracle-checked facet of the media feature pipeline (the float
-    // `feature` vector is these counts normalized; image decode stays
-    // rows-only in s05 because PNG decode isn't SQL-expressible).
+    // Audio feature histogram (q86): the REAL `javax.sound.sampled` WAV
+    // decode's EXACT integer bin counts (sample high-nibble histogram) +
+    // decoded frame count, through the real extractFeatures mapPartitions
+    // path. The staged WAV payloads carry the doc's UTF-8 bytes as their
+    // 8-bit PCM sample frames, so the decoded-sample census is closed-form
+    // in the text and the oracle stays integer-exact; the deterministic
+    // corrupt slice (doc_id % 67 = 13, payload truncated mid-header) must
+    // surface as quarantine zeros — mirrored in the oracle's CASE.
     // Oracle counts code points, which equal bytes on this corpus
     // (ASCII-only, asserted: octet_length == length for every doc).
     Q(
       "q86_audio_histogram",
       (s, dir) => {
-        val media = Media.fromDocuments(Tables.documents(s, dir).repartition(col("doc_id")))
+        import s.implicits._
+        val staged = Media.stageDecodable(Tables.documentsSpread(s, dir), dir)
+        val media = s.read.parquet(staged).as[Media.MediaRow]
         Media
           .extractFeatures(media.filter(col("kind") === "audio"))
           .toDF()
@@ -83,16 +91,90 @@ object MediaQueries {
       },
       Some {
         val bins = (0 until 16)
-          .map(j => s"CAST(len(list_filter(nib, x -> x = $j)) AS BIGINT) AS b$j")
+          .map(j =>
+            s"CAST(CASE WHEN corrupt THEN 0 ELSE len(list_filter(nib, x -> x = $j)) END AS BIGINT) AS b$j")
           .mkString(", ")
-        s"""WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        s"""WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+                (doc_id % 67 = 13) AS corrupt
               FROM documents WHERE doc_id % 3 = 1),
-          c AS (SELECT doc_id, n,
+          c AS (SELECT doc_id, n, corrupt,
                   list_transform(generate_series(1, length(text)),
                                  i -> ord(substring(text, i, 1)) // 16) AS nib
                 FROM a)
-          SELECT doc_id, CAST(1 + n % 977 AS BIGINT) AS n_frames, $bins
+          SELECT doc_id, CAST(CASE WHEN corrupt THEN 0 ELSE n END AS BIGINT) AS n_frames, $bins
           FROM c ORDER BY doc_id"""
+      }
+    ),
+    // Image census (q87): the REAL `javax.imageio` PNG decode's dims,
+    // resize plan, and EXACT pixel-channel high-nibble histogram. The
+    // staged PNGs are generated deterministically from doc_id (dims and
+    // per-pixel RGB are closed-form), so the decoded raster census is
+    // SQL-expressible and the whole image path — decode, resize planning,
+    // frame sampling, corrupt-blob quarantine — is hash-checked, not
+    // rows-only. out_height mirrors Java's Math.round(h*640/w) via exact
+    // integer arithmetic: floor((2a+b)/(2b)) = (2a+b)//(2b).
+    Q(
+      "q87_image_census",
+      (s, dir) => {
+        import s.implicits._
+        val staged = Media.stageDecodable(Tables.documentsSpread(s, dir), dir)
+        val media = s.read.parquet(staged).as[Media.MediaRow]
+        Media
+          .extractFeatures(media.filter(col("kind") === "image"))
+          .toDF()
+          .select(
+            Seq(
+              col("doc_id"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("n_frames").cast("long").as("n_frames"),
+              col("out_width").cast("long").as("out_width"),
+              col("out_height").cast("long").as("out_height"),
+              col("n_sampled_frames").cast("long").as("n_sampled_frames")
+            ) ++ (0 until 16).map(j => element_at(col("hist_counts"), j + 1).as(s"b$j")): _*
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val bins = (0 until 16)
+          .map(j =>
+            s"""CAST(coalesce(CASE WHEN i.corrupt THEN 0 ELSE
+                  h.r$j + h.g$j + h.bb$j END, 0) AS BIGINT) AS b$j""")
+          .mkString(", ")
+        val chans = (0 until 16)
+          .map(j =>
+            s"count(*) FILTER (((x*31 + y*17 + id) % 256) // 16 = $j) AS r$j, " +
+              s"count(*) FILTER (((x*13 + y*43 + id*3) % 256) // 16 = $j) AS g$j, " +
+              s"count(*) FILTER (((x*59 + y*7 + id*5) % 256) // 16 = $j) AS bb$j")
+          .mkString(", ")
+        s"""WITH img AS (
+            SELECT doc_id, doc_id % 251 AS id,
+              CASE WHEN doc_id % 10 = 0 THEN (16 + doc_id % 37) * 24
+                   ELSE 16 + doc_id % 37 END AS w,
+              12 + doc_id % 29 AS h,
+              (doc_id % 67 = 13) AS corrupt
+            FROM documents WHERE doc_id % 3 = 0),
+          px AS (
+            SELECT i.doc_id, i.id, t1.x, t2.y
+            FROM img i,
+              LATERAL unnest(generate_series(0, i.w - 1)) AS t1(x),
+              LATERAL unnest(generate_series(0, i.h - 1)) AS t2(y)
+            WHERE NOT i.corrupt),
+          hist AS (SELECT doc_id, $chans FROM px GROUP BY doc_id)
+          SELECT i.doc_id,
+            CAST(CASE WHEN i.corrupt THEN 0 ELSE i.w END AS BIGINT) AS width,
+            CAST(CASE WHEN i.corrupt THEN 0 ELSE i.h END AS BIGINT) AS height,
+            CAST(CASE WHEN i.corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+            CAST(CASE WHEN i.corrupt THEN 0
+                      WHEN i.w <= 640 THEN i.w ELSE 640 END AS BIGINT) AS out_width,
+            CAST(CASE WHEN i.corrupt THEN 0
+                      WHEN i.w <= 640 THEN i.h
+                      ELSE greatest(1, (2 * i.h * 640 + i.w) // (2 * i.w)) END AS BIGINT)
+              AS out_height,
+            CAST(CASE WHEN i.corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_sampled_frames,
+            $bins
+          FROM img i LEFT JOIN hist h ON i.doc_id = h.doc_id
+          ORDER BY i.doc_id"""
       }
     ),
     // Per-kind media storage stats: object count, total/max bytes, and

@@ -188,8 +188,7 @@ object TextQueries {
       "q32_fingerprint",
       (s, dir) => {
         Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(
             col("doc_id"),
             call_function("graft_minhash", ws, lit(3), lit("")).as("fp"),
@@ -220,8 +219,7 @@ object TextQueries {
         val rawFp = call_function("graft_minhash", ws, lit(3), lit(""))
         val normFp = call_function("graft_minhash", normWs, lit(3), lit(""))
         Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(
             col("doc_id"),
             size(ws).cast("long").as("n_raw_tokens"),
@@ -256,8 +254,7 @@ object TextQueries {
       "q60_ngram_topk",
       (s, dir) =>
         Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(explode(Hashing.shingles(ws, 3)).as("gram"))
           .groupBy("gram")
           .agg(count(lit(1)).as("n"))
@@ -415,8 +412,8 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val nDocs = docs.count()
-        val words = docs
-          .repartition(col("doc_id"))
+        val words = Tables
+          .spread(docs)
           .select(col("lang"), col("doc_id"), explode(ws).as("w"))
         val tf = words.groupBy("lang", "w").agg(count(lit(1)).as("tfreq"))
         val df = words
@@ -471,8 +468,7 @@ object TextQueries {
       "q75_gram_novelty",
       (s, dir) => {
         val grams = Tables
-          .documents(s, dir)
-          .repartition(col("doc_id"))
+          .documentsSpread(s, dir)
           .select(col("doc_id"), explode(array_distinct(Hashing.shingles(ws, 3))).as("gram"))
         val df = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
         grams

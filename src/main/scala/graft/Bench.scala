@@ -47,6 +47,15 @@ object Bench {
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>
+        // One untimed warm run per query BEFORE the timed runs: its JIT /
+        // codegen compilation and any one-time staging memoization
+        // (signature index, component labels, media staging) land here,
+        // so the timed runs measure the query's true repeating cost and
+        // the reported spread is run-to-run noise, not first-touch cost
+        // (round-6 verdict: a ~40 s cold-first-run delta drowned
+        // per-query regression signals).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => } // the timed runs report the failure
         val times = (1 to runs).map { _ =>
           System.gc() // drain garbage from the previous run off this one's clock
           val t0 = System.nanoTime()

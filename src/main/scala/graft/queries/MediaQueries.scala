@@ -32,10 +32,12 @@ object MediaQueries {
     // table. IMAGE rows carry real generated PNGs decoded by javax.imageio
     // (width/height/histogram from actual pixels); AUDIO rows carry real
     // PCM WAV containers decoded by javax.sound.sampled (frame count /
-    // histogram from actual samples); only video keeps the deterministic
-    // stub codec. The corrupt slice quarantines. This demo stays rows-only
-    // for the float `feature` column; the integer-exact facets are
-    // hash-checked by q86 (audio) and q87 (image).
+    // histogram from actual samples); VIDEO rows carry real RIFF/AVI
+    // containers of PNG frames, chunk-walked and frame-decoded via
+    // javax.imageio (only the sampled frames decode). The corrupt slice
+    // quarantines. This demo stays rows-only for the float `feature`
+    // column; the integer-exact facets are hash-checked by q86 (audio),
+    // q87 (image) and q88 (video).
     Q(
       "s05_media_features",
       (s, dir) => {
@@ -71,8 +73,9 @@ object MediaQueries {
     // in the text and the oracle stays integer-exact; the deterministic
     // corrupt slice (doc_id % 67 = 13, payload truncated mid-header) must
     // surface as quarantine zeros — mirrored in the oracle's CASE.
-    // Oracle counts code points, which equal bytes on this corpus
-    // (ASCII-only, asserted: octet_length == length for every doc).
+    // Oracle counts code points, which equal bytes on this corpus —
+    // ASCII-only, asserted by MediaSpec's "fixture corpus is ASCII" test
+    // (octet_length == length for every doc at every fixture SF).
     Q(
       "q86_audio_histogram",
       (s, dir) => {
@@ -175,6 +178,77 @@ object MediaQueries {
             $bins
           FROM img i LEFT JOIN hist h ON i.doc_id = h.doc_id
           ORDER BY i.doc_id"""
+      }
+    ),
+    // Video census (q88): the REAL RIFF/AVI decode's frame-chunk count,
+    // frame dims, sampling plan, and EXACT pixel-channel high-nibble
+    // histogram over the SAMPLED frames only (every 4th, ≤32 — the frames
+    // the plan decodes are the frames the census sees). The staged AVIs
+    // hold PNG frames generated deterministically from (doc_id, frame), so
+    // the whole video path — container parse, selective frame decode,
+    // sampling plan, corrupt-blob quarantine — is hash-checked. The ≤32
+    // sampling cap cannot bind here (nf ≤ 11 → ≤3 sampled frames), so the
+    // oracle's generate_series stride needs no cap arm.
+    Q(
+      "q88_video_census",
+      (s, dir) => {
+        import s.implicits._
+        val staged = Media.stageDecodable(Tables.documentsSpread(s, dir), dir)
+        val media = s.read.parquet(staged).as[Media.MediaRow]
+        Media
+          .extractFeatures(media.filter(col("kind") === "video"))
+          .toDF()
+          .select(
+            Seq(
+              col("doc_id"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("n_frames").cast("long").as("n_frames"),
+              col("out_width").cast("long").as("out_width"),
+              col("out_height").cast("long").as("out_height"),
+              col("n_sampled_frames").cast("long").as("n_sampled_frames")
+            ) ++ (0 until 16).map(j => element_at(col("hist_counts"), j + 1).as(s"b$j")): _*
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val bins = (0 until 16)
+          .map(j =>
+            s"""CAST(coalesce(CASE WHEN v.corrupt THEN 0 ELSE
+                  h.r$j + h.g$j + h.bb$j END, 0) AS BIGINT) AS b$j""")
+          .mkString(", ")
+        val chans = (0 until 16)
+          .map(j =>
+            s"count(*) FILTER (((x*31 + y*17 + id + f*11) % 256) // 16 = $j) AS r$j, " +
+              s"count(*) FILTER (((x*13 + y*43 + id*3 + f*29) % 256) // 16 = $j) AS g$j, " +
+              s"count(*) FILTER (((x*59 + y*7 + id*5 + f*53) % 256) // 16 = $j) AS bb$j")
+          .mkString(", ")
+        s"""WITH vid AS (
+            SELECT doc_id, doc_id % 251 AS id,
+              24 + doc_id % 21 AS w,
+              18 + doc_id % 17 AS h,
+              1 + doc_id % 11 AS nf,
+              (doc_id % 67 = 13) AS corrupt
+            FROM documents WHERE doc_id % 3 = 2),
+          px AS (
+            SELECT v.doc_id, v.id, t0.f, t1.x, t2.y
+            FROM vid v,
+              LATERAL unnest(generate_series(0, v.nf - 1, 4)) AS t0(f),
+              LATERAL unnest(generate_series(0, v.w - 1)) AS t1(x),
+              LATERAL unnest(generate_series(0, v.h - 1)) AS t2(y)
+            WHERE NOT v.corrupt),
+          hist AS (SELECT doc_id, $chans FROM px GROUP BY doc_id)
+          SELECT v.doc_id,
+            CAST(CASE WHEN v.corrupt THEN 0 ELSE v.w END AS BIGINT) AS width,
+            CAST(CASE WHEN v.corrupt THEN 0 ELSE v.h END AS BIGINT) AS height,
+            CAST(CASE WHEN v.corrupt THEN 0 ELSE v.nf END AS BIGINT) AS n_frames,
+            CAST(CASE WHEN v.corrupt THEN 0 ELSE v.w END AS BIGINT) AS out_width,
+            CAST(CASE WHEN v.corrupt THEN 0 ELSE v.h END AS BIGINT) AS out_height,
+            CAST(CASE WHEN v.corrupt THEN 0 ELSE (v.nf + 3) // 4 END AS BIGINT)
+              AS n_sampled_frames,
+            $bins
+          FROM vid v LEFT JOIN hist h ON v.doc_id = h.doc_id
+          ORDER BY v.doc_id"""
       }
     ),
     // Per-kind media storage stats: object count, total/max bytes, and

@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing: binary transport, typed metadata, batched
   * partition-level feature extraction (REAL javax.imageio decode for
-  * images, REAL javax.sound.sampled WAV decode for audio, stub codec for
-  * video), corrupt-payload quarantine, frame-sampling and resize planning.
+  * images, REAL javax.sound.sampled WAV decode for audio, REAL RIFF/AVI
+  * chunk-walk + per-frame javax.imageio decode for video),
+  * corrupt-payload quarantine, frame-sampling and resize planning.
   */
 class MediaSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -27,7 +28,7 @@ class MediaSpec extends AnyFunSuite {
     assert(m(0).mime_type == "image/png")
   }
 
-  test("fromDocumentsDecodable swaps image payloads for PNGs, audio for WAVs") {
+  test("fromDocumentsDecodable swaps image payloads for PNGs, audio for WAVs, video for AVIs") {
     val m = Media.fromDocumentsDecodable(docs).collect().sortBy(_.doc_id)
     // PNG magic bytes on the image row
     assert(m(0).content.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
@@ -36,8 +37,61 @@ class MediaSpec extends AnyFunSuite {
     assert(m(1).content.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
     assert(m(1).content.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq)
     assert(m(1).size_bytes == m(1).content.length.toLong)
-    // video row untouched
-    assert(m(2).content.toSeq == "agg line group hash vector".getBytes("UTF-8").toSeq)
+    // video row: a real RIFF/AVI container
+    assert(m(2).content.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    assert(m(2).content.slice(8, 12).toSeq == "AVI ".getBytes("US-ASCII").toSeq)
+    assert(m(2).size_bytes == m(2).content.length.toLong)
+  }
+
+  test("AVI codec round-trips dims, frame count and sampled-frame pixels exactly") {
+    val docId = 5L // 5 % 3 = 2 -> video kind
+    val d = MediaCodec.decode("video", MediaCodec.encodeAvi(docId))
+    assert((d.width, d.height) == MediaCodec.vidDims(docId))
+    assert(d.nFrames == MediaCodec.vidFrames(docId))
+    // expected census: the shared per-frame pixel recipe over the SAMPLED
+    // frames only (every 4th) — mirrors the q88 oracle's SQL
+    val (w, h) = MediaCodec.vidDims(docId)
+    val id = (docId % 251).toInt
+    val expect = new Array[Long](16)
+    Media.sampleFrameIndices(d.nFrames, 4, 32).foreach { f =>
+      for (y <- 0 until h; x <- 0 until w) {
+        expect(((x * 31 + y * 17 + id + f * 11) & 0xff) >> 4) += 1L
+        expect(((x * 13 + y * 43 + id * 3 + f * 29) & 0xff) >> 4) += 1L
+        expect(((x * 59 + y * 7 + id * 5 + f * 53) & 0xff) >> 4) += 1L
+      }
+    }
+    assert(d.histCounts.toSeq == expect.toSeq)
+    assert(math.abs(d.histogram.sum - 1.0f) < 1e-4)
+  }
+
+  test("video decodes ONLY sampled frames: census counts 3*w*h per sampled frame") {
+    // doc_id 9 -> 10 frames, sampled = frames {0, 4, 8} (3 of 10): the
+    // histogram mass proves the parser skipped the other 7 frames
+    val docId = 9L
+    assert(MediaCodec.vidFrames(docId) == 10)
+    val d = MediaCodec.decode("video", MediaCodec.encodeAvi(docId))
+    val (w, h) = MediaCodec.vidDims(docId)
+    assert(d.nFrames == 10)
+    assert(d.histCounts.sum == 3L * w * h * Media.sampleFrameIndices(10, 4, 32).length)
+  }
+
+  test("undecodable video payload is tagged corrupt, not faked") {
+    val d = MediaCodec.decode("video", "not an avi".getBytes("UTF-8"))
+    assert((d.width, d.height, d.nFrames) == ((0, 0, 0)))
+    assert(d.histCounts.forall(_ == 0L))
+    // a truncated-mid-header AVI (the isCorrupt slice's shape: the 12-byte
+    // RIFF magic with all chunks cut off) quarantines too
+    val trunc = MediaCodec.encodeAvi(5L).take(12)
+    val dt = MediaCodec.decode("video", trunc)
+    assert((dt.width, dt.height, dt.nFrames) == ((0, 0, 0)))
+    // and a container whose frame bytes are garbage quarantines rather
+    // than reporting half-decoded features
+    val avi = MediaCodec.encodeAvi(5L)
+    val mangled = avi.clone()
+    val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    java.util.Arrays.fill(mangled, moviAt + 12, math.min(moviAt + 40, mangled.length), 0x00.toByte)
+    val dm = MediaCodec.decode("video", mangled)
+    assert((dm.width, dm.height, dm.nFrames) == ((0, 0, 0)))
   }
 
   test("WAV codec round-trips sample frames exactly (javax.sound.sampled)") {
@@ -63,17 +117,19 @@ class MediaSpec extends AnyFunSuite {
   }
 
   test("the deterministic corrupt slice quarantines end-to-end") {
-    // doc_id 13 -> audio (13 % 3 = 1), 147 -> image (147 % 3 = 0); both
-    // are on the isCorrupt slice (x % 67 = 13) so their staged payloads
-    // truncate mid-header and must decode to quarantine rows.
-    assert(MediaCodec.isCorrupt(13L) && MediaCodec.isCorrupt(147L))
+    // doc_id 13 -> audio (13 % 3 = 1), 147 -> image (147 % 3 = 0),
+    // 80 -> video (80 % 3 = 2); all three are on the isCorrupt slice
+    // (x % 67 = 13) so their staged payloads truncate mid-header and must
+    // decode to quarantine rows.
+    assert(MediaCodec.isCorrupt(13L) && MediaCodec.isCorrupt(147L) && MediaCodec.isCorrupt(80L))
     val corruptDocs = Seq(
       (13L, "corrupt audio doc", "en", "src0", 17L),
+      (80L, "corrupt video doc", "en", "src2", 17L),
       (147L, "corrupt image doc", "en", "src1", 17L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val feats =
       Media.extractFeatures(Media.fromDocumentsDecodable(corruptDocs)).collect().sortBy(_.doc_id)
-    assert(feats.map(_.kind).toSeq == Seq("audio", "image"))
+    assert(feats.map(_.kind).toSeq == Seq("audio", "video", "image"))
     feats.foreach { f =>
       assert((f.width, f.height, f.n_frames, f.n_sampled_frames) == ((0, 0, 0, 0)))
       assert(f.hist_counts.forall(_ == 0L))
@@ -137,6 +193,20 @@ class MediaSpec extends AnyFunSuite {
     )
   }
 
+  test("fixture corpus is ASCII: octet_length == length for every doc (q86 oracle premise)") {
+    // q86's oracle counts code points where the engine counts bytes; the
+    // equality only holds on an all-ASCII corpus. Pin that premise on
+    // every scale factor the driver touches (verify: sf0.01, bench: sf0.1)
+    // so a corpus change surfaces here, not as an opaque hash mismatch.
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val bad = graft.ops.Tables
+        .documents(spark, s"/root/testdata/$sf")
+        .filter(octet_length(to_binary(col("text"), lit("utf-8"))) =!= length(col("text")))
+        .count()
+      assert(bad == 0L, s"non-ASCII documents in $sf break the q86 byte==char oracle premise")
+    }
+  }
+
   test("frame sampling picks every k-th index, capped") {
     assert(Media.sampleFrameIndices(10, 3, 100) == Seq(0, 3, 6, 9))
     assert(Media.sampleFrameIndices(1000, 2, 4) == Seq(0, 2, 4, 6))
@@ -150,9 +220,9 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.resizeDims(0, 100, 640) == ((0, 0)))
   }
 
-  test("stub flag: image and audio decode are real, only video remains stubbed") {
+  test("stub flag: every decode path is real — image, audio AND video") {
     assert(!MediaCodec.decodeIsStub("image"))
     assert(!MediaCodec.decodeIsStub("audio"))
-    assert(MediaCodec.decodeIsStub("video"))
+    assert(!MediaCodec.decodeIsStub("video"))
   }
 }

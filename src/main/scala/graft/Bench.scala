@@ -31,13 +31,22 @@ object Bench {
     // window exec paths — so per-query timings measure the queries, not
     // one-time JVM initialization landing on whichever query runs first.
     locally {
+      import scala.util.control.NonFatal
       val warm = SparkEntry.queries
       Seq("q01_scan_project", "q04_bar_aggregate", "q13_window_minmax").foreach { n =>
-        warm.get(n).foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+        // NonFatal only: a warm-up OOM/StackOverflow must crash the bench
+        // loudly, not silently poison every timed run after it
+        warm.get(n).foreach(fn => try fn(spark, sfDir).count() catch { case NonFatal(_) => })
       }
-      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_").toString
-      try spark.range(8).toDF("i").write.mode("overwrite").parquet(tmp)
-      catch { case _: Throwable => }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case NonFatal(_) => () }))
+      try spark.range(8).toDF("i").write.mode("overwrite").parquet(s"$tmp/w")
+      catch { case NonFatal(_) => }
     }
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so compute-heavy projections would be timed as near-zero.
@@ -47,15 +56,22 @@ object Bench {
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>
-        // One untimed warm run per query BEFORE the timed runs: its JIT /
+        // Untimed warm run(s) per query BEFORE the timed runs: JIT /
         // codegen compilation and any one-time staging memoization
         // (signature index, component labels, media staging) land here,
         // so the timed runs measure the query's true repeating cost and
         // the reported spread is run-to-run noise, not first-touch cost
         // (round-6 verdict: a ~40 s cold-first-run delta drowned
-        // per-query regression signals).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => } // the timed runs report the failure
+        // per-query regression signals). Streaming demos (sNN) warm
+        // TWICE: their first replay leaves checkpoint/sink residue whose
+        // cleanup lands on the next run, so one warm pass still bled
+        // variance into run 1 (round-7 verdict: s03/s07/s09/s11 carried
+        // the residual 17% spread).
+        val warmRuns = if (name.startsWith("s")) 2 else 1
+        (1 to warmRuns).foreach { _ =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case scala.util.control.NonFatal(_) => } // timed runs report the failure
+        }
         val times = (1 to runs).map { _ =>
           System.gc() // drain garbage from the previous run off this one's clock
           val t0 = System.nanoTime()

@@ -94,8 +94,9 @@ object ScaleProbe {
     // signatures — corpus growth with mostly-new content.
     val q34 = SparkEntry.queries("q34_minhash_pairs")
     val q68 = SparkEntry.queries("q68_simhash_neardup")
+    val docDirs = mults.map(m => m -> widenedDocs(m)).toMap
     val dedupResults = mults.map { m =>
-      val dir = widenedDocs(m)
+      val dir = docDirs(m)
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
       val t0 = System.nanoTime()
       val pairs = q34(spark, dir).count()
@@ -114,6 +115,38 @@ object ScaleProbe {
     println(
       f"[scale] dedup growth: data x${drN.toDouble / dr0}%.0f, q34 time x${dsN / ds0}%.1f, " +
         f"q68 time x${dsimN / dsim0}%.1f (linear would be x${drN.toDouble / dr0}%.0f)"
+    )
+
+    // Incremental-curation work∝batch probe (q81's engine): the corpus
+    // grows m× (renamed vocabulary — same widened dirs as above) while
+    // the APPENDED BATCH stays FIXED: the base copy's doc_id % 5 == 3
+    // slice only. The pre-existing state (base labels + signature index)
+    // is staged untimed, exactly the production cost model where the
+    // previous run's table is READ, not recomputed; the timed step is
+    // probe + delta CC + relabel. Near-CONSTANT time across multiples —
+    // against a corpus growing m× — is the measured form of the
+    // work∝batch claim on DedupQueries.incrementalLabels.
+    val incResults = mults.map { m =>
+      val dir = docDirs(m)
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      val pred = pmod(col("doc_id"), lit(5)) === 3 && col("doc_id") < lit(nDocs)
+      val batchRows = spark.read.parquet(s"$dir/documents.parquet").filter(pred).count()
+      val key = s"$dir#fixedbatch"
+      // untimed staging: memoized base labels + signature index
+      graft.queries.DedupQueries.incrementalLabelsFor(spark, dir, pred, key).count()
+      val t0 = System.nanoTime()
+      val labeled = graft.queries.DedupQueries.incrementalLabelsFor(spark, dir, pred, key).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        f"[scale] x$m%-3d docs=$rows%9d batch=$batchRows%6d  q81_incremental_merge=$sec%7.2f s ($labeled labels)"
+      )
+      (m, rows, sec)
+    }
+    val (_, ir0, is0) = incResults.head
+    val (_, irN, isN) = incResults.last
+    println(
+      f"[scale] incremental growth: corpus x${irN.toDouble / ir0}%.0f, FIXED batch, " +
+        f"q81 merge time x${isN / is0}%.1f (work∝batch predicts ~x1; corpus-proportional would be x${irN.toDouble / ir0}%.0f)"
     )
 
     // ANN-pipeline linearity: widen embeddings m× by flipping each

@@ -47,17 +47,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Spread an under-partitioned scan across cores by `doc_id` — GATED so
-    * it only fires on a fixture-shaped input. The local test corpus is one
-    * small parquet split, which would serialize every md5/shingle-heavy
-    * per-row projection onto a single core; at 100 TB the scan already
-    * yields thousands of splits and an unconditional repartition would
-    * inject a corpus-wide shuffle of the text/payload column into
-    * otherwise map-only plans (round-6 verdict, "What's wrong" #1). The
-    * gate compares the scan's planned partition count (computed on the
-    * driver from file splits — no job runs) against the session's core
-    * count, so on any real multi-split input this is the identity and the
-    * plan stays shuffle-free.
+  /** Spread an under-partitioned scan across cores by `doc_id` — a
+    * SMALL-INPUT HEURISTIC, gated so it only fires on a fixture-shaped
+    * input. The local test corpus is one small parquet split, which would
+    * serialize every md5/shingle-heavy per-row projection onto a single
+    * core; at 100 TB the scan already yields thousands of splits and an
+    * unconditional repartition would inject a corpus-wide shuffle of the
+    * text/payload column into otherwise map-only plans (round-6 verdict,
+    * "What's wrong" #1). The gate compares the scan's planned partition
+    * count (computed on the driver from file splits — no job runs)
+    * against the session's core count. That bounds the shuffled bytes
+    * because every caller scans PARQUET, a splittable format: fewer
+    * planned splits than cores implies total input ≲ cores ×
+    * `spark.sql.files.maxPartitionBytes` (128 MB default) — a shuffle of
+    * that size is noise, and the spread buys full-core decode
+    * parallelism. The bound does NOT transfer to unsplittable formats
+    * (gzip JSON, one 100 GB member = one split regardless of size); a
+    * caller adding such a source must gate on scan bytes instead.
     */
   def spread(df: DataFrame): DataFrame =
     if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)

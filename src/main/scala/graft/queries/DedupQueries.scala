@@ -246,16 +246,18 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def baseLabels(
       s: org.apache.spark.sql.SparkSession,
-      dir: String
+      dir: String,
+      isBatch: org.apache.spark.sql.Column,
+      key: String
   ): org.apache.spark.sql.DataFrame =
     baseLabelsCache.compute(
-      dir,
+      key,
       (_, prev) => {
         if (prev != null && prev.sparkSession.sparkContext == s.sparkContext && !s.sparkContext.isStopped)
           prev
         else {
           val banded = bandedDocs(
-            Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 3)
+            Tables.documents(s, dir).filter(!isBatch)
           ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val capped = BucketCap.capSide(banded, col("band"), col("doc_id"), tag = "q81base")
           val p = capped
@@ -270,15 +272,78 @@ object DedupQueries {
       }
     )
 
+  /** q68's build, exposed pre-checkpoint so PlanSpec can pin the persist
+    * discipline. Persisted state is the n-row signature table ONLY
+    * (doc_id, sh — 16 bytes/doc): the 20x Manku band explosion is a cheap
+    * derived projection recomputed from this cache on each join side, so
+    * it lives as transient shuffle data, never as 20n rows of cached
+    * state (round-6 verdict, "What's wrong" #2). Returns (persisted
+    * signature table, pair plan before the determinism checkpoint); the
+    * caller unpersists.
+    */
+  private[graft] def simhashNeardupParts(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sims = Tables
+      .documentsSpread(s, dir)
+      .select(col("doc_id"), call_function("graft_simhash", ws, lit(60)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sims
+      .select(
+        col("doc_id"),
+        col("sh"),
+        explode(
+          array(simhashTriples.zipWithIndex.map { case (Seq(a, b, c), ci) =>
+            lit(ci.toLong << 30) +
+              shiftright(col("sh"), 10 * a).bitwiseAND(lit(1023L)) * lit(1L << 20) +
+              shiftright(col("sh"), 10 * b).bitwiseAND(lit(1023L)) * lit(1L << 10) +
+              shiftright(col("sh"), 10 * c).bitwiseAND(lit(1023L))
+          }: _*)
+        ).as("bkey")
+      )
+    val capped =
+      BucketCap.capSide(banded, col("bkey"), col("doc_id"), tag = "q68")
+    val pairs = capped
+      .as("a")
+      .join(banded.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming")
+      )
+      // hamming is a function of the pair, so filtering BEFORE the
+      // distinct is result-identical and shrinks the dedup shuffle to
+      // the near-dup survivors only
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+    (sims, pairs)
+  }
+
   private def incrementalLabels(
       s: org.apache.spark.sql.SparkSession,
       dir: String
+  ): org.apache.spark.sql.DataFrame =
+    incrementalLabelsFor(s, dir, pmod(col("doc_id"), lit(5)) === 3, dir)
+
+  /** The incremental merge with an explicit batch predicate — q81 uses the
+    * doc_id %% 5 == 3 slice; ScaleProbe passes a FIXED-size batch over a
+    * growing corpus to measure the work∝batch claim. `isBatch` is an
+    * unresolved boolean expression over `doc_id`, resolved against both
+    * the documents scan (base-label side) and the signature index (probe
+    * side). `key` scopes the memoized base labels (the "existing table").
+    */
+  private[graft] def incrementalLabelsFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      isBatch: org.apache.spark.sql.Column,
+      key: String
   ): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val base = baseLabels(s, dir)
+    val base = baseLabels(s, dir, isBatch, key)
     // signature index over the union corpus; only the batch's keys probe it
     val allBanded = signatureIndex(s, dir)
-    val newBanded = allBanded.filter(pmod(col("doc_id"), lit(5)) === 3)
+    val newBanded = allBanded.filter(isBatch)
     val capped = BucketCap.capSide(allBanded, col("band"), col("doc_id"), tag = "q81")
     val touch = newBanded
       .as("a")
@@ -491,47 +556,10 @@ object DedupQueries {
     Q(
       "q68_simhash_neardup",
       (s, dir) => {
-        // Persisted state is the n-row signature table ONLY (doc_id, sh —
-        // 16 bytes/doc): the 20x Manku band explosion is a cheap derived
-        // projection recomputed from this cache on each join side, so it
-        // lives as transient shuffle data, never as 20n rows of cached
-        // state (round-6 verdict, "What's wrong" #2).
-        val sims = Tables
-          .documentsSpread(s, dir)
-          .select(col("doc_id"), call_function("graft_simhash", ws, lit(60)).as("sh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val banded = sims
-          .select(
-            col("doc_id"),
-            col("sh"),
-            explode(
-              array(simhashTriples.zipWithIndex.map { case (Seq(a, b, c), ci) =>
-                lit(ci.toLong << 30) +
-                  shiftright(col("sh"), 10 * a).bitwiseAND(lit(1023L)) * lit(1L << 20) +
-                  shiftright(col("sh"), 10 * b).bitwiseAND(lit(1023L)) * lit(1L << 10) +
-                  shiftright(col("sh"), 10 * c).bitwiseAND(lit(1023L))
-              }: _*)
-            ).as("bkey")
-          )
-        val capped =
-          BucketCap.capSide(banded, col("bkey"), col("doc_id"), tag = "q68")
-        val pairs = capped
-          .as("a")
-          .join(banded.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"),
-            col("b.doc_id").as("doc_b"),
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming")
-          )
-          // hamming is a function of the pair, so filtering BEFORE the
-          // distinct is result-identical and shrinks the dedup shuffle to
-          // the near-dup survivors only
-          .filter(col("hamming") <= 3)
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-          .localCheckpoint()
+        val (sims, pairs) = simhashNeardupParts(s, dir)
+        val out = pairs.localCheckpoint()
         sims.unpersist()
-        pairs
+        out
       },
       Some {
         val votes = (0 until 60)

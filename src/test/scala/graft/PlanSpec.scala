@@ -149,6 +149,24 @@ class PlanSpec extends AnyFunSuite {
     assert(s.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
 
+  test("q68 persists only the n-row signature table — the 20x banded projection is never cached") {
+    // Round-7 slimming pin: the MEMORY_AND_DISK state behind the simhash
+    // self-join must be the (doc_id, sh) signature table; both join sides
+    // re-derive the 20-key Manku band explosion from that cache, so every
+    // InMemoryTableScan in the pair plan reads signatures, never bkey.
+    val (sims, pairs) = graft.queries.DedupQueries.simhashNeardupParts(spark, dir)
+    try {
+      assert(sims.schema.fieldNames.toSeq == Seq("doc_id", "sh"))
+      val scans = pairs.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
+      assert(scans.nonEmpty, "the signature cache must actually feed the join")
+      assert(
+        scans.forall(!_.contains("bkey")),
+        s"a banded (20n-row) projection leaked into cached state:\n${scans.mkString("\n")}"
+      )
+    } finally sims.unpersist()
+  }
+
   test("q35/q82/q83 doc scans stay map-only up to the determinism sort on multi-split input") {
     // the round-6 verdict nit: the fixture spread must never leak a
     // corpus-wide shuffle into the declared plan. Materialize a

@@ -104,6 +104,36 @@ object Features {
     if (ordered) out.orderBy("user_id", "Day") else out
   }
 
+  /** The exported FeaturesBar schema after the sink's float32 downcast —
+    * the STATIC column contract (property list mirrors `FeaturesBar.cs:
+    * 3-51`; integer codes stay BIGINT per `DatabaseWriter.cs:198-202`).
+    * The s01 DDL oracle pins `DuckDbSink.ddlFor` of exactly this schema,
+    * so a drift between the pipeline's output and the declared contract
+    * surfaces as a hash mismatch, not silently.
+    */
+  val featuresF32Schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      Seq(
+        StructField("user_id", LongType),
+        StructField("Close", FloatType),
+        StructField("Day", LongType),
+        StructField("F_CloseLocationValue", FloatType),
+        StructField("F_MovingAverageAutocorrelation", FloatType),
+        StructField("F_MovingAverageDistance", FloatType),
+        StructField("F_MovingAverageSlope", FloatType),
+        StructField("F_MovingAverageSlowAutocorrelation", FloatType),
+        StructField("F_MovingAverageSlowDistance", FloatType),
+        StructField("F_OpenLocationValue", FloatType),
+        StructField("High", FloatType),
+        StructField("Low", FloatType),
+        StructField("Open", FloatType),
+        StructField("Time", LongType),
+        StructField("Volume", FloatType)
+      )
+    )
+  }
+
   /** featuresFull with the reference sink's float32 downcast
     * (`DatabaseWriter.cs:198-202,310`, `UseFloat32=true` default — ~50%
     * storage, README.md:68). Integer codes stay BIGINT.

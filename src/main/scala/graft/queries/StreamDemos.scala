@@ -4,7 +4,7 @@ import graft.model.FeaturesConfig
 import graft.ops.Tables
 import graft.oracle.OracleSql._
 import graft.pipeline.Features
-import graft.sinks.DuckDbSink
+import graft.sinks.{DuckDbLive, DuckDbSink}
 import graft.streaming.StreamBars
 import org.apache.spark.sql.functions._
 
@@ -18,9 +18,17 @@ object StreamDemos {
   private val cfg = FeaturesConfig()
 
   val all: Seq[Q] = Seq(
-    // O20-O21: dynamic-DDL DuckDB-compatible sink over the flagship
-    // features output (parquet + generated DDL/INSERT the driver's DuckDB
-    // could execute verbatim).
+    // O20-O21 + the LIVE appender path (DatabaseWriter.cs:141-212): the
+    // flagship features frame goes to parquet + generated DDL (the
+    // open-format, 100 TB handoff), then — via the offline-cached public
+    // duckdb_jdbc driver (DuckDbLive) — the DDL executes on a real DuckDB
+    // file and every row is appended through the NATIVE appender with the
+    // reference's flush cadence. The returned facts are READ BACK from the
+    // DuckDB table over JDBC, so the hash check proves the full round
+    // trip: Spark plan → parquet → appender → DuckDB storage → SQL. The
+    // oracle recomputes the same integer-exact census (plus the exact DDL
+    // text) from the feature CTEs; `live_appender` is only TRUE when the
+    // live sink actually ran.
     Q(
       "s01_duckdb_sink",
       (s, dir) => {
@@ -30,11 +38,52 @@ object StreamDemos {
           .toAbsolutePath
           .toString
         val df = Features.featuresFull(Tables.events(s, dir), cfg, ordered = false)
-        val (ddl, ins) = DuckDbSink.write(df, "Features", out)
-        val n = s.read.parquet(out).count()
-        Seq((ddl, ins, n)).toDF("ddl", "insert_sql", "n_rows")
+        val (ddl, _) = DuckDbSink.write(df, "Features", out)
+        val exported = s.read.parquet(out) // float32, ordinal column order
+        val (live, facts) =
+          if (DuckDbLive.available)
+            (true, DuckDbLive.withConnection(s"$out/features.duckdb") { c =>
+              DuckDbLive.execute(c, ddl)
+              DuckDbLive.appendAll(c, "Features", exported, commitEvery = 500)
+              DuckDbLive
+                .queryRow(
+                  c,
+                  """SELECT count(*), count(DISTINCT user_id), min("Day"), max("Day"),
+                    |CAST(sum("Time") AS BIGINT),
+                    |count(CASE WHEN "Close" > "Open" THEN 1 END)
+                    |FROM "Features"""".stripMargin
+                )
+                .map(_.asInstanceOf[Number].longValue)
+            })
+          else // honest fallback: the oracle expects TRUE, so a missing
+            // driver surfaces as a hash mismatch, not a silent pass
+            (false, {
+              val r = exported
+                .agg(
+                  count(lit(1)),
+                  countDistinct(col("user_id")),
+                  min(col("Day")),
+                  max(col("Day")),
+                  sum(col("Time")),
+                  count(when(col("Close") > col("Open"), 1))
+                )
+                .head()
+              (0 until 6).map(r.getLong)
+            })
+        Seq((ddl, live, facts(0), facts(1), facts(2), facts(3), facts(4), facts(5)))
+          .toDF("ddl", "live_appender", "n_rows", "n_users", "min_day", "max_day", "sum_time", "n_up")
       },
-      None
+      Some(s"""WITH $featCte,
+        f AS (SELECT $featuresSelect FROM feat WHERE rn >= ${cfg.barsRequiredToTrade})
+        SELECT '${DuckDbSink.ddlFor(Features.featuresF32Schema, "Features", useFloat32 = false)}' AS ddl,
+          TRUE AS live_appender,
+          count(*) AS n_rows,
+          count(DISTINCT user_id) AS n_users,
+          min("Day") AS min_day,
+          max("Day") AS max_day,
+          CAST(sum("Time") AS BIGINT) AS sum_time,
+          count(CASE WHEN CAST("Close" AS REAL) > CAST("Open" AS REAL) THEN 1 END) AS n_up
+        FROM f ORDER BY n_rows""")
     ),
     // s02: commit-cadence analog — epoch-batched foreachBatch export with
     // checkpointing. The REAL sink is the per-epoch parquet append inside

@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * (`DatabaseWriter.cs:198-202`, `UseFloat32` default true), and DDL
   * generated as `CREATE TABLE IF NOT EXISTS` (`DatabaseWriter.cs:252`).
   *
-  * No DuckDB JDBC driver ships offline (SURVEY.md §7.3), so the canonical
-  * at-rest format is Parquet plus generated DuckDB DDL/CTAS text that
-  * DuckDB executes directly over the parquet output — same handshake, open
-  * format. Spark's file-sink commit protocol replaces the reference's
-  * commit/CHECKPOINT cadence (O22) in batch mode.
+  * The canonical at-rest format is Parquet plus generated DuckDB DDL/CTAS
+  * text that DuckDB executes directly over the parquet output — open
+  * format, distributed write, the handoff that scales. Spark's file-sink
+  * commit protocol replaces the reference's commit/CHECKPOINT cadence
+  * (O22) in batch mode. Since round 8 the LIVE appender path also exists
+  * (`DuckDbLive`, the public duckdb_jdbc driver discovered in the offline
+  * artifact cache) for bounded driver-side exports; this object stays the
+  * schema/DDL authority for both paths.
   */
 object DuckDbSink {
 

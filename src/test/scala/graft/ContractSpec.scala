@@ -22,7 +22,7 @@ class ContractSpec extends AnyFunSuite {
   test("oracle keys are a subset of query keys, with the expected counts") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size == 103)
-    assert(SparkEntry.oracleSql.size == 101)
+    assert(SparkEntry.oracleSql.size == 102)
   }
 
   test("no oracle uses bare round(x, 6) — engines tie-break differently") {

@@ -344,7 +344,17 @@ object DedupQueries {
     // signature index over the union corpus; only the batch's keys probe it
     val allBanded = signatureIndex(s, dir)
     val newBanded = allBanded.filter(isBatch)
-    val capped = BucketCap.capSide(allBanded, col("band"), col("doc_id"), tag = "q81")
+    // work∝batch, enforced in the PLAN: the batch's band keys (≤ bands ×
+    // |batch|, tiny) BROADCAST-semi-prune the corpus side BEFORE the cap
+    // window and the pair join, so the shuffled volume is the batch
+    // bands' bucket contents, not the whole banded index (the x64
+    // ScaleProbe caught the full-index shuffle growing with the corpus).
+    // Cap selection is per-band, so prune→cap keeps exactly the members
+    // cap→prune would for every surviving band; non-matching bands can't
+    // produce pairs, so the result is identical.
+    val batchBands = newBanded.select(col("band")).distinct()
+    val prunedBanded = allBanded.join(broadcast(batchBands), Seq("band"), "left_semi")
+    val capped = BucketCap.capSide(prunedBanded, col("band"), col("doc_id"), tag = "q81")
     val touch = newBanded
       .as("a")
       .join(capped.as("b"), col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))

@@ -510,6 +510,86 @@ object RelQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderstatus = 'O'
         GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+    ),
+    // Time-series gap-fill / resample (q90): daily close per user on the
+    // FULL calendar span, missing days forward-filled (LOCF) — the
+    // regularization step before any window/EMA feature runs on a sparse
+    // feed. Scale shape: one shuffle to (user, day) bars, a tiny per-user
+    // span aggregate whose exploded calendar joins back on (user, day),
+    // then the classic two-window LOCF (non-null count -> group, max
+    // within group) sharing ONE partition-by-user sort lineage — no
+    // generate_series-sized shuffle, no per-row UDF.
+    Q(
+      "q90_gap_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // (user_id, ts) is unique in events, so max_by is deterministic
+        val bars = Tables
+          .events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(expr("max_by(value, ts)").as("close"))
+        val span = bars
+          .groupBy("user_id")
+          .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(
+            col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d")
+          )
+        val wRun = Window.partitionBy("user_id").orderBy("d")
+        span
+          .join(bars, Seq("user_id", "d"), "left")
+          .withColumn("grp", count(col("close")).over(wRun))
+          .withColumn("close_ff", max(col("close")).over(Window.partitionBy("user_id", "grp")))
+          .select(
+            col("user_id"),
+            (year(col("d")).cast("long") * 10000 +
+              month(col("d")).cast("long") * 100 +
+              dayofmonth(col("d")).cast("long")).as("day"),
+            col("close").isNull.as("filled"),
+            col("close_ff")
+          )
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH b AS (SELECT user_id, date_trunc('day', ts) AS d,
+            arg_max(value, ts) AS close
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id,
+            unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS d
+          FROM b GROUP BY user_id),
+        j AS (SELECT s.user_id, s.d, b.close
+          FROM span s LEFT JOIN b ON b.user_id = s.user_id AND b.d = s.d),
+        g AS (SELECT *, count(close) OVER (PARTITION BY user_id ORDER BY d) AS grp FROM j)
+        SELECT user_id,
+          CAST(year(d)*10000 + month(d)*100 + day(d) AS BIGINT) AS day,
+          (close IS NULL) AS filled,
+          max(close) OVER (PARTITION BY user_id, grp) AS close_ff
+        FROM g ORDER BY user_id, day""")
+    ),
+    // GROUPING SETS (q91): the general form behind rollup (q26) and cube
+    // (q46) — explicit set list + grouping() provenance flags, the shape
+    // reporting layers emit. One pass: Spark expands the sets into a
+    // single Expand + hash aggregate (partial before the shuffle), not
+    // four scans. Decimal-exact qty sum, q56's discipline.
+    Q(
+      "q91_grouping_sets",
+      (s, dir) =>
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus,
+            CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+            CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          FROM parquet.`$dir/lineitem.parquet`
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+          ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
     )
   )
 }

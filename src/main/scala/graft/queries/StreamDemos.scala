@@ -359,6 +359,27 @@ object StreamDemos {
           FROM documents GROUP BY 1)
         ORDER BY rep_doc"""
       }
+    ),
+    // s16: watermarked STREAM-STREAM inner join (alert stream ⋈ tick
+    // stream, equality key + time-range condition so both sides' state is
+    // watermark-evicted). The staged batch-2 replay re-delivers batch-0
+    // rows far behind the watermark; the join must drop them on input —
+    // re-matching them would duplicate every early pair and diverge from
+    // the oracle, which is the plain batch join over the ORIGINAL events
+    // table (the s07/s11 honesty pattern).
+    Q(
+      "s16_stream_stream_join",
+      (s, dir) => graft.streaming.StreamJoins.alertEnrichment(s, dir),
+      Some(s"""WITH a AS (SELECT event_id, user_id, ts FROM events
+          WHERE value > ${graft.streaming.StreamJoins.AlertThreshold.toInt}e0),
+        p AS (SELECT a.user_id, a.event_id AS a_event_id, t.ts AS t_ts
+          FROM events t JOIN a ON t.user_id = a.user_id
+            AND t.ts >= a.ts
+            AND t.ts <= a.ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR)
+        SELECT user_id, count(DISTINCT a_event_id) AS n_alerts,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          max(${dayInt("t_ts")}) AS last_tick_day
+        FROM p GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

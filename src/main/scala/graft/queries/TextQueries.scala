@@ -609,6 +609,131 @@ object TextQueries {
           FROM grams WHERE doc_id <> 0 AND gram IN (SELECT gram FROM probe)
           GROUP BY doc_id ORDER BY doc_id"""
       }
+    ),
+    // Sketch census (q89): the 100 TB substitute for exact distinct
+    // counts and exact quantiles — HLL (approx_count_distinct) and a
+    // rank-bounded quantile sketch (approx_percentile), both partial-
+    // aggregable fixed-size state (no distinct-shuffle, no full sort).
+    // At fixture scale the exact census is cheap, so it rides along as
+    // the AUDIT: the output carries the exact values plus in-row
+    // assertions that each sketch landed inside its guaranteed bound
+    // (the s08 pattern — a sketch drifting out flips the flag and fails
+    // the gate). HLL bound: 5σ at rsd=5%; quantile bound is RANK-domain
+    // (approx p50 between the exact p40 and p60), so no cross-engine
+    // quantile convention leaks into the hash.
+    Q(
+      "q89_sketch_census",
+      (s, dir) => {
+        Tables
+          .documentsSpread(s, dir)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_distinct"),
+            approx_count_distinct(col("text"), 0.05).as("hll"),
+            expr("approx_percentile(n_chars, 0.5, 10000)").as("p50a"),
+            expr("percentile(n_chars, 0.4)").as("p40"),
+            expr("percentile(n_chars, 0.6)").as("p60")
+          )
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("n_distinct"),
+            (abs(col("hll") - col("n_distinct")).cast("double") <=
+              lit(0.25) * col("n_distinct").cast("double")).as("hll_ok"),
+            (col("p50a").cast("double") >= col("p40") &&
+              col("p50a").cast("double") <= col("p60")).as("p50_ok")
+          )
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+          TRUE AS hll_ok, TRUE AS p50_ok
+        FROM documents GROUP BY source ORDER BY source""")
+    ),
+    // BM25 relevance scoring (q92) for a fixed three-term query — the
+    // retrieval scorer behind query-targeted subset selection. idf uses
+    // the ln-FREE rational form (q74's discipline: libm vs JVM log can
+    // differ in the last ulp; (N-df+0.5)/(df+0.5) is pure IEEE
+    // arithmetic both engines replay identically); k1=1.2, b=0.75.
+    // Scale shape: per-doc tf/dl are MAP-ONLY array ops on the scan (no
+    // word-explode shuffle for a fixed query), corpus constants are one
+    // 1-row aggregate folded into literals, top-20 is TakeOrdered — the
+    // whole query is scan + tiny agg + scan, zero wide shuffles.
+    Q(
+      "q92_bm25",
+      (s, dir) => {
+        val terms = Seq("join", "scan", "vector")
+        def perDoc = Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), ws.as("w"))
+          .withColumn("dl", size(col("w")).cast("long"))
+          .select(
+            Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
+              size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf_$t")
+            ): _*
+          )
+        // corpus constants (N, avgdl, per-term df): ONE 1-row aggregate,
+        // folded into plan literals — exact integer sums, one division
+        val stats = perDoc
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("dl")).as("sdl"),
+            count(when(col("tf_join") > 0, 1)).as("df_join"),
+            count(when(col("tf_scan") > 0, 1)).as("df_scan"),
+            count(when(col("tf_vector") > 0, 1)).as("df_vector")
+          )
+          .head()
+        val n = stats.getLong(0).toDouble
+        val avgdl = stats.getLong(1).toDouble / stats.getLong(0).toDouble
+        val dfs = terms.zipWithIndex.map { case (t, i) => t -> stats.getLong(2 + i).toDouble }.toMap
+        def termScore(t: String) = {
+          val tf = col(s"tf_$t").cast("double")
+          val idf = (lit(n) - lit(dfs(t)) + lit(0.5)) / (lit(dfs(t)) + lit(0.5))
+          when(
+            col(s"tf_$t") > 0,
+            idf * ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+          ).otherwise(lit(0.0))
+        }
+        perDoc
+          .filter(col("tf_join") + col("tf_scan") + col("tf_vector") > 0)
+          .select(
+            col("doc_id"),
+            col("dl"),
+            col("tf_join"),
+            col("tf_scan"),
+            col("tf_vector"),
+            FeatureOps.r6(termScore("join") + termScore("scan") + termScore("vector")).as("score")
+          )
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        def tfCol(t: String) =
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t"
+        def termSql(t: String) =
+          s"""CASE WHEN tf_$t > 0 THEN
+              ((n - df_$t + 5e-1) / (df_$t + 5e-1)) *
+              ((CAST(tf_$t AS DOUBLE) * 22e-1) /
+               (CAST(tf_$t AS DOUBLE) + 12e-1 * (1e0 - 75e-2 + 75e-2 * (CAST(dl AS DOUBLE) / avgdl))))
+            ELSE 0e0 END"""
+        s"""WITH t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+            ${tfCol("join")}, ${tfCol("scan")}, ${tfCol("vector")}
+          FROM documents),
+        c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+            CAST(count(CASE WHEN tf_join > 0 THEN 1 END) AS DOUBLE) AS df_join,
+            CAST(count(CASE WHEN tf_scan > 0 THEN 1 END) AS DOUBLE) AS df_scan,
+            CAST(count(CASE WHEN tf_vector > 0 THEN 1 END) AS DOUBLE) AS df_vector
+          FROM t)
+        SELECT doc_id, dl, tf_join, tf_scan, tf_vector,
+          floor((${termSql("join")} + ${termSql("scan")} + ${termSql("vector")}) * 1e6 + 5e-1) / 1e6 AS score
+        FROM t, c
+        WHERE tf_join + tf_scan + tf_vector > 0
+        ORDER BY score DESC, doc_id LIMIT 20"""
+      }
     )
   )
 }

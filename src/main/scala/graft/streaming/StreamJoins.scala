@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.ops.{Tables, TimeCodec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Watermarked STREAM-STREAM join — the one Structured Streaming join
+  * shape the reference cannot express at all (its host is a single
+  * in-order bar feed; SURVEY.md §2.2). Two independent file streams over
+  * the same staged three-batch replay (`Watermarks.stageBatches`) are
+  * joined with an equality key plus a time-range condition — the form
+  * Spark requires so BOTH sides' state can be evicted by watermark
+  * instead of growing with the stream.
+  *
+  * Semantics demonstrated, all load-bearing at scale:
+  *   - alert stream (rare `value > AlertThreshold` rows) ⋈ tick stream
+  *     within `[alert.ts, alert.ts + JoinRangeHours]` per user — the
+  *     "what followed each spike" enrichment;
+  *   - state eviction: the time-range condition bounds each side's
+  *     buffered state to the range window, so a year-long stream holds
+  *     hours, not the year;
+  *   - late-data discipline: the staged batch-2 replay re-delivers
+  *     batch-0 rows far behind the watermark; the join must DROP them on
+  *     input (both sides) — if it re-matched them, every early pair would
+  *     duplicate and the oracle hash would diverge (same honesty pattern
+  *     as s07/s11: the oracle is the batch join over the ORIGINAL table).
+  */
+object StreamJoins {
+
+  /** Rare-tail alert threshold (events.value p99 ≈ 214–228 at every
+    * fixture SF, so 250 keeps alerts <1% of rows at any scale).
+    */
+  val AlertThreshold = 250.0
+
+  /** Enrichment range: ticks within this many hours AFTER the alert. */
+  val JoinRangeHours = 12
+
+  /** Per-user alert-enrichment summary via a watermarked stream-stream
+    * inner join, settled from a memory sink. Output per user with ≥1
+    * alert: alert count, joined-pair count, and the day of the last
+    * matched tick — integer-exact facets the batch oracle mirrors.
+    */
+  def alertEnrichment(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = Watermarks.stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    def src(): DataFrame = Tables.normalizeEvents(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+    )
+    val alerts = src()
+      .filter(col("value") > lit(AlertThreshold))
+      .select(
+        col("event_id").as("a_event_id"),
+        col("user_id").as("a_user_id"),
+        col("ts").as("a_ts")
+      )
+      .withWatermark("a_ts", "1 day")
+    val ticks = src()
+      .select(
+        col("event_id").as("t_event_id"),
+        col("user_id").as("t_user_id"),
+        col("ts").as("t_ts")
+      )
+      .withWatermark("t_ts", "1 day")
+    val joined = ticks.join(
+      alerts,
+      expr(
+        s"""t_user_id = a_user_id AND
+           |t_ts >= a_ts AND t_ts <= a_ts + INTERVAL $JoinRangeHours HOURS""".stripMargin
+      )
+    )
+    val name = "s16_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val summary = spark
+      .table(name)
+      .groupBy(col("a_user_id").as("user_id"))
+      .agg(
+        countDistinct(col("a_event_id")).as("n_alerts"),
+        count(lit(1)).as("n_pairs"),
+        max(TimeCodec.dayInt(col("t_ts"))).as("last_tick_day")
+      )
+      .orderBy("user_id")
+    StreamSessions.settleLocal(spark, name, summary)
+  }
+}

@@ -167,6 +167,33 @@ class PlanSpec extends AnyFunSuite {
     } finally sims.unpersist()
   }
 
+  test("q92 BM25: map-only scan + TakeOrdered — zero joins") {
+    // corpus constants fold to literals at build time, so the executed
+    // plan must be scan -> tf/score projection -> top-k; a word-explode
+    // shuffle or a stats join sneaking in fails here. (The zero-shuffle
+    // claim is pinned on multi-split input below, where the fixture
+    // spread is the identity.)
+    val p = plan("q92_bm25")
+    assert(!p.contains("Join"), "corpus constants must fold to literals, not join")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q91 grouping sets: ONE Expand + partial-then-final aggregate, not N scans") {
+    val p = plan("q91_grouping_sets")
+    assert(count(p, "Expand") == 1, "grouping sets must be a single Expand pass")
+    assert(count(p, "Scan parquet") == 1, "one scan feeds all four sets")
+    assert(p.contains("partial_count"), "map-side combine below the grouping shuffle")
+  }
+
+  test("q90 gap-fill: both LOCF windows share one per-user sort lineage") {
+    val p = plan("q90_gap_fill")
+    assert(count(p, "Window") == 2, "non-null-count + group-max are the two LOCF windows")
+    assert(!p.contains("CartesianProduct"))
+    // calendar join + LOCF must not funnel into a single partition
+    assert(!p.contains("Exchange SinglePartition\n"))
+  }
+
   test("q35/q82/q83 doc scans stay map-only up to the determinism sort on multi-split input") {
     // the round-6 verdict nit: the fixture spread must never leak a
     // corpus-wide shuffle into the declared plan. Materialize a
@@ -184,7 +211,7 @@ class PlanSpec extends AnyFunSuite {
     // force enough splits: tiny files pack into few partitions otherwise
     val multi = graft.ops.Tables.documents(spark, docsDir)
     assume(multi.rdd.getNumPartitions >= par, "fixture packing defeated the multi-split setup")
-    Seq("q35_simhash", "q82_repetition_ratio", "q83_doc_chunks").foreach { name =>
+    Seq("q35_simhash", "q82_repetition_ratio", "q83_doc_chunks", "q92_bm25").foreach { name =>
       val p = SparkEntry.queries(name)(spark, docsDir).queryExecution.executedPlan.toString
       assert(
         count(p, "Exchange hashpartitioning") == 0,

@@ -86,10 +86,20 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0
       else { val s = ts.sorted; s(s.length / 2) }
-    // per-query noise floor (max−min across runs) — makes the 2×-gate's
-    // error bars visible instead of leaving medians to be over-read
-    def spread(ts: Seq[Double]): Double =
+    // per-query noise floor — makes the 2×-gate's error bars visible
+    // instead of leaving medians to be over-read. The HEADLINE spread
+    // drops each query's single worst run first (max−min of the
+    // remaining runs): on a shared box one GC pause or host hiccup lands
+    // on a random query every round, and summing raw max−min over 100+
+    // queries turns those one-offs into a number that tracks the host,
+    // not the engine (round-7 verdict sanctioned drop-max reporting).
+    // The untrimmed value stays in the full-fidelity file as spread_raw.
+    def spreadRaw(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else ts.max - ts.min
+    def spread(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0
+      else if (ts.size <= 1) 0.0
+      else { val kept = ts.sorted.init; kept.max - kept.min }
     val medians = results.map { case (n, ts) => n -> median(ts) }
     // failures carry -1 per query; keep them out of the suite total
     val total = medians.map(_._2).filter(_ >= 0).sum
@@ -97,7 +107,7 @@ object Bench {
     // full-fidelity report → file (full names, every run, medians, spreads)
     val fullJson = {
       val qs = results.map { case (n, ts) =>
-        s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))}}"""
+        s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
       s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"queries":$qs,"sf":"$sfDir"}"""
     }

@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe [sfDir] [multiples...]
   */
 object ScaleProbe {
+
+  /** Probe scratch is JVM-lifetime only — every widened corpus dir is
+    * reclaimed on exit (the Media.stageDecodable pattern), so repeated
+    * probe runs don't accrete multi-MB temp dirs.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case scala.util.control.NonFatal(_) => () }))
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
@@ -32,7 +48,7 @@ object ScaleProbe {
     // materialize each multiple once so the probe times the pipeline, not
     // repeated parquet decodes of the same file
     def widened(m: Int) = {
-      val out = s"${java.nio.file.Files.createTempDirectory("graft_scale_")}/ev"
+      val out = s"${scratchDir("graft_scale_")}/ev"
       (0 until m)
         .map(i => base.withColumn("user_id", col("user_id") + lit(i * nUsers)))
         .reduce(_ union _)
@@ -73,7 +89,7 @@ object ScaleProbe {
     val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docsBase.agg(max("doc_id")).head().getLong(0) + 1
     def widenedDocs(m: Int): String = {
-      val out = s"${java.nio.file.Files.createTempDirectory("graft_scale_d_")}"
+      val out = s"${scratchDir("graft_scale_d_")}"
       (0 until m)
         .map(i =>
           docsBase
@@ -161,7 +177,7 @@ object ScaleProbe {
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nVecs = embBase.agg(max("vec_id")).head().getLong(0) + 1
     def widenedEmb(m: Int): String = {
-      val out = s"${java.nio.file.Files.createTempDirectory("graft_scale_e_")}"
+      val out = s"${scratchDir("graft_scale_e_")}"
       (0 until m)
         .map { i =>
           embBase

@@ -45,6 +45,17 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q85_split_contamination") == ((4L, "04b437a199a36cf34e6bc6d961e1e611")))
   }
 
+  test("round-8 additions sf0.001 golden hashes") {
+    assert(queryHash("q89_sketch_census") == ((20L, "db80116375d4aca768728390c2b620ce")))
+    assert(queryHash("q90_gap_fill") == ((449L, "f9d72ea29d301fa36fd18004ee0e19cc")))
+    assert(queryHash("q91_grouping_sets") == ((12L, "c9cc5951c15c8159c55fce0913c73740")))
+    assert(queryHash("q92_bm25") == ((20L, "60e2078d24df8a6d2f5003a1e10757db")))
+    assert(queryHash("s16_stream_stream_join") == ((6L, "2d7708b748f448944768474efb0bb95d")))
+    // the live-appender read-back census (incl. live_appender=true and
+    // the pinned DDL literal) — a driver-jar regression changes the hash
+    assert(queryHash("s01_duckdb_sink") == ((1L, "1c84134e964713b5398b53c6c1be04d3")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

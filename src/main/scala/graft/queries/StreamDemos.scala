@@ -367,6 +367,18 @@ object StreamDemos {
     // re-matching them would duplicate every early pair and diverge from
     // the oracle, which is the plain batch join over the ORIGINAL events
     // table (the s07/s11 honesty pattern).
+    // s17: streaming exact dedup with BOUNDED state — the production form
+    // of s11 (dropDuplicatesWithinWatermark: a year of stream holds a day
+    // of keys, not every key ever seen). The staged file-1 replay
+    // re-delivers day-26 rows while their originals' dedup state is still
+    // live, so the deduped stream must equal the original table.
+    Q(
+      "s17_stream_dedup_bounded",
+      (s, dir) => graft.streaming.Watermarks.streamDedupBoundedCounts(s, dir),
+      Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          min(${dayInt("ts")}) AS min_day, max(${dayInt("ts")}) AS max_day
+        FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
     Q(
       "s16_stream_stream_join",
       (s, dir) => graft.streaming.StreamJoins.alertEnrichment(s, dir),

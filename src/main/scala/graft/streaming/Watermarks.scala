@@ -101,6 +101,94 @@ object Watermarks {
     )
   }
 
+  private val dedupStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage events as an ordered TWO-file stream where file 1 re-delivers
+    * every day-`splitDay` row: duplicates of RECENT rows that are still
+    * inside a 1-day dedup-state window when file 1 processes — the
+    * contrast to `stageBatches`, whose batch-2 replays arrive far BEHIND
+    * the watermark. Memoized per source dir.
+    */
+  private def stageDedupBatches(spark: SparkSession, dir: String): String =
+    dedupStageCache.computeIfAbsent(
+      dir,
+      d => {
+        val base = java.nio.file.Files.createTempDirectory("graft_s17_").toAbsolutePath.toString
+        val ev = Tables
+          .events(spark, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .withColumn("day", TimeCodec.dayInt(col("ts")))
+        def writeOne(df: DataFrame, out: String, name: String, mtime: Long): Unit = {
+          df.drop("day").coalesce(1).write.mode("overwrite").parquet(out)
+          val part = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$base/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(mtime)
+        }
+        writeOne(ev.filter(col("day") <= splitDay), s"$base/_b0", "0.parquet", 1000000L)
+        writeOne(
+          ev.filter(col("day") > splitDay)
+            .unionAll(ev.filter(col("day") === splitDay)),
+          s"$base/_b1",
+          "1.parquet",
+          2000000L
+        )
+        base
+      }
+    )
+
+  /** Streaming exact dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` instead of s11's `dropDuplicates`.
+    * s11's operator is the semantic form, but its key state grows with
+    * the stream forever; this is the production form for an unbounded
+    * stream: state is evicted once the watermark passes an event's time
+    * plus the 1-day delay, so a year of stream holds a day of keys.
+    *
+    * The trade it makes is exactly what the staging demonstrates: the
+    * file-1 replay re-delivers day-`splitDay` rows while their originals'
+    * state is still live (their event time is AHEAD of the post-batch-0
+    * watermark), so every duplicate is dropped and the deduped stream
+    * equals the original table — the oracle. A replay arriving beyond
+    * the state window (s07's batch-2 shape) would instead pass through;
+    * the delay must cover the real re-delivery horizon.
+    */
+  def streamDedupBoundedCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageDedupBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val deduped = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "s17_ddw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark
+        .table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(TimeCodec.dayInt(col("ts"))).as("min_day"),
+          max(TimeCodec.dayInt(col("ts"))).as("max_day")
+        )
+        .orderBy("user_id")
+    )
+  }
+
   private val docStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Stage `documents` as an ordered two-file stream (doc_id < 250, then

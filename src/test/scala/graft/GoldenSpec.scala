@@ -54,6 +54,7 @@ class GoldenSpec extends AnyFunSuite {
     // the live-appender read-back census (incl. live_appender=true and
     // the pinned DDL literal) — a driver-jar regression changes the hash
     assert(queryHash("s01_duckdb_sink") == ((1L, "1c84134e964713b5398b53c6c1be04d3")))
+    assert(queryHash("s17_stream_dedup_bounded") == ((15L, "56ce674b695a98301b961e3337a203d1")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -144,13 +144,16 @@ object Watermarks {
     * stream: state is evicted once the watermark passes an event's time
     * plus the 1-day delay, so a year of stream holds a day of keys.
     *
-    * The trade it makes is exactly what the staging demonstrates: the
-    * file-1 replay re-delivers day-`splitDay` rows while their originals'
-    * state is still live (their event time is AHEAD of the post-batch-0
+    * The staging demonstrates the happy path: the file-1 replay
+    * re-delivers day-`splitDay` rows while their originals' state is
+    * still live (their event time is AHEAD of the post-batch-0
     * watermark), so every duplicate is dropped and the deduped stream
-    * equals the original table — the oracle. A replay arriving beyond
-    * the state window (s07's batch-2 shape) would instead pass through;
-    * the delay must cover the real re-delivery horizon.
+    * equals the original table — the oracle. The trade the bounded state
+    * makes (pinned in StreamDedupBoundedSpec): a same-event-time replay
+    * beyond the window is late-FILTERED like any stateful op's input, but
+    * a duplicate KEY re-delivered with a FRESH event time after its
+    * original's state expired passes through as a new row — the delay
+    * must cover the real re-delivery horizon.
     */
   def streamDedupBoundedCounts(session: SparkSession, dir: String): DataFrame = {
     val spark = StreamSessions.tuned(session)

@@ -590,6 +590,41 @@ object RelQueries {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    ),
+    // CSV source round-trip (q94): parquet → header'd CSV → EXPLICIT-
+    // schema typed read-back (never inferSchema — it double-scans and
+    // types by guess). The census is computed FROM THE CSV READ-BACK and
+    // a fidelity probe compares read-back to the original as MULTISETS
+    // (exceptAll both ways — the fixture's (orderkey, linenumber) is not
+    // unique, so a key join can't anchor row identity); the oracle —
+    // over parquet — expects n_mismatch = 0, so a lossy write/parse
+    // (timestamp format, double representation, quoting) fails the hash,
+    // not just the row count.
+    Q(
+      "q94_csv_roundtrip",
+      (s, dir) => {
+        val orig = Tables.lineitem(s, dir)
+        val path = graft.sources.CsvSource.stageLineitemCsv(s, dir)
+        val back = graft.sources.CsvSource.readLineitemCsv(s, path, orig.schema)
+        // expected-empty sets; two bounded jobs, not a hot loop
+        val mismatches = back.exceptAll(orig).count() + orig.exceptAll(back).count()
+        back
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+            (year(max(col("l_shipdate"))).cast("long") * 10000 +
+              month(max(col("l_shipdate"))).cast("long") * 100 +
+              dayofmonth(max(col("l_shipdate"))).cast("long")).as("max_ship_day")
+          )
+          .withColumn("n_mismatch", lit(mismatches))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(year(max(l_shipdate))*10000 + month(max(l_shipdate))*100 + day(max(l_shipdate)) AS BIGINT) AS max_ship_day,
+          CAST(0 AS BIGINT) AS n_mismatch
+        FROM lineitem ORDER BY n_rows""")
     )
   )
 }

@@ -734,6 +734,51 @@ object TextQueries {
         WHERE tf_join + tf_scan + tf_vector > 0
         ORDER BY score DESC, doc_id LIMIT 20"""
       }
+    ),
+    // Fuzzy vocabulary matching (q93): all word pairs within levenshtein
+    // distance 2, found the SCALABLE way — the SymSpell deletion-
+    // neighborhood trick. Each word expands to its ≤2-deletion variants
+    // (≤ 1 + L + L² strings, local map work); two words within edit
+    // distance 2 ALWAYS share a variant (each edit is covered by one
+    // deletion per side), so the bucket join on the variant key is a
+    // COMPLETE candidate generator and the exact levenshtein filter only
+    // verifies. At corpus scale this is vocab-sized shuffle + bounded
+    // buckets, vs the O(V²) all-pairs the brute-force DuckDB oracle runs
+    // — the hash match proves the pruning loses nothing.
+    Q(
+      "q93_fuzzy_vocab",
+      (s, dir) => {
+        val vocab = Tables
+          .documentsSpread(s, dir)
+          .select(explode(ws).as("w"))
+          .filter(length(col("w")) > 0)
+          .distinct()
+        val d1 = expr(
+          "transform(sequence(1, length(w)), i -> concat(substring(w, 1, i-1), substring(w, i+1, length(w))))"
+        )
+        val d2 = expr(
+          """flatten(transform(d1, v -> transform(sequence(1, greatest(length(v), 1)),
+            |i -> concat(substring(v, 1, i-1), substring(v, i+1, length(v))))))""".stripMargin
+        )
+        val variants = vocab
+          .withColumn("d1", d1)
+          .withColumn("vs", array_distinct(concat(array(col("w")), col("d1"), d2)))
+          .select(col("w"), explode(col("vs")).as("v"))
+        variants
+          .as("a")
+          .join(variants.as("b"), col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("wa"), col("b.w").as("wb"))
+          .distinct()
+          .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+          .filter(col("dist") <= 2)
+          .orderBy("wa", "wb")
+      },
+      Some("""WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE length(text) > 0)
+        SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+        WHERE length(a.w) > 0 AND length(b.w) > 0
+        ORDER BY wa, wb""")
     )
   )
 }

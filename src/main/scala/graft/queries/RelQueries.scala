@@ -595,19 +595,29 @@ object RelQueries {
     // schema typed read-back (never inferSchema — it double-scans and
     // types by guess). The census is computed FROM THE CSV READ-BACK and
     // a fidelity probe compares read-back to the original as MULTISETS
-    // (exceptAll both ways — the fixture's (orderkey, linenumber) is not
-    // unique, so a key join can't anchor row identity); the oracle —
-    // over parquet — expects n_mismatch = 0, so a lossy write/parse
-    // (timestamp format, double representation, quoting) fails the hash,
-    // not just the row count.
+    // via an order-independent row-hash checksum: count + exact DECIMAL
+    // sum of xxhash64 over every column, map-only on both sides — the
+    // 100 TB probe shape (the first cut used exceptAll, which shuffles
+    // both full tables twice; the fixture's (orderkey, linenumber) is
+    // not unique, so a key join can't anchor row identity either). The
+    // oracle expects checksum_match = TRUE, so a lossy write/parse
+    // (timestamp format, double representation, quoting) fails the
+    // hash, not just the row count.
     Q(
       "q94_csv_roundtrip",
       (s, dir) => {
         val orig = Tables.lineitem(s, dir)
         val path = graft.sources.CsvSource.stageLineitemCsv(s, dir)
         val back = graft.sources.CsvSource.readLineitemCsv(s, path, orig.schema)
-        // expected-empty sets; two bounded jobs, not a hot loop
-        val mismatches = back.exceptAll(orig).count() + orig.exceptAll(back).count()
+        // decimal(38,0) sum: exact, overflow-free under ANSI mode
+        def checksum(df: org.apache.spark.sql.DataFrame) = df
+          .agg(
+            count(lit(1)),
+            sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))
+          )
+          .head()
+        val (co, cb) = (checksum(orig), checksum(back))
+        val matches = co.getLong(0) == cb.getLong(0) && co.getDecimal(1) == cb.getDecimal(1)
         back
           .agg(
             count(lit(1)).as("n_rows"),
@@ -617,13 +627,13 @@ object RelQueries {
               month(max(col("l_shipdate"))).cast("long") * 100 +
               dayofmonth(max(col("l_shipdate"))).cast("long")).as("max_ship_day")
           )
-          .withColumn("n_mismatch", lit(mismatches))
+          .withColumn("checksum_match", lit(matches))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           CAST(year(max(l_shipdate))*10000 + month(max(l_shipdate))*100 + day(max(l_shipdate)) AS BIGINT) AS max_ship_day,
-          CAST(0 AS BIGINT) AS n_mismatch
+          TRUE AS checksum_match
         FROM lineitem ORDER BY n_rows""")
     )
   )

@@ -748,9 +748,12 @@ object TextQueries {
     Q(
       "q93_fuzzy_vocab",
       (s, dir) => {
+        // per-doc dedup MAP-SIDE (array_distinct before the explode, the
+        // q66 trick) so the vocab shuffle carries per-doc distinct words,
+        // not every word occurrence in the corpus
         val vocab = Tables
           .documentsSpread(s, dir)
-          .select(explode(ws).as("w"))
+          .select(explode(array_distinct(ws)).as("w"))
           .filter(length(col("w")) > 0)
           .distinct()
         val d1 = expr(

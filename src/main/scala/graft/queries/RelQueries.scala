@@ -635,6 +635,48 @@ object RelQueries {
           CAST(year(max(l_shipdate))*10000 + month(max(l_shipdate))*100 + day(max(l_shipdate)) AS BIGINT) AS max_ship_day,
           TRUE AS checksum_match
         FROM lineitem ORDER BY n_rows""")
+    ),
+    // ORC source + pushdown proof (q95): ORC is typed/splittable like
+    // parquet, so the contract here is the SCALE property — the status
+    // equality and price range filters must reach the ORC scan as
+    // PushedFilters (stripe/row-group skipping at 100 TB). The query
+    // asserts that from its own executed plan and folds the flag into
+    // the hash-checked row (the s08/s10 pattern): a regression that
+    // turns the pushdown off flips filters_pushed and fails the gate.
+    Q(
+      "q95_orc_pushdown",
+      (s, dir) => {
+        val path = graft.sources.OrcSource.stageOrdersOrc(s, dir)
+        val filtered = graft.sources.OrcSource
+          .readOrdersOrc(s, path)
+          .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+        // read the scan node's metadata, not the rendered plan string —
+        // simpleString truncates long filter lists ("GreaterThan(o_total...")
+        val pushedStr = filtered.queryExecution.executedPlan
+          .collect { case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.metadata.getOrElse("PushedFilters", "")
+          }
+          .mkString(";")
+        val pushed = pushedStr.contains("EqualTo(o_orderstatus,O)") &&
+          pushedStr.contains("GreaterThan(o_totalprice,150000.0)")
+        filtered
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+            (year(max(col("o_orderdate"))).cast("long") * 10000 +
+              month(max(col("o_orderdate"))).cast("long") * 100 +
+              dayofmonth(max(col("o_orderdate"))).cast("long")).as("max_day")
+          )
+          .withColumn("filters_pushed", lit(pushed))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+          CAST(year(max(o_orderdate))*10000 + month(max(o_orderdate))*100 + day(max(o_orderdate)) AS BIGINT) AS max_day,
+          TRUE AS filters_pushed
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000e0
+        ORDER BY n_rows""")
     )
   )
 }

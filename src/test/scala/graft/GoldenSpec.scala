@@ -57,6 +57,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s17_stream_dedup_bounded") == ((15L, "56ce674b695a98301b961e3337a203d1")))
     assert(queryHash("q93_fuzzy_vocab") == ((7L, "b131d481c309024ccf34dff1bab7f970")))
     assert(queryHash("q94_csv_roundtrip") == ((1L, "72db24dee3837cde9b8842168df69e80")))
+    assert(queryHash("q95_orc_pushdown") == ((1L, "689f245975ae35fd613d6e3cadd943b5")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -4,9 +4,12 @@ import graft.multimodal.Media
 import graft.ops.Tables
 import org.apache.spark.sql.functions._
 
-/** q40 + s05 — multimodal binary-column surface: binary transport with
-  * metadata (oracle-checked) and the batched decode/feature-extract
-  * pipeline (stub codec, rows-only check).
+/** q40 + s05 + the facet censuses (q69/q78/q86/q87/q88) — multimodal
+  * binary-column surface: binary transport with metadata (oracle-checked)
+  * and the batched decode/feature-extract pipeline. All three decode
+  * paths are REAL (javax.imageio PNGs, javax.sound.sampled WAVs, RIFF/AVI
+  * + per-frame imageio); s05's float features stay rows-only while each
+  * decode path's integer-exact census is hash-checked (q86/q87/q88).
   */
 object MediaQueries {
 

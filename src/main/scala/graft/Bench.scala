@@ -20,6 +20,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // host-business context for the numbers: the round-8→9 forensics showed
+    // the same code at the same SF varying >1.4× with HOST load (paired
+    // same-day A/B of the r7/r8 trees was flat while both ran ~1.5× above
+    // their recorded boards), so every bench now records the 1-min system
+    // load average at start and end — without it, cross-round totals
+    // conflate engine changes with machine weather.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // single-thread CPU calibration: a fixed deterministic LCG loop whose
+    // wall time depends only on how fast this host runs ONE thread right
+    // now. calib_sec ratios across rounds separate "the engine changed"
+    // from "the host changed" — the r9 forensics needed exactly this and
+    // had to reconstruct it from paired git-worktree A/B runs instead.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 400000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) System.err.println("") // defeat dead-code elimination
+      dt
+    }
+    val loadStart = loadAvg()
+    val calibStart = calibrate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -104,12 +129,18 @@ object Bench {
     // failures carry -1 per query; keep them out of the suite total
     val total = medians.map(_._2).filter(_ >= 0).sum
     val totalSpread = results.map { case (_, ts) => spread(ts) }.filter(_ >= 0).sum
+    // both spread definitions at top level so consumers compare
+    // like-for-like across rounds: "spread" = drop-max trimmed (the
+    // round-7-sanctioned headline), "spread_raw" = untrimmed max−min
+    val totalSpreadRaw = results.map { case (_, ts) => spreadRaw(ts) }.filter(_ >= 0).sum
+    val loadEnd = loadAvg()
+    val calibEnd = calibrate()
     // full-fidelity report → file (full names, every run, medians, spreads)
     val fullJson = {
       val qs = results.map { case (n, ts) =>
         s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -120,7 +151,7 @@ object Bench {
       .map { case (n, v) => s""""${n.takeWhile(_ != '_')}":${fmt(v)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs":$runs,"spread":${fmt(totalSpread)},"queries":$qsCompact,"sf":"$sfDir","file":"$outPath"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs":$runs,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"queries":$qsCompact,"sf":"$sfDir","file":"$outPath"}"""
     )
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.file.{Files, Path, Paths}
 import java.sql.Connection
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 import scala.util.control.NonFatal
@@ -22,17 +22,37 @@ import scala.util.control.NonFatal
   * the open-format handshake (parquet + generated DDL/`read_parquet`
   * INSERT, `DuckDbSink.write`) when no jar is present.
   *
-  * Scale posture: DuckDB is a single-node store, so the LIVE path is for
+  * Type coverage mirrors the reference's full appender map
+  * (`DatabaseWriter.cs:299-315`): integral widths, float32/float64,
+  * boolean, varchar, TIMESTAMP (`appendLocalDateTime`), DECIMAL
+  * (`appendBigDecimal`), DATE and BLOB (via the appender's documented
+  * varchar-with-cast path — this driver version exposes no direct
+  * date/blob overloads). NULL cells take the reference's `AppendNull`
+  * path (`DatabaseWriter.cs:164`): every `append*` overload in the
+  * driver routes a null argument to the native `append_null`, which the
+  * null-guarded setters below exploit uniformly.
+  *
+  * Scale posture: DuckDB is a single-node store, so `appendAll` is for
   * bounded, driver-side exports — exactly the reference's single-process
-  * appender loop. At 100 TB the durable handoff stays the distributed
-  * parquet write; a warehouse that wants live appends gets one appender
-  * connection per output partition (`df.foreachPartition`), which this
-  * object's per-connection API supports but the demo does not need.
+  * appender loop. The DISTRIBUTED form is `appendPartitioned`: one
+  * appender connection per output partition, executor-side, each writing
+  * an independent DuckDB file (DuckDB files are single-writer, so
+  * partition-per-file is the shape that composes with a cluster; the
+  * per-file results union back via `read_parquet`-style ATTACH or a
+  * UNION ALL view).
   */
 object DuckDbLive {
 
-  /** First `duckdb_jdbc-*.jar` found under the local artifact caches,
-    * lowest path lexicographically for determinism. None → unavailable.
+  /** Numeric version segments of a `duckdb_jdbc-X.Y.Z.jar` filename —
+    * used to prefer the NEWEST cached driver (reflective signatures and
+    * storage-format behavior differ across versions; the lexicographic
+    * minimum would pick the oldest).
+    */
+  private def versionOf(p: Path): Seq[Int] =
+    """\d+""".r.findAllIn(p.getFileName.toString).map(_.toInt).toSeq
+
+  /** `duckdb_jdbc-*.jar` from the local artifact caches, HIGHEST version
+    * first (path string as the deterministic tiebreak). None → unavailable.
     */
   lazy val jarPath: Option[Path] =
     try {
@@ -41,6 +61,7 @@ object DuckDbLive {
         .map(home.resolve)
         .filter(Files.isDirectory(_))
       import scala.jdk.CollectionConverters._
+      implicit val bySegments: Ordering[Seq[Int]] = Ordering.Implicits.seqOrdering
       roots.flatMap { r =>
         val stream = Files.walk(r)
         try
@@ -49,7 +70,8 @@ object DuckDbLive {
             n.startsWith("duckdb_jdbc") && n.endsWith(".jar")
           }.toList
         finally stream.close()
-      }.sortBy(_.toString).headOption
+      }.sortBy(p => (versionOf(p), p.toString))(Ordering.Tuple2(bySegments.reverse, Ordering.String))
+        .headOption
     } catch { case NonFatal(_) => None }
 
   /** The JDBC driver instance from the child classloader. `java.sql.Driver`
@@ -97,18 +119,34 @@ object DuckDbLive {
     } finally st.close()
   }
 
-  /** Append every row of `df` to `table` through the NATIVE appender
-    * (`DuckDBConnection.createAppender` → `beginRow`/typed
-    * `append`/`endRow`), flushing every `commitEvery` rows — the commit
-    * cadence of the reference's `CommitEveryRows` loop. All appender calls
-    * are reflective (the class lives in the child loader). Returns the row
-    * count appended.
-    *
-    * Driver-side by design: callers hand in BOUNDED exports (see class
-    * doc); rows stream via `toLocalIterator`, so only one partition is
-    * resident at a time.
+  /** Bytes → DuckDB blob-literal body (`\xHH` per byte): the appender's
+    * varchar→BLOB cast decodes exactly this form, so arbitrary binary
+    * survives the driver's string-only append surface.
     */
-  def appendAll(conn: Connection, table: String, df: DataFrame, commitEvery: Int = 1000): Long = {
+  private def blobLiteral(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 4)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(f"\\x${bytes(i) & 0xff}%02X")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Append rows through ONE native appender on `conn` — the shared core
+    * of the driver-side (`appendAll`) and executor-side
+    * (`appendPartitioned`) paths. Every setter is null-guarded: a null
+    * cell appends SQL NULL via the driver's internal append_null route
+    * (each overload null-checks its argument), matching the reference's
+    * `AppendNull` (`DatabaseWriter.cs:164`).
+    */
+  def appendRows(
+      conn: Connection,
+      table: String,
+      schema: StructType,
+      rows: Iterator[Row],
+      commitEvery: Int = 1000
+  ): Long = {
     val createAppender =
       conn.getClass.getMethod("createAppender", classOf[String], classOf[String])
     val ap = createAppender.invoke(conn, "main", table)
@@ -117,29 +155,57 @@ object DuckDbLive {
     val endRow = apc.getMethod("endRow")
     val flush = apc.getMethod("flush")
     val close = apc.getMethod("close")
+    val appendStr = apc.getMethod("append", classOf[String])
+    def withNullGuard(set: (Row, Int) => Unit): (Row, Int) => Unit =
+      (r, i) => if (r.isNullAt(i)) { appendStr.invoke(ap, null); () } else set(r, i)
 
     // one boxed-invoke thunk per column, resolved once (not per row)
-    val setters: Array[(org.apache.spark.sql.Row, Int) => Unit] =
-      df.schema.fields.map { f =>
+    val setters: Array[(Row, Int) => Unit] =
+      schema.fields.map { f =>
         f.dataType match {
           case LongType =>
             val m = apc.getMethod("append", java.lang.Long.TYPE)
-            (r: org.apache.spark.sql.Row, i: Int) => { m.invoke(ap, java.lang.Long.valueOf(r.getLong(i))); () }
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Long.valueOf(r.getLong(i))); () })
           case IntegerType =>
             val m = apc.getMethod("append", java.lang.Integer.TYPE)
-            (r: org.apache.spark.sql.Row, i: Int) => { m.invoke(ap, java.lang.Integer.valueOf(r.getInt(i))); () }
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Integer.valueOf(r.getInt(i))); () })
+          case ShortType =>
+            val m = apc.getMethod("append", java.lang.Short.TYPE)
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Short.valueOf(r.getShort(i))); () })
+          case ByteType =>
+            val m = apc.getMethod("append", java.lang.Byte.TYPE)
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Byte.valueOf(r.getByte(i))); () })
           case FloatType =>
             val m = apc.getMethod("append", java.lang.Float.TYPE)
-            (r: org.apache.spark.sql.Row, i: Int) => { m.invoke(ap, java.lang.Float.valueOf(r.getFloat(i))); () }
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Float.valueOf(r.getFloat(i))); () })
           case DoubleType =>
             val m = apc.getMethod("append", java.lang.Double.TYPE)
-            (r: org.apache.spark.sql.Row, i: Int) => { m.invoke(ap, java.lang.Double.valueOf(r.getDouble(i))); () }
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Double.valueOf(r.getDouble(i))); () })
           case BooleanType =>
             val m = apc.getMethod("append", java.lang.Boolean.TYPE)
-            (r: org.apache.spark.sql.Row, i: Int) => { m.invoke(ap, java.lang.Boolean.valueOf(r.getBoolean(i))); () }
+            withNullGuard((r, i) => { m.invoke(ap, java.lang.Boolean.valueOf(r.getBoolean(i))); () })
           case StringType =>
-            val m = apc.getMethod("append", classOf[String])
-            (r: org.apache.spark.sql.Row, i: Int) => { m.invoke(ap, r.getString(i)); () }
+            withNullGuard((r, i) => { appendStr.invoke(ap, r.getString(i)); () })
+          case TimestampType =>
+            // session TZ is UTC and DuckDB TIMESTAMP is naive: append the
+            // UTC wall-clock of the instant (DatabaseWriter.cs maps
+            // DateTime → TIMESTAMP the same way)
+            val m = apc.getMethod("appendLocalDateTime", classOf[java.time.LocalDateTime])
+            withNullGuard { (r, i) =>
+              val ldt = r.getTimestamp(i).toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+              m.invoke(ap, ldt); ()
+            }
+          case _: DecimalType =>
+            val m = apc.getMethod("appendBigDecimal", classOf[java.math.BigDecimal])
+            withNullGuard((r, i) => { m.invoke(ap, r.getDecimal(i)); () })
+          case DateType =>
+            // no direct date overload in this driver version: ISO-8601
+            // varchar, cast by the appender to the DATE column
+            withNullGuard((r, i) => { appendStr.invoke(ap, r.getDate(i).toLocalDate.toString); () })
+          case BinaryType =>
+            // no byte[] overload either: \xHH blob-literal varchar, cast
+            // by the appender to the BLOB column
+            withNullGuard((r, i) => { appendStr.invoke(ap, blobLiteral(r.getAs[Array[Byte]](i))); () })
           case other =>
             throw new IllegalArgumentException(
               s"live appender supports scalar columns only; ${f.name} is $other"
@@ -149,9 +215,8 @@ object DuckDbLive {
 
     var n = 0L
     try {
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
+      while (rows.hasNext) {
+        val row = rows.next()
         beginRow.invoke(ap)
         var i = 0
         while (i < setters.length) { setters(i)(row, i); i += 1 }
@@ -161,5 +226,62 @@ object DuckDbLive {
       }
     } finally close.invoke(ap)
     n
+  }
+
+  /** Append every row of `df` to `table` through the NATIVE appender
+    * (`DuckDBConnection.createAppender` → `beginRow`/typed
+    * `append`/`endRow`), flushing every `commitEvery` rows — the commit
+    * cadence of the reference's `CommitEveryRows` loop. All appender calls
+    * are reflective (the class lives in the child loader). Returns the row
+    * count appended.
+    *
+    * Driver-side by design: callers hand in BOUNDED exports (see class
+    * doc); rows stream via `toLocalIterator`, so only one partition is
+    * resident at a time. For the distributed form see `appendPartitioned`.
+    */
+  def appendAll(conn: Connection, table: String, df: DataFrame, commitEvery: Int = 1000): Long = {
+    import scala.jdk.CollectionConverters._
+    appendRows(conn, table, df.schema, df.toLocalIterator().asScala, commitEvery)
+  }
+
+  /** DISTRIBUTED appender export: each partition of `df` opens its own
+    * appender connection ON THE EXECUTOR and writes an independent DuckDB
+    * file `dbDir/part-<partitionId>.duckdb` (single-writer store →
+    * partition-per-file is the only shape that parallelizes). Empty
+    * partitions write nothing. Returns the written file names.
+    *
+    * This is the form the class doc has promised since round 8: the
+    * per-connection API composes with `foreachPartition`, so a
+    * 1000-executor cluster appends 1000 files in parallel and the
+    * warehouse unions them (ATTACH per file, or re-exports to parquet).
+    */
+  def appendPartitioned(
+      df: DataFrame,
+      dbDir: String,
+      table: String,
+      commitEvery: Int = 1000
+  ): Seq[String] = {
+    val schema = df.schema
+    val ddl = DuckDbSink.ddlFor(schema, table, useFloat32 = false)
+    // ordinal column order so the appender ordinals line up with the DDL
+    val ordered = df.select(
+      DuckDbSink.ordinalColumns(schema).map(f => org.apache.spark.sql.functions.col(f.name)): _*
+    )
+    val orderedSchema = ordered.schema
+    Files.createDirectories(Paths.get(dbDir))
+    ordered.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        DuckDbLive.withConnection(s"$dbDir/part-$pid.duckdb") { conn =>
+          DuckDbLive.execute(conn, ddl)
+          DuckDbLive.appendRows(conn, table, orderedSchema, it, commitEvery)
+          ()
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val stream = Files.list(Paths.get(dbDir))
+    try stream.iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".duckdb")).toSeq.sorted
+    finally stream.close()
   }
 }

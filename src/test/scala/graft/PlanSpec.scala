@@ -93,8 +93,10 @@ class PlanSpec extends AnyFunSuite {
   test("q63 token packing: one hash exchange on the source shard key feeds the window") {
     val p = plan("q63_token_packing")
     // window partitioned by source + the final sort — never a global
-    // single-partition window (no 'Exchange SinglePartition' before Window)
-    assert(!p.contains("Exchange SinglePartition\n"), "packing must not funnel into one partition")
+    // single-partition window. No trailing newline in the needle: executed
+    // plans render the node as 'Exchange SinglePartition, ENSURE_…', so a
+    // newline-suffixed match could never fire (round-8 advice).
+    assert(!p.contains("Exchange SinglePartition"), "packing must not funnel into one partition")
     assert(p.contains("Window"))
   }
 
@@ -190,8 +192,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q90_gap_fill")
     assert(count(p, "Window") == 2, "non-null-count + group-max are the two LOCF windows")
     assert(!p.contains("CartesianProduct"))
-    // calendar join + LOCF must not funnel into a single partition
-    assert(!p.contains("Exchange SinglePartition\n"))
+    // calendar join + LOCF must not funnel into a single partition (no
+    // trailing newline — see the q63 pin above)
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q93 SymSpell: variant expansion is map-side; exact levenshtein verifies post-join") {
+    // the fuzzy-vocab shape pin (round-8 verdict item 7): deletion
+    // variants must explode map-side with NO shuffle between the scan and
+    // the variant-key join (the only hashpartitioning exchanges are the
+    // vocab dedup aggregate + the join itself), the join must be a real
+    // hash/merge join (never cartesian), and the O(1)-per-pair exact
+    // levenshtein must appear as a post-join filter, not a join condition
+    // that forces a cartesian fallback.
+    val p = plan("q93_fuzzy_vocab")
+    assert(!p.contains("CartesianProduct"), "candidate generation must stay bucket-joined")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation must stay bucket-joined")
+    assert(p.contains("levenshtein"), "the exact verify must survive in the plan")
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "variant-key equality must plan as a hash-family join"
+    )
   }
 
   test("q35/q82/q83 doc scans stay map-only up to the determinism sort on multi-split input") {

@@ -677,6 +677,40 @@ object RelQueries {
           TRUE AS filters_pushed
         FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000e0
         ORDER BY n_rows""")
+    ),
+    // Latest-version compaction (q96): keep each user's most recent event
+    // — the CDC/upsert-compaction primitive every incremental warehouse
+    // runs (latest-wins by (ts, event_id)). NOT a window: max(struct) is
+    // a partial-aggregable one-pass reduction, so the map side collapses
+    // every partition to one candidate row per user before the single
+    // hash shuffle — a rank-1 row_number window would instead sort whole
+    // user partitions. The (ts, event_id) tuple is unique, so trailing
+    // struct fields never influence the order, they just ride along.
+    Q(
+      "q96_latest_event",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            max(struct(col("ts"), col("event_id"), col("value"), col("event_type"))).as("last"),
+            count(lit(1)).as("n_events")
+          )
+          .select(
+            col("user_id"),
+            col("last.event_id").as("last_event"),
+            col("last.ts").as("last_ts"),
+            col("last.value").as("last_value"),
+            col("last.event_type").as("last_type"),
+            col("n_events")
+          )
+          .orderBy("user_id"),
+      Some("""SELECT user_id, last_event, last_ts, last_value, last_type, n_events FROM (
+          SELECT user_id, event_id AS last_event, ts AS last_ts, value AS last_value,
+            event_type AS last_type,
+            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events) WHERE rk = 1 ORDER BY user_id""")
     )
   )
 }

@@ -436,6 +436,73 @@ object SimQueries {
                      unnest($quantList) AS qx
               FROM embeddings)
         GROUP BY label, i ORDER BY label, i""")
+    ),
+    // Hybrid retrieval fusion (q97): Reciprocal Rank Fusion of the BM25
+    // lexical ranking (q92's scored frame, fixed three-term query) and
+    // the embedding-cosine ranking against probe vec 0 —
+    // rrf = Σ 1/(60 + rank), the standard k=60 form. Each ranker is
+    // TRUNCATED to its top-50 by TakeOrdered FIRST, so the global
+    // row_number windows that assign ranks run on 50-row frames (a
+    // SinglePartition exchange of 50 rows, not a corpus sort) — the
+    // textbook way rank fusion stays cheap at 100 TB: fuse bounded
+    // lists, never full rankings. Ranks ride r6-rounded sort keys with
+    // doc_id tiebreaks, so both engines rank identical sequences; a doc
+    // missing from one list contributes 0 from that list.
+    Q(
+      "q97_rrf_hybrid",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bmRank = Window.orderBy(col("score").desc, col("doc_id"))
+        val bm = TextQueries
+          .bm25Scored(s, dir)
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+          .withColumn("rank_bm25", row_number().over(bmRank).cast("long"))
+        val cosRank = Window.orderBy(col("cos").desc, col("doc_id"))
+        val e = Tables.embeddings(s, dir)
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+        val cs = e
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(
+            col("vec_id").as("doc_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")
+          )
+          .orderBy(col("cos").desc, col("doc_id"))
+          .limit(50)
+          .withColumn("rank_cos", row_number().over(cosRank).cast("long"))
+        bm.select(col("doc_id"), col("rank_bm25"))
+          .join(cs.select(col("doc_id"), col("rank_cos")), Seq("doc_id"), "full_outer")
+          .select(
+            col("doc_id"),
+            col("rank_bm25"),
+            col("rank_cos"),
+            FeatureOps.r6(
+              coalesce(lit(1.0) / (lit(60.0) + col("rank_bm25").cast("double")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("rank_cos").cast("double")), lit(0.0))
+            ).as("rrf")
+          )
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""${TextQueries.bm25Ctes},
+        bm AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+        bmr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+                FROM bm),
+        pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        cs AS (SELECT vec_id AS doc_id, ${r6(cosine("embedding", "p"))} AS cos
+               FROM embeddings, pr WHERE vec_id <> 0),
+        csl AS (SELECT doc_id, cos FROM cs ORDER BY cos DESC, doc_id LIMIT 50),
+        csr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_cos
+                FROM csl)
+        SELECT doc_id, rank_bm25, rank_cos,
+          floor((coalesce(1e0 / (60e0 + CAST(rank_bm25 AS DOUBLE)), 0e0) +
+                 coalesce(1e0 / (60e0 + CAST(rank_cos AS DOUBLE)), 0e0)) * 1e6 + 5e-1) / 1e6 AS rrf
+        FROM bmr FULL OUTER JOIN csr USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 10""")
     )
   )
 }

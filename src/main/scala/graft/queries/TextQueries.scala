@@ -74,6 +74,89 @@ object TextQueries {
             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
         FROM documents"""
 
+  /** q92's scored frame (doc_id, dl, tf_*, r6 score) for the fixed
+    * three-term query — shared with q97's hybrid fusion. Corpus constants
+    * (N, avgdl, df) are ONE 1-row aggregate folded into plan literals;
+    * per-doc tf/dl are map-only array ops; idf is the ln-free rational
+    * form so both engines replay identical IEEE arithmetic.
+    */
+  private[queries] def bm25Scored(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("join", "scan", "vector")
+    def perDoc = Tables
+      .documentsSpread(s, dir)
+      .select(col("doc_id"), ws.as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+      .select(
+        Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
+          size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf_$t")
+        ): _*
+      )
+    // corpus constants (N, avgdl, per-term df): ONE 1-row aggregate,
+    // folded into plan literals — exact integer sums, one division
+    val stats = perDoc
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dl")).as("sdl"),
+        count(when(col("tf_join") > 0, 1)).as("df_join"),
+        count(when(col("tf_scan") > 0, 1)).as("df_scan"),
+        count(when(col("tf_vector") > 0, 1)).as("df_vector")
+      )
+      .head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getLong(1).toDouble / stats.getLong(0).toDouble
+    val dfs = terms.zipWithIndex.map { case (t, i) => t -> stats.getLong(2 + i).toDouble }.toMap
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (lit(n) - lit(dfs(t)) + lit(0.5)) / (lit(dfs(t)) + lit(0.5))
+      when(
+        col(s"tf_$t") > 0,
+        idf * ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+      ).otherwise(lit(0.0))
+    }
+    perDoc
+      .filter(col("tf_join") + col("tf_scan") + col("tf_vector") > 0)
+      .select(
+        col("doc_id"),
+        col("dl"),
+        col("tf_join"),
+        col("tf_scan"),
+        col("tf_vector"),
+        FeatureOps.r6(termScore("join") + termScore("scan") + termScore("vector")).as("score")
+      )
+  }
+
+  /** DuckDB CTE chain ending in `scored` — the oracle mirror of
+    * `bm25Scored` (shared by q92 and q97).
+    */
+  private[queries] val bm25Ctes: String = {
+    def tfCol(t: String) =
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t"
+    def termSql(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN
+          ((n - df_$t + 5e-1) / (df_$t + 5e-1)) *
+          ((CAST(tf_$t AS DOUBLE) * 22e-1) /
+           (CAST(tf_$t AS DOUBLE) + 12e-1 * (1e0 - 75e-2 + 75e-2 * (CAST(dl AS DOUBLE) / avgdl))))
+        ELSE 0e0 END"""
+    s"""WITH t AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        ${tfCol("join")}, ${tfCol("scan")}, ${tfCol("vector")}
+      FROM documents),
+    c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        CAST(count(CASE WHEN tf_join > 0 THEN 1 END) AS DOUBLE) AS df_join,
+        CAST(count(CASE WHEN tf_scan > 0 THEN 1 END) AS DOUBLE) AS df_scan,
+        CAST(count(CASE WHEN tf_vector > 0 THEN 1 END) AS DOUBLE) AS df_vector
+      FROM t),
+    scored AS (SELECT doc_id, dl, tf_join, tf_scan, tf_vector,
+        floor((${termSql("join")} + ${termSql("scan")} + ${termSql("vector")}) * 1e6 + 5e-1) / 1e6 AS score
+      FROM t, c
+      WHERE tf_join + tf_scan + tf_vector > 0)"""
+  }
+
   val all: Seq[Q] = Seq(
     // Per-language corpus stats. avg computed as exact BIGINT sum / count,
     // divided once — immune to partial-aggregation order.
@@ -662,78 +745,15 @@ object TextQueries {
     // whole query is scan + tiny agg + scan, zero wide shuffles.
     Q(
       "q92_bm25",
-      (s, dir) => {
-        val terms = Seq("join", "scan", "vector")
-        def perDoc = Tables
-          .documentsSpread(s, dir)
-          .select(col("doc_id"), ws.as("w"))
-          .withColumn("dl", size(col("w")).cast("long"))
-          .select(
-            Seq(col("doc_id"), col("dl")) ++ terms.map(t =>
-              size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf_$t")
-            ): _*
-          )
-        // corpus constants (N, avgdl, per-term df): ONE 1-row aggregate,
-        // folded into plan literals — exact integer sums, one division
-        val stats = perDoc
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("dl")).as("sdl"),
-            count(when(col("tf_join") > 0, 1)).as("df_join"),
-            count(when(col("tf_scan") > 0, 1)).as("df_scan"),
-            count(when(col("tf_vector") > 0, 1)).as("df_vector")
-          )
-          .head()
-        val n = stats.getLong(0).toDouble
-        val avgdl = stats.getLong(1).toDouble / stats.getLong(0).toDouble
-        val dfs = terms.zipWithIndex.map { case (t, i) => t -> stats.getLong(2 + i).toDouble }.toMap
-        def termScore(t: String) = {
-          val tf = col(s"tf_$t").cast("double")
-          val idf = (lit(n) - lit(dfs(t)) + lit(0.5)) / (lit(dfs(t)) + lit(0.5))
-          when(
-            col(s"tf_$t") > 0,
-            idf * ((tf * lit(2.2)) /
-              (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
-          ).otherwise(lit(0.0))
-        }
-        perDoc
-          .filter(col("tf_join") + col("tf_scan") + col("tf_vector") > 0)
-          .select(
-            col("doc_id"),
-            col("dl"),
-            col("tf_join"),
-            col("tf_scan"),
-            col("tf_vector"),
-            FeatureOps.r6(termScore("join") + termScore("scan") + termScore("vector")).as("score")
-          )
+      (s, dir) =>
+        bm25Scored(s, dir)
           .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some {
-        def tfCol(t: String) =
-          s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t"
-        def termSql(t: String) =
-          s"""CASE WHEN tf_$t > 0 THEN
-              ((n - df_$t + 5e-1) / (df_$t + 5e-1)) *
-              ((CAST(tf_$t AS DOUBLE) * 22e-1) /
-               (CAST(tf_$t AS DOUBLE) + 12e-1 * (1e0 - 75e-2 + 75e-2 * (CAST(dl AS DOUBLE) / avgdl))))
-            ELSE 0e0 END"""
-        s"""WITH t AS (SELECT doc_id,
-            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-            ${tfCol("join")}, ${tfCol("scan")}, ${tfCol("vector")}
-          FROM documents),
-        c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-            CAST(count(CASE WHEN tf_join > 0 THEN 1 END) AS DOUBLE) AS df_join,
-            CAST(count(CASE WHEN tf_scan > 0 THEN 1 END) AS DOUBLE) AS df_scan,
-            CAST(count(CASE WHEN tf_vector > 0 THEN 1 END) AS DOUBLE) AS df_vector
-          FROM t)
-        SELECT doc_id, dl, tf_join, tf_scan, tf_vector,
-          floor((${termSql("join")} + ${termSql("scan")} + ${termSql("vector")}) * 1e6 + 5e-1) / 1e6 AS score
-        FROM t, c
-        WHERE tf_join + tf_scan + tf_vector > 0
+          .limit(20),
+      Some(
+        s"""$bm25Ctes
+        SELECT doc_id, dl, tf_join, tf_scan, tf_vector, score FROM scored
         ORDER BY score DESC, doc_id LIMIT 20"""
-      }
+      )
     ),
     // Fuzzy vocabulary matching (q93): all word pairs within levenshtein
     // distance 2, found the SCALABLE way — the SymSpell deletion-
@@ -782,6 +802,140 @@ object TextQueries {
         FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
         WHERE length(a.w) > 0 AND length(b.w) > 0
         ORDER BY wa, wb""")
+    ),
+    // Gram-containment probe (q98): ASYMMETRIC near-dup — containment
+    // C(P,D) = |grams(P) ∩ grams(D)| / |grams(P)| for three probe docs
+    // against the rest of the corpus. Jaccard (q36) misses a short doc
+    // swallowed whole by a long one; containment is the decontamination
+    // metric for exactly that case (eval probe ⊂ train doc). Scale shape
+    // = q66's: the probes' distinct grams BROADCAST (probe set is
+    // bounded), the corpus side explodes its grams map-side and
+    // hash-joins the broadcast — the only wide shuffle is the per
+    // (probe, doc) count aggregate, whose rows are bounded by actual
+    // gram matches. Top-5 per probe, ranked on the r6-rounded score so
+    // both engines sort identical keys.
+    Q(
+      "q98_gram_containment",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // size >= 2 filter BEFORE the sequence: Spark's sequence(1, 0)
+        // descends ([1,0]) and slice(w, 0, _) throws, while DuckDB's
+        // generate_series(1, 0) is empty — a 1-word doc contributes no
+        // bigram either way, so filter it out on the Spark side
+        val grams2 = expr(
+          "array_distinct(transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2))))"
+        )
+        val g = Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), ws.as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(grams2).as("gram"))
+        val probe = g.filter(col("doc_id") < 3).select(col("doc_id").as("probe_id"), col("gram"))
+        val np = probe.groupBy("probe_id").agg(count(lit(1)).as("np"))
+        val shared = g
+          .filter(col("doc_id") >= 3)
+          .join(broadcast(probe), "gram")
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(count(lit(1)).as("shared"))
+        val rk = Window.partitionBy(col("probe_id")).orderBy(col("containment").desc, col("doc_id"))
+        shared
+          .join(broadcast(np), "probe_id")
+          .select(
+            col("probe_id"),
+            col("doc_id"),
+            FeatureOps.r6(col("shared").cast("double") / col("np").cast("double")).as("containment")
+          )
+          .withColumn("rk", row_number().over(rk).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("probe_id", "rk")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(ws) - 1, 0)),
+                i -> array_to_string(ws[i:i+1], ' '))) AS gram
+              FROM w),
+        probe AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id < 3),
+        np AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS np FROM probe GROUP BY 1),
+        shared AS (SELECT p.probe_id, c.doc_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM probe p JOIN g c ON p.gram = c.gram AND c.doc_id >= 3
+                   GROUP BY 1, 2),
+        scored AS (SELECT probe_id, doc_id,
+                     floor((CAST(shared AS DOUBLE) / CAST(np AS DOUBLE)) * 1e6 + 5e-1) / 1e6
+                       AS containment
+                   FROM shared JOIN np USING (probe_id)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                     ORDER BY containment DESC, doc_id) AS rk FROM scored)
+        SELECT probe_id, doc_id, containment, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY probe_id, rk""")
+    ),
+    // Phrase mining (q99): adjacent-bigram collocations scored by the
+    // ln-free PMI kernel c_ab·N²/(N_bi·c_a·c_b) (monotone in PMI — the
+    // log adds nothing to a ranking and libm would break cross-engine
+    // bit-equality), min support 5, top-20. The word2phrase-style
+    // pre-tokenization pass a tokenizer-training pipeline runs over its
+    // corpus. Scale shape: bigram/unigram counts partial-aggregate
+    // map-side (adjacent pairs are LINEAR in corpus length, not L²);
+    // unigram counts are vocab-sized and BROADCAST onto the bigram
+    // table twice; corpus totals are a 1-row aggregate crossJoined as a
+    // broadcast literal; top-20 is TakeOrdered.
+    Q(
+      "q99_phrase_mining",
+      (s, dir) => {
+        val docs = Tables.documentsSpread(s, dir).select(ws.as("w"))
+        // same size >= 2 guard as q98 (Spark sequence descends at 1 word)
+        val bigrams = docs
+          .filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"
+          )).as("bg"))
+          .groupBy("bg")
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+          .select(
+            split(col("bg"), " ").getItem(0).as("a"),
+            split(col("bg"), " ").getItem(1).as("b"),
+            col("c_ab")
+          )
+        val uni = docs.select(explode(col("w")).as("wd")).groupBy("wd").agg(count(lit(1)).as("cu"))
+        val totals = docs.agg(
+          sum(size(col("w"))).as("n_uni"),
+          sum(size(col("w")) - 1).as("n_bi")
+        )
+        bigrams
+          .join(broadcast(uni.select(col("wd").as("a"), col("cu").as("c_a"))), "a")
+          .join(broadcast(uni.select(col("wd").as("b"), col("cu").as("c_b"))), "b")
+          .crossJoin(broadcast(totals))
+          .select(
+            col("a"),
+            col("b"),
+            col("c_ab"),
+            FeatureOps.r6(
+              (col("c_ab").cast("double") * col("n_uni").cast("double") * col("n_uni").cast("double")) /
+                (col("n_bi").cast("double") * col("c_a").cast("double") * col("c_b").cast("double"))
+            ).as("score")
+          )
+          .orderBy(col("score").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                 i -> array_to_string(ws[i:i+1], ' '))) AS bg FROM w),
+        bc AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+                 CAST(count(*) AS BIGINT) AS c_ab
+               FROM bi GROUP BY bg HAVING count(*) >= 5),
+        uc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cu
+               FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY 1),
+        tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_uni,
+                       CAST(sum(len(ws) - 1) AS BIGINT) AS n_bi FROM w)
+        SELECT a, b, c_ab,
+          floor(((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+                 (CAST(n_bi AS DOUBLE) * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6 + 5e-1) / 1e6
+            AS score
+        FROM bc
+        JOIN (SELECT wd AS a, cu AS c_a FROM uc) USING (a)
+        JOIN (SELECT wd AS b, cu AS c_b FROM uc) USING (b)
+        CROSS JOIN tot
+        ORDER BY score DESC, a, b LIMIT 20""")
     )
   )
 }

@@ -60,6 +60,13 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q95_orc_pushdown") == ((1L, "689f245975ae35fd613d6e3cadd943b5")))
   }
 
+  test("round-9 additions sf0.001 golden hashes") {
+    assert(queryHash("q96_latest_event") == ((15L, "fbbced7c8a40a2d67c8fb7417ed1b442")))
+    assert(queryHash("q97_rrf_hybrid") == ((10L, "6c59ade1adcc7de3a4687815b7d6a463")))
+    assert(queryHash("q98_gram_containment") == ((15L, "e84d5fa5b3d00e3bbbf782757fe9286e")))
+    assert(queryHash("q99_phrase_mining") == ((20L, "a493940518e23b1b65f3d340f98b6320")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

@@ -215,6 +215,39 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("q96 compaction is a partial-aggregated reduction, never a rank window") {
+    // the scale claim in the query doc: map side collapses to one
+    // candidate row per user BEFORE the single shuffle. A refactor to
+    // row_number()-over-user would pass the oracle (same rows) but sort
+    // whole user partitions — the Window absence is the pin.
+    val p = plan("q96_latest_event")
+    assert(!p.contains("Window"), "compaction must stay an aggregation, not a rank window")
+    assert(p.contains("partial_max"), "map-side partial max(struct) must combine before the wire")
+    assert(count(p, "Exchange hashpartitioning") == 1, "one shuffle: the per-user aggregate")
+  }
+
+  test("q98 containment: gram join broadcasts the probe side, never shuffles the corpus") {
+    val p = plan("q98_gram_containment")
+    assert(p.contains("BroadcastHashJoin"), "probe grams must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus side must never shuffle on the gram key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q99 phrase mining: unigram counts broadcast, top-20 is TakeOrdered") {
+    val p = plan("q99_phrase_mining")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(!p.contains("SortMergeJoin"), "vocab-sized unigram counts must broadcast")
+    assert(count(p, "BroadcastHashJoin") == 2, "two unigram-count joins, both broadcast")
+  }
+
+  test("q97 fusion ranks bounded lists: both rankers TakeOrdered before their rank windows") {
+    val p = plan("q97_rrf_hybrid")
+    assert(!p.contains("CartesianProduct"))
+    // 2 ranker truncations + the final top-10 (AQE may fold the last into
+    // a sort+limit, so pin the lower bound)
+    assert(count(p, "TakeOrderedAndProject") >= 2, "rank windows must run on truncated lists")
+  }
+
   test("q35/q82/q83 doc scans stay map-only up to the determinism sort on multi-split input") {
     // the round-6 verdict nit: the fixture spread must never leak a
     // corpus-wide shuffle into the declared plan. Materialize a

@@ -213,6 +213,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
       "variant-key equality must plan as a hash-family join"
     )
+    // the self-join's two identical vocab pipelines (scan → word explode
+    // → distinct) must collapse to ONE at runtime via AQE exchange reuse
+    // — otherwise the corpus-side work doubles. Only the FINAL adaptive
+    // plan shows ReusedExchange, so execute first.
+    val df = SparkEntry.queries("q93_fuzzy_vocab")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"))
+    assert(
+      finalPlan.contains("ReusedExchange"),
+      "the duplicated vocab subplan must be computed once (AQE exchange reuse)"
+    )
   }
 
   test("q96 compaction is a partial-aggregated reduction, never a rank window") {

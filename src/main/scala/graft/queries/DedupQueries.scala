@@ -794,6 +794,74 @@ object DedupQueries {
                  floor((${cosine("a.embedding", "b.embedding")}) * 1e6 + 5e-1) / 1e6 AS cos
           FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
         WHERE cos >= 3e-1 ORDER BY vec_a, vec_b""")
+    ),
+    // q101: PageRank over the duplicate-pair graph — iterative graph
+    // analytics beyond q59's connected components: CC says WHICH docs
+    // form a cluster, PageRank ranks how CENTRAL each doc is inside the
+    // duplication structure (hub templates score high — the "which
+    // boilerplate spreads widest" curation signal). Three unrolled
+    // power iterations, damping 0.85, over the symmetrized q34 LSH
+    // candidate pairs (memoized signatureIndex lineage).
+    //
+    // Determinism: arithmetic is INTEGER-QUANTIZED (q64's trick) — rank
+    // mass lives in 1e12 micro-units, per-edge contributions floor-divide
+    // BEFORE the sum, so every aggregate is an order-free BIGINT sum and
+    // both engines agree bit-for-bit (IEEE doubles would diverge on
+    // summation order). Floor leakage (no dangling redistribution) is
+    // part of the declared semantics, identically on both sides.
+    //
+    // Scale shape: Pregel-in-SQL — each iteration is one edge⋈rank join
+    // (shuffle on src) + one groupBy(dst) integer sum, both bounded by
+    // the EDGE table (LSH-bounded, never corpus²); the edge+degree table
+    // materializes once (localCheckpoint) and is reused by all three
+    // iterations; top-20 is TakeOrdered, no global sort.
+    Q(
+      "q101_pagerank_dupgraph",
+      (s, dir) => {
+        val n = Tables.rowCount(s, dir, "documents")
+        val pr0 = 1000000000000L / n // uniform start, 1e12 micro-units
+        val base = 150000000000L / n // (1 - 0.85) teleport mass per node
+        val pairs = candidatePairs(s, dir, "q101")
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val edgesDeg = edges.join(deg, "src").localCheckpoint()
+        val nodes = Tables.documents(s, dir).select(col("doc_id"))
+        var pr = nodes.withColumn("pr", lit(pr0))
+        for (_ <- 1 to 3) {
+          val contrib = edgesDeg
+            .join(pr, col("src") === col("doc_id"))
+            .select(col("dst"), expr("(85 * pr) div (100 * deg)").as("c"))
+            .groupBy("dst")
+            .agg(sum(col("c")).as("inflow"))
+          pr = nodes
+            .join(contrib, col("doc_id") === col("dst"), "left")
+            .select(col("doc_id"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
+        }
+        pr.join(deg, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"), col("pr"))
+          .orderBy(col("pr").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""c$k AS (SELECT ed.dst, CAST(sum((85 * p.pr) // (100 * ed.deg)) AS BIGINT) AS inflow
+                FROM ed JOIN p${k - 1} p ON ed.src = p.doc_id GROUP BY ed.dst),
+              p$k AS (SELECT d.doc_id, (150000000000 // nn.n) + COALESCE(c$k.inflow, 0) AS pr
+                FROM documents d CROSS JOIN nn LEFT JOIN c$k ON d.doc_id = c$k.dst)"""
+        s"""WITH $mhCteSql, $pairsCteSql,
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM prs),
+          dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+          ed AS (SELECT e.src, e.dst, dg.deg FROM e JOIN dg ON e.src = dg.src),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          p0 AS (SELECT doc_id, 1000000000000 // nn.n AS pr FROM documents CROSS JOIN nn),
+          ${iter(1)}, ${iter(2)}, ${iter(3)}
+          SELECT p3.doc_id, COALESCE(dg.deg, 0) AS degree, CAST(p3.pr AS BIGINT) AS pr
+          FROM p3 LEFT JOIN dg ON p3.doc_id = dg.src
+          ORDER BY pr DESC, doc_id LIMIT 20"""
+      }
     )
   )
 }

@@ -392,6 +392,35 @@ object StreamDemos {
           CAST(count(*) AS BIGINT) AS n_pairs,
           max(${dayInt("t_ts")}) AS last_tick_day
         FROM p GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s18: STREAM-STATIC broadcast join — the third Structured Streaming
+    // join class (stream-stream = s16, stateful dedup = s11/s17): the
+    // staged fact replay enriched per micro-batch against the static
+    // customer dimension. Stateless — no watermark, no state store; the
+    // dim is re-broadcast each trigger (asserted in-row from the final
+    // micro-batch's IncrementalExecution plan via broadcast_per_batch).
+    // Stateless
+    // also means no dedup: the replayed pre-replayBefore slice joins
+    // AGAIN, so the oracle mirrors the staged delivery (events UNION ALL
+    // the replayed slice) — n_rows counts the duplicates, n_events
+    // (distinct) does not, pinning the pass-through semantics.
+    Q(
+      "s18_stream_static_join",
+      (s, dir) => graft.streaming.StreamStaticJoin.segmentEnrichment(s, dir),
+      Some(s"""WITH f AS (
+          SELECT event_id, user_id, value, ts FROM events
+          UNION ALL
+          SELECT event_id, user_id, value, ts FROM events
+          WHERE ${dayInt("ts")} < ${graft.streaming.Watermarks.replayBefore}),
+        p AS (SELECT c.c_mktsegment AS segment, f.event_id, f.user_id, f.value, f.ts
+              FROM f JOIN customer c ON f.user_id = c.c_custkey)
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+          count(DISTINCT event_id) AS n_events,
+          count(DISTINCT user_id) AS n_users,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          max(${dayInt("ts")}) AS last_day,
+          TRUE AS broadcast_per_batch
+        FROM p GROUP BY segment ORDER BY segment""")
     )
   )
 }

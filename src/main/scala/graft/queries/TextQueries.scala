@@ -936,6 +936,101 @@ object TextQueries {
         JOIN (SELECT wd AS b, cu AS c_b FROM uc) USING (b)
         CROSS JOIN tot
         ORDER BY score DESC, a, b LIMIT 20""")
+    ),
+    // q100: Count-Min Sketch heavy hitters — the OTHER fixed-size
+    // frequency sketch beside q89's HLL/quantile pair (Cormode &
+    // Muthukrishnan '05): depth 4 salted h60 rows × width 512 cells.
+    // The sketch build is the 100 TB shape: each exploded token maps to
+    // 4 (depth, cell) keys, so the aggregate's key domain is ≤ 2048
+    // REGARDLESS of vocabulary — partial aggregation collapses every
+    // partition to ≤ 2048 cells map-side and the shuffle carries
+    // cells × partitions rows, never the vocabulary. The exact word
+    // counts ride along as the audit (q89's pattern): the top-10 words'
+    // CMS point estimates join the 2048-row sketch BROADCAST, and the
+    // in-row `ge_exact` flag pins the sketch's one deterministic
+    // guarantee (CMS never underestimates) so a kernel drift fails the
+    // oracle gate, not just a tolerance.
+    Q(
+      "q100_heavy_hitters_cms",
+      (s, dir) => {
+        val wtab = Tables.documentsSpread(s, dir).select(explode(ws).as("word"))
+        def cellsOf(word: Column): Column =
+          array((0 until 4).map(j => pmod(Hashing.h60(concat(lit(s"cms$j:"), word)), lit(512L))): _*)
+        val sketch = wtab
+          .select(posexplode(cellsOf(col("word"))).as(Seq("depth", "cell")))
+          .groupBy("depth", "cell")
+          .agg(count(lit(1)).as("cnt"))
+        val top = wtab
+          .groupBy("word")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+          .limit(10)
+        top
+          .select(col("word"), col("exact_cnt"), posexplode(cellsOf(col("word"))).as(Seq("depth", "cell")))
+          .join(broadcast(sketch), Seq("depth", "cell"))
+          .groupBy("word", "exact_cnt")
+          .agg(min(col("cnt")).as("cms_est"))
+          .select(
+            col("word"),
+            col("exact_cnt"),
+            col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("over_by"),
+            (col("cms_est") >= col("exact_cnt")).as("ge_exact")
+          )
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some(s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        ds AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+        cells AS (SELECT depth,
+            ${h60("'cms' || CAST(depth AS VARCHAR) || ':' || word")} % 512 AS cell,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM w CROSS JOIN ds GROUP BY 1, 2),
+        top AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt FROM w
+          GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 10),
+        tc AS (SELECT word, exact_cnt, depth,
+            ${h60("'cms' || CAST(depth AS VARCHAR) || ':' || word")} % 512 AS cell
+          FROM top CROSS JOIN ds),
+        est AS (SELECT word, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
+          FROM tc JOIN cells USING (depth, cell) GROUP BY 1, 2)
+        SELECT word, exact_cnt, cms_est, cms_est - exact_cnt AS over_by,
+          cms_est >= exact_cnt AS ge_exact
+        FROM est ORDER BY exact_cnt DESC, word""")
+    ),
+    // q102: deterministic train/val/test split assignment — the
+    // partition step every training pipeline runs before anything else.
+    // Same salted-h60-slot discipline as q61's sample (reproducible
+    // across engines, runs, and partitionings; assignment depends only
+    // on doc_id, so re-runs and late-arriving shards land in the same
+    // split). Map-only assignment + one tiny (split, lang) aggregate;
+    // the per-split sums double as the disjoint-and-complete audit
+    // (split totals must add up to the corpus, or the hash diverges).
+    Q(
+      "q102_split_assign",
+      (s, dir) => {
+        val slot = pmod(Hashing.h60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        Tables
+          .documentsSpread(s, dir)
+          .withColumn(
+            "split_tag",
+            when(slot < 80, lit("train")).when(slot < 90, lit("val")).otherwise(lit("test"))
+          )
+          .groupBy("split_tag", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("doc_id")).as("sum_doc_id")
+          )
+          .orderBy("split_tag", "lang")
+      },
+      Some(s"""WITH d AS (SELECT *,
+          CASE WHEN ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+               WHEN ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split_tag
+        FROM documents)
+        SELECT split_tag, lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM d GROUP BY split_tag, lang ORDER BY split_tag, lang""")
     )
   )
 }

@@ -65,6 +65,10 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q97_rrf_hybrid") == ((10L, "6c59ade1adcc7de3a4687815b7d6a463")))
     assert(queryHash("q98_gram_containment") == ((15L, "e84d5fa5b3d00e3bbbf782757fe9286e")))
     assert(queryHash("q99_phrase_mining") == ((20L, "a493940518e23b1b65f3d340f98b6320")))
+    assert(queryHash("q100_heavy_hitters_cms") == ((10L, "6a8b688c23e5eaccdb70a7bbc5ce803e")))
+    assert(queryHash("q101_pagerank_dupgraph") == ((20L, "50058ee1fcd6514fe4d4520ccc32335b")))
+    assert(queryHash("q102_split_assign") == ((15L, "6a73a03b34b5f48000a11a263d616451")))
+    assert(queryHash("s18_stream_static_join") == ((4L, "a6b29ab1c4a4455598f1fbd95e714a7c")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -252,6 +252,25 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") == 2, "two unigram-count joins, both broadcast")
   }
 
+  test("q100 CMS: the sketch side broadcasts, estimates never shuffle the corpus") {
+    val p = plan("q100_heavy_hitters_cms")
+    // the ≤2048-cell sketch must be the BROADCAST side of the estimate
+    // join; a shuffle join here would re-shuffle the top-word rows for a
+    // 2048-row table
+    assert(p.contains("BroadcastHashJoin"), "sketch join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "estimate join must never plan a sort-merge")
+    assert(p.contains("TakeOrderedAndProject"), "exact top-10 must be TakeOrdered, not a global sort")
+  }
+
+  test("q101 PageRank: no cartesian, every per-iteration aggregate partial-combines") {
+    val p = plan("q101_pagerank_dupgraph")
+    assert(!p.contains("CartesianProduct"))
+    // 3 inflow sums + degree count: all must map-side combine (the
+    // integer-quantized contributions are sums of longs)
+    assert(p.contains("partial_sum") || p.contains("Partial"), "inflow sums must partial-aggregate")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered, not a global sort")
+  }
+
   test("q97 fusion ranks bounded lists: both rankers TakeOrdered before their rank windows") {
     val p = plan("q97_rrf_hybrid")
     assert(!p.contains("CartesianProduct"))

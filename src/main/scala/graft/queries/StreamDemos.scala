@@ -421,6 +421,26 @@ object StreamDemos {
           max(${dayInt("ts")}) AS last_day,
           TRUE AS broadcast_per_batch
         FROM p GROUP BY segment ORDER BY segment""")
+    ),
+    // s19: dynamic partition pruning — completes the pruning trio (s10
+    // static partition pruning, s13 runtime row pruning): the
+    // day-partitioned fact table joined to a dim whose day set exists
+    // only at runtime must carry a dynamicpruningexpression in its scan's
+    // PartitionFilters (scan lists ONLY reachable days — at 100 TB the
+    // difference between a year and a handful of days). Asserted in-row
+    // and pinned TRUE by the oracle, the s10/s13 discipline.
+    Q(
+      "s19_dynamic_pruning",
+      (s, dir) => graft.ops.DynamicPruning.demo(s, dir),
+      Some(s"""WITH hot AS (SELECT DISTINCT ${dayInt("ts")} AS day FROM events
+            WHERE event_type = '${graft.ops.DynamicPruning.HotEventType}'
+              AND value > ${graft.ops.DynamicPruning.HotValueMin.toInt}e0),
+          f AS (SELECT ${dayInt("ts")} AS day, user_id, value FROM events)
+        SELECT count(DISTINCT f.day) AS n_days, CAST(count(*) AS BIGINT) AS n_rows,
+          count(DISTINCT user_id) AS n_users,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          TRUE AS dpp_pruned
+        FROM f JOIN hot ON f.day = hot.day ORDER BY n_days""")
     )
   )
 }

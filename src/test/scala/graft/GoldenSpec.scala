@@ -69,6 +69,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q101_pagerank_dupgraph") == ((20L, "50058ee1fcd6514fe4d4520ccc32335b")))
     assert(queryHash("q102_split_assign") == ((15L, "6a73a03b34b5f48000a11a263d616451")))
     assert(queryHash("s18_stream_static_join") == ((4L, "a6b29ab1c4a4455598f1fbd95e714a7c")))
+    assert(queryHash("s19_dynamic_pruning") == ((1L, "a53e32d6ccc32ebbdc2e6cfa640e766a")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

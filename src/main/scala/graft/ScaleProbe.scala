@@ -211,6 +211,60 @@ object ScaleProbe {
     println(
       f"[scale] ann growth: data x${arN.toDouble / ar0}%.0f, q37 time x${asN / as0}%.1f (linear would be x${arN.toDouble / ar0}%.0f)"
     )
+
+    // Dynamic-partition-pruning probe (s19's engine): the TIME EXTENT
+    // grows m× — each copy shifts the events onto a disjoint 90-day-step
+    // day range, day-partitioned at rest — while the hot-day dimension
+    // stays FIXED (derived at runtime from the base corpus, so it only
+    // reaches base-range partitions). With DPP the fact scan lists just
+    // the matched partitions and the query should stay near-CONSTANT as
+    // history grows; with DPP disabled the same plan scans the whole
+    // m×-wider table. The ON/OFF contrast at each multiple is the
+    // measured form of s19's "scan the matching days, not the year".
+    import graft.ops.TimeCodec
+    val hotDays = Tables
+      .events(spark, sfDir)
+      .filter(
+        col("event_type") === graft.ops.DynamicPruning.HotEventType &&
+          col("value") > graft.ops.DynamicPruning.HotValueMin
+      )
+      .select(TimeCodec.dayInt(col("ts")).as("day"))
+      .distinct()
+    def widenedDayFacts(m: Int): String = {
+      val out = s"${scratchDir("graft_scale_p_")}/facts"
+      (0 until m)
+        .map(i => base.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 90} DAYS")))
+        .reduce(_ union _)
+        .withColumn("day", TimeCodec.dayInt(col("ts")))
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(out)
+      out
+    }
+    def timeHotJoin(path: String, dpp: Boolean): Double = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dpp.toString)
+      val t0 = System.nanoTime()
+      spark.read
+        .parquet(path)
+        .join(broadcast(hotDays), Seq("day"))
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,4)")))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val dppResults = mults.map { m =>
+      val path = widenedDayFacts(m)
+      timeHotJoin(path, dpp = true) // warm the file index + page cache
+      val on = timeHotJoin(path, dpp = true)
+      val off = timeHotJoin(path, dpp = false)
+      println(f"[scale] x$m%-3d day-partitions x$m  hot_join dpp_on=$on%6.2f s  dpp_off=$off%6.2f s")
+      (m, on, off)
+    }
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val (_, on0, off0) = dppResults.head
+    val (_, onN, offN) = dppResults.last
+    println(
+      f"[scale] dpp growth: history x${mults.last / mults.head}, dpp_on time x${onN / on0}%.1f " +
+        f"(pruning predicts ~x1), dpp_off time x${offN / off0}%.1f (tracks the table)"
+    )
     spark.stop()
   }
 }

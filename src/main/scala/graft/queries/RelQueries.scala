@@ -711,6 +711,39 @@ object RelQueries {
             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
           FROM events) WHERE rk = 1 ORDER BY user_id""")
+    ),
+    // q103: time-RANGE window frame — the window feature family's last
+    // uncovered member (q13 is a ROWS frame, q90's LOCF windows are
+    // unbounded): a trailing 7-DAY frame keyed on epoch-day, where ties
+    // on the order key share one frame and gaps in the calendar shrink
+    // it — semantics a ROWS frame cannot express. The trailing-window
+    // per-entity rollup (L7 activity, rolling revenue) is the
+    // time-series feature primitive at any scale: one shuffle on
+    // user_id + one sort serves the frame; sums are DECIMAL-exact
+    // (order-free) so both engines agree bit-for-bit.
+    Q(
+      "q103_rolling_range_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val epochDay = datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long")
+        val w = Window.partitionBy("user_id").orderBy("epoch_day").rangeBetween(-6, 0)
+        Tables
+          .events(s, dir)
+          .select(col("event_id"), col("user_id"), epochDay.as("epoch_day"), col("value"))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .withColumn("sum_7d", sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+          .orderBy("user_id", "epoch_day", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+          value,
+          CAST(count(*) OVER w AS BIGINT) AS n_7d,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+          ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, epoch_day, event_id""")
     )
   )
 }

@@ -441,6 +441,84 @@ object StreamDemos {
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
           TRUE AS dpp_pruned
         FROM f JOIN hot ON f.day = hot.day ORDER BY n_days""")
+    ),
+    // s20: AQE skew-join rescue — the AUTOMATIC remedy beside s09's
+    // manual salting: ~80% of the fact rows collapse onto one join key
+    // (k=0), auto-broadcast is disabled (cluster-scale posture, the s13
+    // discipline), and AQE's OptimizeSkewedJoin must split the oversized
+    // shuffle partition at runtime (SortMergeJoin(skew=true) in the
+    // FINAL adaptive plan — only visible after execution, so the demo
+    // executes first and folds the flag into the returned row; the
+    // oracle pins TRUE). Skew thresholds are set for the fixture scale
+    // (8 KB threshold/advisory vs the 256 MB production defaults) —
+    // the mechanism, not the numbers, is the demonstration. Splitting
+    // duplicates the matching dim rows per chunk, result-transparent:
+    // exactly what the oracle hash checks.
+    Q(
+      "s20_aqe_skew_join",
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        // skew detection reads COMPRESSED shuffle bytes (the sf0.001 hot
+        // partition is just 640 B — constant columns compress brutally
+        // well), so fixed thresholds can't serve every fixture SF; scale
+        // them to the input (input/256, floor 256 B) — the production
+        // discipline of sizing advisory bytes to data/parallelism, and
+        // it bounds the split count at any SF
+        val thr = math.max(256L, new java.io.File(s"$dir/events.parquet").length() / 256)
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr.toString)
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", thr.toString)
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        import s.implicits._
+        def keyed() = Tables
+          .events(s, dir)
+          .withColumn("k", when(pmod(col("user_id"), lit(4)) === 3, col("user_id")).otherwise(lit(0L)))
+        // AQE splits a skewed reduce partition by MAP-INDEX ranges, so
+        // the fixture's single-file scan (ONE mapper — local parquet is
+        // one row group) is unsplittable however skewed; the round-robin
+        // repartition manufactures the multi-mapper input every real
+        // fact scan has (thousands of tasks at 100 TB). The dim side
+        // materializes (localCheckpoint) because OptimizeSkewedJoin
+        // pattern-matches Sort(ShuffleQueryStage) exactly — a distinct's
+        // final HashAggregate between them blocks the rewrite (splitting
+        // under an aggregate would duplicate rows into it).
+        val facts = keyed().repartition(8)
+        val dim =
+          keyed().select(col("k")).distinct().withColumn("dim_tag", col("k") * 2).localCheckpoint()
+        // n_keys comes from the (tiny, materialized) dim side, NOT a
+        // count(DISTINCT k) over the join: a distinct would REUSE the
+        // join output's hash partitioning, so splitting the skewed
+        // partition would cost an extra exchange and AQE (correctly)
+        // reverts the rewrite rather than pay it — the audit facet must
+        // not change the plan it audits
+        val nKeys = dim.count()
+        val agg = facts
+          .join(dim, "k")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+            sum(col("dim_tag")).as("sum_tag")
+          )
+        // collect() (NOT head(): head executes a separate limited
+        // QueryExecution, leaving agg's own adaptive plan unexecuted and
+        // the skew flag unreadable) then read the FINAL adaptive plan
+        val row = agg.collect()(0)
+        val skewSplit = agg.queryExecution.executedPlan.toString.contains("skew=true")
+        Seq((row.getLong(0), nKeys, row.getDouble(1), row.getLong(2), skewSplit))
+          .toDF("n_rows", "n_keys", "sum_value", "sum_tag", "skew_split")
+      },
+      Some("""WITH f AS (SELECT CASE WHEN user_id % 4 = 3 THEN user_id ELSE 0 END AS k, value
+            FROM events),
+          d AS (SELECT DISTINCT k, k * 2 AS dim_tag FROM f)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          count(DISTINCT f.k) AS n_keys,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          CAST(SUM(dim_tag) AS BIGINT) AS sum_tag,
+          TRUE AS skew_split
+        FROM f JOIN d ON f.k = d.k ORDER BY n_rows""")
     )
   )
 }

@@ -70,6 +70,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q102_split_assign") == ((15L, "6a73a03b34b5f48000a11a263d616451")))
     assert(queryHash("s18_stream_static_join") == ((4L, "a6b29ab1c4a4455598f1fbd95e714a7c")))
     assert(queryHash("s19_dynamic_pruning") == ((1L, "a53e32d6ccc32ebbdc2e6cfa640e766a")))
+    assert(queryHash("q103_rolling_range_window") == ((1000L, "3b7483d058f4ab2d263833dbcf75f129")))
+    assert(queryHash("s20_aqe_skew_join") == ((1L, "c4b909c833e687c052771fbc552177cf")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

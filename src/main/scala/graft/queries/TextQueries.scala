@@ -1031,6 +1031,102 @@ object TextQueries {
           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         FROM d GROUP BY split_tag, lang ORDER BY split_tag, lang""")
+    ),
+    // q104: domain-mixture weighted sampling — the data-MIXING step that
+    // follows q102's split: each source gets a sampling WEIGHT in basis
+    // points (per-10000), including weights > 1 epoch (oversampling a
+    // high-quality domain is standard practice — the Pile/LLaMA mixture
+    // shape). A doc yields floor(w) guaranteed copies plus one more iff
+    // its salted-h60 slot falls under the fractional remainder — pure
+    // integer arithmetic end to end, so the expansion is reproducible
+    // across engines, runs, and partitionings (q61's discipline), and
+    // EXACT in expectation per source. Map-only: weight lookup, slot
+    // test, and the sequence-explode all happen on the scan; no shuffle
+    // before the determinism sort. Weights key off the numeric source
+    // suffix mod 4 so the rule covers any source census without a
+    // hard-coded table.
+    Q(
+      "q104_mixture_sample",
+      (s, dir) => {
+        val grp = substring(col("source"), 4, 10).cast("long") % 4
+        val wBp = when(grp === 0, lit(25000L)) // 2.5 epochs
+          .when(grp === 1, lit(10000L)) // exactly 1
+          .when(grp === 2, lit(5000L)) // half
+          .otherwise(lit(2000L)) // 0.2
+        val slot = pmod(Hashing.h60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000L))
+        Tables
+          .documentsSpread(s, dir)
+          .withColumn("w_bp", wBp)
+          .withColumn(
+            "n_copies",
+            (col("w_bp") / lit(10000L)).cast("long") +
+              when(slot < col("w_bp") % 10000, lit(1L)).otherwise(lit(0L))
+          )
+          .filter(col("n_copies") >= 1)
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("w_bp"),
+            explode(sequence(lit(1L), col("n_copies"))).as("copy_ix")
+          )
+          .orderBy("doc_id", "copy_ix")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+          CASE CAST(substring(source, 4) AS BIGINT) % 4
+            WHEN 0 THEN 25000 WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 2000
+          END AS w_bp,
+          ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS slot
+        FROM documents),
+        c AS (SELECT doc_id, source, CAST(w_bp AS BIGINT) AS w_bp,
+            w_bp // 10000 + CASE WHEN slot < w_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+          FROM d)
+        SELECT doc_id, source, w_bp, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_ix
+        FROM c WHERE n_copies >= 1
+        ORDER BY doc_id, copy_ix""")
+    ),
+    // q105: lexical-commonness scoring — a quality signal ORTHOGONAL to
+    // q31's shape ratios: how ordinary is this doc's vocabulary? Gibberish
+    // and OCR noise sit on rare words; boilerplate sits on ultra-common
+    // ones. Deliberately transcendental-free (the CCNet-style LM
+    // perplexity filter needs ln; the q74/q92 ln-free discipline applies):
+    // the per-doc MEDIAN corpus frequency of its word occurrences, the
+    // share of occurrences on common words (corpus freq ≥ 100), and the
+    // rare-occurrence count (freq ≤ 2) are all integer/percentile kernels
+    // both engines compute bit-identically under r6. Shape: one
+    // vocab-sized count aggregate, one vocab-keyed join back onto the
+    // occurrence stream (q75's shape — never a corpus×vocab product),
+    // one doc-keyed aggregate. Absolute thresholds are fixture-scaled;
+    // production would derive them from corpus-relative quantiles (q73's
+    // broadcast-bounds pattern).
+    Q(
+      "q105_lexical_commonness",
+      (s, dir) => {
+        val words = Tables.documentsSpread(s, dir).select(col("doc_id"), explode(ws).as("w"))
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+        words
+          .join(vocab, "w")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            FeatureOps.r6(expr("percentile(c, 0.5)")).as("med_freq"),
+            FeatureOps
+              .r6(
+                sum(when(col("c") >= 100, lit(1L)).otherwise(lit(0L))).cast("double") /
+                  count(lit(1)).cast("double")
+              )
+              .as("common_ratio"),
+            sum(when(col("c") <= 2, lit(1L)).otherwise(lit(0L))).as("n_rare")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          floor((quantile_cont(c, 5e-1)) * 1e6 + 5e-1) / 1e6 AS med_freq,
+          floor((CAST(sum(CASE WHEN c >= 100 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS common_ratio,
+          CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM words JOIN vocab USING (w) GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

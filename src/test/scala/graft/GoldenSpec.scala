@@ -72,6 +72,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s19_dynamic_pruning") == ((1L, "a53e32d6ccc32ebbdc2e6cfa640e766a")))
     assert(queryHash("q103_rolling_range_window") == ((1000L, "3b7483d058f4ab2d263833dbcf75f129")))
     assert(queryHash("s20_aqe_skew_join") == ((1L, "c4b909c833e687c052771fbc552177cf")))
+    assert(queryHash("q104_mixture_sample") == ((539L, "4a585c4957f7178d736b1e293cda4a17")))
+    assert(queryHash("q105_lexical_commonness") == ((500L, "94f48ca398ca6729be96f924d3521f2b")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

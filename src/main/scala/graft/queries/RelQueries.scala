@@ -727,11 +727,27 @@ object RelQueries {
         import org.apache.spark.sql.expressions.Window
         val epochDay = datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long")
         val w = Window.partitionBy("user_id").orderBy("epoch_day").rangeBetween(-6, 0)
+        // the decimal cast is pre-projected so BOTH window aggregates
+        // share one WindowExec (a cast born inside the second
+        // .withColumn's sum forces a Project between two Window nodes,
+        // which blocks CollapseWindow — one extra pass per partition)
         Tables
           .events(s, dir)
-          .select(col("event_id"), col("user_id"), epochDay.as("epoch_day"), col("value"))
-          .withColumn("n_7d", count(lit(1)).over(w))
-          .withColumn("sum_7d", sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            epochDay.as("epoch_day"),
+            col("value"),
+            col("value").cast("decimal(18,4)").as("dvalue")
+          )
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("epoch_day"),
+            col("value"),
+            count(lit(1)).over(w).as("n_7d"),
+            sum(col("dvalue")).over(w).cast("double").as("sum_7d")
+          )
           .orderBy("user_id", "epoch_day", "event_id")
       },
       Some("""SELECT event_id, user_id,

@@ -1059,7 +1059,7 @@ object TextQueries {
           .withColumn("w_bp", wBp)
           .withColumn(
             "n_copies",
-            (col("w_bp") / lit(10000L)).cast("long") +
+            expr("w_bp div 10000") + // integer div, no double round-trip
               when(slot < col("w_bp") % 10000, lit(1L)).otherwise(lit(0L))
           )
           .filter(col("n_copies") >= 1)

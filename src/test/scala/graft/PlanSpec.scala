@@ -279,6 +279,35 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "TakeOrderedAndProject") >= 2, "rank windows must run on truncated lists")
   }
 
+  test("q103 RANGE window: both frame aggregates share ONE WindowExec over one sort") {
+    val p = plan("q103_rolling_range_window")
+    // the decimal cast is pre-projected; a cast born inside the window
+    // sum would split count/sum into two Window nodes (CollapseWindow
+    // blocked by the interposed Project) — two passes per partition
+    assert(count(p, "Window [") == 1)
+    assert(count(p, "Exchange hashpartitioning") == 1) // user_id, once
+    assert(p.contains("RangeFrame"))
+  }
+
+  test("q104 mixture expansion is map-only: the sort is the only required exchange") {
+    val p = plan("q104_mixture_sample")
+    // weight lookup, slot test, sequence-explode all ride the scan; the
+    // only ENSURE_REQUIREMENTS exchange is the final determinism sort
+    // (the fixture spread is REPARTITION_BY_COL, not plan-required)
+    assert(count(p, "ENSURE_REQUIREMENTS") == 1)
+    assert(p.contains("explode(sequence"))
+  }
+
+  test("q105 vocab counts partial-aggregate; join + doc aggregate add no required shuffle") {
+    val p = plan("q105_lexical_commonness")
+    assert(p.contains("partial_count")) // vocab count combines map-side
+    // required exchanges: the vocab aggregate's word-key shuffle + the
+    // final sort — the occurrence→vocab join (broadcast at fixture
+    // scale) and the doc-keyed aggregate must not add one
+    assert(count(p, "ENSURE_REQUIREMENTS") == 2)
+    assert(p.contains("partial_percentile")) // doc agg partial-combines too
+  }
+
   test("q35/q82/q83 doc scans stay map-only up to the determinism sort on multi-split input") {
     // the round-6 verdict nit: the fixture spread must never leak a
     // corpus-wide shuffle into the declared plan. Materialize a

@@ -760,6 +760,39 @@ object RelQueries {
           ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, epoch_day, event_id""")
+    ),
+    // q106: schema-evolution read (SchemaEvolution.scala scaladoc) — a
+    // two-generation parquet dataset where generation 0 predates the
+    // n_chars column; `mergeSchema` unions the footers and old files
+    // surface NULL. The merged-shape assertion comes from the resulting
+    // schema itself and is folded into the hashed row; the census reads
+    // THROUGH the merged view (null-skipping count/sum make the
+    // generation boundary visible), while the oracle recomputes it from
+    // the base table with the generation rule inlined — proving the
+    // evolved read loses nothing.
+    Q(
+      "q106_schema_evolution",
+      (s, dir) => {
+        val path = graft.sources.SchemaEvolution.stageTwoGenerations(s, dir)
+        val merged = graft.sources.SchemaEvolution.readMerged(s, path)
+        val shapeOk = merged.schema.fieldNames.sorted.sameElements(
+          Array("doc_id", "lang", "n_chars")
+        ) && merged.schema("n_chars").nullable
+        merged
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_with_chars"), // null-skipping: gen-1 rows only
+            sum(col("n_chars")).as("sum_chars")
+          )
+          .withColumn("schema_merged", lit(shapeOk))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_chars,
+          CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
+          TRUE AS schema_merged
+        FROM documents GROUP BY lang ORDER BY lang""")
     )
   )
 }

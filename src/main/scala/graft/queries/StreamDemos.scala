@@ -519,6 +519,39 @@ object StreamDemos {
           CAST(SUM(dim_tag) AS BIGINT) AS sum_tag,
           TRUE AS skew_split
         FROM f JOIN d ON f.k = d.k ORDER BY n_rows""")
+    ),
+    // s21: streaming SESSION windows — the session-merging state path
+    // (q47's sessionization under a watermark; Watermarks.scala scaladoc
+    // for the merge/finalize/evict trace). The deterministic replay makes
+    // the append output batch-expressible: q47's gaps-and-islands
+    // sessions over the original events, kept iff session end
+    // (last ts + 2h gap) is at or before the final watermark
+    // (max ts − 1 day) — s07's emission rule applied to merged sessions.
+    // Late batch-2 replays must be dropped BEFORE state, or re-opened
+    // sessions would re-emit and the hash would diverge.
+    Q(
+      "s21_stream_session_windows",
+      (s, dir) => graft.streaming.Watermarks.sessionWindowCounts(s, dir),
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+        flagged AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+                 THEN 1 ELSE 0 END AS newsess
+          FROM events),
+        sess AS (
+          SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged),
+        agg AS (
+          SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL 2 HOUR AS session_end,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM sess GROUP BY user_id, sid)
+        SELECT user_id, session_start, n_events, sum_value
+        FROM agg, wm WHERE session_end <= wm.wm
+        ORDER BY user_id, session_start""")
     )
   )
 }

@@ -285,4 +285,62 @@ object Watermarks {
     q.awaitTermination()
     StreamSessions.settleLocal(spark, name, spark.table(name).orderBy("user_id", "day"))
   }
+
+  /** Streaming SESSION windows (s21) — the last Structured Streaming
+    * window kind beside s07's tumbling windows: `session_window` under a
+    * watermark runs the session-MERGING state path (MergingSessionsExec:
+    * open sessions extend/merge as rows arrive; a session finalizes only
+    * once the watermark passes its END = last event time + gap, because
+    * until then one more row could still extend it). State per key is
+    * bounded by the open sessions inside the watermark horizon — the gap
+    * closes sessions, the watermark evicts them, so an unbounded stream
+    * holds a bounded working set.
+    *
+    * Same three-batch staged replay as s07: batch 1 advances the
+    * watermark past every batch-0 session, which emit exactly once
+    * (append mode); batch 2's late replays are dropped before state —
+    * if they weren't, re-opened sessions would re-emit and the counts
+    * would double. The emitted set is therefore batch-expressible:
+    * the q47 gaps-and-islands sessions over the ORIGINAL events whose
+    * end is at or before the final watermark (max ts − 1 day) — which
+    * is what the oracle computes.
+    */
+  def sessionWindowCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val sessions = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sv")
+      )
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("n_events"),
+        col("sv").cast("double").as("sum_value")
+      )
+    val name = "s21_sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark.table(name).orderBy("user_id", "session_start")
+    )
+  }
 }

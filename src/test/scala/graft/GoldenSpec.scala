@@ -74,6 +74,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s20_aqe_skew_join") == ((1L, "c4b909c833e687c052771fbc552177cf")))
     assert(queryHash("q104_mixture_sample") == ((539L, "4a585c4957f7178d736b1e293cda4a17")))
     assert(queryHash("q105_lexical_commonness") == ((500L, "94f48ca398ca6729be96f924d3521f2b")))
+    assert(queryHash("s21_stream_session_windows") == ((789L, "b6c4a512a301aa21ba49fc6194a9f177")))
+    assert(queryHash("q106_schema_evolution") == ((5L, "2055d0cba27a8cba53d797e839259c93")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

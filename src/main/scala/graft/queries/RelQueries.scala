@@ -793,6 +793,51 @@ object RelQueries {
           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
           TRUE AS schema_merged
         FROM documents GROUP BY lang ORDER BY lang""")
+    ),
+    // q107: unpivot (melt) — the inverse of q52's pivot, completing the
+    // reshape family: a wide per-user feature matrix (one column per
+    // event type, the q52 FILTER-column form) melts back to long
+    // (user_id, event_type, total) — the layout feature stores and
+    // training exporters want. Spark's native `unpivot` keeps the
+    // operation a zero-shuffle projection (each wide row explodes to 3
+    // long rows map-side); nulls are coalesced to 0 in the wide stage so
+    // both engines' null conventions never meet the melt. Oracle melts
+    // via UNION ALL — the portable form of UNPIVOT.
+    Q(
+      "q107_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "purchase", "view")
+        val aggs = types.map(t =>
+          coalesce(
+            sum(when(col("event_type") === t, col("value").cast("decimal(18,4)"))),
+            lit(0).cast("decimal(18,4)")
+          ).as(t)
+        )
+        val wide = Tables
+          .events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(aggs.head, aggs.tail: _*)
+        wide
+          .unpivot(
+            ids = Array(col("user_id")),
+            values = types.map(col).toArray,
+            variableColumnName = "event_type",
+            valueColumnName = "total"
+          )
+          .select(col("user_id"), col("event_type"), col("total").cast("double").as("total"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH wide AS (
+          SELECT user_id,
+            coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END), 0) AS click,
+            coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END), 0) AS purchase,
+            coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END), 0) AS view_
+          FROM events GROUP BY user_id)
+        SELECT user_id, event_type, CAST(total AS DOUBLE) AS total FROM (
+          SELECT user_id, 'click' AS event_type, click AS total FROM wide
+          UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+          UNION ALL SELECT user_id, 'view', view_ FROM wide)
+        ORDER BY user_id, event_type""")
     )
   )
 }

@@ -552,6 +552,28 @@ object StreamDemos {
         SELECT user_id, session_start, n_events, sum_value
         FROM agg, wm WHERE session_end <= wm.wm
         ORDER BY user_id, session_start""")
+    ),
+    // s22: checkpoint recovery — the stop/restart lifecycle against a
+    // real parquet file sink (Recovery.scala scaladoc): run 1 drains
+    // generation 0 and stops; generation 1 arrives; a NEW query on the
+    // SAME checkpoint resumes. run2_rows folds the resumed query's
+    // numInputRows and must equal generation 1 alone (a failed resume
+    // reprocesses generation 0 and diverges both the fold and the
+    // census); the per-user census over the sink — read through its
+    // _spark_metadata commit log — must equal the source exactly once
+    // across the restart boundary.
+    Q(
+      "s22_checkpoint_recovery",
+      (s, dir) => graft.streaming.Recovery.checkpointRecoveryCounts(s, dir),
+      Some(s"""WITH g AS (SELECT user_id, value,
+          CASE WHEN CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT)
+                 <= ${graft.streaming.Watermarks.splitDay} THEN 0 ELSE 1 END AS gen
+        FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+          (SELECT CAST(count(*) AS BIGINT) FROM g WHERE gen = 0) AS run1_rows,
+          (SELECT CAST(count(*) AS BIGINT) FROM g WHERE gen = 1) AS run2_rows
+        FROM g GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

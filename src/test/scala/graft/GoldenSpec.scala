@@ -76,6 +76,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q105_lexical_commonness") == ((500L, "94f48ca398ca6729be96f924d3521f2b")))
     assert(queryHash("s21_stream_session_windows") == ((789L, "b6c4a512a301aa21ba49fc6194a9f177")))
     assert(queryHash("q106_schema_evolution") == ((5L, "2055d0cba27a8cba53d797e839259c93")))
+    assert(queryHash("q107_unpivot") == ((45L, "2a9bb324c09c692f671e7e0debf82f95")))
+    assert(queryHash("s22_checkpoint_recovery") == ((15L, "295e172d9ad3fc2b8c896202800d181f")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -838,6 +838,46 @@ object RelQueries {
           UNION ALL SELECT user_id, 'purchase', purchase FROM wide
           UNION ALL SELECT user_id, 'view', view_ FROM wide)
         ORDER BY user_id, event_type""")
+    ),
+    // q108: CDC apply with delete tombstones — q96's latest-wins
+    // compaction extended to the full merge pattern every lake table
+    // maintains: per entity key (user_id, event_type) the LATEST change
+    // wins, and an entity whose latest state marks it deleted (value
+    // below the tombstone threshold here) must vanish from the applied
+    // table. Both steps ride ONE partial-aggregable reduction: the map
+    // side collapses each partition to ≤1 candidate per key before the
+    // single shuffle (q96's max(struct) shape), and the tombstone drop
+    // is a map filter on the reduced frame — deletes cost zero extra
+    // shuffles. The oracle runs the rank-1-window + filter form, so the
+    // hash proves reduction ≡ rank, including the delete semantics.
+    Q(
+      "q108_cdc_apply",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(
+            max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+            count(lit(1)).as("n_changes")
+          )
+          .filter(col("last.value") >= 50.0) // latest change is a tombstone → entity deleted
+          .select(
+            col("user_id"),
+            col("event_type"),
+            col("last.event_id").as("last_event"),
+            col("last.ts").as("last_ts"),
+            col("last.value").as("last_value"),
+            col("n_changes")
+          )
+          .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, last_event, last_ts, last_value, n_changes FROM (
+          SELECT user_id, event_type, event_id AS last_event, ts AS last_ts,
+            value AS last_value,
+            CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_changes,
+            row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events) WHERE rk = 1 AND last_value >= 50e0
+        ORDER BY user_id, event_type""")
     )
   )
 }

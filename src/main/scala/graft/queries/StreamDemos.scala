@@ -574,6 +574,27 @@ object StreamDemos {
           (SELECT CAST(count(*) AS BIGINT) FROM g WHERE gen = 0) AS run1_rows,
           (SELECT CAST(count(*) AS BIGINT) FROM g WHERE gen = 1) AS run2_rows
         FROM g GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s23: UPDATE output mode (Watermarks.updateModeCounts scaladoc) —
+    // completes the output-mode triad. The oracle mirrors the staged
+    // three-batch delivery: n_emissions = batches touching the user
+    // (per-batch membership from the day splits), n_events_final =
+    // count(*) PLUS the replayed slice (no watermark → late rows are
+    // accepted into the aggregate, s07's contrast).
+    Q(
+      "s23_update_mode",
+      (s, dir) => graft.streaming.Watermarks.updateModeCounts(s, dir),
+      Some(s"""WITH d AS (SELECT user_id,
+          CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day
+        FROM events)
+        SELECT user_id,
+          CAST(count(*) + sum(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore}
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_events_final,
+          CAST(max(CASE WHEN day <= ${graft.streaming.Watermarks.splitDay} THEN 1 ELSE 0 END)
+             + max(CASE WHEN day > ${graft.streaming.Watermarks.splitDay} THEN 1 ELSE 0 END)
+             + max(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emissions
+        FROM d GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

@@ -343,4 +343,54 @@ object Watermarks {
       spark.table(name).orderBy("user_id", "session_start")
     )
   }
+
+  /** UPDATE output mode (s23) — the third output mode beside the
+    * suite's append (finalized-once) and complete (full re-emit)
+    * demos: each micro-batch emits ONLY the aggregate rows that
+    * changed, the natural mode for feeding a keyed serving store
+    * (emission volume ∝ touched keys per trigger, not state size, and
+    * no watermark wait for finalization). Two semantics are pinned by
+    * summarizing the emission LOG the memory sink accumulates:
+    * `n_emissions` per user counts the staged batches that touched the
+    * user (an untouched key must NOT re-emit — that would be complete
+    * mode), and `n_events_final` is the last emission (counts are
+    * monotone, so max = final), which INCLUDES the batch-2 replay rows:
+    * an unwatermarked stateful aggregate accepts arbitrarily late data
+    * — the contrast with s07, where the same replay is dropped.
+    */
+  def updateModeCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val counts = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "s23_um_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark
+        .table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_events")).as("n_events_final"),
+          count(lit(1)).as("n_emissions")
+        )
+        .orderBy("user_id")
+    )
+  }
 }

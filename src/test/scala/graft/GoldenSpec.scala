@@ -78,6 +78,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q106_schema_evolution") == ((5L, "2055d0cba27a8cba53d797e839259c93")))
     assert(queryHash("q107_unpivot") == ((45L, "2a9bb324c09c692f671e7e0debf82f95")))
     assert(queryHash("s22_checkpoint_recovery") == ((15L, "295e172d9ad3fc2b8c896202800d181f")))
+    assert(queryHash("q108_cdc_apply") == ((28L, "fe711b52a085f940ec61006b9272cad8")))
+    assert(queryHash("s23_update_mode") == ((15L, "12cface8f08a5b88df46ccb319d29f32")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

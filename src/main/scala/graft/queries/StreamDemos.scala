@@ -595,6 +595,27 @@ object StreamDemos {
              + max(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_emissions
         FROM d GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s24: transformWithState / arbitrary-state v2 (StateV2 scaladoc) —
+    // the oracle pins the three facets from the same staged delivery:
+    // the ValueState count accepts the replay, the MapState day registry
+    // is idempotent under it (count(DISTINCT day) — batch-2 days are a
+    // subset of batch-0's), and emissions = touched batches per user.
+    Q(
+      "s24_transform_with_state",
+      (s, dir) => graft.streaming.StateV2.transformWithStateCounts(s, dir),
+      Some(s"""WITH d AS (SELECT user_id,
+          CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day
+        FROM events)
+        SELECT user_id,
+          CAST(count(*) + sum(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore}
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_events_final,
+          CAST(count(DISTINCT day) AS BIGINT) AS n_days_final,
+          CAST(max(CASE WHEN day <= ${graft.streaming.Watermarks.splitDay} THEN 1 ELSE 0 END)
+             + max(CASE WHEN day > ${graft.streaming.Watermarks.splitDay} THEN 1 ELSE 0 END)
+             + max(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emissions
+        FROM d GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

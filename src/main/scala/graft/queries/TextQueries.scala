@@ -1127,6 +1127,133 @@ object TextQueries {
             / CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS common_ratio,
           CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         FROM words JOIN vocab USING (w) GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // q109: PII redaction + audit — the scrubbing pass every training
+    // corpus runs before export. The synthetic corpus carries no organic
+    // identifiers, so each doc's raw form SEEDS a deterministic email /
+    // second email (every third doc) / phone from doc_id — the oracle
+    // seeds identically, so the hash proves the two engines' regex
+    // engines agree on match counts, global replacement, and the
+    // clean-residue audit. Patterns stay in the RE2 ∩ java.util.regex
+    // common subset (character classes + bounded quantifiers only — no
+    // backrefs/lookaround). Map-only: count → replace → audit on the
+    // scan, zero shuffles before the determinism sort. The `clean` flag
+    // is the shape a 100 TB scrub job gates on (any FALSE fails the
+    // export), here folded per-row into the hashed result.
+    Q(
+      "q109_pii_redaction",
+      (s, dir) => {
+        val emailRe = "[a-z0-9._]+@[a-z][a-z.]*[a-z]"
+        val phoneRe = "555-[0-9]{4}"
+        val raw = concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.com"),
+          when(
+            col("doc_id") % 3 === 0,
+            concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@corp.example.org"))
+          ).otherwise(lit("")),
+          lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        )
+        Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(
+            col("doc_id"),
+            regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+              .as("redacted")
+          )
+          .select(
+            col("doc_id"),
+            col("n_emails"),
+            col("n_phones"),
+            length(col("redacted")).cast("long").as("n_chars_redacted"),
+            (!col("redacted").rlike(emailRe) && !col("redacted").rlike(phoneRe)).as("clean")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+                 ELSE '' END
+            || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents),
+        red AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z][a-z.]*[a-z]')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z][a-z.]*[a-z]', '[EMAIL]', 'g'),
+                         '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM raw)
+        SELECT doc_id, n_emails, n_phones,
+          CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+          (NOT regexp_matches(redacted, '[a-z0-9._]+@[a-z][a-z.]*[a-z]')
+           AND NOT regexp_matches(redacted, '555-[0-9]{4}')) AS clean
+        FROM red ORDER BY doc_id""")
+    ),
+    // q110: statistical-moment family (variance / stddev / covariance /
+    // correlation) per language, computed the 100 TB-exact way: ONE pass
+    // accumulates the five integer power sums (Σx, Σx², Σy, Σy², Σxy —
+    // BIGINT, order-free, partial-aggregable map-side like any sum), and
+    // the moments come from the closed forms on the reduced 5-row frame.
+    // Every sum fits 2^53 here so the final double casts are exact and
+    // sqrt/division are IEEE-identical across engines (r6 belt anyway);
+    // at larger corpora the same sums ride DECIMAL(38) unchanged. This
+    // deliberately AVOIDS the built-in single-pass var_samp/corr — their
+    // streaming-update floats are engine-specific, the power-sum form is
+    // bit-reproducible (the q64/q101 integer-quantization discipline).
+    Q(
+      "q110_stat_moments",
+      (s, dir) => {
+        val x = col("n_chars")
+        val y = size(ws).cast("long")
+        val d = Tables.documentsSpread(s, dir).select(col("lang"), x.as("x"), y.as("y"))
+        val sums = d
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sum_x"),
+            sum(col("x") * col("x")).as("sum_xx"),
+            sum(col("y")).as("sum_y"),
+            sum(col("y") * col("y")).as("sum_yy"),
+            sum(col("x") * col("y")).as("sum_xy")
+          )
+        val mxx = (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).cast("double")
+        val myy = (col("n") * col("sum_yy") - col("sum_y") * col("sum_y")).cast("double")
+        val mxy = (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
+        val nn1 = (col("n") * (col("n") - lit(1L))).cast("double")
+        sums
+          .select(
+            col("lang"),
+            col("n"),
+            col("sum_x").as("sum_chars"),
+            col("sum_y").as("sum_words"),
+            FeatureOps.r6(mxx / nn1).as("var_chars6"),
+            FeatureOps.r6(sqrt(mxx / nn1)).as("std_chars6"),
+            FeatureOps.r6(mxy / nn1).as("covar6"),
+            FeatureOps.r6(mxy / (sqrt(mxx) * sqrt(myy))).as("corr6")
+          )
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT lang, n_chars AS x,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents),
+        sums AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(x*x) AS BIGINT) AS sum_xx,
+          CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(y*y) AS BIGINT) AS sum_yy,
+          CAST(sum(x*y) AS BIGINT) AS sum_xy
+        FROM d GROUP BY lang)
+        SELECT lang, n, sum_x AS sum_chars, sum_y AS sum_words,
+          ${r6("CAST(n*sum_xx - sum_x*sum_x AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)")} AS var_chars6,
+          ${r6("sqrt(CAST(n*sum_xx - sum_x*sum_x AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))")} AS std_chars6,
+          ${r6("CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)")} AS covar6,
+          ${r6(
+          "CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) / (sqrt(CAST(n*sum_xx - sum_x*sum_x AS DOUBLE)) * sqrt(CAST(n*sum_yy - sum_y*sum_y AS DOUBLE)))"
+        )} AS corr6
+        FROM sums ORDER BY lang""")
     )
   )
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.ops.{Tables, TimeCodec}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{
+  MapState,
+  OutputMode,
+  StatefulProcessor,
+  TimeMode,
+  TimerValues,
+  Trigger,
+  TTLConfig,
+  ValueState
+}
+
+/** Input/output rows of the s24 stateful processor. */
+case class StateV2Ev(event_id: Long, user_id: Long, day: Long)
+case class StateV2Out(user_id: Long, n_events: Long, n_days: Long)
+
+/** Per-user running stats on the arbitrary-state v2 API: a ValueState
+  * running event count beside a MapState distinct-day registry. The two
+  * state shapes diverge observably on the staged replay (batch 2
+  * re-delivers old rows): the COUNT grows — an unwatermarked processor
+  * accepts arbitrarily late input — while the day SET is idempotent, so
+  * `n_days` is unchanged. One emission per touched key per micro-batch.
+  */
+class RunningStatsProcessor extends StatefulProcessor[Long, StateV2Ev, StateV2Out] {
+
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var days: MapState[Long, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    // TTLConfig.NONE: demo state lives for the query; a production
+    // deployment bounds per-key state by TTL instead (the API's native
+    // answer to s17's watermark-evicted dedup state).
+    nEvents = getHandle.getValueState("n_events", Encoders.scalaLong, TTLConfig.NONE)
+    days = getHandle
+      .getMapState("days", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[StateV2Ev],
+      timerValues: TimerValues
+  ): Iterator[StateV2Out] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    rows.foreach { r =>
+      n += 1
+      if (!days.containsKey(r.day)) days.updateValue(r.day, true)
+    }
+    nEvents.update(n)
+    Iterator.single(StateV2Out(key, n, days.keys().size.toLong))
+  }
+}
+
+/** s24: the `transformWithState` arbitrary-state API (state API v2) —
+  * the successor to s04's `flatMapGroupsWithState`, completing the
+  * custom-state family. What the v1 API cannot express, pinned here:
+  * MULTIPLE independently-typed state variables per key (a ValueState
+  * counter beside a MapState day registry, each its own column family in
+  * the store) instead of one monolithic case-class blob rewritten per
+  * row. Requires the RocksDB state-store provider (column families),
+  * set on the isolated sibling session only.
+  *
+  * The staged three-batch replay (Watermarks.stageBatches) drives the
+  * semantics the oracle pins per user: `n_events_final` INCLUDES the
+  * batch-2 replay (no watermark → late rows accepted; s07's contrast),
+  * `n_days_final` does NOT change on replay (the MapState registry is
+  * idempotent — replayed days are already present), and `n_emissions`
+  * counts exactly the micro-batches that touched the user (the
+  * processor emits only for keys with input rows — update-mode
+  * semantics, s23's shape, here from user code).
+  */
+object StateV2 {
+
+  def transformWithStateCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val streamDir = Watermarks.stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    import spark.implicits._
+    val evs = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        TimeCodec.dayInt(col("ts")).as("day")
+      )
+      .as[StateV2Ev]
+    val out = evs
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+    val name = "s24_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark
+        .table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_events")).as("n_events_final"),
+          max(col("n_days")).as("n_days_final"),
+          count(lit(1)).as("n_emissions")
+        )
+        .orderBy("user_id")
+    )
+  }
+}

@@ -80,6 +80,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s22_checkpoint_recovery") == ((15L, "295e172d9ad3fc2b8c896202800d181f")))
     assert(queryHash("q108_cdc_apply") == ((28L, "fe711b52a085f940ec61006b9272cad8")))
     assert(queryHash("s23_update_mode") == ((15L, "12cface8f08a5b88df46ccb319d29f32")))
+    assert(queryHash("s24_transform_with_state") == ((15L, "ce7a4e15b114a32b0d560003e8f9ed81")))
+    assert(queryHash("q109_pii_redaction") == ((500L, "f5b6ac62bdef565e060df3d4c496db31")))
+    assert(queryHash("q110_stat_moments") == ((5L, "af6c2bcd687275054b1f9524c1eb0ba0")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -302,6 +302,85 @@ object MediaQueries {
         CAST(min(doc_id) AS BIGINT) AS rep_doc,
         CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1, 2 ORDER BY rep_doc""")
+    ),
+    // q111: PERCEPTUAL image near-dup bucketing — the multimodal analog
+    // of q35's SimHash, and the step q69's exact-byte dedup cannot do:
+    // re-encoded/resized copies of the same picture hash to different
+    // bytes but the same perceptual signature. Signature = 16 bits from
+    // the decoded pixel-nibble histogram (bit j set iff bin j holds more
+    // than the uniform 1/16 share; the comparison is integer
+    // cross-multiplication, hist*16 > 3wh, so no division ever happens).
+    // Runs through the REAL decode path (PNG → javax.imageio pixels →
+    // histogram), then ONE shuffle on the 16-bit signature; payload
+    // bytes never shuffle — at 100 TB the signature+digest projection is
+    // all that moves, and the per-signature family stats (bucket purity:
+    // how many DISTINCT pixel histograms share the signature) are the
+    // dedup-quality report. The oracle recomputes pixels closed-form
+    // from the deterministic PNG recipe (q87's discipline), so the hash
+    // proves decode ≡ recipe through the whole signature pipeline.
+    Q(
+      "q111_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val staged = Media.stageDecodable(Tables.documentsSpread(s, dir), dir)
+        val media = s.read.parquet(staged).as[Media.MediaRow]
+        val feats = Media
+          .extractFeatures(media.filter(col("kind") === "image"))
+          .toDF()
+          .filter(col("width") > 0) // corrupt rows quarantine to 0-dims
+        val total = (col("width").cast("long") * col("height").cast("long") * lit(3L))
+        val sig = (0 until 16)
+          .map(j =>
+            when(element_at(col("hist_counts"), j + 1) * lit(16L) > total, lit(1L << j))
+              .otherwise(lit(0L)))
+          .reduce(_ + _)
+        val histKey =
+          concat_ws(",", (0 until 16).map(j => element_at(col("hist_counts"), j + 1).cast("string")): _*)
+        feats
+          .select(col("doc_id"), sig.as("sig"), histKey.as("hk"))
+          .groupBy("sig")
+          .agg(
+            count(lit(1)).as("n_images"),
+            countDistinct(col("hk")).as("n_distinct_hist"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc")
+          )
+          .orderBy("sig")
+      },
+      Some {
+        val chans = (0 until 16)
+          .map(j =>
+            s"count(*) FILTER (((x*31 + y*17 + id) % 256) // 16 = $j) AS r$j, " +
+              s"count(*) FILTER (((x*13 + y*43 + id*3) % 256) // 16 = $j) AS g$j, " +
+              s"count(*) FILTER (((x*59 + y*7 + id*5) % 256) // 16 = $j) AS bb$j")
+          .mkString(", ")
+        val sigSql = (0 until 16)
+          .map(j => s"CASE WHEN (h.r$j + h.g$j + h.bb$j) * 16 > 3 * i.w * i.h THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        val hkSql = (0 until 16)
+          .map(j => s"CAST(h.r$j + h.g$j + h.bb$j AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"""WITH img AS (
+            SELECT doc_id, doc_id % 251 AS id,
+              CASE WHEN doc_id % 10 = 0 THEN (16 + doc_id % 37) * 24
+                   ELSE 16 + doc_id % 37 END AS w,
+              12 + doc_id % 29 AS h
+            FROM documents WHERE doc_id % 3 = 0 AND doc_id % 67 <> 13),
+          px AS (
+            SELECT i.doc_id, i.id, t1.x, t2.y
+            FROM img i,
+              LATERAL unnest(generate_series(0, i.w - 1)) AS t1(x),
+              LATERAL unnest(generate_series(0, i.h - 1)) AS t2(y)),
+          hist AS (SELECT doc_id, $chans FROM px GROUP BY doc_id),
+          sigs AS (
+            SELECT i.doc_id, CAST($sigSql AS BIGINT) AS sig, $hkSql AS hk
+            FROM img i JOIN hist h USING (doc_id))
+          SELECT sig, CAST(count(*) AS BIGINT) AS n_images,
+            CAST(count(DISTINCT hk) AS BIGINT) AS n_distinct_hist,
+            CAST(min(doc_id) AS BIGINT) AS min_doc,
+            CAST(max(doc_id) AS BIGINT) AS max_doc
+          FROM sigs GROUP BY sig ORDER BY sig"""
+      }
     )
   )
 }

@@ -616,6 +616,23 @@ object StreamDemos {
              + max(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_emissions
         FROM d GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s25: event-time timers (StateV2.timerFinalizedDailyCounts
+    // scaladoc) — the oracle is the batch daily census over finalized
+    // days only: day end ≤ max(ts) − 24 h (the final watermark), the
+    // replay excluded by construction (late rows dropped / guarded).
+    Q(
+      "s25_timer_finalize",
+      (s, dir) => graft.streaming.StateV2.timerFinalizedDailyCounts(s, dir),
+      Some("""WITH ev AS (SELECT user_id,
+          CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day,
+          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday,
+          CAST(epoch(ts) AS BIGINT) AS sec
+        FROM events),
+        wm AS (SELECT max(sec) - 86400 AS wm_sec FROM ev)
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev, wm WHERE (eday + 1) * 86400 <= wm_sec
+        GROUP BY user_id, day ORDER BY user_id, day""")
     )
   )
 }

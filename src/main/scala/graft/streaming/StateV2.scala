@@ -4,6 +4,7 @@ import graft.ops.{Tables, TimeCodec}
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo,
   MapState,
   OutputMode,
   StatefulProcessor,
@@ -51,6 +52,65 @@ class RunningStatsProcessor extends StatefulProcessor[Long, StateV2Ev, StateV2Ou
     }
     nEvents.update(n)
     Iterator.single(StateV2Out(key, n, days.keys().size.toLong))
+  }
+}
+
+/** Input/output rows of the s25 timer processor. */
+case class S25Ev(user_id: Long, ts: java.sql.Timestamp, eday: Long)
+case class S25Out(user_id: Long, day: Long, n_events: Long)
+
+/** Daily-count finalization driven by EVENT-TIME TIMERS (s25) — the
+  * user-code re-implementation of what s07 gets from the built-in
+  * windowed aggregate + watermark: per-(user, day) counts accumulate in
+  * a MapState, each first-seen day registers a timer at its day end,
+  * and the count is EMITTED (append semantics) only when the watermark
+  * passes that boundary — `handleExpiredTimer` fires, emits the
+  * finalized row, and evicts the day's state. Late rows are guarded
+  * against the current watermark explicitly in user code, so the
+  * replayed batch can never re-open an already-finalized day regardless
+  * of engine-level late-row filtering. Days still open when the replay
+  * ends (inside the watermark delay of the corpus tail) are never
+  * emitted — exactly s07's open-window semantics.
+  */
+class DailyFinalizeProcessor extends StatefulProcessor[Long, S25Ev, S25Out] {
+
+  @transient private var days: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    days = getHandle.getMapState("days", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[S25Ev],
+      timerValues: TimerValues
+  ): Iterator[S25Out] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    rows.foreach { r =>
+      if (r.ts.getTime >= wm) { // explicit late-data guard (deterministic)
+        if (!days.containsKey(r.eday)) {
+          getHandle.registerTimer((r.eday + 1L) * 86400000L)
+          days.updateValue(r.eday, 1L)
+        } else days.updateValue(r.eday, days.getValue(r.eday) + 1L)
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo
+  ): Iterator[S25Out] = {
+    val eday = expiredTimerInfo.getExpiryTimeInMs() / 86400000L - 1L
+    if (days.containsKey(eday)) {
+      val n = days.getValue(eday)
+      days.removeKey(eday)
+      val d = java.time.LocalDate.ofEpochDay(eday)
+      Iterator.single(
+        S25Out(key, d.getYear.toLong * 10000L + d.getMonthValue * 100L + d.getDayOfMonth, n)
+      )
+    } else Iterator.empty
   }
 }
 
@@ -122,6 +182,57 @@ object StateV2 {
           count(lit(1)).as("n_emissions")
         )
         .orderBy("user_id")
+    )
+  }
+
+  /** s25: event-time TIMERS on the v2 API (DailyFinalizeProcessor
+    * scaladoc) — TimeMode.EventTime over the staged replay with a
+    * 24-hour watermark. The oracle is the BATCH daily census restricted
+    * to finalized days (day end ≤ final watermark = max event time −
+    * 24 h), with the replayed slice contributing nothing — the hash
+    * proves timer-driven finalize ≡ window+watermark finalize.
+    */
+  def timerFinalizedDailyCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val streamDir = Watermarks.stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    import spark.implicits._
+    val evs = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .withWatermark("ts", "24 hours")
+      .select(
+        col("user_id"),
+        col("ts"),
+        floor(col("ts").cast("long") / 86400L).cast("long").as("eday")
+      )
+      .as[S25Ev]
+    val out = evs
+      .groupByKey(_.user_id)
+      .transformWithState(new DailyFinalizeProcessor, TimeMode.EventTime(), OutputMode.Append())
+    val name = "s25_timer_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark.table(name).orderBy("user_id", "day")
     )
   }
 }

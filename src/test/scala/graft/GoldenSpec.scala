@@ -83,6 +83,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s24_transform_with_state") == ((15L, "ce7a4e15b114a32b0d560003e8f9ed81")))
     assert(queryHash("q109_pii_redaction") == ((500L, "f5b6ac62bdef565e060df3d4c496db31")))
     assert(queryHash("q110_stat_moments") == ((5L, "af6c2bcd687275054b1f9524c1eb0ba0")))
+    assert(queryHash("q111_image_phash") == ((165L, "b6299cd4e3783421a58e5a94de51a657")))
+    assert(queryHash("s25_timer_finalize") == ((369L, "20640a7503dccc34da95abc41f175fa3")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

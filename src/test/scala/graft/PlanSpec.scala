@@ -333,4 +333,35 @@ class PlanSpec extends AnyFunSuite {
       )
     }
   }
+
+  test("q108 CDC apply: one reduction shuffle, tombstone drop is a post-agg filter") {
+    // q96's pin extended to the delete-handling merge: still no rank
+    // window, still exactly one ENSURE_REQUIREMENTS hash exchange —
+    // deletes must not buy a second shuffle or a sort-by-ts-per-key.
+    val p = plan("q108_cdc_apply")
+    assert(!p.contains("Window"), "CDC apply must stay an aggregation, not a rank window")
+    assert(p.contains("partial_max"), "map-side partial max(struct) must combine before the wire")
+    assert(count(p, "Exchange hashpartitioning") == 1, "one shuffle: the per-entity reduction")
+  }
+
+  test("q110 moments: all six power sums partial-aggregate in one pass") {
+    val p = plan("q110_stat_moments")
+    // one partial HashAggregate carries count + the five sums map-side
+    assert(p.contains("partial_count"), "count must partial-aggregate")
+    assert(count(p, "partial_sum") == 5, "exactly five power sums, all map-side partials")
+    // one REQUIRED shuffle (the per-lang aggregate); documentsSpread's
+    // REPARTITION_BY_COL small-input heuristic is not a plan property
+    val required = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(required == 1, s"one required shuffle: the per-lang aggregate (saw $required)")
+    assert(!p.contains("Window"))
+  }
+
+  test("q111 phash: image filter reaches the media scan before the decode") {
+    // only image blobs may ever be deserialized — the kind predicate
+    // must push into the staged parquet scan, not run post-decode.
+    val p = plan("q111_image_phash")
+    assert(p.contains("PushedFilters: [IsNotNull(kind), EqualTo(kind,image)]"))
+    assert(p.contains("MapPartitions"), "decode stays a mapPartitions over the filtered scan")
+  }
 }

@@ -878,6 +878,73 @@ object RelQueries {
                                ORDER BY ts DESC, event_id DESC) AS rk
           FROM events) WHERE rk = 1 AND last_value >= 50e0
         ORDER BY user_id, event_type""")
+    ),
+    // q112: funnel mining — the event-SEQUENCE analytics shape (which
+    // 3-step paths do users actually walk?): two stacked lead() offsets
+    // over one per-user time order turn the event log into overlapping
+    // step triples, then a tiny aggregate counts each path. ONE user_id
+    // shuffle + ONE sort feed a single WindowExec computing both leads
+    // (CollapseWindow — same partition/order spec); the triple aggregate
+    // is bounded by |event_type|³ keys, so partial aggregation collapses
+    // it map-side and the second shuffle carries ≤ types³ × partitions
+    // rows. (event_id breaks ts ties — bit-stable across engines.)
+    Q(
+      "q112_funnel_triples",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .select(
+            col("event_type").as("step1"),
+            lead(col("event_type"), 1).over(w).as("step2"),
+            lead(col("event_type"), 2).over(w).as("step3")
+          )
+          .filter(col("step2").isNotNull && col("step3").isNotNull)
+          .groupBy("step1", "step2", "step3")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy("step1", "step2", "step3")
+      },
+      Some("""WITH seq AS (SELECT event_type AS step1,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        FROM events)
+        SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY step1, step2, step3 ORDER BY step1, step2, step3""")
+    ),
+    // q113: cohort retention — the (cohort, week-offset) active-user
+    // matrix every growth dashboard draws. Shape chosen for scale: ONE
+    // per-user aggregate computes the cohort day AND the distinct-day
+    // set together (collect_set bounded by the corpus day span, ≤31
+    // here), the explode is map-side, and the final (cohort, week)
+    // aggregate is the only other shuffle — vs the naive
+    // distinct-then-window form whose window repartition buys a third
+    // exchange. Integer day/offset math end to end (epoch-day, div 7).
+    Q(
+      "q113_cohort_retention",
+      (s, dir) => {
+        val eday = datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long")
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), eday.as("eday"))
+          .groupBy("user_id")
+          .agg(min(col("eday")).as("cohort"), collect_set(col("eday")).as("days"))
+          .select(col("user_id"), col("cohort"), explode(col("days")).as("eday"))
+          .select(col("user_id"), col("cohort"), expr("(eday - cohort) div 7").as("week_offset"))
+          .groupBy("cohort", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH d AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday
+          FROM events),
+        cohorts AS (SELECT user_id, min(eday) AS cohort FROM d GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, eday FROM d)
+        SELECT c.cohort, (a.eday - c.cohort) // 7 AS week_offset,
+          CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM active a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, week_offset""")
     )
   )
 }

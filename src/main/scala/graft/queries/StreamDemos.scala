@@ -633,6 +633,28 @@ object StreamDemos {
         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
         FROM ev, wm WHERE (eday + 1) * 86400 <= wm_sec
         GROUP BY user_id, day ORDER BY user_id, day""")
+    ),
+    // s26: initial-state bootstrap (StateV2.bootstrappedCounts
+    // scaladoc) — the oracle pins the seed asymmetry: the counter
+    // includes the un-streamed batch-0 slice (+ replay), the day
+    // registry holds ONLY streamed days, emissions = streamed batches
+    // touching the user.
+    Q(
+      "s26_initial_state",
+      (s, dir) => graft.streaming.StateV2.bootstrappedCounts(s, dir),
+      Some(s"""WITH d AS (SELECT user_id,
+          CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day
+        FROM events)
+        SELECT user_id,
+          CAST(count(*) + sum(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore}
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_events_final,
+          CAST(count(DISTINCT CASE WHEN day > ${graft.streaming.Watermarks.splitDay}
+                                     OR day < ${graft.streaming.Watermarks.replayBefore}
+                                   THEN day END) AS BIGINT) AS n_days_final,
+          CAST(max(CASE WHEN day > ${graft.streaming.Watermarks.splitDay} THEN 1 ELSE 0 END)
+             + max(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emissions
+        FROM d GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{
   MapState,
   OutputMode,
   StatefulProcessor,
+  StatefulProcessorWithInitialState,
   TimeMode,
   TimerValues,
   Trigger,
@@ -39,6 +40,45 @@ class RunningStatsProcessor extends StatefulProcessor[Long, StateV2Ev, StateV2Ou
     days = getHandle
       .getMapState("days", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
   }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[StateV2Ev],
+      timerValues: TimerValues
+  ): Iterator[StateV2Out] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    rows.foreach { r =>
+      n += 1
+      if (!days.containsKey(r.day)) days.updateValue(r.day, true)
+    }
+    nEvents.update(n)
+    Iterator.single(StateV2Out(key, n, days.keys().size.toLong))
+  }
+}
+
+/** Initial-state row of the s26 bootstrapped processor. */
+case class S26Init(user_id: Long, n0: Long)
+
+/** Per-user running count whose state is BOOTSTRAPPED from a batch
+  * aggregate (s26): `handleInitialState` seeds the ValueState before
+  * the first micro-batch, then the stream increments it — the
+  * batch→streaming migration path: stand up a stateful stream against
+  * an existing corpus without replaying history through the stream.
+  */
+class BootstrappedCountProcessor
+    extends StatefulProcessorWithInitialState[Long, StateV2Ev, StateV2Out, S26Init] {
+
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var days: MapState[Long, Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nEvents = getHandle.getValueState("n_events", Encoders.scalaLong, TTLConfig.NONE)
+    days = getHandle
+      .getMapState("days", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, initialState: S26Init, timerValues: TimerValues): Unit =
+    nEvents.update(initialState.n0) // seed only — no emission for bootstrap
 
   override def handleInputRows(
       key: Long,
@@ -233,6 +273,80 @@ object StateV2 {
       spark,
       name,
       spark.table(name).orderBy("user_id", "day")
+    )
+  }
+
+  /** s26: `transformWithState` with INITIAL STATE — the batch→streaming
+    * migration path (BootstrappedCountProcessor scaladoc). The batch-0
+    * slice never flows through the stream: a BATCH aggregate over it
+    * seeds each user's counter via `handleInitialState`, and the stream
+    * delivers only the remaining two files. The oracle pins the
+    * asymmetry that proves the bootstrap happened: `n_events_final`
+    * equals the full corpus count (+replay) — the seed carries batch
+    * 0's contribution — while `n_days_final` counts ONLY streamed days
+    * (the MapState registry was never seeded), and emissions start at
+    * the first streamed batch.
+    */
+  def bootstrappedCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val streamDir = Watermarks.stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    import spark.implicits._
+    val initState = Tables
+      .normalizeEvents(spark.read.schema(schema).parquet(s"$streamDir/0.parquet"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n0"))
+      .as[S26Init]
+      .groupByKey(_.user_id)
+    val evs = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("basePath", streamDir)
+          .parquet(s"$streamDir/{1,2}.parquet")
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        TimeCodec.dayInt(col("ts")).as("day")
+      )
+      .as[StateV2Ev]
+    val out = evs
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new BootstrappedCountProcessor,
+        TimeMode.None(),
+        OutputMode.Update(),
+        initState
+      )
+    val name = "s26_boot_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark
+        .table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_events")).as("n_events_final"),
+          max(col("n_days")).as("n_days_final"),
+          count(lit(1)).as("n_emissions")
+        )
+        .orderBy("user_id")
     )
   }
 }

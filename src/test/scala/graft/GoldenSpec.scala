@@ -85,6 +85,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q110_stat_moments") == ((5L, "af6c2bcd687275054b1f9524c1eb0ba0")))
     assert(queryHash("q111_image_phash") == ((165L, "b6299cd4e3783421a58e5a94de51a657")))
     assert(queryHash("s25_timer_finalize") == ((369L, "20640a7503dccc34da95abc41f175fa3")))
+    assert(queryHash("q112_funnel_triples") == ((125L, "8f4ec15a853885d80a822fbdd512fbf1")))
+    assert(queryHash("q113_cohort_retention") == ((5L, "9ee14b994e6820200ca52831e9129446")))
+    assert(queryHash("s26_initial_state") == ((15L, "b5e20c281eb213c035f37f50c2f6f82f")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -945,6 +945,129 @@ object RelQueries {
           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
         FROM active a JOIN cohorts c USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort, week_offset""")
+    ),
+    // q114: SCD Type-2 history build — the lakehouse dimension-history
+    // pattern (q96/q108's compaction keeps only the latest state; SCD2
+    // keeps EVERY state with its validity interval): per (user_id,
+    // event_type) entity, each change row gets valid_from = its ts,
+    // valid_to = the NEXT change's ts (NULL while current), version =
+    // its change ordinal, is_current. ONE entity shuffle + ONE sort
+    // feed a single WindowExec computing lead + row_number together
+    // (same partition/order spec → CollapseWindow), map-only after.
+    // event_id breaks ts ties so intervals are bit-stable across
+    // engines.
+    Q(
+      "q114_scd2_history",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+          .select(
+            col("user_id"),
+            col("event_type"),
+            col("event_id"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"),
+            row_number().over(w).cast("long").as("version"),
+            lead(col("ts"), 1).over(w).isNull.as("is_current")
+          )
+          .orderBy("user_id", "event_type", "version")
+      },
+      Some("""SELECT user_id, event_type, event_id, ts AS valid_from,
+          lead(ts, 1) OVER w AS valid_to,
+          CAST(row_number() OVER w AS BIGINT) AS version,
+          (lead(ts, 1) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        ORDER BY user_id, event_type, version""")
+    ),
+    // q115: Z-order (Morton) clustering key — the LAYOUT primitive
+    // behind multi-dimensional data skipping at 100 TB: interleaving
+    // the bits of two dimensions gives one sort key under which any
+    // aligned key block covers a bounded RECTANGLE of both dims, so
+    // min/max file stats prune on either predicate (a single-column
+    // sort clusters one dim and scatters the other). Key compute is
+    // map-only integer bit math (8 bits per dim → 16-bit key, identical
+    // shiftright/and/shiftleft chains in both engines); the audit
+    // aggregate groups by 16-aligned block and pins the bounded spans:
+    // every block's (user span × day span) stays within the 4×4
+    // quadrant the interleaving guarantees — folded into the hashed
+    // rows as the max-span columns.
+    Q(
+      "q115_zorder_key",
+      (s, dir) => {
+        val eday = datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long")
+        val ux = col("user_id") % 256
+        val dy = col("eday") % 256
+        val morton = (0 until 8)
+          .map(i =>
+            (shiftleft(shiftright(ux, i) % 2, 2 * i + 1) +
+              shiftleft(shiftright(dy, i) % 2, 2 * i)).cast("long"))
+          .reduce(_ + _)
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), eday.as("eday"))
+          .withColumn("zkey", morton)
+          .groupBy(expr("zkey div 16").as("zblock"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            (max(col("user_id") % 256) - min(col("user_id") % 256)).as("user_span"),
+            (max(col("eday") % 256) - min(col("eday") % 256)).as("day_span")
+          )
+          .orderBy("zblock")
+      },
+      Some {
+        val morton = (0 until 8)
+          .map(i => s"(((ux >> $i) % 2) << ${2 * i + 1}) + (((dy >> $i) % 2) << ${2 * i})")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT user_id % 256 AS ux,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) % 256 AS dy
+          FROM events),
+          k AS (SELECT ux, dy, CAST($morton AS BIGINT) AS zkey FROM d)
+          SELECT zkey // 16 AS zblock, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(max(ux) - min(ux) AS BIGINT) AS user_span,
+            CAST(max(dy) - min(dy) AS BIGINT) AS day_span
+          FROM k GROUP BY 1 ORDER BY zblock"""
+      }
+    ),
+    // q116: distribution-rank window family — ntile / percent_rank /
+    // cume_dist, the remaining uncovered rank functions beside q55's
+    // rank/dense_rank/row_number. Tie discipline differs BY FUNCTION
+    // and is chosen for cross-engine determinism: percent_rank and
+    // cume_dist order by value ALONE (they are functions of the peer
+    // group, so ties share one exact rational result in both engines),
+    // while ntile orders by (value, event_id) — a TOTAL order, because
+    // tile assignment is positional and ties would otherwise split
+    // across tiles engine-dependently. One event_type shuffle; the two
+    // order specs share the exchange, each sorting once.
+    Q(
+      "q116_dist_rank_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wTotal = Window.partitionBy("event_type").orderBy("value", "event_id")
+        val wPeers = Window.partitionBy("event_type").orderBy("value")
+        Tables
+          .events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .select(
+            col("event_id"),
+            col("event_type"),
+            col("value"),
+            ntile(4).over(wTotal).cast("long").as("tile4"),
+            graft.ops.FeatureOps.r6(percent_rank().over(wPeers)).as("pct_rank6"),
+            graft.ops.FeatureOps.r6(cume_dist().over(wPeers)).as("cume6")
+          )
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, event_type, value,
+          CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS tile4,
+          ${graft.oracle.OracleSql
+          .r6("percent_rank() OVER (PARTITION BY event_type ORDER BY value)")} AS pct_rank6,
+          ${graft.oracle.OracleSql
+          .r6("cume_dist() OVER (PARTITION BY event_type ORDER BY value)")} AS cume6
+        FROM events ORDER BY event_id""")
     )
   )
 }

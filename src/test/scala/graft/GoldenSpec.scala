@@ -88,6 +88,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q112_funnel_triples") == ((125L, "8f4ec15a853885d80a822fbdd512fbf1")))
     assert(queryHash("q113_cohort_retention") == ((5L, "9ee14b994e6820200ca52831e9129446")))
     assert(queryHash("s26_initial_state") == ((15L, "b5e20c281eb213c035f37f50c2f6f82f")))
+    assert(queryHash("q114_scd2_history") == ((1000L, "b8c3829e73feeeacadf2650dfdfbcdc6")))
+    assert(queryHash("q115_zorder_key") == ((36L, "b8468f97db6b3b6be8ecdf2d8662b026")))
+    assert(queryHash("q116_dist_rank_family") == ((1000L, "068ea7466f7372f7675b235be1e055f6")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -364,4 +364,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(kind), EqualTo(kind,image)]"))
     assert(p.contains("MapPartitions"), "decode stays a mapPartitions over the filtered scan")
   }
+
+  test("q112 funnel: both leads share ONE WindowExec; path counts partial-aggregate") {
+    val p = plan("q112_funnel_triples")
+    assert(count(p, "Window [") == 1, "stacked leads must collapse into one Window node")
+    assert(p.contains("partial_count"), "the types^3 aggregate must combine map-side")
+  }
+
+  test("q114 SCD2: lead + row_number share ONE WindowExec over one entity shuffle") {
+    val p = plan("q114_scd2_history")
+    assert(count(p, "Window [") == 1, "interval + version must come from one window pass")
+    assert(count(p, "Exchange hashpartitioning") == 1, "one entity shuffle")
+  }
+
+  test("q115 z-order: key compute is map-only; one required shuffle (the block aggregate)") {
+    val p = plan("q115_zorder_key")
+    assert(!p.contains("Window"))
+    val required = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(required == 1, s"bit interleave must ride the scan (saw $required required shuffles)")
+    assert(p.contains("partial_count"), "block census combines map-side")
+  }
+
+  test("q116 rank family: the two order specs share one exchange and one prefix sort") {
+    val p = plan("q116_dist_rank_family")
+    // ntile needs (value, event_id); percent_rank/cume_dist need (value)
+    // — a prefix, so Catalyst satisfies both Window nodes from a single
+    // sort over a single event_type exchange. A regression that reorders
+    // the specs non-prefix-compatibly buys a second sort.
+    assert(count(p, "Window [") == 2, "peer-group and positional specs stay separate nodes")
+    assert(count(p, "Exchange hashpartitioning") == 1, "one event_type shuffle for both")
+    assert(count(p, "Sort [") <= 2, "one window sort + the final output sort only")
+  }
 }

@@ -1068,6 +1068,44 @@ object RelQueries {
           ${graft.oracle.OracleSql
           .r6("cume_dist() OVER (PARTITION BY event_type ORDER BY value)")} AS cume6
         FROM events ORDER BY event_id""")
+    ),
+    // q117: JSONL ingestion with corrupt-record quarantine
+    // (sources/JsonlSource scaladoc) — the per-lang census over the
+    // permissive read-back: corrupt lines surface as the NULL-lang
+    // quarantine group (all fields null, raw line in `_corrupt`), good
+    // rows parse exactly against the explicit schema. The oracle
+    // mirrors the deterministic corruption rule closed-form from the
+    // base table — the hash proves nothing was dropped OR silently
+    // mis-parsed in either direction. NULLS FIRST pinned on both sides
+    // (the engines' default null sort order differs).
+    Q(
+      "q117_jsonl_quarantine",
+      (s, dir) => {
+        val staged = graft.sources.JsonlSource.stageDocsJsonl(s, dir)
+        graft.sources.JsonlSource
+          .readDocsJsonl(s, staged)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("_corrupt")).as("n_quarantined"),
+            sum(col("n_chars")).as("sum_chars")
+          )
+          .orderBy(col("lang").asc_nulls_first)
+      },
+      Some(s"""SELECT lang, n_rows, n_quarantined, sum_chars FROM (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(0 AS BIGINT) AS n_quarantined,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents
+          WHERE doc_id % ${graft.sources.JsonlSource.CorruptMod}
+                  <> ${graft.sources.JsonlSource.CorruptRem}
+          GROUP BY lang
+          UNION ALL
+          SELECT NULL, CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), NULL
+          FROM documents
+          WHERE doc_id % ${graft.sources.JsonlSource.CorruptMod}
+                  = ${graft.sources.JsonlSource.CorruptRem})
+        ORDER BY lang NULLS FIRST""")
     )
   )
 }

@@ -655,6 +655,36 @@ object StreamDemos {
              + max(CASE WHEN day < ${graft.streaming.Watermarks.replayBefore} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_emissions
         FROM d GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s27: stream-stream LEFT OUTER join (StreamJoins.alertOuterEnrichment
+    // scaladoc) — matched pairs mirror the batch range join
+    // unconditionally; null-padded rows exist ONLY for alerts whose
+    // match horizon (a_ts + range) fell behind the final watermark
+    // (max ts − 1 day) with no calm tick inside it — the state-eviction
+    // finalization cut the oracle reproduces.
+    Q(
+      "s27_stream_outer_join",
+      (s, dir) => graft.streaming.StreamJoins.alertOuterEnrichment(s, dir),
+      Some(s"""WITH a AS (SELECT event_id AS a_id, user_id AS u, ts AS a_ts
+          FROM events WHERE value > ${graft.streaming.StreamJoins.AlertThreshold}),
+        t AS (SELECT event_id AS t_id, user_id AS u, ts AS t_ts
+          FROM events WHERE value < ${graft.streaming.StreamJoins.CalmThreshold}),
+        m AS (SELECT a.u, a.a_id, t.t_ts FROM a JOIN t ON a.u = t.u
+          AND t.t_ts > a.a_ts
+          AND t.t_ts <= a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR),
+        wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w FROM events),
+        unm AS (SELECT a.u, a.a_id FROM a, wm
+          WHERE a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR < wm.w
+            AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id))
+        SELECT user_id,
+          CAST(count(CASE WHEN matched THEN 1 END) AS BIGINT) AS n_pairs,
+          CAST(count(CASE WHEN NOT matched THEN 1 END) AS BIGINT) AS n_unmatched,
+          max(CASE WHEN matched THEN day END) AS last_matched_day
+        FROM (SELECT u AS user_id, TRUE AS matched,
+                CAST(year(t_ts)*10000 + month(t_ts)*100 + day(t_ts) AS BIGINT) AS day
+              FROM m
+              UNION ALL SELECT u, FALSE, NULL FROM unm) x
+        GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

@@ -93,4 +93,77 @@ object StreamJoins {
       .orderBy("user_id")
     StreamSessions.settleLocal(spark, name, summary)
   }
+
+  /** "Calm" ticks for the OUTER join (s27): a filtered tick subset so
+    * unmatched alerts genuinely exist (in s16 every alert matches itself
+    * — the tick side is unfiltered).
+    */
+  val CalmThreshold = 50.0
+
+  /** s27: watermarked stream-stream LEFT OUTER join — the append-mode
+    * semantics s16's inner join cannot show: an alert followed by NO
+    * calm tick within the range window must still emit, null-padded,
+    * and it emits only at STATE EVICTION (when the watermark proves no
+    * future match is possible: wm > alert ts + range). Alerts still
+    * inside that horizon at stream end stay in state and never emit a
+    * null row — the oracle mirrors exactly that finalization cut
+    * (max ts − 1 day watermark delay), while matched pairs emit
+    * immediately and are mirrored unconditionally. Late batch-2 replays
+    * drop on input on both sides, as in s16.
+    */
+  def alertOuterEnrichment(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = Watermarks.stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    def src(): DataFrame = Tables.normalizeEvents(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+    )
+    val alerts = src()
+      .filter(col("value") > lit(AlertThreshold))
+      .select(
+        col("event_id").as("a_event_id"),
+        col("user_id").as("a_user_id"),
+        col("ts").as("a_ts")
+      )
+      .withWatermark("a_ts", "1 day")
+    val calm = src()
+      .filter(col("value") < lit(CalmThreshold))
+      .select(
+        col("event_id").as("t_event_id"),
+        col("user_id").as("t_user_id"),
+        col("ts").as("t_ts")
+      )
+      .withWatermark("t_ts", "1 day")
+    val joined = alerts.join(
+      calm,
+      expr(
+        s"""a_user_id = t_user_id AND
+           |t_ts > a_ts AND t_ts <= a_ts + INTERVAL $JoinRangeHours HOURS""".stripMargin
+      ),
+      "leftOuter"
+    )
+    val name = "s27_soj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val summary = spark
+      .table(name)
+      .groupBy(col("a_user_id").as("user_id"))
+      .agg(
+        count(when(col("t_event_id").isNotNull, lit(1))).as("n_pairs"),
+        count(when(col("t_event_id").isNull, lit(1))).as("n_unmatched"),
+        max(when(col("t_event_id").isNotNull, TimeCodec.dayInt(col("t_ts"))))
+          .as("last_matched_day")
+      )
+      .orderBy("user_id")
+    StreamSessions.settleLocal(spark, name, summary)
+  }
 }

@@ -91,6 +91,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q114_scd2_history") == ((1000L, "b8c3829e73feeeacadf2650dfdfbcdc6")))
     assert(queryHash("q115_zorder_key") == ((36L, "b8468f97db6b3b6be8ecdf2d8662b026")))
     assert(queryHash("q116_dist_rank_family") == ((1000L, "068ea7466f7372f7675b235be1e055f6")))
+    assert(queryHash("q117_jsonl_quarantine") == ((6L, "44427aaa60189ccfab10cf0da5300130")))
+    assert(queryHash("s27_stream_outer_join") == ((6L, "979a237422f97313431c5f7d0cd75fd6")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -174,6 +174,15 @@ class DailyFinalizeProcessor extends StatefulProcessor[Long, S25Ev, S25Out] {
   */
 object StateV2 {
 
+  /** s25's observed state-store row counts (peak across batches / final
+    * batch), captured from the query's progress metrics so a spec can
+    * ASSERT the boundedness + eviction claims instead of trusting the
+    * scaladoc: peak ≤ users × day-span (state is open (user, day)
+    * pairs, never corpus rows), final < peak (timers evicted).
+    */
+  val s25PeakStateRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+  val s25FinalStateRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def transformWithStateCounts(session: SparkSession, dir: String): DataFrame = {
     val spark = StreamSessions.tuned(session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -269,6 +278,12 @@ object StateV2 {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+    if (stateRows.nonEmpty) {
+      s25PeakStateRows.set(stateRows.max)
+      s25FinalStateRows.set(stateRows.last)
+    }
     StreamSessions.settleLocal(
       spark,
       name,

@@ -396,4 +396,13 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, "one event_type shuffle for both")
     assert(count(p, "Sort [") <= 2, "one window sort + the final output sort only")
   }
+
+  test("q65 top-k per lang rides the two-phase WindowGroupLimit") {
+    // Spark's InferWindowGroupLimit turns rank ≤ k into per-partition
+    // top-k limits BEFORE the shuffle — the difference between moving
+    // k rows per lang per partition and moving whole lang partitions.
+    // A refactor that obscures the rank predicate loses the rewrite.
+    val p = plan("q65_quality_topk_per_lang")
+    assert(count(p, "WindowGroupLimit") == 2, "partial (map-side) + final group limits")
+  }
 }

@@ -685,6 +685,24 @@ object StreamDemos {
               FROM m
               UNION ALL SELECT u, FALSE, NULL FROM unm) x
         GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s28: chained stateful operators (Watermarks.chainedDedupDailyCounts
+    // scaladoc) — deliberately the SAME oracle SQL as s25: dedup undoes
+    // the replay (the events table is already exactly-once), the window
+    // aggregate finalizes days whose end passed max(ts) − 24 h. Three
+    // implementations, one semantics, one hash.
+    Q(
+      "s28_chained_stateful",
+      (s, dir) => graft.streaming.Watermarks.chainedDedupDailyCounts(s, dir),
+      Some("""WITH ev AS (SELECT user_id,
+          CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day,
+          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday,
+          CAST(epoch(ts) AS BIGINT) AS sec
+        FROM events),
+        wm AS (SELECT max(sec) - 86400 AS wm_sec FROM ev)
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev, wm WHERE (eday + 1) * 86400 <= wm_sec
+        GROUP BY user_id, day ORDER BY user_id, day""")
     )
   )
 }

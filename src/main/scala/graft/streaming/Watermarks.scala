@@ -344,6 +344,54 @@ object Watermarks {
     )
   }
 
+  /** s28: CHAINED stateful operators in one streaming query —
+    * `dropDuplicatesWithinWatermark` (bounded-state exact dedup, s17's
+    * operator) feeding a 1-day windowed aggregate (s07's operator), the
+    * multi-stateful-op pipeline Spark supports via watermark
+    * propagation between operators. Both operators share the 24 h
+    * watermark: the dedup drops the batch-2 replay (its rows are
+    * beyond-watermark late), the window aggregate finalizes exactly the
+    * days whose end passed the final watermark. The oracle is the SAME
+    * SQL as s25's — so the hashes prove chained built-in operators ≡
+    * timer-driven user code ≡ the batch census, three implementations
+    * of one semantics.
+    */
+  def chainedDedupDailyCounts(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    val counts = Tables
+      .normalizeEvents(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$streamDir/*.parquet")
+      )
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("user_id"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        TimeCodec.dayInt(col("window.start")).as("day"),
+        col("n_events")
+      )
+    val name = "s28_chain_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamSessions.settleLocal(
+      spark,
+      name,
+      spark.table(name).orderBy("user_id", "day")
+    )
+  }
+
   /** UPDATE output mode (s23) — the third output mode beside the
     * suite's append (finalized-once) and complete (full re-emit)
     * demos: each micro-batch emits ONLY the aggregate rows that

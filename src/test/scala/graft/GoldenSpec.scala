@@ -93,6 +93,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q116_dist_rank_family") == ((1000L, "068ea7466f7372f7675b235be1e055f6")))
     assert(queryHash("q117_jsonl_quarantine") == ((6L, "44427aaa60189ccfab10cf0da5300130")))
     assert(queryHash("s27_stream_outer_join") == ((6L, "979a237422f97313431c5f7d0cd75fd6")))
+    // same 369/20640a75… as s25 BY DESIGN: chained built-ins ≡ timer code
+    assert(queryHash("s28_chained_stateful") == ((369L, "20640a7503dccc34da95abc41f175fa3")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

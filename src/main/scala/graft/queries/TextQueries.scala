@@ -1195,6 +1195,81 @@ object TextQueries {
            AND NOT regexp_matches(redacted, '555-[0-9]{4}')) AS clean
         FROM red ORDER BY doc_id""")
     ),
+    // q118: distribution-drift monitor — the data-quality gate a
+    // continuously-ingesting pipeline runs before accepting a new batch:
+    // does the candidate slice's length distribution still look like the
+    // reference corpus? Per lang, a χ² statistic over 6 length buckets
+    // (candidate observed vs expected-from-reference proportions,
+    // Laplace-smoothed so empty reference buckets can't divide by zero).
+    // Numeric discipline: per-bucket terms are IEEE-identical in both
+    // engines (same op order on integer-derived doubles), then
+    // NANO-QUANTIZED to BIGINT before the order-free sum (the q64/q101
+    // integer-quantization rule — float Σ order differs across engines,
+    // integer Σ cannot). Output is all-integer: chi2 in nano-units + the
+    // drift flag. Shape: ONE heavy map-side-combined (lang, bucket, side)
+    // aggregate on the scan; everything after runs on ≤ langs×6 rows.
+    Q(
+      "q118_drift_chi2",
+      (s, dir) => {
+        val side = when(col("source").isin("src0", "src1", "src2"), lit("ref"))
+          .otherwise(lit("cand"))
+        val bucket = least(expr("n_chars div 100"), lit(5)).cast("long")
+        val counts = Tables
+          .documentsSpread(s, dir)
+          .select(col("lang"), bucket.as("b"), side.as("side"))
+          .groupBy("lang", "b")
+          .agg(
+            sum(when(col("side") === "ref", lit(1L)).otherwise(lit(0L))).as("r"),
+            sum(when(col("side") === "cand", lit(1L)).otherwise(lit(0L))).as("o")
+          )
+        val totals = counts
+          .groupBy("lang")
+          .agg(sum(col("r")).as("n_ref"), sum(col("o")).as("n_cand"))
+        val e = (col("n_cand").cast("double") * (col("r") + lit(1L)).cast("double")) /
+          (col("n_ref") + lit(6L)).cast("double")
+        val d = col("o").cast("double") - e
+        val termNano = floor(((d * d) / e) * lit(1e9) + lit(0.5)).cast("long")
+        counts
+          .join(broadcast(totals), "lang")
+          .select(col("lang"), col("n_ref"), col("n_cand"), termNano.as("t"))
+          .groupBy("lang")
+          .agg(
+            max(col("n_ref")).as("n_ref"),
+            max(col("n_cand")).as("n_cand"),
+            sum(col("t")).as("chi2_nano")
+          )
+          .select(
+            col("lang"),
+            col("n_ref"),
+            col("n_cand"),
+            col("chi2_nano"),
+            (col("chi2_nano") > lit(20000000000L)).as("drifted")
+          )
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (
+          SELECT lang, least(n_chars // 100, 5) AS b,
+            CAST(sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS BIGINT) AS r,
+            CAST(sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2),
+        totals AS (SELECT lang, CAST(sum(r) AS BIGINT) AS n_ref,
+            CAST(sum(o) AS BIGINT) AS n_cand FROM counts GROUP BY lang),
+        terms AS (SELECT c.lang, t.n_ref, t.n_cand,
+            CAST(floor(((CAST(c.o AS DOUBLE)
+                          - (CAST(t.n_cand AS DOUBLE) * CAST(c.r + 1 AS DOUBLE))
+                            / CAST(t.n_ref + 6 AS DOUBLE))
+                         * (CAST(c.o AS DOUBLE)
+                          - (CAST(t.n_cand AS DOUBLE) * CAST(c.r + 1 AS DOUBLE))
+                            / CAST(t.n_ref + 6 AS DOUBLE)))
+                        / ((CAST(t.n_cand AS DOUBLE) * CAST(c.r + 1 AS DOUBLE))
+                           / CAST(t.n_ref + 6 AS DOUBLE))
+                        * 1e9 + 5e-1) AS BIGINT) AS t
+          FROM counts c JOIN totals t USING (lang))
+        SELECT lang, max(n_ref) AS n_ref, max(n_cand) AS n_cand,
+          CAST(sum(t) AS BIGINT) AS chi2_nano,
+          (CAST(sum(t) AS BIGINT) > 20000000000) AS drifted
+        FROM terms GROUP BY lang ORDER BY lang""")
+    ),
     // q110: statistical-moment family (variance / stddev / covariance /
     // correlation) per language, computed the 100 TB-exact way: ONE pass
     // accumulates the five integer power sums (Σx, Σx², Σy, Σy², Σxy —

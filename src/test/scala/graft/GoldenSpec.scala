@@ -95,6 +95,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s27_stream_outer_join") == ((6L, "979a237422f97313431c5f7d0cd75fd6")))
     // same 369/20640a75… as s25 BY DESIGN: chained built-ins ≡ timer code
     assert(queryHash("s28_chained_stateful") == ((369L, "20640a7503dccc34da95abc41f175fa3")))
+    assert(queryHash("q118_drift_chi2") == ((5L, "44159aa2165c05f05b557212db051b7c")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -1106,6 +1106,49 @@ object RelQueries {
           WHERE doc_id % ${graft.sources.JsonlSource.CorruptMod}
                   = ${graft.sources.JsonlSource.CorruptRem})
         ORDER BY lang NULLS FIRST""")
+    ),
+    // q119: FORWARD as-of — q49's backward as-of mirrored in time: for
+    // each alert (value > 250), the FIRST calm event (value < 50) at or
+    // after it per user, and the recovery gap in seconds ("time to
+    // recovery" / next-touch attribution). No join at all: one running
+    // min over reverse time order (rows frame anchored at the current
+    // row) computes every alert's next calm in a single window pass —
+    // ONE user_id shuffle + ONE sort, vs the self-join's shuffle + a
+    // per-alert aggregate. (ts, event_id) DESC is a TOTAL order, so the
+    // frame content — and the min — is bit-stable under ts ties.
+    // Integer-second gap; alerts with no calm after them surface NULL.
+    Q(
+      "q119_next_event_gap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn(
+            "next_calm_sec",
+            min(when(col("value") < 50.0, col("ts").cast("long"))).over(w)
+          )
+          .filter(col("value") > 250.0)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("ts").as("alert_ts"),
+            (col("next_calm_sec") - col("ts").cast("long")).as("recovery_sec")
+          )
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, alert_ts, recovery_sec FROM (
+          SELECT user_id, event_id, ts AS alert_ts, value,
+            min(CASE WHEN value < 50e0 THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+              OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - CAST(floor(epoch(ts)) AS BIGINT) AS recovery_sec
+          FROM events)
+        WHERE value > 250e0 ORDER BY user_id, event_id""")
     )
   )
 }

@@ -627,7 +627,7 @@ object StreamDemos {
       Some("""WITH ev AS (SELECT user_id,
           CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day,
           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday,
-          CAST(epoch(ts) AS BIGINT) AS sec
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
         FROM events),
         wm AS (SELECT max(sec) - 86400 AS wm_sec FROM ev)
         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
@@ -697,7 +697,7 @@ object StreamDemos {
       Some("""WITH ev AS (SELECT user_id,
           CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day,
           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday,
-          CAST(epoch(ts) AS BIGINT) AS sec
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
         FROM events),
         wm AS (SELECT max(sec) - 86400 AS wm_sec FROM ev)
         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events

@@ -1222,15 +1222,19 @@ object TextQueries {
             sum(when(col("side") === "ref", lit(1L)).otherwise(lit(0L))).as("r"),
             sum(when(col("side") === "cand", lit(1L)).otherwise(lit(0L))).as("o")
           )
-        val totals = counts
-          .groupBy("lang")
-          .agg(sum(col("r")).as("n_ref"), sum(col("o")).as("n_cand"))
+        // lang totals via window sums over the already-reduced counts
+        // frame (langs×6 rows) — NOT a groupBy+join back, which would
+        // duplicate the whole scan subtree (Spark re-plans a twice-
+        // referenced unpersisted frame; at 100 TB that's a second full
+        // corpus scan for a 30-row total)
+        val wLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
         val e = (col("n_cand").cast("double") * (col("r") + lit(1L)).cast("double")) /
           (col("n_ref") + lit(6L)).cast("double")
         val d = col("o").cast("double") - e
         val termNano = floor(((d * d) / e) * lit(1e9) + lit(0.5)).cast("long")
         counts
-          .join(broadcast(totals), "lang")
+          .withColumn("n_ref", sum(col("r")).over(wLang))
+          .withColumn("n_cand", sum(col("o")).over(wLang))
           .select(col("lang"), col("n_ref"), col("n_cand"), termNano.as("t"))
           .groupBy("lang")
           .agg(

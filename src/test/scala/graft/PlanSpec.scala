@@ -405,4 +405,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q65_quality_topk_per_lang")
     assert(count(p, "WindowGroupLimit") == 2, "partial (map-side) + final group limits")
   }
+
+  test("q118 drift gate scans the corpus exactly once") {
+    // lang totals come from window sums over the reduced counts frame —
+    // the groupBy+join-back alternative re-plans the twice-referenced
+    // scan subtree (a second full corpus scan at 100 TB). One scan node.
+    val p = plan("q118_drift_chi2")
+    assert(count(p, "Scan parquet") == 1, "totals must not duplicate the scan subtree")
+    assert(p.contains("partial_sum"), "the (lang, bucket, side) counts combine map-side")
+  }
+
+  test("q119 forward as-of is one window pass, no join") {
+    val p = plan("q119_next_event_gap")
+    assert(count(p, "Window [") == 1, "running min over reverse order — a single window")
+    assert(!p.contains("Join"), "forward as-of must not become a self-join")
+    assert(count(p, "Exchange hashpartitioning") == 1, "one user_id shuffle")
+  }
 }

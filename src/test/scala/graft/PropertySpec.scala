@@ -119,4 +119,31 @@ class PropertySpec extends AnyFunSuite {
       prev = p
     }
   }
+
+  test("Morton interleave round-trips and 16-blocks bound both dims to 4x4 quadrants") {
+    // the mathematical basis of q115's skipping claim, proven for ALL
+    // 8-bit inputs, not just the fixture: the z-key de-interleaves back
+    // to exactly (x, y), and any two points sharing a 16-aligned key
+    // block differ by at most 3 in EACH dimension (low 2 bits each).
+    def morton(x: Int, y: Int): Long =
+      (0 until 8).map(i => ((((x >> i) & 1) << (2 * i + 1)) + (((y >> i) & 1) << (2 * i))).toLong).sum
+    def deinterleave(z: Long): (Int, Int) = {
+      var x = 0; var y = 0
+      (0 until 8).foreach { i =>
+        x |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+        y |= (((z >> (2 * i)) & 1L) << i).toInt
+      }
+      (x, y)
+    }
+    val all = for (x <- 0 until 256; y <- 0 until 256) yield (x, y, morton(x, y))
+    // bijection: every z-key distinct and round-trips
+    assert(all.map(_._3).distinct.size == 256 * 256)
+    all.foreach { case (x, y, z) => assert(deinterleave(z) == ((x, y))) }
+    // quadrant bound: group by 16-aligned block, check both spans
+    all.groupBy(_._3 >> 4).foreach { case (blk, pts) =>
+      val xs = pts.map(_._1); val ys = pts.map(_._2)
+      assert(xs.max - xs.min <= 3, s"block $blk x-span ${xs.max - xs.min}")
+      assert(ys.max - ys.min <= 3, s"block $blk y-span ${ys.max - ys.min}")
+    }
+  }
 }

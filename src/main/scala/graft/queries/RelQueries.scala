@@ -1149,6 +1149,48 @@ object RelQueries {
               - CAST(floor(epoch(ts)) AS BIGINT) AS recovery_sec
           FROM events)
         WHERE value > 250e0 ORDER BY user_id, event_id""")
+    ),
+    // q120: HOPPING (sliding) window aggregation — the window kind the
+    // suite didn't yet cover beside tumbling (s03), session (q47) and
+    // trailing-RANGE (q103): `window(ts, 2 days, 1 day)` assigns each
+    // event to BOTH overlapping 2-day windows (Spark expands rows
+    // map-side — slide/size copies per row, here 2 — then one (user,
+    // window) shuffle with map-side partial aggregation; never a
+    // self-join). Decimal-exact value sums. The oracle mirrors the
+    // expansion literally: each event contributes to window starts
+    // eday and eday−1 (epoch-day-aligned, as Spark aligns to the epoch
+    // in UTC), then the same aggregate.
+    Q(
+      "q120_hopping_window",
+      (s, dir) => {
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"), window(col("ts"), "2 days", "1 day").as("w"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")
+          )
+          .select(
+            col("user_id"),
+            graft.ops.TimeCodec.dayInt(col("w.start")).as("window_day"),
+            col("n_events"),
+            col("sum_value")
+          )
+          .orderBy("user_id", "window_day")
+      },
+      Some("""WITH d AS (SELECT user_id,
+          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS eday,
+          CAST(value AS DECIMAL(18,4)) AS dv
+        FROM events),
+        x AS (SELECT user_id, eday AS ws, dv FROM d
+              UNION ALL SELECT user_id, eday - 1, dv FROM d)
+        SELECT user_id,
+          CAST(year(DATE '1970-01-01' + CAST(ws AS INTEGER))*10000
+             + month(DATE '1970-01-01' + CAST(ws AS INTEGER))*100
+             + day(DATE '1970-01-01' + CAST(ws AS INTEGER)) AS BIGINT) AS window_day,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(dv) AS DOUBLE) AS sum_value
+        FROM x GROUP BY user_id, ws ORDER BY user_id, window_day""")
     )
   )
 }

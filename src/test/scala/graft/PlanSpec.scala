@@ -421,4 +421,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "forward as-of must not become a self-join")
     assert(count(p, "Exchange hashpartitioning") == 1, "one user_id shuffle")
   }
+
+  test("q120 hopping window expands map-side and aggregates in one shuffle") {
+    // window(ts, 2d, 1d) must plan as Expand (each row → its 2 windows,
+    // before the exchange) + a two-phase aggregate — never a self-join
+    // or a union of shifted scans.
+    val p = plan("q120_hopping_window")
+    assert(p.contains("Expand"), "slide/size row expansion must be the map-side Expand node")
+    assert(!p.contains("Join"))
+    assert(count(p, "Exchange hashpartitioning") == 1, "one (user, window) shuffle")
+    assert(p.contains("partial_count"), "window counts combine map-side")
+  }
 }

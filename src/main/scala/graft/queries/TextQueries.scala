@@ -1274,6 +1274,34 @@ object TextQueries {
           (CAST(sum(t) AS BIGINT) > 20000000000) AS drifted
         FROM terms GROUP BY lang ORDER BY lang""")
     ),
+    // q121: inverted-index build — the retrieval-infrastructure EXPORT
+    // (what q74/q92 score against, materialized): term → document
+    // frequency + the SORTED posting list of containing doc_ids, the
+    // array-valued artifact a search system loads. Map-side per-doc
+    // dedup (array_distinct before the explode) so each doc contributes
+    // one posting per term; one vocab-keyed shuffle; sort_array makes
+    // the list order engine-independent. At 100 TB the stopword rows'
+    // posting lists are corpus-sized — a production export shards them
+    // (posting-list chunking); the shape up to that sharding is this.
+    Q(
+      "q121_inverted_index",
+      (s, dir) => {
+        Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), explode(array_distinct(ws)).as("w"))
+          .groupBy("w")
+          .agg(
+            count(lit(1)).as("df"),
+            sort_array(collect_list(col("doc_id"))).as("postings")
+          )
+          .orderBy("w")
+      },
+      Some("""WITH words AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        SELECT w, CAST(count(*) AS BIGINT) AS df,
+          list_sort(list(doc_id)) AS postings
+        FROM words GROUP BY w ORDER BY w""")
+    ),
     // q110: statistical-moment family (variance / stddev / covariance /
     // correlation) per language, computed the 100 TB-exact way: ONE pass
     // accumulates the five integer power sums (Σx, Σx², Σy, Σy², Σxy —

@@ -98,6 +98,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q118_drift_chi2") == ((5L, "44159aa2165c05f05b557212db051b7c")))
     assert(queryHash("q119_next_event_gap") == ((7L, "a4e08d4d14e8a6962de0b74852993cae")))
     assert(queryHash("q120_hopping_window") == ((457L, "b9b3d11a8e90c562b6d1bcd998b9f820")))
+    assert(queryHash("q121_inverted_index") == ((31L, "3f34b8100b32ba3fead1896364732a3e")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

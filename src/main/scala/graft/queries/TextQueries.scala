@@ -1302,6 +1302,90 @@ object TextQueries {
           list_sort(list(doc_id)) AS postings
         FROM words GROUP BY w ORDER BY w""")
     ),
+    // q122: sparse TF-IDF cosine pairs — the LEXICAL near-dup metric
+    // beside MinHash's Jaccard (q33) and the embedding cosine (q37):
+    // exact cosine over df-capped tf-idf vectors, candidates generated
+    // through the inverted index (q121's artifact, inlined). The vector
+    // SPACE is defined as terms with df ≤ 50 (stopword pruning — the
+    // standard cap that bounds every posting bucket, so pair generation
+    // is Σ df² over capped terms, never corpus²; production derives the
+    // cap corpus-relatively like q73's bounds). Numeric discipline:
+    // idf weights are INTEGERS (tf · ((N·10³) div df) — integer
+    // (10³ scale keeps every wa·wb product and pair dot far inside
+    // BIGINT at any fixture SF; 10⁶ overflows at sf0.01+) — integer-div
+    // division DEFINES the weight identically in both engines), so
+    // per-pair dot products are order-free BIGINT sums; norms are
+    // IEEE sqrt of BIGINT; one r6 division at the end. Pairs ≥ 0.5
+    // survive. Shape: word-keyed join bounded by the df cap, pair-keyed
+    // aggregate, two doc-keyed norm joins.
+    Q(
+      "q122_tfidf_cosine_pairs",
+      (s, dir) => {
+        val docs = Tables.documentsSpread(s, dir)
+        val words = docs
+          .select(col("doc_id"), explode(ws).as("w"))
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("tf"))
+        val vocab = words
+          .groupBy("w")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+        val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+        // localCheckpoint: weighted feeds BOTH pair-join sides and the
+        // norm aggregate — unpinned, Spark re-plans the whole
+        // words→vocab→join subtree per reference (the q118 lesson;
+        // q59/q68 precedent for reused candidate frames)
+        val weighted = words
+          .join(vocab, "w") // df-capped space only
+          .select(
+            col("doc_id"),
+            col("w"),
+            (col("tf") * expr(s"(${nDocs}L * 1000L) div df")).as("wt")
+          )
+          .localCheckpoint()
+        val norms = weighted
+          .groupBy("doc_id")
+          .agg(sqrt(sum(col("wt") * col("wt")).cast("double")).as("norm"))
+        val a = weighted.select(col("doc_id").as("a"), col("w"), col("wt").as("wa"))
+        val b = weighted.select(col("doc_id").as("b"), col("w"), col("wt").as("wb"))
+        a.join(b, Seq("w"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+          .join(norms.select(col("doc_id").as("a"), col("norm").as("na")), "a")
+          .join(norms.select(col("doc_id").as("b"), col("norm").as("nb")), "b")
+          .select(
+            col("a"),
+            col("b"),
+            col("dot"),
+            FeatureOps.r6(col("dot").cast("double") / (col("na") * col("nb"))).as("cos6")
+          )
+          .filter(col("cos6") >= 0.5)
+          .orderBy("a", "b")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM words
+          GROUP BY w HAVING count(*) <= 50),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        weighted AS (SELECT doc_id, w, tf * ((n_docs * 1000) // df) AS wt
+          FROM words JOIN vocab USING (w), n),
+        norms AS (SELECT doc_id, sqrt(CAST(sum(wt * wt) AS DOUBLE)) AS norm
+          FROM weighted GROUP BY doc_id),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+            CAST(sum(x.wt * y.wt) AS BIGINT) AS dot
+          FROM weighted x JOIN weighted y ON x.w = y.w AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, dot,
+          floor((CAST(dot AS DOUBLE) / (na.norm * nb.norm)) * 1e6 + 5e-1) / 1e6 AS cos6
+        FROM pairs
+        JOIN norms na ON na.doc_id = a
+        JOIN norms nb ON nb.doc_id = b
+        WHERE floor((CAST(dot AS DOUBLE) / (na.norm * nb.norm)) * 1e6 + 5e-1) / 1e6 >= 5e-1
+        ORDER BY a, b""")
+    ),
     // q110: statistical-moment family (variance / stddev / covariance /
     // correlation) per language, computed the 100 TB-exact way: ONE pass
     // accumulates the five integer power sums (Σx, Σx², Σy, Σy², Σxy —

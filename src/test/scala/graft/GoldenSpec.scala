@@ -99,6 +99,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q119_next_event_gap") == ((7L, "a4e08d4d14e8a6962de0b74852993cae")))
     assert(queryHash("q120_hopping_window") == ((457L, "b9b3d11a8e90c562b6d1bcd998b9f820")))
     assert(queryHash("q121_inverted_index") == ((31L, "3f34b8100b32ba3fead1896364732a3e")))
+    assert(queryHash("q122_tfidf_cosine_pairs") == ((300L, "7a4336c6e3ef421a7a9f1a600a2a9968")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -432,4 +432,20 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, "one (user, window) shuffle")
     assert(p.contains("partial_count"), "window counts combine map-side")
   }
+
+  test("q121 posting lists build with map-side partial collect") {
+    val p = plan("q121_inverted_index")
+    assert(count(p, "Scan parquet") == 1, "one corpus scan")
+    assert(p.contains("partial_collect_list"), "postings partial-aggregate before the wire")
+  }
+
+  test("q122 pair plan reuses the checkpointed term frame, never re-scans the corpus") {
+    // weighted feeds both join sides and the norms — localCheckpoint
+    // pins it so the final plan reads ExistingRDD leaves; losing the
+    // checkpoint re-plans the words→vocab subtree per reference.
+    val p = plan("q122_tfidf_cosine_pairs")
+    assert(count(p, "Scan parquet") == 0, "all leaves must be the checkpointed frame")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

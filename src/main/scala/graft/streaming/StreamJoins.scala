@@ -100,6 +100,15 @@ object StreamJoins {
     */
   val CalmThreshold = 50.0
 
+  /** s27's observed join-state row counts (peak across batches / final),
+    * captured from progress metrics so StateBoundSpec can ASSERT the
+    * range-condition state bound instead of trusting the scaladoc. The
+    * symmetric hash join keeps four stores (two per side); numRowsTotal
+    * counts them all.
+    */
+  val s27PeakStateRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+  val s27FinalStateRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** s27: watermarked stream-stream LEFT OUTER join — the append-mode
     * semantics s16's inner join cannot show: an alert followed by NO
     * calm tick within the range window must still emit, null-padded,
@@ -154,6 +163,12 @@ object StreamJoins {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+    if (stateRows.nonEmpty) {
+      s27PeakStateRows.set(stateRows.max)
+      s27FinalStateRows.set(stateRows.last)
+    }
     val summary = spark
       .table(name)
       .groupBy(col("a_user_id").as("user_id"))

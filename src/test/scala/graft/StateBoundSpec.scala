@@ -25,4 +25,20 @@ class StateBoundSpec extends AnyFunSuite {
     assert(peak <= 2L * 15L * 31L, s"state rows $peak exceed the open-pairs bound")
     assert(fin < peak, s"final state $fin did not shrink below peak $peak — timers never evicted")
   }
+
+  test("s27 join state is range-bounded and watermark-evicted") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("s27_stream_outer_join")(TestSpark.spark, dir).collect()
+    val peak = graft.streaming.StreamJoins.s27PeakStateRows.get()
+    val fin = graft.streaming.StreamJoins.s27FinalStateRows.get()
+    info(s"s27 join state: peak=$peak final=$fin")
+    assert(peak > 0L, "progress metrics must report join state rows")
+    // sf0.001: ~1000 events → both sides unfiltered would buffer ~1260
+    // logical rows ≈ 2500+ store rows (the symmetric join keeps two
+    // stores per side). The watermark + 12 h range condition must keep
+    // the peak WELL below that buffer-everything figure, and the final
+    // batch (after eviction, replay dropped) well below the peak.
+    assert(peak < 1200L, s"peak join state $peak is not range-bounded")
+    assert(fin < peak, s"final state $fin did not shrink below peak $peak — no eviction")
+  }
 }

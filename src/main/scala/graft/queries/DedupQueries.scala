@@ -862,6 +862,61 @@ object DedupQueries {
           FROM p3 LEFT JOIN dg ON p3.doc_id = dg.src
           ORDER BY pr DESC, doc_id LIMIT 20"""
       }
+    ),
+    // Chunk-level cross-doc dedup (q125): the SUB-document dedup pass
+    // (RefinedWeb/Falcon-style substring dedup, at chunk granularity) —
+    // q20 drops whole duplicate docs, but boilerplate repeats INSIDE
+    // otherwise-distinct docs; here every q83-shaped chunk (32 words,
+    // stride 24) keeps only its FIRST corpus occurrence (min (doc_id,
+    // chunk_id)) and each doc reports how much of it survives. Scale
+    // shape: the chunk text is reduced to a 128-bit digest MAP-SIDE, so
+    // the one shuffle (row_number over the digest) carries (digest,
+    // doc_id, chunk_id) — never the text; duplicate-family buckets are
+    // bounded by actual repetition, and the per-doc rollup rides a
+    // second small shuffle on doc_id. The first-occurrence rule makes
+    // the pass deterministic and idempotent — re-running on the deduped
+    // corpus drops nothing.
+    Q(
+      "q125_chunk_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val chunks = Tables
+          .documentsSpread(s, dir)
+          .select(
+            col("doc_id"),
+            col("text"),
+            posexplode(sequence(lit(0), size(ws) - 1, lit(24))).as(Seq("chunk_id", "start"))
+          )
+          .select(
+            col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            md5(to_binary(concat_ws(" ", slice(ws, col("start") + 1, lit(32))), lit("utf-8")))
+              .as("h")
+          )
+        val rn = row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id")))
+        chunks
+          .withColumn("rn", rn)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+          SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_id,
+            array_to_string(w[st:st+31], ' ') AS chunk_text
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            LATERAL unnest(generate_series(1, len(w), 24)) AS t(st)),
+        m AS (SELECT doc_id, chunk_id,
+            row_number() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+          FROM ch)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+          CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+        FROM m GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

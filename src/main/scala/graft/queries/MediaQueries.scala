@@ -381,6 +381,35 @@ object MediaQueries {
             CAST(max(doc_id) AS BIGINT) AS max_doc
           FROM sigs GROUP BY sig ORDER BY sig"""
       }
+    ),
+    // binaryFile source ingestion (q123): the multimodal ingestion FRONT
+    // DOOR — a directory of raw blob files read distributedly via Spark's
+    // built-in `binaryFile` format (path/length/content rows), the step
+    // before any parquet packing exists. The staged fixture is written
+    // executor-side (foreachPartition, one file per doc) and read back
+    // with a `pathGlobFilter` that provably prunes a non-matching
+    // sibling at LISTING time. Per-row (doc_id, byte length, md5) is
+    // hash-compared against the source-of-truth table, so a lossy hop
+    // (encoding, truncation, listing misses) fails the gate row-by-row,
+    // not just in aggregate. Scale: blob files are unsplittable one-task
+    // reads — the 100 TB pattern is glob-prune the listing, ingest ONCE,
+    // compact to parquet blob tables (the media staging shape) for every
+    // later pass; this query is that first hop, proven byte-exact.
+    Q(
+      "q123_binary_ingest",
+      (s, dir) => {
+        val staged = graft.sources.BinaryIngest.stageDocFiles(s, dir)
+        graft.sources.BinaryIngest
+          .readBlobDir(s, staged)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("content_md5")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5 FROM documents ORDER BY doc_id""")
     )
   )
 }

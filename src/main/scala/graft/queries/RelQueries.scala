@@ -1191,6 +1191,50 @@ object RelQueries {
           CAST(count(*) AS BIGINT) AS n_events,
           CAST(sum(dv) AS DOUBLE) AS sum_value
         FROM x GROUP BY user_id, ws ORDER BY user_id, window_day""")
+    ),
+    // XML source round-trip (q124): Spark 4's BUILT-IN XML source (the
+    // spark-xml package merged upstream) — parquet → rowTag'd XML →
+    // explicit-schema typed read-back, completing the source-format
+    // family (parquet / ORC q95 / CSV q94 / JSONL q117 / binaryFile
+    // q123). Same fidelity discipline as q94: the census comes FROM the
+    // XML read-back, and an order-independent multiset checksum (count +
+    // exact DECIMAL sum of xxhash64 over every column, map-only on both
+    // sides) compares read-back to original, so a lossy leg (timestamp
+    // format, double text, entity escaping) fails the hash. Scale:
+    // multiline XML is unsplittable (one task per file) and untyped —
+    // the 100 TB rule is ingest once, parquet out; this proves that hop
+    // loses nothing.
+    Q(
+      "q124_xml_roundtrip",
+      (s, dir) => {
+        val orig = Tables.orders(s, dir)
+        val path = graft.sources.XmlSource.stageOrdersXml(s, dir)
+        val back = graft.sources.XmlSource.readOrdersXml(s, path, orig.schema)
+        def checksum(df: org.apache.spark.sql.DataFrame) = df
+          .agg(
+            count(lit(1)),
+            sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))
+          )
+          .head()
+        val (co, cb) = (checksum(orig), checksum(back))
+        val matches = co.getLong(0) == cb.getLong(0) && co.getDecimal(1) == cb.getDecimal(1)
+        back
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+            (year(max(col("o_orderdate"))).cast("long") * 10000 +
+              month(max(col("o_orderdate"))).cast("long") * 100 +
+              dayofmonth(max(col("o_orderdate"))).cast("long")).as("max_day")
+          )
+          .withColumn("checksum_match", lit(matches))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+          CAST(year(max(o_orderdate))*10000 + month(max(o_orderdate))*100 + day(max(o_orderdate)) AS BIGINT) AS max_day,
+          TRUE AS checksum_match
+        FROM orders ORDER BY n_rows""")
     )
   )
 }

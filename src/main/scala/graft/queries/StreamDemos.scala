@@ -703,6 +703,21 @@ object StreamDemos {
         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
         FROM ev, wm WHERE (eday + 1) * 86400 <= wm_sec
         GROUP BY user_id, day ORDER BY user_id, day""")
+    ),
+    // s29: Observation API in-flight metrics (df.observe →
+    // CollectMetricsExec) — the SQL-native telemetry channel beside
+    // s06's accumulator/listener pair: gate metrics collected on the
+    // SAME pass as the driving noop write (no second scan), and the
+    // emitted row IS Observation.get, so the oracle hash proves the
+    // in-flight numbers equal a from-scratch recomputation.
+    Q(
+      "s29_observe_metrics",
+      (s, dir) => graft.telemetry.Telemetry.observedGate(s, dir),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(max(len(text)) AS BIGINT) AS max_len,
+          CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_null_lang
+        FROM documents ORDER BY n_rows""")
     )
   )
 }

@@ -100,6 +100,10 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q120_hopping_window") == ((457L, "b9b3d11a8e90c562b6d1bcd998b9f820")))
     assert(queryHash("q121_inverted_index") == ((31L, "3f34b8100b32ba3fead1896364732a3e")))
     assert(queryHash("q122_tfidf_cosine_pairs") == ((300L, "7a4336c6e3ef421a7a9f1a600a2a9968")))
+    assert(queryHash("q123_binary_ingest") == ((500L, "f9d2471af0fc456078b650d09274e93a")))
+    assert(queryHash("q124_xml_roundtrip") == ((1L, "8bba4cedc800aa03557fa744efeef0ca")))
+    assert(queryHash("q125_chunk_dedup") == ((500L, "d2175fe70a61442efc546031c5897434")))
+    assert(queryHash("s29_observe_metrics") == ((1L, "bb8193351b0aa58109c3c16d2eb86ce8")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

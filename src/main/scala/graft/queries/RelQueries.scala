@@ -1235,6 +1235,77 @@ object RelQueries {
           CAST(year(max(o_orderdate))*10000 + month(max(o_orderdate))*100 + day(max(o_orderdate)) AS BIGINT) AS max_day,
           TRUE AS checksum_match
         FROM orders ORDER BY n_rows""")
+    ),
+    // Referential-integrity audit (q127): the pre-publish warehouse gate
+    // — every FK edge of the star/snowflake checked in one report:
+    // child rows, NULL FKs, orphans (child keys with no parent), and the
+    // per-edge ok flag. One LEFT join + one aggregate per edge, never a
+    // row-level export: the parent side is reduced to its DISTINCT key
+    // column first (the audit must not assume the PK it is auditing is
+    // unique), so dimension edges broadcast and even the
+    // lineitem→orders edge joins key-against-key — child payloads never
+    // shuffle. Orphan/null counts are partial-aggregated map-side after
+    // the join; the 7-row report is the only thing that leaves.
+    Q(
+      "q127_fk_audit",
+      (s, dir) => {
+        def audit(edge: String, child: org.apache.spark.sql.DataFrame, fk: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val p = parent.select(col(pk).as("__pk")).distinct().withColumn("__hit", lit(1))
+          child
+            .select(col(fk).as("__fk"))
+            .join(p, col("__fk") === col("__pk"), "left")
+            .agg(
+              count(lit(1)).as("n_child"),
+              sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+              sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L).otherwise(0L))
+                .as("n_orphan")
+            )
+            .select(
+              lit(edge).as("edge"),
+              col("n_child"),
+              col("n_null_fk"),
+              col("n_orphan"),
+              (col("n_orphan") === 0L).as("ref_ok")
+            )
+        }
+        val (o, c, l, pt, sp, na, re) = (
+          Tables.orders(s, dir), Tables.customer(s, dir), Tables.lineitem(s, dir),
+          Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir))
+        Seq(
+          audit("customer->nation", c, "c_nationkey", na, "n_nationkey"),
+          audit("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+          audit("lineitem->part", l, "l_partkey", pt, "p_partkey"),
+          audit("lineitem->supplier", l, "l_suppkey", sp, "s_suppkey"),
+          audit("nation->region", na, "n_regionkey", re, "r_regionkey"),
+          audit("orders->customer", o, "o_custkey", c, "c_custkey"),
+          audit("supplier->nation", sp, "s_nationkey", na, "n_nationkey")
+        ).reduce(_.unionAll(_)).orderBy("edge")
+      },
+      Some {
+        val edges = Seq(
+          ("customer->nation", "customer", "c_nationkey", "customer", "nation", "n_nationkey"),
+          ("lineitem->orders", "lineitem", "l_orderkey", "lineitem", "orders", "o_orderkey"),
+          ("lineitem->part", "lineitem", "l_partkey", "lineitem", "part", "p_partkey"),
+          ("lineitem->supplier", "lineitem", "l_suppkey", "lineitem", "supplier", "s_suppkey"),
+          ("nation->region", "nation", "n_regionkey", "nation", "region", "r_regionkey"),
+          ("orders->customer", "orders", "o_custkey", "orders", "customer", "c_custkey"),
+          ("supplier->nation", "supplier", "s_nationkey", "supplier", "nation", "n_nationkey")
+        )
+        val parts = edges.map { case (edge, childT, fk, _, parentT, pk) =>
+          s"""SELECT '$edge' AS edge, count(*) AS n_child,
+            count(*) FILTER ($fk IS NULL) AS n_null_fk,
+            count(*) FILTER ($fk IS NOT NULL AND p.__pk IS NULL) AS n_orphan
+          FROM $childT ch LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $parentT) p
+            ON ch.$fk = p.__pk"""
+        }
+        s"""SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+          CAST(n_null_fk AS BIGINT) AS n_null_fk,
+          CAST(n_orphan AS BIGINT) AS n_orphan,
+          (n_orphan = 0) AS ref_ok
+        FROM (${parts.mkString(" UNION ALL ")}) ORDER BY edge"""
+      }
     )
   )
 }

@@ -718,6 +718,32 @@ object StreamDemos {
           CAST(max(len(text)) AS BIGINT) AS max_len,
           CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_null_lang
         FROM documents ORDER BY n_rows""")
+    ),
+    // s30: streaming CDC upsert into a live DuckDB table — foreachBatch
+    // + conditional `ON CONFLICT DO UPDATE .. WHERE (excluded.ts, id) >
+    // (current.ts, id)`. Batch 2 of the staged replay re-delivers
+    // far-stale rows, so the guard is genuinely exercised: the measured
+    // reject count (= distinct users in the replay slice) and the final
+    // latest-wins state are both hash-checked; a sink that blindly
+    // applied the replay would regress users to old state AND flip the
+    // reject count, failing the gate twice over.
+    Q(
+      "s30_stream_upsert",
+      (s, dir) => graft.sinks.DuckDbUpsert.streamUpsertLatest(s, dir),
+      Some("""WITH lat AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+          FROM events),
+        st AS (SELECT count(DISTINCT user_id) AS ns FROM events
+          WHERE CAST(year(date_trunc('day', ts))*10000
+            + month(date_trunc('day', ts))*100
+            + day(date_trunc('day', ts)) AS BIGINT) < 20240106)
+        SELECT user_id, ts_us, event_id, value,
+          CAST(3 AS BIGINT) AS n_batches,
+          CAST((SELECT ns FROM st) AS BIGINT) AS n_stale_rejected,
+          TRUE AS upsert_live
+        FROM lat WHERE rk = 1 ORDER BY user_id""")
     )
   )
 }

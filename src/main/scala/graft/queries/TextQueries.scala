@@ -1445,6 +1445,52 @@ object TextQueries {
           "CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) / (sqrt(CAST(n*sum_xx - sum_x*sum_x AS DOUBLE)) * sqrt(CAST(n*sum_yy - sum_y*sum_y AS DOUBLE)))"
         )} AS corr6
         FROM sums ORDER BY lang""")
+    ),
+    // Bigram LM counts (q126): the KenLM-style count-collection step —
+    // per adjacent word pair c(w1,w2), the continuation total c(w1) =
+    // Σ_w2 c(w1,w2), and the integer conditional probability in basis
+    // points ((c2·10⁴) div c1, a true distribution per w1). Count-based
+    // n-gram LMs are still the scalable fluency scorer for corpus
+    // filtering, and counting is exactly a Spark aggregation. Scale
+    // shape: bigram expansion is MAP-SIDE array arithmetic (zip_with
+    // over two shifted slices — no per-doc window, no self-join); the
+    // one count shuffle carries observed-bigram-vocabulary keys with
+    // map-side partials (never corpus-sized); c(w1) rides a
+    // vocab-bounded window over the already-reduced count table; top-20
+    // by (c2, w1, w2) is a TakeOrdered, not a global sort.
+    Q(
+      "q126_bigram_lm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = size(ws)
+        val bc = Tables
+          .documentsSpread(s, dir)
+          .select(
+            explode(
+              zip_with(
+                slice(ws, lit(1), n - 1),
+                slice(ws, lit(2), n - 1),
+                (a, b) => struct(a.as("w1"), b.as("w2"))
+              )
+            ).as("bg")
+          )
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy("w1", "w2")
+          .agg(count(lit(1)).as("c2"))
+        bc
+          .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
+          .withColumn("p_bp", expr("(c2 * 10000) div c1"))
+          .orderBy(col("c2").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        big AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+          FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2)
+        SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+          CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+          CAST((c2 * 10000) // sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS p_bp
+        FROM bc ORDER BY c2 DESC, w1, w2 LIMIT 20""")
     )
   )
 }

@@ -104,6 +104,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q124_xml_roundtrip") == ((1L, "8bba4cedc800aa03557fa744efeef0ca")))
     assert(queryHash("q125_chunk_dedup") == ((500L, "d2175fe70a61442efc546031c5897434")))
     assert(queryHash("s29_observe_metrics") == ((1L, "bb8193351b0aa58109c3c16d2eb86ce8")))
+    assert(queryHash("q126_bigram_lm") == ((20L, "30fd40229d2023dad021638788db9353")))
+    assert(queryHash("q127_fk_audit") == ((7L, "8efde9f4cfd386f35e742118a9d0a68e")))
+    assert(queryHash("s30_stream_upsert") == ((15L, "7055f66b0423df8f68ac949a7165f007")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -448,4 +448,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q125 chunk dedup shuffles digests, not text: one window pass, no join") {
+    // chunk text reduces to md5 in the map-side Project, so the window
+    // exchange carries (digest, doc_id, chunk_id) only; first-occurrence
+    // marking must stay a single Window, never a self-join of chunks.
+    val p = plan("q125_chunk_dedup")
+    assert(!p.contains("Join"))
+    assert(count(p, "Window") == 1, "one first-occurrence window pass")
+    assert(p.contains("hashpartitioning(h#"), "the one heavy shuffle keys on the digest")
+    assert(count(p, "Exchange") == 4, "spread + digest window + doc rollup + final sort")
+  }
+
+  test("q126 bigram counts expand map-side and top-k via TakeOrdered") {
+    // zip_with over shifted slices IS the bigram expansion (Generate,
+    // map-side) — no per-doc window, no self-join; counts two-phase
+    // aggregate; the top-20 must not be a global sort.
+    val p = plan("q126_bigram_lm")
+    assert(!p.contains("Join"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"), "bigram counts combine map-side")
+    assert(count(p, "Exchange hashpartitioning") == 3, "spread + (w1,w2) agg + w1 window")
+  }
+
+  test("q127 FK audit: every parent key-set broadcasts, child tables never shuffle") {
+    // At fixture scale all 7 edges broadcast their DISTINCT parent keys
+    // (size-based, unhinted — at 100 TB the orders edge would degrade to
+    // a shuffled key-vs-key join by the same estimator, which is the
+    // correct posture); child rows must reach the aggregate without an
+    // exchange of their own.
+    val p = plan("q127_fk_audit")
+    assert(count(p, "BroadcastHashJoin") == 7)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val opt = SparkEntry
+      .queries("q127_fk_audit")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"), "broadcast stays size-based, never hinted")
+  }
 }

@@ -1306,6 +1306,42 @@ object RelQueries {
           (n_orphan = 0) AS ref_ok
         FROM (${parts.mkString(" UNION ALL ")}) ORDER BY edge"""
       }
+    ),
+    // Dense surrogate-ID assignment (q128): every training corpus needs
+    // stable dense ids (embedding-table rows, shard ordinals) — and the
+    // obvious `row_number() OVER (ORDER BY key)` is the classic 100 TB
+    // SCALE-KILLER: an empty partition spec plans Exchange
+    // SinglePartition, funneling the whole corpus through one task. The
+    // scale-correct shape is the offset-sum: range-partition by the key,
+    // sort within partitions, count each partition (one tiny job),
+    // prefix-sum the counts driver-side (partitions-bounded), then
+    // assign id = partition offset + local ordinal map-side — exactly
+    // what `RDD.zipWithIndex` implements, the one genuinely
+    // per-partition-imperative step (a declared RDD drop-down). The
+    // result equals the global rank REGARDLESS of where the sampled
+    // range boundaries land (the key is unique and partitions are
+    // ordered), so the output is deterministic even though the
+    // partitioner's sampling is not — hash-checked against the
+    // row_number oracle.
+    Q(
+      "q128_dense_ids",
+      (s, dir) => {
+        import s.implicits._
+        val parted = Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("lang"))
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .as[(Long, String)]
+        parted.rdd
+          .zipWithIndex()
+          .map { case ((d, l), i) => (d, l, i) }
+          .toDF("doc_id", "lang", "dense_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+          CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+        FROM documents ORDER BY doc_id""")
     )
   )
 }

@@ -744,6 +744,44 @@ object StreamDemos {
           CAST((SELECT ns FROM st) AS BIGINT) AS n_stale_rejected,
           TRUE AS upsert_live
         FROM lat WHERE rk = 1 ORDER BY user_id""")
+    ),
+    // s31: stream-stream FULL OUTER join — both finalization cuts
+    // mirrored in the oracle: unmatched alerts emit once the watermark
+    // passes a_ts + range (s27's rule); unmatched calm ticks emit once
+    // the watermark passes t_ts + range — Spark derives the tick side's
+    // state watermark as wm − maxRangeSpan from the inequality pair
+    // (conservative: semantically wm > t_ts would suffice, but the
+    // engine's derivation subtracts the span; verified empirically —
+    // the t_ts-only cut over-finalizes and fails the hash). Matched
+    // pairs mirror the batch range join unconditionally.
+    Q(
+      "s31_stream_full_outer",
+      (s, dir) => graft.streaming.StreamJoins.alertFullOuterEnrichment(s, dir),
+      Some(s"""WITH a AS (SELECT event_id AS a_id, user_id AS u, ts AS a_ts
+          FROM events WHERE value > ${graft.streaming.StreamJoins.AlertThreshold}),
+        t AS (SELECT event_id AS t_id, user_id AS u, ts AS t_ts
+          FROM events WHERE value < ${graft.streaming.StreamJoins.CalmThreshold}),
+        m AS (SELECT a.u, a.a_id, t.t_id, t.t_ts FROM a JOIN t ON a.u = t.u
+          AND t.t_ts > a.a_ts
+          AND t.t_ts <= a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR),
+        wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w FROM events),
+        unma AS (SELECT a.u, a.a_id FROM a, wm
+          WHERE a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR < wm.w
+            AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id)),
+        unmc AS (SELECT t.u, t.t_id FROM t, wm
+          WHERE t.t_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR < wm.w
+            AND NOT EXISTS (SELECT 1 FROM m WHERE m.t_id = t.t_id))
+        SELECT user_id,
+          CAST(count(CASE WHEN kind = 'm' THEN 1 END) AS BIGINT) AS n_pairs,
+          CAST(count(CASE WHEN kind = 'a' THEN 1 END) AS BIGINT) AS n_unmatched_alerts,
+          CAST(count(CASE WHEN kind = 'c' THEN 1 END) AS BIGINT) AS n_unmatched_calm,
+          max(CASE WHEN kind = 'm' THEN day END) AS last_matched_day
+        FROM (SELECT u AS user_id, 'm' AS kind,
+                CAST(year(t_ts)*10000 + month(t_ts)*100 + day(t_ts) AS BIGINT) AS day
+              FROM m
+              UNION ALL SELECT u, 'a', NULL FROM unma
+              UNION ALL SELECT u, 'c', NULL FROM unmc) x
+        GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

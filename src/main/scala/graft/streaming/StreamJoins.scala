@@ -181,4 +181,78 @@ object StreamJoins {
       .orderBy("user_id")
     StreamSessions.settleLocal(spark, name, summary)
   }
+
+  /** s31: watermarked stream-stream FULL OUTER join — the last member of
+    * the stream-join family (inner s16, left-outer s27). Both sides can
+    * now finalize unmatched: an alert with no calm tick in its forward
+    * range emits null-padded when the watermark passes `a_ts + range`
+    * (s27's rule), and a calm tick with no alert in its BACKWARD range
+    * emits null-padded when the watermark passes `t_ts + range`: Spark
+    * derives the tick side's state watermark as `wm − maxRangeSpan`
+    * from the inequality pair — conservative (a tick only matches
+    * alerts strictly before it, so `wm > t_ts` would semantically
+    * suffice) but it is the engine's actual eviction rule, verified
+    * empirically against the hash. Rows still inside their horizon at
+    * stream end never emit a null row; the oracle mirrors both
+    * finalization cuts. State on both sides stays range-bounded exactly
+    * as s16/s27 (measured in StateBoundSpec for s27's identical
+    * condition).
+    */
+  def alertFullOuterEnrichment(session: SparkSession, dir: String): DataFrame = {
+    val spark = StreamSessions.tuned(session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = Watermarks.stageBatches(spark, dir)
+    val schema = spark.read.parquet(s"$streamDir/0.parquet").schema
+    def src(): DataFrame = Tables.normalizeEvents(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/*.parquet")
+    )
+    val alerts = src()
+      .filter(col("value") > lit(AlertThreshold))
+      .select(
+        col("event_id").as("a_event_id"),
+        col("user_id").as("a_user_id"),
+        col("ts").as("a_ts")
+      )
+      .withWatermark("a_ts", "1 day")
+    val calm = src()
+      .filter(col("value") < lit(CalmThreshold))
+      .select(
+        col("event_id").as("t_event_id"),
+        col("user_id").as("t_user_id"),
+        col("ts").as("t_ts")
+      )
+      .withWatermark("t_ts", "1 day")
+    val joined = alerts.join(
+      calm,
+      expr(
+        s"""a_user_id = t_user_id AND
+           |t_ts > a_ts AND t_ts <= a_ts + INTERVAL $JoinRangeHours HOURS""".stripMargin
+      ),
+      "fullOuter"
+    )
+    val name = "s31_sfj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val summary = spark
+      .table(name)
+      .groupBy(coalesce(col("a_user_id"), col("t_user_id")).as("user_id"))
+      .agg(
+        count(when(col("a_event_id").isNotNull && col("t_event_id").isNotNull, lit(1)))
+          .as("n_pairs"),
+        count(when(col("t_event_id").isNull, lit(1))).as("n_unmatched_alerts"),
+        count(when(col("a_event_id").isNull, lit(1))).as("n_unmatched_calm"),
+        max(when(col("a_event_id").isNotNull && col("t_event_id").isNotNull,
+          TimeCodec.dayInt(col("t_ts")))).as("last_matched_day")
+      )
+      .orderBy("user_id")
+    StreamSessions.settleLocal(spark, name, summary)
+  }
 }

@@ -20,18 +20,30 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as raw nanos (legacy conf) and
-    * truncate to the µs timestamp domain — the same ns→µs truncation
-    * DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP, so both
-    * engines see identical instants. Integer `div` (not FP division):
-    * epoch-nanos exceed double's 53-bit mantissa.
+  /** Normalize `events.ts` to Spark's TIMESTAMP type regardless of how the
+    * generator wrote it — the physical encoding has changed across testdata
+    * regenerations, and every downstream consumer (event-time watermarks,
+    * unix_micros, CAST(ts AS BIGINT)) requires TIMESTAMP, not NTZ/raw:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as
+    *     raw nanos (legacy conf) and truncate to µs — the same ns→µs
+    *     truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP, so
+    *     both engines see identical instants. Integer `div` (not FP
+    *     division): epoch-nanos exceed double's 53-bit mantissa.
+    *   - timestamp[us] without UTC adjustment: Spark infers TIMESTAMP_NTZ;
+    *     cast to TIMESTAMP under the pinned UTC session timezone, which
+    *     reinterprets the same wall-clock instant DuckDB reads — values
+    *     are bit-identical to the pre-NTZ rounds.
     */
   def normalizeEvents(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -660,8 +660,12 @@ object StreamDemos {
     // scaladoc) — matched pairs mirror the batch range join
     // unconditionally; null-padded rows exist ONLY for alerts whose
     // match horizon (a_ts + range) fell behind the final watermark
-    // (max ts − 1 day) with no calm tick inside it — the state-eviction
-    // finalization cut the oracle reproduces.
+    // with no calm tick inside it — the state-eviction finalization cut
+    // the oracle reproduces. The watermark is the MULTI-WATERMARK MIN:
+    // each side tracks its own max event time over its FILTERED rows,
+    // and the global watermark is the lesser minus the delay — a wm
+    // computed from max(ts) over all events is wrong whenever the
+    // newest event's value falls in neither side's filter.
     Q(
       "s27_stream_outer_join",
       (s, dir) => graft.streaming.StreamJoins.alertOuterEnrichment(s, dir),
@@ -672,7 +676,8 @@ object StreamDemos {
         m AS (SELECT a.u, a.a_id, t.t_ts FROM a JOIN t ON a.u = t.u
           AND t.t_ts > a.a_ts
           AND t.t_ts <= a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR),
-        wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w FROM events),
+        wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(t_ts) FROM t))
+          - INTERVAL 24 HOUR AS w),
         unm AS (SELECT a.u, a.a_id FROM a, wm
           WHERE a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR < wm.w
             AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id))
@@ -746,14 +751,18 @@ object StreamDemos {
         FROM lat WHERE rk = 1 ORDER BY user_id""")
     ),
     // s31: stream-stream FULL OUTER join — both finalization cuts
-    // mirrored in the oracle: unmatched alerts emit once the watermark
-    // passes a_ts + range (s27's rule); unmatched calm ticks emit once
-    // the watermark passes t_ts + range — Spark derives the tick side's
-    // state watermark as wm − maxRangeSpan from the inequality pair
-    // (conservative: semantically wm > t_ts would suffice, but the
-    // engine's derivation subtracts the span; verified empirically —
-    // the t_ts-only cut over-finalizes and fails the hash). Matched
-    // pairs mirror the batch range join unconditionally.
+    // mirrored in the oracle. The watermark is the MULTI-WATERMARK MIN
+    // (see s27): least of the two sides' max FILTERED event times minus
+    // the delay. Unmatched alerts emit once the watermark passes
+    // a_ts + range (s27's rule). Unmatched calm ticks emit once the
+    // watermark passes t_ts ALONE: from `t_ts > a_ts` the engine derives
+    // the tick side's state watermark as wm itself (a tick only matches
+    // alerts strictly before it, so once wm > t_ts no future alert can
+    // pair with it) — verified by exact unmatched-id-set equality
+    // against the engine's raw join output on the round-10 testdata;
+    // the span-subtracted cut (wm − range) under-finalizes and fails
+    // the hash. Matched pairs mirror the batch range join
+    // unconditionally.
     Q(
       "s31_stream_full_outer",
       (s, dir) => graft.streaming.StreamJoins.alertFullOuterEnrichment(s, dir),
@@ -764,12 +773,13 @@ object StreamDemos {
         m AS (SELECT a.u, a.a_id, t.t_id, t.t_ts FROM a JOIN t ON a.u = t.u
           AND t.t_ts > a.a_ts
           AND t.t_ts <= a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR),
-        wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w FROM events),
+        wm AS (SELECT least((SELECT max(a_ts) FROM a), (SELECT max(t_ts) FROM t))
+          - INTERVAL 24 HOUR AS w),
         unma AS (SELECT a.u, a.a_id FROM a, wm
           WHERE a.a_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR < wm.w
             AND NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id)),
         unmc AS (SELECT t.u, t.t_id FROM t, wm
-          WHERE t.t_ts + INTERVAL ${graft.streaming.StreamJoins.JoinRangeHours} HOUR < wm.w
+          WHERE t.t_ts < wm.w
             AND NOT EXISTS (SELECT 1 FROM m WHERE m.t_id = t.t_id))
         SELECT user_id,
           CAST(count(CASE WHEN kind = 'm' THEN 1 END) AS BIGINT) AS n_pairs,

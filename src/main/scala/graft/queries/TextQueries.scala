@@ -1277,12 +1277,16 @@ object TextQueries {
     // q121: inverted-index build — the retrieval-infrastructure EXPORT
     // (what q74/q92 score against, materialized): term → document
     // frequency + the SORTED posting list of containing doc_ids, the
-    // array-valued artifact a search system loads. Map-side per-doc
-    // dedup (array_distinct before the explode) so each doc contributes
+    // artifact a search system loads. Map-side per-doc dedup
+    // (array_distinct before the explode) so each doc contributes
     // one posting per term; one vocab-keyed shuffle; sort_array makes
-    // the list order engine-independent. At 100 TB the stopword rows'
-    // posting lists are corpus-sized — a production export shards them
-    // (posting-list chunking); the shape up to that sharding is this.
+    // the list order engine-independent. The posting list is EXPORTED
+    // comma-serialized, not as a native array: the harness compare
+    // (pandas sort_values) cannot hash array cells, and a delimited
+    // string is the same bytes an index segment writer would emit. At
+    // 100 TB the stopword rows' posting lists are corpus-sized — a
+    // production export shards them (posting-list chunking); the shape
+    // up to that sharding is this.
     Q(
       "q121_inverted_index",
       (s, dir) => {
@@ -1292,14 +1296,15 @@ object TextQueries {
           .groupBy("w")
           .agg(
             count(lit(1)).as("df"),
-            sort_array(collect_list(col("doc_id"))).as("postings")
+            concat_ws(",", sort_array(collect_list(col("doc_id"))))
+              .as("postings")
           )
           .orderBy("w")
       },
       Some("""WITH words AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         SELECT w, CAST(count(*) AS BIGINT) AS df,
-          list_sort(list(doc_id)) AS postings
+          array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM words GROUP BY w ORDER BY w""")
     ),
     // q122: sparse TF-IDF cosine pairs — the LEXICAL near-dup metric

@@ -115,8 +115,12 @@ object StreamJoins {
     * and it emits only at STATE EVICTION (when the watermark proves no
     * future match is possible: wm > alert ts + range). Alerts still
     * inside that horizon at stream end stay in state and never emit a
-    * null row — the oracle mirrors exactly that finalization cut
-    * (max ts − 1 day watermark delay), while matched pairs emit
+    * null row — the oracle mirrors exactly that finalization cut. The
+    * watermark itself is the MULTI-WATERMARK MIN: each side's max event
+    * time is tracked over its FILTERED rows, and the global wm is the
+    * lesser minus the 1-day delay (max(ts) over all events is wrong
+    * whenever the newest event matches neither filter — the round-10
+    * testdata regeneration exposed exactly that). Matched pairs emit
     * immediately and are mirrored unconditionally. Late batch-2 replays
     * drop on input on both sides, as in s16.
     */
@@ -187,12 +191,15 @@ object StreamJoins {
     * now finalize unmatched: an alert with no calm tick in its forward
     * range emits null-padded when the watermark passes `a_ts + range`
     * (s27's rule), and a calm tick with no alert in its BACKWARD range
-    * emits null-padded when the watermark passes `t_ts + range`: Spark
-    * derives the tick side's state watermark as `wm − maxRangeSpan`
-    * from the inequality pair — conservative (a tick only matches
-    * alerts strictly before it, so `wm > t_ts` would semantically
-    * suffice) but it is the engine's actual eviction rule, verified
-    * empirically against the hash. Rows still inside their horizon at
+    * emits null-padded when the watermark passes `t_ts` alone: from
+    * `t_ts > a_ts` Spark derives the tick side's state watermark as wm
+    * itself — a tick only matches alerts strictly before it, so once
+    * `wm > t_ts` no future alert can pair with it. Verified by exact
+    * unmatched-id-set equality against the engine's raw join output
+    * (round 10; the span-subtracted `wm − range` cut the old testdata
+    * could not distinguish under-finalizes and fails the hash). The
+    * watermark is the multi-watermark min over the two FILTERED sides
+    * (see alertOuterEnrichment). Rows still inside their horizon at
     * stream end never emit a null row; the oracle mirrors both
     * finalization cuts. State on both sides stays range-bounded exactly
     * as s16/s27 (measured in StateBoundSpec for s27's identical

@@ -98,7 +98,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q118_drift_chi2") == ((5L, "44159aa2165c05f05b557212db051b7c")))
     assert(queryHash("q119_next_event_gap") == ((7L, "a4e08d4d14e8a6962de0b74852993cae")))
     assert(queryHash("q120_hopping_window") == ((457L, "b9b3d11a8e90c562b6d1bcd998b9f820")))
-    assert(queryHash("q121_inverted_index") == ((31L, "3f34b8100b32ba3fead1896364732a3e")))
+    // q121 hash updated round 10: postings serialized comma-joined (the
+    // harness compare cannot hash native array cells), values unchanged
+    assert(queryHash("q121_inverted_index") == ((31L, "ef10d5879c1d5ca337e08535c4995b87")))
     assert(queryHash("q122_tfidf_cosine_pairs") == ((300L, "7a4336c6e3ef421a7a9f1a600a2a9968")))
     assert(queryHash("q123_binary_ingest") == ((500L, "f9d2471af0fc456078b650d09274e93a")))
     assert(queryHash("q124_xml_roundtrip") == ((1L, "8bba4cedc800aa03557fa744efeef0ca")))

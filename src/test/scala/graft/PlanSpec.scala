@@ -22,8 +22,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q18 scan is pruned to the 3 used event columns") {
+    // the generator has shipped ts as both nanos-as-long (bigint) and
+    // plain timestamp_ntz across testdata regenerations; the pin is the
+    // COLUMN PRUNING, not the physical time encoding — accept either.
     val p = plan("q18_features_full")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"))
+    assert(
+      p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>") ||
+        p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,value:double>") ||
+        p.contains("ReadSchema: struct<ts:timestamp,user_id:bigint,value:double>")
+    )
   }
 
   test("q24 star join: all three dimensions broadcast, fact side never pre-shuffled") {
@@ -64,9 +71,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("q02 pushes the time-gate scan filters") {
     // the filter happens on a derived column, but the scan must still be
-    // column-pruned to what the query touches
+    // column-pruned to what the query touches (ts encoding varies across
+    // testdata regenerations — see the q18 pruning pin)
     val p = plan("q02_time_gate")
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>"))
+    assert(
+      p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,value:double>") ||
+        p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>") ||
+        p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp,user_id:bigint,value:double>")
+    )
   }
 
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {

@@ -917,6 +917,86 @@ object DedupQueries {
           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
           CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
         FROM m GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    // q129: triangle counting over the dup-pair graph — the clustering-
+    // coefficient building block beside q59's components and q101's
+    // PageRank: a doc's triangle count says how CLIQUE-LIKE its
+    // duplication neighborhood is (template families triangulate
+    // densely; chains of pairwise-similar revisions don't). Scale shape
+    // is the canonical DEGREE-ORDERED ORIENTATION (the MapReduce
+    // triangle-count standard): orient every undirected edge from the
+    // (degree, id)-smaller endpoint to the larger, so each triangle is
+    // counted EXACTLY ONCE at its lowest-ordered vertex and — the scale
+    // fact — out-degrees are bounded by O(√m), which bounds the wedge
+    // join to Σ outdeg² instead of Σ deg² (the hub-explosion killer:
+    // a 10⁶-degree template hub contributes zero wedges once oriented,
+    // because every edge points INTO it). Three shuffles total (degree
+    // count, wedge self-join on src, closing-edge probe), all keyed on
+    // vertex ids, all bounded by the LSH-capped edge list — never
+    // corpus². Per-vertex participation via one explode + count; top-20
+    // by TakeOrdered, no global sort.
+    Q(
+      "q129_triangle_count",
+      (s, dir) => {
+        val pairs = candidatePairs(s, dir, "q129")
+        val deg = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("deg"))
+        val withDeg = pairs
+          .join(deg.as("da"), col("doc_a") === col("da.v"))
+          .select(col("doc_a"), col("doc_b"), col("deg").as("dega"))
+          .join(deg.as("db"), col("doc_b") === col("db.v"))
+          .select(col("doc_a"), col("doc_b"), col("dega"), col("deg").as("degb"))
+        val aFirst = col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
+        val oe = withDeg
+          .select(
+            when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+            when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+            when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg")
+          )
+          .localCheckpoint()
+        val tri = oe
+          .as("e1")
+          .join(
+            oe.as("e2"),
+            col("e1.src") === col("e2.src") &&
+              (col("e1.ddeg") < col("e2.ddeg") ||
+                (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst")))
+          )
+          .select(col("e1.dst").as("b"), col("e2.dst").as("c"), col("e1.src").as("a"))
+          .join(oe.as("e3"), col("b") === col("e3.src") && col("c") === col("e3.dst"))
+          .select(col("a"), col("b"), col("c"))
+        tri
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH $mhCteSql, $pairsCteSql,
+        dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT doc_a AS v FROM prs UNION ALL SELECT doc_b AS v FROM prs) GROUP BY v),
+        wd AS (SELECT p.doc_a, p.doc_b, da.deg AS dega, db.deg AS degb
+            FROM prs p JOIN dg da ON p.doc_a = da.v JOIN dg db ON p.doc_b = db.v),
+        oe AS (SELECT
+            CASE WHEN dega < degb OR (dega = degb AND doc_a < doc_b)
+              THEN doc_a ELSE doc_b END AS src,
+            CASE WHEN dega < degb OR (dega = degb AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS dst,
+            CASE WHEN dega < degb OR (dega = degb AND doc_a < doc_b)
+              THEN degb ELSE dega END AS ddeg
+          FROM wd),
+        tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+              AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+            JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS doc_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY doc_id ORDER BY n_tri DESC, doc_id LIMIT 20""")
     )
   )
 }

@@ -1342,6 +1342,92 @@ object RelQueries {
       Some("""SELECT doc_id, lang,
           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
         FROM documents ORDER BY doc_id""")
+    ),
+    // q131: compaction / bin-packing planner — the table-maintenance op
+    // every lake at 100 TB runs nightly (Delta OPTIMIZE / Iceberg
+    // rewrite_data_files): assign small files to target-sized output
+    // bins and report the rewrite plan. Files are packed PER PARTITION
+    // (here: per source — compaction never merges across partition
+    // dirs), in stable id order, bin = exclusive-prefix-sum div target
+    // — a pure window computation, deterministic, and crucially
+    // PLANNER-SCALE: the job touches file METADATA (id, size), never
+    // file contents, so the one shuffle is on the partition key and the
+    // window runs per-partition — no global sort, no single-partition
+    // funnel. The div-packing bound: every bin except a partition's
+    // last holds ≥ target − max_file_size bytes, the same guarantee the
+    // production planners give.
+    Q(
+      "q131_compaction_plan",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables
+          .documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("sz"))
+          .withColumn("cum", sum(col("sz")).over(w))
+          .withColumn("bin", expr("(cum - sz) div 4000"))
+          .groupBy(col("source"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("sz")).as("bytes"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id")
+          )
+          .orderBy("source", "bin")
+      },
+      Some("""WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz,
+            CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM documents)
+        SELECT source, (cum - sz) // 4000 AS bin,
+          CAST(count(*) AS BIGINT) AS n_files,
+          CAST(sum(sz) AS BIGINT) AS bytes,
+          min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM f GROUP BY source, bin ORDER BY source, bin""")
+    ),
+    // q132: interval-interval OVERLAP join — the join shape q50's
+    // point-in-range can't express: both sides are SPANS (per-user
+    // daily activity intervals [first ts, last ts]) and a pair matches
+    // when the spans intersect (a.lo ≤ b.hi AND b.lo ≤ a.hi) — the
+    // co-activity / conflict-detection primitive. Scale shape is BUCKET
+    // DECOMPOSITION: the equi-join key is the coarse time bucket (day —
+    // intervals here cannot span it by construction), so candidate
+    // pairs are per-bucket bounded (active users per day), never
+    // corpus²; the overlap inequality then prunes within the bucket.
+    // Self-join deduped by user_id order; per-day rollup leaves only a
+    // calendar-sized report.
+    Q(
+      "q132_interval_overlap",
+      (s, dir) => {
+        val iv = Tables
+          .events(s, dir)
+          .groupBy(
+            col("user_id"),
+            graft.ops.TimeCodec.dayInt(col("ts")).as("day")
+          )
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        iv.as("a")
+          .join(
+            iv.as("b"),
+            col("a.day") === col("b.day") &&
+              col("a.user_id") < col("b.user_id") &&
+              col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi")
+          )
+          .groupBy(col("a.day").as("day"))
+          .agg(count(lit(1)).as("n_overlap_pairs"))
+          .orderBy("day")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+            CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day,
+            min(ts) AS lo, max(ts) AS hi
+          FROM events GROUP BY user_id, 2)
+        SELECT a.day, CAST(count(*) AS BIGINT) AS n_overlap_pairs
+        FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
+          AND a.lo <= b.hi AND b.lo <= a.hi
+        GROUP BY a.day ORDER BY a.day""")
     )
   )
 }

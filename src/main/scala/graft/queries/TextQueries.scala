@@ -1496,6 +1496,48 @@ object TextQueries {
           CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
           CAST((c2 * 10000) // sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS p_bp
         FROM bc ORDER BY c2 DESC, w1, w2 LIMIT 20""")
+    ),
+    // q130: stratified sampling with EXACT per-stratum allocation — the
+    // third member of the sampling family: q61 is a global hash-gate
+    // (fraction approximate per stratum), q104 reweights a mixture;
+    // this one guarantees ⌈n_h·f⌉ rows from EVERY stratum (per-language
+    // eval slices, per-source audits — allocations that must hit their
+    // quota exactly, where a Bernoulli gate under/overshoots small
+    // strata). Selection key is md5(doc_id) — deterministic,
+    // engine-portable, uncorrelated with any payload column — ranked
+    // per stratum; rank ≤ ⌈n_h·f⌉ selects. Scale shape: one shuffle on
+    // the stratum key for the rank window, stratum counts ride a tiny
+    // broadcast join. The per-stratum sort is the honest cost of EXACT
+    // allocation (rank semantics); at 100 TB with corpus-sized strata
+    // the relaxation is a two-pass hash-threshold (approx_quantile of
+    // the hash at f, then exact trim of the boundary bucket) — same
+    // output, sort replaced by a selection; the quota semantics pinned
+    // here are what that optimization must preserve.
+    Q(
+      "q130_stratified_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val rk = row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        d.withColumn("rk", rk.cast("long"))
+          .join(counts, "lang")
+          .filter(col("rk") <= ceil(col("n_total") * lit(0.2)))
+          .select(col("lang"), col("doc_id"), col("rk"), col("n_total"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+          FROM documents GROUP BY lang),
+        r AS (SELECT lang, doc_id,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents)
+        SELECT r.lang, r.doc_id, r.rk, c.n_total
+        FROM r JOIN c ON r.lang = c.lang
+        WHERE r.rk <= CAST(ceil(c.n_total * 2e-1) AS BIGINT)
+        ORDER BY r.lang, rk""")
     )
   )
 }

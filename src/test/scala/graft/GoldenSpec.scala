@@ -111,6 +111,13 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s30_stream_upsert") == ((15L, "7055f66b0423df8f68ac949a7165f007")))
   }
 
+  test("round-10 additions sf0.001 golden hashes") {
+    assert(queryHash("q129_triangle_count") == ((7L, "3194e28bcc402c7708ea9701bfd87815")))
+    assert(queryHash("q130_stratified_sample") == ((102L, "1c48f6e3048e1bbf15747e6baadbf4ad")))
+    assert(queryHash("q131_compaction_plan") == ((44L, "799944ee60c8511a5eca03cee955e944")))
+    assert(queryHash("q132_interval_overlap") == ((30L, "27660ed825bde1513fd62826d2b8c5c2")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

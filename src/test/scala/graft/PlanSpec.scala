@@ -81,6 +81,34 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("q129 triangle count: oriented wedge join is equi-keyed, top-20 is TakeOrdered") {
+    val p = plan("q129_triangle_count")
+    // every join keys on a vertex id — a cartesian/nested-loop here is the
+    // hub-explosion failure the degree orientation exists to prevent
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q130 stratified sample: rank window is per-stratum, quota join broadcasts") {
+    val p = plan("q130_stratified_sample")
+    // the rank window must partition by the stratum key — an empty
+    // partition spec would funnel the corpus through one task
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(p.contains("BroadcastHashJoin"), "stratum quotas are a tiny broadcast side")
+  }
+
+  test("q131 compaction plan: packing window runs per partition dir, never globally") {
+    val p = plan("q131_compaction_plan")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(p.contains("Window"), "bin assignment is a window computation")
+  }
+
+  test("q132 interval overlap: bucket equi-join, never a nested-loop over spans") {
+    val p = plan("q132_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
     val p = plan("q60_ngram_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")

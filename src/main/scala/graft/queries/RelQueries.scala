@@ -1428,6 +1428,49 @@ object RelQueries {
         FROM iv a JOIN iv b ON a.day = b.day AND a.user_id < b.user_id
           AND a.lo <= b.hi AND b.lo <= a.hi
         GROUP BY a.day ORDER BY a.day""")
+    ),
+    // q133: column-statistics manifest — the ANALYZE TABLE / file-skipping
+    // stats collection every lakehouse writer maintains (per-partition
+    // min/max/null-count/NDV are what q57's PushedFilters and s10/s19's
+    // pruning consult): one pass over the table computing, per partition
+    // dir (source), the stats for each data column. Scale shape: ONE
+    // grouped aggregate — min/max/null counts combine map-side; the
+    // exact NDVs share a single Expand-based multi-distinct (q91's
+    // machinery, one shuffle carrying only (source, column-value)
+    // tuples). Exact NDV (not approx_count_distinct) keeps the oracle
+    // bit-exact; the approx swap is a one-word change whose error bound
+    // q89 already audits.
+    Q(
+      "q133_stats_manifest",
+      (s, dir) => {
+        Tables
+          .documents(s, dir)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("doc_id")).as("doc_id_min"),
+            max(col("doc_id")).as("doc_id_max"),
+            countDistinct(col("doc_id")).as("doc_id_ndv"),
+            min(col("n_chars")).cast("long").as("n_chars_min"),
+            max(col("n_chars")).cast("long").as("n_chars_max"),
+            countDistinct(col("n_chars")).as("n_chars_ndv"),
+            sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+            countDistinct(col("lang")).as("lang_ndv"),
+            min(col("lang")).as("lang_min"),
+            max(col("lang")).as("lang_max")
+          )
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+          min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_ndv,
+          CAST(min(n_chars) AS BIGINT) AS n_chars_min,
+          CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+          CAST(count(DISTINCT n_chars) AS BIGINT) AS n_chars_ndv,
+          CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS lang_nulls,
+          CAST(count(DISTINCT lang) AS BIGINT) AS lang_ndv,
+          min(lang) AS lang_min, max(lang) AS lang_max
+        FROM documents GROUP BY source ORDER BY source""")
     )
   )
 }

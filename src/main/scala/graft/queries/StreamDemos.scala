@@ -792,6 +792,33 @@ object StreamDemos {
               UNION ALL SELECT u, 'a', NULL FROM unma
               UNION ALL SELECT u, 'c', NULL FROM unmc) x
         GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s32: multi-sink fanout with per-sink exactly-once (Fanout scaladoc)
+    // — foreachBatch feeding TWO stores is NOT atomic; each sink keeps
+    // its own committed-batch ledger over idempotent batch-keyed
+    // overwrites, a torn fanout is INJECTED (batch 1 commits to the row
+    // sink only), and recovery is the ledger diff re-deriving the
+    // missing aggregate batch from the ROW SINK's committed copy, never
+    // the source. The oracle is the staged-delivery census (events + the
+    // batch-2 replay slice — replay rows are real input here, s26's
+    // adjustment): both sinks must agree per user AND equal it, the
+    // batch count must be 3, and torn_healed must be TRUE — a run where
+    // the injection stopped firing fails the hash.
+    Q(
+      "s32_fanout_sinks",
+      (s, dir) => graft.streaming.Fanout.fanoutTwoSinks(s, dir),
+      Some(s"""WITH d AS (SELECT user_id,
+            CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day
+          FROM events)
+        SELECT user_id,
+          CAST(count(*) + count(*) FILTER (day < ${graft.streaming.Watermarks.replayBefore})
+            AS BIGINT) AS a_rows,
+          CAST(count(*) + count(*) FILTER (day < ${graft.streaming.Watermarks.replayBefore})
+            AS BIGINT) AS b_rows,
+          TRUE AS sinks_agree,
+          CAST(3 AS BIGINT) AS n_batches,
+          TRUE AS torn_healed
+        FROM d GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

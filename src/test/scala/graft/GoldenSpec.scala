@@ -116,6 +116,10 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q130_stratified_sample") == ((102L, "1c48f6e3048e1bbf15747e6baadbf4ad")))
     assert(queryHash("q131_compaction_plan") == ((44L, "799944ee60c8511a5eca03cee955e944")))
     assert(queryHash("q132_interval_overlap") == ((30L, "27660ed825bde1513fd62826d2b8c5c2")))
+    assert(queryHash("q133_stats_manifest") == ((20L, "b967df035e9f332f241ec5e22b08454d")))
+    // torn_healed=TRUE is inside this hash: the injected torn fanout and
+    // its ledger-diff heal must actually happen on every run
+    assert(queryHash("s32_fanout_sinks") == ((15L, "63f069002a8b49022d85909972be38de")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

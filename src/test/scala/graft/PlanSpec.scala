@@ -109,6 +109,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q133 stats manifest: one Expand-based multi-distinct pass, no per-column scans") {
+    val p = plan("q133_stats_manifest")
+    // the three exact NDVs must share one Expand, not re-scan per column
+    assert(p.contains("Expand"))
+    assert(count(p, "FileScan parquet") == 1, "stats collection is a single pass")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
     val p = plan("q60_ngram_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")

@@ -1471,6 +1471,106 @@ object RelQueries {
           CAST(count(DISTINCT lang) AS BIGINT) AS lang_ndv,
           min(lang) AS lang_min, max(lang) AS lang_max
         FROM documents GROUP BY source ORDER BY source""")
+    ),
+    // q134: incremental aggregate maintenance (IVM) — the materialized-
+    // view refresh algebra: a maintained aggregate absorbs a delta batch
+    // by MERGING PARTIAL STATES (counts add, DECIMAL sums add, min/max
+    // combine), never re-reading the base — at 100 TB the delta is a
+    // day's partition and the refresh cost is |delta| + |view|, not
+    // |history|. The algebra is exactly Spark's own partial-aggregation
+    // contract (the map-side combine every groupBy already does),
+    // applied ACROSS batches instead of across partitions; avg stays
+    // mergeable because the view stores (sum, count), never the ratio.
+    // The demo computes the maintained view (base agg ⊕ delta agg) AND
+    // the from-scratch aggregate, folds their equality into the row, and
+    // exports the merged values — DECIMAL sums make the merge bit-exact,
+    // so ivm_ok must be TRUE on every key and the oracle (a from-scratch
+    // aggregate) hash-matches the INCREMENTALLY maintained numbers.
+    Q(
+      "q134_ivm_agg",
+      (s, dir) => {
+        val cutoff = lit("2024-06-01").cast("timestamp")
+        val li = Tables.lineitem(s, dir)
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("l_returnflag"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(28,6)")).as("sq"),
+              min(col("l_shipdate")).as("mn"),
+              max(col("l_shipdate")).as("mx")
+            )
+        val merged = partial(li.filter(col("l_shipdate") < cutoff))
+          .unionAll(partial(li.filter(col("l_shipdate") >= cutoff)))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("n")).as("n_rows"),
+            sum(col("sq")).as("sum_qty_dec"),
+            min(col("mn")).as("min_ship"),
+            max(col("mx")).as("max_ship")
+          )
+        val full = partial(li)
+          .select(
+            col("l_returnflag"),
+            col("n").as("f_n"), col("sq").as("f_sq"),
+            col("mn").as("f_mn"), col("mx").as("f_mx")
+          )
+        merged
+          .join(full, "l_returnflag")
+          .select(
+            col("l_returnflag"),
+            col("n_rows"),
+            col("sum_qty_dec").cast("double").as("sum_qty"),
+            graft.ops.TimeCodec.dayInt(col("min_ship")).as("min_ship_day"),
+            graft.ops.TimeCodec.dayInt(col("max_ship")).as("max_ship_day"),
+            (col("n_rows") === col("f_n") && col("sum_qty_dec") === col("f_sq") &&
+              col("min_ship") === col("f_mn") && col("max_ship") === col("f_mx"))
+              .as("ivm_ok")
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+          CAST(year(min(l_shipdate))*10000 + month(min(l_shipdate))*100
+            + day(min(l_shipdate)) AS BIGINT) AS min_ship_day,
+          CAST(year(max(l_shipdate))*10000 + month(max(l_shipdate))*100
+            + day(max(l_shipdate)) AS BIGINT) AS max_ship_day,
+          TRUE AS ivm_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    // q135: LATERAL correlated subquery in FROM — the remaining join
+    // SURFACE after the shape families (inner/outer/semi/anti/as-of/
+    // range/overlap): per-group top-k expressed as a correlated
+    // per-row subquery with its own ORDER BY + LIMIT, the form ORMs
+    // and hand-written analyst SQL produce. Catalyst DECORRELATES it
+    // (DecorrelateInnerQuery) into the same rank-window shape q55
+    // declares directly — pinned: the executed plan contains a Window,
+    // no nested-loop join and no per-group re-scan, so the "run a
+    // subquery per row" surface costs one shuffle at any scale,
+    // exactly like the window form a user would hand-optimize to.
+    Q(
+      "q135_lateral_topk",
+      (s, dir) =>
+        s.sql(s"""
+          SELECT g.source, t.doc_id, t.n_chars
+          FROM (SELECT DISTINCT source FROM parquet.`$dir/documents.parquet`) g,
+          LATERAL (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM parquet.`$dir/documents.parquet` d
+            WHERE d.source = g.source
+            ORDER BY n_chars DESC, doc_id
+            LIMIT 3
+          ) t
+          ORDER BY g.source, t.n_chars DESC, t.doc_id"""),
+      Some("""SELECT g.source, t.doc_id, t.n_chars
+        FROM (SELECT DISTINCT source FROM documents) g,
+        LATERAL (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents d
+          WHERE d.source = g.source
+          ORDER BY n_chars DESC, doc_id
+          LIMIT 3
+        ) t
+        ORDER BY g.source, t.n_chars DESC, t.doc_id""")
     )
   )
 }

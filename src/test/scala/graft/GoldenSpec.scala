@@ -120,6 +120,10 @@ class GoldenSpec extends AnyFunSuite {
     // torn_healed=TRUE is inside this hash: the injected torn fanout and
     // its ledger-diff heal must actually happen on every run
     assert(queryHash("s32_fanout_sinks") == ((15L, "63f069002a8b49022d85909972be38de")))
+    // ivm_ok=TRUE is inside this hash: the merged partial states must
+    // equal the from-scratch aggregate bit-for-bit
+    assert(queryHash("q134_ivm_agg") == ((3L, "d6b5a6add8e57b83f7e959a404d62b5f")))
+    assert(queryHash("q135_lateral_topk") == ((60L, "80cbee09e85cc9b54e8e782c853205e1")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -117,6 +117,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q135 lateral top-k decorrelates to a rank window, never a per-group rescan") {
+    val p = plan("q135_lateral_topk")
+    // DecorrelateInnerQuery must rewrite the correlated LIMIT subquery
+    // into the same WindowGroupLimit shape q55 declares directly — a
+    // nested-loop (subquery-per-row) plan here is the failure mode
+    assert(p.contains("WindowGroupLimit"), "rank pushdown must apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
     val p = plan("q60_ngram_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance sweep: the scale property the golden hashes
+  * alone cannot show. A 1000-executor cluster lays data out differently
+  * than local[4] — different shuffle partition counts, different partial-
+  * aggregation grouping, different merge order. Every declared query must
+  * produce BIT-IDENTICAL results regardless, or its determinism contract
+  * (SURVEY.md: order-free integer/DECIMAL aggregates, explicit fold
+  * orders, total output ordering) has a hole that only shows up in
+  * production.
+  *
+  * Mechanics: each sampled query runs under the shared TestSpark session
+  * (shuffle.partitions=4, AQE on) and under a sibling session — same
+  * SparkContext, independent SQL conf — with a co-prime partition count
+  * (7) and AQE OFF (different plan shapes, same semantics). The two
+  * canonical hashes must match exactly. The sample spans the numerically
+  * delicate families: IEEE fold recurrences, DECIMAL money sums,
+  * integer-quantized graph iteration, multi-distinct Expand, window
+  * frames, LSH pair generation, partial-state merge.
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val alt = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private def canonical(v: Any): String = v match {
+    case d: Double => if (d == 0.0) "0" else java.lang.Double.toString(d)
+    case x => String.valueOf(x)
+  }
+
+  private def hashUnder(session: org.apache.spark.sql.SparkSession, name: String): (Long, String) = {
+    val rows = SparkEntry.queries(name)(session, dir).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      md.update(r.toSeq.map(canonical).mkString("|").getBytes("UTF-8"))
+      md.update('\n'.toByte)
+    }
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private val sample = Seq(
+    "q18_features_full",      // IEEE fold recurrence lineage (EMA/autocorr)
+    "q56_pricing_summary",    // DECIMAL money-sum discipline
+    "q34_minhash_pairs",      // LSH band pair generation
+    "q101_pagerank_dupgraph", // integer-quantized iterative graph
+    "q110_stat_moments",      // exact BIGINT power sums
+    "q103_rolling_range_window", // RANGE-frame window
+    "q129_triangle_count",    // oriented wedge joins
+    "q130_stratified_sample", // per-stratum rank selection
+    "q133_stats_manifest",    // Expand-based multi-distinct
+    "q134_ivm_agg"            // cross-batch partial-state merge
+  )
+
+  sample.foreach { name =>
+    test(s"$name is invariant under repartitioning (4→7) and AQE off") {
+      val base = hashUnder(TestSpark.spark, name)
+      val swept = hashUnder(alt, name)
+      assert(base == swept, s"$name diverged under a different physical layout")
+    }
+  }
+}

@@ -1538,6 +1538,73 @@ object TextQueries {
         FROM r JOIN c ON r.lang = c.lang
         WHERE r.rk <= CAST(ceil(c.n_total * 2e-1) AS BIGINT)
         ORDER BY r.lang, rk""")
+    ),
+    // q136: winsorized robust statistics — the outlier-robust length
+    // profile a quality-filtering pipeline trims against (a handful of
+    // concatenated-crawl monsters drag a plain mean; clamping at exact
+    // per-stratum percentile cuts makes the profile stable): per lang,
+    // the p05/p95 DISCRETE cuts (rank-selected actual values — integer-
+    // exact, no interpolation, so the oracle matches bit-for-bit where
+    // interpolated percentiles would differ in ULPs), clamp counts, and
+    // the winsorized integer mean (BIGINT sum of clamped values div n).
+    // Scale shape: one rank window on the stratum key (the same honest
+    // sort q130 declares), cuts reduce to one row per stratum and
+    // BROADCAST back for the clamp pass, final per-stratum aggregate
+    // combines map-side. Rank ties among equal values are harmless BY
+    // CONSTRUCTION: the selected artifact is the value itself.
+    Q(
+      "q136_winsorized_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables
+          .documents(s, dir)
+          .select(col("lang"), col("n_chars").cast("long").as("v"))
+        val rnw = Window.partitionBy(col("lang")).orderBy(col("v"))
+        val cw = Window.partitionBy(col("lang"))
+        val ranked = d
+          .withColumn("rn", row_number().over(rnw).cast("long"))
+          .withColumn("n", count(lit(1)).over(cw))
+        val cuts = ranked
+          .groupBy(col("lang"))
+          .agg(
+            max(col("n")).as("n"),
+            min(when(
+              col("rn") === greatest(lit(1L), ceil(col("n") * lit(0.05))),
+              col("v"))).as("p05"),
+            min(when(col("rn") === ceil(col("n") * lit(0.95)), col("v"))).as("p95")
+          )
+        d.join(cuts, "lang")
+          .select(
+            col("lang"), col("n"), col("p05"), col("p95"),
+            greatest(col("p05"), least(col("p95"), col("v"))).as("cv"),
+            (col("v") < col("p05")).cast("long").as("lo"),
+            (col("v") > col("p95")).cast("long").as("hi")
+          )
+          .groupBy(col("lang"), col("n"), col("p05"), col("p95"))
+          .agg(sum(col("cv")).as("sc"), sum(col("lo")).as("n_lo"), sum(col("hi")).as("n_hi"))
+          .select(
+            col("lang"), col("n"), col("p05"), col("p95"),
+            expr("sc div n").as("wins_mean"),
+            col("n_lo"), col("n_hi")
+          )
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+        r AS (SELECT lang, v,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM d),
+        c AS (SELECT lang, max(n) AS n,
+            min(CASE WHEN rn = greatest(1, CAST(ceil(n * 5e-2) AS BIGINT))
+                THEN v END) AS p05,
+            min(CASE WHEN rn = CAST(ceil(n * 95e-2) AS BIGINT) THEN v END) AS p95
+          FROM r GROUP BY lang)
+        SELECT d.lang, c.n, c.p05, c.p95,
+          CAST(sum(greatest(c.p05, least(c.p95, d.v))) // c.n AS BIGINT) AS wins_mean,
+          CAST(count(*) FILTER (d.v < c.p05) AS BIGINT) AS n_lo,
+          CAST(count(*) FILTER (d.v > c.p95) AS BIGINT) AS n_hi
+        FROM d JOIN c ON d.lang = c.lang
+        GROUP BY d.lang, c.n, c.p05, c.p95 ORDER BY d.lang""")
     )
   )
 }

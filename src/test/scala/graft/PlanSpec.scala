@@ -126,6 +126,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q136 winsorize: per-stratum rank window, cuts broadcast back for the clamp") {
+    val p = plan("q136_winsorized_stats")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(p.contains("BroadcastHashJoin"), "per-stratum cuts are a tiny broadcast side")
+  }
+
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
     val p = plan("q60_ngram_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")

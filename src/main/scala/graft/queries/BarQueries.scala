@@ -336,6 +336,47 @@ object BarQueries {
       Some(s"""SELECT event_id, user_id, day, value,
         lag(value, 1) OVER (PARTITION BY user_id, day ORDER BY ts) AS prev_value
         FROM (SELECT *, ${dayInt("ts")} AS day FROM events) ORDER BY event_id""")
+    ),
+    // q137: multi-granularity bar resample in ONE pass — hourly AND
+    // daily OHLCV from a single scan via GROUPING SETS ((user, day),
+    // (user, day, hour)): the Expand shares the scan and the partial
+    // aggregates, where the naive form runs one job per granularity
+    // (a real exporter publishes several bar periods of the same feed —
+    // the reference's host feeds it exactly one, NT's BarsPeriod, so
+    // multi-period is the first thing a Spark re-host adds). min_by/
+    // max_by give open/close exactly as q04; (user_id, ts) uniqueness
+    // makes them deterministic at both grains; grouping(hr) tags which
+    // grain a row belongs to. One Expand + one shuffle on the grouping
+    // keys, partial-aggregated map-side — granularities scale at the
+    // cost of Expand rows, never extra scans.
+    Q(
+      "q137_multigrain_bars",
+      (s, dir) => {
+        Tables
+          .events(s, dir)
+          .select(
+            col("user_id"), col("ts"), col("value"),
+            TimeCodec.dayInt(col("ts")).as("day"),
+            hour(col("ts")).cast("long").as("hr")
+          )
+          .createOrReplaceTempView("ev_q137")
+        s.sql("""
+          SELECT user_id, day, hr,
+            CAST(grouping(hr) AS BIGINT) AS g_hr,
+            min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
+            max_by(value, ts) AS close, CAST(count(*) AS BIGINT) AS volume
+          FROM ev_q137
+          GROUP BY GROUPING SETS ((user_id, day), (user_id, day, hr))
+          ORDER BY user_id, day, g_hr, hr NULLS FIRST""")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, ts, value,
+            ${dayInt("ts")} AS day,
+            CAST(hour(ts) AS BIGINT) AS hr FROM events)
+        SELECT user_id, day, hr, CAST(grouping(hr) AS BIGINT) AS g_hr,
+          min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
+          max_by(value, ts) AS close, CAST(count(*) AS BIGINT) AS volume
+        FROM ev GROUP BY GROUPING SETS ((user_id, day), (user_id, day, hr))
+        ORDER BY user_id, day, g_hr, hr NULLS FIRST""")
     )
   )
 }

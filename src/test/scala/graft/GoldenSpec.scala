@@ -125,6 +125,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q134_ivm_agg") == ((3L, "d6b5a6add8e57b83f7e959a404d62b5f")))
     assert(queryHash("q135_lateral_topk") == ((60L, "80cbee09e85cc9b54e8e782c853205e1")))
     assert(queryHash("q136_winsorized_stats") == ((5L, "0c7562d7b67a6e093bc7fe5b1652562d")))
+    assert(queryHash("q137_multigrain_bars") == ((1348L, "0070b514e881a58217df36632c8a3c24")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -132,6 +132,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-stratum cuts are a tiny broadcast side")
   }
 
+  test("q137 multigrain bars: one scan + one Expand feeds both granularities") {
+    val p = plan("q137_multigrain_bars")
+    assert(p.contains("Expand"), "grouping sets must share the scan via Expand")
+    assert(count(p, "FileScan parquet") == 1, "one scan for all granularities")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
     val p = plan("q60_ngram_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")

@@ -1571,6 +1571,48 @@ object RelQueries {
           LIMIT 3
         ) t
         ORDER BY g.source, t.n_chars DESC, t.doc_id""")
+    ),
+    // q138: k-anonymity audit — the privacy gate beside q109's PII
+    // redaction: before publishing a dataset, every quasi-identifier
+    // equivalence class (here (nation, market segment)) must hold at
+    // least k individuals, or those rows re-identify. The report is the
+    // per-class census with the k-5 verdict and the suppression cost
+    // (rows that must drop or generalize to publish). Scale shape: one
+    // QI-keyed count shuffle with map-side partials — classes bounded by
+    // the QI domain product, never row count; the global suppression
+    // total rides a broadcast-size margin join back onto the classes.
+    Q(
+      "q138_k_anonymity",
+      (s, dir) => {
+        val k = 5L
+        val classes = Tables
+          .customer(s, dir)
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("class_size"))
+        val supp = classes
+          .agg(
+            sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+              .as("suppressed_rows"),
+            count(lit(1)).as("n_classes")
+          )
+        classes
+          .crossJoin(broadcast(supp))
+          .select(
+            col("nationkey"), col("c_mktsegment"), col("class_size"),
+            (col("class_size") >= k).as("k5_ok"),
+            col("suppressed_rows"), col("n_classes")
+          )
+          .orderBy("nationkey", "c_mktsegment")
+      },
+      Some("""WITH cls AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+            c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+          FROM customer GROUP BY 1, 2),
+        s AS (SELECT CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+              AS BIGINT) AS suppressed_rows,
+            CAST(count(*) AS BIGINT) AS n_classes FROM cls)
+        SELECT nationkey, c_mktsegment, class_size,
+          (class_size >= 5) AS k5_ok, s.suppressed_rows, s.n_classes
+        FROM cls, s ORDER BY nationkey, c_mktsegment""")
     )
   )
 }

@@ -1605,6 +1605,68 @@ object TextQueries {
           CAST(count(*) FILTER (d.v > c.p95) AS BIGINT) AS n_hi
         FROM d JOIN c ON d.lang = c.lang
         GROUP BY d.lang, c.n, c.p05, c.p95 ORDER BY d.lang""")
+    ),
+    // q139: language-ID confusion matrix — the classifier AUDIT beside
+    // q30's per-doc predictions: per (declared, predicted) cell counts
+    // and per-declared-language accuracy in basis points (integer
+    // division — order-free). The declared `lang` column plays ground
+    // truth; a curation pipeline runs exactly this table to decide
+    // whether the cheap n-gram gate is safe to route on. Scale shape:
+    // the marker-hit predictor is MAP-SIDE scalar math (q30's shared
+    // expressions), the matrix is one (true, pred) count shuffle with
+    // map-side partials, the accuracy join rides the tiny per-lang
+    // margin — cells bounded by langs², never corpus.
+    Q(
+      "q139_langid_confusion",
+      (s, dir) => {
+        val hits = markers.map { case (l, set) => l -> hitsCol(set) }
+        val Seq(de, en, es, fr) = hits.map(_._2)
+        val pred = Tables
+          .documents(s, dir)
+          .select(
+            col("lang").as("lang_true"),
+            when(de >= en && de >= es && de >= fr, "de")
+              .when(en >= es && en >= fr, "en")
+              .when(es >= fr, "es")
+              .otherwise("fr")
+              .as("lang_pred")
+          )
+          .filter(col("lang_true").isNotNull)
+        val cells = pred
+          .groupBy(col("lang_true"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pred
+          .groupBy(col("lang_true"))
+          .agg(
+            count(lit(1)).as("n_true"),
+            sum(when(col("lang_pred") === col("lang_true"), 1L).otherwise(0L))
+              .as("n_correct")
+          )
+        cells
+          .join(totals, "lang_true")
+          .select(
+            col("lang_true"), col("lang_pred"), col("n"), col("n_true"),
+            expr("(n_correct * 10000) div n_true").as("acc_bp")
+          )
+          .orderBy("lang_true", "lang_pred")
+      },
+      Some {
+        val h = markers.map { case (l, set) => s"${hitsSql(set)} AS ${l}_hits" }.mkString(", ")
+        s"""WITH p AS (SELECT lang AS lang_true,
+            CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                 WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                 WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred
+          FROM (SELECT lang, $h FROM documents) WHERE lang IS NOT NULL),
+        c AS (SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY lang_true, lang_pred),
+        t AS (SELECT lang_true, CAST(count(*) AS BIGINT) AS n_true,
+            CAST(count(*) FILTER (lang_pred = lang_true) AS BIGINT) AS n_correct
+          FROM p GROUP BY lang_true)
+        SELECT c.lang_true, c.lang_pred, c.n, t.n_true,
+          (t.n_correct * 10000) // t.n_true AS acc_bp
+        FROM c JOIN t ON c.lang_true = t.lang_true
+        ORDER BY c.lang_true, c.lang_pred"""
+      }
     )
   )
 }

@@ -126,6 +126,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q135_lateral_topk") == ((60L, "80cbee09e85cc9b54e8e782c853205e1")))
     assert(queryHash("q136_winsorized_stats") == ((5L, "0c7562d7b67a6e093bc7fe5b1652562d")))
     assert(queryHash("q137_multigrain_bars") == ((1348L, "0070b514e881a58217df36632c8a3c24")))
+    assert(queryHash("q138_k_anonymity") == ((93L, "67374e225878282fc408e853ba1a2eb0")))
+    assert(queryHash("q139_langid_confusion") == ((10L, "76c9331be46f92ea0686aee7bd8144db")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

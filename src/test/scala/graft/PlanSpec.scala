@@ -139,6 +139,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q139 langid confusion: predictor stays map-side, matrix is one count shuffle") {
+    val p = plan("q139_langid_confusion")
+    // the per-doc marker-hit predictor must not shuffle text — only the
+    // (true, pred) cells and the per-lang margins exchange
+    assert(p.contains("partial_count"), "matrix counts combine map-side")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q60 ngram top-k: partial-aggregated before the gram shuffle, TakeOrdered at the top") {
     val p = plan("q60_ngram_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")

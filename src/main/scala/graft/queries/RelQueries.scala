@@ -1613,6 +1613,62 @@ object RelQueries {
         SELECT nationkey, c_mktsegment, class_size,
           (class_size >= 5) AS k5_ok, s.suppressed_rows, s.n_classes
         FROM cls, s ORDER BY nationkey, c_mktsegment""")
+    ),
+    // q140: Benford first-digit audit — the classic fabricated-numbers
+    // gate on a money column: observed first-digit counts of
+    // o_totalprice against Benford's expected distribution, per-digit
+    // deviation in integer arithmetic. Engine-portable digit
+    // extraction: first char of the BIGINT cents value via floor(p*100)
+    // (floor is IEEE-identical on both sides, where a double→int CAST
+    // rounds in DuckDB but truncates in Spark — the q119 trap), and the
+    // Benford expectations are integer basis-point LITERALS (3010 …
+    // 458), never runtime log10 — transcendental libm calls are the one
+    // thing two engines won't reproduce bit-for-bit. One 9-group
+    // aggregate with map-side partials; the synthetic uniform-ish
+    // fixture legitimately FAILS Benford (big deviations) — the audit
+    // reports, it does not assert.
+    Q(
+      "q140_benford_audit",
+      (s, dir) => {
+        val bp = Map(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+          5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+        val expCol = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
+          when(col("digit") === d.toLong, lit(bp(d))).otherwise(acc)
+        }
+        val digits = Tables
+          .orders(s, dir)
+          .select(
+            substring(floor(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+              .cast("long").as("digit")
+          )
+          .filter(col("digit") >= 1L)
+        val n = digits.agg(count(lit(1)).as("n_total"))
+        digits
+          .groupBy("digit")
+          .agg(count(lit(1)).as("observed"))
+          .crossJoin(broadcast(n))
+          .select(
+            col("digit"), col("observed"), col("n_total"),
+            expCol.as("benford_bp"),
+            expr("(observed * 10000) div n_total").as("observed_bp")
+          )
+          .withColumn("dev_bp", abs(col("observed_bp") - col("benford_bp")))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders),
+        g AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d
+          WHERE digit >= 1 GROUP BY digit),
+        t AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM g),
+        e AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+            (5, 792), (6, 669), (7, 580), (8, 512), (9, 458)) AS v(digit, bp))
+        SELECT g.digit, g.observed, t.n_total,
+          CAST(e.bp AS BIGINT) AS benford_bp,
+          (g.observed * 10000) // t.n_total AS observed_bp,
+          abs((g.observed * 10000) // t.n_total - e.bp) AS dev_bp
+        FROM g, t JOIN e ON g.digit = e.digit
+        ORDER BY g.digit""")
     )
   )
 }

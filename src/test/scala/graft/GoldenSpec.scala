@@ -128,6 +128,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q137_multigrain_bars") == ((1348L, "0070b514e881a58217df36632c8a3c24")))
     assert(queryHash("q138_k_anonymity") == ((93L, "67374e225878282fc408e853ba1a2eb0")))
     assert(queryHash("q139_langid_confusion") == ((10L, "76c9331be46f92ea0686aee7bd8144db")))
+    assert(queryHash("q140_benford_audit") == ((9L, "84c3be3610220ad415af274fd32d75b6")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -56,7 +56,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q129_triangle_count",    // oriented wedge joins
     "q130_stratified_sample", // per-stratum rank selection
     "q133_stats_manifest",    // Expand-based multi-distinct
-    "q134_ivm_agg"            // cross-batch partial-state merge
+    "q134_ivm_agg",           // cross-batch partial-state merge
+    "q137_multigrain_bars",   // grouping-sets Expand, min_by/max_by grains
+    "q136_winsorized_stats",  // rank-discrete cuts + integer clamp mean
+    "q140_benford_audit"      // floor-cents digits, literal expectations
   )
 
   sample.foreach { name =>

@@ -377,6 +377,53 @@ object BarQueries {
           max_by(value, ts) AS close, CAST(count(*) AS BIGINT) AS volume
         FROM ev GROUP BY GROUPING SETS ((user_id, day), (user_id, day, hr))
         ORDER BY user_id, day, g_hr, hr NULLS FIRST""")
+    ),
+    // q141: state-transition (Markov) matrix — the user-journey
+    // primitive: per-user event sequences discretized into the s16/s27
+    // regime states (calm < 50, mid, alert > 250), consecutive-pair
+    // transition counts and row-normalized probabilities in integer
+    // basis points ((n · 10⁴) div row total — a true per-state
+    // distribution, order-free). The 1-step empirical kernel is what
+    // regime-switching features and journey anomaly gates consume.
+    // Scale shape: ONE user-keyed window shuffle for the lead pair
+    // (the same lineage family as q19's lag export), then a 9-cell
+    // two-phase count — the matrix is states², never corpus; the
+    // per-row margin is a window over ≤9 rows.
+    Q(
+      "q141_transition_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val st = when(col("value") < 50.0, "calm")
+          .when(col("value") > 250.0, "alert")
+          .otherwise("mid")
+        val pairs = Tables
+          .events(s, dir)
+          .select(col("user_id"), col("ts"), st.as("state"))
+          .withColumn("next_state", lead(col("state"), 1).over(w))
+          .filter(col("next_state").isNotNull)
+        val cells = pairs
+          .groupBy(col("state"), col("next_state"))
+          .agg(count(lit(1)).as("n"))
+        val mw = Window.partitionBy(col("state"))
+        cells
+          .withColumn("row_total", sum(col("n")).over(mw))
+          .withColumn("p_bp", expr("(n * 10000) div row_total"))
+          .orderBy("state", "next_state")
+      },
+      Some("""WITH st AS (SELECT user_id, ts,
+            CASE WHEN value < 50 THEN 'calm'
+                 WHEN value > 250 THEN 'alert' ELSE 'mid' END AS state
+          FROM events),
+        p AS (SELECT state,
+            lead(state, 1) OVER (PARTITION BY user_id ORDER BY ts) AS next_state
+          FROM st),
+        c AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE next_state IS NOT NULL GROUP BY state, next_state)
+        SELECT state, next_state, n,
+          CAST(sum(n) OVER (PARTITION BY state) AS BIGINT) AS row_total,
+          (n * 10000) // sum(n) OVER (PARTITION BY state) AS p_bp
+        FROM c ORDER BY state, next_state""")
     )
   )
 }

@@ -129,6 +129,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q138_k_anonymity") == ((93L, "67374e225878282fc408e853ba1a2eb0")))
     assert(queryHash("q139_langid_confusion") == ((10L, "76c9331be46f92ea0686aee7bd8144db")))
     assert(queryHash("q140_benford_audit") == ((9L, "84c3be3610220ad415af274fd32d75b6")))
+    assert(queryHash("q141_transition_matrix") == ((8L, "4fbee4cf1092f5f62f21b3fde7d41362")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

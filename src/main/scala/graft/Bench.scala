@@ -21,7 +21,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Default raised 3 → 5 (round-10 verdict: spread_raw was 48 s against a
+    // 192 s total at runs=3; five runs tighten the median so the 2×-gate
+    // reads engine, not host).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     // host-business context for the numbers: the round-8→9 forensics showed
     // the same code at the same SF varying >1.4× with HOST load (paired
     // same-day A/B of the r7/r8 trees was flat while both ran ~1.5× above
@@ -151,9 +154,26 @@ object Bench {
     // keeps only a bounded stdout tail and target/ is gitignored, so this
     // copy is the ONLY per-query record that survives into the repo for
     // cross-round comparison once the suite outgrew the tail window.
-    val repoCopy = java.nio.file.Paths.get("bench_full_last.json").toAbsolutePath
+    // Resolved against the REPO ROOT, not the process CWD: a bench run
+    // launched from another directory must not quietly strand the only
+    // surviving per-query record. Root discovery: explicit env override,
+    // else walk up from CWD to the nearest build.sbt, else CWD as-is.
+    val repoRoot: java.nio.file.Path = sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        Iterator
+          .iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .take(8)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      }
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    val repoCopy = repoRoot.resolve("bench_full_last.json")
     try java.nio.file.Files.write(repoCopy, fullJson.getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARNING: could not write repo mirror $repoCopy: $e")
+    }
     // compact summary — the machine-parseable last stdout line. The driver
     // keeps only a ~2 KB stdout tail, and at 150+ queries the full
     // per-query map overflows it (round 9: the line's HEAD was truncated
@@ -162,6 +182,16 @@ object Bench {
     // every failure, with counts so elision is visible. Full per-query
     // data lives in the two files above. Short keys: the qNN/sNN prefix
     // is unique across the suite.
+    // Calib-normalized total: suite seconds divided by the mean
+    // single-thread calibration time, i.e. "suite cost in units of this
+    // host's current speed". Comparable across rounds even when the box
+    // is 30-40% busier at one bench than another (round-10: calib drifted
+    // 0.671 → 0.494 within one run).
+    val calibMean = Seq(calibStart, calibEnd).filter(_ > 0) match {
+      case Nil => -1.0
+      case cs  => cs.sum / cs.size
+    }
+    val totalCalibNorm = if (calibMean > 0) total / calibMean else -1.0
     val failed = medians.filter(_._2 < 0).map(_._1).sorted
     val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val qsCompact = slowest
@@ -170,7 +200,7 @@ object Bench {
     val failedJson = failed
       .map(n => s""""${n.takeWhile(_ != '_')}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
     )
     spark.stop()
   }

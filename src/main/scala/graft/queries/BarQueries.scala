@@ -422,7 +422,7 @@ object BarQueries {
           FROM p WHERE next_state IS NOT NULL GROUP BY state, next_state)
         SELECT state, next_state, n,
           CAST(sum(n) OVER (PARTITION BY state) AS BIGINT) AS row_total,
-          (n * 10000) // sum(n) OVER (PARTITION BY state) AS p_bp
+          CAST((n * 10000) // sum(n) OVER (PARTITION BY state) AS BIGINT) AS p_bp
         FROM c ORDER BY state, next_state""")
     )
   )

@@ -127,6 +127,16 @@ object DedupQueries {
     */
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  /** Test hook (DeterminismSpec): drop the dir-memoized, localCheckpoint'ed
+    * stage frames so a partitioning-invariance sweep genuinely re-plans
+    * the expensive stages under the sweep session's conf instead of
+    * re-reading a frame materialized under the base session's layout.
+    */
+  private[graft] def clearStageCaches(): Unit = {
+    signatureCache.clear()
+    componentsCache.clear()
+  }
+
   private def componentLabels(
       s: org.apache.spark.sql.SparkSession,
       dir: String

@@ -50,23 +50,131 @@ object MediaQueries {
           dir
         )
         val media = s.read.parquet(staged).as[Media.MediaRow]
+        // f0 = feature(0) re-derived from the integer facets: the float
+        // vector IS hist_counts normalized (Media.normalize), so bin0 /
+        // Σbins through the shared r6 convention surfaces the float facet
+        // hash-checkably (both engines divide the SAME integers as IEEE
+        // doubles — MediaSpec pins f0 ≡ feature(0) to float precision).
+        // Quarantined rows (Σ = 0) surface 0.0, matching normalize's
+        // zero-vector.
+        val histTotal = aggregate(col("hist_counts"), lit(0L), (a, x) => a + x)
         Media
           .extractFeatures(media)
           .toDF()
+          .withColumn("hist_total", histTotal)
           .select(
             col("doc_id"),
             col("kind"),
-            col("width"),
-            col("height"),
-            col("n_frames"),
-            col("out_width"),
-            col("out_height"),
-            col("n_sampled_frames"),
-            round(element_at(col("feature"), 1), 6).as("f0")
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("out_width").cast("long").as("out_width"),
+            col("out_height").cast("long").as("out_height"),
+            col("n_sampled_frames").cast("long").as("n_sampled_frames"),
+            when(
+              col("hist_total") > 0L,
+              graft.ops.FeatureOps.r6(
+                element_at(col("hist_counts"), 1).cast("double") / col("hist_total"))
+            ).otherwise(lit(0.0)).as("f0")
           )
           .orderBy("doc_id")
       },
-      None
+      // The three kind-branches reuse the q87 (image), q86 (audio) and
+      // q88 (video) census recipes, reduced to bin 0 + the bin total;
+      // f0 mirrors the engine's r6(b0 / total) exactly (OracleSql.r6 ↔
+      // FeatureOps.r6 — same three IEEE ops). Quarantine rows (doc_id %
+      // 67 = 13) surface all-zero facets and f0 = 0.0 in both engines.
+      Some {
+        import graft.oracle.OracleSql.r6
+        s"""WITH img AS (
+            SELECT doc_id, doc_id % 251 AS id,
+              CASE WHEN doc_id % 10 = 0 THEN (16 + doc_id % 37) * 24
+                   ELSE 16 + doc_id % 37 END AS w,
+              12 + doc_id % 29 AS h,
+              (doc_id % 67 = 13) AS corrupt
+            FROM documents WHERE doc_id % 3 = 0),
+          img_px AS (
+            SELECT i.doc_id,
+              count(*) FILTER (((x*31 + y*17 + id) % 256) // 16 = 0) +
+              count(*) FILTER (((x*13 + y*43 + id*3) % 256) // 16 = 0) +
+              count(*) FILTER (((x*59 + y*7 + id*5) % 256) // 16 = 0) AS b0,
+              count(*) * 3 AS tot
+            FROM img i,
+              LATERAL unnest(generate_series(0, i.w - 1)) AS t1(x),
+              LATERAL unnest(generate_series(0, i.h - 1)) AS t2(y)
+            WHERE NOT i.corrupt GROUP BY i.doc_id),
+          img_out AS (
+            SELECT i.doc_id, 'image' AS kind,
+              CAST(CASE WHEN corrupt THEN 0 ELSE w END AS BIGINT) AS width,
+              CAST(CASE WHEN corrupt THEN 0 ELSE h END AS BIGINT) AS height,
+              CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_frames,
+              CAST(CASE WHEN corrupt THEN 0
+                        WHEN w <= 640 THEN w ELSE 640 END AS BIGINT) AS out_width,
+              CAST(CASE WHEN corrupt THEN 0
+                        WHEN w <= 640 THEN h
+                        ELSE greatest(1, (2 * h * 640 + w) // (2 * w)) END AS BIGINT)
+                AS out_height,
+              CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_sampled_frames,
+              CASE WHEN corrupt THEN 0e0
+                   ELSE ${r6("CAST(p.b0 AS DOUBLE) / p.tot")} END AS f0
+            FROM img i LEFT JOIN img_px p USING (doc_id)),
+          aud AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n,
+              (doc_id % 67 = 13) AS corrupt
+            FROM documents WHERE doc_id % 3 = 1),
+          aud_b0 AS (
+            SELECT doc_id,
+              len(list_filter(
+                list_transform(generate_series(1, length(text)),
+                               i -> ord(substring(text, i, 1)) // 16),
+                x -> x = 0)) AS b0
+            FROM aud WHERE NOT corrupt),
+          aud_out AS (
+            SELECT a.doc_id, 'audio' AS kind,
+              CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS width,
+              CAST(CASE WHEN corrupt THEN 0 ELSE 8 END AS BIGINT) AS height,
+              CAST(CASE WHEN corrupt THEN 0 ELSE n END AS BIGINT) AS n_frames,
+              CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS out_width,
+              CAST(CASE WHEN corrupt THEN 0 ELSE 8 END AS BIGINT) AS out_height,
+              CAST(CASE WHEN corrupt THEN 0
+                        ELSE least(32, (n + 3) // 4) END AS BIGINT) AS n_sampled_frames,
+              CASE WHEN corrupt OR n = 0 THEN 0e0
+                   ELSE ${r6("CAST(coalesce(b.b0, 0) AS DOUBLE) / a.n")} END AS f0
+            FROM aud a LEFT JOIN aud_b0 b USING (doc_id)),
+          vid AS (
+            SELECT doc_id, doc_id % 251 AS id,
+              24 + doc_id % 21 AS w, 18 + doc_id % 17 AS h,
+              1 + doc_id % 11 AS nf,
+              (doc_id % 67 = 13) AS corrupt
+            FROM documents WHERE doc_id % 3 = 2),
+          vid_px AS (
+            SELECT v.doc_id,
+              count(*) FILTER (((x*31 + y*17 + id + f*11) % 256) // 16 = 0) +
+              count(*) FILTER (((x*13 + y*43 + id*3 + f*29) % 256) // 16 = 0) +
+              count(*) FILTER (((x*59 + y*7 + id*5 + f*53) % 256) // 16 = 0) AS b0,
+              count(*) * 3 AS tot
+            FROM vid v,
+              LATERAL unnest(generate_series(0, v.nf - 1, 4)) AS t0(f),
+              LATERAL unnest(generate_series(0, v.w - 1)) AS t1(x),
+              LATERAL unnest(generate_series(0, v.h - 1)) AS t2(y)
+            WHERE NOT v.corrupt GROUP BY v.doc_id),
+          vid_out AS (
+            SELECT v.doc_id, 'video' AS kind,
+              CAST(CASE WHEN corrupt THEN 0 ELSE w END AS BIGINT) AS width,
+              CAST(CASE WHEN corrupt THEN 0 ELSE h END AS BIGINT) AS height,
+              CAST(CASE WHEN corrupt THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+              CAST(CASE WHEN corrupt THEN 0 ELSE w END AS BIGINT) AS out_width,
+              CAST(CASE WHEN corrupt THEN 0 ELSE h END AS BIGINT) AS out_height,
+              CAST(CASE WHEN corrupt THEN 0 ELSE (nf + 3) // 4 END AS BIGINT)
+                AS n_sampled_frames,
+              CASE WHEN corrupt THEN 0e0
+                   ELSE ${r6("CAST(p.b0 AS DOUBLE) / p.tot")} END AS f0
+            FROM vid v LEFT JOIN vid_px p USING (doc_id))
+          SELECT * FROM img_out
+          UNION ALL SELECT * FROM aud_out
+          UNION ALL SELECT * FROM vid_out
+          ORDER BY doc_id"""
+      }
     ),
     // Audio feature histogram (q86): the REAL `javax.sound.sampled` WAV
     // decode's EXACT integer bin counts (sample high-nibble histogram) +

@@ -1236,6 +1236,57 @@ object RelQueries {
           TRUE AS checksum_match
         FROM orders ORDER BY n_rows""")
     ),
+    // Avro source round-trip (q142): completes the source-format family
+    // (parquet / ORC q95 / CSV q94 / JSONL q117 / binaryFile q123 / XML
+    // q124) with the Kafka-ecosystem interchange format. No spark-avro
+    // datasource ships in this distribution, so the adapter binds the
+    // public core Avro Java API directly (sources/AvroSource.scala):
+    // explicit StructType→Avro schema translation, timestamp-micros
+    // logical type (epoch micros — Spark's own internal representation,
+    // so the timestamp leg is bit-exact with no format-string at all),
+    // deflate container files one-per-partition written executor-side,
+    // and a parallelized DataFileReader read-back under the explicit
+    // schema. Same fidelity discipline as q94/q124: the census comes
+    // FROM the Avro read-back and the order-independent multiset
+    // checksum (count + exact DECIMAL sum of xxhash64 over every column,
+    // map-only on both sides) compares read-back to original — a lossy
+    // leg fails the hash, not just the row count. Scale: Avro container
+    // files are block-compressed and sync-marked (splittable); the
+    // file-per-partition layout bounds each read task at one partition.
+    Q(
+      "q142_avro_roundtrip",
+      (s, dir) => {
+        val orig = Tables.orders(s, dir)
+        val path = graft.sources.AvroSource.stageOrdersAvro(s, dir)
+        val back = graft.sources.AvroSource.readAvro(s, path, orig.schema)
+        def checksum(df: org.apache.spark.sql.DataFrame) = df
+          .agg(
+            count(lit(1)),
+            sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))
+          )
+          .head()
+        val (co, cb) = (checksum(orig), checksum(back))
+        val matches = co.getLong(0) == cb.getLong(0) && co.getDecimal(1) == cb.getDecimal(1)
+        back
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            countDistinct(col("o_orderstatus")).as("n_status"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+            (year(min(col("o_orderdate"))).cast("long") * 10000 +
+              month(min(col("o_orderdate"))).cast("long") * 100 +
+              dayofmonth(min(col("o_orderdate"))).cast("long")).as("min_day")
+          )
+          .withColumn("checksum_match", lit(matches))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+          CAST(year(min(o_orderdate))*10000 + month(min(o_orderdate))*100 + day(min(o_orderdate)) AS BIGINT) AS min_day,
+          TRUE AS checksum_match
+        FROM orders ORDER BY n_rows""")
+    ),
     // Referential-integrity audit (q127): the pre-publish warehouse gate
     // — every FK edge of the star/snowflake checked in one report:
     // child rows, NULL FKs, orphans (child keys with no parent), and the

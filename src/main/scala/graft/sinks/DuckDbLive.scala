@@ -119,6 +119,20 @@ object DuckDbLive {
     } finally st.close()
   }
 
+  /** Run a query and return every result row — the DESCRIBE surface the
+    * oracle-dtype parity guard (OracleDtypeSpec) reads.
+    */
+  def queryRows(conn: Connection, sql: String): Seq[IndexedSeq[AnyRef]] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[AnyRef]]
+      while (rs.next()) out += (1 to n).map(rs.getObject)
+      out.toSeq
+    } finally st.close()
+  }
+
   /** Bytes → DuckDB blob-literal body (`\xHH` per byte): the appender's
     * varchar→BLOB cast decodes exactly this form, so arbitrary binary
     * survives the driver's string-only append surface.

@@ -67,12 +67,21 @@ object Fanout {
     val q = src.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         val batch = df.select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        // sink A: row-level, idempotent batch-keyed overwrite + ledger
-        if (committedA.add(id))
+        // sink A: row-level, idempotent batch-keyed overwrite + ledger.
+        // Write-THEN-commit: the ledger entry is only recorded after the
+        // durable write succeeds, so a failed/retried batch never leaves a
+        // ledger entry pointing at a missing path (the heal path reads
+        // ledger entries, so ledger ⊆ durable is the invariant).
+        if (!committedA.contains(id)) {
           batch.write.mode("overwrite").parquet(s"$rowSink/batch=$id")
+          committedA.add(id)
+        }
         // torn fanout: die between the two writes, once, on batch 1
         if (id == 1L && !tornInjected) { tornInjected = true }
-        else if (committedB.add(id)) writeAgg(batch, id)
+        else if (!committedB.contains(id)) {
+          writeAgg(batch, id)
+          committedB.add(id)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -97,9 +106,12 @@ object Fanout {
       .groupBy("user_id").agg(count(lit(1)).as("a_rows"))
     val bRows = spark.read.parquet(s"$aggSink/batch=*")
       .groupBy("user_id").agg(sum(col("n")).as("b_rows"))
+    // FULL OUTER join: a user present in only one sink must surface as a
+    // disagreement row (sinks_agree=false via null-aware compare), never
+    // silently vanish the way an inner join would drop it.
     val out = aRows
-      .join(bRows, "user_id")
-      .withColumn("sinks_agree", col("a_rows") === col("b_rows"))
+      .join(bRows, Seq("user_id"), "full_outer")
+      .withColumn("sinks_agree", col("a_rows") <=> col("b_rows"))
       .withColumn("n_batches", lit(committedA.size().toLong))
       .withColumn("torn_healed", lit(healed))
       .select(

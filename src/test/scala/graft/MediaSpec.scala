@@ -225,4 +225,28 @@ class MediaSpec extends AnyFunSuite {
     assert(!MediaCodec.decodeIsStub("audio"))
     assert(!MediaCodec.decodeIsStub("video"))
   }
+
+  test("s05's surfaced f0 IS the float feature vector's bin 0 (to float precision)") {
+    // s05's oracle became hash-checkable in round 11 by re-deriving f0
+    // from the integer facets (r6(hist_counts(0) / Σ)); this pins that
+    // the re-derivation still equals feature(0) — i.e. the surfaced
+    // column genuinely represents the float feature vector, not a
+    // lookalike. Tolerance is float32 ulp scale: normalize() divides in
+    // Float, the query divides in Double.
+    import spark.implicits._
+    val staged = Media.stageDecodable(
+      graft.ops.Tables.documentsSpread(spark, "/root/testdata/sf0.001"),
+      "/root/testdata/sf0.001")
+    val rows = Media
+      .extractFeatures(spark.read.parquet(staged).as[Media.MediaRow])
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tot = r.hist_counts.sum
+      val rederived = if (tot > 0) r.hist_counts(0).toDouble / tot else 0.0
+      assert(
+        math.abs(rederived - r.feature(0).toDouble) < 1e-6,
+        s"doc ${r.doc_id}: f0 re-derivation ${rederived} vs feature(0) ${r.feature(0)}")
+    }
+  }
 }

@@ -34,6 +34,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    // optional probe-section filter: SPARK_GRAFT_PROBES=graph,interval
+    // runs just those sections (default: all) — each probe stages its own
+    // corpora, so isolating one keeps the loop tight.
+    val probes = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
+        "graph", "interval", "topk"))
+    def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,23 +64,25 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(out)
       out
     }
-    // warm-up
-    Features.featuresFull(base, ordered = false).write.format("noop").mode("overwrite").save()
-    val results = mults.map { m =>
-      val path = widened(m)
-      val df = spark.read.parquet(path)
-      val rows = df.count()
-      val t0 = System.nanoTime()
-      Features
-        .featuresFull(df, ordered = false)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] x$m%-3d events=$rows%9d  features_full=$sec%7.2f s  (${rows / sec / 1e6}%.2f M rows/s)")
-      (m, rows, sec)
+    if (enabled("features")) {
+      // warm-up
+      Features.featuresFull(base, ordered = false).write.format("noop").mode("overwrite").save()
+      val results = mults.map { m =>
+        val path = widened(m)
+        val df = spark.read.parquet(path)
+        val rows = df.count()
+        val t0 = System.nanoTime()
+        Features
+          .featuresFull(df, ordered = false)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d events=$rows%9d  features_full=$sec%7.2f s  (${rows / sec / 1e6}%.2f M rows/s)")
+        (m, rows, sec)
+      }
+      val (m0, r0, s0) = results.head
+      val (mN, rN, sN) = results.last
+      println(f"[scale] growth: data x${rN.toDouble / r0}%.0f, time x${sN / s0}%.1f (linear would be x${rN.toDouble / r0}%.0f)")
     }
-    val (m0, r0, s0) = results.head
-    val (mN, rN, sN) = results.last
-    println(f"[scale] growth: data x${rN.toDouble / r0}%.0f, time x${sN / s0}%.1f (linear would be x${rN.toDouble / r0}%.0f)")
 
     // Dedup-pipeline linearity: widen documents m× by RENAMING THE
     // VOCABULARY per copy (every word prefixed with the copy tag). A
@@ -110,7 +120,11 @@ object ScaleProbe {
     // signatures — corpus growth with mostly-new content.
     val q34 = SparkEntry.queries("q34_minhash_pairs")
     val q68 = SparkEntry.queries("q68_simhash_neardup")
-    val docDirs = mults.map(m => m -> widenedDocs(m)).toMap
+    // widened-docs corpora are shared by the dedup / incremental / graph /
+    // top-k probes — staged lazily so a filtered run only pays for what
+    // it measures
+    lazy val docDirs = mults.map(m => m -> widenedDocs(m)).toMap
+    if (enabled("dedup")) {
     val dedupResults = mults.map { m =>
       val dir = docDirs(m)
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -132,6 +146,7 @@ object ScaleProbe {
       f"[scale] dedup growth: data x${drN.toDouble / dr0}%.0f, q34 time x${dsN / ds0}%.1f, " +
         f"q68 time x${dsimN / dsim0}%.1f (linear would be x${drN.toDouble / dr0}%.0f)"
     )
+    }
 
     // Incremental-curation work∝batch probe (q81's engine): the corpus
     // grows m× (renamed vocabulary — same widened dirs as above) while
@@ -142,6 +157,7 @@ object ScaleProbe {
     // probe + delta CC + relabel. Near-CONSTANT time across multiples —
     // against a corpus growing m× — is the measured form of the
     // work∝batch claim on DedupQueries.incrementalLabels.
+    if (enabled("incremental")) {
     val incResults = mults.map { m =>
       val dir = docDirs(m)
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -164,6 +180,7 @@ object ScaleProbe {
       f"[scale] incremental growth: corpus x${irN.toDouble / ir0}%.0f, FIXED batch, " +
         f"q81 merge time x${isN / is0}%.1f (work∝batch predicts ~x1; corpus-proportional would be x${irN.toDouble / ir0}%.0f)"
     )
+    }
 
     // ANN-pipeline linearity: widen embeddings m× by flipping each
     // copy's dimensions with a deterministic per-(copy, dim) ±1 mask —
@@ -196,6 +213,7 @@ object ScaleProbe {
       out
     }
     val q37 = SparkEntry.queries("q37_embed_neardup")
+    if (enabled("ann")) {
     val annResults = mults.map { m =>
       val dir = widenedEmb(m)
       val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
@@ -211,6 +229,7 @@ object ScaleProbe {
     println(
       f"[scale] ann growth: data x${arN.toDouble / ar0}%.0f, q37 time x${asN / as0}%.1f (linear would be x${arN.toDouble / ar0}%.0f)"
     )
+    }
 
     // Dynamic-partition-pruning probe (s19's engine): the TIME EXTENT
     // grows m× — each copy shifts the events onto a disjoint 90-day-step
@@ -222,6 +241,7 @@ object ScaleProbe {
     // m×-wider table. The ON/OFF contrast at each multiple is the
     // measured form of s19's "scan the matching days, not the year".
     import graft.ops.TimeCodec
+    if (enabled("dpp")) {
     val hotDays = Tables
       .events(spark, sfDir)
       .filter(
@@ -265,6 +285,103 @@ object ScaleProbe {
       f"[scale] dpp growth: history x${mults.last / mults.head}, dpp_on time x${onN / on0}%.1f " +
         f"(pruning predicts ~x1), dpp_off time x${offN / off0}%.1f (tracks the table)"
     )
+    }
+
+    // Triangle-count probe (q129's Σoutdeg² wedge bound): the dup-pair
+    // graph widens with the renamed-vocabulary corpora — per-copy edge
+    // sets are disjoint and structurally identical, so edges (and
+    // oriented wedges) grow ~m× while per-vertex degree distributions
+    // stay fixed. The UNTIMED first run stages the dir-memoized
+    // signature index; the timed run measures the repeating cost the
+    // PLANS.md claim is about — cap-bounded pair generation, degree
+    // orientation, wedge self-join, closing-edge probe. Near-linear
+    // time across x16/x64 is the measured form of "Σoutdeg², never
+    // corpus²" (a quadratic wedge stage would track m²).
+    if (enabled("graph")) {
+      val q129 = SparkEntry.queries("q129_triangle_count")
+      val triResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        q129(spark, dir).write.format("noop").mode("overwrite").save() // untimed: stages the signature index
+        val t0 = System.nanoTime()
+        q129(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d docs=$rows%9d  q129_triangle_count=$sec%7.2f s")
+        (m, rows, sec)
+      }
+      val (_, tr0, ts0) = triResults.head
+      val (_, trN, tsN) = triResults.last
+      println(
+        f"[scale] graph growth: docs x${trN.toDouble / tr0}%.0f, q129 time x${tsN / ts0}%.1f " +
+          f"(Σoutdeg² with fixed degree distribution predicts ~linear; a wedge blowup would track x${(trN.toDouble / tr0) * (trN.toDouble / tr0)}%.0f)"
+      )
+    }
+
+    // Interval-overlap probe (q132's bucket decomposition): scale
+    // arrives as TIME EXTENT — each copy shifts the events onto a
+    // disjoint 90-day-step range, so the day-bucket count grows m×
+    // while per-day activity (the bucket size that bounds candidate
+    // pairs) stays FIXED. Near-linear time and ~m× overlap pairs are
+    // the measured form of "per-bucket bounded, never corpus²" — a
+    // decomposition failure (e.g. joining on user instead of day)
+    // would track m² in pairs and time.
+    if (enabled("interval")) {
+      def widenedIntervalEvents(m: Int): String = {
+        val out = s"${scratchDir("graft_scale_i_")}"
+        (0 until m)
+          .map(i => base.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 90} DAYS")))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        out
+      }
+      val q132 = SparkEntry.queries("q132_interval_overlap")
+      val ivResults = mults.map { m =>
+        val dir = widenedIntervalEvents(m)
+        val rows = spark.read.parquet(s"$dir/events.parquet").count()
+        q132(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        val days = q132(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d events=$rows%9d  q132_interval_overlap=$sec%7.2f s ($days day-buckets)")
+        (m, rows, sec)
+      }
+      val (_, ivr0, ivs0) = ivResults.head
+      val (_, ivrN, ivsN) = ivResults.last
+      println(
+        f"[scale] interval growth: events x${ivrN.toDouble / ivr0}%.0f (as days, fixed per-day activity), " +
+          f"q132 time x${ivsN / ivs0}%.1f (bucket decomposition predicts ~linear)"
+      )
+    }
+
+    // Lateral top-k probe (q135's WindowGroupLimit / rank pushdown):
+    // the corpus widens m× while k (3) and the group domain (sources)
+    // stay fixed. Catalyst decorrelates the LATERAL subquery into a
+    // rank window with the per-group limit pushed BELOW the shuffle
+    // (WindowGroupLimit): each map task forwards at most k rows per
+    // group, so the exchange carries ~groups·k·partitions rows no
+    // matter how wide the corpus — time should track the SCAN
+    // (linear), with a flat post-shuffle stage. A decorrelation
+    // regression (nested-loop re-scan per group) would track m·groups.
+    if (enabled("topk")) {
+      val q135 = SparkEntry.queries("q135_lateral_topk")
+      val tkResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        q135(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        val kept = q135(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d docs=$rows%9d  q135_lateral_topk=$sec%7.2f s ($kept rows kept)")
+        (m, rows, sec)
+      }
+      val (_, tkr0, tks0) = tkResults.head
+      val (_, tkrN, tksN) = tkResults.last
+      println(
+        f"[scale] topk growth: docs x${tkrN.toDouble / tkr0}%.0f, q135 time x${tksN / tks0}%.1f " +
+          f"(rank pushdown predicts ~scan-linear; per-group re-scan would multiply by the group count)"
+      )
+    }
     spark.stop()
   }
 }

@@ -102,9 +102,18 @@ object Fanout {
       missing.nonEmpty
     }
 
-    val aRows = spark.read.parquet(s"$rowSink/batch=*")
+    // Read the EXPLICIT ledger-derived batch dirs, not a `batch=*` glob:
+    // globbed reads trip Spark's FileStreamSink metadata probe, which
+    // logs a WARN with a full FileNotFoundException stack trace for the
+    // literal glob string on every read (the alarming-but-benign trace
+    // in the r10 bench tail). Concrete existing dirs resolve quietly,
+    // and the census provably covers exactly the committed ledger.
+    import scala.jdk.CollectionConverters._
+    def readBatches(sink: String, ids: Seq[Long]) =
+      spark.read.option("basePath", sink).parquet(ids.map(id => s"$sink/batch=$id"): _*)
+    val aRows = readBatches(rowSink, committedA.asScala.toSeq.sorted)
       .groupBy("user_id").agg(count(lit(1)).as("a_rows"))
-    val bRows = spark.read.parquet(s"$aggSink/batch=*")
+    val bRows = readBatches(aggSink, committedB.asScala.toSeq.sorted)
       .groupBy("user_id").agg(sum(col("n")).as("b_rows"))
     // FULL OUTER join: a user present in only one sink must surface as a
     // disagreement row (sinks_agree=false via null-aware compare), never

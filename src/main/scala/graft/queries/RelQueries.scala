@@ -1287,6 +1287,167 @@ object RelQueries {
           TRUE AS checksum_match
         FROM orders ORDER BY n_rows""")
     ),
+    // q143: deletion propagation (right-to-be-forgotten) — the GDPR
+    // maintenance op beside q127's FK audit and q109's PII redaction: a
+    // deletion REQUEST (a bounded batch of customer keys) must cascade
+    // through the FK graph (customer → orders → lineitem) and the
+    // publish gate must PROVE the cascade, not assume it. Scale shape:
+    // the request keyset broadcasts (deletion batches are
+    // request-bounded, never corpus-sized) and every fact table takes
+    // ONE broadcast anti-join — fact rows never shuffle; the
+    // second-hop keyset (orders of deleted customers) is bounded by
+    // request × orders-per-customer, so it broadcasts too. The
+    // residual_refs column is an INDEPENDENT semi-join probe of each
+    // kept frame against the deleted keyset — the verification is a
+    // second lineage, not the complement of the delete — and the
+    // oracle pins it to 0 while n_after must equal n_before−n_deleted,
+    // so a leaky cascade fails the hash twice.
+    Q(
+      "q143_deletion_propagation",
+      (s, dir) => {
+        val customer = Tables.customer(s, dir)
+        val orders = Tables.orders(s, dir)
+        val lineitem = Tables.lineitem(s, dir)
+        // the deletion request: a deterministic ~1% slice of customers
+        val delK = customer
+          .filter(pmod(col("c_custkey"), lit(97)) === 13)
+          .select(col("c_custkey").as("k"))
+        val delOrders = orders
+          .join(broadcast(delK), col("o_custkey") === col("k"))
+          .select(col("o_orderkey").as("ok"))
+        def census(
+            name: String,
+            table: org.apache.spark.sql.DataFrame,
+            fk: org.apache.spark.sql.Column,
+            keys: org.apache.spark.sql.DataFrame,
+            keyCol: String) = {
+          val marked = table.join(
+            broadcast(keys.withColumn("__del", lit(1))), fk === col(keyCol), "left")
+          val counts = marked.agg(
+            count(lit(1)).as("n_before"),
+            sum(when(col("__del").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+          val kept = table.join(broadcast(keys), fk === col(keyCol), "left_anti")
+          val resid = kept
+            .join(broadcast(keys), fk === col(keyCol), "left_semi")
+            .agg(count(lit(1)).as("residual_refs"))
+          val keptN = kept.agg(count(lit(1)).as("n_after"))
+          counts
+            .crossJoin(broadcast(keptN))
+            .crossJoin(broadcast(resid))
+            .select(
+              lit(name).as("tbl"), col("n_before"), col("n_deleted"),
+              col("n_after"), col("residual_refs"),
+              (col("n_after") === col("n_before") - col("n_deleted")).as("cascade_ok"))
+        }
+        census("customer", customer, col("c_custkey"), delK, "k")
+          .unionByName(census("orders", orders, col("o_custkey"), delK, "k"))
+          .unionByName(census("lineitem", lineitem, col("l_orderkey"), delOrders, "ok"))
+          .orderBy("tbl")
+      },
+      Some("""WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 13),
+          delord AS (SELECT o_orderkey AS ok FROM orders
+            WHERE o_custkey IN (SELECT k FROM del)),
+          c AS (SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_before,
+              CAST(count(*) FILTER (c_custkey % 97 = 13) AS BIGINT) AS n_deleted
+            FROM customer),
+          o AS (SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_before,
+              CAST(count(*) FILTER (o_custkey IN (SELECT k FROM del)) AS BIGINT) AS n_deleted
+            FROM orders),
+          l AS (SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_before,
+              CAST(count(*) FILTER (l_orderkey IN (SELECT ok FROM delord)) AS BIGINT) AS n_deleted
+            FROM lineitem),
+          u AS (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+        SELECT tbl, n_before, n_deleted,
+          CAST(n_before - n_deleted AS BIGINT) AS n_after,
+          CAST(0 AS BIGINT) AS residual_refs, TRUE AS cascade_ok
+        FROM u ORDER BY tbl""")
+    ),
+    // q144: mergeable quantile sketch + exact error audit — completes
+    // the sketch triad (q89 distinct-count, q100 frequency/CMS,
+    // quantiles here): a fixed-width 512-bin histogram over integer
+    // cents whose per-partition partial counts MERGE associatively
+    // (partial aggregation collapses each map task to ≤512 cells, so
+    // the shuffle carries cells × partitions regardless of row count —
+    // the sketch IS the aggregate), and the rank-k quantile estimate
+    // reads off the cumulative bins. The audit side computes the TRUE
+    // order statistic from the distinct-cents census (domain-bounded:
+    // ≤ ~49k cells at any corpus size — the partition-less cum windows
+    // run over value-DOMAIN-sized frames, never row-sized) and pins the
+    // sketch guarantee in-hash: the true quantile must land INSIDE the
+    // estimated bin (err_cents ∈ [0,100)), so a binning or merge bug
+    // fails the gate, not a tolerance. All kernels integer (floor-cents
+    // v, integer ceil k=(p·n+99)//100, min-bin selection) — bit-exact
+    // across engines by construction.
+    Q(
+      "q144_quantile_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = Tables
+          .events(s, dir)
+          .select(expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        val byV = cents.groupBy("v").agg(count(lit(1)).as("cnt"))
+        val cumV = byV
+          .withColumn(
+            "cum",
+            sum(col("cnt")).over(
+              Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("v"), col("cum"))
+        val cumB = byV
+          .withColumn("bin", expr("v div 100"))
+          .groupBy("bin")
+          .agg(sum(col("cnt")).as("cnt"))
+          .withColumn(
+            "cum",
+            sum(col("cnt")).over(
+              Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("bin"), col("cum"))
+        val tot = cents.agg(count(lit(1)).as("n"))
+        val ks = s
+          .createDataFrame(Seq(Tuple1(50), Tuple1(90), Tuple1(99)))
+          .toDF("p")
+          .crossJoin(broadcast(tot))
+          .withColumn("k", expr("(p * n + 99) div 100"))
+          .select(col("p"), col("k"))
+        val est = ks
+          .join(broadcast(cumB), col("cum") >= col("k"))
+          .groupBy("p", "k")
+          .agg(min(col("bin")).as("est_bin"))
+        val tru = ks
+          .select(col("p").as("tp"), col("k").as("tk"))
+          .join(cumV, col("cum") >= col("tk"))
+          .groupBy("tp")
+          .agg(min(col("v")).as("true_cents"))
+        est
+          .join(tru, col("p") === col("tp"))
+          .select(
+            col("p"), col("k"),
+            (col("est_bin") * 100L).as("est_lo_cents"),
+            col("true_cents"),
+            (col("true_cents") - col("est_bin") * 100L).as("err_cents"),
+            (expr("true_cents div 100") === col("est_bin")).as("contained"))
+          .orderBy("p")
+      },
+      Some("""WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+          byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+          cumv AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+          hist AS (SELECT v // 100 AS bin, sum(cnt) AS cnt FROM byv GROUP BY 1),
+          cumb AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+          q AS (SELECT unnest([50, 90, 99]) AS p),
+          ks AS (SELECT p, CAST((p * n.n + 99) // 100 AS BIGINT) AS k FROM q, n),
+          est AS (SELECT p, k, CAST(min(bin) AS BIGINT) AS est_bin
+            FROM ks JOIN cumb ON cum >= ks.k GROUP BY p, k),
+          tru AS (SELECT p, CAST(min(v) AS BIGINT) AS true_cents
+            FROM ks JOIN cumv ON cum >= ks.k GROUP BY p)
+        SELECT est.p, est.k,
+          CAST(est_bin * 100 AS BIGINT) AS est_lo_cents,
+          true_cents,
+          CAST(true_cents - est_bin * 100 AS BIGINT) AS err_cents,
+          (true_cents // 100 = est_bin) AS contained
+        FROM est JOIN tru ON est.p = tru.p ORDER BY est.p""")
+    ),
     // Referential-integrity audit (q127): the pre-publish warehouse gate
     // — every FK edge of the star/snowflake checked in one report:
     // child rows, NULL FKs, orphans (child keys with no parent), and the

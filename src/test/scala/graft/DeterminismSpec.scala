@@ -59,7 +59,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q134_ivm_agg",           // cross-batch partial-state merge
     "q137_multigrain_bars",   // grouping-sets Expand, min_by/max_by grains
     "q136_winsorized_stats",  // rank-discrete cuts + integer clamp mean
-    "q140_benford_audit"      // floor-cents digits, literal expectations
+    "q140_benford_audit",     // floor-cents digits, literal expectations
+    "q143_deletion_propagation", // broadcast anti-join cascade + residual probes
+    "q144_quantile_sketch"    // mergeable bin counts, domain-bounded cum windows
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

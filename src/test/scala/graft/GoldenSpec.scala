@@ -132,6 +132,15 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q141_transition_matrix") == ((8L, "4fbee4cf1092f5f62f21b3fde7d41362")))
   }
 
+  test("round-11 additions sf0.001 golden hashes") {
+    // cascade_ok=TRUE and residual_refs=0 are inside this hash: the
+    // FK cascade and its independent residual probe must both hold
+    assert(queryHash("q143_deletion_propagation") == ((3L, "be2958a68ed73f5652a3e1999ec95e96")))
+    // contained=TRUE is inside this hash: the true order statistic must
+    // land inside the sketch's estimated bin on every quantile
+    assert(queryHash("q144_quantile_sketch") == ((3L, "3c1e92acf00fbd9547d19e6ce1577c64")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

@@ -563,4 +563,27 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!opt.contains("strategy=broadcast"), "broadcast stays size-based, never hinted")
   }
+
+  test("q143 deletion cascade: every request-keyed join broadcasts, fact rows never shuffle") {
+    // customer/orders/lineitem each take broadcast delete-marker, anti
+    // and residual-probe joins against the (bounded) request keysets —
+    // 9-10 broadcast joins total depending on reuse; what must NOT
+    // appear is a shuffled or nested-loop join of any fact table, or a
+    // hash exchange of fact rows (the only exchanges are the 1-row
+    // aggregate collects and the 3-row final sort).
+    val p = plan("q143_deletion_propagation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(count(p, "BroadcastHashJoin") >= 9)
+    assert(count(p, "Exchange hashpartitioning") == 0, "fact rows never hash-shuffle")
+  }
+
+  test("q144 quantile sketch: partial aggregation collapses map tasks to sketch cells") {
+    // the mergeable-sketch contract: the cents census and bin histogram
+    // both partial-aggregate map-side (shuffle carries cells ×
+    // partitions, never rows), and the audit's cum windows run over the
+    // domain-bounded frames — no row-sized window, no join blowup.
+    val p = plan("q144_quantile_sketch")
+    assert(p.contains("partial_count"), "cents census combines map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

@@ -1881,6 +1881,192 @@ object RelQueries {
           abs((g.observed * 10000) // t.n_total - e.bp) AS dev_bp
         FROM g, t JOIN e ON g.digit = e.digit
         ORDER BY g.digit""")
+    ),
+    // q145: MAD robust outlier audit — the anomaly gate beside q136's
+    // winsorized stats and q118's drift test: per event_type, the
+    // median and the Median Absolute Deviation over integer cents, and
+    // the count of rows beyond the 3×MAD fence. Scale shape: the same
+    // domain-bounded census discipline as q144 — rows collapse map-side
+    // to (type, cents) cells (≤ ~50k cells per type at ANY corpus
+    // size), the cumulative windows run over DOMAIN-sized frames
+    // partitioned by type (never row-sized), and the two order
+    // statistics (median, MAD) are rank read-offs on those censuses.
+    // The 5-row medians broadcast back for the deviation census and
+    // the fence count, so event rows shuffle exactly once (the census
+    // groupBy). All kernels integer (floor-cents, k=(n+1)//2 lower
+    // median, 3×MAD fence, basis-point rate) — bit-exact by
+    // construction.
+    Q(
+      "q145_mad_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables
+          .events(s, dir)
+          .select(
+            col("event_type").as("et"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        val byv = c.groupBy("et", "v").agg(count(lit(1)).as("cnt"))
+        val n = byv.groupBy("et").agg(sum("cnt").as("n"))
+        val cumv = byv.withColumn(
+          "cum",
+          sum(col("cnt")).over(
+            Window.partitionBy("et").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val med = cumv
+          .join(broadcast(n.select(col("et").as("net"), col("n"))), col("et") === col("net"))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy("et")
+          .agg(min(col("v")).as("med"))
+        val dev = byv
+          .join(broadcast(med.select(col("et").as("met"), col("med"))), col("et") === col("met"))
+          .groupBy(col("et"), abs(col("v") - col("med")).as("d"))
+          .agg(sum("cnt").as("cnt"))
+        val cumd = dev.withColumn(
+          "cum",
+          sum(col("cnt")).over(
+            Window.partitionBy("et").orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val mad = cumd
+          .join(broadcast(n.select(col("et").as("net"), col("n"))), col("et") === col("net"))
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy("et")
+          .agg(min(col("d")).as("mad"))
+        val outl = dev
+          .join(broadcast(mad.select(col("et").as("oet"), col("mad"))), col("et") === col("oet"))
+          .groupBy("et")
+          .agg(
+            coalesce(sum(when(col("d") > col("mad") * 3L, col("cnt"))), lit(0L))
+              .as("n_outliers"))
+        n.join(med.withColumnRenamed("et", "e2"), col("et") === col("e2"))
+          .join(mad.withColumnRenamed("et", "e3"), col("et") === col("e3"))
+          .join(outl.withColumnRenamed("et", "e4"), col("et") === col("e4"))
+          .select(
+            col("et").as("event_type"), col("n"),
+            col("med").as("med_cents"), col("mad").as("mad_cents"),
+            col("n_outliers"),
+            expr("(n_outliers * 10000) div n").as("outlier_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type AS et, CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events),
+          byv AS (SELECT et, v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY et, v),
+          n AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS n FROM byv GROUP BY et),
+          cumv AS (SELECT et, v, CAST(sum(cnt) OVER (PARTITION BY et ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+          med AS (SELECT cumv.et, CAST(min(v) AS BIGINT) AS med
+            FROM cumv JOIN n ON n.et = cumv.et AND cum >= (n.n + 1) // 2
+            GROUP BY cumv.et),
+          dev AS (SELECT byv.et, abs(v - med) AS d, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM byv JOIN med ON byv.et = med.et GROUP BY byv.et, abs(v - med)),
+          cumd AS (SELECT et, d, CAST(sum(cnt) OVER (PARTITION BY et ORDER BY d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM dev),
+          mad AS (SELECT cumd.et, CAST(min(d) AS BIGINT) AS mad
+            FROM cumd JOIN n ON n.et = cumd.et AND cum >= (n.n + 1) // 2
+            GROUP BY cumd.et),
+          outl AS (SELECT dev.et,
+              CAST(coalesce(sum(cnt) FILTER (d > 3 * mad), 0) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad ON dev.et = mad.et GROUP BY dev.et)
+        SELECT n.et AS event_type, n.n AS n, med.med AS med_cents,
+          mad.mad AS mad_cents, outl.n_outliers,
+          (outl.n_outliers * 10000) // n.n AS outlier_bp
+        FROM n JOIN med ON n.et = med.et JOIN mad ON n.et = mad.et
+          JOIN outl ON n.et = outl.et
+        ORDER BY event_type""")
+    ),
+    // q146: exponentially time-decayed engagement score — the
+    // freshness-weighted ranking a curation pipeline uses to prioritize
+    // recent activity (recency-weighted sampling, decayed popularity).
+    // The decay is EXACT integer arithmetic, not float exp(): with a
+    // one-day half-life, an event aged a days weighs 2^(40−a) on a
+    // 2^40 fixed-point scale (shiftleft both engines define
+    // identically), truncated to 0 beyond age 40 — the truncation is
+    // the documented sketch bound (weights past 40 half-lives are
+    // < 1e-12 of the scale and cannot affect any ranking), and the cap
+    // also bounds the sum: n·2^40 stays inside int64 up to ~8M rows
+    // per user. Scale shape: one map-side-combined groupBy(user) —
+    // the weight is computed per-row in the project (codegen'd CASE +
+    // shift), partials merge associatively, and the top-20 is
+    // TakeOrdered (never a global sort). Tie-break on user_id makes
+    // the 20-row cut deterministic.
+    Q(
+      "q146_decayed_engagement",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+        val maxd = e.agg(max(col("d")).as("maxd"))
+        e.crossJoin(broadcast(maxd))
+          .withColumn("age", datediff(col("maxd"), col("d")))
+          .withColumn(
+            "w",
+            expr(
+              "CASE WHEN age <= 40 THEN shiftleft(CAST(1 AS BIGINT), CAST(40 - age AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score_scaled"))
+          .orderBy(desc("score_scaled"), asc("user_id"))
+          .limit(20)
+      },
+      Some("""WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+          a AS (SELECT user_id, date_diff('day', CAST(ts AS DATE), m.maxd) AS age
+            FROM events, m),
+          w AS (SELECT user_id,
+              CASE WHEN age <= 40 THEN CAST(1 AS BIGINT) << (40 - age)
+                   ELSE CAST(0 AS BIGINT) END AS w
+            FROM a)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(w) AS BIGINT) AS score_scaled
+        FROM w GROUP BY user_id
+        ORDER BY score_scaled DESC, user_id LIMIT 20""")
+    ),
+    // q147: join-skew diagnostic + salt-factor advisor — the PLANNING
+    // op that feeds s09's salted join: before running a 100 TB join,
+    // measure the key distribution of each hot edge and recommend the
+    // salt. Per edge: row count, distinct keys, the heaviest key's
+    // count, mean key count (×100 fixed-point), the skew ratio
+    // max/mean (×100), and the recommended salt factor = heaviest key
+    // split into ~n/128 target-task-sized slices, capped at 32 (the
+    // executor-width bound — salting beyond cluster width only adds
+    // shuffle). Scale shape: ONE map-side-combined groupBy(key) per
+    // edge, then a 1-row reduce over key counts — key cardinality is
+    // the only thing that ever shuffles; the advisor output is 3 rows.
+    // All kernels integer ceil-divisions; no doubles anywhere.
+    Q(
+      "q147_skew_advisor",
+      (s, dir) => {
+        def audit(edge: String, df: org.apache.spark.sql.DataFrame, key: String) =
+          df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("c"))
+            .agg(sum("c").as("n"), count(lit(1)).as("nk"), max("c").as("max_c"))
+            .select(
+              lit(edge).as("edge"),
+              col("n").as("n_rows"),
+              col("nk").as("n_keys"),
+              col("max_c").as("max_cnt"),
+              expr("(n * 100) div nk").as("avg_cnt_x100"),
+              expr("(max_c * 100 * nk) div n").as("skew_x100"),
+              expr("""least(CAST(32 AS BIGINT),
+                (max_c + greatest(CAST(1 AS BIGINT), (n + 127) div 128) - 1)
+                  div greatest(CAST(1 AS BIGINT), (n + 127) div 128))""").as("salt_factor"))
+        audit("events.user_id", Tables.events(s, dir), "user_id")
+          .unionByName(audit("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"))
+          .unionByName(audit("orders.o_custkey", Tables.orders(s, dir), "o_custkey"))
+          .orderBy("edge")
+      },
+      Some("""WITH e1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+          e2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey),
+          e3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey),
+          s1 AS (SELECT 'events.user_id' AS edge, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS nk, CAST(max(c) AS BIGINT) AS max_c FROM e1),
+          s2 AS (SELECT 'lineitem.l_partkey' AS edge, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS nk, CAST(max(c) AS BIGINT) AS max_c FROM e2),
+          s3 AS (SELECT 'orders.o_custkey' AS edge, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS nk, CAST(max(c) AS BIGINT) AS max_c FROM e3),
+          u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        SELECT edge, n AS n_rows, nk AS n_keys, max_c AS max_cnt,
+          (n * 100) // nk AS avg_cnt_x100,
+          (max_c * 100 * nk) // n AS skew_x100,
+          least(CAST(32 AS BIGINT),
+            (max_c + greatest(CAST(1 AS BIGINT), (n + 127) // 128) - 1)
+              // greatest(CAST(1 AS BIGINT), (n + 127) // 128)) AS salt_factor
+        FROM u ORDER BY edge""")
     )
   )
 }

@@ -61,7 +61,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q136_winsorized_stats",  // rank-discrete cuts + integer clamp mean
     "q140_benford_audit",     // floor-cents digits, literal expectations
     "q143_deletion_propagation", // broadcast anti-join cascade + residual probes
-    "q144_quantile_sketch"    // mergeable bin counts, domain-bounded cum windows
+    "q144_quantile_sketch",   // mergeable bin counts, domain-bounded cum windows
+    "q145_mad_outliers",      // per-type rank read-offs on domain censuses
+    "q146_decayed_engagement" // shift-based fixed-point decay, TakeOrdered cut
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -139,6 +139,10 @@ class GoldenSpec extends AnyFunSuite {
     // contained=TRUE is inside this hash: the true order statistic must
     // land inside the sketch's estimated bin on every quantile
     assert(queryHash("q144_quantile_sketch") == ((3L, "3c1e92acf00fbd9547d19e6ce1577c64")))
+    // second round-11 batch: robust outliers / decayed engagement / skew advisor
+    assert(queryHash("q145_mad_outliers") == ((5L, "162236e1d54e5c8e8e20507c85f27137")))
+    assert(queryHash("q146_decayed_engagement") == ((15L, "e11231902fc21846d5de4fa5dfd038f1")))
+    assert(queryHash("q147_skew_advisor") == ((3L, "ef905d540282247c9c054b4f034a2d86")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -586,4 +586,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "cents census combines map-side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q145 MAD audit: domain census combines map-side, stats frames broadcast") {
+    // event rows collapse to (type, cents) cells before any shuffle;
+    // the median/MAD/count side frames are type-cardinality and must
+    // broadcast — a sort-merge join here would mean a row-sized frame
+    // leaked into the stats lineage.
+    val p = plan("q145_mad_outliers")
+    assert(p.contains("partial_count"), "cents census combines map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q146 decayed engagement: one combined aggregate, TakeOrdered cut") {
+    // the per-row weight is a codegen'd CASE+shift in the project; the
+    // only shuffle is the user-keyed aggregate (partials merge
+    // associatively) and the top-20 is TakeOrdered — never a global
+    // sort of the user frame.
+    val p = plan("q146_decayed_engagement")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered, not Sort+Limit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q147 skew advisor: key-census aggregates only, no joins anywhere") {
+    // the advisor is groupBy(key) → 1-row reduce per edge; key counts
+    // are the only shuffled thing and there is no join of any kind.
+    val p = plan("q147_skew_advisor")
+    assert(p.contains("partial_count"), "key census combines map-side")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), "advisor has no joins")
+  }
 }

@@ -2067,6 +2067,196 @@ object RelQueries {
             (max_c + greatest(CAST(1 AS BIGINT), (n + 127) // 128) - 1)
               // greatest(CAST(1 AS BIGINT), (n + 127) // 128)) AS salt_factor
         FROM u ORDER BY edge""")
+    ),
+    // q148: snapshot manifest diff — the incremental-ingest planner a
+    // 100 TB pipeline runs before every refresh: compare the current
+    // table against the previous snapshot's manifest PER
+    // PARTITION-BUCKET (here: order-month, the natural time layout)
+    // and emit how many buckets are new / changed / unchanged plus the
+    // rows the incremental job must reprocess (changed + new buckets
+    // only — the point of the manifest is that unchanged buckets are
+    // skipped without reading them). The per-bucket digest is an
+    // order-insensitive SUM of a modular row fingerprint
+    // ((key·1000003 + cents·31 + custkey) mod 1e9+7 — commutative, so
+    // partials merge associatively and the digest is layout-
+    // independent; the modulus keeps bucket sums inside int64 at any
+    // corpus size). Scale shape: ONE scan with conditional aggregates
+    // (current vs snapshot counts+digests per bucket in the same
+    // map-side partial pass — the snapshot predicate is a filter
+    // inside the agg, not a second scan), then a bucket-domain-sized
+    // (~80 cells) status classification and a 3-row report.
+    Q(
+      "q148_manifest_diff",
+      (s, dir) => {
+        val cutoff = lit("2001-07-15").cast("date")
+        val o = Tables
+          .orders(s, dir)
+          .select(
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("bucket"),
+            expr("""(o_orderkey * 1000003
+              + CAST(floor(o_totalprice * 100) AS BIGINT) * 31
+              + o_custkey) % 1000000007""").as("fp"),
+            col("o_orderdate").cast("date").as("d"))
+        val m = o
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("cnt_b"),
+            sum(col("fp")).as("dig_b"),
+            sum(when(col("d") < cutoff, 1L).otherwise(0L)).as("cnt_a"),
+            coalesce(sum(when(col("d") < cutoff, col("fp"))), lit(0L)).as("dig_a"))
+          .withColumn(
+            "status",
+            when(col("cnt_a") === 0L, lit("new"))
+              .when(col("cnt_a") === col("cnt_b") && col("dig_a") === col("dig_b"),
+                lit("unchanged"))
+              .otherwise(lit("changed")))
+        m.groupBy("status")
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            sum(col("cnt_b")).as("rows_current"),
+            sum(when(col("status") =!= "unchanged", col("cnt_b")).otherwise(0L))
+              .as("rows_to_process"))
+          .orderBy("status")
+      },
+      Some("""WITH o AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS bucket,
+            (o_orderkey * 1000003
+              + CAST(floor(o_totalprice * 100) AS BIGINT) * 31
+              + o_custkey) % 1000000007 AS fp,
+            CAST(o_orderdate AS DATE) AS d
+          FROM orders),
+        m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_b,
+            CAST(sum(fp) AS BIGINT) AS dig_b,
+            CAST(count(*) FILTER (d < DATE '2001-07-15') AS BIGINT) AS cnt_a,
+            CAST(coalesce(sum(fp) FILTER (d < DATE '2001-07-15'), 0) AS BIGINT) AS dig_a
+          FROM o GROUP BY bucket),
+        st AS (SELECT *, CASE WHEN cnt_a = 0 THEN 'new'
+            WHEN cnt_a = cnt_b AND dig_a = dig_b THEN 'unchanged'
+            ELSE 'changed' END AS status FROM m)
+        SELECT status, CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(cnt_b) AS BIGINT) AS rows_current,
+          CAST(sum(CASE WHEN status <> 'unchanged' THEN cnt_b ELSE 0 END) AS BIGINT)
+            AS rows_to_process
+        FROM st GROUP BY status ORDER BY status""")
+    ),
+    // q149: zone-map pruning probe — the file-skipping arithmetic that
+    // makes time-range queries cheap on a time-partitioned 100 TB
+    // table: build the per-bucket (ship-month) min/max zone map for
+    // the predicate column, count how many buckets a 6-week date range
+    // can skip, and PROVE the skip is lossless (rows matched inside
+    // pruned buckets must be zero — `prune_ok` folds that into the
+    // hash, so a wrong zone bound fails the gate, not a dashboard).
+    // Scale shape: ONE scan computes the zone map AND the in-range
+    // counts in the same map-side partial aggregate (min/max/count
+    // per bucket — exactly the stats a parquet footer carries), then
+    // everything downstream is bucket-domain-sized (~80 cells). This
+    // is q115's z-order story operationalized: the probe measures the
+    // skip rate the layout actually delivers.
+    Q(
+      "q149_zonemap_prune",
+      (s, dir) => {
+        val lo = lit("1996-03-10").cast("date")
+        val hi = lit("1996-04-20").cast("date")
+        val zm = Tables
+          .lineitem(s, dir)
+          .select(
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("bucket"),
+            col("l_shipdate").cast("date").as("d"))
+          .groupBy("bucket")
+          .agg(
+            min(col("d")).as("zmin"),
+            max(col("d")).as("zmax"),
+            count(lit(1)).as("n_rows"),
+            sum(when(col("d").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+          .withColumn("candidate", col("zmax") >= lo && col("zmin") <= hi)
+        zm.agg(
+            count(lit(1)).as("n_buckets"),
+            sum(when(col("candidate"), 1L).otherwise(0L)).as("n_candidate"),
+            sum(when(!col("candidate"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(col("n_match")).as("rows_matched"),
+            sum(when(!col("candidate"), col("n_match")).otherwise(0L)).as("leaked"))
+          .select(
+            col("n_buckets"), col("n_candidate"), col("n_pruned"),
+            expr("(n_pruned * 10000) div n_buckets").as("pruned_bp"),
+            col("rows_matched"),
+            (col("leaked") === 0L).as("prune_ok"))
+      },
+      Some("""WITH z AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS bucket,
+            min(CAST(l_shipdate AS DATE)) AS zmin, max(CAST(l_shipdate AS DATE)) AS zmax,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) FILTER (CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1996-03-10' AND DATE '1996-04-20') AS BIGINT) AS n_match
+          FROM lineitem GROUP BY 1),
+        c AS (SELECT *, (zmax >= DATE '1996-03-10' AND zmin <= DATE '1996-04-20')
+            AS candidate FROM z)
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(count(*) FILTER (candidate) AS BIGINT) AS n_candidate,
+          CAST(count(*) FILTER (NOT candidate) AS BIGINT) AS n_pruned,
+          (CAST(count(*) FILTER (NOT candidate) AS BIGINT) * 10000)
+            // CAST(count(*) AS BIGINT) AS pruned_bp,
+          CAST(sum(n_match) AS BIGINT) AS rows_matched,
+          (CAST(coalesce(sum(n_match) FILTER (NOT candidate), 0) AS BIGINT) = 0)
+            AS prune_ok
+        FROM c ORDER BY n_buckets""")
+    ),
+    // q150: sessionized first-touch attribution — the conversion-rate
+    // report beside q47's session windows and q112's funnel: sessions
+    // are 30-minute-gap groups per user, the session's CHANNEL is the
+    // event type of its first event (first-touch attribution), and a
+    // session converts if it contains a purchase. Scale shape: ONE
+    // user-keyed shuffle — the gap flag (lag) and the running session
+    // counter share a single WindowExec (same partition/order spec),
+    // then the per-session reduce (min_by for the first-touch channel
+    // — (user, ts) pairs are unique in this table, so the pick is
+    // deterministic) and the per-channel report are ordinary two-phase
+    // aggregates. Sessions-per-user is time-bounded, so every frame
+    // after the window pass is far smaller than the input.
+    Q(
+      "q150_session_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val sess = Tables
+          .events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn(
+            "new_s",
+            when(
+              unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+                1800L * 1000000L,
+              1L).otherwise(lit(0L)))
+          .withColumn(
+            "new_s",
+            when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(col("new_s")))
+          .withColumn(
+            "sess",
+            sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess
+          .groupBy("user_id", "sess")
+          .agg(
+            min_by(col("event_type"), col("ts")).as("channel"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"))
+          .withColumn("conv_bp", expr("(n_converted * 10000) div n_sessions"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        se AS (SELECT user_id, ts, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sess
+          FROM e),
+        g AS (SELECT user_id, sess, arg_min(event_type, ts) AS channel,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM se GROUP BY user_id, sess)
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(conv) AS BIGINT) AS n_converted,
+          (CAST(sum(conv) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS conv_bp
+        FROM g GROUP BY channel ORDER BY channel""")
     )
   )
 }

@@ -63,7 +63,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q143_deletion_propagation", // broadcast anti-join cascade + residual probes
     "q144_quantile_sketch",   // mergeable bin counts, domain-bounded cum windows
     "q145_mad_outliers",      // per-type rank read-offs on domain censuses
-    "q146_decayed_engagement" // shift-based fixed-point decay, TakeOrdered cut
+    "q146_decayed_engagement", // shift-based fixed-point decay, TakeOrdered cut
+    "q148_manifest_diff",     // order-insensitive modular digests, one-scan snapshot diff
+    "q150_session_attribution" // shared-WindowExec sessionization + min_by first touch
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

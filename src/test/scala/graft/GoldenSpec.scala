@@ -143,6 +143,12 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q145_mad_outliers") == ((5L, "162236e1d54e5c8e8e20507c85f27137")))
     assert(queryHash("q146_decayed_engagement") == ((15L, "e11231902fc21846d5de4fa5dfd038f1")))
     assert(queryHash("q147_skew_advisor") == ((3L, "ef905d540282247c9c054b4f034a2d86")))
+    // fourth round-11 batch: manifest diff / zone-map prune / attribution.
+    // prune_ok=true is inside q149's hash: zero rows may match inside a
+    // pruned bucket, so a wrong zone bound fails the gate.
+    assert(queryHash("q148_manifest_diff") == ((3L, "dd02430bf3b1b1c2751b4f1a37412665")))
+    assert(queryHash("q149_zonemap_prune") == ((1L, "b1fd375f88e57e5298d325eebd063cb6")))
+    assert(queryHash("q150_session_attribution") == ((5L, "f53c66fd85153948fc04b1e4c86ba5f3")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

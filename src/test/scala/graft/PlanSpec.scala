@@ -615,4 +615,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "key census combines map-side")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), "advisor has no joins")
   }
+
+  test("q148 manifest diff: ONE scan computes both snapshots' manifests") {
+    // current and snapshot counts+digests are conditional aggregates in
+    // the same map-side pass — a second scan of the fact table would
+    // defeat the point of an incremental planner.
+    val p = plan("q148_manifest_diff")
+    assert(count(p, "FileScan parquet") == 1, "both manifests from one scan")
+    assert(p.contains("partial_count"), "bucket manifests combine map-side")
+    assert(!p.contains("Join"))
+  }
+
+  test("q149 zone-map probe: one scan, predicate column only, map-side stats") {
+    // the zone map and the in-range counts come from the same partial
+    // aggregate, and the scan must read ONLY l_shipdate — reading more
+    // columns for a min/max/count stats pass is the anti-pattern.
+    val p = plan("q149_zonemap_prune")
+    assert(count(p, "FileScan parquet") == 1)
+    assert(p.contains("ReadSchema: struct<l_shipdate"), "scan prunes to the zone column")
+    assert(!p.contains("Join"))
+  }
+
+  test("q150 attribution: sessionization rides ONE user-keyed exchange") {
+    // lag-flag and running session counter share the user/ts sort; the
+    // per-session min_by reduce reuses the same user partitioning (no
+    // exchange between the window and the session aggregate) — only the
+    // channel aggregate and the final sort repartition. 2 hash
+    // exchanges total, no joins.
+    val p = plan("q150_session_attribution")
+    assert(count(p, "Exchange hashpartitioning") == 2)
+    assert(p.contains("min_by"), "first-touch channel is a min_by reduce")
+    assert(!p.contains("Join"))
+  }
 }

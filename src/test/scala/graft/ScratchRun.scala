@@ -15,6 +15,10 @@ object ScratchRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SCRATCH_PLAN")) {
+      println(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     val rows = SparkEntry.queries(name)(spark, sf).collect()
     def canonical(v: Any): String = v match {
       case d: Double => if (d == 0.0) "0" else java.lang.Double.toString(d)

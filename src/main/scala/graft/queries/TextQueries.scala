@@ -1667,6 +1667,117 @@ object TextQueries {
         FROM c JOIN t ON c.lang_true = t.lang_true
         ORDER BY c.lang_true, c.lang_pred"""
       }
+    ),
+    // q151: vocabulary-growth (Heaps-law) audit — the corpus-health
+    // curve a crawl pipeline watches: as the corpus grows, does the
+    // vocabulary keep growing (healthy diversity) or saturate
+    // (template/boilerplate flood)? Measured exactly at four prefix
+    // checkpoints (25/50/75/100% of the doc-id range): cumulative
+    // docs, tokens, DISTINCT vocabulary, and the type-token ratio in
+    // basis points. Scale shape: per-doc token counts are map-side;
+    // each token's FIRST-SEEN doc is one vocab-sized groupBy (the only
+    // corpus shuffle); the four checkpoints are a broadcast 4-row
+    // frame, so the prefix sums are conditional aggregates — the
+    // corpus is scanned once, never once-per-checkpoint. On this
+    // fixture the 31-word pool saturates by the first checkpoint —
+    // exactly the saturation signal the audit exists to surface.
+    Q(
+      "q151_vocab_growth",
+      (s, dir) => {
+        val docs = Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), size(ws).as("toks"))
+        val bounds = docs.agg(max(col("doc_id")).as("m"))
+        // 4-row frame, materialized once so both prefix lineages share
+        // it (otherwise each would re-derive the bounds aggregate)
+        val cuts = s
+          .createDataFrame(Seq(Tuple1(25), Tuple1(50), Tuple1(75), Tuple1(100)))
+          .toDF("p")
+          .crossJoin(broadcast(bounds))
+          .withColumn("cut", expr("(m * p) div 100"))
+          .select(col("p").cast("long").as("p"), col("cut"))
+          .localCheckpoint()
+        val perCut = docs
+          .crossJoin(broadcast(cuts))
+          .filter(col("doc_id") <= col("cut"))
+          .groupBy("p")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        val firstSeen = Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), explode(ws).as("w"))
+          .groupBy("w")
+          .agg(min(col("doc_id")).as("fs"))
+        val vocabAt = cuts
+          .join(broadcast(firstSeen), col("fs") <= col("cut"))
+          .groupBy(col("p").as("vp"))
+          .agg(count(lit(1)).as("n_vocab"))
+        perCut
+          .join(vocabAt, col("p") === col("vp"))
+          .select(
+            col("p"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+            expr("(n_vocab * 10000) div n_tokens").as("ttr_bp"))
+          .orderBy("p")
+      },
+      Some("""WITH b AS (SELECT max(doc_id) AS m FROM documents),
+          cuts AS (SELECT CAST(p AS BIGINT) AS p, (b.m * p) // 100 AS cut
+            FROM (SELECT unnest([25, 50, 75, 100]) AS p), b),
+          d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents),
+          pc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens
+            FROM d JOIN cuts ON doc_id <= cut GROUP BY p),
+          w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          fs AS (SELECT w, min(doc_id) AS fs FROM w GROUP BY w),
+          va AS (SELECT p, CAST(count(*) AS BIGINT) AS n_vocab
+            FROM cuts JOIN fs ON fs <= cut GROUP BY p)
+        SELECT pc.p, pc.n_docs, pc.n_tokens, va.n_vocab,
+          (va.n_vocab * 10000) // pc.n_tokens AS ttr_bp
+        FROM pc JOIN va ON pc.p = va.p ORDER BY pc.p""")
+    ),
+    // q152: cross-source vocabulary overlap matrix — the
+    // source-redundancy audit beside q85's split contamination: for
+    // every source pair, vocabulary sizes, intersection, and Jaccard
+    // in basis points — the first-pass signal that two crawl sources
+    // mirror each other. Scale shape: the corpus collapses to the
+    // DISTINCT (source, token) frame in one map-side-combined pass
+    // (vocab-sized — the only corpus shuffle); the pair join is
+    // TOKEN-keyed over that frame, so per-token fan-out is bounded by
+    // sources² (a small fixed domain, never corpus-sized), and the
+    // per-source sizes broadcast back onto the sources²-bounded pair
+    // frame. All-integer Jaccard: inter·10000 // (v1+v2−inter).
+    Q(
+      "q152_source_overlap",
+      (s, dir) => {
+        val vw = Tables
+          .documentsSpread(s, dir)
+          .select(col("source"), explode(ws).as("w"))
+          .distinct()
+        val vs = vw.groupBy("source").agg(count(lit(1)).as("v"))
+        val pairs = vw
+          .select(col("w"), col("source").as("s1"))
+          .join(vw.select(col("w"), col("source").as("s2")), "w")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(vs.select(col("source").as("v1s"), col("v").as("v1"))),
+            col("s1") === col("v1s"))
+          .join(broadcast(vs.select(col("source").as("v2s"), col("v").as("v2"))),
+            col("s2") === col("v2s"))
+          .select(
+            col("s1"), col("s2"), col("v1"), col("v2"), col("inter"),
+            expr("(inter * 10000) div (v1 + v2 - inter)").as("jaccard_bp"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH w AS (SELECT DISTINCT source, w FROM
+            (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+          v AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM w GROUP BY source),
+          p AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+            FROM w a JOIN w b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2)
+        SELECT s1, s2, v1.v AS v1, v2.v AS v2, p.inter,
+          (p.inter * 10000) // (v1.v + v2.v - p.inter) AS jaccard_bp
+        FROM p JOIN v v1 ON p.s1 = v1.source JOIN v v2 ON p.s2 = v2.source
+        ORDER BY s1, s2""")
     )
   )
 }

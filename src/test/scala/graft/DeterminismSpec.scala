@@ -65,7 +65,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q145_mad_outliers",      // per-type rank read-offs on domain censuses
     "q146_decayed_engagement", // shift-based fixed-point decay, TakeOrdered cut
     "q148_manifest_diff",     // order-insensitive modular digests, one-scan snapshot diff
-    "q150_session_attribution" // shared-WindowExec sessionization + min_by first touch
+    "q150_session_attribution", // shared-WindowExec sessionization + min_by first touch
+    "q152_source_overlap"     // token-keyed pair join, integer Jaccard
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -149,6 +149,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q148_manifest_diff") == ((3L, "dd02430bf3b1b1c2751b4f1a37412665")))
     assert(queryHash("q149_zonemap_prune") == ((1L, "b1fd375f88e57e5298d325eebd063cb6")))
     assert(queryHash("q150_session_attribution") == ((5L, "f53c66fd85153948fc04b1e4c86ba5f3")))
+    // fifth round-11 batch: Heaps-law curve / source-overlap matrix
+    assert(queryHash("q151_vocab_growth") == ((4L, "ac241991c8d1b53bb1e2b42b3fcf9725")))
+    assert(queryHash("q152_source_overlap") == ((190L, "0a25e812316c10edbf70821114dff939")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -647,4 +647,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("min_by"), "first-touch channel is a min_by reduce")
     assert(!p.contains("Join"))
   }
+
+  test("q151 Heaps curve: conditional prefix sums, never a per-checkpoint rescan") {
+    // two corpus reads total (per-doc token counts + the first-seen
+    // vocab reduce); the four checkpoints join as a broadcast 4-row
+    // frame — a FileScan per checkpoint (or a row-sized window) would
+    // be the anti-pattern.
+    val p = plan("q151_vocab_growth")
+    assert(count(p, "ReadSchema: struct<doc_id:bigint,text:string>") == 2,
+      "exactly two text reads (token counts + first-seen) — checkpoints never rescan text")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q152 overlap matrix: map-side distinct, token-keyed pair join, no cartesian") {
+    // the corpus collapses to DISTINCT (source, token) with a two-phase
+    // aggregate before any join; the pair join is keyed on the token
+    // (sources^2-bounded fan-out), never a cartesian of sources.
+    val p = plan("q152_source_overlap")
+    assert(count(p, "HashAggregate(keys=[source") >= 2, "distinct combines map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }

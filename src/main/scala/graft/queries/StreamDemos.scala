@@ -819,6 +819,39 @@ object StreamDemos {
           CAST(3 AS BIGINT) AS n_batches,
           TRUE AS torn_healed
         FROM d GROUP BY user_id ORDER BY user_id""")
+    ),
+    // s33: streaming quantile-sketch maintenance (StreamSketch scaladoc)
+    // — q144's mergeable histogram maintained per epoch: each
+    // micro-batch reduces to ≤512 sketch cells, the running sketch is
+    // the associative cell-wise sum over the epoch ledger, and the
+    // oracle is q144's EXACT audit (the batch true order statistic
+    // must land inside the stream-maintained bin) + the epoch count.
+    // A lost or double-merged epoch shifts k or the bin and fails the
+    // hash.
+    Q(
+      "s33_stream_quantile",
+      (s, dir) => graft.streaming.StreamSketch.streamedQuantileSketch(s, dir),
+      Some("""WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+          byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+          cumv AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+          hist AS (SELECT v // 100 AS bin, sum(cnt) AS cnt FROM byv GROUP BY 1),
+          cumb AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+          q AS (SELECT unnest([50, 90, 99]) AS p),
+          ks AS (SELECT p, CAST((p * n.n + 99) // 100 AS BIGINT) AS k FROM q, n),
+          est AS (SELECT p, k, CAST(min(bin) AS BIGINT) AS est_bin
+            FROM ks JOIN cumb ON cum >= ks.k GROUP BY p, k),
+          tru AS (SELECT p, CAST(min(v) AS BIGINT) AS true_cents
+            FROM ks JOIN cumv ON cum >= ks.k GROUP BY p)
+        SELECT CAST(est.p AS BIGINT) AS p, est.k,
+          CAST(est_bin * 100 AS BIGINT) AS est_lo_cents,
+          true_cents,
+          CAST(true_cents - est_bin * 100 AS BIGINT) AS err_cents,
+          (true_cents // 100 = est_bin) AS contained,
+          CAST(2 AS BIGINT) AS n_epochs
+        FROM est JOIN tru ON est.p = tru.p ORDER BY est.p""")
     )
   )
 }

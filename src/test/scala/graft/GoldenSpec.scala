@@ -152,6 +152,9 @@ class GoldenSpec extends AnyFunSuite {
     // fifth round-11 batch: Heaps-law curve / source-overlap matrix
     assert(queryHash("q151_vocab_growth") == ((4L, "ac241991c8d1b53bb1e2b42b3fcf9725")))
     assert(queryHash("q152_source_overlap") == ((190L, "0a25e812316c10edbf70821114dff939")))
+    // streaming sketch maintenance: contained=TRUE and n_epochs=2 are
+    // inside the hash — a lost/double-merged epoch fails the gate
+    assert(queryHash("s33_stream_quantile") == ((3L, "2af66509be8e3374ee485b3c116da9d1")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -2257,6 +2257,168 @@ object RelQueries {
           CAST(sum(conv) AS BIGINT) AS n_converted,
           (CAST(sum(conv) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS conv_bp
         FROM g GROUP BY channel ORDER BY channel""")
+    ),
+    // q153: equi-depth histogram via sketch-guided refinement — the
+    // optimizer-statistics builder beside q144's equi-width sketch:
+    // 16 buckets of ~n/16 rows each over order-price cents. The
+    // SCALABLE path never runs a value-domain window over the whole
+    // census: boundary ranks are located in the COARSE 1000-cent bin
+    // histogram first (bounded cells), and the exact boundary value is
+    // refined only INSIDE each boundary's bin (per-bin censuses ≤1000
+    // cells, windowed PARTITION BY boundary). The oracle computes the
+    // same boundaries DIRECTLY from the full census — so the hash
+    // proves sketch-refinement ≡ direct order statistics, the claim
+    // that lets a 1000-executor run build optimizer stats without a
+    // global sort. Bucket counts/extents then come from one broadcast
+    // of the 15 boundary values onto the census. All kernels integer
+    // (ceil ranks, min-satisfying read-offs).
+    Q(
+      "q153_equidepth_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byv = Tables
+          .orders(s, dir)
+          .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("cnt"))
+        val tot = byv.agg(sum("cnt").as("n"))
+        val ks = s
+          .createDataFrame((1 to 15).map(Tuple1(_)))
+          .toDF("i")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("i").cast("long").as("i"),
+            expr("(i * n + 15) div 16").as("k"))
+        // coarse pass: locate each boundary's 1000-cent bin
+        val binh = byv
+          .groupBy(expr("v div 1000").as("bin"))
+          .agg(sum("cnt").as("bcnt"))
+          .withColumn(
+            "bcum",
+            sum(col("bcnt")).over(
+              Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // min_by picks the located (min) bin's cum-before in the same
+        // reduce — no second pass over the coarse histogram
+        val before = ks
+          .join(broadcast(binh), col("bcum") >= col("k"))
+          .groupBy("i", "k")
+          .agg(
+            min(col("bin")).as("bb"),
+            min_by(col("bcum") - col("bcnt"), col("bin")).as("cb"))
+        // refine inside the boundary bin only (≤1000 cells per boundary)
+        val bounds = before
+          .join(byv.withColumn("vbin", expr("v div 1000")), col("vbin") === col("bb"))
+          .withColumn(
+            "icum",
+            sum(col("cnt")).over(
+              Window.partitionBy("i").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cb") + col("icum") >= col("k"))
+          .groupBy("i")
+          .agg(min(col("v")).as("bv"))
+        val bvList = bounds.agg(sort_array(collect_list(col("bv"))).as("bvs"))
+        byv
+          .crossJoin(broadcast(bvList))
+          .withColumn(
+            "bucket",
+            lit(1L) + expr("aggregate(bvs, CAST(0 AS BIGINT), (a, b) -> a + CASE WHEN v > b THEN 1 ELSE 0 END)"))
+          .groupBy("bucket")
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            min(col("v")).as("min_cents"),
+            max(col("v")).as("max_cents"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dev_bp", expr("abs(n_rows * 16 - n) * 10000 div n"))
+          .select(col("bucket"), col("n_rows"), col("min_cents"), col("max_cents"), col("dev_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+          byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+          cumv AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+          ks AS (SELECT CAST(i AS BIGINT) AS i, (i * n.n + 15) // 16 AS k
+            FROM generate_series(1, 15) AS t(i), n),
+          bounds AS (SELECT i, CAST(min(v) AS BIGINT) AS bv
+            FROM ks JOIN cumv ON cum >= ks.k GROUP BY i),
+          assigned AS (SELECT v, cnt,
+              1 + (SELECT count(*) FROM bounds WHERE v > bv) AS bucket
+            FROM byv)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+          CAST(sum(cnt) AS BIGINT) AS n_rows,
+          CAST(min(v) AS BIGINT) AS min_cents,
+          CAST(max(v) AS BIGINT) AS max_cents,
+          abs(CAST(sum(cnt) AS BIGINT) * 16 - (SELECT n FROM n)) * 10000
+            // (SELECT n FROM n) AS dev_bp
+        FROM assigned GROUP BY bucket ORDER BY bucket""")
+    ),
+    // q154: join-size estimate + audit — the cost-model pass a planner
+    // runs before committing to a join strategy: for an equi-join the
+    // per-key census product Σ cA(k)·cB(k) IS the exact output
+    // cardinality, so the estimate costs two map-side key censuses and
+    // one key-domain join — no fact payload ever moves. The audit side
+    // executes the real join (keys-only projection, count-only) and
+    // `est_ok` pins estimate ≡ actual in the hash: the claim that
+    // census-based costing can replace materialization. Per edge:
+    // side row counts, common-key count, estimate, actual, verdict.
+    Q(
+      "q154_join_size_audit",
+      (s, dir) => {
+        def audit(
+            edge: String,
+            left: org.apache.spark.sql.DataFrame, lk: String,
+            right: org.apache.spark.sql.DataFrame, rk: String) = {
+          val ca = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+          val cb = right.groupBy(col(rk).as("k2")).agg(count(lit(1)).as("cb"))
+          val est = ca
+            .join(cb, col("k") === col("k2"))
+            .agg(
+              count(lit(1)).as("n_common_keys"),
+              sum(col("ca") * col("cb")).as("est_rows"))
+          val nl = left.agg(count(lit(1)).as("n_left"))
+          val nr = right.agg(count(lit(1)).as("n_right"))
+          val actual = left
+            .select(col(lk).as("jk"))
+            .join(right.select(col(rk).as("jk")), "jk")
+            .agg(count(lit(1)).as("actual_rows"))
+          nl.crossJoin(broadcast(nr))
+            .crossJoin(broadcast(est))
+            .crossJoin(broadcast(actual))
+            .select(
+              lit(edge).as("edge"), col("n_left"), col("n_right"),
+              col("n_common_keys"), col("est_rows"), col("actual_rows"),
+              (col("est_rows") === col("actual_rows")).as("est_ok"))
+        }
+        audit("lineitem-orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+          .unionByName(audit("orders-customer", Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"))
+          .orderBy("edge")
+      },
+      Some("""WITH
+          la AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+          ob AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+          oa AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+          cb AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY 1),
+          e1 AS (SELECT 'lineitem-orders' AS edge,
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right,
+              CAST(count(*) AS BIGINT) AS n_common_keys,
+              CAST(sum(la.c * ob.c) AS BIGINT) AS est_rows,
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey) AS actual_rows
+            FROM la JOIN ob ON la.k = ob.k),
+          e2 AS (SELECT 'orders-customer' AS edge,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_right,
+              CAST(count(*) AS BIGINT) AS n_common_keys,
+              CAST(sum(oa.c * cb.c) AS BIGINT) AS est_rows,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders
+                JOIN customer ON o_custkey = c_custkey) AS actual_rows
+            FROM oa JOIN cb ON oa.k = cb.k)
+        SELECT edge, n_left, n_right, n_common_keys, est_rows, actual_rows,
+          (est_rows = actual_rows) AS est_ok
+        FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) ORDER BY edge""")
     )
   )
 }

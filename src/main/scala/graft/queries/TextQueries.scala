@@ -1778,6 +1778,61 @@ object TextQueries {
           (p.inter * 10000) // (v1.v + v2.v - p.inter) AS jaccard_bp
         FROM p JOIN v v1 ON p.s1 = v1.source JOIN v v2 ON p.s2 = v2.source
         ORDER BY s1, s2""")
+    ),
+    // q155: charset hygiene profile — the mojibake/encoding audit a
+    // crawl pipeline runs per source before training export: character
+    // counts, non-ASCII counts and the per-10k non-ASCII rate, plus
+    // how many docs are pure printable-ASCII. The synthetic corpus is
+    // ASCII-pure, so (the q109 seeding discipline) every 7th doc is
+    // SEEDED with a deterministic BMP non-ASCII suffix from its
+    // doc_id, and the oracle seeds identically — the hash then proves
+    // the two engines agree on UTF-8 code-point counting and on
+    // character-class regex semantics over non-ASCII text (the
+    // portability claim that matters when the real corpus is not
+    // ASCII). Patterns stay in the RE2 ∩ java.util.regex common
+    // subset; all counting integer. Map-only per doc; one
+    // source-keyed two-phase aggregate; 20-row report.
+    Q(
+      "q155_charset_profile",
+      (s, dir) => {
+        val seeded = Tables
+          .documentsSpread(s, dir)
+          .select(
+            col("source"),
+            concat(
+              col("text"),
+              when(col("doc_id") % 7 === 0,
+                concat(lit(" café №"), col("doc_id").cast("string")))
+                .otherwise(lit(""))).as("t"))
+          .select(
+            col("source"),
+            length(col("t")).as("nc").cast("long").as("nc"),
+            (length(col("t")) - length(regexp_replace(col("t"), "[ -~]", "")))
+              .cast("long").as("na"))
+        seeded
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("na")).as("n_nonascii"),
+            sum(when(col("na") === 0L, 1L).otherwise(0L)).as("n_ascii_docs"))
+          .withColumn("nonascii_per_10k", expr("(n_nonascii * 10000) div n_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH seeded AS (SELECT source,
+            text || CASE WHEN doc_id % 7 = 0
+              THEN ' café №' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+          FROM documents),
+        m AS (SELECT source, CAST(length(t) AS BIGINT) AS nc,
+            CAST(length(t) - length(regexp_replace(t, '[ -~]', '', 'g')) AS BIGINT) AS na
+          FROM seeded)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nc) AS BIGINT) AS n_chars,
+          CAST(sum(na) AS BIGINT) AS n_nonascii,
+          CAST(sum(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii_docs,
+          (CAST(sum(na) AS BIGINT) * 10000) // CAST(sum(nc) AS BIGINT)
+            AS nonascii_per_10k
+        FROM m GROUP BY source ORDER BY source""")
     )
   )
 }

@@ -66,7 +66,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q146_decayed_engagement", // shift-based fixed-point decay, TakeOrdered cut
     "q148_manifest_diff",     // order-insensitive modular digests, one-scan snapshot diff
     "q150_session_attribution", // shared-WindowExec sessionization + min_by first touch
-    "q152_source_overlap"     // token-keyed pair join, integer Jaccard
+    "q152_source_overlap",    // token-keyed pair join, integer Jaccard
+    "q153_equidepth_histogram", // sketch-guided boundary refinement read-offs
+    "q154_join_size_audit"    // census-product costing vs executed join
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -155,6 +155,12 @@ class GoldenSpec extends AnyFunSuite {
     // streaming sketch maintenance: contained=TRUE and n_epochs=2 are
     // inside the hash — a lost/double-merged epoch fails the gate
     assert(queryHash("s33_stream_quantile") == ((3L, "2af66509be8e3374ee485b3c116da9d1")))
+    // seventh round-11 batch: equi-depth stats / join costing / charset.
+    // q154's est_ok=true (census product = executed join count) and
+    // q153's refinement≡direct-order-statistics parity live in-hash.
+    assert(queryHash("q153_equidepth_histogram") == ((16L, "84db2a4c51034b121d8f3f7676c9daea")))
+    assert(queryHash("q154_join_size_audit") == ((2L, "74c51641471ae799e634168f45eda471")))
+    assert(queryHash("q155_charset_profile") == ((20L, "80f9a23cf2b224a5c7f8fa34782ed6c6")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

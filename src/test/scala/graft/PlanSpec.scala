@@ -667,4 +667,33 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate(keys=[source") >= 2, "distinct combines map-side")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q153 equi-depth: refinement windows only — never a value-domain-wide pass") {
+    // exactly two Window nodes: the coarse-bin cum (a ~500-cell frame)
+    // and the per-boundary refine (PARTITION BY i over ≤1000-cell
+    // frames). A third window — or one over the raw census ordered by
+    // v — would mean the scalable path regressed to a global-sort
+    // order statistic.
+    val p = plan("q153_equidepth_histogram")
+    assert(count(p, "Window [") == 2, "coarse cum + partitioned refine only")
+    assert(p.contains("windowspecdefinition(i#"), "refine window is PARTITION BY boundary")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q154 join costing: censuses combine map-side, no cartesian") {
+    val p = plan("q154_join_size_audit")
+    assert(p.contains("partial_count"), "key censuses combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q155 charset profile: map-only seeding + one source aggregate") {
+    // seeding/length/regex are all in the scan projection; the only
+    // shuffle is the source-keyed two-phase aggregate. No joins.
+    val p = plan("q155_charset_profile")
+    assert(p.contains("partial_count"))
+    assert(!p.contains("Join"))
+    // one source-keyed exchange; the doc_id REPARTITION_BY_COL belongs
+    // to documentsSpread's multi-split fixture, not this query
+    assert(count(p, "Exchange hashpartitioning(source") == 1)
+  }
 }

@@ -2419,6 +2419,55 @@ object RelQueries {
         SELECT edge, n_left, n_right, n_common_keys, est_rows, actual_rows,
           (est_rows = actual_rows) AS est_ok
         FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) ORDER BY edge""")
+    ),
+    // q156: association rules over per-user behavior baskets — the
+    // market-basket op (support / confidence / lift) on the events
+    // table: a basket is a user's DISTINCT event-type set, rules are
+    // ordered type pairs. Scale shape: the corpus collapses map-side
+    // to DISTINCT (user, type) (≤ types per user — the only corpus
+    // shuffle); pair generation is a USER-keyed self-join whose
+    // per-user fan-out is bounded by types² (a fixed small domain);
+    // item and pair counts are two-phase aggregates over frames the
+    // size of users·types. All metrics integer basis points:
+    // confidence = n_ab·10⁴ // n_a, lift = n_ab·N·10⁴ // (n_a·n_b) —
+    // no floating ratios, bit-exact across engines.
+    Q(
+      "q156_association_rules",
+      (s, dir) => {
+        val ut = Tables
+          .events(s, dir)
+          .select(col("user_id").as("u"), col("event_type").as("t"))
+          .distinct()
+        val nUsers = ut.agg(countDistinct(col("u")).as("nu")) // 1-row frame
+        val item = ut.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+        val pairs = ut
+          .select(col("u"), col("t").as("a"))
+          .join(ut.select(col("u").as("u2"), col("t").as("b")), col("u") === col("u2"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(item.select(col("t").as("ia"), col("n_t").as("n_a"))),
+            col("a") === col("ia"))
+          .join(broadcast(item.select(col("t").as("ib"), col("n_t").as("n_b"))),
+            col("b") === col("ib"))
+          .crossJoin(broadcast(nUsers))
+          .select(
+            col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+            expr("(n_ab * 10000) div n_a").as("conf_bp"),
+            expr("(n_ab * nu * 10000) div (n_a * n_b)").as("lift_bp"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+          n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ut),
+          item AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY t),
+          p AS (SELECT a.t AS a, b.t AS b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM ut a JOIN ut b ON a.u = b.u AND a.t <> b.t GROUP BY 1, 2)
+        SELECT p.a, p.b, ia.n_t AS n_a, ib.n_t AS n_b, p.n_ab,
+          (p.n_ab * 10000) // ia.n_t AS conf_bp,
+          (p.n_ab * n.n * 10000) // (ia.n_t * ib.n_t) AS lift_bp
+        FROM p JOIN item ia ON p.a = ia.t JOIN item ib ON p.b = ib.t, n
+        ORDER BY p.a, p.b""")
     )
   )
 }

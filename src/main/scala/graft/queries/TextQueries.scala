@@ -1833,6 +1833,60 @@ object TextQueries {
           (CAST(sum(na) AS BIGINT) * 10000) // CAST(sum(nc) AS BIGINT)
             AS nonascii_per_10k
         FROM m GROUP BY source ORDER BY source""")
+    ),
+    // q157: vocabulary drift report — the corpus-shift audit beside
+    // q118's distributional chi² (events) and q151's growth curve:
+    // split the corpus into an EARLY and a LATE half (doc-id halves —
+    // the ingest-order proxy) and rank tokens by the absolute change
+    // in their per-million rate. The top movers are what a crawl
+    // operator reads when a source changes template or topic. Scale
+    // shape: one exploded scan feeding CONDITIONAL per-token
+    // aggregates (early/late counts in the same map-side pass — never
+    // two scans), the two half totals ride the same census
+    // (re-aggregated from the vocab-sized frame, not the corpus), and
+    // the top-20 is TakeOrdered with a token tie-break. All integer:
+    // per-million rates via ·10⁶ // N, drift = |rpm_a − rpm_b|.
+    Q(
+      "q157_vocab_drift",
+      (s, dir) => {
+        val words = Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), explode(ws).as("w"))
+        val mid = Tables.documentsSpread(s, dir).agg(expr("max(doc_id) div 2").as("mid"))
+        // vocab-sized; materialized once so the totals re-aggregate THIS
+        // frame instead of re-deriving the corpus census lineage
+        val tok = words
+          .crossJoin(broadcast(mid))
+          .groupBy("w")
+          .agg(
+            sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L)).as("c_a"),
+            sum(when(col("doc_id") > col("mid"), 1L).otherwise(0L)).as("c_b"))
+          .localCheckpoint()
+        val tots = tok.agg(sum("c_a").as("na"), sum("c_b").as("nb"))
+        tok
+          .crossJoin(broadcast(tots))
+          .select(
+            col("w"), col("c_a"), col("c_b"),
+            expr("(c_a * 1000000) div na").as("rpm_a"),
+            expr("(c_b * 1000000) div nb").as("rpm_b"))
+          .withColumn("drift_rpm", abs(col("rpm_a") - col("rpm_b")))
+          .orderBy(desc("drift_rpm"), asc("w"))
+          .limit(20)
+      },
+      Some("""WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+          words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          tok AS (SELECT w,
+              CAST(count(*) FILTER (doc_id <= (SELECT mid FROM m)) AS BIGINT) AS c_a,
+              CAST(count(*) FILTER (doc_id > (SELECT mid FROM m)) AS BIGINT) AS c_b
+            FROM words GROUP BY w),
+          t AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+              CAST(sum(c_b) AS BIGINT) AS nb FROM tok)
+        SELECT w, c_a, c_b,
+          (c_a * 1000000) // t.na AS rpm_a,
+          (c_b * 1000000) // t.nb AS rpm_b,
+          abs((c_a * 1000000) // t.na - (c_b * 1000000) // t.nb) AS drift_rpm
+        FROM tok, t
+        ORDER BY drift_rpm DESC, w LIMIT 20""")
     )
   )
 }

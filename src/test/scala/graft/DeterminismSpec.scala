@@ -68,7 +68,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q150_session_attribution", // shared-WindowExec sessionization + min_by first touch
     "q152_source_overlap",    // token-keyed pair join, integer Jaccard
     "q153_equidepth_histogram", // sketch-guided boundary refinement read-offs
-    "q154_join_size_audit"    // census-product costing vs executed join
+    "q154_join_size_audit",   // census-product costing vs executed join
+    "q156_association_rules"  // basket pairs, integer lift/confidence
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -696,4 +696,30 @@ class PlanSpec extends AnyFunSuite {
     // to documentsSpread's multi-split fixture, not this query
     assert(count(p, "Exchange hashpartitioning(source") == 1)
   }
+
+  test("q156 association rules: basket distinct combines map-side, user-keyed pairs") {
+    // the corpus collapses to DISTINCT (user, type) before the pair
+    // self-join (per-user fan-out <= types^2); item counts broadcast
+    // onto the types^2-bounded rule frame. No cartesian beyond the
+    // 1-row user-total broadcast.
+    val p = plan("q156_association_rules")
+    assert(count(p, "HashAggregate(keys=[u#") >= 2 || count(p, "HashAggregate(keys=[user_id") >= 2,
+      "basket distinct is two-phase")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q157 vocab drift: one exploded scan, conditional half-counts, TakeOrdered") {
+    // early/late counts are conditional aggregates in ONE pass over the
+    // exploded corpus; the half totals re-aggregate the vocab-sized
+    // census; top-20 is TakeOrdered, never a global sort.
+    // the census is localCheckpoint'ed (one exploded text pass at
+    // materialization), so the FINAL plan must consume the cached
+    // vocab-sized frame — zero text re-scans — and cut via TakeOrdered.
+    val p = plan("q157_vocab_drift")
+    assert(count(p, "ReadSchema: struct<doc_id:bigint,text:string>") == 0,
+      "rates/totals must ride the checkpointed census, not re-scan text")
+    assert(p.contains("Scan ExistingRDD"), "census consumed from the checkpoint")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

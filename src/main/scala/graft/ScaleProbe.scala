@@ -40,7 +40,7 @@ object ScaleProbe {
     val probes = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
-        "graph", "interval", "topk"))
+        "graph", "interval", "topk", "census", "manifest", "overlap"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -380,6 +380,117 @@ object ScaleProbe {
       println(
         f"[scale] topk growth: docs x${tkrN.toDouble / tkr0}%.0f, q135 time x${tksN / tks0}%.1f " +
           f"(rank pushdown predicts ~scan-linear; per-group re-scan would multiply by the group count)"
+      )
+    }
+    // Domain-census probe (q145's MAD audit + q144's quantile sketch):
+    // the corpus widens m× with MORE SERIES (user-shifted copies, same
+    // value distribution), so the (type, cents) / cents census DOMAINS
+    // stay fixed while rows grow m×. Both queries' post-census stages
+    // are domain-sized, so time should track the one census scan
+    // (~linear) with a FLAT tail — a census that leaked row-sized
+    // frames into the stats lineage would grow super-linearly.
+    if (enabled("census")) {
+      val evFull = Tables.events(spark, sfDir) // q145 needs event_type too
+      def widenedEventsDir(m: Int): String = {
+        val out = s"${scratchDir("graft_scale_c_")}"
+        (0 until m)
+          .map(i => evFull.withColumn("user_id", col("user_id") + lit(i * nUsers)))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        out
+      }
+      val q144 = SparkEntry.queries("q144_quantile_sketch")
+      val q145 = SparkEntry.queries("q145_mad_outliers")
+      val cenResults = mults.map { m =>
+        val dir = widenedEventsDir(m)
+        val rows = spark.read.parquet(s"$dir/events.parquet").count()
+        q144(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        q145(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        q144(spark, dir).write.format("noop").mode("overwrite").save()
+        val s144 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q145(spark, dir).write.format("noop").mode("overwrite").save()
+        val s145 = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] x$m%-3d events=$rows%9d  q144_quantile_sketch=$s144%7.2f s  q145_mad_outliers=$s145%7.2f s")
+        (m, rows, s144, s145)
+      }
+      val (_, cr0, c144a, c145a) = cenResults.head
+      val (_, crN, c144b, c145b) = cenResults.last
+      println(
+        f"[scale] census growth: events x${crN.toDouble / cr0}%.0f (fixed value domain), " +
+          f"q144 time x${c144b / c144a}%.1f, q145 time x${c145b / c145a}%.1f (domain-bounded predicts ~scan-linear)"
+      )
+    }
+
+    // Manifest/equi-depth probe (q148's one-scan snapshot diff + q153's
+    // sketch-guided refinement): scale arrives as HISTORY — each copy
+    // shifts o_orderdate by a disjoint 90-day step, so the month-bucket
+    // count grows m× while per-bucket size stays fixed (q148) and the
+    // price-cents domain stays FIXED (q153: boundary refinement work is
+    // unchanged as rows grow). Both should track the single scan.
+    if (enabled("manifest")) {
+      val ordersBase = spark.read.parquet(s"$sfDir/orders.parquet")
+      val nOrders = ordersBase.agg(max("o_orderkey")).head().getLong(0) + 1
+      def widenedOrdersDir(m: Int): String = {
+        val out = s"${scratchDir("graft_scale_m_")}"
+        (0 until m)
+          .map(i =>
+            ordersBase
+              .withColumn("o_orderkey", col("o_orderkey") + lit(i * nOrders))
+              .withColumn("o_orderdate", col("o_orderdate") + expr(s"INTERVAL ${i * 90} DAYS")))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        out
+      }
+      val q148 = SparkEntry.queries("q148_manifest_diff")
+      val q153 = SparkEntry.queries("q153_equidepth_histogram")
+      val mfResults = mults.map { m =>
+        val dir = widenedOrdersDir(m)
+        val rows = spark.read.parquet(s"$dir/orders.parquet").count()
+        q148(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        q153(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        q148(spark, dir).write.format("noop").mode("overwrite").save()
+        val s148 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q153(spark, dir).write.format("noop").mode("overwrite").save()
+        val s153 = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] x$m%-3d orders=$rows%9d (buckets x$m)  q148_manifest_diff=$s148%7.2f s  q153_equidepth=$s153%7.2f s")
+        (m, rows, s148, s153)
+      }
+      val (_, mr0, m148a, m153a) = mfResults.head
+      val (_, mrN, m148b, m153b) = mfResults.last
+      println(
+        f"[scale] manifest growth: orders x${mrN.toDouble / mr0}%.0f (buckets x${mults.last / mults.head}), " +
+          f"q148 time x${m148b / m148a}%.1f, q153 time x${m153b / m153a}%.1f (one-scan predicts ~linear)"
+      )
+    }
+
+    // Source-overlap probe (q152's token-keyed pair join): the
+    // renamed-vocabulary corpora grow the VOCABULARY m× (disjoint word
+    // sets per copy) while sources stay the fixed 20-value domain —
+    // per-token fan-out is bounded by sources², so pair-join work
+    // tracks the vocabulary (linear), never corpus² or sources-cross.
+    if (enabled("overlap")) {
+      val q152 = SparkEntry.queries("q152_source_overlap")
+      val ovResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        q152(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        val pairs = q152(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d docs=$rows%9d  q152_source_overlap=$sec%7.2f s ($pairs pairs)")
+        (m, rows, sec)
+      }
+      val (_, or0, os0) = ovResults.head
+      val (_, orN, osN) = ovResults.last
+      println(
+        f"[scale] overlap growth: docs x${orN.toDouble / or0}%.0f (vocab xm, fixed source domain), " +
+          f"q152 time x${osN / os0}%.1f (token-keyed pair join predicts ~vocab-linear)"
       )
     }
     spark.stop()

@@ -1905,7 +1905,11 @@ object RelQueries {
           .select(
             col("event_type").as("et"),
             expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
-        val byv = c.groupBy("et", "v").agg(count(lit(1)).as("cnt"))
+        // the census is the ONLY corpus-touching stage; materialize it
+        // once (domain-bounded: ≤ ~50k cells per type at any corpus
+        // size) so the n/median/deviation/fence lineages all ride the
+        // cached cells instead of re-scanning events
+        val byv = c.groupBy("et", "v").agg(count(lit(1)).as("cnt")).localCheckpoint()
         val n = byv.groupBy("et").agg(sum("cnt").as("n"))
         val cumv = byv.withColumn(
           "cum",
@@ -2276,11 +2280,15 @@ object RelQueries {
       "q153_equidepth_histogram",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // census materialized once (domain-bounded distinct-cents cells)
+        // — totals, coarse bins, refinement and bucket assignment all
+        // ride the cached frame; orders is scanned exactly once
         val byv = Tables
           .orders(s, dir)
           .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
           .groupBy("v")
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val tot = byv.agg(sum("cnt").as("n"))
         val ks = s
           .createDataFrame((1 to 15).map(Tuple1(_)))

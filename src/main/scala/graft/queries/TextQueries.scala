@@ -1748,10 +1748,15 @@ object TextQueries {
     Q(
       "q152_source_overlap",
       (s, dir) => {
+        // the DISTINCT (source, token) reduce is the only corpus pass;
+        // materialized once (vocab-sized) so the per-source sizes and
+        // BOTH pair-join sides ride the cached frame instead of three
+        // re-scans of the corpus
         val vw = Tables
           .documentsSpread(s, dir)
           .select(col("source"), explode(ws).as("w"))
           .distinct()
+          .localCheckpoint()
         val vs = vw.groupBy("source").agg(count(lit(1)).as("v"))
         val pairs = vw
           .select(col("w"), col("source").as("s1"))

@@ -592,8 +592,12 @@ class PlanSpec extends AnyFunSuite {
     // the median/MAD/count side frames are type-cardinality and must
     // broadcast — a sort-merge join here would mean a row-sized frame
     // leaked into the stats lineage.
+    // the (type, cents) census materializes once at checkpoint time;
+    // the FINAL plan must ride the cached cells (zero corpus re-scans
+    // across the n/median/deviation/fence lineages).
     val p = plan("q145_mad_outliers")
-    assert(p.contains("partial_count"), "cents census combines map-side")
+    assert(p.contains("Scan ExistingRDD"), "stats lineages ride the checkpointed census")
+    assert(count(p, "FileScan parquet") == 0, "no events re-scan after the census")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
@@ -663,8 +667,13 @@ class PlanSpec extends AnyFunSuite {
     // the corpus collapses to DISTINCT (source, token) with a two-phase
     // aggregate before any join; the pair join is keyed on the token
     // (sources^2-bounded fan-out), never a cartesian of sources.
+    // the distinct (source, token) reduce runs once at checkpoint
+    // materialization; the FINAL plan must consume the cached
+    // vocab-sized frame — zero corpus re-scans — and join pairs on the
+    // token, never a cartesian of sources.
     val p = plan("q152_source_overlap")
-    assert(count(p, "HashAggregate(keys=[source") >= 2, "distinct combines map-side")
+    assert(p.contains("Scan ExistingRDD"), "pair join rides the checkpointed vocab frame")
+    assert(count(p, "FileScan parquet") == 0, "no corpus re-scan in the pair/size lineages")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 

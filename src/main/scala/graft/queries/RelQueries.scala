@@ -2476,6 +2476,125 @@ object RelQueries {
           (p.n_ab * n.n * 10000) // (ia.n_t * ib.n_t) AS lift_bp
         FROM p JOIN item ia ON p.a = ia.t JOIN item ib ON p.b = ib.t, n
         ORDER BY p.a, p.b""")
+    ),
+    // q158: inter-event gap profile (burstiness) — the cadence audit a
+    // pipeline runs on per-entity event streams (bot detection, SLA
+    // monitoring, session-design calibration): per user, the exact
+    // min / median / p90 / max inter-event gap in whole seconds, and a
+    // burstiness score = p90/median ×100. Scale shape: gaps come from
+    // ONE user-keyed window pass (lag); the order statistics are rank
+    // read-offs WITHIN each user's partition (row_number + count over
+    // the same user/gap sort — per-user frames, never a global
+    // order), and the report cut is TakeOrdered top-20 by burstiness.
+    // All integer: gaps floor to seconds via epoch-micros div 10⁶
+    // differences (identical in both engines), ratios in ×100 fixed
+    // point.
+    Q(
+      "q158_interevent_gaps",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wq = Window.partitionBy("user_id").orderBy("ts")
+        val gaps = Tables
+          .events(s, dir)
+          .select(col("user_id"), col("ts"))
+          .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wq)))
+          .filter(col("gap_us").isNotNull)
+          .select(col("user_id"), expr("gap_us div 1000000").as("gap"))
+        val wg = Window.partitionBy("user_id").orderBy("gap")
+        val ranked = gaps
+          .withColumn("rk", row_number().over(wg))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        ranked
+          .groupBy("user_id")
+          .agg(
+            max(col("n")).as("n_gaps"),
+            min(col("gap")).as("min_gap_s"),
+            min(when(col("rk") === expr("(n + 1) div 2"), col("gap"))).as("med_gap_s"),
+            min(when(col("rk") === expr("(n * 9 + 9) div 10"), col("gap"))).as("p90_gap_s"),
+            max(col("gap")).as("max_gap_s"))
+          .withColumn("burst_x100", expr("(p90_gap_s * 100) div greatest(med_gap_s, CAST(1 AS BIGINT))"))
+          .orderBy(desc("burst_x100"), asc("user_id"))
+          .limit(20)
+      },
+      Some("""WITH g AS (SELECT user_id,
+            (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+              // 1000000 AS gap
+          FROM events),
+        gg AS (SELECT user_id, CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL),
+        r AS (SELECT user_id, gap,
+            row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rk,
+            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+          FROM gg),
+        a AS (SELECT user_id, max(n) AS n_gaps,
+            CAST(min(gap) AS BIGINT) AS min_gap_s,
+            CAST(min(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS BIGINT) AS med_gap_s,
+            CAST(min(CASE WHEN rk = (n * 9 + 9) // 10 THEN gap END) AS BIGINT) AS p90_gap_s,
+            CAST(max(gap) AS BIGINT) AS max_gap_s
+          FROM r GROUP BY user_id)
+        SELECT user_id, n_gaps, min_gap_s, med_gap_s, p90_gap_s, max_gap_s,
+          (p90_gap_s * 100) // greatest(med_gap_s, 1) AS burst_x100
+        FROM a ORDER BY burst_x100 DESC, user_id LIMIT 20""")
+    ),
+    // q159: Theil–Sen robust trend — the outlier-resistant "is traffic
+    // growing?" estimator: the corpus reduces to DAILY counts first
+    // (the scale step — rows → ~30 cells regardless of corpus width),
+    // then the median over all pairwise slopes is taken on the
+    // days²-bounded pair frame (~435 pairs — a bounded self-join, the
+    // classic Theil–Sen construction made cheap by aggregating
+    // FIRST). Slopes are integer basis points of events/day; the
+    // median is a rank read-off; the verdict (up/flat/down at a ±5%
+    // band) rides the hash. A single corrupted day moves the mean
+    // slope but not this median — that robustness is why the op
+    // exists.
+    Q(
+      "q159_theil_sen_trend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables
+          .events(s, dir)
+          .groupBy(expr("CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT)").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("d", dense_rank().over(Window.orderBy("day")))
+          .localCheckpoint() // ~30 cells: the pair frame rides this, not the corpus
+        val slopes = daily
+          .select(col("d").as("d1"), col("c").as("c1"))
+          .join(daily.select(col("d").as("d2"), col("c").as("c2")), col("d1") < col("d2"))
+          .select(expr("((c2 - c1) * 10000) div (d2 - d1)").as("slope_bp"))
+        val ranked = slopes
+          .withColumn("rk", row_number().over(Window.orderBy("slope_bp")))
+          .withColumn("n", count(lit(1)).over())
+        val med = ranked
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("slope_bp").as("med_slope_bp"), col("n").as("n_pairs"))
+        val avgc = daily.agg(
+          count(lit(1)).as("n_days"),
+          expr("sum(c) div count(1)").as("avg_daily"))
+        med
+          .crossJoin(broadcast(avgc))
+          .select(
+            col("n_days"), col("n_pairs"), col("avg_daily"), col("med_slope_bp"),
+            when(col("med_slope_bp") > col("avg_daily") * 500L, lit("up"))
+              .when(col("med_slope_bp") < col("avg_daily") * -500L, lit("down"))
+              .otherwise(lit("flat")).as("verdict"))
+          .orderBy("n_days")
+      },
+      Some("""WITH daily AS (SELECT CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT)
+              AS day, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+          dd AS (SELECT day, c, CAST(dense_rank() OVER (ORDER BY day) AS BIGINT) AS d
+            FROM daily),
+          s AS (SELECT ((b.c - a.c) * 10000) // (b.d - a.d) AS slope_bp
+            FROM dd a JOIN dd b ON a.d < b.d),
+          r AS (SELECT slope_bp, row_number() OVER (ORDER BY slope_bp) AS rk,
+              CAST(count(*) OVER () AS BIGINT) AS n FROM s),
+          m AS (SELECT slope_bp AS med_slope_bp, n AS n_pairs FROM r WHERE rk = (n + 1) // 2),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_daily FROM daily)
+        SELECT a.n_days, m.n_pairs, a.avg_daily, m.med_slope_bp,
+          CASE WHEN m.med_slope_bp > a.avg_daily * 500 THEN 'up'
+               WHEN m.med_slope_bp < a.avg_daily * -500 THEN 'down'
+               ELSE 'flat' END AS verdict
+        FROM m, a ORDER BY a.n_days""")
     )
   )
 }

@@ -69,7 +69,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q152_source_overlap",    // token-keyed pair join, integer Jaccard
     "q153_equidepth_histogram", // sketch-guided boundary refinement read-offs
     "q154_join_size_audit",   // census-product costing vs executed join
-    "q156_association_rules"  // basket pairs, integer lift/confidence
+    "q156_association_rules", // basket pairs, integer lift/confidence
+    "q158_interevent_gaps"    // per-user rank read-offs on lag gaps
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

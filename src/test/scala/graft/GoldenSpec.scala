@@ -164,6 +164,9 @@ class GoldenSpec extends AnyFunSuite {
     // eighth round-11 batch: association rules / vocab drift
     assert(queryHash("q156_association_rules") == ((20L, "a880bd31d4df3e71df27815bec8c26ad")))
     assert(queryHash("q157_vocab_drift") == ((20L, "a4ac3377bb31deb11baf2078b2b80ead")))
+    // ninth round-11 batch: gap profile / robust trend
+    assert(queryHash("q158_interevent_gaps") == ((15L, "efc519df8ca952f39c371b1ff7d97fc1")))
+    assert(queryHash("q159_theil_sen_trend") == ((1L, "f832501dd490252b0ba7a948a953eece")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

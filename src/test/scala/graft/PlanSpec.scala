@@ -731,4 +731,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q158 gap profile: lag and rank read-offs ride user partitions, TakeOrdered cut") {
+    // every window is user-partitioned (no partition-less spec over
+    // row-sized frames) and the report cut is TakeOrdered.
+    val p = plan("q158_interevent_gaps")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("windowspecdefinition(gap"), "no global-gap window")
+    assert(!p.contains("Join"))
+  }
+
+  test("q159 Theil-Sen: corpus reduces to daily cells before the pair join") {
+    // the only corpus-touching stage is the daily groupBy at checkpoint
+    // materialization; the pair self-join and slope ranking ride the
+    // ~30-cell cached frame (days^2-bounded).
+    val p = plan("q159_theil_sen_trend")
+    assert(p.contains("Scan ExistingRDD"), "pair frame rides the checkpointed daily cells")
+    assert(count(p, "FileScan parquet") == 0, "no events re-scan past the daily reduce")
+  }
 }

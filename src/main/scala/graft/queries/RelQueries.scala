@@ -2595,6 +2595,91 @@ object RelQueries {
                WHEN m.med_slope_bp < a.avg_daily * -500 THEN 'down'
                ELSE 'flat' END AS verdict
         FROM m, a ORDER BY a.n_days""")
+    ),
+    // q160: grouped OLS trend (least-squares slope per event type) —
+    // the parametric complement to q159's Theil–Sen: per type, the
+    // daily series' exact OLS slope from INTEGER power sums. The
+    // closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is
+    // computed entirely in BIGINT (x = day offset from the type's
+    // first day, y = daily count; the numerator is scaled ·10⁴ before
+    // the integral division) — the classic "regression without
+    // floats" trick that makes the result bit-exact and
+    // merge-associative: every Σ is a map-side partial, so the 5-row
+    // answer costs one (type, day) reduce + one type reduce at any
+    // corpus size.
+    Q(
+      "q160_grouped_ols",
+      (s, dir) => {
+        val daily = Tables
+          .events(s, dir)
+          .groupBy(
+            col("event_type").as("et"),
+            expr("CAST(to_date(ts) AS DATE)").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val withX = daily
+          .withColumn("mind", min(col("day")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("et")))
+          .withColumn("x", datediff(col("day"), col("mind")).cast("long"))
+        withX
+          .groupBy("et")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("c")).as("sy"),
+            sum(col("x") * col("c")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(
+            col("et").as("event_type"), col("n").as("n_days"), col("sy").as("n_events"),
+            expr("((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)").as("slope_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        x AS (SELECT et, c, CAST(date_diff('day', min(day) OVER (PARTITION BY et), day)
+            AS BIGINT) AS x FROM daily),
+        p AS (SELECT et, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(c) AS BIGINT) AS sy, CAST(sum(x * c) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM x GROUP BY et)
+        SELECT et AS event_type, n AS n_days, sy AS n_events,
+          ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx) AS slope_bp
+        FROM p ORDER BY event_type""")
+    ),
+    // q161: behavioral diversity index (inverse Simpson) — the
+    // "entropy without floats" profile: per user, the effective
+    // number of event types they use, via inverse Simpson ×100 =
+    // n²·100 // Σc_t² (λ⁻¹ = 1 / Σp²; a user spread evenly over k
+    // types scores ~k·100, a single-type user exactly 100). The
+    // integer form replaces Shannon entropy's log — transcendentals
+    // being the one kernel two engines won't bit-match. Scale shape:
+    // one (user, type) reduce (map-side), one user reduce, TakeOrdered
+    // top-20 by (diversity, events) with a user tie-break.
+    Q(
+      "q161_simpson_diversity",
+      (s, dir) => {
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("user_id")
+          .agg(
+            sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("sc2"))
+          .withColumn("div_x100", expr("(n_events * n_events * 100) div sc2"))
+          .orderBy(desc("div_x100"), desc("n_events"), asc("user_id"))
+          .limit(20)
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(c * c) AS BIGINT) AS sc2
+            FROM ut GROUP BY user_id)
+        SELECT user_id, n_events, n_types, sc2,
+          (n_events * n_events * 100) // sc2 AS div_x100
+        FROM u ORDER BY div_x100 DESC, n_events DESC, user_id LIMIT 20""")
     )
   )
 }

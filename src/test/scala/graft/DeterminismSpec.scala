@@ -70,7 +70,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q153_equidepth_histogram", // sketch-guided boundary refinement read-offs
     "q154_join_size_audit",   // census-product costing vs executed join
     "q156_association_rules", // basket pairs, integer lift/confidence
-    "q158_interevent_gaps"    // per-user rank read-offs on lag gaps
+    "q158_interevent_gaps",   // per-user rank read-offs on lag gaps
+    "q160_grouped_ols"        // integer power-sum regression
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -167,6 +167,9 @@ class GoldenSpec extends AnyFunSuite {
     // ninth round-11 batch: gap profile / robust trend
     assert(queryHash("q158_interevent_gaps") == ((15L, "efc519df8ca952f39c371b1ff7d97fc1")))
     assert(queryHash("q159_theil_sen_trend") == ((1L, "f832501dd490252b0ba7a948a953eece")))
+    // tenth round-11 batch: integer OLS / inverse-Simpson diversity
+    assert(queryHash("q160_grouped_ols") == ((5L, "3c942a97c817325be47cd99222a85907")))
+    assert(queryHash("q161_simpson_diversity") == ((15L, "f02089a1d9a80c19acbc00abc0ccf9c0")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -749,4 +749,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), "pair frame rides the checkpointed daily cells")
     assert(count(p, "FileScan parquet") == 0, "no events re-scan past the daily reduce")
   }
+
+  test("q160 grouped OLS: power sums partial-aggregate, no joins") {
+    // every Σ is a map-side partial over the (type, day) cells; the
+    // per-type min-day window rides the same type partitioning.
+    val p = plan("q160_grouped_ols")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q161 Simpson diversity: two-level reduce + TakeOrdered, no joins") {
+    val p = plan("q161_simpson_diversity")
+    assert(p.contains("partial_count"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join"))
+  }
 }

@@ -2680,6 +2680,64 @@ object RelQueries {
         SELECT user_id, n_events, n_types, sc2,
           (n_events * n_events * 100) // sc2 AS div_x100
         FROM u ORDER BY div_x100 DESC, n_events DESC, user_id LIMIT 20""")
+    ),
+    // q163: behavior-archetype census via bitmask sets — the
+    // set-valued profile as a BITMAP: each event type is one bit,
+    // bit_or per user folds a user's whole history into a 5-bit
+    // archetype word, and the census over the 2⁵-bounded mask domain
+    // is the "which behavior combinations exist, and how common is
+    // each" report. This is the roaring-bitmap/set-encoding idiom at
+    // engine level: the per-user reduce is an associative bitwise OR
+    // (map-side combine, order-free by construction), downstream
+    // frames are mask-domain-sized, and the human-readable label is
+    // decoded from bits with concat_ws skipping unset positions —
+    // both engines define `&`, bit_or and NULL-skipping concat_ws
+    // identically, so the hash pins them all.
+    Q(
+      "q163_archetype_census",
+      (s, dir) => {
+        val bit = expr(
+          """CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+             WHEN 'view' THEN 16 ELSE 0 END""").cast("long")
+        val users = Tables
+          .events(s, dir)
+          .select(col("user_id"), bit.as("b"))
+          .groupBy("user_id")
+          .agg(expr("bit_or(b)").as("mask"))
+        val nU = users.agg(count(lit(1)).as("nu"))
+        users
+          .groupBy("mask")
+          .agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(nU))
+          .select(
+            col("mask"),
+            concat_ws("+",
+              when(expr("mask & 1") > 0L, "click"),
+              when(expr("mask & 2") > 0L, "error"),
+              when(expr("mask & 4") > 0L, "purchase"),
+              when(expr("mask & 8") > 0L, "signup"),
+              when(expr("mask & 16") > 0L, "view")).as("archetype"),
+            col("n_users"),
+            expr("(n_users * 10000) div nu").as("share_bp"))
+          .orderBy("mask")
+      },
+      Some("""WITH b AS (SELECT user_id,
+            CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+              WHEN 'view' THEN 16 ELSE 0 END AS b
+          FROM events),
+        u AS (SELECT user_id, CAST(bit_or(b) AS BIGINT) AS mask FROM b GROUP BY user_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u)
+        SELECT mask, concat_ws('+',
+            CASE WHEN mask & 1 > 0 THEN 'click' END,
+            CASE WHEN mask & 2 > 0 THEN 'error' END,
+            CASE WHEN mask & 4 > 0 THEN 'purchase' END,
+            CASE WHEN mask & 8 > 0 THEN 'signup' END,
+            CASE WHEN mask & 16 > 0 THEN 'view' END) AS archetype,
+          CAST(count(*) AS BIGINT) AS n_users,
+          (CAST(count(*) AS BIGINT) * 10000) // n.nu AS share_bp
+        FROM u, n GROUP BY mask, n.nu ORDER BY mask""")
     )
   )
 }

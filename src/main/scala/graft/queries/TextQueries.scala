@@ -1892,6 +1892,83 @@ object TextQueries {
           abs((c_a * 1000000) // t.na - (c_b * 1000000) // t.nb) AS drift_rpm
         FROM tok, t
         ORDER BY drift_rpm DESC, w LIMIT 20""")
+    ),
+    // q162: Cohen's kappa — the chance-corrected agreement score for
+    // the q30/q139 language classifier, the one-number audit a
+    // labeling pipeline gates on (raw accuracy flatters classifiers
+    // on skewed label distributions; kappa subtracts the agreement a
+    // random labeler would get). Everything is integer basis points:
+    // po_bp from the diagonal, pe_bp = Σ_l (row-share_bp · col_l) // N
+    // (the share is reduced to bp BEFORE the product, so the kernel
+    // stays inside int64 at any corpus size), and
+    // kappa_bp = (po−pe)·10⁴ // (10⁴−pe). Scale shape: one corpus
+    // pass to the langs²-bounded confusion cells; every later frame
+    // is langs-sized. The banded verdict rides the hash.
+    Q(
+      "q162_kappa_agreement",
+      (s, dir) => {
+        val hits = markers.map { case (l, set) => l -> hitsCol(set) }
+        val Seq(de, en, es, fr) = hits.map(_._2)
+        val pred = Tables
+          .documents(s, dir)
+          .select(
+            col("lang").as("lt"),
+            when(de >= en && de >= es && de >= fr, "de")
+              .when(en >= es && en >= fr, "en")
+              .when(es >= fr, "es")
+              .otherwise("fr")
+              .as("lp"))
+          .filter(col("lt").isNotNull)
+        val cells = pred.groupBy("lt", "lp").agg(count(lit(1)).as("n")).localCheckpoint()
+        val tot = cells.agg(sum("n").as("nn"))
+        val rows = cells.groupBy(col("lt").as("rl")).agg(sum("n").as("rn"))
+        val cols = cells.groupBy(col("lp").as("cl")).agg(sum("n").as("cn"))
+        val po = cells
+          .filter(col("lt") === col("lp"))
+          .agg(sum("n").as("diag"))
+          .crossJoin(broadcast(tot))
+          .select(expr("(diag * 10000) div nn").as("po_bp"), col("nn"))
+        val pe = rows
+          .join(cols, col("rl") === col("cl"))
+          .crossJoin(broadcast(tot))
+          .agg(sum(expr("((rn * 10000) div nn) * cn")).as("s"))
+          .crossJoin(broadcast(tot))
+          .select(expr("s div nn").as("pe_bp"))
+        po.crossJoin(broadcast(pe))
+          .select(
+            col("nn").as("n_docs"), col("po_bp"), col("pe_bp"),
+            expr("((po_bp - pe_bp) * 10000) div (10000 - pe_bp)").as("kappa_bp"))
+          .withColumn(
+            "band",
+            when(col("kappa_bp") >= 8000L, "excellent")
+              .when(col("kappa_bp") >= 6000L, "good")
+              .when(col("kappa_bp") >= 4000L, "moderate")
+              .otherwise(lit("poor")))
+          .orderBy("n_docs")
+      },
+      Some {
+        val h = markers.map { case (l, set) => s"${hitsSql(set)} AS ${l}_hits" }.mkString(", ")
+        s"""WITH p AS (SELECT lang AS lt,
+            CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                 WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                 WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lp
+          FROM (SELECT lang, $h FROM documents) WHERE lang IS NOT NULL),
+        cells AS (SELECT lt, lp, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY lt, lp),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        r AS (SELECT lt AS rl, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY lt),
+        c AS (SELECT lp AS cl, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY lp),
+        po AS (SELECT (CAST(coalesce(sum(n), 0) AS BIGINT) * 10000) // t.nn AS po_bp, t.nn
+          FROM cells, t WHERE lt = lp GROUP BY t.nn),
+        pe AS (SELECT CAST(sum(((rn * 10000) // t.nn) * cn) AS BIGINT) // t.nn AS pe_bp
+          FROM r JOIN c ON rl = cl, t GROUP BY t.nn)
+        SELECT po.nn AS n_docs, po.po_bp, pe.pe_bp,
+          ((po.po_bp - pe.pe_bp) * 10000) // (10000 - pe.pe_bp) AS kappa_bp,
+          CASE WHEN ((po.po_bp - pe.pe_bp) * 10000) // (10000 - pe.pe_bp) >= 8000 THEN 'excellent'
+               WHEN ((po.po_bp - pe.pe_bp) * 10000) // (10000 - pe.pe_bp) >= 6000 THEN 'good'
+               WHEN ((po.po_bp - pe.pe_bp) * 10000) // (10000 - pe.pe_bp) >= 4000 THEN 'moderate'
+               ELSE 'poor' END AS band
+        FROM po, pe ORDER BY n_docs"""
+      }
     )
   )
 }

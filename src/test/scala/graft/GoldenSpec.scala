@@ -170,6 +170,9 @@ class GoldenSpec extends AnyFunSuite {
     // tenth round-11 batch: integer OLS / inverse-Simpson diversity
     assert(queryHash("q160_grouped_ols") == ((5L, "3c942a97c817325be47cd99222a85907")))
     assert(queryHash("q161_simpson_diversity") == ((15L, "f02089a1d9a80c19acbc00abc0ccf9c0")))
+    // eleventh round-11 batch: kappa agreement / archetype bitmask census
+    assert(queryHash("q162_kappa_agreement") == ((1L, "744e5af0f9c10358c362c1ee69bbe33b")))
+    assert(queryHash("q163_archetype_census") == ((1L, "0ec0016aad806761f6a6c70027636e1a")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

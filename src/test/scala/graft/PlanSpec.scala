@@ -764,4 +764,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Join"))
   }
+
+  test("q162 kappa: confusion cells checkpointed, downstream langs-sized") {
+    // one corpus pass materializes the langs^2 confusion cells; the
+    // po/pe/rows/cols lineages all consume the cached cells.
+    val p = plan("q162_kappa_agreement")
+    assert(p.contains("Scan ExistingRDD"), "stat lineages ride the checkpointed cells")
+    assert(count(p, "FileScan parquet") == 0, "no documents re-scan past the cells")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q163 archetype census: associative bit_or reduce, mask-domain frames") {
+    // per-user bit_or partial-aggregates map-side; everything after is
+    // 2^5-bounded. No joins beyond the 1-row total broadcast.
+    val p = plan("q163_archetype_census")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), "bitmask reduce combines map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

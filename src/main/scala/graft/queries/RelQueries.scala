@@ -2738,6 +2738,83 @@ object RelQueries {
           CAST(count(*) AS BIGINT) AS n_users,
           (CAST(count(*) AS BIGINT) * 10000) // n.nu AS share_bp
         FROM u, n GROUP BY mask, n.nu ORDER BY mask""")
+    ),
+    // q164: Gini concentration of customer revenue — the inequality
+    // audit a curation pipeline runs on source/customer dominance
+    // ("does 1% of the keys carry 90% of the mass?"). EXACT, with no
+    // global sort: the rank-sum Σ rank·value is assembled from the
+    // value CENSUS via the q153 two-level discipline — coarse
+    // 10k-dollar bins give each bin its cum-before offset (bounded
+    // frame, one small window), the within-bin cum runs PARTITION BY
+    // bin, and each distinct value v with count c and cum-before cb
+    // contributes v·(c·cb + c(c+1)/2) — the closed form of its tie
+    // block's rank sum (ties make the per-row rank order arbitrary
+    // but the block sum invariant, which is why the census form is
+    // deterministic where row_number would not be). The rank-sum
+    // products and the ·10⁴-scaled numerator run in DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB's native sum type) so the kernel is
+    // exact at any corpus size; the one integral division at the end
+    // truncates identically in both engines. G_bp = (2R·10⁴)//(nS) −
+    // ((n+1)·10⁴)//n.
+    Q(
+      "q164_gini_concentration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables
+          .orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("v"))
+        val byv = rev.groupBy("v").agg(count(lit(1)).as("c")).localCheckpoint()
+        val tot = byv.agg(
+          sum("c").as("n"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * c")).as("sv"))
+        val binned = byv.withColumn("bin", expr("v div 1000000"))
+        val binAgg = binned
+          .groupBy("bin")
+          .agg(sum("c").as("bc"))
+          .withColumn(
+            "cb_bin",
+            coalesce(
+              sum(col("bc")).over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("bin").as("b2"), col("cb_bin"))
+        val ranked = binned
+          .join(broadcast(binAgg), col("bin") === col("b2"))
+          .withColumn(
+            "wcum",
+            sum(col("c")).over(
+              Window.partitionBy("bin").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cb", col("cb_bin") + col("wcum") - col("c"))
+        val r = ranked.agg(
+          sum(expr("CAST(v AS DECIMAL(38,0)) * (c * cb + (c * (c + 1)) div 2)")).as("rsum"))
+        r.crossJoin(broadcast(tot))
+          .select(
+            col("n").as("n_customers"),
+            expr("CAST(sv AS BIGINT)").as("total_cents"),
+            expr("CAST((2 * rsum * 10000) div (n * sv) - ((n + 1) * 10000) div n AS BIGINT)")
+              .as("gini_bp"))
+          .orderBy("n_customers")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY o_custkey),
+        byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY v),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n, sum(v * c) AS sv FROM byv),
+        binned AS (SELECT v, c, v // 1000000 AS bin FROM byv),
+        ba AS (SELECT bin, CAST(coalesce(sum(sum(c)) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_bin
+          FROM binned GROUP BY bin),
+        rk AS (SELECT v, c,
+            ba.cb_bin + CAST(sum(c) OVER (PARTITION BY binned.bin ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - c AS cb
+          FROM binned JOIN ba ON binned.bin = ba.bin),
+        r AS (SELECT sum(v * (c * cb + (c * (c + 1)) // 2)) AS rsum FROM rk)
+        SELECT t.n AS n_customers, CAST(t.sv AS BIGINT) AS total_cents,
+          CAST((2 * r.rsum * 10000) // (t.n * t.sv)
+            - ((t.n + 1) * 10000) // t.n AS BIGINT) AS gini_bp
+        FROM r, t ORDER BY n_customers""")
     )
   )
 }

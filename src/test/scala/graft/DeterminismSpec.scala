@@ -71,7 +71,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q154_join_size_audit",   // census-product costing vs executed join
     "q156_association_rules", // basket pairs, integer lift/confidence
     "q158_interevent_gaps",   // per-user rank read-offs on lag gaps
-    "q160_grouped_ols"        // integer power-sum regression
+    "q160_grouped_ols",       // integer power-sum regression
+    "q164_gini_concentration" // decimal-exact census rank sums
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -173,6 +173,8 @@ class GoldenSpec extends AnyFunSuite {
     // eleventh round-11 batch: kappa agreement / archetype bitmask census
     assert(queryHash("q162_kappa_agreement") == ((1L, "744e5af0f9c10358c362c1ee69bbe33b")))
     assert(queryHash("q163_archetype_census") == ((1L, "0ec0016aad806761f6a6c70027636e1a")))
+    // twelfth round-11 batch: exact two-level census Gini
+    assert(queryHash("q164_gini_concentration") == ((1L, "2119ad22c654087f8f90d7d85d9bee0e")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -781,4 +781,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_bit_or") || p.contains("bit_or"), "bitmask reduce combines map-side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q164 Gini: rank sums from the checkpointed census, no global sort") {
+    // the revenue census materializes once; the rank-sum assembly uses
+    // the coarse-bin offset window + a PARTITION BY bin within-cum —
+    // never a partition-less window over the full census order, and no
+    // orders re-scan past the census.
+    val p = plan("q164_gini_concentration")
+    assert(p.contains("Scan ExistingRDD"), "rank sums ride the checkpointed census")
+    assert(count(p, "FileScan parquet") == 0, "no orders re-scan past the census")
+    assert(p.contains("windowspecdefinition(bin#"), "within-cum is PARTITION BY bin")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

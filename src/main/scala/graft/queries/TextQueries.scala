@@ -1969,6 +1969,69 @@ object TextQueries {
                ELSE 'poor' END AS band
         FROM po, pe ORDER BY n_docs"""
       }
+    ),
+    // q165: grouped length-percentile profile — per-source p25/p50/p75
+    // of document length, the per-group percentile op beside q145's
+    // per-type median/MAD: lengths collapse map-side to
+    // (source, n_chars) census cells (the length domain is a few
+    // hundred values at any corpus size), cum windows run PARTITION BY
+    // source over the census, and each quartile is a rank read-off
+    // (lower statistic at k = ceil(q·n/4)). The IQR and the
+    // skew direction ((p75−p50) vs (p50−p25), integer) ride the hash.
+    // One corpus shuffle (the census groupBy); everything after is
+    // domain-sized.
+    Q(
+      "q165_length_quartiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byv = Tables
+          .documentsSpread(s, dir)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = byv.groupBy(col("source").as("ns")).agg(sum("cnt").as("n"))
+        val cum = byv.withColumn(
+          "cum",
+          sum(col("cnt")).over(
+            Window.partitionBy("source").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(n), col("source") === col("ns"))
+        def q(quart: Int, name: String) = cum
+          .filter(col("cum") >= expr(s"($quart * n + 3) div 4"))
+          .groupBy(col("source").as(s"s$quart"))
+          .agg(min(col("v")).as(name))
+        n.join(q(1, "p25"), col("ns") === col("s1"))
+          .join(q(2, "p50"), col("ns") === col("s2"))
+          .join(q(3, "p75"), col("ns") === col("s3"))
+          .select(
+            col("ns").as("source"), col("n").as("n_docs"),
+            col("p25"), col("p50"), col("p75"),
+            (col("p75") - col("p25")).as("iqr"),
+            when(col("p75") - col("p50") > col("p50") - col("p25"), "right")
+              .when(col("p75") - col("p50") < col("p50") - col("p25"), "left")
+              .otherwise(lit("symmetric")).as("skew"))
+          .orderBy("source")
+      },
+      Some("""WITH byv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2),
+          n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM byv GROUP BY source),
+          cum AS (SELECT byv.source, v, n.n,
+              CAST(sum(cnt) OVER (PARTITION BY byv.source ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM byv JOIN n ON byv.source = n.source),
+          q1 AS (SELECT source, CAST(min(v) AS BIGINT) AS p25 FROM cum
+            WHERE cum >= (1 * n + 3) // 4 GROUP BY source),
+          q2 AS (SELECT source, CAST(min(v) AS BIGINT) AS p50 FROM cum
+            WHERE cum >= (2 * n + 3) // 4 GROUP BY source),
+          q3 AS (SELECT source, CAST(min(v) AS BIGINT) AS p75 FROM cum
+            WHERE cum >= (3 * n + 3) // 4 GROUP BY source)
+        SELECT n.source, n.n AS n_docs, q1.p25, q2.p50, q3.p75,
+          q3.p75 - q1.p25 AS iqr,
+          CASE WHEN q3.p75 - q2.p50 > q2.p50 - q1.p25 THEN 'right'
+               WHEN q3.p75 - q2.p50 < q2.p50 - q1.p25 THEN 'left'
+               ELSE 'symmetric' END AS skew
+        FROM n JOIN q1 ON n.source = q1.source JOIN q2 ON n.source = q2.source
+          JOIN q3 ON n.source = q3.source
+        ORDER BY n.source""")
     )
   )
 }

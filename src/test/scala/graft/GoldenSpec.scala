@@ -175,6 +175,8 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q163_archetype_census") == ((1L, "0ec0016aad806761f6a6c70027636e1a")))
     // twelfth round-11 batch: exact two-level census Gini
     assert(queryHash("q164_gini_concentration") == ((1L, "2119ad22c654087f8f90d7d85d9bee0e")))
+    // thirteenth round-11 batch: grouped length quartiles
+    assert(queryHash("q165_length_quartiles") == ((20L, "b0fc059f272eb00b34a233ef623dc454")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

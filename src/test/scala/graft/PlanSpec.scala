@@ -793,4 +793,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bin#"), "within-cum is PARTITION BY bin")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q165 length quartiles: source-partitioned census windows, one corpus shuffle") {
+    // the (source, n_chars) census is the only corpus-touching reduce
+    // (map-side combined); the cum window and every quartile read-off
+    // are PARTITION BY source over domain-sized frames.
+    val p = plan("q165_length_quartiles")
+    assert(p.contains("partial_count"), "length census combines map-side")
+    assert(p.contains("windowspecdefinition(source#"), "cum is PARTITION BY source")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

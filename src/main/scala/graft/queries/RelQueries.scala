@@ -2815,6 +2815,121 @@ object RelQueries {
           CAST((2 * r.rsum * 10000) // (t.n * t.sv)
             - ((t.n + 1) * 10000) // t.n AS BIGINT) AS gini_bp
         FROM r, t ORDER BY n_customers""")
+    ),
+    // q166: top-share (Lorenz) read-offs — q164's Gini answered "how
+    // concentrated"; this answers the operator's follow-up: "how much
+    // of the mass do the top 1% / 5% / 10% of customers hold?" Exact,
+    // with tie-correct cuts and no global sort of customers: the
+    // per-customer revenue census carries DESCENDING cum count + cum
+    // mass (windows over the distinct-value census — value-DOMAIN-
+    // sized, the q144 bounded-window class), the cut value for k =
+    // ceil(n·p/100) is the largest v whose desc-cum reaches k, and
+    // the mass takes full blocks above the cut plus exactly
+    // (k − cum_above) customers from the cut's tie block — the
+    // closed-form tie split that makes the result independent of any
+    // within-tie order. All integer; shares in basis points.
+    Q(
+      "q166_top_share",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byv = Tables
+          .orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("v"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val tot = byv.agg(sum("c").as("n"), sum(expr("v * c")).as("sv"))
+        val wd = Window.orderBy(desc("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byv
+          .withColumn("cumc", sum(col("c")).over(wd))
+          .withColumn("cumm", sum(expr("v * c")).over(wd))
+        val ks = s
+          .createDataFrame(Seq(Tuple1(1), Tuple1(5), Tuple1(10)))
+          .toDF("p")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("p").cast("long").as("p"),
+            expr("(n * p + 99) div 100").as("k"), col("n"), col("sv"))
+        val cut = ks
+          .join(broadcast(cum), col("cumc") >= col("k"))
+          .groupBy("p", "k", "n", "sv")
+          .agg(max(col("v")).as("vcut"))
+        cut
+          .join(broadcast(cum.select(col("v"), col("c"), col("cumc"), col("cumm"))),
+            col("vcut") === col("v"))
+          .select(
+            col("p"), col("k").as("k_customers"),
+            (col("cumm") - col("vcut") * col("c") +
+              (col("k") - (col("cumc") - col("c"))) * col("vcut")).as("mass_cents"),
+            col("sv"))
+          .withColumn("share_bp", expr("(mass_cents * 10000) div sv"))
+          .select(col("p"), col("k_customers"), col("mass_cents"), col("share_bp"))
+          .orderBy("p")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY o_custkey),
+        byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY v),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS sv FROM byv),
+        cum AS (SELECT v, c,
+            CAST(sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+            CAST(sum(v * c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumm
+          FROM byv),
+        ks AS (SELECT CAST(p AS BIGINT) AS p, (t.n * p + 99) // 100 AS k, t.n, t.sv
+          FROM (SELECT unnest([1, 5, 10]) AS p), t),
+        cut AS (SELECT p, k, n, sv, CAST(max(v) AS BIGINT) AS vcut
+          FROM ks JOIN cum ON cumc >= ks.k GROUP BY p, k, n, sv)
+        SELECT cut.p, cut.k AS k_customers,
+          CAST(cum.cumm - cut.vcut * cum.c
+            + (cut.k - (cum.cumc - cum.c)) * cut.vcut AS BIGINT) AS mass_cents,
+          CAST((cum.cumm - cut.vcut * cum.c
+            + (cut.k - (cum.cumc - cum.c)) * cut.vcut) * 10000 AS BIGINT) // cut.sv
+            AS share_bp
+        FROM cut JOIN cum ON cut.vcut = cum.v
+        ORDER BY cut.p""")
+    ),
+    // q167: round-number bias audit — the fraud/psychology sibling of
+    // q140's Benford gate: human-entered or fabricated prices
+    // over-select "round" cent endings (.00, .50, .99); organically
+    // computed ones spread uniformly (expected 100 bp per ending).
+    // One map-side classification (cents mod 100 → 4 classes) + one
+    // 4-cell aggregate; observed shares and signed deviations in
+    // integer basis points against literal expectations (no runtime
+    // probability math — the q140 discipline).
+    Q(
+      "q167_round_number_bias",
+      (s, dir) => {
+        val ending = expr("""CASE CAST(floor(o_totalprice * 100) AS BIGINT) % 100
+          WHEN 0 THEN '00' WHEN 50 THEN '50' WHEN 99 THEN '99'
+          ELSE 'other' END""")
+        val expected = expr(
+          "CASE ending WHEN 'other' THEN CAST(9700 AS BIGINT) ELSE CAST(100 AS BIGINT) END")
+        val n = Tables.orders(s, dir).agg(count(lit(1)).as("n_total"))
+        Tables
+          .orders(s, dir)
+          .groupBy(ending.as("ending"))
+          .agg(count(lit(1)).as("observed"))
+          .crossJoin(broadcast(n))
+          .select(
+            col("ending"), col("observed"), col("n_total"),
+            expr("(observed * 10000) div n_total").as("share_bp"),
+            expected.as("expected_bp"))
+          .withColumn("dev_bp", expr("(observed * 10000) div n_total - expected_bp"))
+          .orderBy("ending")
+      },
+      Some("""WITH e AS (SELECT CASE CAST(floor(o_totalprice * 100) AS BIGINT) % 100
+            WHEN 0 THEN '00' WHEN 50 THEN '50' WHEN 99 THEN '99'
+            ELSE 'other' END AS ending
+          FROM orders),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e),
+        g AS (SELECT ending, CAST(count(*) AS BIGINT) AS observed FROM e GROUP BY ending)
+        SELECT g.ending, g.observed, n.n_total,
+          (g.observed * 10000) // n.n_total AS share_bp,
+          CAST(CASE g.ending WHEN 'other' THEN 9700 ELSE 100 END AS BIGINT) AS expected_bp,
+          (g.observed * 10000) // n.n_total
+            - CASE g.ending WHEN 'other' THEN 9700 ELSE 100 END AS dev_bp
+        FROM g, n ORDER BY g.ending""")
     )
   )
 }

@@ -177,6 +177,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q164_gini_concentration") == ((1L, "2119ad22c654087f8f90d7d85d9bee0e")))
     // thirteenth round-11 batch: grouped length quartiles
     assert(queryHash("q165_length_quartiles") == ((20L, "b0fc059f272eb00b34a233ef623dc454")))
+    // fourteenth round-11 batch: Lorenz top-share / round-number bias
+    assert(queryHash("q166_top_share") == ((3L, "142a49dae999cce9e3db7abb13ff2325")))
+    assert(queryHash("q167_round_number_bias") == ((4L, "5e7f7d80d830ff048331a3319e07af1f")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -803,4 +803,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(source#"), "cum is PARTITION BY source")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q166 top share: cuts ride the checkpointed census, tie split closed-form") {
+    // the desc-cum windows and the k-cut joins consume the cached
+    // revenue census (zero orders re-scans past it); the 3-row cut
+    // frame joins the census broadcast.
+    val p = plan("q166_top_share")
+    assert(p.contains("Scan ExistingRDD"), "Lorenz read-offs ride the checkpointed census")
+    assert(count(p, "FileScan parquet") == 0, "no orders re-scan past the census")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q167 round-number bias: map-side classify + 4-cell aggregate") {
+    val p = plan("q167_round_number_bias")
+    assert(p.contains("partial_count"), "ending census combines map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

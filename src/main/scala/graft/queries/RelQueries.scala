@@ -2819,15 +2819,23 @@ object RelQueries {
     // q166: top-share (Lorenz) read-offs — q164's Gini answered "how
     // concentrated"; this answers the operator's follow-up: "how much
     // of the mass do the top 1% / 5% / 10% of customers hold?" Exact,
-    // with tie-correct cuts and no global sort of customers: the
-    // per-customer revenue census carries DESCENDING cum count + cum
-    // mass (windows over the distinct-value census — value-DOMAIN-
-    // sized, the q144 bounded-window class), the cut value for k =
-    // ceil(n·p/100) is the largest v whose desc-cum reaches k, and
-    // the mass takes full blocks above the cut plus exactly
-    // (k − cum_above) customers from the cut's tie block — the
-    // closed-form tie split that makes the result independent of any
-    // within-tie order. All integer; shares in basis points.
+    // with tie-correct cuts and NO global sort or census broadcast.
+    // The per-customer revenue census is O(n_customers) (revenue
+    // totals are nearly all distinct — NOT the bounded value-domain
+    // class of q144), so the descending cum count/mass uses q164's
+    // two-level decomposition: coarse 10k-dollar bins carry the
+    // cum-above offsets (bin index is revenue-range/10⁶-sized —
+    // bounded — the ONLY partition-less window), the within-bin desc
+    // cum runs PARTITION BY bin, and each k-cut first resolves its
+    // BIN from the broadcast bin index (the unique bin with
+    // cum_above < k ≤ cum_through), then equi-joins only that bin's
+    // census rows. The cut value for k = ceil(n·p/100) is the largest
+    // v whose desc-cum reaches k; the mass takes full blocks above
+    // the cut plus exactly (k − cum_above) customers from the cut's
+    // tie block — the closed-form tie split that makes the result
+    // independent of any within-tie order. All integer; shares in
+    // basis points. Broadcasts: bin index (bounded), 1-row totals,
+    // 3-row cut frame — never the census.
     Q(
       "q166_top_share",
       (s, dir) => {
@@ -2840,28 +2848,54 @@ object RelQueries {
           .agg(count(lit(1)).as("c"))
           .localCheckpoint()
         val tot = byv.agg(sum("c").as("n"), sum(expr("v * c")).as("sv"))
-        val wd = Window.orderBy(desc("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = byv
-          .withColumn("cumc", sum(col("c")).over(wd))
-          .withColumn("cumm", sum(expr("v * c")).over(wd))
+        val binned = byv.withColumn("bin", expr("v div 1000000"))
+        // bin-level DESC cum-above offsets — the one partition-less
+        // window, over the bounded bin index (revenue-range/10⁶ cells)
+        val binW = Window.orderBy(desc("bin")).rowsBetween(Window.unboundedPreceding, -1)
+        val binAgg = binned
+          .groupBy("bin")
+          .agg(sum("c").as("bc"), sum(expr("v * c")).as("bm"))
+          .withColumn("ca_bin", coalesce(sum(col("bc")).over(binW), lit(0L)))
+          .withColumn("ma_bin", coalesce(sum(col("bm")).over(binW), lit(0L)))
+          .select(col("bin").as("b2"), col("bc"), col("ca_bin"), col("ma_bin"))
+          .localCheckpoint()
+        // within-bin desc cum: PARTITION BY bin — the census never
+        // collapses to one partition and is never broadcast
+        val wW = Window
+          .partitionBy("bin")
+          .orderBy(desc("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = binned
+          .join(broadcast(binAgg), col("bin") === col("b2"))
+          .withColumn("cumc", col("ca_bin") + sum(col("c")).over(wW))
+          .withColumn("cumm", col("ma_bin") + sum(expr("v * c")).over(wW))
+          .select(col("bin"), col("v"), col("c"), col("cumc"), col("cumm"))
         val ks = s
           .createDataFrame(Seq(Tuple1(1), Tuple1(5), Tuple1(10)))
           .toDF("p")
           .crossJoin(broadcast(tot))
           .select(
             col("p").cast("long").as("p"),
-            expr("(n * p + 99) div 100").as("k"), col("n"), col("sv"))
-        val cut = ks
-          .join(broadcast(cum), col("cumc") >= col("k"))
-          .groupBy("p", "k", "n", "sv")
-          .agg(max(col("v")).as("vcut"))
-        cut
-          .join(broadcast(cum.select(col("v"), col("c"), col("cumc"), col("cumm"))),
-            col("vcut") === col("v"))
+            expr("(n * p + 99) div 100").as("k"), col("sv"))
+        // resolve each k's cut BIN on the bounded bin index: the unique
+        // bin with cum_above < k ≤ cum_above + bin_count
+        val cutBin = ks
+          .join(
+            broadcast(binAgg),
+            col("ca_bin") < col("k") && col("ca_bin") + col("bc") >= col("k"))
+          .select(col("p"), col("k"), col("sv"), col("b2").as("cbin"))
+        // within the cut bin only: the row of the largest v whose
+        // desc-cum reaches k (3-row frame broadcast, census streamed)
+        cum
+          .join(
+            broadcast(cutBin),
+            col("bin") === col("cbin") && col("cumc") >= col("k"))
+          .groupBy("p", "k", "sv")
+          .agg(expr("max_by(struct(v, c, cumc, cumm), v)").as("r"))
           .select(
             col("p"), col("k").as("k_customers"),
-            (col("cumm") - col("vcut") * col("c") +
-              (col("k") - (col("cumc") - col("c"))) * col("vcut")).as("mass_cents"),
+            (col("r.cumm") - col("r.v") * col("r.c") +
+              (col("k") - (col("r.cumc") - col("r.c"))) * col("r.v")).as("mass_cents"),
             col("sv"))
           .withColumn("share_bp", expr("(mass_cents * 10000) div sv"))
           .select(col("p"), col("k_customers"), col("mass_cents"), col("share_bp"))

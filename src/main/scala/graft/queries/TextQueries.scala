@@ -1711,11 +1711,24 @@ object TextQueries {
           .join(broadcast(firstSeen), col("fs") <= col("cut"))
           .groupBy(col("p").as("vp"))
           .agg(count(lit(1)).as("n_vocab"))
-        perCut
-          .join(vocabAt, col("p") === col("vp"))
+        // assemble FROM the 4-row cuts frame with left joins, so a
+        // checkpoint with zero docs/vocab at its cut still reports 0
+        // instead of vanishing (r11 advisory — latent on this fixture,
+        // real for sparse/offset doc-id domains); both join sides are
+        // ≤4-row aggregates
+        cuts
+          .select(col("p"))
+          .join(broadcast(perCut), Seq("p"), "left")
+          .join(broadcast(vocabAt), col("p") === col("vp"), "left")
           .select(
-            col("p"), col("n_docs"), col("n_tokens"), col("n_vocab"),
-            expr("(n_vocab * 10000) div n_tokens").as("ttr_bp"))
+            col("p"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
+          .withColumn(
+            "ttr_bp",
+            expr("""CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+              ELSE (n_vocab * 10000) div n_tokens END"""))
           .orderBy("p")
       },
       Some("""WITH b AS (SELECT max(doc_id) AS m FROM documents),
@@ -1730,9 +1743,16 @@ object TextQueries {
           fs AS (SELECT w, min(doc_id) AS fs FROM w GROUP BY w),
           va AS (SELECT p, CAST(count(*) AS BIGINT) AS n_vocab
             FROM cuts JOIN fs ON fs <= cut GROUP BY p)
-        SELECT pc.p, pc.n_docs, pc.n_tokens, va.n_vocab,
-          (va.n_vocab * 10000) // pc.n_tokens AS ttr_bp
-        FROM pc JOIN va ON pc.p = va.p ORDER BY pc.p""")
+        SELECT cuts.p,
+          CAST(coalesce(pc.n_docs, 0) AS BIGINT) AS n_docs,
+          CAST(coalesce(pc.n_tokens, 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(va.n_vocab, 0) AS BIGINT) AS n_vocab,
+          CASE WHEN coalesce(pc.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
+               ELSE (CAST(coalesce(va.n_vocab, 0) AS BIGINT) * 10000) // pc.n_tokens
+          END AS ttr_bp
+        FROM cuts LEFT JOIN pc ON cuts.p = pc.p
+          LEFT JOIN va ON cuts.p = va.p
+        ORDER BY cuts.p""")
     ),
     // q152: cross-source vocabulary overlap matrix — the
     // source-redundancy audit beside q85's split contamination: for
@@ -1812,8 +1832,10 @@ object TextQueries {
           .select(
             col("source"),
             length(col("t")).as("nc").cast("long").as("nc"),
-            (length(col("t")) - length(regexp_replace(col("t"), "[ -~]", "")))
-              .cast("long").as("na"))
+            // non-ASCII count = what REMAINS after stripping the
+            // printable-ASCII class (r11 advisory: the earlier
+            // length-difference form counted the ASCII chars instead)
+            length(regexp_replace(col("t"), "[ -~]", "")).cast("long").as("na"))
         seeded
           .groupBy("source")
           .agg(
@@ -1829,7 +1851,7 @@ object TextQueries {
               THEN ' café №' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
           FROM documents),
         m AS (SELECT source, CAST(length(t) AS BIGINT) AS nc,
-            CAST(length(t) - length(regexp_replace(t, '[ -~]', '', 'g')) AS BIGINT) AS na
+            CAST(length(regexp_replace(t, '[ -~]', '', 'g')) AS BIGINT) AS na
           FROM seeded)
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(nc) AS BIGINT) AS n_chars,
@@ -1923,9 +1945,12 @@ object TextQueries {
         val tot = cells.agg(sum("n").as("nn"))
         val rows = cells.groupBy(col("lt").as("rl")).agg(sum("n").as("rn"))
         val cols = cells.groupBy(col("lp").as("cl")).agg(sum("n").as("cn"))
+        // coalesce pins the empty-diagonal shape: a classifier that
+        // never agrees yields diag=0 (not NULL), matching the oracle's
+        // t-LEFT-JOIN-diagonal form (r11 advisory)
         val po = cells
           .filter(col("lt") === col("lp"))
-          .agg(sum("n").as("diag"))
+          .agg(coalesce(sum("n"), lit(0L)).as("diag"))
           .crossJoin(broadcast(tot))
           .select(expr("(diag * 10000) div nn").as("po_bp"), col("nn"))
         val pe = rows
@@ -1957,8 +1982,8 @@ object TextQueries {
         t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
         r AS (SELECT lt AS rl, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY lt),
         c AS (SELECT lp AS cl, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY lp),
-        po AS (SELECT (CAST(coalesce(sum(n), 0) AS BIGINT) * 10000) // t.nn AS po_bp, t.nn
-          FROM cells, t WHERE lt = lp GROUP BY t.nn),
+        po AS (SELECT (CAST(coalesce(sum(d.n), 0) AS BIGINT) * 10000) // t.nn AS po_bp, t.nn
+          FROM t LEFT JOIN (SELECT n FROM cells WHERE lt = lp) d ON TRUE GROUP BY t.nn),
         pe AS (SELECT CAST(sum(((rn * 10000) // t.nn) * cn) AS BIGINT) // t.nn AS pe_bp
           FROM r JOIN c ON rl = cl, t GROUP BY t.nn)
         SELECT po.nn AS n_docs, po.po_bp, pe.pe_bp,

@@ -804,13 +804,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q166 top share: cuts ride the checkpointed census, tie split closed-form") {
-    // the desc-cum windows and the k-cut joins consume the cached
-    // revenue census (zero orders re-scans past it); the 3-row cut
-    // frame joins the census broadcast.
+  test("q166 top share: two-level desc cum, census never single-partition or broadcast") {
+    // the desc-cum rides q164's two-level decomposition: the bounded
+    // bin index carries the cum-above offsets (checkpointed), the
+    // within-bin cum is PARTITION BY bin, and the k-cuts equi-join the
+    // census on bin — the customer-sized census never collapses to one
+    // partition and is never on the build side of a broadcast.
     val p = plan("q166_top_share")
     assert(p.contains("Scan ExistingRDD"), "Lorenz read-offs ride the checkpointed census")
     assert(count(p, "FileScan parquet") == 0, "no orders re-scan past the census")
+    assert(p.contains("windowspecdefinition(bin#"), "within-cum is PARTITION BY bin")
+    // every SinglePartition exchange must be the benign global-agg-final
+    // kind (fed by a map-side partial aggregate — moves one row per
+    // upstream partition); a census-wide Window/Sort collapse would
+    // surface here as a SinglePartition NOT followed by partial_*.
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        assert(
+          lines.drop(i + 1).headOption.exists(_.contains("partial_")),
+          s"SinglePartition at plan line $i is not a partial-agg combine — " +
+            "the customer-sized census must never collapse to one partition")
+    }
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 

@@ -19,6 +19,10 @@ object ScratchRun {
       println(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_SHOW")) {
+      SparkEntry.queries(name)(spark, sf).show(100, truncate = false)
+      spark.stop(); return
+    }
     val rows = SparkEntry.queries(name)(spark, sf).collect()
     def canonical(v: Any): String = v match {
       case d: Double => if (d == 0.0) "0" else java.lang.Double.toString(d)

@@ -40,7 +40,8 @@ object ScaleProbe {
     val probes = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
-        "graph", "interval", "topk", "census", "manifest", "overlap"))
+        "graph", "interval", "topk", "census", "manifest", "overlap",
+        "concentration"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -492,6 +493,86 @@ object ScaleProbe {
         f"[scale] overlap growth: docs x${orN.toDouble / or0}%.0f (vocab xm, fixed source domain), " +
           f"q152 time x${osN / os0}%.1f (token-keyed pair join predicts ~vocab-linear)"
       )
+    }
+    // Concentration-family probe (q164's Gini, q166's Lorenz top-share,
+    // q158's gap profile, q159's Theil–Sen): the axes the r11 verdict
+    // flagged as prose-only claims.
+    //  - q164/q166 scale with CUSTOMERS: each copy shifts o_custkey onto
+    //    a disjoint range (same per-customer revenue distribution), so
+    //    the revenue CENSUS grows ~m× — exactly the growth that made the
+    //    old q166 single-partition desc-cum a scale defect. With the
+    //    two-level decomposition the BIN domain stays fixed (revenue
+    //    values are replicated, not widened), within-bin windows stay
+    //    partitioned, and time should track the scan (~linear) — a
+    //    SinglePartition census window would go super-linear here.
+    //  - q158/q159 scale with SERIES (user-shifted event copies, fixed
+    //    day domain): q158's rank read-offs ride user partitions
+    //    (per-user work fixed), q159's pair join runs over the fixed
+    //    ~30-day cell frame — both predict ~scan-linear.
+    if (enabled("concentration")) {
+      val ordersBase2 = spark.read.parquet(s"$sfDir/orders.parquet")
+      val nCust = ordersBase2.agg(max("o_custkey")).head().getLong(0) + 1
+      val nOrd = ordersBase2.agg(max("o_orderkey")).head().getLong(0) + 1
+      def widenedCustOrdersDir(m: Int): String = {
+        val out = s"${scratchDir("graft_scale_g_")}"
+        (0 until m)
+          .map(i =>
+            ordersBase2
+              .withColumn("o_orderkey", col("o_orderkey") + lit(i * nOrd))
+              .withColumn("o_custkey", col("o_custkey") + lit(i * nCust)))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        out
+      }
+      val evFull2 = Tables.events(spark, sfDir)
+      def widenedUserEventsDir(m: Int): String = {
+        val out = s"${scratchDir("graft_scale_u_")}"
+        (0 until m)
+          .map(i => evFull2.withColumn("user_id", col("user_id") + lit(i * nUsers)))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        out
+      }
+      val q164 = SparkEntry.queries("q164_gini_concentration")
+      val q166 = SparkEntry.queries("q166_top_share")
+      val q158 = SparkEntry.queries("q158_interevent_gaps")
+      val q159 = SparkEntry.queries("q159_theil_sen_trend")
+      val conResults = mults.map { m =>
+        val odir = widenedCustOrdersDir(m)
+        val edir = widenedUserEventsDir(m)
+        val custs = spark.read.parquet(s"$odir/orders.parquet")
+          .select("o_custkey").distinct().count()
+        val evRows = spark.read.parquet(s"$edir/events.parquet").count()
+        q164(spark, odir).write.format("noop").mode("overwrite").save() // warm
+        q166(spark, odir).write.format("noop").mode("overwrite").save() // warm
+        q158(spark, edir).write.format("noop").mode("overwrite").save() // warm
+        q159(spark, edir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        q164(spark, odir).write.format("noop").mode("overwrite").save()
+        val s164 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q166(spark, odir).write.format("noop").mode("overwrite").save()
+        val s166 = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        q158(spark, edir).write.format("noop").mode("overwrite").save()
+        val s158 = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        q159(spark, edir).write.format("noop").mode("overwrite").save()
+        val s159 = (System.nanoTime() - t3) / 1e9
+        println(
+          f"[scale] x$m%-3d customers=$custs%9d events=$evRows%9d  q164_gini=$s164%7.2f s  " +
+            f"q166_top_share=$s166%7.2f s  q158_gaps=$s158%7.2f s  q159_theil_sen=$s159%7.2f s")
+        (m, custs, s164, s166, s158, s159)
+      }
+      val (_, cc0, g0, l0, n0, t0s) = conResults.head
+      val (_, ccN, gN, lN, nN, tNs) = conResults.last
+      println(
+        f"[scale] concentration growth: customers x${ccN.toDouble / cc0}%.0f, " +
+          f"q164 time x${gN / g0}%.1f, q166 time x${lN / l0}%.1f, " +
+          f"q158 time x${nN / n0}%.1f, q159 time x${tNs / t0s}%.1f " +
+          f"(two-level census + partitioned read-offs predict ~scan-linear)")
     }
     spark.stop()
   }

@@ -118,30 +118,45 @@ object IvfKMeans {
       .collect()
 
     var cents = seeds
-    for (_ <- 1 to Iters) {
-      val dim = cents.head._2.length
-      val sums = Array.fill(cents.length)(new Array[Long](dim))
-      val counts = new Array[Long](cents.length)
-      train.foreach { v =>
-        // argmax over ascending cent_id with strict '>' → lowest id wins ties
-        var best = 0
-        var bestD = Double.NegativeInfinity
-        var j = 0
-        while (j < cents.length) {
-          val d = r6d(dotD(v, cents(j)._2))
-          if (d > bestD) { bestD = d; best = j }
-          j += 1
-        }
-        counts(best) += 1
-        val s = sums(best)
-        var i = 0
-        while (i < dim) { s(i) += math.floor(v(i).toDouble * 1e6 + 0.5).toLong; i += 1 }
-      }
-      cents = cents.indices.collect {
-        case j if counts(j) > 0 =>
-          (cents(j)._1, sums(j).map(sq => sq.toDouble / (counts(j).toDouble * 1e6)))
-      }
-    }
+    for (_ <- 1 to Iters) cents = lloydStep(train, cents, retain = false)
     cents
+  }
+
+  /** One deterministic Lloyd step: assign `train` to the argmax-rounded-dot
+    * centroid (ties to the lowest cent_id — `cents` must be ascending by
+    * id), then per-cell element-wise means over integer-quantized sums
+    * (exact, order-free). `retain = false` drops memberless cells (the
+    * training recurrence, ↔ the oracle's GROUP BY); `retain = true` keeps
+    * their previous centroid — index REFRESH semantics (s34): a cell the
+    * recent-vector reservoir never touched keeps serving its old list.
+    */
+  def lloydStep(
+      train: Array[Array[Float]],
+      cents: Seq[(Long, Array[Double])],
+      retain: Boolean): Seq[(Long, Array[Double])] = {
+    val dim = cents.head._2.length
+    val sums = Array.fill(cents.length)(new Array[Long](dim))
+    val counts = new Array[Long](cents.length)
+    train.foreach { v =>
+      // argmax over ascending cent_id with strict '>' → lowest id wins ties
+      var best = 0
+      var bestD = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        val d = r6d(dotD(v, cents(j)._2))
+        if (d > bestD) { bestD = d; best = j }
+        j += 1
+      }
+      counts(best) += 1
+      val s = sums(best)
+      var i = 0
+      while (i < dim) { s(i) += math.floor(v(i).toDouble * 1e6 + 0.5).toLong; i += 1 }
+    }
+    cents.indices.collect {
+      case j if counts(j) > 0 =>
+        (cents(j)._1, sums(j).map(sq => sq.toDouble / (counts(j).toDouble * 1e6)))
+      case j if retain =>
+        (cents(j)._1, cents(j)._2)
+    }
   }
 }

@@ -23,14 +23,14 @@ object SimQueries {
   private val quantList =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 5e-1) AS BIGINT))"
 
-  private def assignSql(src: String, cents: String): String =
+  private[queries] def assignSql(src: String, cents: String): String =
     s"""SELECT vec_id, embedding, cell FROM (
        SELECT e.vec_id, e.embedding, c.cent_id AS cell,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY ${r6(dot("e.embedding", "c.cent"))} DESC, c.cent_id) AS rk
        FROM $src e, $cents c) WHERE rk = 1"""
 
-  private def updateSql(assigned: String): String =
+  private[queries] def updateSql(assigned: String): String =
     s"""SELECT cell AS cent_id, list(v ORDER BY i) AS cent FROM (
        SELECT cell, i, CAST(sum(qx) AS DOUBLE)/(CAST(count(*) AS DOUBLE)*1e6) AS v
        FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
@@ -57,6 +57,65 @@ object SimQueries {
       a1 AS (${assignSql("tvecs", "cents1")}),
       cents2 AS (${updateSql("a1")}),
       assigned AS (${assignSql("vecs", "cents2")})"""
+  }
+
+  /** DuckDB replay of s34's full refresh recurrence (StreamRefresh):
+    * the initial codebook trains on the epoch-0 regime only (vec_id ∈
+    * [K, 250) — the stream's first file), then each epoch applies one
+    * RETAINED Lloyd step over its bounded reservoir (the 2048 lowest
+    * vec_ids of the epoch): updated cells take the quantized-integer
+    * mean, untouched cells keep their centroid (index-refresh
+    * semantics, unlike training's drop-on-empty). Per-epoch ledger row:
+    * vectors, arrival-census cells, reservoir-refreshed cells, moved
+    * assignments (arrival vs refreshed codebook), drift in bp, and the
+    * quantized codebook checksum — the exact final state, no floats.
+    */
+  private[queries] val refreshLedgerSql: String = {
+    val cbQsum = (cents: String) =>
+      s"""(SELECT CAST(sum(q) AS BIGINT) FROM (
+         SELECT unnest(list_transform(cent,
+           x -> CAST(floor(x * 1e6 + 5e-1) AS BIGINT))) AS q FROM $cents))"""
+    def epochRow(e: Int, vecs: String, sa: String, after: String) =
+      s"""SELECT CAST($e AS BIGINT) AS epoch,
+        (SELECT CAST(count(*) AS BIGINT) FROM $vecs) AS n_vecs,
+        (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM da$e) AS n_cells,
+        (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM $sa) AS n_refreshed,
+        (SELECT CAST(count(*) AS BIGINT) FROM da$e a JOIN db$e b
+           ON a.vec_id = b.vec_id AND a.cell <> b.cell) AS n_moved,
+        ((SELECT CAST(count(*) AS BIGINT) FROM da$e a JOIN db$e b
+           ON a.vec_id = b.vec_id AND a.cell <> b.cell) * 10000)
+          // (SELECT count(*) FROM $vecs) AS drift_bp,
+        ${cbQsum(after)} AS cb_qsum"""
+    s"""WITH vecs0 AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id >= 8 AND vec_id < 250),
+      vecs1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250),
+      tv AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id >= 8 AND vec_id < 250),
+      c0 AS (SELECT vec_id AS cent_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings WHERE vec_id < 8),
+      a0 AS (${assignSql("tv", "c0")}),
+      c1 AS (${updateSql("a0")}),
+      a1 AS (${assignSql("tv", "c1")}),
+      cI AS (${updateSql("a1")}),
+      s0 AS (SELECT vec_id, embedding FROM vecs0 ORDER BY vec_id LIMIT 2048),
+      sa0 AS (${assignSql("s0", "cI")}),
+      u0 AS (${updateSql("sa0")}),
+      cE0 AS (SELECT c.cent_id, coalesce(u.cent, c.cent) AS cent
+        FROM cI c LEFT JOIN u0 u ON c.cent_id = u.cent_id),
+      s1 AS (SELECT vec_id, embedding FROM vecs1 ORDER BY vec_id LIMIT 2048),
+      sa1 AS (${assignSql("s1", "cE0")}),
+      u1 AS (${updateSql("sa1")}),
+      cE1 AS (SELECT c.cent_id, coalesce(u.cent, c.cent) AS cent
+        FROM cE0 c LEFT JOIN u1 u ON c.cent_id = u.cent_id),
+      da0 AS (${assignSql("vecs0", "cI")}),
+      db0 AS (${assignSql("vecs0", "cE0")}),
+      da1 AS (${assignSql("vecs1", "cE0")}),
+      db1 AS (${assignSql("vecs1", "cE1")})
+    ${epochRow(0, "vecs0", "sa0", "cE0")}
+    UNION ALL
+    ${epochRow(1, "vecs1", "sa1", "cE1")}
+    ORDER BY epoch"""
   }
 
   val all: Seq[Q] = Seq(

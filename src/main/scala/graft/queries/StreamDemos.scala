@@ -852,6 +852,17 @@ object StreamDemos {
           (true_cents // 100 = est_bin) AS contained,
           CAST(2 AS BIGINT) AS n_epochs
         FROM est JOIN tru ON est.p = tru.p ORDER BY est.p""")
+    ),
+    // s34: IVF maintenance under drift (StreamRefresh scaladoc) — the
+    // codebook s14 serves statically is refreshed per epoch from a
+    // bounded reservoir (retained Lloyd step), with an assignment-drift
+    // metric per epoch. The quantized codebook checksum pins the exact
+    // final index state in-hash; the oracle unrolls the identical
+    // train→refresh→reassign recurrence as DuckDB CTEs.
+    Q(
+      "s34_stream_ivf_refresh",
+      (s, dir) => graft.streaming.StreamRefresh.refreshLedger(s, dir),
+      Some(SimQueries.refreshLedgerSql)
     )
   )
 }

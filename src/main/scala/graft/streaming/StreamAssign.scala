@@ -23,7 +23,7 @@ object StreamAssign {
   /** Stage `embeddings` as an ordered two-file stream (vec_id < 250,
     * then the rest) — memoized per source dir.
     */
-  private def stageBatches(spark: SparkSession, dir: String): String =
+  private[streaming] def stageBatches(spark: SparkSession, dir: String): String =
     stageCache.computeIfAbsent(
       dir,
       d => {

@@ -185,6 +185,13 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q167_round_number_bias") == ((4L, "5e7f7d80d830ff048331a3319e07af1f")))
   }
 
+  test("round-12 additions sf0.001 golden hashes") {
+    // s34: drift_bp per epoch AND the quantized codebook checksum are
+    // in-hash — a refresh that double-advances the chain, drops a cell,
+    // or moves a different assignment set fails here
+    assert(queryHash("s34_stream_ivf_refresh") == ((2L, "6ff7d0b8ca32bd4b3900620c2dc5d64c")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

@@ -863,6 +863,43 @@ object StreamDemos {
       "s34_stream_ivf_refresh",
       (s, dir) => graft.streaming.StreamRefresh.refreshLedger(s, dir),
       Some(SimQueries.refreshLedgerSql)
+    ),
+    // s35: end-to-end incremental refresh (IncrementalRefresh scaladoc)
+    // — q148's manifest diff decides WHAT, q134's partial-state merge
+    // decides HOW, s30's ledger-guarded conditional apply decides
+    // SAFELY, with an INJECTED stale re-delivery the ledger must
+    // reject. Oracle = from-scratch recompute equality: the maintained
+    // view's rows/sums must hash-equal the scratch aggregate per
+    // status, view_ok TRUE, exactly one rejected re-delivery, live.
+    Q(
+      "s35_incremental_refresh",
+      (s, dir) => graft.sinks.IncrementalRefresh.refreshLoop(s, dir),
+      Some(s"""WITH o AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS bucket,
+            (o_orderkey * 1000003
+              + CAST(floor(o_totalprice * 100) AS BIGINT) * 31
+              + o_custkey) % 1000000007 AS fp,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST(o_orderdate AS DATE) AS d
+          FROM orders),
+        m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_b,
+            CAST(sum(fp) AS BIGINT) AS dig_b,
+            CAST(sum(cents) AS BIGINT) AS sum_b,
+            CAST(count(*) FILTER (d < DATE '2001-07-15') AS BIGINT) AS cnt_a,
+            CAST(coalesce(sum(fp) FILTER (d < DATE '2001-07-15'), 0) AS BIGINT) AS dig_a
+          FROM o GROUP BY bucket),
+        st AS (SELECT *, CASE WHEN cnt_a = 0 THEN 'new'
+            WHEN cnt_a = cnt_b AND dig_a = dig_b THEN 'unchanged'
+            ELSE 'changed' END AS status FROM m)
+        SELECT status, CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(cnt_b) AS BIGINT) AS rows_current,
+          CAST(sum(CASE WHEN status <> 'unchanged' THEN cnt_b ELSE 0 END) AS BIGINT)
+            AS rows_to_process,
+          CAST(sum(cnt_b) AS BIGINT) AS n_rows_view,
+          CAST(sum(sum_b) AS BIGINT) AS sum_cents_view,
+          TRUE AS view_ok,
+          CAST(1 AS BIGINT) AS n_redeliveries_rejected,
+          TRUE AS refresh_live
+        FROM st GROUP BY status ORDER BY status""")
     )
   )
 }

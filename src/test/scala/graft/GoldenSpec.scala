@@ -190,6 +190,9 @@ class GoldenSpec extends AnyFunSuite {
     // in-hash — a refresh that double-advances the chain, drops a cell,
     // or moves a different assignment set fails here
     assert(queryHash("s34_stream_ivf_refresh") == ((2L, "6ff7d0b8ca32bd4b3900620c2dc5d64c")))
+    // s35: view_ok=TRUE per status AND n_redeliveries_rejected=1 are
+    // in-hash — a double-merged re-delivery or a diverged view fails
+    assert(queryHash("s35_incremental_refresh") == ((3L, "c56ca176cb12b2c742fac48b7cadad6c")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -829,6 +829,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("s35 incremental refresh: one corpus scan, view joins the census broadcast") {
+    // the conditional-aggregate census is the ONLY orders read (it
+    // materializes at checkpoint time); the final report consumes the
+    // cached bucket cells joined against the bucket-domain-sized
+    // read-back view — zero corpus re-scans, no sort-merge machinery.
+    val p = plan("s35_incremental_refresh")
+    assert(p.contains("Scan ExistingRDD"), "report rides the checkpointed census")
+    assert(count(p, "FileScan parquet") == 0, "no orders re-scan past the census")
+    assert(p.contains("BroadcastHashJoin"), "read-back view broadcasts onto the census")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q167 round-number bias: map-side classify + 4-cell aggregate") {
     val p = plan("q167_round_number_bias")
     assert(p.contains("partial_count"), "ending census combines map-side")

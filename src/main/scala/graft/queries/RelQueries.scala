@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
 object RelQueries {
 
   val all: Seq[Q] = Seq(
-    // Semi join ↔ EXISTS. customer is a dimension → broadcast, no shuffle
-    // of the big side.
+    // Semi join ↔ EXISTS. customer is a dimension, but a SCALING one
+    // (rows ∝ SF, unlike nation/region's fixed domains) — so no pinned
+    // broadcast hint (the q48 discipline): the size estimator / AQE
+    // broadcasts it while it fits and falls back to a shuffled semi
+    // join at the scale where a hint would OOM the driver.
     Q(
       "q23_semijoin_exists",
       (s, dir) => {
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .orderBy("o_orderkey")
       },
@@ -26,10 +29,13 @@ object RelQueries {
         WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
     ),
-    // Star join + group-by revenue. Dims (customer/nation) broadcast; only
-    // lineitem⋈orders shuffles. Revenue summed EXACTLY in DECIMAL(18,4) so
-    // the result is independent of partial-aggregation order (doubles would
-    // be order-sensitive), then cast to double once.
+    // Star join + group-by revenue. nation broadcasts by HINT (25-row
+    // fixed domain — bounded at any SF); customer broadcasts by SIZE
+    // (it scales with SF, so the estimator/AQE owns the decision — a
+    // pinned hint would OOM at 100×, the q48 discipline); only
+    // lineitem⋈orders shuffles. Revenue summed EXACTLY in DECIMAL(18,4)
+    // so the result is independent of partial-aggregation order (doubles
+    // would be order-sensitive), then cast to double once.
     Q(
       "q24_star_join_agg",
       (s, dir) => {
@@ -38,7 +44,7 @@ object RelQueries {
         val c = Tables.customer(s, dir)
         val n = Tables.nation(s, dir)
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(

@@ -875,9 +875,10 @@ object TextQueries {
     // pre-tokenization pass a tokenizer-training pipeline runs over its
     // corpus. Scale shape: bigram/unigram counts partial-aggregate
     // map-side (adjacent pairs are LINEAR in corpus length, not L²);
-    // unigram counts are vocab-sized and BROADCAST onto the bigram
-    // table twice; corpus totals are a 1-row aggregate crossJoined as a
-    // broadcast literal; top-20 is TakeOrdered.
+    // unigram counts join the bigram table WORD-keyed (vocab-sized —
+    // broadcast only while the estimator says it fits, never by hint);
+    // corpus totals are a 1-row aggregate crossJoined as a broadcast
+    // literal; top-20 is TakeOrdered.
     Q(
       "q99_phrase_mining",
       (s, dir) => {
@@ -901,9 +902,13 @@ object TextQueries {
           sum(size(col("w"))).as("n_uni"),
           sum(size(col("w")) - 1).as("n_bi")
         )
+        // unigram census joins are WORD-keyed with no pinned broadcast
+        // hint: the vocab scales (sub-linearly, but unboundedly) with
+        // the corpus, so the estimator/AQE owns the broadcast-vs-shuffle
+        // call — only the 1-row totals frame is hint-broadcast
         bigrams
-          .join(broadcast(uni.select(col("wd").as("a"), col("cu").as("c_a"))), "a")
-          .join(broadcast(uni.select(col("wd").as("b"), col("cu").as("c_b"))), "b")
+          .join(uni.select(col("wd").as("a"), col("cu").as("c_a")), "a")
+          .join(uni.select(col("wd").as("b"), col("cu").as("c_b")), "b")
           .crossJoin(broadcast(totals))
           .select(
             col("a"),
@@ -1707,8 +1712,11 @@ object TextQueries {
           .select(col("doc_id"), explode(ws).as("w"))
           .groupBy("w")
           .agg(min(col("doc_id")).as("fs"))
-        val vocabAt = cuts
-          .join(broadcast(firstSeen), col("fs") <= col("cut"))
+        // broadcast the 4-ROW cuts frame and STREAM the vocab-sized
+        // first-seen census (r12 boundedness audit: the previous form
+        // broadcast the census side of this non-equi join)
+        val vocabAt = firstSeen
+          .join(broadcast(cuts), col("fs") <= col("cut"))
           .groupBy(col("p").as("vp"))
           .agg(count(lit(1)).as("n_vocab"))
         // assemble FROM the 4-row cuts frame with left joins, so a

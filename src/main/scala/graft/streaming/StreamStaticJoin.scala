@@ -45,11 +45,15 @@ object StreamStaticJoin {
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$streamDir/*.parquet")
     )
+    // the static side is a 2-column customer projection — a SCALING
+    // dimension, so no pinned broadcast hint (the q48 discipline): the
+    // estimator broadcasts the projection while it fits; past that the
+    // stream-static join shuffles per micro-batch instead of OOMing
     val dim = Tables
       .customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = facts
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(dim, col("user_id") === col("c_custkey"))
       .select(
         col("c_mktsegment").as("segment"),
         col("event_id"),

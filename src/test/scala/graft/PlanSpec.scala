@@ -17,6 +17,28 @@ class PlanSpec extends AnyFunSuite {
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  /** Partition-less Window nodes in the FINAL plan — the pattern behind
+    * the bench tail's `WindowExec: No Partition Defined` warnings. A
+    * `Window [...]` line is GLOBAL iff its windowspecdefinition carries
+    * no partition columns: either no bracket group follows the function
+    * list (no partition, no order) or exactly one follows and it is an
+    * ORDER spec (contains ASC/DESC). Partition-only and fully-specified
+    * windows never collapse to one partition and don't count.
+    */
+  private def globalWindows(p: String): Int =
+    p.linesIterator.count { l =>
+      val i = l.indexOf("Window [")
+      if (i < 0) false
+      else {
+        val groups = "\\[[^\\]]*\\]".r.findAllIn(l.substring(i)).toList
+        groups.size match {
+          case 1 => true
+          case 2 => groups(1).contains(" ASC") || groups(1).contains(" DESC")
+          case _ => false
+        }
+      }
+    }
+
   test("q18 flagship: exactly 3 exchanges (partial-agg, window lineage, final sort)") {
     assert(count(plan("q18_features_full"), "Exchange") == 3)
   }
@@ -845,5 +867,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q167_round_number_bias")
     assert(p.contains("partial_count"), "ending census combines map-side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("global-window budget: every partition-less window is an enumerated bounded frame") {
+    // the silence-by-boundedness contract (r11 verdict item 6): the
+    // bench tail's WindowExec warnings must only ever come from THESE
+    // reviewed windows, each over a frame bounded by a value/time
+    // domain, never by corpus rows. A new partition-less window in this
+    // family — or one resurfacing after a checkpoint refactor (q166's
+    // bin index) — fails here instead of hiding in the warning noise.
+    val budget = Seq(
+      "q144_quantile_sketch" -> 2, // cum + located-bin over the ≤49k-cell cents census
+      "q153_equidepth_histogram" -> 1, // coarse-bin cum over the bounded bin histogram
+      "q159_theil_sen_trend" -> 2, // median rank + count over the ≤435 day-pair slopes
+      "q164_gini_concentration" -> 1, // desc cum over the bounded 10k-dollar bin index
+      "q166_top_share" -> 0, // bin index checkpointed — no global window survives
+      "q158_interevent_gaps" -> 0,
+      "q160_grouped_ols" -> 0,
+      "q165_length_quartiles" -> 0,
+      "q145_mad_outliers" -> 0,
+      "s35_incremental_refresh" -> 0)
+    budget.foreach { case (n, want) =>
+      assert(globalWindows(plan(n)) == want,
+        s"$n: partition-less window count changed (want $want) — review boundedness")
+    }
   }
 }

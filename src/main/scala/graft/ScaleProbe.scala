@@ -41,7 +41,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
-        "concentration"))
+        "concentration", "streaming"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -573,6 +573,59 @@ object ScaleProbe {
           f"q164 time x${gN / g0}%.1f, q166 time x${lN / l0}%.1f, " +
           f"q158 time x${nN / n0}%.1f, q159 time x${tNs / t0s}%.1f " +
           f"(two-level census + partitioned read-offs predict ~scan-linear)")
+    }
+    // Streaming rows-per-epoch probe (s30's key-bounded upsert, s33's
+    // ≤512-cell sketch): the r11 verdict's stretch item — turn the
+    // "per-batch work is key-bounded" claims into measured curves the
+    // way the batch side has them. Scale arrives as MORE ROWS PER
+    // EPOCH with the epoch count, key domain, and value domain all
+    // FIXED: copies keep user_id (s30's upsert key) and value (s33's
+    // sketch bin) and shift only event_id + a few seconds of ts (same
+    // days → the staged 3-epoch day split is preserved). The per-epoch
+    // driver/JDBC traffic is then CONSTANT across multiples (keys /
+    // 512 cells); total time should track the distributed per-epoch
+    // reduce (~scan-linear). A demo whose epoch cost grew with rows
+    // SHIPPED to the driver — not reduced map-side — would go
+    // super-linear here.
+    if (enabled("streaming")) {
+      val evB = Tables.events(spark, sfDir)
+      val nEv = evB.agg(max("event_id")).head().getLong(0) + 1
+      def widenedRowsDir(m: Int): String = {
+        val out = s"${scratchDir("graft_scale_s_")}"
+        (0 until m)
+          .map(i =>
+            evB
+              .withColumn("event_id", col("event_id") + lit(i * nEv))
+              .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECONDS")))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        out
+      }
+      val s30q = SparkEntry.queries("s30_stream_upsert")
+      val s33q = SparkEntry.queries("s33_stream_quantile")
+      // JIT warm on the base dir (each multiple stages fresh epochs +
+      // checkpoints, so there is no per-dir warm run to subtract)
+      s30q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      s33q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val stResults = mults.map { m =>
+        val dir = widenedRowsDir(m)
+        val rows = spark.read.parquet(s"$dir/events.parquet").count()
+        val t0 = System.nanoTime()
+        s30q(spark, dir).write.format("noop").mode("overwrite").save()
+        val s30s = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        s33q(spark, dir).write.format("noop").mode("overwrite").save()
+        val s33s = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] x$m%-3d rows/epoch x$m (events=$rows%9d, keys/cells fixed)  s30_upsert=$s30s%7.2f s  s33_sketch=$s33s%7.2f s")
+        (m, rows, s30s, s33s)
+      }
+      val (_, sr0, sa0, sb0) = stResults.head
+      val (_, srN, saN, sbN) = stResults.last
+      println(
+        f"[scale] streaming growth: rows/epoch x${srN.toDouble / sr0}%.0f (fixed keys + sketch cells), " +
+          f"s30 time x${saN / sa0}%.1f, s33 time x${sbN / sb0}%.1f " +
+          f"(key-bounded epoch traffic predicts ~scan-linear)")
     }
     spark.stop()
   }

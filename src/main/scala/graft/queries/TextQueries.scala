@@ -2065,6 +2065,132 @@ object TextQueries {
         FROM n JOIN q1 ON n.source = q1.source JOIN q2 ON n.source = q2.source
           JOIN q3 ON n.source = q3.source
         ORDER BY n.source""")
+    ),
+    // q168: sequence-packing census — the concat-and-chunk training
+    // prep itself: per source, documents concatenate in ingest (doc_id)
+    // order and split into fixed W=256-token context windows; the audit
+    // reports windows produced, documents straddling a window boundary
+    // (the rows a boundary-aware loss mask must handle), and packing
+    // density. Every doc's token span [start, end) comes from an EXACT
+    // prefix sum — computed two-level (the q164 discipline applied to
+    // ORDER instead of value): per-(source, 1024-doc block) sums give
+    // each block its cum-before offset via a PARTITION BY source window
+    // over the ~n/1024-sized block index (the q158 partitioned class —
+    // recursing the same split bounds the frame again if ever needed),
+    // and the within-block cum runs PARTITION BY (source, block). No
+    // global window; two corpus reads (block sums + doc spans — the
+    // q151 two-read class); the report is source-domain-sized and the
+    // block offsets join back block-keyed with NO pinned broadcast
+    // (the block index grows ~n/1024 — estimator's call).
+    // A doc straddles iff start div W ≠ (end−1) div W. All integer.
+    Q(
+      "q168_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 256L
+        val d = Tables
+          .documentsSpread(s, dir)
+          .select(col("source"), col("doc_id"), size(ws).cast("long").as("toks"))
+          .withColumn("blk", expr("doc_id div 1024"))
+        val blkW = Window
+          .partitionBy("source")
+          .orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val blkAgg = d
+          .groupBy("source", "blk")
+          .agg(sum("toks").as("btoks"))
+          .withColumn("cb_blk", coalesce(sum(col("btoks")).over(blkW), lit(0L)))
+          .select(col("source").as("s2"), col("blk").as("b2"), col("cb_blk"))
+        val docW = Window
+          .partitionBy("source", "blk")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val spans = d
+          .join(blkAgg, col("source") === col("s2") && col("blk") === col("b2"))
+          .withColumn("strt", col("cb_blk") + sum(col("toks")).over(docW) - col("toks"))
+          .withColumn("e", col("strt") + col("toks"))
+        spans
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("n_tokens"),
+            sum(when(expr(s"strt div $W") =!= expr(s"(e - 1) div $W"), 1L).otherwise(0L))
+              .as("n_boundary_docs"))
+          .select(
+            col("source"), col("n_docs"), col("n_tokens"),
+            expr(s"(n_tokens + ${W - 1}) div $W").as("n_windows"),
+            col("n_boundary_docs"),
+            expr("(n_boundary_docs * 10000) div n_docs").as("boundary_bp"),
+            expr(s"(n_docs * 100) div ((n_tokens + ${W - 1}) div $W)")
+              .as("docs_per_window_x100"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        c AS (SELECT source, toks,
+            CAST(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM d),
+        b AS (SELECT source, toks, strt, strt + toks AS e FROM c)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(toks) AS BIGINT) AS n_tokens,
+          CAST((sum(toks) + 255) // 256 AS BIGINT) AS n_windows,
+          CAST(count(*) FILTER (strt // 256 <> (e - 1) // 256) AS BIGINT)
+            AS n_boundary_docs,
+          (CAST(count(*) FILTER (strt // 256 <> (e - 1) // 256) AS BIGINT) * 10000)
+            // count(*) AS boundary_bp,
+          (CAST(count(*) AS BIGINT) * 100) // ((CAST(sum(toks) AS BIGINT) + 255) // 256)
+            AS docs_per_window_x100
+        FROM b GROUP BY source ORDER BY source""")
+    ),
+    // q169: mixture weights — the data-mixing step that follows q152's
+    // overlap and q165's profiles: temperature-sampled source weights
+    // at alpha = 1/2 (w_s = floor(sqrt(tokens_s)) — the standard
+    // low-resource upsampling curve), with the raw share, the sampled
+    // share, the boost factor a source gains, and the epoch rate
+    // (how often one pass of the mixture re-reads each source). sqrt
+    // of an integer-valued double is correctly rounded IEEE in both
+    // engines, so the floor is bit-identical and everything after is
+    // exact integer bp arithmetic. One scan to source-domain totals;
+    // every later frame is 20 cells + two 1-row broadcasts.
+    Q(
+      "q169_mixture_weights",
+      (s, dir) => {
+        val tok = Tables
+          .documentsSpread(s, dir)
+          .groupBy("source")
+          .agg(sum(size(ws).cast("long")).as("n_tokens"))
+          .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+          .localCheckpoint() // source-domain-sized (20 cells)
+        val tot = tok.agg(sum("n_tokens").as("tt"), sum("w").as("tw"))
+        tok
+          .crossJoin(broadcast(tot))
+          .select(
+            col("source"), col("n_tokens"),
+            expr("(n_tokens * 10000) div tt").as("raw_bp"),
+            col("w"),
+            expr("(w * 10000) div tw").as("share_bp"),
+            expr("(((w * 10000) div tw) * 100) div ((n_tokens * 10000) div tt)")
+              .as("boost_x100"),
+            expr("((((w * 10000) div tw) * tt) div 10000 * 100) div n_tokens")
+              .as("epochs_x100"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+            CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM tok),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+            CAST(sum(w) AS BIGINT) AS tw FROM w)
+        SELECT source, n_tokens,
+          (n_tokens * 10000) // t.tt AS raw_bp,
+          w,
+          (w * 10000) // t.tw AS share_bp,
+          (((w * 10000) // t.tw) * 100) // ((n_tokens * 10000) // t.tt) AS boost_x100,
+          ((((w * 10000) // t.tw) * t.tt) // 10000 * 100) // n_tokens AS epochs_x100
+        FROM w, t ORDER BY source""")
     )
   )
 }

@@ -193,6 +193,10 @@ class GoldenSpec extends AnyFunSuite {
     // s35: view_ok=TRUE per status AND n_redeliveries_rejected=1 are
     // in-hash — a double-merged re-delivery or a diverged view fails
     assert(queryHash("s35_incremental_refresh") == ((3L, "c56ca176cb12b2c742fac48b7cadad6c")))
+    // q168/q169: the packing spans' exact prefix sums and the isqrt
+    // mixture arithmetic are cross-engine bit-exact — in-hash
+    assert(queryHash("q168_sequence_packing") == ((20L, "d333fa6369a84862a3b049e12dd335fd")))
+    assert(queryHash("q169_mixture_weights") == ((20L, "dda26485a724e3acdd1d2c21288ccdd2")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -869,6 +869,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q168 sequence packing: two-level prefix sums, all windows partitioned") {
+    // block offsets ride a PARTITION BY source window over the block
+    // index; within-block cums are PARTITION BY (source, blk); no
+    // partition-less window anywhere — the packing op never collapses
+    // the corpus to one partition.
+    val p = plan("q168_sequence_packing")
+    assert(globalWindows(p) == 0, "packing prefix sums must stay partitioned")
+    assert(p.contains("windowspecdefinition(source#"), "offsets are PARTITION BY source")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q169 mixture weights: source-domain census, no corpus re-scan") {
+    val p = plan("q169_mixture_weights")
+    assert(p.contains("Scan ExistingRDD"), "weights ride the checkpointed source census")
+    assert(count(p, "FileScan parquet") == 0, "no documents re-scan past the census")
+    assert(globalWindows(p) == 0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("global-window budget: every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6): the
     // bench tail's WindowExec warnings must only ever come from THESE

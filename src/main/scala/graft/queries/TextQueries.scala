@@ -2191,6 +2191,112 @@ object TextQueries {
           (((w * 10000) // t.tw) * 100) // ((n_tokens * 10000) // t.tt) AS boost_x100,
           ((((w * 10000) // t.tw) * t.tt) // 10000 * 100) // n_tokens AS epochs_x100
         FROM w, t ORDER BY source""")
+    ),
+    // q170: exact-integer HyperLogLog registers — the distinct-count
+    // sketch as a FIRST-CLASS, cross-engine-exact object, where q89
+    // could only band Spark's internal approx_count_distinct. m=64
+    // registers from the shared h60: bucket = top 6 bits, rank =
+    // leading zeros of the 54-bit remainder + 1 (via the minimal
+    // binary-string length — Spark conv(x,10,2) ≡ DuckDB bin(x)), and
+    // the harmonic sum is scaled to INTEGERS (S = Σ 2^(55−M_b), absent
+    // registers contribute 2^55) so the Flajolet estimate
+    // α₆₄·m²·2^55/S runs entirely in DECIMAL(38,0)/HUGEINT with one
+    // truncating division — no libm, bit-exact at any corpus size.
+    // The MERGEABILITY audit is the q134/s33 discipline applied to
+    // HLL: per-bucket max of two half-corpus register sets must equal
+    // the whole-corpus registers (n_reg_mismatch = 0 in-hash), which
+    // is exactly why a 1000-executor job ships 64 registers per
+    // partition, never rows. One scan for the registers (the halves
+    // are conditional re-groupings of the same base), one for the
+    // exact count the audit compares against.
+    Q(
+      "q170_hll_registers",
+      (s, dir) => {
+        val two55 = 1L << 55
+        val base = Tables
+          .documentsSpread(s, dir)
+          .select(col("doc_id"), Hashing.h60(col("text")).as("h"))
+          .select(
+            col("doc_id"),
+            expr(s"h div ${1L << 54}").as("bucket"),
+            expr(s"h % ${1L << 54}").as("rem"))
+          .withColumn(
+            "rk",
+            expr("""CASE WHEN rem = 0 THEN CAST(55 AS BIGINT)
+              ELSE CAST(55 - length(conv(rem, 10, 2)) AS BIGINT) END"""))
+          .localCheckpoint() // (doc, bucket, rank) — one corpus hash pass
+        def regs(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("bucket").agg(max("rk").as("mr"))
+        def harmonic(r: org.apache.spark.sql.DataFrame) =
+          r.agg(
+            (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mr AS INT))")) +
+              (lit(64L) - count(lit(1))) * lit(two55)).as("s_h"),
+            count(lit(1)).as("n_regs"))
+        val rw = regs(base).localCheckpoint() // ≤64 cells
+        val sw = harmonic(rw)
+        val ra = regs(base.filter(col("doc_id") % 2 === 0))
+          .select(col("bucket").as("ba"), col("mr").as("ma"))
+        val rb = regs(base.filter(col("doc_id") % 2 === 1))
+          .select(col("bucket").as("bb"), col("mr").as("mb"))
+        val rm = ra
+          .join(rb, col("ba") === col("bb"), "full_outer")
+          .select(
+            coalesce(col("ba"), col("bb")).as("bucket"),
+            greatest(coalesce(col("ma"), lit(0L)), coalesce(col("mb"), lit(0L))).as("mm"))
+        val mis = rw
+          .join(rm.select(col("bucket").as("mb2"), col("mm")),
+            col("bucket") === col("mb2"), "full_outer")
+          .agg(sum(when(coalesce(col("mr"), lit(-1L)) =!= coalesce(col("mm"), lit(-1L)), 1L)
+            .otherwise(0L)).as("n_reg_mismatch"))
+        val n = Tables
+          .documentsSpread(s, dir)
+          .agg(countDistinct(col("text")).as("n_exact"))
+        sw.crossJoin(broadcast(n))
+          .crossJoin(broadcast(mis))
+          .select(
+            lit(64L).as("m"),
+            col("n_exact"),
+            expr(s"CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * $two55) " +
+              "div (CAST(s_h AS DECIMAL(38,0)) * 1000) AS BIGINT)").as("est_distinct"),
+            col("n_regs").as("n_registers_used"),
+            col("n_reg_mismatch"))
+          .withColumn("err_bp", expr("abs(est_distinct - n_exact) * 10000 div n_exact"))
+          .withColumn("within_3sigma", col("err_bp") <= 3900L)
+          .withColumn("merge_ok", col("n_reg_mismatch") === 0L)
+          .select(
+            col("m"), col("n_exact"), col("est_distinct"), col("err_bp"),
+            col("within_3sigma"), col("merge_ok"), col("n_registers_used"))
+          .orderBy("m")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        b AS (SELECT doc_id, h // ${1L << 54} AS bucket, h % ${1L << 54} AS rem FROM h),
+        r AS (SELECT doc_id, bucket,
+            CASE WHEN rem = 0 THEN CAST(55 AS BIGINT)
+                 ELSE CAST(55 - length(bin(rem)) AS BIGINT) END AS rk
+          FROM b),
+        rw AS (SELECT bucket, CAST(max(rk) AS BIGINT) AS mr FROM r GROUP BY bucket),
+        sw AS (SELECT CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
+              + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_h,
+            CAST(count(*) AS BIGINT) AS n_regs FROM rw),
+        ra AS (SELECT bucket, max(rk) AS ma FROM r WHERE doc_id % 2 = 0 GROUP BY bucket),
+        rb AS (SELECT bucket, max(rk) AS mb FROM r WHERE doc_id % 2 = 1 GROUP BY bucket),
+        rm AS (SELECT coalesce(ra.bucket, rb.bucket) AS bucket,
+            greatest(coalesce(ma, 0), coalesce(mb, 0)) AS mm
+          FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket),
+        mis AS (SELECT CAST(count(*) FILTER (coalesce(mr, -1) <> coalesce(mm, -1))
+              AS BIGINT) AS n_reg_mismatch
+          FROM rw FULL OUTER JOIN rm ON rw.bucket = rm.bucket),
+        n AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents),
+        est AS (SELECT CAST((CAST(709 AS HUGEINT) * 4096 * ${1L << 55})
+              // (CAST(s_h AS HUGEINT) * 1000) AS BIGINT) AS est_distinct,
+            n_regs FROM sw)
+        SELECT CAST(64 AS BIGINT) AS m, n.n_exact, est.est_distinct,
+          abs(est.est_distinct - n.n_exact) * 10000 // n.n_exact AS err_bp,
+          (abs(est.est_distinct - n.n_exact) * 10000 // n.n_exact) <= 3900
+            AS within_3sigma,
+          mis.n_reg_mismatch = 0 AS merge_ok,
+          est.n_regs AS n_registers_used
+        FROM n, est, mis ORDER BY m""")
     )
   )
 }

@@ -197,6 +197,9 @@ class GoldenSpec extends AnyFunSuite {
     // mixture arithmetic are cross-engine bit-exact — in-hash
     assert(queryHash("q168_sequence_packing") == ((20L, "d333fa6369a84862a3b049e12dd335fd")))
     assert(queryHash("q169_mixture_weights") == ((20L, "dda26485a724e3acdd1d2c21288ccdd2")))
+    // q170: the integer HLL estimate AND merge_ok are in-hash — a rank
+    // kernel drift or a broken register merge fails the gate
+    assert(queryHash("q170_hll_registers") == ((1L, "243486fe78b9631538d70a057903e01b")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

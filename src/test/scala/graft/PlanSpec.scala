@@ -888,6 +888,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q170 HLL: register lineages ride the checkpointed hash pass") {
+    // one corpus hash pass materializes (doc, bucket, rank); the whole/
+    // half register sets and the merge audit all consume the cached
+    // frame — only the exact-count comparison side re-reads text.
+    val p = plan("q170_hll_registers")
+    assert(p.contains("Scan ExistingRDD"), "registers ride the checkpointed hash pass")
+    assert(count(p, "FileScan parquet") == 1, "only the exact-count audit re-reads text")
+    assert(globalWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global-window budget: every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6): the
     // bench tail's WindowExec warnings must only ever come from THESE

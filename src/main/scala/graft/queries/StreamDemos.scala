@@ -900,6 +900,37 @@ object StreamDemos {
           CAST(1 AS BIGINT) AS n_redeliveries_rejected,
           TRUE AS refresh_live
         FROM st GROUP BY status ORDER BY status""")
+    ),
+    // s36: streaming HLL register maintenance (StreamHll scaladoc) —
+    // q170's exact-integer registers kept per epoch (≤64 registers/
+    // epoch to the driver), merged register-wise MAX over the epoch
+    // ledger; oracle = the from-scratch register recompute over the
+    // full corpus (stream ≡ batch) + the epoch count.
+    Q(
+      "s36_stream_hll",
+      (s, dir) => graft.streaming.StreamHll.streamedHllRegisters(s, dir),
+      Some(s"""WITH h AS (SELECT doc_id, ${graft.oracle.OracleSql.h60("text")} AS h
+            FROM documents),
+        b AS (SELECT h // ${1L << 54} AS bucket, h % ${1L << 54} AS rem FROM h),
+        r AS (SELECT bucket,
+            CASE WHEN rem = 0 THEN CAST(55 AS BIGINT)
+                 ELSE CAST(55 - length(bin(rem)) AS BIGINT) END AS rk
+          FROM b),
+        rw AS (SELECT bucket, CAST(max(rk) AS BIGINT) AS mr FROM r GROUP BY bucket),
+        sw AS (SELECT CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
+              + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_h,
+            CAST(count(*) AS BIGINT) AS n_regs FROM rw),
+        n AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents),
+        est AS (SELECT CAST((CAST(709 AS HUGEINT) * 4096 * ${1L << 55})
+              // (CAST(s_h AS HUGEINT) * 1000) AS BIGINT) AS est_distinct,
+            n_regs FROM sw)
+        SELECT CAST(64 AS BIGINT) AS m, n.n_exact, est.est_distinct,
+          abs(est.est_distinct - n.n_exact) * 10000 // n.n_exact AS err_bp,
+          (abs(est.est_distinct - n.n_exact) * 10000 // n.n_exact) <= 3900
+            AS within_3sigma,
+          est.n_regs AS n_registers_used,
+          CAST(2 AS BIGINT) AS n_epochs
+        FROM n, est ORDER BY m""")
     )
   )
 }

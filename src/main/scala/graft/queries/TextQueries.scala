@@ -2212,31 +2212,17 @@ object TextQueries {
     Q(
       "q170_hll_registers",
       (s, dir) => {
-        val two55 = 1L << 55
+        import graft.ops.Hll
         val base = Tables
           .documentsSpread(s, dir)
           .select(col("doc_id"), Hashing.h60(col("text")).as("h"))
-          .select(
-            col("doc_id"),
-            expr(s"h div ${1L << 54}").as("bucket"),
-            expr(s"h % ${1L << 54}").as("rem"))
-          .withColumn(
-            "rk",
-            expr("""CASE WHEN rem = 0 THEN CAST(55 AS BIGINT)
-              ELSE CAST(55 - length(conv(rem, 10, 2)) AS BIGINT) END"""))
+          .select(col("doc_id"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
           .localCheckpoint() // (doc, bucket, rank) — one corpus hash pass
-        def regs(df: org.apache.spark.sql.DataFrame) =
-          df.groupBy("bucket").agg(max("rk").as("mr"))
-        def harmonic(r: org.apache.spark.sql.DataFrame) =
-          r.agg(
-            (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mr AS INT))")) +
-              (lit(64L) - count(lit(1))) * lit(two55)).as("s_h"),
-            count(lit(1)).as("n_regs"))
-        val rw = regs(base).localCheckpoint() // ≤64 cells
-        val sw = harmonic(rw)
-        val ra = regs(base.filter(col("doc_id") % 2 === 0))
+        val rw = Hll.registers(base).localCheckpoint() // ≤64 cells
+        val sw = Hll.harmonic(rw)
+        val ra = Hll.registers(base.filter(col("doc_id") % 2 === 0))
           .select(col("bucket").as("ba"), col("mr").as("ma"))
-        val rb = regs(base.filter(col("doc_id") % 2 === 1))
+        val rb = Hll.registers(base.filter(col("doc_id") % 2 === 1))
           .select(col("bucket").as("bb"), col("mr").as("mb"))
         val rm = ra
           .join(rb, col("ba") === col("bb"), "full_outer")
@@ -2256,8 +2242,7 @@ object TextQueries {
           .select(
             lit(64L).as("m"),
             col("n_exact"),
-            expr(s"CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * $two55) " +
-              "div (CAST(s_h AS DECIMAL(38,0)) * 1000) AS BIGINT)").as("est_distinct"),
+            graft.ops.Hll.estimate.as("est_distinct"),
             col("n_regs").as("n_registers_used"),
             col("n_reg_mismatch"))
           .withColumn("err_bp", expr("abs(est_distinct - n_exact) * 10000 div n_exact"))

@@ -197,7 +197,7 @@ object Watermarks {
   /** Stage `documents` as an ordered two-file stream (doc_id < 250, then
     * the rest) — memoized per source dir.
     */
-  private def stageDocBatches(spark: SparkSession, dir: String): String =
+  private[streaming] def stageDocBatches(spark: SparkSession, dir: String): String =
     docStageCache.computeIfAbsent(
       dir,
       d => {

@@ -200,6 +200,9 @@ class GoldenSpec extends AnyFunSuite {
     // q170: the integer HLL estimate AND merge_ok are in-hash — a rank
     // kernel drift or a broken register merge fails the gate
     assert(queryHash("q170_hll_registers") == ((1L, "243486fe78b9631538d70a057903e01b")))
+    // s36: the stream-maintained estimate equals q170's batch value and
+    // n_epochs=2 — a lost epoch or broken max-merge shifts est_distinct
+    assert(queryHash("s36_stream_hll") == ((1L, "f3bfaf2f8080f3797ad78fff944c6a19")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

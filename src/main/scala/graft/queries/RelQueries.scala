@@ -2970,6 +2970,117 @@ object RelQueries {
           (g.observed * 10000) // n.n_total
             - CASE g.ending WHEN 'other' THEN 9700 ELSE 100 END AS dev_bp
         FROM g, n ORDER BY g.ending""")
+    ),
+    // q171: explicit Bloom-filter pruning audit — the 100 TB
+    // join-pruning workhorse as a first-class, cross-engine-exact
+    // object (s13 exercises Catalyst's INTERNAL runtime bloom; this
+    // one builds the filter itself so its guarantees are testable):
+    // m=4096 bits as 64 int64 words, k=3 h60-derived hash positions,
+    // built from the q143 request keyset (~1% of customers) with a
+    // bit_or word aggregate (≤64 cells — the filter is index METADATA,
+    // the IVF-codebook class, so it folds into a literal and the probe
+    // is ENTIRELY map-side: no join, no shuffle touches the fact
+    // table). The audit measures what a deploy needs to know: the
+    // false-positive rate actually achieved, the fraction of fact rows
+    // the filter would prune before a shuffle, and — in-hash — ZERO
+    // false negatives (a Bloom filter that drops a true member is
+    // corrupt, not approximate). All integer bp arithmetic.
+    Q(
+      "q171_bloom_prune",
+      (s, dir) => {
+        val mBits = 4096L
+        def posCol(j: Int, key: org.apache.spark.sql.Column) =
+          graft.ops.Hashing.h60(concat(lit(s"bf$j:"), key.cast("string"))) % lit(mBits)
+        val keys = Tables
+          .customer(s, dir)
+          .filter(pmod(col("c_custkey"), lit(97)) === 13)
+          .select(col("c_custkey").as("k"))
+        val pos = (0 until 3)
+          .map(j => keys.select(posCol(j, col("k")).as("p")))
+          .reduce(_ unionAll _)
+        // 62-bit words: bit 63 is the sign and DuckDB range-checks bit
+        // 62 shifts, so 62 payload bits per word keeps the shift kernel
+        // portable (67 words cover the 4096 positions)
+        val words = pos
+          .select(
+            expr("p div 62").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("m"))
+          .groupBy("w")
+          .agg(expr("bit_or(m)").as("bits"))
+          .collect() // ≤67 filter words — bounded index metadata
+        val arr = Array.fill(67)(0L)
+        words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+        var probe = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        (0 until 3).foreach { j =>
+          probe = probe.withColumn(s"p$j", posCol(j, col("k")))
+        }
+        probe = probe.withColumn("bw", typedLit(arr.toSeq))
+        val pass = (0 until 3)
+          .map(j =>
+            expr(s"(element_at(bw, CAST(p$j div 62 AS INT) + 1) & " +
+              s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 62 AS INT))) != 0"))
+          .reduce(_ && _)
+        val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+        probe
+          .withColumn("pass", pass)
+          .join(
+            broadcast(keys.select(col("k").as("kk"), lit(1L).as("mem"))),
+            col("k") === col("kk"), "left")
+          .agg(
+            count(lit(1)).as("n_probe"),
+            sum(when(col("mem").isNotNull, 1L).otherwise(0L)).as("n_member"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("pass") && col("mem").isNull, 1L).otherwise(0L)).as("n_fp"),
+            sum(when(!col("pass") && col("mem").isNotNull, 1L).otherwise(0L)).as("n_fn"))
+          .crossJoin(broadcast(nKeys))
+          .select(
+            col("n_keys"),
+            lit(4096L).as("m_bits"),
+            lit(3L).as("k_hashes"),
+            col("n_probe"), col("n_member"), col("n_pass"), col("n_fp"),
+            expr("(n_fp * 10000) div (n_probe - n_member)").as("fp_bp"),
+            expr("((n_probe - n_pass) * 10000) div n_probe").as("pruned_bp"),
+            (col("n_fn") === 0L).as("bloom_ok"))
+          .orderBy("n_keys")
+      },
+      Some {
+        def posSql(j: Int, key: String) =
+          s"(${graft.oracle.OracleSql.h60(s"'bf$j:' || CAST($key AS VARCHAR)")}) % 4096"
+        s"""WITH keys AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 13),
+          pos AS (SELECT ${posSql(0, "k")} AS p FROM keys
+            UNION ALL SELECT ${posSql(1, "k")} FROM keys
+            UNION ALL SELECT ${posSql(2, "k")} FROM keys),
+          w AS (SELECT p // 62 AS w,
+              CAST(bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS BIGINT) AS bits
+            FROM pos GROUP BY 1),
+          pr AS (SELECT o_custkey AS k,
+              ${posSql(0, "o_custkey")} AS p0,
+              ${posSql(1, "o_custkey")} AS p1,
+              ${posSql(2, "o_custkey")} AS p2
+            FROM orders),
+          chk AS (SELECT pr.k,
+              (coalesce(w0.bits, 0) & (1::BIGINT << CAST(p0 % 62 AS INT))) <> 0
+              AND (coalesce(w1.bits, 0) & (1::BIGINT << CAST(p1 % 62 AS INT))) <> 0
+              AND (coalesce(w2.bits, 0) & (1::BIGINT << CAST(p2 % 62 AS INT))) <> 0 AS pass
+            FROM pr LEFT JOIN w w0 ON w0.w = p0 // 62
+              LEFT JOIN w w1 ON w1.w = p1 // 62
+              LEFT JOIN w w2 ON w2.w = p2 // 62),
+          mm AS (SELECT chk.k, pass, (chk.k IN (SELECT k FROM keys)) AS mem FROM chk)
+        SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+          CAST(4096 AS BIGINT) AS m_bits,
+          CAST(3 AS BIGINT) AS k_hashes,
+          CAST(count(*) AS BIGINT) AS n_probe,
+          CAST(count(*) FILTER (mem) AS BIGINT) AS n_member,
+          CAST(count(*) FILTER (pass) AS BIGINT) AS n_pass,
+          CAST(count(*) FILTER (pass AND NOT mem) AS BIGINT) AS n_fp,
+          (CAST(count(*) FILTER (pass AND NOT mem) AS BIGINT) * 10000)
+            // (CAST(count(*) AS BIGINT) - CAST(count(*) FILTER (mem) AS BIGINT))
+            AS fp_bp,
+          ((CAST(count(*) AS BIGINT) - CAST(count(*) FILTER (pass) AS BIGINT)) * 10000)
+            // CAST(count(*) AS BIGINT) AS pruned_bp,
+          CAST(count(*) FILTER (mem AND NOT pass) AS BIGINT) = 0 AS bloom_ok
+        FROM mm ORDER BY n_keys"""
+      }
     )
   )
 }

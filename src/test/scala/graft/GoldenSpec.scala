@@ -203,6 +203,9 @@ class GoldenSpec extends AnyFunSuite {
     // s36: the stream-maintained estimate equals q170's batch value and
     // n_epochs=2 — a lost epoch or broken max-merge shifts est_distinct
     assert(queryHash("s36_stream_hll") == ((1L, "f3bfaf2f8080f3797ad78fff944c6a19")))
+    // q171: bloom_ok (zero false negatives) and the measured fp/prune
+    // rates are in-hash — a corrupt filter or kernel drift fails here
+    assert(queryHash("q171_bloom_prune") == ((1L, "00f7bf48f221353bd5845a9e5b9f80c7")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -899,6 +899,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q171 bloom prune: literal-filter probe is map-side, fact never shuffles") {
+    // the 67-word filter folds into a literal, so the fact-side probe
+    // is pure projection + filter arithmetic; the only joins are the
+    // broadcast membership audit and the 1-row key count — no
+    // SortMergeJoin, no exchange of the orders fact beyond the final
+    // 1-row aggregate.
+    val p = plan("q171_bloom_prune")
+    assert(p.contains("BroadcastHashJoin"), "membership audit joins broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
   test("global-window budget: every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6): the
     // bench tail's WindowExec warnings must only ever come from THESE

@@ -2282,6 +2282,97 @@ object TextQueries {
           mis.n_reg_mismatch = 0 AS merge_ok,
           est.n_regs AS n_registers_used
         FROM n, est, mis ORDER BY m""")
+    ),
+    // q172: mixture-weighted sampling — q169 DECIDED the mixture; this
+    // EXECUTES it: a token budget of half the corpus is distributed by
+    // the α=1/2 share, each source gets an integer acceptance rate
+    // r_bp = min(10⁴, target·10⁴ // tokens), and a doc is kept iff
+    // h60('smp:'||doc_id) % 10⁴ < r_bp — deterministic hash-Bernoulli,
+    // so the sample is REPRODUCIBLE (re-running selects the same docs,
+    // the property a training-data freeze needs) and exactly
+    // replayable in the oracle. The audit reports, per source, the
+    // realized kept tokens against the target in signed bp — the
+    // sampler's calibration measured, not assumed. Scale shape: one
+    // scan to the 20-cell source census (checkpointed), rates ride a
+    // broadcast back onto the corpus, and the keep decision is pure
+    // map-side hash arithmetic — no shuffle beyond the two
+    // source-keyed aggregates.
+    Q(
+      "q172_weighted_sample",
+      (s, dir) => {
+        val tok = Tables
+          .documentsSpread(s, dir)
+          .groupBy("source")
+          .agg(sum(size(ws).cast("long")).as("n_tokens"))
+          .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+          .localCheckpoint() // source-domain-sized (20 cells)
+        val tot = tok.agg(sum("n_tokens").as("tt"), sum("w").as("tw"))
+        val rates = tok
+          .crossJoin(broadcast(tot))
+          .select(
+            col("source").as("rs"),
+            col("n_tokens").as("src_tokens"),
+            expr("(((w * 10000) div tw) * (tt div 2)) div 10000").as("target_tokens"))
+          .withColumn(
+            "r_bp",
+            expr("least(CAST(10000 AS BIGINT), (target_tokens * 10000) div src_tokens)"))
+        val kept = Tables
+          .documentsSpread(s, dir)
+          .select(
+            col("source"), col("doc_id"), size(ws).cast("long").as("toks"),
+            (Hashing.h60(concat(lit("smp:"), col("doc_id").cast("string"))) % 10000L)
+              .as("u"))
+          .join(broadcast(rates), col("source") === col("rs"))
+          .withColumn("keep", col("u") < col("r_bp"))
+        kept
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("toks")).otherwise(0L)).as("kept_tokens"),
+            max(col("src_tokens")).as("src_tokens"),
+            max(col("target_tokens")).as("target_tokens"),
+            max(col("r_bp")).as("r_bp"))
+          .select(
+            col("source"), col("n_docs"), col("n_kept"),
+            col("src_tokens"), col("target_tokens"), col("r_bp"),
+            col("kept_tokens"),
+            expr("""CASE WHEN target_tokens = 0 THEN CAST(0 AS BIGINT)
+              ELSE ((kept_tokens - target_tokens) * 10000) div target_tokens
+              END""").as("calib_dev_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+            CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM tok),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+            CAST(sum(w) AS BIGINT) AS tw FROM w),
+        rates AS (SELECT source AS rs, n_tokens AS src_tokens,
+            (((w * 10000) // t.tw) * (t.tt // 2)) // 10000 AS target_tokens,
+            least(CAST(10000 AS BIGINT),
+              ((((w * 10000) // t.tw) * (t.tt // 2)) // 10000 * 10000) // n_tokens)
+              AS r_bp
+          FROM w, t),
+        d AS (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+            (${h60("'smp:' || CAST(doc_id AS VARCHAR)")}) % 10000 AS u
+          FROM documents),
+        k AS (SELECT d.source, toks, (u < r_bp) AS keep,
+            src_tokens, target_tokens, r_bp
+          FROM d JOIN rates ON d.source = rates.rs)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+          CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+          CAST(max(target_tokens) AS BIGINT) AS target_tokens,
+          CAST(max(r_bp) AS BIGINT) AS r_bp,
+          CAST(coalesce(sum(toks) FILTER (keep), 0) AS BIGINT) AS kept_tokens,
+          CASE WHEN max(target_tokens) = 0 THEN CAST(0 AS BIGINT)
+               ELSE ((CAST(coalesce(sum(toks) FILTER (keep), 0) AS BIGINT)
+                 - max(target_tokens)) * 10000) // max(target_tokens)
+          END AS calib_dev_bp
+        FROM k GROUP BY source ORDER BY source""")
     )
   )
 }

@@ -206,6 +206,9 @@ class GoldenSpec extends AnyFunSuite {
     // q171: bloom_ok (zero false negatives) and the measured fp/prune
     // rates are in-hash — a corrupt filter or kernel drift fails here
     assert(queryHash("q171_bloom_prune") == ((1L, "00f7bf48f221353bd5845a9e5b9f80c7")))
+    // q172: the deterministic hash-Bernoulli selection is in-hash — the
+    // reproducible-sample property a training-data freeze depends on
+    assert(queryHash("q172_weighted_sample") == ((20L, "888fc84d91cc7c8bd3bde7ab874565c8")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -911,6 +911,17 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(p) == 0)
   }
 
+  test("q172 weighted sample: rates broadcast onto the corpus, keep is map-side") {
+    // the 20-cell rate frame broadcasts back onto the corpus scan; the
+    // keep decision is pure hash arithmetic — one corpus-keyed
+    // aggregate after, no SortMergeJoin anywhere.
+    val p = plan("q172_weighted_sample")
+    assert(p.contains("Scan ExistingRDD"), "rates ride the checkpointed source census")
+    assert(p.contains("BroadcastHashJoin"), "rate frame broadcasts onto the corpus")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
   test("global-window budget: every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6): the
     // bench tail's WindowExec warnings must only ever come from THESE

@@ -41,7 +41,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
-        "concentration", "streaming"))
+        "concentration", "streaming", "text"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -574,6 +574,38 @@ object ScaleProbe {
           f"q158 time x${nN / n0}%.1f, q159 time x${tNs / t0s}%.1f " +
           f"(two-level census + partitioned read-offs predict ~scan-linear)")
     }
+    // Text/LLM-prep probe (q168's two-level packing prefix sums, q170's
+    // HLL hash pass): the corpus widens m× with the renamed-vocabulary
+    // copies (doc_id-shifted — per-source doc counts and thus the block
+    // index grow m×, the axis the two-level decomposition exists for;
+    // the fresh vocabulary keeps q170's distinct count growing too).
+    // Both should track the scan: a packing regression to a global
+    // prefix sum or an HLL register path that shipped rows instead of
+    // ≤64 cells would go super-linear.
+    if (enabled("text")) {
+      val q168 = SparkEntry.queries("q168_sequence_packing")
+      val q170 = SparkEntry.queries("q170_hll_registers")
+      val txResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        q168(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        q170(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        q168(spark, dir).write.format("noop").mode("overwrite").save()
+        val s168 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q170(spark, dir).write.format("noop").mode("overwrite").save()
+        val s170 = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] x$m%-3d docs=$rows%9d  q168_packing=$s168%7.2f s  q170_hll=$s170%7.2f s")
+        (m, rows, s168, s170)
+      }
+      val (_, tx0, ta0, tb0) = txResults.head
+      val (_, txN, taN, tbN) = txResults.last
+      println(
+        f"[scale] text growth: docs x${txN.toDouble / tx0}%.0f, q168 time x${taN / ta0}%.1f, " +
+          f"q170 time x${tbN / tb0}%.1f (two-level prefix sums / register reduce predict ~scan-linear)")
+    }
+
     // Streaming rows-per-epoch probe (s30's key-bounded upsert, s33's
     // ≤512-cell sketch): the r11 verdict's stretch item — turn the
     // "per-batch work is key-bounded" claims into measured curves the

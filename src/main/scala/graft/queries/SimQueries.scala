@@ -562,6 +562,81 @@ object SimQueries {
                  coalesce(1e0 / (60e0 + CAST(rank_cos AS DOUBLE)), 0e0)) * 1e6 + 5e-1) / 1e6 AS rrf
         FROM bmr FULL OUTER JOIN csr USING (doc_id)
         ORDER BY rrf DESC, doc_id LIMIT 10""")
+    ),
+    // q173: embeddings ↔ documents referential integrity — the sync
+    // audit an embedding-refresh pipeline (s34's world) runs before
+    // serving: every document must have a vector (vec_id ≡ doc_id in
+    // this corpus), no vector may be orphaned, dimensions must be
+    // uniform, and no vector may be NaN-poisoned or all-zero (both
+    // break cosine math silently — a zero norm divides by zero, a NaN
+    // propagates through every dot product it touches). Scale shape:
+    // two key-shuffled anti joins (conditional-counted in ONE full
+    // outer join pass — no pinned broadcast: both tables scale), a
+    // map-side dim/NaN/zero profile in the same pass over vectors, and
+    // a 1-row verdict with integrity_ok folded in-hash.
+    Q(
+      "q173_embedding_integrity",
+      (s, dir) => {
+        val d = Tables
+          .documents(s, dir)
+          .select(col("doc_id"))
+        val e = Tables
+          .embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            expr("exists(embedding, x -> isnan(x))").as("has_nan"),
+            (size(expr("filter(embedding, x -> x != CAST(0 AS FLOAT))")) === 0)
+              .as("all_zero"))
+        d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+          .agg(
+            sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+            sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_vecs"),
+            sum(when(col("doc_id").isNotNull && col("vec_id").isNull, 1L).otherwise(0L))
+              .as("n_missing_embedding"),
+            sum(when(col("vec_id").isNotNull && col("doc_id").isNull, 1L).otherwise(0L))
+              .as("n_orphan_vectors"),
+            min(col("dim")).as("dim_min"),
+            max(col("dim")).as("dim_max"),
+            sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan_vectors"),
+            sum(when(col("all_zero"), 1L).otherwise(0L)).as("n_zero_vectors"))
+          .withColumn("dims_consistent", col("dim_min") === col("dim_max"))
+          .withColumn(
+            "integrity_ok",
+            col("n_missing_embedding") === 0L && col("n_orphan_vectors") === 0L &&
+              col("dims_consistent") && col("n_nan_vectors") === 0L &&
+              col("n_zero_vectors") === 0L)
+          .select(
+            col("n_docs"), col("n_vecs"), col("n_missing_embedding"),
+            col("n_orphan_vectors"), col("dim_min"), col("dim_max"),
+            col("dims_consistent"), col("n_nan_vectors"), col("n_zero_vectors"),
+            col("integrity_ok"))
+          .orderBy("n_docs")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+        e AS (SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+            len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+            len(list_filter(embedding, x -> x <> 0)) = 0 AS all_zero
+          FROM embeddings),
+        j AS (SELECT * FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id)
+        SELECT
+          CAST(count(*) FILTER (doc_id IS NOT NULL) AS BIGINT) AS n_docs,
+          CAST(count(*) FILTER (vec_id IS NOT NULL) AS BIGINT) AS n_vecs,
+          CAST(count(*) FILTER (doc_id IS NOT NULL AND vec_id IS NULL) AS BIGINT)
+            AS n_missing_embedding,
+          CAST(count(*) FILTER (vec_id IS NOT NULL AND doc_id IS NULL) AS BIGINT)
+            AS n_orphan_vectors,
+          CAST(min(dim) AS BIGINT) AS dim_min,
+          CAST(max(dim) AS BIGINT) AS dim_max,
+          min(dim) = max(dim) AS dims_consistent,
+          CAST(count(*) FILTER (has_nan) AS BIGINT) AS n_nan_vectors,
+          CAST(count(*) FILTER (all_zero) AS BIGINT) AS n_zero_vectors,
+          (count(*) FILTER (doc_id IS NOT NULL AND vec_id IS NULL) = 0
+            AND count(*) FILTER (vec_id IS NOT NULL AND doc_id IS NULL) = 0
+            AND min(dim) = max(dim)
+            AND count(*) FILTER (has_nan) = 0
+            AND count(*) FILTER (all_zero) = 0) AS integrity_ok
+        FROM j ORDER BY n_docs""")
     )
   )
 }

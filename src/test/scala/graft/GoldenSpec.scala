@@ -209,6 +209,8 @@ class GoldenSpec extends AnyFunSuite {
     // q172: the deterministic hash-Bernoulli selection is in-hash — the
     // reproducible-sample property a training-data freeze depends on
     assert(queryHash("q172_weighted_sample") == ((20L, "888fc84d91cc7c8bd3bde7ab874565c8")))
+    // q173: integrity_ok and every census column in-hash
+    assert(queryHash("q173_embedding_integrity") == ((1L, "9943ca7872d4a38458c71e20109dde55")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

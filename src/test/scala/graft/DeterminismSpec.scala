@@ -72,7 +72,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q156_association_rules", // basket pairs, integer lift/confidence
     "q158_interevent_gaps",   // per-user rank read-offs on lag gaps
     "q160_grouped_ols",       // integer power-sum regression
-    "q164_gini_concentration" // decimal-exact census rank sums
+    "q164_gini_concentration", // decimal-exact census rank sums
+    "q166_top_share",         // two-level desc-cum + bin-resolved k-cuts (r12 rebuild)
+    "q168_sequence_packing",  // two-level ORDER prefix sums — the partition-sensitive shape
+    "q170_hll_registers",     // register max-merge + integer harmonic estimate
+    "q171_bloom_prune",       // bit_or word aggregate + literal-filter probe
+    "q172_weighted_sample"    // hash-Bernoulli keep + broadcast rates
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -3038,7 +3038,10 @@ object RelQueries {
             lit(4096L).as("m_bits"),
             lit(3L).as("k_hashes"),
             col("n_probe"), col("n_member"), col("n_pass"), col("n_fp"),
-            expr("(n_fp * 10000) div (n_probe - n_member)").as("fp_bp"),
+            // guarded: all-member probe sets make the non-member base 0
+            // (Spark div → NULL, DuckDB // → error — q162 class)
+            expr("""CASE WHEN n_probe = n_member THEN CAST(0 AS BIGINT)
+              ELSE (n_fp * 10000) div (n_probe - n_member) END""").as("fp_bp"),
             expr("((n_probe - n_pass) * 10000) div n_probe").as("pruned_bp"),
             (col("n_fn") === 0L).as("bloom_ok"))
           .orderBy("n_keys")
@@ -3073,9 +3076,10 @@ object RelQueries {
           CAST(count(*) FILTER (mem) AS BIGINT) AS n_member,
           CAST(count(*) FILTER (pass) AS BIGINT) AS n_pass,
           CAST(count(*) FILTER (pass AND NOT mem) AS BIGINT) AS n_fp,
-          (CAST(count(*) FILTER (pass AND NOT mem) AS BIGINT) * 10000)
-            // (CAST(count(*) AS BIGINT) - CAST(count(*) FILTER (mem) AS BIGINT))
-            AS fp_bp,
+          CASE WHEN count(*) = count(*) FILTER (mem) THEN CAST(0 AS BIGINT)
+               ELSE (CAST(count(*) FILTER (pass AND NOT mem) AS BIGINT) * 10000)
+                 // (CAST(count(*) AS BIGINT) - CAST(count(*) FILTER (mem) AS BIGINT))
+          END AS fp_bp,
           ((CAST(count(*) AS BIGINT) - CAST(count(*) FILTER (pass) AS BIGINT)) * 10000)
             // CAST(count(*) AS BIGINT) AS pruned_bp,
           CAST(count(*) FILTER (mem AND NOT pass) AS BIGINT) = 0 AS bloom_ok

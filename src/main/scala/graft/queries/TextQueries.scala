@@ -2171,8 +2171,12 @@ object TextQueries {
             expr("(n_tokens * 10000) div tt").as("raw_bp"),
             col("w"),
             expr("(w * 10000) div tw").as("share_bp"),
-            expr("(((w * 10000) div tw) * 100) div ((n_tokens * 10000) div tt)")
-              .as("boost_x100"),
+            // guarded: a source below 1/10⁴ of the corpus has raw_bp=0,
+            // where Spark's div yields NULL but DuckDB's // errors —
+            // the q162 shape-divergence class, closed preemptively
+            expr("""CASE WHEN (n_tokens * 10000) div tt = 0 THEN CAST(0 AS BIGINT)
+              ELSE (((w * 10000) div tw) * 100) div ((n_tokens * 10000) div tt)
+              END""").as("boost_x100"),
             expr("((((w * 10000) div tw) * tt) div 10000 * 100) div n_tokens")
               .as("epochs_x100"))
           .orderBy("source")
@@ -2188,7 +2192,9 @@ object TextQueries {
           (n_tokens * 10000) // t.tt AS raw_bp,
           w,
           (w * 10000) // t.tw AS share_bp,
-          (((w * 10000) // t.tw) * 100) // ((n_tokens * 10000) // t.tt) AS boost_x100,
+          CASE WHEN (n_tokens * 10000) // t.tt = 0 THEN CAST(0 AS BIGINT)
+               ELSE (((w * 10000) // t.tw) * 100) // ((n_tokens * 10000) // t.tt)
+          END AS boost_x100,
           ((((w * 10000) // t.tw) * t.tt) // 10000 * 100) // n_tokens AS epochs_x100
         FROM w, t ORDER BY source""")
     ),

@@ -3023,15 +3023,21 @@ object RelQueries {
         val nKeys = keys.agg(count(lit(1)).as("n_keys"))
         probe
           .withColumn("pass", pass)
-          .join(
-            broadcast(keys.select(col("k").as("kk"), lit(1L).as("mem"))),
-            col("k") === col("kk"), "left")
+          // Membership is CLOSED-FORM: the keyset IS {c_custkey % 97 ==
+          // 13}, and every o_custkey satisfies FK integrity into
+          // customer, so the audit's ground truth is the same predicate
+          // evaluated map-side on the fact row. The previous broadcast
+          // join shipped a keyset that scales with the corpus (~1% of
+          // customers) through the driver — the one pinned-broadcast-
+          // on-a-scaling-side on the board; this form does zero joins
+          // over the fact and holds at any SF.
+          .withColumn("mem", pmod(col("k"), lit(97)) === 13)
           .agg(
             count(lit(1)).as("n_probe"),
-            sum(when(col("mem").isNotNull, 1L).otherwise(0L)).as("n_member"),
+            sum(when(col("mem"), 1L).otherwise(0L)).as("n_member"),
             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
-            sum(when(col("pass") && col("mem").isNull, 1L).otherwise(0L)).as("n_fp"),
-            sum(when(!col("pass") && col("mem").isNotNull, 1L).otherwise(0L)).as("n_fn"))
+            sum(when(col("pass") && !col("mem"), 1L).otherwise(0L)).as("n_fp"),
+            sum(when(!col("pass") && col("mem"), 1L).otherwise(0L)).as("n_fn"))
           .crossJoin(broadcast(nKeys))
           .select(
             col("n_keys"),

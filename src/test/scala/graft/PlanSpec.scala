@@ -900,13 +900,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q171 bloom prune: literal-filter probe is map-side, fact never shuffles") {
-    // the 67-word filter folds into a literal, so the fact-side probe
-    // is pure projection + filter arithmetic; the only joins are the
-    // broadcast membership audit and the 1-row key count — no
-    // SortMergeJoin, no exchange of the orders fact beyond the final
-    // 1-row aggregate.
+    // the 67-word filter folds into a literal AND membership ground
+    // truth is the closed-form keyset predicate evaluated on the fact
+    // row, so the probe is pure projection + filter arithmetic; the
+    // only join left is the 1-row key count. In particular no
+    // BroadcastHashJoin: the r12/r13-flagged broadcast of the
+    // corpus-scaling keyset must never come back.
     val p = plan("q171_bloom_prune")
-    assert(p.contains("BroadcastHashJoin"), "membership audit joins broadcast")
+    assert(!p.contains("BroadcastHashJoin"), "membership is map-side — no keyset join")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     assert(globalWindows(p) == 0)
   }

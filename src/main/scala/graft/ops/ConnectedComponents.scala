@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Ckpt.RichCkpt
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,12 +32,12 @@ object ConnectedComponents {
     val p = pairs.toDF("src", "dst")
     val edges = p
       .union(p.select(col("dst"), col("src")))
-      .localCheckpoint()
+      .ckpt()
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     var changed = 1L
     while (changed > 0L) {
       val nbr = edges
@@ -53,7 +54,7 @@ object ConnectedComponents {
           col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
         )
-        .localCheckpoint()
+        .ckpt()
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.drop("prev")
     }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{BucketCap, FeatureOps, Hashing, Tables, VectorOps}
+import graft.ops.Ckpt.RichCkpt
 import graft.oracle.OracleSql._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -100,7 +101,7 @@ object DedupQueries {
       (_, prev) => {
         if (prev != null && prev.sparkSession.sparkContext == s.sparkContext && !s.sparkContext.isStopped)
           prev
-        else bandedDocs(Tables.documents(s, dir)).localCheckpoint()
+        else bandedDocs(Tables.documents(s, dir)).ckpt()
       }
     )
 
@@ -112,7 +113,7 @@ object DedupQueries {
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** Memoized duplicate-cluster labels (id → min-label) per source dir —
@@ -275,7 +276,7 @@ object DedupQueries {
             .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
             .distinct()
-            .localCheckpoint()
+            .ckpt()
           banded.unpersist()
           graft.ops.ConnectedComponents.minLabel(p)
         }
@@ -370,7 +371,7 @@ object DedupQueries {
       .join(capped.as("b"), col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val contracted = touch
       .join(
         base.select(col("id").as("dst"), col("lbl").as("dlbl")),
@@ -386,7 +387,7 @@ object DedupQueries {
       .join(delta.as("d"), col("bl.lbl") === col("d.id"), "left")
       .select(col("bl.id").as("id"), coalesce(col("d.lbl"), col("bl.lbl")).as("lbl"))
     val fresh = delta.join(base.select("id"), Seq("id"), "left_anti")
-    relabeledBase.union(fresh).localCheckpoint()
+    relabeledBase.union(fresh).ckpt()
   }
 
   val all: Seq[Q] = Seq(
@@ -577,7 +578,7 @@ object DedupQueries {
       "q68_simhash_neardup",
       (s, dir) => {
         val (sims, pairs) = simhashNeardupParts(s, dir)
-        val out = pairs.localCheckpoint()
+        val out = pairs.ckpt()
         sims.unpersist()
         out
       },
@@ -836,7 +837,7 @@ object DedupQueries {
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val edgesDeg = edges.join(deg, "src").localCheckpoint()
+        val edgesDeg = edges.join(deg, "src").ckpt()
         val nodes = Tables.documents(s, dir).select(col("doc_id"))
         var pr = nodes.withColumn("pr", lit(pr0))
         for (_ <- 1 to 3) {
@@ -966,7 +967,7 @@ object DedupQueries {
             when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
             when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg")
           )
-          .localCheckpoint()
+          .ckpt()
         val tri = oe
           .as("e1")
           .join(

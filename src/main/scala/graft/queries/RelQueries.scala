@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.Tables
+import graft.ops.Ckpt.RichCkpt
 import org.apache.spark.sql.functions._
 
 /** q23-q28 — the relational capability surface (SURVEY.md §2.2/§2.3):
@@ -1915,7 +1916,7 @@ object RelQueries {
         // once (domain-bounded: ≤ ~50k cells per type at any corpus
         // size) so the n/median/deviation/fence lineages all ride the
         // cached cells instead of re-scanning events
-        val byv = c.groupBy("et", "v").agg(count(lit(1)).as("cnt")).localCheckpoint()
+        val byv = c.groupBy("et", "v").agg(count(lit(1)).as("cnt")).ckpt()
         val n = byv.groupBy("et").agg(sum("cnt").as("n"))
         val cumv = byv.withColumn(
           "cum",
@@ -2294,7 +2295,7 @@ object RelQueries {
           .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
           .groupBy("v")
           .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
+          .ckpt()
         val tot = byv.agg(sum("cnt").as("n"))
         val ks = s
           .createDataFrame((1 to 15).map(Tuple1(_)))
@@ -2561,7 +2562,7 @@ object RelQueries {
           .groupBy(expr("CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT)").as("day"))
           .agg(count(lit(1)).as("c"))
           .withColumn("d", dense_rank().over(Window.orderBy("day")))
-          .localCheckpoint() // ~30 cells: the pair frame rides this, not the corpus
+          .ckpt() // ~30 cells: the pair frame rides this, not the corpus
         val slopes = daily
           .select(col("d").as("d1"), col("c").as("c1"))
           .join(daily.select(col("d").as("d2"), col("c").as("c2")), col("d1") < col("d2"))
@@ -2770,7 +2771,7 @@ object RelQueries {
           .orders(s, dir)
           .groupBy(col("o_custkey"))
           .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("v"))
-        val byv = rev.groupBy("v").agg(count(lit(1)).as("c")).localCheckpoint()
+        val byv = rev.groupBy("v").agg(count(lit(1)).as("c")).ckpt()
         val tot = byv.agg(
           sum("c").as("n"),
           sum(expr("CAST(v AS DECIMAL(38,0)) * c")).as("sv"))
@@ -2852,7 +2853,7 @@ object RelQueries {
           .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("v"))
           .groupBy("v")
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+          .ckpt()
         val tot = byv.agg(sum("c").as("n"), sum(expr("v * c")).as("sv"))
         val binned = byv.withColumn("bin", expr("v div 1000000"))
         // bin-level DESC cum-above offsets — the one partition-less
@@ -2864,7 +2865,7 @@ object RelQueries {
           .withColumn("ca_bin", coalesce(sum(col("bc")).over(binW), lit(0L)))
           .withColumn("ma_bin", coalesce(sum(col("bm")).over(binW), lit(0L)))
           .select(col("bin").as("b2"), col("bc"), col("ca_bin"), col("ma_bin"))
-          .localCheckpoint()
+          .ckpt()
         // within-bin desc cum: PARTITION BY bin — the census never
         // collapses to one partition and is never broadcast
         val wW = Window

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.model.FeaturesConfig
 import graft.ops.Tables
+import graft.ops.Ckpt.RichCkpt
 import graft.oracle.OracleSql._
 import graft.pipeline.Features
 import graft.sinks.{DuckDbLive, DuckDbSink}
@@ -487,7 +488,7 @@ object StreamDemos {
         // under an aggregate would duplicate rows into it).
         val facts = keyed().repartition(8)
         val dim =
-          keyed().select(col("k")).distinct().withColumn("dim_tag", col("k") * 2).localCheckpoint()
+          keyed().select(col("k")).distinct().withColumn("dim_tag", col("k") * 2).ckpt()
         // n_keys comes from the (tiny, materialized) dim side, NOT a
         // count(DISTINCT k) over the join: a distinct would REUSE the
         // join output's hash partitioning, so splitting the skewed

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{FeatureOps, Hashing, Tables}
+import graft.ops.Ckpt.RichCkpt
 import graft.oracle.OracleSql._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -1352,7 +1353,7 @@ object TextQueries {
             col("w"),
             (col("tf") * expr(s"(${nDocs}L * 1000L) div df")).as("wt")
           )
-          .localCheckpoint()
+          .ckpt()
         val norms = weighted
           .groupBy("doc_id")
           .agg(sqrt(sum(col("wt") * col("wt")).cast("double")).as("norm"))
@@ -1701,7 +1702,7 @@ object TextQueries {
           .crossJoin(broadcast(bounds))
           .withColumn("cut", expr("(m * p) div 100"))
           .select(col("p").cast("long").as("p"), col("cut"))
-          .localCheckpoint()
+          .ckpt()
         val perCut = docs
           .crossJoin(broadcast(cuts))
           .filter(col("doc_id") <= col("cut"))
@@ -1784,7 +1785,7 @@ object TextQueries {
           .documentsSpread(s, dir)
           .select(col("source"), explode(ws).as("w"))
           .distinct()
-          .localCheckpoint()
+          .ckpt()
         val vs = vw.groupBy("source").agg(count(lit(1)).as("v"))
         val pairs = vw
           .select(col("w"), col("source").as("s1"))
@@ -1896,7 +1897,7 @@ object TextQueries {
           .agg(
             sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L)).as("c_a"),
             sum(when(col("doc_id") > col("mid"), 1L).otherwise(0L)).as("c_b"))
-          .localCheckpoint()
+          .ckpt()
         val tots = tok.agg(sum("c_a").as("na"), sum("c_b").as("nb"))
         tok
           .crossJoin(broadcast(tots))
@@ -1949,7 +1950,7 @@ object TextQueries {
               .otherwise("fr")
               .as("lp"))
           .filter(col("lt").isNotNull)
-        val cells = pred.groupBy("lt", "lp").agg(count(lit(1)).as("n")).localCheckpoint()
+        val cells = pred.groupBy("lt", "lp").agg(count(lit(1)).as("n")).ckpt()
         val tot = cells.agg(sum("n").as("nn"))
         val rows = cells.groupBy(col("lt").as("rl")).agg(sum("n").as("rn"))
         val cols = cells.groupBy(col("lp").as("cl")).agg(sum("n").as("cn"))
@@ -2162,7 +2163,7 @@ object TextQueries {
           .groupBy("source")
           .agg(sum(size(ws).cast("long")).as("n_tokens"))
           .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
-          .localCheckpoint() // source-domain-sized (20 cells)
+          .ckpt() // source-domain-sized (20 cells)
         val tot = tok.agg(sum("n_tokens").as("tt"), sum("w").as("tw"))
         tok
           .crossJoin(broadcast(tot))
@@ -2223,8 +2224,8 @@ object TextQueries {
           .documentsSpread(s, dir)
           .select(col("doc_id"), Hashing.h60(col("text")).as("h"))
           .select(col("doc_id"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-          .localCheckpoint() // (doc, bucket, rank) — one corpus hash pass
-        val rw = Hll.registers(base).localCheckpoint() // ≤64 cells
+          .ckpt() // (doc, bucket, rank) — one corpus hash pass
+        val rw = Hll.registers(base).ckpt() // ≤64 cells
         val sw = Hll.harmonic(rw)
         val ra = Hll.registers(base.filter(col("doc_id") % 2 === 0))
           .select(col("bucket").as("ba"), col("mr").as("ma"))
@@ -2311,7 +2312,7 @@ object TextQueries {
           .groupBy("source")
           .agg(sum(size(ws).cast("long")).as("n_tokens"))
           .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
-          .localCheckpoint() // source-domain-sized (20 cells)
+          .ckpt() // source-domain-sized (20 cells)
         val tot = tok.agg(sum("n_tokens").as("tt"), sum("w").as("tw"))
         val rates = tok
           .crossJoin(broadcast(tot))

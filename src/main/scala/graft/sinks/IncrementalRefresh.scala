@@ -1,6 +1,7 @@
 package graft.sinks
 
 import graft.ops.Tables
+import graft.ops.Ckpt.RichCkpt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,7 +79,7 @@ object IncrementalRefresh {
           .when(col("cnt_a") === col("cnt_b") && col("dig_a") === col("dig_b"),
             lit("unchanged"))
           .otherwise(lit("changed")))
-      .localCheckpoint() // bucket-domain-sized (~80 cells)
+      .ckpt() // bucket-domain-sized (~80 cells)
 
     if (DuckDbLive.available) {
       val base = java.nio.file.Files.createTempDirectory("graft_s35_")

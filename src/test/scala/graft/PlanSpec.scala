@@ -923,27 +923,48 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(p) == 0)
   }
 
-  test("global-window budget: every partition-less window is an enumerated bounded frame") {
-    // the silence-by-boundedness contract (r11 verdict item 6): the
-    // bench tail's WindowExec warnings must only ever come from THESE
-    // reviewed windows, each over a frame bounded by a value/time
-    // domain, never by corpus rows. A new partition-less window in this
-    // family — or one resurfacing after a checkpoint refactor (q166's
-    // bin index) — fails here instead of hiding in the warning noise.
-    val budget = Seq(
-      "q144_quantile_sketch" -> 2, // cum + located-bin over the ≤49k-cell cents census
-      "q153_equidepth_histogram" -> 1, // coarse-bin cum over the bounded bin histogram
-      "q159_theil_sen_trend" -> 2, // median rank + count over the ≤435 day-pair slopes
-      "q164_gini_concentration" -> 1, // desc cum over the bounded 10k-dollar bin index
-      "q166_top_share" -> 0, // bin index checkpointed — no global window survives
-      "q158_interevent_gaps" -> 0,
-      "q160_grouped_ols" -> 0,
-      "q165_length_quartiles" -> 0,
-      "q145_mad_outliers" -> 0,
-      "s35_incremental_refresh" -> 0)
-    budget.foreach { case (n, want) =>
-      assert(globalWindows(plan(n)) == want,
-        s"$n: partition-less window count changed (want $want) — review boundedness")
+  test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
+    // the silence-by-boundedness contract (r11 verdict item 6), made
+    // board-wide (r13 verdict item 2): the bench tail's WindowExec
+    // warnings must only ever come from THESE reviewed windows, each
+    // over a frame bounded by a value/time domain, never by corpus
+    // rows. Every other final plan on the board — all of Registry.all,
+    // batch and streaming alike — must plan ZERO partition-less
+    // windows, so a new one (or one resurfacing after a checkpoint
+    // refactor, the round-11 q166 failure mode) fails here by NAME
+    // instead of relying on per-author discipline.
+    // counts are (final plan, checkpoint-time lineages) — the second
+    // number covers plans that RUN at `ckpt()` time and are invisible
+    // in the final plan (they show as `Scan ExistingRDD` there); see
+    // `ops/Ckpt.scala`. Both numbers are reviewed-bounded inventories.
+    val allow = Map(
+      "q144_quantile_sketch" -> ((2, 0)), // cum + located-bin over the ≤49k-cell cents census
+      "q153_equidepth_histogram" -> ((1, 0)), // coarse-bin cum over the bounded bin histogram
+      "q159_theil_sen_trend" -> ((2, 1)), // median rank + count over the ≤435 day-pair slopes; ckpt-time dense_rank over the ~30-cell daily census
+      "q164_gini_concentration" -> ((1, 0)), // desc cum over the bounded 10k-dollar bin index
+      // the two below were FOUND BY THIS SWEEP when it went board-wide
+      // (r14) — both reviewed bounded, neither was in the old 10-name
+      // enumerated budget:
+      "q97_rrf_hybrid" -> ((2, 0)), // rank row_numbers over the two top-50-truncated lists
+      "s33_stream_quantile" -> ((2, 0)), // cums over the ≤512-cell merged sketch + cents census
+      // checkpoint-lineage windows (second slot) — each runs over a
+      // value-domain-bounded frame at ckpt() time:
+      "q166_top_share" -> ((0, 1)) // r11's escapee: asc cum over the bounded revenue-bin index
+    )
+    val offenders = queries.Registry.all.flatMap { q =>
+      ops.Ckpt.startRecording()
+      val fin = globalWindows(plan(q.name))
+      val ck = ops.Ckpt.stopRecording().map(globalWindows).sum
+      val (wantFin, wantCk) = allow.getOrElse(q.name, (0, 0))
+      if ((fin, ck) != ((wantFin, wantCk)))
+        Some(s"${q.name}: ($fin final, $ck checkpoint-lineage) partition-less windows" +
+          s" (want ($wantFin, $wantCk))")
+      else None
     }
+    assert(offenders.isEmpty,
+      s"unreviewed global windows — review boundedness or extend the allowlist:\n  ${offenders.mkString("\n  ")}")
+    // the allowlist itself must stay live: an entry for a query that no
+    // longer plans that many global windows is stale review baggage.
+    assert(allow.keySet.subsetOf(queries.Registry.all.map(_.name).toSet))
   }
 }

@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** q172's acceptance rate with the zero-denominator guard: a source
+    * whose docs are all empty has src_tokens = 0 (and, since w =
+    * floor(sqrt(0)) = 0, target_tokens = 0 too) — Spark's `div` would
+    * yield NULL there while DuckDB's `//` ERRORS, the q162
+    * engine-shape-divergence class. Rate 0 (keep nothing from an empty
+    * source) is the consistent closed form. `div` is the engine's
+    * integer-division operator; `ZeroDenomGuardSpec` drives this path.
+    */
+  private[graft] def rBpSql(div: String): String =
+    s"""CASE WHEN src_tokens = 0 THEN CAST(0 AS BIGINT)
+      ELSE least(CAST(10000 AS BIGINT), (target_tokens * 10000) $div src_tokens)
+      END"""
+
+  /** q169's epoch rate with the same guard (denominator n_tokens): a
+    * zero-token source is re-read 0 times per mixture pass by
+    * definition. `tt`/`tw` let the oracle qualify the totals frame.
+    */
+  private[graft] def epochsX100Sql(div: String, tt: String = "tt", tw: String = "tw"): String =
+    s"""CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      ELSE ((((w * 10000) $div $tw) * $tt) $div 10000 * 100) $div n_tokens
+      END"""
+
   /** Marker word sets for the language-ID heuristic. Deterministic and
     * shared verbatim with the oracle SQL; accuracy is a non-goal (the test
     * corpus is synthetic), determinism is the contract.
@@ -2178,11 +2200,10 @@ object TextQueries {
             expr("""CASE WHEN (n_tokens * 10000) div tt = 0 THEN CAST(0 AS BIGINT)
               ELSE (((w * 10000) div tw) * 100) div ((n_tokens * 10000) div tt)
               END""").as("boost_x100"),
-            expr("((((w * 10000) div tw) * tt) div 10000 * 100) div n_tokens")
-              .as("epochs_x100"))
+            expr(TextQueries.epochsX100Sql("div")).as("epochs_x100"))
           .orderBy("source")
       },
-      Some("""WITH tok AS (SELECT source,
+      Some(s"""WITH tok AS (SELECT source,
             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
         w AS (SELECT source, n_tokens,
@@ -2196,7 +2217,7 @@ object TextQueries {
           CASE WHEN (n_tokens * 10000) // t.tt = 0 THEN CAST(0 AS BIGINT)
                ELSE (((w * 10000) // t.tw) * 100) // ((n_tokens * 10000) // t.tt)
           END AS boost_x100,
-          ((((w * 10000) // t.tw) * t.tt) // 10000 * 100) // n_tokens AS epochs_x100
+          ${epochsX100Sql("//", "t.tt", "t.tw")} AS epochs_x100
         FROM w, t ORDER BY source""")
     ),
     // q170: exact-integer HyperLogLog registers — the distinct-count
@@ -2320,9 +2341,7 @@ object TextQueries {
             col("source").as("rs"),
             col("n_tokens").as("src_tokens"),
             expr("(((w * 10000) div tw) * (tt div 2)) div 10000").as("target_tokens"))
-          .withColumn(
-            "r_bp",
-            expr("least(CAST(10000 AS BIGINT), (target_tokens * 10000) div src_tokens)"))
+          .withColumn("r_bp", expr(TextQueries.rBpSql("div")))
         val kept = Tables
           .documentsSpread(s, dir)
           .select(
@@ -2356,12 +2375,12 @@ object TextQueries {
             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM tok),
         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
             CAST(sum(w) AS BIGINT) AS tw FROM w),
-        rates AS (SELECT source AS rs, n_tokens AS src_tokens,
-            (((w * 10000) // t.tw) * (t.tt // 2)) // 10000 AS target_tokens,
-            least(CAST(10000 AS BIGINT),
-              ((((w * 10000) // t.tw) * (t.tt // 2)) // 10000 * 10000) // n_tokens)
-              AS r_bp
+        rates0 AS (SELECT source AS rs, n_tokens AS src_tokens,
+            (((w * 10000) // t.tw) * (t.tt // 2)) // 10000 AS target_tokens
           FROM w, t),
+        rates AS (SELECT rs, src_tokens, target_tokens,
+            ${rBpSql("//")} AS r_bp
+          FROM rates0),
         d AS (SELECT source, doc_id,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
             (${h60("'smp:' || CAST(doc_id AS VARCHAR)")}) % 10000 AS u

@@ -48,6 +48,86 @@ object IncrementalRefresh {
 
   private val Cutoff = "2001-07-15"
 
+  /** Create the maintained view + refresh ledger (test-visible so the
+    * re-delivery suite drives `applyRefresh` against its own store).
+    */
+  private[graft] def initStore(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE view_m(
+          |bucket BIGINT PRIMARY KEY, n_rows BIGINT NOT NULL,
+          |sum_cents BIGINT NOT NULL, dig BIGINT NOT NULL)""".stripMargin)
+      DuckDbLive.execute(c, "CREATE TABLE refresh_log(refresh_id BIGINT PRIMARY KEY)")
+    }
+
+  /** Apply one refresh batch under the ledger guard. TRANSACTIONALLY
+    * idempotent: the refresh_id is claimed INSIDE the transaction via
+    * `INSERT .. ON CONFLICT DO NOTHING` (update count 0 = already
+    * applied — reject without touching the view), so there is no
+    * check-then-act window for a concurrent duplicate delivery, and a
+    * mid-merge throw rolls BOTH the ledger row and any partial merge
+    * back — the failed delivery never burns its id and a retry of the
+    * same batch applies cleanly. Returns true iff this call merged.
+    */
+  private[graft] def applyRefresh(
+      dbFile: String,
+      id: Long,
+      rows: Iterable[(Long, Long, Long, Long)]): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      def idLogged(): Boolean = {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT count(*) FROM refresh_log WHERE refresh_id = $id")
+          rs.next(); rs.getLong(1) > 0
+        } finally st.close()
+      }
+      c.setAutoCommit(false)
+      try {
+        val claimed = {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"INSERT INTO refresh_log VALUES ($id) ON CONFLICT DO NOTHING") == 1
+          finally st.close()
+        }
+        if (claimed) {
+          val ps = c.prepareStatement(
+            """INSERT INTO view_m VALUES (?, ?, ?, ?)
+              |ON CONFLICT (bucket) DO UPDATE SET
+              |  n_rows = view_m.n_rows + excluded.n_rows,
+              |  sum_cents = view_m.sum_cents + excluded.sum_cents,
+              |  dig = view_m.dig + excluded.dig""".stripMargin)
+          try rows.foreach { case (b, n, s, d) =>
+            ps.setLong(1, b)
+            ps.setLong(2, n)
+            ps.setLong(3, s)
+            ps.setLong(4, d)
+            ps.executeUpdate()
+          } finally ps.close()
+        }
+        c.commit()
+        claimed
+      } catch {
+        case t: Throwable =>
+          try c.rollback()
+          catch { case scala.util.control.NonFatal(_) => () }
+          // DuckDB's optimistic MVCC surfaces a CONCURRENT duplicate at
+          // commit time (PK serialization conflict) rather than at the
+          // ON CONFLICT probe — neither racer sees the other's
+          // uncommitted ledger row. If the id is committed now, the
+          // race loser is just a duplicate delivery: reject, don't
+          // throw. Anything else (including a mid-merge failure) is a
+          // real error and the rollback above un-burned the id.
+          t match {
+            case _: java.sql.SQLException if idLogged() => false
+            case _ => throw t
+          }
+      } finally {
+        try c.setAutoCommit(true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
   def refreshLoop(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus scan: current manifest + snapshot partials + delta
     // partials as conditional aggregates over the bucket census
@@ -90,66 +170,23 @@ object IncrementalRefresh {
             .foreach(f => java.nio.file.Files.deleteIfExists(f))
         } catch { case scala.util.control.NonFatal(_) => () }))
       val dbFile = s"$base/view.duckdb"
-      DuckDbLive.withConnection(dbFile) { c =>
-        DuckDbLive.execute(
-          c,
-          """CREATE TABLE view_m(
-            |bucket BIGINT PRIMARY KEY, n_rows BIGINT NOT NULL,
-            |sum_cents BIGINT NOT NULL, dig BIGINT NOT NULL)""".stripMargin)
-        DuckDbLive.execute(c, "CREATE TABLE refresh_log(refresh_id BIGINT PRIMARY KEY)")
-      }
+      initStore(dbFile)
 
       // bucket-domain-bounded batch collects — the view's own size
-      def collectBatch(df: DataFrame): Array[org.apache.spark.sql.Row] = df.collect()
-
-      /** Apply one refresh batch under the ledger guard: merge + log
-        * commit in ONE transaction; an already-logged refresh_id is
-        * rejected without touching the view. Returns true iff applied.
-        */
-      def applyRefresh(id: Long, rows: Array[org.apache.spark.sql.Row]): Boolean =
-        DuckDbLive.withConnection(dbFile) { c =>
-          val seen = {
-            val st = c.createStatement()
-            try {
-              val rs =
-                st.executeQuery(s"SELECT count(*) FROM refresh_log WHERE refresh_id = $id")
-              rs.next(); rs.getLong(1) > 0
-            } finally st.close()
-          }
-          if (seen) false
-          else {
-            c.setAutoCommit(false)
-            val ps = c.prepareStatement(
-              """INSERT INTO view_m VALUES (?, ?, ?, ?)
-                |ON CONFLICT (bucket) DO UPDATE SET
-                |  n_rows = view_m.n_rows + excluded.n_rows,
-                |  sum_cents = view_m.sum_cents + excluded.sum_cents,
-                |  dig = view_m.dig + excluded.dig""".stripMargin)
-            try rows.foreach { r =>
-              ps.setLong(1, r.getLong(0))
-              ps.setLong(2, r.getLong(1))
-              ps.setLong(3, r.getLong(2))
-              ps.setLong(4, r.getLong(3))
-              ps.executeUpdate()
-            } finally ps.close()
-            DuckDbLive.execute(c, s"INSERT INTO refresh_log VALUES ($id)")
-            c.commit()
-            c.setAutoCommit(true)
-            true
-          }
-        }
+      def collectBatch(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+        df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
       // refresh 0: the previous run — view built from the SNAPSHOT only
       val snapshotBatch = collectBatch(
         census.filter(col("cnt_a") > 0L).select("bucket", "cnt_a", "sum_a", "dig_a"))
-      applyRefresh(0L, snapshotBatch)
+      applyRefresh(dbFile, 0L, snapshotBatch)
       // refresh 1: the incremental run — manifest diff's to-process set
       // is exactly the buckets with a delta; only their partials ship
       val deltaBatch = collectBatch(
         census.filter(col("cnt_d") > 0L).select("bucket", "cnt_d", "sum_d", "dig_d"))
-      applyRefresh(1L, deltaBatch)
+      applyRefresh(dbFile, 1L, deltaBatch)
       // INJECTED stale re-delivery of the same refresh: must be rejected
-      val rejected = Seq(applyRefresh(1L, deltaBatch)).count(_ == false).toLong
+      val rejected = Seq(applyRefresh(dbFile, 1L, deltaBatch)).count(_ == false).toLong
 
       // read back the maintained view (bucket-domain-bounded)
       val viewRows = DuckDbLive.withConnection(dbFile) { c =>

@@ -279,6 +279,210 @@ object SimQueries {
           WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 100
           ORDER BY cos DESC, vec_id LIMIT 5""")
     ),
+    // q174: ANN recall@k — the acceptance metric a production ANN index
+    // is actually judged by, measured instead of assumed. q38/q41/q58
+    // prove each bucketed search equals the oracle's IDENTICAL bucketed
+    // search; this measures how much of the EXACT top-k (the q22
+    // brute-force kernel) each approximate family recovers, over a
+    // fixed 20-probe set (vec_id ∈ [100,120), present at every SF) and
+    // a shared universe (vec_id ≥ K, the IVF-assigned set, probe
+    // excluded). Integer recall in bp per probe (|approx ∩ exact|·10⁴
+    // div k), summarized per method as (mean, min) with an in-hash
+    // acceptance floor, plus the per-probe P=2 − P=1 delta row — the
+    // measured value of multi-probe, structurally ≥ 0 because the P=2
+    // candidate set contains P=1's (min delta rides the hash).
+    //
+    // Scale shape: exact ground truth scores ride a 20-row probe
+    // broadcast (map-side, no shuffle of the corpus) into a SALTED
+    // two-level top-k — rank within (probe, vec_id%64) first, then
+    // rank the ≤64·k survivors per probe — so no window partition is
+    // ever corpus-sized. Approximate sides reuse the production search
+    // shapes (bucket/cell-restricted candidates, per-probe windows over
+    // bounded buckets). Every recall join is k·|probes|-bounded and
+    // broadcast.
+    Q(
+      "q174_ann_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val kTop = 10
+        val K = graft.ops.IvfKMeans.K
+        val e = Tables.embeddings(s, dir)
+        val vecs = e.filter(col("vec_id") >= K).select("vec_id", "embedding")
+        def probesOf(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        val probes = probesOf(vecs).select(col("vec_id").as("pid"), col("embedding").as("p"))
+
+        // EXACT ground truth: q22's kernel, salted two-level top-k
+        val scored = vecs
+          .crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(
+            col("pid"), col("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+        val exact = scored
+          .withColumn("salt", pmod(col("vec_id"), lit(64)))
+          .withColumn(
+            "rk1",
+            row_number().over(
+              Window.partitionBy("pid", "salt").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk1") <= kTop)
+          .withColumn(
+            "rk",
+            row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= kTop)
+          .select(col("pid").as("e_pid"), col("vec_id").as("e_vid"))
+
+        // sign-LSH search (q38's shape, per probe)
+        val planes = VectorOps.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
+        val withB = vecs.withColumn("bkt", VectorOps.signBucket(col("embedding"), planes))
+        val probeB = probesOf(withB)
+          .select(col("vec_id").as("pid"), col("embedding").as("p"), col("bkt").as("pbkt"))
+        val lshTop = withB
+          .crossJoin(broadcast(probeB))
+          .filter(col("bkt") === col("pbkt") && col("vec_id") =!= col("pid"))
+          .select(
+            col("pid"), col("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+          .withColumn(
+            "rk",
+            row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= kTop)
+          .select(col("pid").as("a_pid"), col("vec_id").as("a_vid"))
+
+        // IVF search (q41/q58's shape) at P=1 and P=2
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val assigned = graft.ops.IvfKMeans.assign(vecs, cents)
+        val pcells = graft.ops.IvfKMeans
+          .assignTopP(probesOf(vecs), cents, 2)
+          .select(
+            col("vec_id").as("pid"), col("embedding").as("p"),
+            col("cell").as("pcell"), col("rk").as("prk"))
+        def ivfTop(pMax: Int) = assigned
+          .join(broadcast(pcells.filter(col("prk") <= pMax)), col("cell") === col("pcell"))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(
+            col("pid"), col("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+          .withColumn(
+            "rk",
+            row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= kTop)
+          .select(col("pid").as("a_pid"), col("vec_id").as("a_vid"))
+
+        // per-probe recall in bp — joins bounded at k·|probes| rows
+        def recallOf(approx: org.apache.spark.sql.DataFrame) = exact
+          .join(
+            broadcast(approx),
+            col("e_pid") === col("a_pid") && col("e_vid") === col("a_vid"), "left")
+          .groupBy(col("e_pid"))
+          .agg(sum(when(col("a_pid").isNotNull, 1L).otherwise(0L)).as("hits"))
+          .select(col("e_pid").as("pid"), expr(s"(hits * 10000) div $kTop").as("recall_bp"))
+
+        val rLsh = recallOf(lshTop)
+        val rP1 = recallOf(ivfTop(1))
+        val rP2 = recallOf(ivfTop(2))
+        val rDelta = rP1
+          .select(col("pid"), col("recall_bp").as("r1"))
+          .join(broadcast(rP2.select(col("pid").as("pid2"), col("recall_bp").as("r2"))),
+            col("pid") === col("pid2"))
+          .select(col("pid"), (col("r2") - col("r1")).as("recall_bp"))
+
+        def summary(m: String, floorBp: Long, rp: org.apache.spark.sql.DataFrame) = rp
+          .agg(
+            count(lit(1)).as("n_probes"),
+            expr("sum(recall_bp) div count(1)").as("mean_recall_bp"),
+            min(col("recall_bp")).as("min_recall_bp"))
+          .select(
+            lit(m).as("method"), lit(kTop.toLong).as("k"), col("n_probes"),
+            col("mean_recall_bp"), col("min_recall_bp"),
+            lit(floorBp).as("floor_bp"),
+            (col("mean_recall_bp") >= floorBp).as("floor_ok"))
+
+        summary("ivf_p1", 2000L, rP1)
+          .unionAll(summary("ivf_p2", 3500L, rP2))
+          .unionAll(summary("ivf_p2_minus_p1", 0L, rDelta))
+          .unionAll(summary("lsh", 50L, rLsh))
+          .orderBy("method")
+      },
+      Some(s"""$ivfCtes,
+          probes AS (SELECT vec_id AS pid, embedding AS p FROM vecs
+            WHERE vec_id >= 100 AND vec_id < 120),
+          escored AS (SELECT pid, vec_id,
+              ${r6(cosine("embedding", "p"))} AS cos
+            FROM vecs, probes WHERE vec_id <> pid),
+          exact AS (SELECT pid AS e_pid, vec_id AS e_vid FROM (
+              SELECT pid, vec_id,
+                row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rk
+              FROM escored) WHERE rk <= 10),
+          be AS (SELECT vec_id, embedding,
+              ${signBucketAdaptive("embedding", "(SELECT count(*) FROM embeddings)")} AS bkt
+            FROM vecs),
+          pbe AS (SELECT vec_id AS pid, embedding AS p, bkt AS pbkt FROM be
+            WHERE vec_id >= 100 AND vec_id < 120),
+          lsh AS (SELECT pid AS a_pid, vec_id AS a_vid FROM (
+              SELECT p.pid, b.vec_id,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY ${r6(cosine("b.embedding", "p.p"))} DESC, b.vec_id) AS rk
+              FROM be b JOIN pbe p ON b.bkt = p.pbkt AND b.vec_id <> p.pid)
+            WHERE rk <= 10),
+          pcells AS (SELECT pid, p, cell, rk AS prk FROM (
+              SELECT pr.pid, pr.p, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY pr.pid
+                  ORDER BY ${r6(dot("pr.p", "c.cent"))} DESC, c.cent_id) AS rk
+              FROM probes pr, cents2 c) WHERE rk <= 2),
+          ivf1 AS (SELECT pid AS a_pid, vec_id AS a_vid FROM (
+              SELECT pc.pid, a.vec_id,
+                row_number() OVER (PARTITION BY pc.pid
+                  ORDER BY ${r6(cosine("a.embedding", "pc.p"))} DESC, a.vec_id) AS rk
+              FROM assigned a JOIN pcells pc
+                ON a.cell = pc.cell AND pc.prk <= 1 AND a.vec_id <> pc.pid)
+            WHERE rk <= 10),
+          ivf2 AS (SELECT pid AS a_pid, vec_id AS a_vid FROM (
+              SELECT pc.pid, a.vec_id,
+                row_number() OVER (PARTITION BY pc.pid
+                  ORDER BY ${r6(cosine("a.embedding", "pc.p"))} DESC, a.vec_id) AS rk
+              FROM assigned a JOIN pcells pc
+                ON a.cell = pc.cell AND pc.prk <= 2 AND a.vec_id <> pc.pid)
+            WHERE rk <= 10),
+          r_lsh AS (SELECT e_pid AS pid,
+              (CAST(count(a.a_vid) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM exact e LEFT JOIN lsh a ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid
+            GROUP BY 1),
+          r_p1 AS (SELECT e_pid AS pid,
+              (CAST(count(a.a_vid) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM exact e LEFT JOIN ivf1 a ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid
+            GROUP BY 1),
+          r_p2 AS (SELECT e_pid AS pid,
+              (CAST(count(a.a_vid) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM exact e LEFT JOIN ivf2 a ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid
+            GROUP BY 1),
+          r_delta AS (SELECT r_p1.pid, r_p2.recall_bp - r_p1.recall_bp AS recall_bp
+            FROM r_p1 JOIN r_p2 ON r_p1.pid = r_p2.pid),
+          summaries AS (
+            SELECT 'ivf_p1' AS method, CAST(10 AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n_probes,
+              CAST(sum(recall_bp) // count(*) AS BIGINT) AS mean_recall_bp,
+              CAST(min(recall_bp) AS BIGINT) AS min_recall_bp,
+              CAST(2000 AS BIGINT) AS floor_bp,
+              (sum(recall_bp) // count(*)) >= 2000 AS floor_ok FROM r_p1
+            UNION ALL
+            SELECT 'ivf_p2', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(3500 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 3500 FROM r_p2
+            UNION ALL
+            SELECT 'ivf_p2_minus_p1', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(0 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 0 FROM r_delta
+            UNION ALL
+            SELECT 'lsh', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(50 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 50 FROM r_lsh)
+          SELECT method, k, n_probes, mean_recall_bp, min_recall_bp, floor_bp, floor_ok
+          FROM summaries ORDER BY method"""),
+    ),
     // Product-quantization ANN (q67): the third ANN family next to
     // sign-LSH (q38/q39) and IVF (q41/q58). Index build: the 64-dim space
     // splits into M=4 subspaces of 16 dims; each subspace trains its own

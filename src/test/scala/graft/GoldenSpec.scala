@@ -211,6 +211,11 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q172_weighted_sample") == ((20L, "888fc84d91cc7c8bd3bde7ab874565c8")))
     // q173: integrity_ok and every census column in-hash
     assert(queryHash("q173_embedding_integrity") == ((1L, "9943ca7872d4a38458c71e20109dde55")))
+    // q174: measured ANN recall@10 — mean/min per family AND the
+    // acceptance floors are in-hash, and the P=2−P=1 delta row's min≥0
+    // rides the hash too: a recall regression (codebook drift, bucket
+    // kernel change) or a multi-probe that stops paying fails here
+    assert(queryHash("q174_ann_recall") == ((4L, "f5a1385dcf50439958aefd4864c8df93")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

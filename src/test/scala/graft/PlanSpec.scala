@@ -923,6 +923,18 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(p) == 0)
   }
 
+  test("q174 ANN recall audit: probe-bounded broadcasts only, no corpus-sized window partitions") {
+    // every join side that isn't the corpus is probe-bounded (20 probes
+    // / k·20 recall rows / 8-cell codebook) and broadcasts; the exact
+    // ground truth's top-k is the SALTED two-level rank, so window
+    // partitions are (probe, salt) then probe over ≤64·k survivors —
+    // never one probe × the whole corpus in a single partition.
+    val p = plan("q174_ann_recall")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+    assert(p.contains("salt"), "exact top-k must keep the salted first level")
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

@@ -54,6 +54,42 @@ object TextQueries {
 
   private def ws: Column = split(col("text"), " ")
 
+  /** q168/q175 shared lineage: each doc's token span [strt, e) in its
+    * source's ingest-order concat stream, from EXACT two-level prefix
+    * sums — per-(source, 1024-doc block) sums give each block its
+    * cum-before offset via a PARTITION BY source window over the
+    * ~n/1024-sized block index, and the within-block cum runs
+    * PARTITION BY (source, block). No global window; the block offsets
+    * join back block-keyed with NO pinned broadcast (the block index
+    * grows ~n/1024 — the estimator's call). Two corpus reads (block
+    * sums + doc spans — the q151 two-read class).
+    */
+  private def docSpans(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables
+      .documentsSpread(s, dir)
+      .select(col("source"), col("doc_id"), size(ws).cast("long").as("toks"))
+      .withColumn("blk", expr("doc_id div 1024"))
+    val blkW = Window
+      .partitionBy("source")
+      .orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkAgg = d
+      .groupBy("source", "blk")
+      .agg(sum("toks").as("btoks"))
+      .withColumn("cb_blk", coalesce(sum(col("btoks")).over(blkW), lit(0L)))
+      .select(col("source").as("s2"), col("blk").as("b2"), col("cb_blk"))
+    val docW = Window
+      .partitionBy("source", "blk")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(blkAgg, col("source") === col("s2") && col("blk") === col("b2"))
+      .withColumn("strt", col("cb_blk") + sum(col("toks")).over(docW) - col("toks"))
+      .withColumn("e", col("strt") + col("toks"))
+  }
+
   private def hitsCol(set: Seq[String]): Column =
     size(array_intersect(array_distinct(ws), array(set.map(lit): _*))).cast("long")
 
@@ -2109,30 +2145,8 @@ object TextQueries {
     Q(
       "q168_sequence_packing",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val W = 256L
-        val d = Tables
-          .documentsSpread(s, dir)
-          .select(col("source"), col("doc_id"), size(ws).cast("long").as("toks"))
-          .withColumn("blk", expr("doc_id div 1024"))
-        val blkW = Window
-          .partitionBy("source")
-          .orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val blkAgg = d
-          .groupBy("source", "blk")
-          .agg(sum("toks").as("btoks"))
-          .withColumn("cb_blk", coalesce(sum(col("btoks")).over(blkW), lit(0L)))
-          .select(col("source").as("s2"), col("blk").as("b2"), col("cb_blk"))
-        val docW = Window
-          .partitionBy("source", "blk")
-          .orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val spans = d
-          .join(blkAgg, col("source") === col("s2") && col("blk") === col("b2"))
-          .withColumn("strt", col("cb_blk") + sum(col("toks")).over(docW) - col("toks"))
-          .withColumn("e", col("strt") + col("toks"))
-        spans
+        docSpans(s, dir)
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -2166,6 +2180,56 @@ object TextQueries {
           (CAST(count(*) AS BIGINT) * 100) // ((CAST(sum(toks) AS BIGINT) + 255) // 256)
             AS docs_per_window_x100
         FROM b GROUP BY source ORDER BY source""")
+    ),
+    // q175: packed-window EMISSION — q168 audits the packing; this
+    // emits the artifact a trainer actually consumes: one row per
+    // (window, document segment) with the in-window offset, segment
+    // length, and the is_doc_start flag a boundary-aware loss mask /
+    // BOS-insertion step keys on. Each doc's span [strt, e) comes from
+    // the SAME two-level exact prefix sums (docSpans — zero global
+    // windows); the fan-out to windows is a map-side
+    // sequence()+explode over the ≤ toks/W + 1 windows the doc
+    // overlaps, so output work is ∝ n_docs + n_tokens/W and nothing
+    // shuffles after the span join. Segments within a window are
+    // disjoint, so (source, window_id, seg_start) is a total order.
+    // Zero-token docs occupy no stream positions and emit no segment
+    // (the W-token windows are filled by their neighbors), hence the
+    // toks > 0 guard — which also keeps sequence() ascending.
+    Q(
+      "q175_packed_windows",
+      (s, dir) => {
+        val W = 256L
+        docSpans(s, dir)
+          .filter(col("toks") > 0L)
+          .select(
+            col("source"), col("doc_id"), col("strt"), col("e"),
+            explode(expr(s"sequence(strt div $W, (e - 1) div $W)")).as("window_id"))
+          .select(
+            col("source"), col("window_id"), col("doc_id"),
+            (greatest(col("strt"), col("window_id") * W) - col("window_id") * W)
+              .as("seg_start"),
+            (least(col("e"), (col("window_id") + 1L) * W)
+              - greatest(col("strt"), col("window_id") * W)).as("seg_len"),
+            (col("window_id") === expr(s"strt div $W")).as("is_doc_start"))
+          .orderBy("source", "window_id", "seg_start")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+        c AS (SELECT source, doc_id, toks,
+            CAST(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM d),
+        b AS (SELECT source, doc_id, strt, strt + toks AS e FROM c WHERE toks > 0),
+        seg AS (SELECT source, doc_id, strt, e,
+            unnest(generate_series(strt // 256, (e - 1) // 256)) AS window_id
+          FROM b)
+        SELECT source, CAST(window_id AS BIGINT) AS window_id, doc_id,
+          CAST(greatest(strt, window_id * 256) - window_id * 256 AS BIGINT) AS seg_start,
+          CAST(least(e, (window_id + 1) * 256) - greatest(strt, window_id * 256)
+            AS BIGINT) AS seg_len,
+          (window_id = strt // 256) AS is_doc_start
+        FROM seg ORDER BY source, window_id, seg_start""")
     ),
     // q169: mixture weights — the data-mixing step that follows q152's
     // overlap and q165's profiles: temperature-sampled source weights

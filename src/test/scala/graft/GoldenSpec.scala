@@ -216,6 +216,10 @@ class GoldenSpec extends AnyFunSuite {
     // rides the hash too: a recall regression (codebook drift, bucket
     // kernel change) or a multi-probe that stops paying fails here
     assert(queryHash("q174_ann_recall") == ((4L, "f5a1385dcf50439958aefd4864c8df93")))
+    // q175: the emitted trainer artifact itself — every segment's
+    // (window, offset, length, is_doc_start) is in-hash, so a prefix-sum
+    // drift or off-by-one at a window boundary moves real mask rows
+    assert(queryHash("q175_packed_windows") == ((598L, "8d66ae10459e5824388f880d726eefa8")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -935,6 +935,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("salt"), "exact top-k must keep the salted first level")
   }
 
+  test("q175 packed-window emission: map-side explode after the span join, zero global windows") {
+    // the window fan-out must stay an expression-level Generate
+    // (sequence+explode) on the span lineage — output work ∝
+    // n_docs + n_tokens/W with no shuffle after the block-keyed span
+    // join, and both prefix-sum windows stay partitioned.
+    val p = plan("q175_packed_windows")
+    assert(p.contains("Generate explode"), "window fan-out must be an explode, not a join")
+    assert(globalWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

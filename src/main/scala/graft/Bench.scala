@@ -138,6 +138,24 @@ object Bench {
     // like-for-like across rounds: "spread" = drop-max trimmed (the
     // round-7-sanctioned headline), "spread_raw" = untrimmed max−min
     val totalSpreadRaw = results.map { case (_, ts) => spreadRaw(ts) }.filter(_ >= 0).sum
+    // batch (qNN) vs streaming (sNN) subtotals, each with its own
+    // trimmed spread. The round-13 identical-code re-run proved why the
+    // split matters: per-query ratios scattered 0.67×–1.69× on pure
+    // host noise, and the streaming class's cost is scheduler wall
+    // (AvailableNow trigger spin-up, RocksDB, JDBC hops — ~1.7 s/demo
+    // flat) while the batch class tracks the data path — folding them
+    // into one number lets a real batch regression hide inside
+    // streaming scheduling noise and vice versa.
+    def classOf(n: String): String = if (n.startsWith("s")) "streaming" else "batch"
+    val byClass: Map[String, Seq[(String, Seq[Double])]] = results.groupBy(t => classOf(t._1))
+    def classTotal(c: String): Double =
+      byClass.getOrElse(c, Nil).map(t => median(t._2)).filter(_ >= 0).sum
+    def classSpread(c: String): Double =
+      byClass.getOrElse(c, Nil).map(t => spread(t._2)).filter(_ >= 0).sum
+    def classCount(c: String): Int = byClass.getOrElse(c, Nil).size
+    val subtotalsJson =
+      s""""batch":{"value":${fmt(classTotal("batch"))},"spread":${fmt(classSpread("batch"))},"nq":${classCount("batch")}},""" +
+        s""""streaming":{"value":${fmt(classTotal("streaming"))},"spread":${fmt(classSpread("streaming"))},"nq":${classCount("streaming")}}"""
     val loadEnd = loadAvg()
     val calibEnd = calibrate()
     // full-fidelity report → file (full names, every run, medians, spreads)
@@ -145,7 +163,7 @@ object Bench {
       val qs = results.map { case (n, ts) =>
         s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -200,7 +218,7 @@ object Bench {
     val failedJson = failed
       .map(n => s""""${n.takeWhile(_ != '_')}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
     )
     spark.stop()
   }

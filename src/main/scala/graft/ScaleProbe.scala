@@ -41,7 +41,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
-        "concentration", "streaming", "text"))
+        "concentration", "streaming", "text", "epoch"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -658,6 +658,92 @@ object ScaleProbe {
         f"[scale] streaming growth: rows/epoch x${srN.toDouble / sr0}%.0f (fixed keys + sketch cells), " +
           f"s30 time x${saN / sa0}%.1f, s33 time x${sbN / sb0}%.1f " +
           f"(key-bounded epoch traffic predicts ~scan-linear)")
+    }
+
+    // Maintenance-loop rows-per-epoch probe (s34's IVF refresh, s36's
+    // HLL maintenance) — the last two bounded-work claims on the board
+    // without a measured curve. Scale arrives as MORE ROWS PER EPOCH
+    // with the EPOCH COUNT (2), the CODEBOOK (K=8 cells, seeds = the
+    // one copy of vec_id<8), the reservoir bound (TrainLimit rows by
+    // LIMIT, not id range), and the REGISTER DOMAIN (64) all fixed.
+    // The production id-threshold staging (id<250 = epoch 0) cannot
+    // express m× rows per epoch, so the probe pre-stages the epoch
+    // files itself via the registerStaged hooks: copy i of each
+    // epoch's rows keeps its epoch FILE and shifts ids by i·n. s36's
+    // copies also rename the vocabulary (fresh text → the distinct
+    // count grows with m; the registers must still reduce to ≤64
+    // cells/epoch). Per-epoch driver traffic is constant by
+    // construction (TrainLimit·dim floats + 1-row aggregates / 64
+    // registers); total time should track the distributed per-epoch
+    // scan. Work shipped to the driver instead of reduced map-side
+    // goes super-linear here.
+    if (enabled("epoch")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+      def writeOne(df: org.apache.spark.sql.DataFrame, base: String, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$base/$name")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
+      def widenedEpochs(m: Int): String = {
+        val dir = scratchDir("graft_scale_e_").toString
+        def copies(df: org.apache.spark.sql.DataFrame, idCol: String, n: Long, fresh: Boolean) =
+          (0 until m)
+            .map { i =>
+              val shifted = df.withColumn(idCol, col(idCol) + lit(i * n))
+              if (fresh && i > 0)
+                shifted.withColumn("text", regexp_replace(col("text"), "(^| )", s"$$1e$i"))
+              else shifted
+            }
+            .reduce(_ unionAll _)
+        // s34 epochs: per-epoch m× vectors; exactly one copy of the
+        // vec_id<8 seed set (copy 0's) so the initial codebook stays K=8
+        val eBase = scratchDir("graft_scale_e34_").toString
+        writeOne(copies(emb.filter(col("vec_id") < 250), "vec_id", nVec, fresh = false),
+          eBase, "0.parquet", 1000000L)
+        writeOne(copies(emb.filter(col("vec_id") >= 250), "vec_id", nVec, fresh = false),
+          eBase, "1.parquet", 2000000L)
+        graft.streaming.StreamAssign.registerStaged(dir, eBase)
+        // s36 epochs: per-epoch m× docs with per-copy-renamed vocabulary
+        val dBase = scratchDir("graft_scale_e36_").toString
+        writeOne(copies(docs.filter(col("doc_id") < 250), "doc_id", nDoc, fresh = true),
+          dBase, "0.parquet", 1000000L)
+        writeOne(copies(docs.filter(col("doc_id") >= 250), "doc_id", nDoc, fresh = true),
+          dBase, "1.parquet", 2000000L)
+        graft.streaming.Watermarks.registerDocStaged(dir, dBase)
+        // s36's exact-count audit reads documents from the dir itself
+        copies(docs, "doc_id", nDoc, fresh = true)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }
+      val s34q = SparkEntry.queries("s34_stream_ivf_refresh")
+      val s36q = SparkEntry.queries("s36_stream_hll")
+      // JIT warm on the base dir
+      s34q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      s36q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val epResults = mults.map { m =>
+        val dir = widenedEpochs(m)
+        val t0 = System.nanoTime()
+        s34q(spark, dir).write.format("noop").mode("overwrite").save()
+        val s34s = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        s36q(spark, dir).write.format("noop").mode("overwrite").save()
+        val s36s = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] x$m%-3d rows/epoch x$m (epochs=2, K=8, regs=64 fixed)  s34_ivf_refresh=$s34s%7.2f s  s36_hll=$s36s%7.2f s")
+        (m, s34s, s36s)
+      }
+      val (_, ea0, eb0) = epResults.head
+      val (_, eaN, ebN) = epResults.last
+      println(
+        f"[scale] epoch growth: rows/epoch x${mults.last / mults.head}%d, " +
+          f"s34 time x${eaN / ea0}%.1f, s36 time x${ebN / eb0}%.1f " +
+          f"(bounded reservoir + register reduce predict ~scan-linear)")
     }
     spark.stop()
   }

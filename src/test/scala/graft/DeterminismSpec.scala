@@ -77,7 +77,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q168_sequence_packing",  // two-level ORDER prefix sums — the partition-sensitive shape
     "q170_hll_registers",     // register max-merge + integer harmonic estimate
     "q171_bloom_prune",       // bit_or word aggregate + literal-filter probe
-    "q172_weighted_sample"    // hash-Bernoulli keep + broadcast rates
+    "q172_weighted_sample",   // hash-Bernoulli keep + broadcast rates
+    "q174_ann_recall",        // salted two-level top-k + recall joins (r14)
+    "q175_packed_windows"     // span explode over the ORDER prefix sums (r14)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

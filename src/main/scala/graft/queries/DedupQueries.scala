@@ -513,6 +513,101 @@ object DedupQueries {
           FROM shs, probe ORDER BY doc_id"""
       }
     ),
+    // q176: LSH banding recall/precision audit — q174's measured-recall
+    // discipline applied to the dedup family. q34 proves the banded
+    // pair generation equals the oracle's identical banding; this
+    // measures what the banding RECOVERS of exact-Jaccard ground truth
+    // — the number that justifies the (b=2, r=2) S-curve choice — and
+    // what fraction of emitted candidates are real (the verification
+    // cost every LSH dedup pays downstream). Exact all-pairs is
+    // impossible at 100 TB, so ground truth is computed WITHIN A
+    // BOUNDED DETERMINISTIC SAMPLE (doc_id % 2 = 0 AND doc_id < 4096 —
+    // the TrainLimit discipline: an absolute id cap, pushdown-friendly,
+    // ≤2048 docs at any SF; covers every test corpus entirely), while
+    // the candidate side is the PRODUCTION banding of the full corpus
+    // restricted to sample pairs — exactly how a deploy audits its
+    // index. Pair Jaccard rides the graft_jaccard kernel in integer bp
+    // (floor(j·10⁴+½) — one identical IEEE division + floor per pair);
+    // recall/precision per threshold row {5000, 8000}, guarded
+    // divisions. All joins are sample²-bounded by design.
+    Q(
+      "q176_lsh_recall",
+      (s, dir) => {
+        val samp = Tables
+          .documentsSpread(s, dir)
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 4096)
+          .select(col("doc_id"), ws.as("w"))
+        val jb = samp
+          .select(col("doc_id").as("da"), col("w").as("wa"))
+          .crossJoin(broadcast(samp.select(col("doc_id").as("db"), col("w").as("wb"))))
+          .filter(col("da") < col("db"))
+          .select(
+            col("da"), col("db"),
+            floor(call_function("graft_jaccard", col("wa"), col("wb"), lit(3)) * 10000d
+              + 0.5d).cast("long").as("jbp"))
+        val cand = candidatePairs(s, dir, "q176")
+          .filter(
+            col("doc_a") % 2 === 0 && col("doc_a") < 4096 &&
+              col("doc_b") % 2 === 0 && col("doc_b") < 4096)
+        val marked = jb
+          .join(
+            broadcast(cand), // sample²-bounded by the id cap
+            col("da") === col("doc_a") && col("db") === col("doc_b"), "left")
+          .select(col("jbp"), col("doc_a").isNotNull.as("is_cand"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nSamp = samp.agg(count(lit(1)).as("n_sample"))
+        marked
+          .select(
+            col("jbp"), col("is_cand"),
+            explode(array(lit(5000L), lit(8000L))).as("thr_bp"))
+          .groupBy("thr_bp")
+          .agg(
+            sum(when(col("jbp") >= col("thr_bp"), 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("jbp") >= col("thr_bp") && col("is_cand"), 1L).otherwise(0L))
+              .as("n_recovered"))
+          .crossJoin(broadcast(nCand))
+          .crossJoin(broadcast(nSamp))
+          .select(
+            col("thr_bp"), col("n_sample"), col("n_true"), col("n_cand"),
+            col("n_recovered"),
+            // an empty truth set is vacuously fully recovered
+            expr("""CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+              ELSE (n_recovered * 10000) div n_true END""").as("recall_bp"),
+            expr("""CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+              ELSE (n_recovered * 10000) div n_cand END""").as("precision_bp"))
+          .orderBy("thr_bp")
+      },
+      Some {
+        val sh = s"list_distinct(${shingles("string_split(text, ' ')", 3)})"
+        s"""WITH $mhCteSql, $pairsCteSql,
+          samp AS (SELECT doc_id, $sh AS sh FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id < 4096),
+          jb AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE))
+                * 10000 + 5e-1) AS BIGINT) AS jbp
+            FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+          cand AS (SELECT doc_a, doc_b FROM prs
+            WHERE doc_a % 2 = 0 AND doc_a < 4096
+              AND doc_b % 2 = 0 AND doc_b < 4096),
+          marked AS (SELECT jb.jbp, (c.doc_a IS NOT NULL) AS is_cand
+            FROM jb LEFT JOIN cand c ON jb.da = c.doc_a AND jb.db = c.doc_b),
+          nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+          ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM samp),
+          thr AS (SELECT unnest([5000, 8000]) AS thr_bp),
+          per AS (SELECT thr_bp,
+              CAST(count(*) FILTER (jbp >= thr_bp) AS BIGINT) AS n_true,
+              CAST(count(*) FILTER (jbp >= thr_bp AND is_cand) AS BIGINT) AS n_recovered
+            FROM thr CROSS JOIN marked GROUP BY thr_bp)
+          SELECT CAST(thr_bp AS BIGINT) AS thr_bp, ns.n_sample, per.n_true, nc.n_cand,
+            per.n_recovered,
+            CASE WHEN per.n_true = 0 THEN CAST(10000 AS BIGINT)
+                 ELSE (per.n_recovered * 10000) // per.n_true END AS recall_bp,
+            CASE WHEN nc.n_cand = 0 THEN CAST(0 AS BIGINT)
+                 ELSE (per.n_recovered * 10000) // nc.n_cand END AS precision_bp
+          FROM per, nc, ns ORDER BY thr_bp"""
+      }
+    ),
     // Per-source dedup-rate report — the summary every dedup pipeline
     // ships: docs, distinct duplicate-clusters, and the dup rate
     // (1 − clusters/docs) per source shard, over the q59 components.

@@ -220,6 +220,10 @@ class GoldenSpec extends AnyFunSuite {
     // (window, offset, length, is_doc_start) is in-hash, so a prefix-sum
     // drift or off-by-one at a window boundary moves real mask rows
     assert(queryHash("q175_packed_windows") == ((598L, "8d66ae10459e5824388f880d726eefa8")))
+    // q176: measured LSH banding recall/precision vs exact in-sample
+    // Jaccard — a banding change that drops true pairs or floods
+    // candidates moves these integers and fails here
+    assert(queryHash("q176_lsh_recall") == ((2L, "0b7a71228c9d78ac09d2e5abdd8b555b")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

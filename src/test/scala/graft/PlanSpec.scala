@@ -946,6 +946,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q176 LSH recall audit: every non-corpus join side is sample-bounded and broadcast") {
+    // exact ground truth is all-pairs WITHIN the id-capped sample
+    // (≤2048 docs at any SF) — the pair generation must stay a
+    // broadcast of the capped sample, and the candidate/count sides
+    // ride broadcasts too: no SortMergeJoin, no cartesian of anything
+    // unbounded, zero global windows.
+    val p = plan("q176_lsh_recall")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

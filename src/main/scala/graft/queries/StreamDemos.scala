@@ -932,6 +932,18 @@ object StreamDemos {
           est.n_regs AS n_registers_used,
           CAST(2 AS BIGINT) AS n_epochs
         FROM n, est ORDER BY m""")
+    ),
+    // s37: streaming sequence packing (StreamPack scaladoc) — q175's
+    // trainer artifact maintained per epoch: each batch's spans are its
+    // own two-level prefix sums shifted by the ≤20-cell per-source
+    // token offsets carried from prior epochs; epoch-keyed output
+    // partitions (re-delivery rewrites, never double-emits) and a
+    // computeIfAbsent offset chain. The union of per-epoch emissions is
+    // BIT-EQUAL to batch q175 — the oracle IS q175's.
+    Q(
+      "s37_stream_packed_windows",
+      (s, dir) => graft.streaming.StreamPack.streamedPackedWindows(s, dir),
+      Some(TextQueries.packedWindowsOracle)
     )
   )
 }

@@ -66,12 +66,61 @@ object TextQueries {
     */
   private def docSpans(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    docSpansOf(
+      Tables
+        .documentsSpread(s, dir)
+        .select(col("source"), col("doc_id"), size(ws).cast("long").as("toks")))
+
+  /** q175/s37 shared emission: spans (source, doc_id, toks, strt, e)
+    * → one row per (window, doc segment), unordered (callers order /
+    * partition). The fan-out is a map-side sequence()+explode over the
+    * ≤ toks/W + 1 windows each doc overlaps.
+    */
+  private[graft] def packedSegments(
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = 256L
+    spans
+      .filter(col("toks") > 0L)
+      .select(
+        col("source"), col("doc_id"), col("strt"), col("e"),
+        explode(expr(s"sequence(strt div $W, (e - 1) div $W)")).as("window_id"))
+      .select(
+        col("source"), col("window_id"), col("doc_id"),
+        (greatest(col("strt"), col("window_id") * W) - col("window_id") * W)
+          .as("seg_start"),
+        (least(col("e"), (col("window_id") + 1L) * W)
+          - greatest(col("strt"), col("window_id") * W)).as("seg_len"),
+        (col("window_id") === expr(s"strt div $W")).as("is_doc_start"))
+  }
+
+  /** The q175 oracle — also s37's (stream ≡ batch, exactly). */
+  private[graft] val packedWindowsOracle: String =
+    """WITH d AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (SELECT source, doc_id, toks,
+          CAST(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        FROM d),
+      b AS (SELECT source, doc_id, strt, strt + toks AS e FROM c WHERE toks > 0),
+      seg AS (SELECT source, doc_id, strt, e,
+          unnest(generate_series(strt // 256, (e - 1) // 256)) AS window_id
+        FROM b)
+      SELECT source, CAST(window_id AS BIGINT) AS window_id, doc_id,
+        CAST(greatest(strt, window_id * 256) - window_id * 256 AS BIGINT) AS seg_start,
+        CAST(least(e, (window_id + 1) * 256) - greatest(strt, window_id * 256)
+          AS BIGINT) AS seg_len,
+        (window_id = strt // 256) AS is_doc_start
+      FROM seg ORDER BY source, window_id, seg_start"""
+
+  /** The same span kernel over an arbitrary (source, doc_id, toks)
+    * frame — s37 runs it per micro-batch with a carried offset.
+    */
+  private[graft] def docSpansOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables
-      .documentsSpread(s, dir)
-      .select(col("source"), col("doc_id"), size(ws).cast("long").as("toks"))
-      .withColumn("blk", expr("doc_id div 1024"))
+    val d = docs.withColumn("blk", expr("doc_id div 1024"))
     val blkW = Window
       .partitionBy("source")
       .orderBy("blk")
@@ -2197,39 +2246,10 @@ object TextQueries {
     // toks > 0 guard — which also keeps sequence() ascending.
     Q(
       "q175_packed_windows",
-      (s, dir) => {
-        val W = 256L
-        docSpans(s, dir)
-          .filter(col("toks") > 0L)
-          .select(
-            col("source"), col("doc_id"), col("strt"), col("e"),
-            explode(expr(s"sequence(strt div $W, (e - 1) div $W)")).as("window_id"))
-          .select(
-            col("source"), col("window_id"), col("doc_id"),
-            (greatest(col("strt"), col("window_id") * W) - col("window_id") * W)
-              .as("seg_start"),
-            (least(col("e"), (col("window_id") + 1L) * W)
-              - greatest(col("strt"), col("window_id") * W)).as("seg_len"),
-            (col("window_id") === expr(s"strt div $W")).as("is_doc_start"))
-          .orderBy("source", "window_id", "seg_start")
-      },
-      Some("""WITH d AS (SELECT source, doc_id,
-            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-          FROM documents),
-        c AS (SELECT source, doc_id, toks,
-            CAST(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
-          FROM d),
-        b AS (SELECT source, doc_id, strt, strt + toks AS e FROM c WHERE toks > 0),
-        seg AS (SELECT source, doc_id, strt, e,
-            unnest(generate_series(strt // 256, (e - 1) // 256)) AS window_id
-          FROM b)
-        SELECT source, CAST(window_id AS BIGINT) AS window_id, doc_id,
-          CAST(greatest(strt, window_id * 256) - window_id * 256 AS BIGINT) AS seg_start,
-          CAST(least(e, (window_id + 1) * 256) - greatest(strt, window_id * 256)
-            AS BIGINT) AS seg_len,
-          (window_id = strt // 256) AS is_doc_start
-        FROM seg ORDER BY source, window_id, seg_start""")
+      (s, dir) =>
+        packedSegments(docSpans(s, dir))
+          .orderBy("source", "window_id", "seg_start"),
+      Some(packedWindowsOracle)
     ),
     // q169: mixture weights — the data-mixing step that follows q152's
     // overlap and q165's profiles: temperature-sampled source weights

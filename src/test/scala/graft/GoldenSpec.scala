@@ -224,6 +224,10 @@ class GoldenSpec extends AnyFunSuite {
     // Jaccard — a banding change that drops true pairs or floods
     // candidates moves these integers and fails here
     assert(queryHash("q176_lsh_recall") == ((2L, "0b7a71228c9d78ac09d2e5abdd8b555b")))
+    // s37: the stream-maintained packing is BIT-EQUAL to batch q175
+    // (same 598 rows, same hash) — a lost offset cell, double-emitted
+    // epoch, or batch-relative span leak breaks the equality here
+    assert(queryHash("s37_stream_packed_windows") == ((598L, "8d66ae10459e5824388f880d726eefa8")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -118,6 +118,62 @@ object SimQueries {
     ORDER BY epoch"""
   }
 
+  /** q174/q177 shared recall machinery. Exact ground truth is the q22
+    * cosine kernel pushed through a SALTED two-level top-k (rank within
+    * (probe, vec_id%64), then rank the ≤64·k survivors per probe) so no
+    * window partition is ever corpus-sized; recall joins and summaries
+    * are k·|probes|-bounded.
+    */
+  private def saltedTopK(
+      scored: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("salt", pmod(col("vec_id"), lit(64)))
+      .withColumn(
+        "rk1",
+        row_number().over(
+          Window.partitionBy("pid", "salt").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk1") <= k)
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("pid").as("e_pid"), col("vec_id").as("e_vid"))
+  }
+
+  /** Per-probe recall of `approx` (a_pid, a_vid) against `exact`
+    * (e_pid, e_vid), integer bp at k.
+    */
+  private def recallBp(
+      exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = exact
+    .join(
+      broadcast(approx),
+      col("e_pid") === col("a_pid") && col("e_vid") === col("a_vid"), "left")
+    .groupBy(col("e_pid"))
+    .agg(sum(when(col("a_pid").isNotNull, 1L).otherwise(0L)).as("hits"))
+    .select(col("e_pid").as("pid"), expr(s"(hits * 10000) div $k").as("recall_bp"))
+
+  /** One summary row per method: (mean, min) recall over the probe set
+    * with the in-hash acceptance floor.
+    */
+  private def recallSummary(
+      m: String,
+      k: Int,
+      floorBp: Long,
+      rp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = rp
+    .agg(
+      count(lit(1)).as("n_probes"),
+      expr("sum(recall_bp) div count(1)").as("mean_recall_bp"),
+      min(col("recall_bp")).as("min_recall_bp"))
+    .select(
+      lit(m).as("method"), lit(k.toLong).as("k"), col("n_probes"),
+      col("mean_recall_bp"), col("min_recall_bp"),
+      lit(floorBp).as("floor_bp"),
+      (col("mean_recall_bp") >= floorBp).as("floor_ok"))
+
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-5 to probe vec_id=0. Round before ordering so
     // the sort key is the bit-identical rounded double on both engines.
@@ -319,18 +375,7 @@ object SimQueries {
           .select(
             col("pid"), col("vec_id"),
             FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
-        val exact = scored
-          .withColumn("salt", pmod(col("vec_id"), lit(64)))
-          .withColumn(
-            "rk1",
-            row_number().over(
-              Window.partitionBy("pid", "salt").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk1") <= kTop)
-          .withColumn(
-            "rk",
-            row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk") <= kTop)
-          .select(col("pid").as("e_pid"), col("vec_id").as("e_vid"))
+        val exact = saltedTopK(scored, kTop)
 
         // sign-LSH search (q38's shape, per probe)
         val planes = VectorOps.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
@@ -369,39 +414,19 @@ object SimQueries {
           .filter(col("rk") <= kTop)
           .select(col("pid").as("a_pid"), col("vec_id").as("a_vid"))
 
-        // per-probe recall in bp — joins bounded at k·|probes| rows
-        def recallOf(approx: org.apache.spark.sql.DataFrame) = exact
-          .join(
-            broadcast(approx),
-            col("e_pid") === col("a_pid") && col("e_vid") === col("a_vid"), "left")
-          .groupBy(col("e_pid"))
-          .agg(sum(when(col("a_pid").isNotNull, 1L).otherwise(0L)).as("hits"))
-          .select(col("e_pid").as("pid"), expr(s"(hits * 10000) div $kTop").as("recall_bp"))
-
-        val rLsh = recallOf(lshTop)
-        val rP1 = recallOf(ivfTop(1))
-        val rP2 = recallOf(ivfTop(2))
+        val rLsh = recallBp(exact, lshTop, kTop)
+        val rP1 = recallBp(exact, ivfTop(1), kTop)
+        val rP2 = recallBp(exact, ivfTop(2), kTop)
         val rDelta = rP1
           .select(col("pid"), col("recall_bp").as("r1"))
           .join(broadcast(rP2.select(col("pid").as("pid2"), col("recall_bp").as("r2"))),
             col("pid") === col("pid2"))
           .select(col("pid"), (col("r2") - col("r1")).as("recall_bp"))
 
-        def summary(m: String, floorBp: Long, rp: org.apache.spark.sql.DataFrame) = rp
-          .agg(
-            count(lit(1)).as("n_probes"),
-            expr("sum(recall_bp) div count(1)").as("mean_recall_bp"),
-            min(col("recall_bp")).as("min_recall_bp"))
-          .select(
-            lit(m).as("method"), lit(kTop.toLong).as("k"), col("n_probes"),
-            col("mean_recall_bp"), col("min_recall_bp"),
-            lit(floorBp).as("floor_bp"),
-            (col("mean_recall_bp") >= floorBp).as("floor_ok"))
-
-        summary("ivf_p1", 2000L, rP1)
-          .unionAll(summary("ivf_p2", 3500L, rP2))
-          .unionAll(summary("ivf_p2_minus_p1", 0L, rDelta))
-          .unionAll(summary("lsh", 50L, rLsh))
+        recallSummary("ivf_p1", kTop, 2000L, rP1)
+          .unionAll(recallSummary("ivf_p2", kTop, 3500L, rP2))
+          .unionAll(recallSummary("ivf_p2_minus_p1", kTop, 0L, rDelta))
+          .unionAll(recallSummary("lsh", kTop, 50L, rLsh))
           .orderBy("method")
       },
       Some(s"""$ivfCtes,
@@ -482,6 +507,137 @@ object SimQueries {
               (sum(recall_bp) // count(*)) >= 50 FROM r_lsh)
           SELECT method, k, n_probes, mean_recall_bp, min_recall_bp, floor_bp, floor_ok
           FROM summaries ORDER BY method"""),
+    ),
+    // q177: quantization recall@k — the second production question
+    // after q174's "which index": at what integer width can the index
+    // SERVE? q71 audits the int8 quantizer's saturation; this measures
+    // what serving quantized vectors COSTS IN RECALL: top-10 by pure
+    // BIGINT dot product over q71-quantized vectors (clamp(floor(
+    // x/‖x‖·S + ½), ±S) at S=7 ~ int4 and S=127 ~ int8 — the integer
+    // score is exact and order-free, the one ranking on the board with
+    // no floats at all) against the exact float-cosine top-10, same
+    // probe set/universe/machinery as q174. The int8−int4 delta row is
+    // the measured value of each extra bit of width. Scale shape: the
+    // quantized arrays are a map-side projection of the same scan, the
+    // score fold is zip_with+aggregate in codegen, and the top-k is
+    // the shared salted two-level — no new shuffle class anywhere.
+    Q(
+      "q177_quant_recall",
+      (s, dir) => {
+        val kTop = 10
+        val K = graft.ops.IvfKMeans.K
+        val e = Tables.embeddings(s, dir)
+        val vecs = e.filter(col("vec_id") >= K).select("vec_id", "embedding")
+        val probes = vecs
+          .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("pid"), col("embedding").as("p"))
+        val exact = saltedTopK(
+          vecs
+            .crossJoin(broadcast(probes))
+            .filter(col("vec_id") =!= col("pid"))
+            .select(
+              col("pid"), col("vec_id"),
+              FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")),
+          kTop)
+
+        // q71's quantizer at integer width S (array<long> in [-S, S])
+        def quant(v: org.apache.spark.sql.Column, sc: Long): org.apache.spark.sql.Column = {
+          val nrm = sqrt(VectorOps.dot(v, v))
+          transform(
+            v,
+            x =>
+              greatest(
+                least(
+                  floor(when(nrm < lit(1e-12), lit(0.0))
+                    .otherwise(x.cast("double") / nrm * lit(sc.toDouble) + lit(0.5))),
+                  lit(sc)),
+                lit(-sc)))
+        }
+        def quantTop(sc: Long) = {
+          val qv = vecs.select(col("vec_id"), quant(col("embedding"), sc).as("qa"))
+          val qp = probes.select(col("pid"), quant(col("p"), sc).as("qb"))
+          saltedTopK(
+            qv.crossJoin(broadcast(qp))
+              .filter(col("vec_id") =!= col("pid"))
+              .select(
+                col("pid"), col("vec_id"),
+                // exact BIGINT dot — associative, partition-order-free
+                aggregate(zip_with(col("qa"), col("qb"), (a, b) => a * b), lit(0L), _ + _)
+                  .as("cos")),
+            kTop)
+            .select(col("e_pid").as("a_pid"), col("e_vid").as("a_vid"))
+        }
+
+        val r4 = recallBp(exact, quantTop(7L), kTop)
+        val r8 = recallBp(exact, quantTop(127L), kTop)
+        val rDelta = r4
+          .select(col("pid"), col("recall_bp").as("r1"))
+          .join(broadcast(r8.select(col("pid").as("pid2"), col("recall_bp").as("r2"))),
+            col("pid") === col("pid2"))
+          .select(col("pid"), (col("r2") - col("r1")).as("recall_bp"))
+
+        recallSummary("int4", kTop, 4000L, r4)
+          .unionAll(recallSummary("int8", kTop, 9000L, r8))
+          .unionAll(recallSummary("int8_minus_int4", kTop, 0L, rDelta))
+          .orderBy("method")
+      },
+      Some {
+        def qx(v: String, nrmOf: String, sc: Int) =
+          s"""list_transform($v, x -> greatest(least(CAST(floor(
+            CASE WHEN sqrt(${dot(nrmOf, nrmOf)}) < 1e-12 THEN 0e0
+                 ELSE CAST(x AS DOUBLE) / sqrt(${dot(nrmOf, nrmOf)}) * ${sc}e0 + 5e-1
+            END) AS BIGINT), $sc), -$sc))"""
+        def idot(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"""
+        def quantCtes(sc: Int, tag: String) =
+          s"""qv$tag AS (SELECT vec_id, ${qx("embedding", "embedding", sc)} AS qa FROM vecs),
+          qp$tag AS (SELECT pid, ${qx("p", "p", sc)} AS qb FROM probes),
+          top$tag AS (SELECT pid AS a_pid, vec_id AS a_vid FROM (
+              SELECT qp$tag.pid, qv$tag.vec_id,
+                row_number() OVER (PARTITION BY qp$tag.pid
+                  ORDER BY ${idot(s"qv$tag.qa", s"qp$tag.qb")} DESC, qv$tag.vec_id) AS rk
+              FROM qv$tag, qp$tag WHERE qv$tag.vec_id <> qp$tag.pid)
+            WHERE rk <= 10),
+          r$tag AS (SELECT e_pid AS pid,
+              (CAST(count(a.a_vid) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM exact e LEFT JOIN top$tag a
+              ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid
+            GROUP BY 1)"""
+        s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+          probes AS (SELECT vec_id AS pid, embedding AS p FROM vecs
+            WHERE vec_id >= 100 AND vec_id < 120),
+          escored AS (SELECT pid, vec_id,
+              ${r6(cosine("embedding", "p"))} AS cos
+            FROM vecs, probes WHERE vec_id <> pid),
+          exact AS (SELECT pid AS e_pid, vec_id AS e_vid FROM (
+              SELECT pid, vec_id,
+                row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rk
+              FROM escored) WHERE rk <= 10),
+          ${quantCtes(7, "4")},
+          ${quantCtes(127, "8")},
+          rd AS (SELECT r4.pid, r8.recall_bp - r4.recall_bp AS recall_bp
+            FROM r4 JOIN r8 ON r4.pid = r8.pid),
+          summaries AS (
+            SELECT 'int4' AS method, CAST(10 AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n_probes,
+              CAST(sum(recall_bp) // count(*) AS BIGINT) AS mean_recall_bp,
+              CAST(min(recall_bp) AS BIGINT) AS min_recall_bp,
+              CAST(4000 AS BIGINT) AS floor_bp,
+              (sum(recall_bp) // count(*)) >= 4000 AS floor_ok FROM r4
+            UNION ALL
+            SELECT 'int8', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(9000 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 9000 FROM r8
+            UNION ALL
+            SELECT 'int8_minus_int4', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(0 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 0 FROM rd)
+          SELECT method, k, n_probes, mean_recall_bp, min_recall_bp, floor_bp, floor_ok
+          FROM summaries ORDER BY method"""
+      }
     ),
     // Product-quantization ANN (q67): the third ANN family next to
     // sign-LSH (q38/q39) and IVF (q41/q58). Index build: the 64-dim space

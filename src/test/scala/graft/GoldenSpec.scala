@@ -228,6 +228,10 @@ class GoldenSpec extends AnyFunSuite {
     // (same 598 rows, same hash) — a lost offset cell, double-emitted
     // epoch, or batch-relative span leak breaks the equality here
     assert(queryHash("s37_stream_packed_windows") == ((598L, "8d66ae10459e5824388f880d726eefa8")))
+    // q177: int4/int8 serving recall vs exact float cosine — the
+    // measured cost of quantized serving (int8 floor 9000bp in-hash);
+    // a quantizer or integer-dot drift moves these numbers
+    assert(queryHash("q177_quant_recall") == ((3L, "79e8ebe00a8c0de9ca2beecbfe8e672c")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

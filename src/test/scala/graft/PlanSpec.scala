@@ -957,6 +957,17 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(p) == 0)
   }
 
+  test("q177 quant recall: integer-dot ranking stays map-side, salted top-k both sides") {
+    // both the float-exact and quantized rankings must ride the salted
+    // two-level top-k (no corpus-sized window partitions), quantized
+    // arrays are a map-side projection (no extra shuffle class), and
+    // every non-corpus join side broadcasts.
+    val p = plan("q177_quant_recall")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+    assert(p.contains("salt"), "top-k must keep the salted first level")
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

@@ -724,9 +724,11 @@ object ScaleProbe {
       }
       val s34q = SparkEntry.queries("s34_stream_ivf_refresh")
       val s36q = SparkEntry.queries("s36_stream_hll")
+      val s37q = SparkEntry.queries("s37_stream_packed_windows")
       // JIT warm on the base dir
       s34q(spark, sfDir).write.format("noop").mode("overwrite").save()
       s36q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      s37q(spark, sfDir).write.format("noop").mode("overwrite").save()
       val epResults = mults.map { m =>
         val dir = widenedEpochs(m)
         val t0 = System.nanoTime()
@@ -735,15 +737,21 @@ object ScaleProbe {
         val t1 = System.nanoTime()
         s36q(spark, dir).write.format("noop").mode("overwrite").save()
         val s36s = (System.nanoTime() - t1) / 1e9
-        println(f"[scale] x$m%-3d rows/epoch x$m (epochs=2, K=8, regs=64 fixed)  s34_ivf_refresh=$s34s%7.2f s  s36_hll=$s36s%7.2f s")
-        (m, s34s, s36s)
+        // s37's per-epoch work is the batch's own span kernel + emission
+        // (∝ batch rows + tokens/W) on the SAME pre-staged doc epochs;
+        // its carried state stays 20 offset cells at every multiple
+        val t2 = System.nanoTime()
+        s37q(spark, dir).write.format("noop").mode("overwrite").save()
+        val s37s = (System.nanoTime() - t2) / 1e9
+        println(f"[scale] x$m%-3d rows/epoch x$m (epochs=2, K=8, regs=64 fixed)  s34_ivf_refresh=$s34s%7.2f s  s36_hll=$s36s%7.2f s  s37_pack=$s37s%7.2f s")
+        (m, s34s, s36s, s37s)
       }
-      val (_, ea0, eb0) = epResults.head
-      val (_, eaN, ebN) = epResults.last
+      val (_, ea0, eb0, ec0) = epResults.head
+      val (_, eaN, ebN, ecN) = epResults.last
       println(
         f"[scale] epoch growth: rows/epoch x${mults.last / mults.head}%d, " +
-          f"s34 time x${eaN / ea0}%.1f, s36 time x${ebN / eb0}%.1f " +
-          f"(bounded reservoir + register reduce predict ~scan-linear)")
+          f"s34 time x${eaN / ea0}%.1f, s36 time x${ebN / eb0}%.1f, s37 time x${ecN / ec0}%.1f " +
+          f"(bounded reservoir + register reduce + batch-proportional emission predict ~scan-linear)")
     }
     spark.stop()
   }

@@ -79,7 +79,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q171_bloom_prune",       // bit_or word aggregate + literal-filter probe
     "q172_weighted_sample",   // hash-Bernoulli keep + broadcast rates
     "q174_ann_recall",        // salted two-level top-k + recall joins (r14)
-    "q175_packed_windows"     // span explode over the ORDER prefix sums (r14)
+    "q175_packed_windows",    // span explode over the ORDER prefix sums (r14)
+    "q176_lsh_recall",        // in-sample set intersections + banded candidates (r14)
+    "q177_quant_recall"       // integer-dot ranking + salted top-k (r14)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed
@@ -89,7 +91,8 @@ class DeterminismSpec extends AnyFunSuite {
     * claims. Clearing before each run makes each session re-plan and
     * re-materialize the cached stages under its own conf.
     */
-  private val cacheBacked = Set("q34_minhash_pairs", "q101_pagerank_dupgraph", "q129_triangle_count")
+  private val cacheBacked =
+    Set("q34_minhash_pairs", "q101_pagerank_dupgraph", "q129_triangle_count", "q176_lsh_recall")
 
   sample.foreach { name =>
     test(s"$name is invariant under repartitioning (4→7) and AQE off") {

@@ -118,6 +118,31 @@ object SimQueries {
     ORDER BY epoch"""
   }
 
+  /** q67/q178 shared oracle fragment: subspace m's PQ training,
+    * encoding, probe slice, and LUT as CTEs (the IvfKMeans recurrence
+    * verbatim on the sliced vectors; names suffixed with m).
+    */
+  private def pqSubCte(m: Int): String = {
+    val hi = graft.ops.IvfKMeans.K + graft.ops.IvfKMeans.TrainLimit
+    val lo = m * 16 + 1
+    val hi2 = (m + 1) * 16
+    s"""vecs$m AS (SELECT vec_id, embedding[$lo:$hi2] AS embedding
+          FROM embeddings WHERE vec_id >= 8),
+      tvecs$m AS (SELECT vec_id, embedding[$lo:$hi2] AS embedding
+          FROM embeddings WHERE vec_id >= 8 AND vec_id < $hi),
+      cents0_$m AS (SELECT vec_id AS cent_id,
+            list_transform(embedding[$lo:$hi2], x -> CAST(x AS DOUBLE)) AS cent
+          FROM embeddings WHERE vec_id < 8),
+      a0_$m AS (${assignSql(s"tvecs$m", s"cents0_$m")}),
+      cents1_$m AS (${updateSql(s"a0_$m")}),
+      a1_$m AS (${assignSql(s"tvecs$m", s"cents1_$m")}),
+      cents2_$m AS (${updateSql(s"a1_$m")}),
+      assigned$m AS (${assignSql(s"vecs$m", s"cents2_$m")}),
+      probe$m AS (SELECT embedding FROM vecs$m WHERE vec_id = 100),
+      lut$m AS (SELECT c.cent_id, ${r6(dot("p.embedding", "c.cent"))} AS v
+          FROM cents2_$m c, probe$m p)"""
+  }
+
   /** q174/q177 shared recall machinery. Exact ground truth is the q22
     * cosine kernel pushed through a SALTED two-level top-k (rank within
     * (probe, vec_id%64), then rank the ≤64·k survivors per probe) so no
@@ -703,27 +728,7 @@ object SimQueries {
           .limit(5)
       },
       Some {
-        val hi = graft.ops.IvfKMeans.K + graft.ops.IvfKMeans.TrainLimit
-        val subs = (0 until 4).map { m =>
-          val lo = m * 16 + 1
-          val hi2 = (m + 1) * 16
-          s"""vecs$m AS (SELECT vec_id, embedding[$lo:$hi2] AS embedding
-                FROM embeddings WHERE vec_id >= 8),
-            tvecs$m AS (SELECT vec_id, embedding[$lo:$hi2] AS embedding
-                FROM embeddings WHERE vec_id >= 8 AND vec_id < $hi),
-            cents0_$m AS (SELECT vec_id AS cent_id,
-                  list_transform(embedding[$lo:$hi2], x -> CAST(x AS DOUBLE)) AS cent
-                FROM embeddings WHERE vec_id < 8),
-            a0_$m AS (${assignSql(s"tvecs$m", s"cents0_$m")}),
-            cents1_$m AS (${updateSql(s"a0_$m")}),
-            a1_$m AS (${assignSql(s"tvecs$m", s"cents1_$m")}),
-            cents2_$m AS (${updateSql(s"a1_$m")}),
-            assigned$m AS (${assignSql(s"vecs$m", s"cents2_$m")}),
-            probe$m AS (SELECT embedding FROM vecs$m WHERE vec_id = 100),
-            lut$m AS (SELECT c.cent_id, ${r6(dot("p.embedding", "c.cent"))} AS v
-                FROM cents2_$m c, probe$m p)"""
-        }
-        s"""WITH ${subs.mkString(",\n")}
+        s"""WITH ${(0 until 4).map(pqSubCte).mkString(",\n")}
           SELECT a0.vec_id, (l0.v + l1.v + l2.v + l3.v) AS score
           FROM assigned0 a0
             JOIN assigned1 a1 USING (vec_id)
@@ -736,6 +741,91 @@ object SimQueries {
           WHERE a0.vec_id <> 100
           ORDER BY score DESC, vec_id LIMIT 5"""
       }
+    ),
+    // q178: IVF+PQ — the two index halves composed the way a production
+    // vector index actually ships (the FAISS IVFPQ shape): the trained
+    // coarse quantizer (q41/q58's IvfKMeans codebook) routes the search
+    // to the probe's top-P=2 cells, and within those inverted lists the
+    // ranking is q67's asymmetric-distance PQ scoring — 4 subspace
+    // codes per vector, probe LUT folded into literal CASE expressions.
+    // Raw-subvector codes (q67's encoding) rather than residual codes:
+    // the residual refinement is a quantizer-quality knob, while the
+    // COMPOSITION — cell-restricted candidate set × code-only scoring —
+    // is the structure that buys 2/K of the scan at 4 bytes/vector,
+    // which is what this operator pins. Scale shape: codebook + probe
+    // cells + LUT are all literal/broadcast index metadata; the scan
+    // reads (cell, 4 codes) per row, the semi-join prunes to 2 cells,
+    // scoring is map-side CASE arithmetic, TakeOrdered finishes — no
+    // shuffle of the corpus anywhere.
+    Q(
+      "q178_knn_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        val M = 4
+        val sub = 16
+        val K = graft.ops.IvfKMeans.K
+        val e = Tables.embeddings(s, dir)
+        val coarse = graft.ops.IvfKMeans.codebook(s, e)
+        val vecs = e.filter(col("vec_id") >= K).select("vec_id", "embedding")
+        val assigned = graft.ops.IvfKMeans.assign(vecs, coarse)
+        val cents: Seq[Seq[(Long, Array[Double])]] = (0 until M).map { m =>
+          graft.ops.IvfKMeans.codebookSeq(
+            s,
+            e.select(col("vec_id"), slice(col("embedding"), m * sub + 1, sub).as("embedding")))
+        }
+        val probeVec = vecs.filter(col("vec_id") === 100)
+        val probeCells = graft.ops.IvfKMeans.assignTopP(probeVec, coarse, 2).select("cell")
+        val probe: Array[Float] =
+          e.filter(col("vec_id") === 100).select("embedding").as[Array[Float]].head()
+        val lut: Seq[Map[Long, Double]] = (0 until M).map { m =>
+          val pm = probe.slice(m * sub, (m + 1) * sub)
+          cents(m).map { case (cid, c) =>
+            cid -> graft.ops.IvfKMeans.r6d(graft.ops.IvfKMeans.dotD(pm, c))
+          }.toMap
+        }
+        def codeCol(m: Int): org.apache.spark.sql.Column =
+          greatest(cents(m).map { case (cid, c) =>
+            struct(
+              FeatureOps
+                .r6(VectorOps.dot(slice(col("embedding"), m * sub + 1, sub), typedLit(c.toSeq)))
+                .as("d"),
+              lit(-cid).as("negid"),
+              lit(cid).as("cid"))
+          }: _*).getField("cid")
+        val encoded = assigned
+          .filter(col("vec_id") =!= 100)
+          .select(
+            col("vec_id") +: col("cell") +: (0 until M).map(m => codeCol(m).as(s"code$m")): _*)
+        def lutCol(m: Int): org.apache.spark.sql.Column = {
+          val pairs = cents(m).map { case (cid, _) => (cid, lut(m)(cid)) }
+          pairs.tail.foldLeft(when(col(s"code$m") === lit(pairs.head._1), lit(pairs.head._2))) {
+            case (acc, (cid, v)) => acc.when(col(s"code$m") === lit(cid), lit(v))
+          }
+        }
+        encoded
+          .join(broadcast(probeCells), Seq("cell"), "left_semi")
+          .select(col("vec_id"), (lutCol(0) + lutCol(1) + lutCol(2) + lutCol(3)).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""$ivfCtes,
+          ${(0 until 4).map(pqSubCte).mkString(",\n")},
+          probe_cells AS (SELECT cell FROM (
+            SELECT c.cent_id AS cell,
+              row_number() OVER (ORDER BY ${r6(dot("p.embedding", "c.cent"))} DESC, c.cent_id) AS rk
+            FROM (SELECT embedding FROM vecs WHERE vec_id = 100) p, cents2 c) WHERE rk <= 2)
+          SELECT a0.vec_id, (l0.v + l1.v + l2.v + l3.v) AS score
+          FROM assigned0 a0
+            JOIN assigned1 a1 USING (vec_id)
+            JOIN assigned2 a2 USING (vec_id)
+            JOIN assigned3 a3 USING (vec_id)
+            JOIN assigned coarse ON coarse.vec_id = a0.vec_id
+            JOIN lut0 l0 ON l0.cent_id = a0.cell
+            JOIN lut1 l1 ON l1.cent_id = a1.cell
+            JOIN lut2 l2 ON l2.cent_id = a2.cell
+            JOIN lut3 l3 ON l3.cent_id = a3.cell
+          WHERE coarse.cell IN (SELECT cell FROM probe_cells) AND a0.vec_id <> 100
+          ORDER BY score DESC, vec_id LIMIT 5""")
     ),
     // Dataset-QA: label conflicts among embedding near-duplicates (q76) —
     // pairs of near-identical embeddings (q37's bucketed cosine path)

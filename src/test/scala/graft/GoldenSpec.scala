@@ -232,6 +232,9 @@ class GoldenSpec extends AnyFunSuite {
     // measured cost of quantized serving (int8 floor 9000bp in-hash);
     // a quantizer or integer-dot drift moves these numbers
     assert(queryHash("q177_quant_recall") == ((3L, "79e8ebe00a8c0de9ca2beecbfe8e672c")))
+    // q178: the composed IVF+PQ index — coarse cell routing × PQ code
+    // scoring; a drift in either quantizer or the LUT fold moves this
+    assert(queryHash("q178_knn_ivfpq") == ((5L, "cce96825936efee20ee043bb87632c2f")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

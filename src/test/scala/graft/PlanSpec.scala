@@ -968,6 +968,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("salt"), "top-k must keep the salted first level")
   }
 
+  test("q178 IVF+PQ: literal index metadata, 2-cell semi-join, map-side CASE scoring") {
+    // the whole search must stay a scan of (cell, codes) + a broadcast
+    // semi-join on the 2 probe cells + literal CASE scoring +
+    // TakeOrdered — no SortMergeJoin, no corpus shuffle, no windows.
+    val p = plan("q178_knn_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a full sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

@@ -23,19 +23,23 @@ import sys
 
 
 def load(path):
+    """Returns (doc, per-query medians, full_fidelity) - full_fidelity is
+    False for compact driver tails, whose "slowest" top-20 is NOT the
+    full query set (so scope diffs against it would be wrong)."""
     with open(path) as f:
         d = json.load(f)
     # driver BENCH_r{N}.json wraps the parsed tail line under "parsed"
     if isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     qs = d.get("queries", {})
+    full = bool(qs)
     # full-fidelity: {"q01_...": {"median": 1.2, ...}}; compact tails
     # carry only "slowest" with short keys - usable but partial
     if qs and isinstance(next(iter(qs.values())), dict):
         qs = {k: v["median"] for k, v in qs.items()}
     elif not qs:
         qs = d.get("slowest", {})
-    return d, {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
+    return d, {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}, full
 
 
 def calib(d):
@@ -46,11 +50,14 @@ def calib(d):
 
 def main():
     if len(sys.argv) < 3:
-        print(__doc__)
-        return 2
+        # 120: outside any plausible suspect count, so a wrapper reading
+        # the exit code as "number of regressions" can't confuse a usage
+        # error with findings
+        print(__doc__, file=sys.stderr)
+        return 120
     floor = float(sys.argv[3]) if len(sys.argv) > 3 else 1.7
-    old_d, old_q = load(sys.argv[1])
-    new_d, new_q = load(sys.argv[2])
+    old_d, old_q, old_full = load(sys.argv[1])
+    new_d, new_q, new_full = load(sys.argv[2])
 
     ov, nv = old_d.get("value", -1), new_d.get("value", -1)
     print(f"total: {ov:.1f}s -> {nv:.1f}s  ({nv / ov:.3f}x)" if ov > 0 else "total: n/a")
@@ -77,7 +84,10 @@ def main():
         print(f"  SUSPECT {k}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
     if not suspects:
         print("  none beyond the noise floor")
-    new_only = sorted(set(new_q) - set(old_q))
+    # scope diff only when BOTH sides carry the full query set: on
+    # compact tails, set differences are top-20 membership churn, not
+    # added/removed queries
+    new_only = sorted(set(new_q) - set(old_q)) if (old_full and new_full) else []
     if new_only:
         tot = sum(new_q[k] for k in new_only)
         print(f"\nnew queries ({len(new_only)}, {tot:.1f}s total): "

@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** q71/q177 shared integer quantizer for one element of a normalized
+    * vector: clamp(floor(x/‖v‖·s + ½), ±s), zero-norm guarded. `nrm`
+    * must be a PRECOMPUTED column (one dot per vector) — inlining the
+    * norm expression here would re-evaluate the full O(d) dot inside
+    * every element's lambda, making quantization O(d²) per vector.
+    */
+  def quantize(x: Column, nrm: Column, s: Long): Column =
+    greatest(
+      least(
+        floor(
+          when(nrm < lit(1e-12), lit(0.0))
+            .otherwise(x.cast("double") / nrm * lit(s.toDouble) + lit(0.5))),
+        lit(s)),
+      lit(-s))
+
   /** Order-deterministic dot product. Oracle mirror:
     * `list_reduce(list_prepend(0e0, list_transform(generate_series(1,len(a)),
     *  i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))), (x,y) -> x+y)`.

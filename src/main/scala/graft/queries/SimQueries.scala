@@ -427,17 +427,19 @@ object SimQueries {
           .select(
             col("vec_id").as("pid"), col("embedding").as("p"),
             col("cell").as("pcell"), col("rk").as("prk"))
-        def ivfTop(pMax: Int) = assigned
-          .join(broadcast(pcells.filter(col("prk") <= pMax)), col("cell") === col("pcell"))
-          .filter(col("vec_id") =!= col("pid"))
-          .select(
-            col("pid"), col("vec_id"),
-            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
-          .withColumn(
-            "rk",
-            row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk") <= kTop)
-          .select(col("pid").as("a_pid"), col("vec_id").as("a_vid"))
+        // cell-restricted candidates are still ~n/K of the corpus per
+        // probe (K=8 fixed), so the ranking rides the SAME salted
+        // two-level kernel as the exact side — a plain per-probe window
+        // here would hold an entire inverted list in one partition
+        def ivfTop(pMax: Int) = saltedTopK(
+          assigned
+            .join(broadcast(pcells.filter(col("prk") <= pMax)), col("cell") === col("pcell"))
+            .filter(col("vec_id") =!= col("pid"))
+            .select(
+              col("pid"), col("vec_id"),
+              FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")),
+          kTop)
+          .select(col("e_pid").as("a_pid"), col("e_vid").as("a_vid"))
 
         val rLsh = recallBp(exact, lshTop, kTop)
         val rP1 = recallBp(exact, ivfTop(1), kTop)
@@ -565,22 +567,14 @@ object SimQueries {
               FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")),
           kTop)
 
-        // q71's quantizer at integer width S (array<long> in [-S, S])
-        def quant(v: org.apache.spark.sql.Column, sc: Long): org.apache.spark.sql.Column = {
-          val nrm = sqrt(VectorOps.dot(v, v))
-          transform(
-            v,
-            x =>
-              greatest(
-                least(
-                  floor(when(nrm < lit(1e-12), lit(0.0))
-                    .otherwise(x.cast("double") / nrm * lit(sc.toDouble) + lit(0.5))),
-                  lit(sc)),
-                lit(-sc)))
-        }
+        // q71's quantizer (shared kernel) at integer width S: the norm
+        // is a precomputed column so quantization stays O(d)/vector
+        def quant(df: org.apache.spark.sql.DataFrame, v: String, sc: Long) = df
+          .withColumn("nrm", sqrt(VectorOps.dot(col(v), col(v))))
+          .withColumn("q", transform(col(v), x => VectorOps.quantize(x, col("nrm"), sc)))
         def quantTop(sc: Long) = {
-          val qv = vecs.select(col("vec_id"), quant(col("embedding"), sc).as("qa"))
-          val qp = probes.select(col("pid"), quant(col("p"), sc).as("qb"))
+          val qv = quant(vecs, "embedding", sc).select(col("vec_id"), col("q").as("qa"))
+          val qp = quant(probes, "p", sc).select(col("pid"), col("q").as("qb"))
           saltedTopK(
             qv.crossJoin(broadcast(qp))
               .filter(col("vec_id") =!= col("pid"))
@@ -876,30 +870,18 @@ object SimQueries {
     // engines (floor(NaN) would cast differently).
     Q(
       "q71_embed_quantize",
-      (s, dir) => {
-        val nrm = sqrt(VectorOps.dot(col("embedding"), col("embedding")))
-        def qd(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          greatest(
-            least(
-              floor(
-                when(nrm < lit(1e-12), lit(0.0))
-                  .otherwise(x.cast("double") / nrm * lit(127.0) + lit(0.5))
-              ),
-              lit(127L)
-            ),
-            lit(-127L)
-          )
-        val ql = transform(col("embedding"), x => qd(x))
+      (s, dir) =>
         Tables
           .embeddings(s, dir)
+          .withColumn("nrm", sqrt(VectorOps.dot(col("embedding"), col("embedding"))))
+          .withColumn("ql", transform(col("embedding"), x => VectorOps.quantize(x, col("nrm"), 127L)))
           .select(
             col("vec_id"),
-            FeatureOps.r6(nrm).as("norm"),
-            aggregate(ql, lit(0L), (a, b) => a + b).as("sum_q"),
-            size(filter(ql, v => abs(v) === lit(127L))).cast("long").as("n_sat")
+            FeatureOps.r6(col("nrm")).as("norm"),
+            aggregate(col("ql"), lit(0L), (a, b) => a + b).as("sum_q"),
+            size(filter(col("ql"), v => abs(v) === lit(127L))).cast("long").as("n_sat")
           )
-          .orderBy("vec_id")
-      },
+          .orderBy("vec_id"),
       Some {
         val nrm = s"sqrt(${dot("embedding", "embedding")})"
         val qx = s"""greatest(least(CAST(floor(

@@ -74,6 +74,13 @@ object IncrementalRefresh {
       dbFile: String,
       id: Long,
       rows: Iterable[(Long, Long, Long, Long)]): Boolean =
+    applyRefreshAttempt(dbFile, id, rows, attemptsLeft = 4)
+
+  private def applyRefreshAttempt(
+      dbFile: String,
+      id: Long,
+      rows: Iterable[(Long, Long, Long, Long)],
+      attemptsLeft: Int): Boolean =
     DuckDbLive.withConnection(dbFile) { c =>
       def idLogged(): Boolean = {
         val st = c.createStatement()
@@ -111,15 +118,23 @@ object IncrementalRefresh {
         case t: Throwable =>
           try c.rollback()
           catch { case scala.util.control.NonFatal(_) => () }
-          // DuckDB's optimistic MVCC surfaces a CONCURRENT duplicate at
-          // commit time (PK serialization conflict) rather than at the
-          // ON CONFLICT probe — neither racer sees the other's
-          // uncommitted ledger row. If the id is committed now, the
-          // race loser is just a duplicate delivery: reject, don't
-          // throw. Anything else (including a mid-merge failure) is a
-          // real error and the rollback above un-burned the id.
+          // DuckDB's optimistic MVCC surfaces a CONCURRENT duplicate as
+          // a serialization/PK conflict — at commit time, or at the
+          // INSERT itself if it collides with the racer's still-
+          // UNCOMMITTED row; neither racer sees the other's uncommitted
+          // ledger row. If the id is committed now, the race loser is
+          // just a duplicate delivery: reject, don't throw. If it is
+          // NOT visible yet (the racer hadn't committed when we
+          // conflicted — or it aborted), RETRY the whole attempt: a
+          // committed winner makes the retry's ON CONFLICT claim 0
+          // (reject), an aborted winner lets the retry merge. Bounded
+          // attempts; a non-conflict failure (e.g. a mid-merge throw)
+          // rethrows with the rollback above having un-burned the id.
           t match {
             case _: java.sql.SQLException if idLogged() => false
+            case _: java.sql.SQLException if attemptsLeft > 1 =>
+              Thread.sleep(10L)
+              applyRefreshAttempt(dbFile, id, rows, attemptsLeft - 1)
             case _ => throw t
           }
       } finally {

@@ -948,7 +948,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q176 LSH recall audit: every non-corpus join side is sample-bounded and broadcast") {
     // exact ground truth is all-pairs WITHIN the id-capped sample
-    // (≤2048 docs at any SF) — the pair generation must stay a
+    // (≤512 docs at any SF) — the pair generation must stay a
     // broadcast of the capped sample, and the candidate/count sides
     // ride broadcasts too: no SortMergeJoin, no cartesian of anything
     // unbounded, zero global windows.

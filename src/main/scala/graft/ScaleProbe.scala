@@ -215,20 +215,31 @@ object ScaleProbe {
     }
     val q37 = SparkEntry.queries("q37_embed_neardup")
     if (enabled("ann")) {
+    // q174 rides the same widened corpora: the recall AUDIT itself must
+    // stay scan-linear (20-probe broadcast scoring + salted two-level
+    // top-k + bounded recall joins) or a deploy couldn't afford to run
+    // it continuously next to the index it audits. Copy 0 keeps the
+    // original ids, so the [100,120) probe set and the <8 codebook
+    // seeds exist at every multiple.
+    val q174 = SparkEntry.queries("q174_ann_recall")
     val annResults = mults.map { m =>
       val dir = widenedEmb(m)
       val rows = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val t0 = System.nanoTime()
       val pairs = q37(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      q174(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec174 = (System.nanoTime() - t1) / 1e9
       val planes = graft.ops.VectorOps.adaptivePlanes(rows)
-      println(f"[scale] x$m%-3d vecs=$rows%9d  q37_embed_neardup=$sec%7.2f s ($pairs pairs, $planes planes)")
-      (m, rows, sec)
+      println(f"[scale] x$m%-3d vecs=$rows%9d  q37_embed_neardup=$sec%7.2f s ($pairs pairs, $planes planes)  q174_recall_audit=$sec174%7.2f s")
+      (m, rows, sec, sec174)
     }
-    val (_, ar0, as0) = annResults.head
-    val (_, arN, asN) = annResults.last
+    val (_, ar0, as0, at0) = annResults.head
+    val (_, arN, asN, atN) = annResults.last
     println(
-      f"[scale] ann growth: data x${arN.toDouble / ar0}%.0f, q37 time x${asN / as0}%.1f (linear would be x${arN.toDouble / ar0}%.0f)"
+      f"[scale] ann growth: data x${arN.toDouble / ar0}%.0f, q37 time x${asN / as0}%.1f, " +
+        f"q174 audit time x${atN / at0}%.1f (linear would be x${arN.toDouble / ar0}%.0f)"
     )
     }
 

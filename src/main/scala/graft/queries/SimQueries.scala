@@ -70,23 +70,13 @@ object SimQueries {
     * assignments (arrival vs refreshed codebook), drift in bp, and the
     * quantized codebook checksum — the exact final state, no floats.
     */
-  private[queries] val refreshLedgerSql: String = {
-    val cbQsum = (cents: String) =>
-      s"""(SELECT CAST(sum(q) AS BIGINT) FROM (
-         SELECT unnest(list_transform(cent,
-           x -> CAST(floor(x * 1e6 + 5e-1) AS BIGINT))) AS q FROM $cents))"""
-    def epochRow(e: Int, vecs: String, sa: String, after: String) =
-      s"""SELECT CAST($e AS BIGINT) AS epoch,
-        (SELECT CAST(count(*) AS BIGINT) FROM $vecs) AS n_vecs,
-        (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM da$e) AS n_cells,
-        (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM $sa) AS n_refreshed,
-        (SELECT CAST(count(*) AS BIGINT) FROM da$e a JOIN db$e b
-           ON a.vec_id = b.vec_id AND a.cell <> b.cell) AS n_moved,
-        ((SELECT CAST(count(*) AS BIGINT) FROM da$e a JOIN db$e b
-           ON a.vec_id = b.vec_id AND a.cell <> b.cell) * 10000)
-          // (SELECT count(*) FROM $vecs) AS drift_bp,
-        ${cbQsum(after)} AS cb_qsum"""
-    s"""WITH vecs0 AS (SELECT vec_id, embedding FROM embeddings
+  /** The refresh recurrence's CTE chain alone (vecs0/vecs1 epoch
+    * slices, cI initial codebook, cE0/cE1 per-epoch refreshed
+    * codebooks, da/db assignment censuses) — shared by s34's ledger
+    * oracle and s38's recall-monitor oracle.
+    */
+  private[queries] val refreshCtes: String =
+    s"""vecs0 AS (SELECT vec_id, embedding FROM embeddings
           WHERE vec_id >= 8 AND vec_id < 250),
       vecs1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250),
       tv AS (SELECT vec_id, embedding FROM embeddings
@@ -111,7 +101,25 @@ object SimQueries {
       da0 AS (${assignSql("vecs0", "cI")}),
       db0 AS (${assignSql("vecs0", "cE0")}),
       da1 AS (${assignSql("vecs1", "cE0")}),
-      db1 AS (${assignSql("vecs1", "cE1")})
+      db1 AS (${assignSql("vecs1", "cE1")})"""
+
+  private[queries] val refreshLedgerSql: String = {
+    val cbQsum = (cents: String) =>
+      s"""(SELECT CAST(sum(q) AS BIGINT) FROM (
+         SELECT unnest(list_transform(cent,
+           x -> CAST(floor(x * 1e6 + 5e-1) AS BIGINT))) AS q FROM $cents))"""
+    def epochRow(e: Int, vecs: String, sa: String, after: String) =
+      s"""SELECT CAST($e AS BIGINT) AS epoch,
+        (SELECT CAST(count(*) AS BIGINT) FROM $vecs) AS n_vecs,
+        (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM da$e) AS n_cells,
+        (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM $sa) AS n_refreshed,
+        (SELECT CAST(count(*) AS BIGINT) FROM da$e a JOIN db$e b
+           ON a.vec_id = b.vec_id AND a.cell <> b.cell) AS n_moved,
+        ((SELECT CAST(count(*) AS BIGINT) FROM da$e a JOIN db$e b
+           ON a.vec_id = b.vec_id AND a.cell <> b.cell) * 10000)
+          // (SELECT count(*) FROM $vecs) AS drift_bp,
+        ${cbQsum(after)} AS cb_qsum"""
+    s"""WITH $refreshCtes
     ${epochRow(0, "vecs0", "sa0", "cE0")}
     UNION ALL
     ${epochRow(1, "vecs1", "sa1", "cE1")}
@@ -149,7 +157,7 @@ object SimQueries {
     * window partition is ever corpus-sized; recall joins and summaries
     * are k·|probes|-bounded.
     */
-  private def saltedTopK(
+  private[graft] def saltedTopK(
       scored: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -170,7 +178,7 @@ object SimQueries {
   /** Per-probe recall of `approx` (a_pid, a_vid) against `exact`
     * (e_pid, e_vid), integer bp at k.
     */
-  private def recallBp(
+  private[graft] def recallBp(
       exact: org.apache.spark.sql.DataFrame,
       approx: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = exact

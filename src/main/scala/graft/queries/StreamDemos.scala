@@ -944,6 +944,57 @@ object StreamDemos {
       "s37_stream_packed_windows",
       (s, dir) => graft.streaming.StreamPack.streamedPackedWindows(s, dir),
       Some(TextQueries.packedWindowsOracle)
+    ),
+    // s38: continuous recall monitoring under refresh (StreamRecall
+    // scaladoc) — per epoch, the recall of cell-restricted search under
+    // the codebook SERVING that epoch (s34's refresh chain) against the
+    // exact within-epoch top-10 for the fixed q174 probe set. The
+    // oracle unrolls the identical recurrence (SimQueries.refreshCtes —
+    // da0/da1 ARE the serving assignments) plus per-epoch recall CTEs.
+    Q(
+      "s38_stream_recall_monitor",
+      (s, dir) => graft.streaming.StreamRecall.recallLedger(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{cosine, dot, r6}
+        def epochCtes(e: Int, cb: String) =
+          s"""pc$e AS (SELECT pid, cell FROM (
+              SELECT pr.pid, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY pr.pid
+                  ORDER BY ${r6(dot("pr.p", "c.cent"))} DESC, c.cent_id) AS rk
+              FROM pr, $cb c) WHERE rk <= 2),
+          sc$e AS (SELECT pr.pid, a.vec_id,
+              ${r6(cosine("a.embedding", "pr.p"))} AS cos, a.cell
+            FROM da$e a, pr WHERE a.vec_id <> pr.pid),
+          ex$e AS (SELECT pid, vec_id FROM (
+              SELECT pid, vec_id,
+                row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rk
+              FROM sc$e) WHERE rk <= 10),
+          ap$e AS (SELECT pid, vec_id FROM (
+              SELECT s.pid, s.vec_id,
+                row_number() OVER (PARTITION BY s.pid ORDER BY s.cos DESC, s.vec_id) AS rk
+              FROM sc$e s JOIN pc$e p ON s.pid = p.pid AND s.cell = p.cell)
+            WHERE rk <= 10),
+          r$e AS (SELECT e.pid,
+              (CAST(count(a.vec_id) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM ex$e e LEFT JOIN ap$e a ON e.pid = a.pid AND e.vec_id = a.vec_id
+            GROUP BY 1)"""
+        def epochRow(e: Int, vecs: String) =
+          s"""SELECT CAST($e AS BIGINT) AS epoch,
+            (SELECT CAST(count(*) AS BIGINT) FROM $vecs) AS n_vecs,
+            CAST(count(*) AS BIGINT) AS n_probes,
+            CAST(sum(recall_bp) // count(*) AS BIGINT) AS mean_recall_bp,
+            CAST(min(recall_bp) AS BIGINT) AS min_recall_bp
+          FROM r$e"""
+        s"""WITH ${graft.queries.SimQueries.refreshCtes},
+          pr AS (SELECT vec_id AS pid, embedding AS p FROM embeddings
+            WHERE vec_id >= 100 AND vec_id < 120),
+          ${epochCtes(0, "cI")},
+          ${epochCtes(1, "cE0")}
+          ${epochRow(0, "vecs0")}
+          UNION ALL
+          ${epochRow(1, "vecs1")}
+          ORDER BY epoch"""
+      }
     )
   )
 }

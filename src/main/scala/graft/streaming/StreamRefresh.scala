@@ -43,7 +43,7 @@ object StreamRefresh {
   /** Argmax cell over literal centroids — ties to the lowest cent_id via
     * the -cid struct field (the s14 stream-safe form).
     */
-  private def cellExpr(cents: Seq[(Long, Array[Double])]): Column =
+  private[streaming] def cellExpr(cents: Seq[(Long, Array[Double])]): Column =
     greatest(cents.map { case (cid, c) =>
       struct(
         FeatureOps.r6(VectorOps.dot(col("embedding"), typedLit(c.toSeq))).as("d"),

@@ -235,6 +235,10 @@ class GoldenSpec extends AnyFunSuite {
     // q178: the composed IVF+PQ index — coarse cell routing × PQ code
     // scoring; a drift in either quantizer or the LUT fold moves this
     assert(queryHash("q178_knn_ivfpq") == ((5L, "cce96825936efee20ee043bb87632c2f")))
+    // s38: per-epoch served-index recall under the refresh chain — a
+    // refresh that degrades serving, a double-advanced codebook, or an
+    // assignment drift moves the mean/min recall integers
+    assert(queryHash("s38_stream_recall_monitor") == ((2L, "7a344f2619bd0898c48f64b2313671b5")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

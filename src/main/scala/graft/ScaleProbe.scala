@@ -727,19 +727,26 @@ object ScaleProbe {
         writeOne(copies(docs.filter(col("doc_id") >= 250), "doc_id", nDoc, fresh = true),
           dBase, "1.parquet", 2000000L)
         graft.streaming.Watermarks.registerDocStaged(dir, dBase)
-        // s36's exact-count audit reads documents from the dir itself
+        // s36's exact-count audit reads documents from the dir itself;
+        // s38's probe set reads embeddings (copy 0 keeps original ids,
+        // so vec_id ∈ [100,120) exists at every multiple)
         copies(docs, "doc_id", nDoc, fresh = true)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        copies(emb, "vec_id", nVec, fresh = false)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         dir
       }
       val s34q = SparkEntry.queries("s34_stream_ivf_refresh")
       val s36q = SparkEntry.queries("s36_stream_hll")
       val s37q = SparkEntry.queries("s37_stream_packed_windows")
+      val s38q = SparkEntry.queries("s38_stream_recall_monitor")
       // JIT warm on the base dir
       s34q(spark, sfDir).write.format("noop").mode("overwrite").save()
       s36q(spark, sfDir).write.format("noop").mode("overwrite").save()
       s37q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      s38q(spark, sfDir).write.format("noop").mode("overwrite").save()
       val epResults = mults.map { m =>
         val dir = widenedEpochs(m)
         val t0 = System.nanoTime()
@@ -754,15 +761,18 @@ object ScaleProbe {
         val t2 = System.nanoTime()
         s37q(spark, dir).write.format("noop").mode("overwrite").save()
         val s37s = (System.nanoTime() - t2) / 1e9
-        println(f"[scale] x$m%-3d rows/epoch x$m (epochs=2, K=8, regs=64 fixed)  s34_ivf_refresh=$s34s%7.2f s  s36_hll=$s36s%7.2f s  s37_pack=$s37s%7.2f s")
-        (m, s34s, s36s, s37s)
+        val t3 = System.nanoTime()
+        s38q(spark, dir).write.format("noop").mode("overwrite").save()
+        val s38s = (System.nanoTime() - t3) / 1e9
+        println(f"[scale] x$m%-3d rows/epoch x$m (epochs=2, K=8, regs=64 fixed)  s34_ivf_refresh=$s34s%7.2f s  s36_hll=$s36s%7.2f s  s37_pack=$s37s%7.2f s  s38_recall=$s38s%7.2f s")
+        (m, s34s, s36s, s37s, s38s)
       }
-      val (_, ea0, eb0, ec0) = epResults.head
-      val (_, eaN, ebN, ecN) = epResults.last
+      val (_, ea0, eb0, ec0, ed0) = epResults.head
+      val (_, eaN, ebN, ecN, edN) = epResults.last
       println(
         f"[scale] epoch growth: rows/epoch x${mults.last / mults.head}%d, " +
-          f"s34 time x${eaN / ea0}%.1f, s36 time x${ebN / eb0}%.1f, s37 time x${ecN / ec0}%.1f " +
-          f"(bounded reservoir + register reduce + batch-proportional emission predict ~scan-linear)")
+          f"s34 time x${eaN / ea0}%.1f, s36 time x${ebN / eb0}%.1f, s37 time x${ecN / ec0}%.1f, s38 time x${edN / ed0}%.1f " +
+          f"(bounded reservoir + register reduce + batch-proportional work predict ~scan-linear)")
     }
     spark.stop()
   }

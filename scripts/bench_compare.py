@@ -16,7 +16,8 @@ driver's compact BENCH_r{N}.json tail line. Reports:
     this host. Queries slower than the floor AND >0.2s absolute delta
     are listed as suspects; everything else is noise by measurement.
 
-Exit code: number of suspect regressions (0 = clean).
+Exit code: number of suspect regressions, clamped to 100 (0 = clean;
+120 = usage error).
 """
 import json
 import sys
@@ -60,9 +61,12 @@ def main():
     new_d, new_q, new_full = load(sys.argv[2])
 
     ov, nv = old_d.get("value", -1), new_d.get("value", -1)
-    print(f"total: {ov:.1f}s -> {nv:.1f}s  ({nv / ov:.3f}x)" if ov > 0 else "total: n/a")
+    # both sides must carry a total: a new file without "value" (nv=-1)
+    # would otherwise print a negative ratio
+    print(f"total: {ov:.1f}s -> {nv:.1f}s  ({nv / ov:.3f}x)"
+          if ov > 0 and nv > 0 else "total: n/a")
     oc, nc = calib(old_d), calib(new_d)
-    if oc and nc and ov > 0:
+    if oc and nc and ov > 0 and nv > 0:
         print(f"calib-normalized: {ov / oc:.1f} -> {nv / nc:.1f}  "
               f"({(nv / nc) / (ov / oc):.3f}x; host speed ratio {nc / oc:.3f}x)")
     for cls in ("batch", "streaming"):
@@ -92,7 +96,9 @@ def main():
         tot = sum(new_q[k] for k in new_only)
         print(f"\nnew queries ({len(new_only)}, {tot:.1f}s total): "
               + ", ".join(f"{k}={new_q[k]:.2f}s" for k in new_only))
-    return len(suspects)
+    # clamp below the 120 usage-error sentinel and the shell's mod-256
+    # wrap (256 suspects would otherwise exit 0 = clean)
+    return min(len(suspects), 100)
 
 
 if __name__ == "__main__":

@@ -136,6 +136,7 @@ object DedupQueries {
   private[graft] def clearStageCaches(): Unit = {
     signatureCache.clear()
     componentsCache.clear()
+    baseLabelsCache.clear()
   }
 
   private def componentLabels(
@@ -1127,6 +1128,118 @@ object DedupQueries {
               UNION ALL SELECT b FROM tri
               UNION ALL SELECT c FROM tri)
         GROUP BY doc_id ORDER BY n_tri DESC, doc_id LIMIT 20""")
+    ),
+    // q179: SUBSTRING-level exact dedup at ARBITRARY offset — the one
+    // dedup modality the board couldn't express (r14 verdict, missing
+    // #1): q125's fixed 32-word/stride-24 chunks provably miss a
+    // duplicated passage offset by <24 words from a chunk boundary
+    // (SubstringDedupSpec demonstrates the escape at offset 10), while
+    // real curation runs Lee-et-al-style substring dedup that catches a
+    // repeat at ANY position. This is that detector at minimum span
+    // K=16: every token position emits its K-token window (stride 1 —
+    // the full positional cover a suffix array gives for matches ≥ K,
+    // via hashed K-grams instead of a global suffix sort), each window
+    // reduced MAP-SIDE to one 60-bit digest, and a duplicated span of
+    // length L ≥ K at any offset shows up as a run of exactly L-K+1
+    // flagged positions — reported per doc as gram counts, dup share,
+    // and the LONGEST duplicated span (run length + K-1).
+    //
+    // Scale shape: the one corpus-wide shuffle carries (h, doc_id, pos)
+    // — 24 bytes/token, never text (the same digest-reduction
+    // discipline as q125, at stride 1 instead of 24: ~24× more rows,
+    // the honest price of arbitrary-offset coverage, and still ~4×
+    // smaller than shuffling the raw text once). Its first-occurrence
+    // window partitions by the digest (bucket sizes bounded by actual
+    // repetition); the run-merge windows partition by doc_id (bounded
+    // by document length) — no partition-less window anywhere. h60
+    // collisions are the standard hashed-k-gram false-positive trade
+    // (zero false NEGATIVES: equal spans always collide equal).
+    Q(
+      "q179_substring_dedup",
+      (s, dir) => substringDupStats(Tables.documentsSpread(s, dir), 16),
+      Some {
+        val k = 16
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          g AS (SELECT doc_id, st AS pos,
+              ${h60(s"array_to_string(w[st:st+${k - 1}], ' ')")} AS h
+            FROM w, LATERAL unnest(generate_series(1, len(w) - ${k - 1})) AS t(st)),
+          f AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM g),
+          d AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM f WHERE rn > 1),
+          r AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+            FROM d GROUP BY 1, 2),
+          rr AS (SELECT doc_id, CAST(max(len) + ${k - 1} AS BIGINT) AS max_dup_span,
+              CAST(sum(len) AS BIGINT) AS n_dup FROM r GROUP BY 1),
+          ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM f GROUP BY 1)
+          SELECT ng.doc_id, ng.n_grams,
+            CAST(COALESCE(rr.n_dup, 0) AS BIGINT) AS n_dup_grams,
+            (CAST(COALESCE(rr.n_dup, 0) AS BIGINT) * 10000) // ng.n_grams AS dup_bp,
+            CAST(COALESCE(rr.max_dup_span, 0) AS BIGINT) AS max_dup_span
+          FROM ng LEFT JOIN rr ON ng.doc_id = rr.doc_id
+          ORDER BY ng.doc_id"""
+      }
     )
   )
+
+  /** q179's kernel over an arbitrary (doc_id, text) frame — exposed so
+    * SubstringDedupSpec can drive it (and q125's chunk kernel) over the
+    * offset-10 fixture pair that demonstrates exactly what stride-24
+    * chunking misses. K is the minimum detectable span: a duplicated
+    * run of L ≥ K tokens at any offset yields L-K+1 consecutive flagged
+    * positions; shorter repeats are invisible by design (the Lee-et-al
+    * minimum-match-length knob).
+    */
+  private[graft] def substringDupStats(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // stride-1 K-grams via the native one-pass shingle kernel (empty
+    // array — and thus zero rows, matching the oracle's empty
+    // generate_series — for docs shorter than K), digested map-side
+    val grams = docs
+      .select(
+        col("doc_id"),
+        posexplode(call_function("graft_shingles", ws, lit(k))).as(Seq("pos0", "sh")))
+      .select(
+        col("doc_id"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        Hashing.h60(col("sh")).as("h"))
+    // first corpus occurrence survives; every later one is a dup gram
+    // (q125's deterministic-idempotent first-occurrence rule, stride 1)
+    val flagged = grams.withColumn(
+      "rn",
+      row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")))
+    // gaps-and-islands: consecutive dup positions share pos - rank, so
+    // each island IS one maximal duplicated span of len + K - 1 tokens
+    val runs = flagged
+      .filter(col("rn") > 1)
+      .withColumn(
+        "grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("len") + lit((k - 1).toLong)).as("max_dup_span"),
+        sum(col("len")).as("n_dup"))
+    // per-doc gram count is CLOSED-FORM (len - K + 1 when positive) — a
+    // light second projection of the scan, not a re-explode + aggregate
+    // of n_token rows (the exploded side is touched exactly once)
+    docs
+      .select(col("doc_id"), (size(ws) - (k - 1)).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+      .join(runs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+        // n_grams ≥ 1 by construction (gram-less docs emit no rows), so
+        // the integer division has no zero case on either engine
+        expr("(coalesce(n_dup, 0L) * 10000) div n_grams").as("dup_bp"),
+        coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
+      .orderBy("doc_id")
+  }
 }

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object RelQueries {
 
+  /** q171's request-keyset predicate, shared by the Spark keys filter,
+    * the map-side membership ground truth, AND the oracle SQL text —
+    * one definition so the three sites cannot drift (they previously
+    * duplicated the literals). The closed-form ground-truth equivalence
+    * (`mem` ⇔ `o_custkey IN keys`) additionally assumes orders→customer
+    * FK INTEGRITY: every o_custkey exists in customer, which the
+    * driver-generated TPC-H-shaped fixture (and the TPC-H spec)
+    * guarantees — on a fixture violating it, an order key satisfying
+    * the residue without a customer row would count as a member the
+    * keyset never held.
+    */
+  private val BloomKeyMod = 97
+  private val BloomKeyRes = 13
+
   val all: Seq[Q] = Seq(
     // Semi join ↔ EXISTS. customer is a dimension, but a SCALING one
     // (rows ∝ SF, unlike nation/region's fixed domains) — so no pinned
@@ -2994,7 +3008,7 @@ object RelQueries {
           graft.ops.Hashing.h60(concat(lit(s"bf$j:"), key.cast("string"))) % lit(mBits)
         val keys = Tables
           .customer(s, dir)
-          .filter(pmod(col("c_custkey"), lit(97)) === 13)
+          .filter(pmod(col("c_custkey"), lit(BloomKeyMod)) === BloomKeyRes)
           .select(col("c_custkey").as("k"))
         val pos = (0 until 3)
           .map(j => keys.select(posCol(j, col("k")).as("p")))
@@ -3024,15 +3038,15 @@ object RelQueries {
         val nKeys = keys.agg(count(lit(1)).as("n_keys"))
         probe
           .withColumn("pass", pass)
-          // Membership is CLOSED-FORM: the keyset IS {c_custkey % 97 ==
-          // 13}, and every o_custkey satisfies FK integrity into
-          // customer, so the audit's ground truth is the same predicate
-          // evaluated map-side on the fact row. The previous broadcast
-          // join shipped a keyset that scales with the corpus (~1% of
-          // customers) through the driver — the one pinned-broadcast-
-          // on-a-scaling-side on the board; this form does zero joins
-          // over the fact and holds at any SF.
-          .withColumn("mem", pmod(col("k"), lit(97)) === 13)
+          // Membership is CLOSED-FORM: the keyset IS {c_custkey %
+          // BloomKeyMod == BloomKeyRes} and FK integrity holds (see the
+          // constants' scaladoc), so the audit's ground truth is the
+          // same predicate evaluated map-side on the fact row. The
+          // previous broadcast join shipped a keyset that scales with
+          // the corpus (~1% of customers) through the driver — the one
+          // pinned-broadcast-on-a-scaling-side on the board; this form
+          // does zero joins over the fact and holds at any SF.
+          .withColumn("mem", pmod(col("k"), lit(BloomKeyMod)) === BloomKeyRes)
           .agg(
             count(lit(1)).as("n_probe"),
             sum(when(col("mem"), 1L).otherwise(0L)).as("n_member"),
@@ -3056,7 +3070,8 @@ object RelQueries {
       Some {
         def posSql(j: Int, key: String) =
           s"(${graft.oracle.OracleSql.h60(s"'bf$j:' || CAST($key AS VARCHAR)")}) % 4096"
-        s"""WITH keys AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 13),
+        s"""WITH keys AS (SELECT c_custkey AS k FROM customer
+            WHERE c_custkey % $BloomKeyMod = $BloomKeyRes),
           pos AS (SELECT ${posSql(0, "k")} AS p FROM keys
             UNION ALL SELECT ${posSql(1, "k")} FROM keys
             UNION ALL SELECT ${posSql(2, "k")} FROM keys),
@@ -3092,6 +3107,58 @@ object RelQueries {
           CAST(count(*) FILTER (mem AND NOT pass) AS BIGINT) = 0 AS bloom_ok
         FROM mm ORDER BY n_keys"""
       }
+    ),
+    // q182: the registered graft_* kernels exercised THROUGH SQL TEXT —
+    // q72 proves spark.sql planning over parquet tables and every batch
+    // query calls the native expressions through the DataFrame
+    // call_function path, but no declared entry had ever invoked them
+    // by NAME inside spark.sql, which is the exact surface a cluster
+    // deployment gets from `spark.sql.extensions=graft.functions
+    // .GraftExtensions` (GraftFunctions.scala — both entry points
+    // register the same builder seq, so green here proves the
+    // extension-path wiring end-to-end). Two facets, one statement:
+    // graft_ema over each user's full ordered close series (the q07
+    // recurrence, final-day value) and graft_dotf self-dot norms² over
+    // a bounded embedding slice. Scale shape: identical to the
+    // DataFrame forms — Catalyst resolves the functions to the same
+    // native codegen expressions, the bar aggregate partial-aggregates
+    // map-side, the collect_list rides one shuffle on user_id (bounded:
+    // one day-bar row per user-day), and the embedding facet is a
+    // pushed-down map-only scan of 32 rows.
+    Q(
+      "q182_sql_functions",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("graft_events")
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql("""
+          SELECT id, metric, val FROM (
+            SELECT user_id AS id, 'ema9_final' AS metric,
+              floor(graft_ema(
+                transform(array_sort(collect_list(struct(day, close))), x -> x.close),
+                9) * 1e6 + 5e-1) / 1e6 AS val
+            FROM (
+              SELECT user_id,
+                CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS day,
+                max_by(value, ts) AS close
+              FROM graft_events GROUP BY 1, 2
+            ) GROUP BY user_id
+            UNION ALL
+            SELECT vec_id AS id, 'dot_self' AS metric,
+              floor(graft_dotf(embedding, embedding) * 1e6 + 5e-1) / 1e6 AS val
+            FROM graft_embeddings WHERE vec_id < 32
+          ) ORDER BY metric, id""")
+      },
+      Some(s"""WITH ${graft.oracle.OracleSql.emaCte},
+        fin AS (SELECT user_id, arg_max(ema_fast, day) AS emaf FROM ema GROUP BY user_id)
+        SELECT id, metric, val FROM (
+          SELECT user_id AS id, 'ema9_final' AS metric,
+            floor(emaf * 1e6 + 5e-1) / 1e6 AS val FROM fin
+          UNION ALL
+          SELECT vec_id AS id, 'dot_self' AS metric,
+            ${graft.oracle.OracleSql.r6(
+              graft.oracle.OracleSql.dot("embedding", "embedding"))} AS val
+          FROM embeddings WHERE vec_id < 32)
+        ORDER BY metric, id""")
     )
   )
 }

@@ -189,6 +189,21 @@ object SimQueries {
     .agg(sum(when(col("a_pid").isNotNull, 1L).otherwise(0L)).as("hits"))
     .select(col("e_pid").as("pid"), expr(s"(hits * 10000) div $k").as("recall_bp"))
 
+  /** The summary mean, shared Spark/oracle: `sum(recall_bp) $div
+    * count(*)`. A NEGATIVE sum is reachable here — q177's int8−int4
+    * delta rows come from two independent rankings (unlike q174's
+    * structurally-≥0 P2−P1 candidate-superset delta) — so the two
+    * engines' integer-division semantics on negative numerators are
+    * load-bearing, not fixture-shadowed: MEASURED (ZeroDenomGuardSpec
+    * "negative sums divide identically"), Spark's `div` and DuckDB's
+    * `//` BOTH truncate toward zero (-4/3 → -1, -5/20 → 0), so the bare
+    * form is cross-engine exact and needs no sign guard. A CASE-based
+    * floor guard on one side would itself introduce the q162-class
+    * divergence the guard would claim to close.
+    */
+  private[graft] def meanBpSql(div: String): String =
+    s"sum(recall_bp) $div count(*)"
+
   /** One summary row per method: (mean, min) recall over the probe set
     * with the in-hash acceptance floor.
     */
@@ -199,7 +214,7 @@ object SimQueries {
       rp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = rp
     .agg(
       count(lit(1)).as("n_probes"),
-      expr("sum(recall_bp) div count(1)").as("mean_recall_bp"),
+      expr(meanBpSql("div")).as("mean_recall_bp"),
       min(col("recall_bp")).as("min_recall_bp"))
     .select(
       lit(m).as("method"), lit(k.toLong).as("k"), col("n_probes"),

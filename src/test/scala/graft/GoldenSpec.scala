@@ -241,6 +241,17 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("s38_stream_recall_monitor") == ((2L, "7a344f2619bd0898c48f64b2313671b5")))
   }
 
+  test("round-15 additions sf0.001 golden hashes") {
+    // q179: arbitrary-offset substring dedup — every doc's gram census,
+    // dup share, and LONGEST duplicated span are in-hash; a digest or
+    // run-merge drift (off-by-one at a span boundary) moves real rows
+    assert(queryHash("q179_substring_dedup") == ((468L, "c43faa340fb6d99826bc6789a47707cc")))
+    // q182: the graft_* kernels invoked BY NAME through spark.sql — the
+    // SparkSessionExtensions deployment surface; a registration break or
+    // a native-kernel drift (EMA fold, float-dot order) fails here
+    assert(queryHash("q182_sql_functions") == ((47L, "5ac422a7f09b05e903285dde987ad742")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

@@ -978,6 +978,38 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(p) == 0)
   }
 
+  test("q179 substring dedup: digest-keyed shuffle only, both windows partitioned, no gram re-explode for counts") {
+    // the corpus-wide shuffle must carry (h, doc_id, pos) — the exploded
+    // grams are touched exactly once (the n_grams side is a closed-form
+    // projection, not a second explode), the first-occurrence window
+    // partitions by the digest and the run-merge window by doc_id (no
+    // partition-less window), and nothing shuffles raw text
+    val p = plan("q179_substring_dedup")
+    assert(count(p, "Generate posexplode") == 1, "grams must explode exactly once")
+    assert(globalWindows(p) == 0)
+    assert(count(p, "Window ") == 2, "first-occurrence + run-merge windows only")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q182 SQL surface: native kernels resolve by name, same plan class as the DataFrame forms") {
+    // the SQL text must land on the SAME native codegen expressions the
+    // DataFrame path uses (not a fallback), the bar aggregate must
+    // partial-aggregate map-side before its one user_id shuffle, and
+    // the embedding facet must stay a pushed-down map-only scan
+    val df = SparkEntry.queries("q182_sql_functions")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // graft_ema sits in the final aggregate's RESULT expressions, which
+    // the executed-plan one-liner elides — pin it on the optimized plan
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_ema("),
+      "graft_ema must resolve to the native EmaFold")
+    assert(p.contains("graft_dotf("), "graft_dotf must resolve to the native DotF")
+    assert(p.contains("partial_"), "bar aggregate must map-side combine")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,32)]"),
+      "embedding-facet filter must reach the parquet scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec
@@ -1006,6 +1038,26 @@ class PlanSpec extends AnyFunSuite {
       // value-domain-bounded frame at ckpt() time:
       "q166_top_share" -> ((0, 1)) // r11's escapee: asc cum over the bounded revenue-bin index
     )
+    // Ckpt's recording queue is process-global, so per-query (final,
+    // ckpt) attribution must be made order-independent two ways:
+    //   1. the dir-memoized shared stages (signature index, cluster
+    //      labels, q81 base labels) fire their ckpt()s on FIRST touch in
+    //      the JVM — whether that lands inside this sweep (and on which
+    //      query) depends on which suites ran earlier. Clearing the memo
+    //      caches here makes the sweep always run COLD, so first-touch
+    //      lineages are attributed deterministically to the first
+    //      Registry-order toucher (all such lineages plan zero global
+    //      windows, so the allowlist pairs hold cold or warm — but a
+    //      future offending memoized lineage now fails the same way
+    //      every run instead of only when suite order exposes it).
+    //   2. no ckpt() may run CONCURRENTLY with the sweep: suites execute
+    //      sequentially in the forked test JVM (Test/fork with sbt's
+    //      default testForkedParallel=false), and each streaming query's
+    //      foreachBatch ckpts run to completion inside its own recorded
+    //      segment (the batch-materialized streaming demos block until
+    //      the stream drains). Enabling parallel suite execution would
+    //      invalidate this test.
+    queries.DedupQueries.clearStageCaches()
     val offenders = queries.Registry.all.flatMap { q =>
       ops.Ckpt.startRecording()
       val fin = globalWindows(plan(q.name))

@@ -69,4 +69,37 @@ class ZeroDenomGuardSpec extends AnyFunSuite {
     }
     assert(dd == Seq(0L, 100L))
   }
+
+  test("q174/q177 summary mean: negative sums divide identically on both engines") {
+    // q177's int8−int4 delta rows come from two INDEPENDENT rankings,
+    // so their sum — unlike q174's structurally-≥0 P2−P1 superset
+    // delta — can go negative, where integer-division semantics stop
+    // being fixture-shadowed. MEASURED here: Spark `div` and DuckDB
+    // `//` BOTH truncate toward zero (-4/3 → -1, not floor's -2;
+    // -5/20 → 0, not -1), so the bare shared form
+    // (SimQueries.meanBpSql) is cross-engine exact as-is. This pin
+    // exists so a future "fix" adding a floor guard to ONE side — the
+    // q162 divergence class — fails loudly instead of passing on a
+    // nonnegative fixture.
+    def spMean(vals: Seq[Long]): Long = vals
+      .toDF("recall_bp")
+      .agg(expr(graft.queries.SimQueries.meanBpSql("div")).as("m"))
+      .collect()(0).getLong(0)
+    assert(spMean(Seq(-5L, 0L, 1L)) == -1L) // trunc(-4/3), floor would be -2
+    assert(spMean(Seq(5L, 0L, 1L)) == 2L)
+    assert(spMean(Seq(-5L, 0L, 0L, 0L)) == -1L) // trunc(-5/4), floor would be -2
+
+    assume(DuckDbLive.available, "duckdb_jdbc jar not in the offline cache")
+    def ddMean(vals: Seq[Long]): Long = DuckDbLive.withConnection("") { c =>
+      DuckDbLive
+        .queryRows(c,
+          s"""SELECT ${graft.queries.SimQueries.meanBpSql("//")} AS m
+             FROM (VALUES ${vals.map(v => s"(CAST($v AS BIGINT))").mkString(", ")})
+               t(recall_bp)""")
+        .map(_.head.asInstanceOf[Number].longValue)
+    }.head
+    assert(ddMean(Seq(-5L, 0L, 1L)) == -1L)
+    assert(ddMean(Seq(5L, 0L, 1L)) == 2L)
+    assert(ddMean(Seq(-5L, 0L, 0L, 0L)) == -1L)
+  }
 }

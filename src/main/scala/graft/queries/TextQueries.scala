@@ -265,6 +265,108 @@ object TextQueries {
       WHERE tf_join + tf_scan + tf_vector > 0)"""
   }
 
+  /** q180's fixed BPE merge table: 278 ranked merges (each "x y" merges
+    * adjacent symbols x,y → xy), the classic GPT-2-style shape — ~150
+    * frequent character pairs, then subword/word chains built from
+    * them. DELIBERATELY literal (the deterministic-apply contract: both
+    * engines replay the identical ranked list; training a table is a
+    * separate concern), with five fixture words left mid-merge
+    * (customer/column/vector/query/dup stay 2 tokens) so real-token
+    * counts differ from whitespace counts doc-by-doc, like a real
+    * tokenizer on rare words. Every side of every merge is a single
+    * char or an earlier merge's result (BpeSpec pins well-formedness);
+    * generic-English tail entries that never fire on the fixture vocab
+    * are the normal dead mass any production table carries.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t h", "h e", "i n", "e r", "a n", "r e", "o n",
+    "a t", "e n", "o r", "t e", "e d", "i s", "i t",
+    "a l", "a r", "s t", "t o", "n t", "n d", "s e",
+    "h a", "a s", "o u", "i o", "l e", "v e", "c o",
+    "m e", "d e", "h i", "r i", "r o", "i c", "n e",
+    "e a", "r a", "c e", "l i", "c h", "l l", "b e",
+    "m a", "s i", "o m", "u r", "c a", "e l", "t a",
+    "l a", "n s", "t i", "n o", "u s", "p e", "o w",
+    "h o", "e s", "w a", "d i", "u n", "l o", "w i",
+    "m o", "l y", "v i", "s a", "i d", "n i", "o l",
+    "s u", "g e", "f o", "p a", "m i", "p o", "k e",
+    "d a", "a c", "p r", "s h", "s p", "t r", "p l",
+    "b l", "f r", "g r", "f e", "b o", "b a", "b u",
+    "c u", "d u", "f a", "f i", "f u", "g a", "q u",
+    "u e", "r y", "u p", "r t", "r k", "i g", "l u",
+    "l t", "a m", "a b", "a d", "a g", "a p", "a u",
+    "a w", "a y", "e c", "e f", "e g", "e m", "e p",
+    "e t", "e w", "e y", "i b", "i k", "i l", "i m",
+    "i p", "i v", "j o", "o b", "o c", "o d", "o g",
+    "o k", "o p", "o t", "o v", "o y", "u b", "u c",
+    "u d", "u g", "u k", "u m", "th e", "in g", "an d",
+    "er s", "io n", "ti on", "a tion", "en t", "an t", "ar e",
+    "or e", "er e", "th at", "th is", "wi th", "ha ve", "f or",
+    "wa s", "hi s", "no t", "bu t", "al l", "y ou", "w he",
+    "whe n", "the re", "the y", "fr om", "on e", "w or", "wor d",
+    "ma n", "li ke", "ti me", "mo re", "wi ll", "s o", "w e",
+    "c an", "in e", "at a", "al ue", "er ge", "d er", "t or",
+    "ar t", "or t", "m all", "l ow", "lu m", "lt er", "d ow",
+    "in dow", "jo in", "ha sh", "ro w", "b at", "bat ch", "s can",
+    "cu st", "cust om", "lum n", "fi lter", "s mall", "s low", "m erge",
+    "or der", "ve c", "l ine", "d ata", "b le", "ta ble", "ag g",
+    "v alue", "ke y", "re am", "st ream", "w indow", "ar k", "sp ark",
+    "gr ou", "grou p", "p art", "b ig", "s ort", "er y", "fa st",
+    "fi le", "s k", "ta sk", "pl an", "de x", "co de", "co st",
+    "st at", "stat s", "re ad", "pa ge", "c k", "b lo", "blo ck",
+    "c he", "ca che", "i ll", "sp ill", "un e", "pr une", "p u",
+    "pu sh", "l im", "lim it", "o f", "of f", "se t", "off set",
+    "p ro", "pro be", "ar d", "sh ard", "me ta", "s ca", "sca le",
+    "t ch", "fe tch", "re du", "redu ce", "ma p", "f l", "fl at",
+    "flat map", "spark s", "qu e", "que r", "quer y"
+  ).map { p => val Array(x, y) = p.split(" ", 2); (x, y) }
+
+  /** The BPE apply as ONE generated scalar expression, shared textually
+    * by both engines: symbols ride a '<sym>'-delimited string (corpus
+    * alphabet is space + a–y, so '<'/'>' can't collide), and each
+    * ranked merge is a plain left-to-right non-overlapping
+    * replace('<x><y>' → '<xy>') — exactly classic BPE's per-rank scan,
+    * including the '<a><a><a>' → '<aa><a>' overlap rule, which Spark's
+    * `replace` and DuckDB's `replace` implement identically (BpeSpec
+    * pins the parity). `base` is the engine-specific char-split
+    * regexp_replace; the 278-deep nesting is mechanical but each layer
+    * is a codegen'd StringReplace — the whole encode is a map-side
+    * scalar chain. The Spark side builds the SAME chain as a Column
+    * tree (bpeEncode) because the 278-deep text overflows the SQL
+    * parser's recursion ([FAILED_TO_PARSE_TOO_COMPLEX]) — the analyzer
+    * and codegen handle the tree fine; only the PARSER is the limit.
+    */
+  private[graft] def bpeChainSql(base: String): String =
+    bpeChainSql(base, bpeMerges)
+
+  private def bpeChainSql(base: String, slice: Seq[(String, String)]): String =
+    slice.foldLeft(base) { case (s, (x, y)) =>
+      s"replace($s, '<$x><$y>', '<$x$y>')"
+    }
+
+  /** The oracle-side chain, STAGED: DuckDB's binder caps expression
+    * recursion at 128, so the 278 ranked replaces split into chained
+    * CTEs of ≤90 (rank order preserved across stages — staging is
+    * associative for a sequential replace chain). Emits the CTE list
+    * `enc0, …, encN`; the final stage is named `enc` with column `e`.
+    */
+  private[graft] def bpeStagedCtes(base: String, src: String): String = {
+    val stages = bpeMerges.grouped(90).toSeq
+    val ctes = stages.zipWithIndex.map { case (slice, i) =>
+      val in = if (i == 0) base else "e"
+      val from = if (i == 0) src else s"enc$i"
+      val name = if (i == stages.size - 1) "enc" else s"enc${i + 1}"
+      s"$name AS (SELECT word, ${bpeChainSql(in, slice)} AS e FROM $from)"
+    }
+    ctes.mkString(",\n        ")
+  }
+
+  /** The identical chain as a Column tree (see bpeChainSql). */
+  private[graft] def bpeEncode(word: Column): Column =
+    bpeMerges.foldLeft(regexp_replace(word, "(.)", "<$1>")) { case (c, (x, y)) =>
+      replace(c, lit(s"<$x><$y>"), lit(s"<$x$y>"))
+    }
+
   val all: Seq[Q] = Seq(
     // Per-language corpus stats. avg computed as exact BIGINT sum / count,
     // divided once — immune to partial-aggregation order.
@@ -2483,6 +2585,89 @@ object TextQueries {
                  - max(target_tokens)) * 10000) // max(target_tokens)
           END AS calib_dev_bp
         FROM k GROUP BY source ORDER BY source""")
+    ),
+    // q180: deterministic BPE apply — REAL token counts for the budgets
+    // everything downstream prices in "tokens" (r14 verdict, missing
+    // #2): q29 counts whitespace/regex pre-tokens and q168/q175 pack
+    // that proxy; here each word is encoded by the fixed 278-merge
+    // table (bpeMerges — iterative ranked pair-merge to fixpoint, the
+    // exact GPT-2 apply recurrence) and the q175 packing spans are
+    // RE-DERIVED on the real counts as an in-hash parity facet (strt/e
+    // ride the same docSpansOf two-level prefix sums — zero global
+    // windows). cmp_bp (tokens per 100 chars) is the fertility metric a
+    // tokenizer eval reports.
+    //
+    // Scale shape: the 278-replace chain runs ONCE PER DISTINCT WORD
+    // (vocab-bounded — Heaps-law sublinear in corpus size, the
+    // tokenizer-cache trick every production pipeline uses), not per
+    // word instance; instances ride integer (count × per-word-tokens)
+    // arithmetic through one (doc, word) shuffle + one vocab-keyed join
+    // + one doc-keyed rollup. The oracle replays the IDENTICAL
+    // generated replace chain (bpeChainSql — shared text, engine-
+    // specific only in the char-split base).
+    Q(
+      "q180_bpe_tokenize",
+      (s, dir) => {
+        val wc = Tables
+          .documentsSpread(s, dir)
+          .select(col("source"), col("doc_id"), explode(ws).as("word"))
+          .groupBy("source", "doc_id", "word")
+          .agg(count(lit(1)).as("c"))
+        val tok = wc
+          .select("word")
+          .distinct()
+          .select(col("word"), bpeEncode(col("word")).as("e"))
+          .select(
+            col("word"),
+            (length(col("e")) - length(expr("replace(e, '<', '')"))).cast("long").as("ntok"),
+            length(col("word")).cast("long").as("nch"))
+        val td = wc
+          .join(tok, "word")
+          .groupBy("source", "doc_id")
+          .agg(
+            sum(col("c")).as("n_words"),
+            sum(col("c") * col("ntok")).as("toks"),
+            sum(col("c") * col("nch")).as("n_chars"))
+          // docSpansOf reads its input twice (block sums + doc spans —
+          // the q151 two-read class); unlike q175's cheap scan
+          // projection, td is a join + two shuffles, so materialize the
+          // one-row-per-doc table once instead of re-running the word
+          // explode + vocab encode lineage per read
+          .ckpt()
+        docSpansOf(td)
+          .select(
+            col("source"), col("doc_id"), col("n_words"),
+            col("toks").as("n_tokens"),
+            // guarded: an all-empty-word doc has zero chars (q162 class)
+            expr("""CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+              ELSE (toks * 10000) div n_chars END""").as("cmp_bp"),
+            col("strt"), col("e"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wr AS (SELECT source, doc_id,
+            unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT source, doc_id, word, CAST(count(*) AS BIGINT) AS c
+          FROM wr GROUP BY 1, 2, 3),
+        vocab AS (SELECT DISTINCT word FROM wc),
+        ${bpeStagedCtes("regexp_replace(word, '(.)', '<\\1>', 'g')", "vocab")},
+        tok AS (SELECT word,
+            CAST(len(e) - len(replace(e, '<', '')) AS BIGINT) AS ntok,
+            CAST(len(word) AS BIGINT) AS nch
+          FROM enc),
+        td AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+            CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+            CAST(sum(c * nch) AS BIGINT) AS n_chars
+          FROM wc JOIN tok USING (word) GROUP BY 1, 2),
+        fin AS (SELECT source, doc_id, n_words, n_tokens,
+            CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                 ELSE (n_tokens * 10000) // n_chars END AS cmp_bp,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS strt
+          FROM td)
+        SELECT source, doc_id, n_words, n_tokens, cmp_bp, strt,
+          strt + n_tokens AS e
+        FROM fin ORDER BY doc_id""")
     )
   )
 }

@@ -246,6 +246,10 @@ class GoldenSpec extends AnyFunSuite {
     // dup share, and LONGEST duplicated span are in-hash; a digest or
     // run-merge drift (off-by-one at a span boundary) moves real rows
     assert(queryHash("q179_substring_dedup") == ((468L, "c43faa340fb6d99826bc6789a47707cc")))
+    // q180: real-token counts under the fixed 278-merge BPE table AND
+    // the re-derived packing spans (strt/e) are in-hash — a merge-rank
+    // drift, a staging bug, or a prefix-sum regression moves real rows
+    assert(queryHash("q180_bpe_tokenize") == ((500L, "8b278c60d5cbc4b019b220e281ec3baa")))
     // q182: the graft_* kernels invoked BY NAME through spark.sql — the
     // SparkSessionExtensions deployment surface; a registration break or
     // a native-kernel drift (EMA fold, float-dot order) fails here

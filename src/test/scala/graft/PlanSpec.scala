@@ -991,6 +991,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q180 BPE tokenize: vocab-bounded encode, materialized per-doc table feeds the two-read span kernel") {
+    // the 278-replace chain must run on the DISTINCT-word frame only
+    // (vocab-bounded — never per word instance), and docSpansOf's two
+    // reads must hit the materialized (ckpt'd) per-doc token table, not
+    // re-run the explode + vocab-join lineage (both final-plan scans are
+    // ExistingRDD); both span windows are source-partitioned
+    val p = plan("q180_bpe_tokenize")
+    assert(count(p, "Scan ExistingRDD") == 2, "span kernel must read the materialized td twice")
+    assert(!p.contains("FileScan"), "no raw re-scan after materialization")
+    assert(globalWindows(p) == 0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q182 SQL surface: native kernels resolve by name, same plan class as the DataFrame forms") {
     // the SQL text must land on the SAME native codegen expressions the
     // DataFrame path uses (not a fallback), the bar aggregate must

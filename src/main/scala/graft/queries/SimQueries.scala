@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{FeatureOps, Tables, VectorOps}
+import graft.ops.Ckpt.RichCkpt
 import graft.oracle.OracleSql._
 import org.apache.spark.sql.functions._
 
@@ -1092,6 +1093,193 @@ object SimQueries {
             AND count(*) FILTER (has_nan) = 0
             AND count(*) FILTER (all_zero) = 0) AS integrity_ok
         FROM j ORDER BY n_docs""")
+    ),
+    // q181: in-engine text→embedding featurizer + recall audit — the
+    // lineage the board never ran END-TO-END (r14 verdict, missing #4):
+    // every ANN entry consumes fixture embeddings; here the vectors are
+    // GENERATED from `documents` by a deterministic hashed char-3-gram
+    // projection (the feature-hashing trick: bucket = h60('em:'||gram)
+    // mod 64, sign from the hash's next bit, INTEGER accumulators so
+    // both engines sum exactly; float-cast at the end — counts are
+    // small ints, exact in float32), then the q174 IVF recall audit
+    // runs on those generated vectors: doc → vector → trained codebook
+    // → cell-restricted search → measured recall@10, one lineage, no
+    // fixture embeddings anywhere. Floors measured at sf0.001/0.01/0.1
+    // (identical — the documents fixture is SF-invariant: mean 5900 /
+    // 7500, min 0 / 3000) and set just below the means: P1 5800, P2
+    // 7400; the P2−P1 delta rides at ≥ 0 (structural: P2's candidate
+    // set contains P1's — measured value of the second probe: 1600 bp).
+    //
+    // Scale shape: featurization is a MAP-SIDE scalar chain (two nested
+    // HOFs — md5 once per gram, then 64 integer fold-sums), ckpt'd once
+    // so the codebook collects, assignment, probes, and exact side all
+    // read the materialized 64-float table instead of re-hashing text;
+    // everything downstream reuses q174's audited shapes (TrainLimit
+    // codebook, broadcast probe cells, salted two-level exact top-k).
+    Q(
+      "q181_embed_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val kTop = 10
+        val K = graft.ops.IvfKMeans.K
+        val emb = Tables
+          .documentsSpread(s, dir)
+          .filter(length(col("text")) >= 3)
+          .select(col("doc_id").as("vec_id"), expr(
+            """transform(
+                 transform(sequence(1, length(text) - 2),
+                   i -> cast(conv(substring(md5(concat('em:', substring(text, i, 3))), 1, 15), 16, 10) as bigint)),
+                 h -> (h % 64) + 64 * ((h div 64) % 2))""").as("gs"))
+          .select(col("vec_id"), expr(
+            """transform(sequence(0, 63),
+                 j -> cast(aggregate(gs, 0L,
+                   (a, x) -> a + (case when x = j then 1L
+                                       when x = j + 64 then -1L
+                                       else 0L end)) as double))""").as("raw"))
+          // raw hashed counts are NOT unit-norm, and IVF assigns by max
+          // DOT — without normalization every vector lands in the one
+          // largest-magnitude centroid's cell (measured: 492/492 in one
+          // cell) and the audit trivializes. Production featurizers
+          // normalize before indexing; here that's the q71/q177 int8
+          // quantizer (the shared cross-engine-exact kernel): unit-
+          // normalize, scale to ±127, floor — integer components,
+          // exact in float32, cells spread 12–194 across all 8.
+          .filter(VectorOps.dot(col("raw"), col("raw")) > 0)
+          .withColumn("nrm", sqrt(VectorOps.dot(col("raw"), col("raw"))))
+          .select(
+            col("vec_id"),
+            transform(col("raw"), x => VectorOps.quantize(x, col("nrm"), 127L))
+              .cast("array<float>").as("embedding"))
+          .ckpt()
+        val cents = graft.ops.IvfKMeans.codebook(s, emb)
+        val vecs = emb.filter(col("vec_id") >= K)
+        val probes = vecs
+          .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+          .select(col("vec_id").as("pid"), col("embedding").as("p"))
+        val exact = saltedTopK(
+          vecs
+            .crossJoin(broadcast(probes))
+            .filter(col("vec_id") =!= col("pid"))
+            .select(
+              col("pid"), col("vec_id"),
+              FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")),
+          kTop)
+        val assigned = graft.ops.IvfKMeans.assign(vecs, cents)
+        val pcells = graft.ops.IvfKMeans
+          .assignTopP(vecs.filter(col("vec_id") >= 100 && col("vec_id") < 120), cents, 2)
+          .select(
+            col("vec_id").as("pid"), col("embedding").as("p"),
+            col("cell").as("pcell"), col("rk").as("prk"))
+        def ivfTop(pMax: Int) = saltedTopK(
+          assigned
+            .join(broadcast(pcells.filter(col("prk") <= pMax)), col("cell") === col("pcell"))
+            .filter(col("vec_id") =!= col("pid"))
+            .select(
+              col("pid"), col("vec_id"),
+              FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")),
+          kTop)
+          .select(col("e_pid").as("a_pid"), col("e_vid").as("a_vid"))
+        val rP1 = recallBp(exact, ivfTop(1), kTop)
+        val rP2 = recallBp(exact, ivfTop(2), kTop)
+        val rDelta = rP1
+          .select(col("pid"), col("recall_bp").as("r1"))
+          .join(broadcast(rP2.select(col("pid").as("pid2"), col("recall_bp").as("r2"))),
+            col("pid") === col("pid2"))
+          .select(col("pid"), (col("r2") - col("r1")).as("recall_bp"))
+        recallSummary("emb_ivf_p1", kTop, 5800L, rP1)
+          .unionAll(recallSummary("emb_ivf_p2", kTop, 7400L, rP2))
+          .unionAll(recallSummary("emb_p2_minus_p1", kTop, 0L, rDelta))
+          .orderBy("method")
+      },
+      Some {
+        val hi = graft.ops.IvfKMeans.K + graft.ops.IvfKMeans.TrainLimit
+        s"""WITH g AS (SELECT doc_id, list_transform(
+              list_transform(generate_series(1, len(text) - 2),
+                i -> ${h60("'em:' || substr(text, i, 3)")}),
+              h -> (h % 64) + 64 * ((h // 64) % 2)) AS gs
+            FROM documents WHERE len(text) >= 3),
+          e1 AS (SELECT doc_id, j,
+              CAST(coalesce(list_sum(list_transform(gs,
+                x -> CASE WHEN x = j THEN 1 WHEN x = j + 64 THEN -1 ELSE 0 END)),
+                0) AS DOUBLE) AS v
+            FROM g, (SELECT unnest(generate_series(0, 63)) AS j) js),
+          emb0 AS (SELECT doc_id AS vec_id, list(v ORDER BY j) AS raw
+            FROM e1 GROUP BY doc_id),
+          emb AS (SELECT vec_id, list_transform(raw,
+              x -> CAST(greatest(least(CAST(floor(
+                CASE WHEN sqrt(${dot("raw", "raw")}) < 1e-12 THEN 0e0
+                     ELSE CAST(x AS DOUBLE) / sqrt(${dot("raw", "raw")}) * 127e0 + 5e-1
+                END) AS BIGINT), 127), -127) AS DOUBLE)) AS embedding
+            FROM emb0 WHERE ${dot("raw", "raw")} > 0),
+          vecs AS (SELECT vec_id, embedding FROM emb WHERE vec_id >= 8),
+          tvecs AS (SELECT vec_id, embedding FROM emb
+            WHERE vec_id >= 8 AND vec_id < $hi),
+          cents0 AS (SELECT vec_id AS cent_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+            FROM emb WHERE vec_id < 8),
+          a0 AS (${assignSql("tvecs", "cents0")}),
+          cents1 AS (${updateSql("a0")}),
+          a1 AS (${assignSql("tvecs", "cents1")}),
+          cents2 AS (${updateSql("a1")}),
+          assigned AS (${assignSql("vecs", "cents2")}),
+          probes AS (SELECT vec_id AS pid, embedding AS p FROM vecs
+            WHERE vec_id >= 100 AND vec_id < 120),
+          escored AS (SELECT pid, vec_id,
+              ${r6(cosine("embedding", "p"))} AS cos
+            FROM vecs, probes WHERE vec_id <> pid),
+          exact AS (SELECT pid AS e_pid, vec_id AS e_vid FROM (
+              SELECT pid, vec_id,
+                row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rk
+              FROM escored) WHERE rk <= 10),
+          pcells AS (SELECT pid, p, cell, rk AS prk FROM (
+              SELECT pr.pid, pr.p, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY pr.pid
+                  ORDER BY ${r6(dot("pr.p", "c.cent"))} DESC, c.cent_id) AS rk
+              FROM probes pr, cents2 c) WHERE rk <= 2),
+          ivf1 AS (SELECT pid AS a_pid, vec_id AS a_vid FROM (
+              SELECT pc.pid, a.vec_id,
+                row_number() OVER (PARTITION BY pc.pid
+                  ORDER BY ${r6(cosine("a.embedding", "pc.p"))} DESC, a.vec_id) AS rk
+              FROM assigned a JOIN pcells pc
+                ON a.cell = pc.cell AND pc.prk <= 1 AND a.vec_id <> pc.pid)
+            WHERE rk <= 10),
+          ivf2 AS (SELECT pid AS a_pid, vec_id AS a_vid FROM (
+              SELECT pc.pid, a.vec_id,
+                row_number() OVER (PARTITION BY pc.pid
+                  ORDER BY ${r6(cosine("a.embedding", "pc.p"))} DESC, a.vec_id) AS rk
+              FROM assigned a JOIN pcells pc
+                ON a.cell = pc.cell AND pc.prk <= 2 AND a.vec_id <> pc.pid)
+            WHERE rk <= 10),
+          r_p1 AS (SELECT e_pid AS pid,
+              (CAST(count(a.a_vid) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM exact e LEFT JOIN ivf1 a ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid
+            GROUP BY 1),
+          r_p2 AS (SELECT e_pid AS pid,
+              (CAST(count(a.a_vid) AS BIGINT) * 10000) // 10 AS recall_bp
+            FROM exact e LEFT JOIN ivf2 a ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid
+            GROUP BY 1),
+          r_delta AS (SELECT r_p1.pid, r_p2.recall_bp - r_p1.recall_bp AS recall_bp
+            FROM r_p1 JOIN r_p2 ON r_p1.pid = r_p2.pid),
+          summaries AS (
+            SELECT 'emb_ivf_p1' AS method, CAST(10 AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n_probes,
+              CAST(sum(recall_bp) // count(*) AS BIGINT) AS mean_recall_bp,
+              CAST(min(recall_bp) AS BIGINT) AS min_recall_bp,
+              CAST(5800 AS BIGINT) AS floor_bp,
+              (sum(recall_bp) // count(*)) >= 5800 AS floor_ok FROM r_p1
+            UNION ALL
+            SELECT 'emb_ivf_p2', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(7400 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 7400 FROM r_p2
+            UNION ALL
+            SELECT 'emb_p2_minus_p1', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(recall_bp) // count(*) AS BIGINT),
+              CAST(min(recall_bp) AS BIGINT), CAST(0 AS BIGINT),
+              (sum(recall_bp) // count(*)) >= 0 FROM r_delta)
+          SELECT method, k, n_probes, mean_recall_bp, min_recall_bp, floor_bp, floor_ok
+          FROM summaries ORDER BY method"""
+      }
     )
   )
 }

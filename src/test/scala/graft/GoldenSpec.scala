@@ -250,6 +250,11 @@ class GoldenSpec extends AnyFunSuite {
     // the re-derived packing spans (strt/e) are in-hash — a merge-rank
     // drift, a staging bug, or a prefix-sum regression moves real rows
     assert(queryHash("q180_bpe_tokenize") == ((500L, "8b278c60d5cbc4b019b220e281ec3baa")))
+    // q181: doc → hashed-ngram vector → int8 quantize → trained IVF →
+    // measured recall@10, one lineage with no fixture embeddings; the
+    // measured floors (P1 5800 / P2 7400) and the ≥0 multi-probe delta
+    // ride the hash — a featurizer or codebook drift fails here
+    assert(queryHash("q181_embed_recall") == ((3L, "04677c99372403cb4f58a7bfb5bbb002")))
     // q182: the graft_* kernels invoked BY NAME through spark.sql — the
     // SparkSessionExtensions deployment surface; a registration break or
     // a native-kernel drift (EMA fold, float-dot order) fails here

@@ -1004,6 +1004,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q181 embed+recall: featurizer materialized once, searches ride the audited q174 shapes") {
+    // the md5-per-gram featurization must be ckpt'd (downstream consumers
+    // — codebook collects, assignment, probes, exact side — read the
+    // materialized 64-float table, never re-hash text), the exact side
+    // keeps the salted two-level top-k, probe-cell joins broadcast, and
+    // no window is partition-less
+    val p = plan("q181_embed_recall")
+    assert(!p.contains("FileScan"), "no raw re-scan after featurization materializes")
+    assert(p.contains("salt"), "exact ground truth must ride the salted two-level top-k")
+    assert(globalWindows(p) == 0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q182 SQL surface: native kernels resolve by name, same plan class as the DataFrame forms") {
     // the SQL text must land on the SAME native codegen expressions the
     // DataFrame path uses (not a fallback), the bar aggregate must

@@ -995,6 +995,36 @@ object StreamDemos {
           ${epochRow(1, "vecs1")}
           ORDER BY epoch"""
       }
+    ),
+    // s39: snapshot-commit table format (SnapshotLog scaladoc) — the
+    // Iceberg-shape commit log the maintenance family (q131/q148/s35)
+    // would run against at 100 TB: immutable data files + per-snapshot
+    // manifest lists + an atomic conditional current-pointer swap.
+    // Lifecycle under test: two committed snapshots, one INJECTED
+    // stale-parent commit (must be cleanly rejected — optimistic
+    // concurrency), then a TIME-TRAVEL read of snapshot 1 beside the
+    // current read of snapshot 2, each census computed from the actual
+    // parquet files the log lists. Oracle = from-scratch recompute of
+    // both snapshot states over `orders` + the literal manifest sizes
+    // (2 and 2+3 — the repartition-pinned file counts) + is_current +
+    // conflict_rejected TRUE, all in-hash.
+    Q(
+      "s39_snapshot_commits",
+      (s, dir) => graft.sinks.SnapshotLog.snapshotLifecycle(s, dir),
+      Some("""WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST(o_orderdate AS DATE) AS d FROM orders),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM o WHERE d < DATE '2001-07-15'),
+        s2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM o)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(2 AS BIGINT) AS n_files,
+          s1.n AS n_rows, s1.s AS sum_cents, FALSE AS is_current,
+          TRUE AS conflict_rejected
+        FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(5 AS BIGINT), s2.n, s2.s, TRUE, TRUE
+        FROM s2
+        ORDER BY snapshot_id""")
     )
   )
 }

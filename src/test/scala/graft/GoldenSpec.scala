@@ -255,6 +255,11 @@ class GoldenSpec extends AnyFunSuite {
     // measured floors (P1 5800 / P2 7400) and the ≥0 multi-probe delta
     // ride the hash — a featurizer or codebook drift fails here
     assert(queryHash("q181_embed_recall") == ((3L, "04677c99372403cb4f58a7bfb5bbb002")))
+    // s39: both snapshots' time-travel censuses (reconstructed from the
+    // commit log's manifest lists), the pinned file counts, currency,
+    // and the rejected stale commit are ALL in-hash — a swap that lets
+    // the conflict through or a manifest that leaks an epoch fails here
+    assert(queryHash("s39_snapshot_commits") == ((2L, "c817dd31c9f1aad0dd7bd77606fe74c0")))
     // q182: the graft_* kernels invoked BY NAME through spark.sql — the
     // SparkSessionExtensions deployment surface; a registration break or
     // a native-kernel drift (EMA fold, float-dot order) fails here

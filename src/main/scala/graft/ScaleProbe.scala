@@ -41,7 +41,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
-        "concentration", "streaming", "text", "epoch"))
+        "concentration", "streaming", "text", "epoch", "cc"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -327,6 +327,47 @@ object ScaleProbe {
         f"[scale] graph growth: docs x${trN.toDouble / tr0}%.0f, q129 time x${tsN / ts0}%.1f " +
           f"(Σoutdeg² with fixed degree distribution predicts ~linear; a wedge blowup would track x${(trN.toDouble / tr0) * (trN.toDouble / tr0)}%.0f)"
       )
+    }
+
+    // Iterative/join-heavy kernel probe (r14 verdict item 6): the two
+    // remaining kernels without published curves. q59's connected
+    // components runs min-label propagation over the LSH-capped pair
+    // graph — rounds grow with component DIAMETER, not corpus size, and
+    // the copy-renamed vocabulary keeps components within copies, so
+    // m× corpora mean m× more components of FIXED diameter: near-linear
+    // time is the measured claim (a propagation that mixed copies or a
+    // pair stage gone super-linear would blow past it). The memoized
+    // pairs→CC lineage is dropped first so each multiple measures the
+    // COLD full build (signature index + capped band join + label
+    // propagation), the honest production-build cost. q93's SymSpell
+    // joins deletion neighborhoods on the bucket key — vocab grows m×
+    // (renamed copies), neighborhoods stay word-length-bounded, so time
+    // must track vocab (~m), never vocab² (the oracle's O(V²) shape).
+    if (enabled("cc")) {
+      val q59 = SparkEntry.queries("q59_dedup_components")
+      val q93 = SparkEntry.queries("q93_fuzzy_vocab")
+      q93(spark, docDirs(mults.head)).write.format("noop").mode("overwrite").save() // warm JIT
+      val ccResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        graft.queries.DedupQueries.clearStageCaches()
+        val t0 = System.nanoTime()
+        val n59 = q59(spark, dir).count()
+        val sec59 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n93 = q93(spark, dir).count()
+        val sec93 = (System.nanoTime() - t1) / 1e9
+        println(
+          f"[scale] x$m%-3d docs=$rows%9d  q59_components_cold=$sec59%7.2f s ($n59 labels)  " +
+            f"q93_fuzzy_vocab=$sec93%7.2f s ($n93 rows)")
+        (m, rows, sec59, sec93)
+      }
+      val (_, cr0, c59a, c93a) = ccResults.head
+      val (_, crN, c59b, c93b) = ccResults.last
+      println(
+        f"[scale] cc growth: docs x${crN.toDouble / cr0}%.0f, q59 time x${c59b / c59a}%.1f, " +
+          f"q93 time x${c93b / c93a}%.1f (linear would be x${crN.toDouble / cr0}%.0f; " +
+          f"quadratic x${(crN.toDouble / cr0) * (crN.toDouble / cr0)}%.0f)")
     }
 
     // Interval-overlap probe (q132's bucket decomposition): scale

@@ -21,6 +21,9 @@ object DedupQueries {
 
   private def ws: Column = split(col("text"), " ")
 
+  /** md5("") — the cleaned-text digest of a fully-cut doc (q183). */
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
   /** q68's block triples: the C(6,3)=20 combinations of the 60-bit
     * signature's six 10-bit blocks, in lexicographic order. The SAME
     * sequence drives the Spark band-key columns and the oracle SQL, so
@@ -1181,6 +1184,96 @@ object DedupQueries {
           FROM ng LEFT JOIN rr ON ng.doc_id = rr.doc_id
           ORDER BY ng.doc_id"""
       }
+    ),
+    // q183: substring-dedup CURATION — q179 reports the duplicated
+    // spans; this one CUTS them (the Lee-et-al action: drop every
+    // non-first occurrence of a duplicated passage, keep the rest of
+    // the doc): a word is removed iff some maximal dup run covers it
+    // (run starting at gram rstart with rlen grams covers words
+    // rstart .. rstart+rlen+K-2), and each doc re-emits as retention
+    // stats + the md5 of its CLEANED text — the hash makes the exact
+    // post-cut corpus the checked object, not just counts. Every doc
+    // appears (docs shorter than K have no grams, lose nothing).
+    //
+    // Scale shape: run intervals ride q179's one digest-keyed shuffle
+    // and per-doc windows; the cover test is a doc_id-equi range join
+    // (words × the doc's own ≤len/K intervals — per-doc bounded, never
+    // corpus²); the cleaned text reassembles map-side per doc from a
+    // sorted struct array. The cut is deliberately NOT re-checked for
+    // fixpoint in-query: cutting splices new word adjacencies, so a
+    // second pass may find (rare) new 16-grams — same as the reference
+    // algorithm; SubstringDedupSpec pins the single-pass semantics.
+    Q(
+      "q183_substring_curation",
+      (s, dir) => {
+        val k = 16
+        val docs = Tables.documentsSpread(s, dir)
+        val runs = dupRunIntervals(docs, k)
+          .withColumn("rend", col("rstart") + col("rlen") + lit((k - 2).toLong))
+        val words = docs
+          .select(col("doc_id"), posexplode(ws).as(Seq("i0", "w")))
+          .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("w"))
+        val kept = words
+          .as("wd")
+          .join(
+            runs.as("rn"),
+            col("wd.doc_id") === col("rn.doc_id") &&
+              col("wd.i") >= col("rn.rstart") && col("wd.i") <= col("rn.rend"),
+            "left_anti")
+        val cleaned = kept
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            md5(to_binary(
+              concat_ws(" ",
+                transform(array_sort(collect_list(struct(col("i"), col("w")))),
+                  x => x.getField("w"))),
+              lit("utf-8"))).as("cleaned_md5"))
+        docs
+          .select(col("doc_id"), size(ws).cast("long").as("n_words"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_words"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            // n_words ≥ 1 (split never yields an empty array)
+            expr("(coalesce(n_kept, 0L) * 10000) div n_words").as("retention_bp"),
+            // a fully-cut doc cleans to the empty string's digest
+            coalesce(col("cleaned_md5"), lit(md5Empty)).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val k = 16
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          g AS (SELECT doc_id, st AS pos,
+              ${h60(s"array_to_string(w[st:st+${k - 1}], ' ')")} AS h
+            FROM w, LATERAL unnest(generate_series(1, len(w) - ${k - 1})) AS t(st)),
+          f AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM g),
+          d AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM f WHERE rn > 1),
+          r AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS rstart,
+              CAST(min(pos) + count(*) + ${k - 2} AS BIGINT) AS rend
+            FROM d GROUP BY doc_id, grp),
+          wd AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i, w[t.i] AS wrd
+            FROM w, LATERAL unnest(generate_series(1, len(w))) AS t(i)),
+          kept AS (SELECT wd.doc_id, wd.i, wd.wrd FROM wd
+            WHERE NOT EXISTS (SELECT 1 FROM r
+              WHERE r.doc_id = wd.doc_id AND wd.i BETWEEN r.rstart AND r.rend)),
+          cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(wrd, ' ' ORDER BY i)) AS cleaned_md5
+            FROM kept GROUP BY doc_id),
+          nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w)
+          SELECT nw.doc_id, nw.n_words,
+            CAST(COALESCE(cl.n_kept, 0) AS BIGINT) AS n_kept,
+            (CAST(COALESCE(cl.n_kept, 0) AS BIGINT) * 10000) // nw.n_words
+              AS retention_bp,
+            COALESCE(cl.cleaned_md5, md5('')) AS cleaned_md5
+          FROM nw LEFT JOIN cl ON nw.doc_id = cl.doc_id
+          ORDER BY nw.doc_id"""
+      }
     )
   )
 
@@ -1192,7 +1285,12 @@ object DedupQueries {
     * positions; shorter repeats are invisible by design (the Lee-et-al
     * minimum-match-length knob).
     */
-  private[graft] def substringDupStats(
+  /** The maximal duplicated-run intervals behind q179 and q183: one row
+    * per (doc, island) — rstart = first flagged gram position, rlen =
+    * island length in grams (the span covers words rstart .. rstart +
+    * rlen + K - 2).
+    */
+  private def dupRunIntervals(
       docs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1209,22 +1307,29 @@ object DedupQueries {
         Hashing.h60(col("sh")).as("h"))
     // first corpus occurrence survives; every later one is a dup gram
     // (q125's deterministic-idempotent first-occurrence rule, stride 1)
-    val flagged = grams.withColumn(
-      "rn",
-      row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")))
-    // gaps-and-islands: consecutive dup positions share pos - rank, so
-    // each island IS one maximal duplicated span of len + K - 1 tokens
-    val runs = flagged
+    grams
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")))
+      // gaps-and-islands: consecutive dup positions share pos - rank, so
+      // each island IS one maximal duplicated span of len + K - 1 tokens
       .filter(col("rn") > 1)
       .withColumn(
         "grp",
         col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
       .groupBy("doc_id", "grp")
-      .agg(count(lit(1)).as("len"))
+      .agg(min(col("pos")).as("rstart"), count(lit(1)).as("rlen"))
+      .drop("grp")
+  }
+
+  private[graft] def substringDupStats(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val runs = dupRunIntervals(docs, k)
       .groupBy("doc_id")
       .agg(
-        max(col("len") + lit((k - 1).toLong)).as("max_dup_span"),
-        sum(col("len")).as("n_dup"))
+        max(col("rlen") + lit((k - 1).toLong)).as("max_dup_span"),
+        sum(col("rlen")).as("n_dup"))
     // per-doc gram count is CLOSED-FORM (len - K + 1 when positive) — a
     // light second projection of the scan, not a re-explode + aggregate
     // of n_token rows (the exploded side is touched exactly once)

@@ -1025,6 +1025,31 @@ object StreamDemos {
         SELECT CAST(2 AS BIGINT), CAST(5 AS BIGINT), s2.n, s2.s, TRUE, TRUE
         FROM s2
         ORDER BY snapshot_id""")
+    ),
+    // s40: manifest-diff-driven incremental refresh (SnapshotLog
+    // .snapshotRefresh scaladoc) — the s39+s35 integration: the commit
+    // log's manifest diff (snapshot 2 \ snapshot 1) IS the refresh
+    // delta (pure metadata — no corpus scan decides what changed), the
+    // view full-builds from snapshot 1's manifest, refreshes by reading
+    // ONLY the added files through s35's transactionally idempotent
+    // ledger apply, rejects an injected re-delivery, and must equal the
+    // from-scratch per-bucket aggregate over snapshot 2's manifest.
+    Q(
+      "s40_snapshot_refresh",
+      (s, dir) => graft.sinks.SnapshotLog.snapshotRefresh(s, dir),
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS bucket,
+            CAST(o_orderdate AS DATE) AS d FROM orders),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+            CAST(count(DISTINCT bucket) AS BIGINT) AS nb FROM o),
+        ad AS (SELECT CAST(count(*) AS BIGINT) AS ra FROM o
+            WHERE NOT (d < DATE '2001-07-15'))
+        SELECT CAST(3 AS BIGINT) AS n_files_added, ad.ra AS rows_added,
+          a.nb AS n_buckets, a.n AS n_rows_view, a.s AS sum_cents_view,
+          TRUE AS view_ok, CAST(1 AS BIGINT) AS n_redeliveries_rejected,
+          TRUE AS refresh_live
+        FROM a, ad ORDER BY n_files_added""")
     )
   )
 }

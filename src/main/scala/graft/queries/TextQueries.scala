@@ -2668,6 +2668,92 @@ object TextQueries {
         SELECT source, doc_id, n_words, n_tokens, cmp_bp, strt,
           strt + n_tokens AS e
         FROM fin ORDER BY doc_id""")
+    ),
+    // q184: the BPE TRAINING step q180 deliberately leaves out — where
+    // a merge table COMES FROM: count adjacent symbol pairs over the
+    // corpus weighted by word frequency, take the argmax, apply that
+    // one merge, recount. Two unrolled iterations emit their top-10
+    // pair censuses (it=1 raw characters, it=2 after the argmax merge
+    // splices its new symbol into the pair distribution) — the exact
+    // recurrence (per-rank argmax → apply → recount) every published
+    // BPE trainer runs, checkable because the argmax is deterministic
+    // (count desc, pair lexicographic tie-break).
+    //
+    // Scale shape: the pair census runs on the WORD-COUNT table (vocab-
+    // bounded, Heaps-law sublinear — the HF-tokenizers trick: corpus
+    // instances collapse into integer weights map-side before any pair
+    // work), the argmax is a 1-row TakeOrdered broadcast (index
+    // metadata, the IVF-codebook class), and the merge application is
+    // a map-side replace over the vocab — no corpus-sized anything
+    // after the one word-count shuffle.
+    Q(
+      "q184_bpe_train",
+      (s, dir) => {
+        val wc = Tables
+          .documentsSpread(s, dir)
+          .select(explode(ws).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word")
+          .agg(count(lit(1)).as("c"))
+        def pairCensus(syms: Column, w: org.apache.spark.sql.DataFrame, n: Int) = w
+          .select(col("c"), explode(
+            when(size(syms) < 2, array().cast("array<string>"))
+              .otherwise(expr_pairs(syms))).as("pair"))
+          .groupBy("pair")
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(n)
+        val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        val it1 = pairCensus(chars, wc, 10)
+        // the argmax recomputed as its own TakeOrdered(1) — not a limit
+        // over it1's limit — so the broadcast side is deterministic by
+        // construction
+        val best = pairCensus(chars, wc, 1).select(col("pair"))
+        val merged = wc
+          .crossJoin(broadcast(best))
+          .select(
+            col("word"), col("c"),
+            replace(
+              regexp_replace(col("word"), "(.)", "<$1>"),
+              concat(lit("<"),
+                expr("replace(pair, ' ', '><')"), lit(">")),
+              concat(lit("<"), expr("replace(pair, ' ', '')"), lit(">"))).as("s"))
+          .select(col("word"), col("c"),
+            expr("split(substring(s, 2, length(s) - 2), '><')").as("a"))
+        val it2 = pairCensus(col("a"), merged, 10)
+        it1.select(lit(1L).as("it"), col("pair"), col("cnt"))
+          .unionAll(it2.select(lit(2L).as("it"), col("pair"), col("cnt")))
+          .orderBy(col("it"), col("cnt").desc, col("pair"))
+      },
+      Some("""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE len(word) > 0 GROUP BY 1),
+        p1 AS (SELECT substr(word, t.i, 1) || ' ' || substr(word, t.i + 1, 1) AS pair, c
+          FROM wc, LATERAL unnest(generate_series(1, len(word) - 1)) AS t(i)),
+        it1 AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p1
+          GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10),
+        best AS (SELECT pair FROM it1 ORDER BY cnt DESC, pair LIMIT 1),
+        enc AS (SELECT word, c,
+            replace(regexp_replace(word, '(.)', '<\1>', 'g'),
+              '<' || replace(b.pair, ' ', '><') || '>',
+              '<' || replace(b.pair, ' ', '') || '>') AS s
+          FROM wc, best b),
+        syms AS (SELECT word, c,
+            string_split(substr(s, 2, len(s) - 2), '><') AS a FROM enc),
+        p2 AS (SELECT a[t.i] || ' ' || a[t.i + 1] AS pair, c
+          FROM syms, LATERAL unnest(generate_series(1, len(a) - 1)) AS t(i)),
+        it2 AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p2
+          GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10)
+        SELECT CAST(1 AS BIGINT) AS it, pair, cnt FROM it1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), pair, cnt FROM it2
+        ORDER BY it, cnt DESC, pair""")
     )
   )
+
+  /** Adjacent-symbol pairs of a symbol array as "x y" strings (q184). */
+  private def expr_pairs(syms: Column): Column =
+    transform(
+      sequence(lit(1), size(syms) - 1),
+      i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))
 }

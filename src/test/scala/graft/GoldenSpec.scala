@@ -256,6 +256,17 @@ class GoldenSpec extends AnyFunSuite {
     // across all three SFs) and the ≥0 multi-probe delta ride the hash
     // — a featurizer or codebook drift fails here
     assert(queryHash("q181_embed_recall") == ((3L, "5073607a6e00f720edee608df2373dd6")))
+    // q183: the CLEANED corpus itself is in-hash (per-doc md5 of the
+    // post-cut text, retention stats) — a cover off-by-one or a
+    // cross-doc leak in the interval join moves real rows
+    assert(queryHash("q183_substring_curation") == ((500L, "8b5481d4ae18c04f979895af9ab3a5ab")))
+    // q184: two BPE training iterations' top-10 pair censuses — the
+    // argmax/apply/recount recurrence; a tie-break or splice drift here
+    // would silently re-rank a real trainer's merge order
+    assert(queryHash("q184_bpe_train") == ((20L, "74b70c2ff7e1583af2017d4315171111")))
+    // s40: manifest-diff-driven refresh — view ≡ from-scratch over
+    // snapshot 2's manifest, re-delivery rejected, delta = log diff
+    assert(queryHash("s40_snapshot_refresh") == ((1L, "913b6ec64dce61d561407fe93bb0ab1d")))
     // s39: both snapshots' time-travel censuses (reconstructed from the
     // commit log's manifest lists), the pinned file counts, currency,
     // and the rejected stale commit are ALL in-hash — a swap that lets

@@ -1017,6 +1017,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q183 substring curation: cover test stays doc-equi-keyed, windows partitioned") {
+    // the word-cover anti-join must key on doc_id (range conditions as
+    // post-filters) — a nested-loop over corpus-sized sides would be the
+    // interval-join blowup; grams and words each explode once, both
+    // windows ride the q179 partitions
+    val p = plan("q183_substring_curation")
+    assert(count(p, "Generate posexplode") == 2, "grams + words explode once each")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
+  test("q184 BPE train: vocab-bounded censuses via TakeOrdered, argmax broadcast is one row") {
+    // both pair censuses and the argmax must plan TakeOrdered (never a
+    // global sort), and the only nested-loop join is the crossJoin of
+    // the 1-row argmax merge onto the vocab (index-metadata class)
+    val p = plan("q184_bpe_train")
+    assert(count(p, "TakeOrderedAndProject") == 3, "it1 + argmax + it2 top-k via TakeOrdered")
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, "only the 1-row argmax broadcast")
+    assert(globalWindows(p) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q182 SQL surface: native kernels resolve by name, same plan class as the DataFrame forms") {
     // the SQL text must land on the SAME native codegen expressions the
     // DataFrame path uses (not a fallback), the bar aggregate must

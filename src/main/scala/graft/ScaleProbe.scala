@@ -41,7 +41,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
-        "concentration", "streaming", "text", "epoch", "cc"))
+        "concentration", "streaming", "text", "epoch", "cc", "substr"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -368,6 +368,39 @@ object ScaleProbe {
         f"[scale] cc growth: docs x${crN.toDouble / cr0}%.0f, q59 time x${c59b / c59a}%.1f, " +
           f"q93 time x${c93b / c93a}%.1f (linear would be x${crN.toDouble / cr0}%.0f; " +
           f"quadratic x${(crN.toDouble / cr0) * (crN.toDouble / cr0)}%.0f)")
+    }
+
+    // Substring-dedup probe (q179/q183): stride-1 grams are the board's
+    // biggest per-token fan-out (one digest per token vs q125's per-24)
+    // — the claim to measure is that the digest-keyed shuffle keeps the
+    // pass near-LINEAR in tokens. The copy-renamed corpora keep the
+    // gram space mostly fresh per copy (dup runs stay within copies),
+    // so m× docs ⇒ m× grams with bounded digest buckets — time must
+    // track tokens, and the curation pass (words × per-doc intervals)
+    // must add only the doc_id-equi join's linear cost on top.
+    if (enabled("substr")) {
+      val q179 = SparkEntry.queries("q179_substring_dedup")
+      val q183 = SparkEntry.queries("q183_substring_curation")
+      q179(spark, docDirs(mults.head)).write.format("noop").mode("overwrite").save() // warm JIT
+      val ssResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        val t0 = System.nanoTime()
+        q179(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec179 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q183(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec183 = (System.nanoTime() - t1) / 1e9
+        println(
+          f"[scale] x$m%-3d docs=$rows%9d  q179_substring_dedup=$sec179%7.2f s  " +
+            f"q183_substring_curation=$sec183%7.2f s")
+        (m, rows, sec179, sec183)
+      }
+      val (_, sr0, sa0, sb0) = ssResults.head
+      val (_, srN, saN, sbN) = ssResults.last
+      println(
+        f"[scale] substr growth: docs x${srN.toDouble / sr0}%.0f, q179 time x${saN / sa0}%.1f, " +
+          f"q183 time x${sbN / sb0}%.1f (linear would be x${srN.toDouble / sr0}%.0f)")
     }
 
     // Interval-overlap probe (q132's bucket decomposition): scale

@@ -58,6 +58,11 @@ object GraftFunctions {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (es: Seq[Expression]) => Shingles(es(0), es(1))
+    ),
+    (
+      FunctionIdentifier("graft_embed"),
+      new ExpressionInfo(classOf[HashedNgramEmbed].getName, "graft_embed"),
+      (es: Seq[Expression]) => HashedNgramEmbed(es(0), es(1))
     )
   )
 

@@ -257,6 +257,59 @@ case class Shingles(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_embed(text string, d int): array<double> — q181's signed
+  * hashed char-3-gram projection as ONE compiled pass per document:
+  * for each character 3-gram g (all characters, spaces included),
+  * h = h60("em:" || g), bucket = h mod d, sign = +1 when (h div d) is
+  * even else −1, accumulated into a d-slot integer-valued vector.
+  * Bit-identical to the composed HOF form
+  *   transform(sequence(0, d-1), j -> aggregate(encoded grams, ...))
+  * it replaces (parity pinned in HashParitySpec) — the HOF lambdas are
+  * INTERPRETED per (element × slot), which made the featurizer O(d·n)
+  * interpreter round-trips per doc and dominated q181's sf0.1 bench at
+  * ~95 s/run; this kernel is O(n) with one md5 per gram (~1 s for the
+  * same corpus). Mirrors the DuckDB oracle's two-level list_transform
+  * exactly (the oracle keeps the composed form — it has no interpreter
+  * gap to close).
+  */
+case class HashedNgramEmbed(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_embed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_embed expects (string, int), got $t")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    val dv = right.eval(input)
+    if (t == null || dv == null) return null
+    val s = t.asInstanceOf[UTF8String].toString
+    val d = dv.asInstanceOf[Int]
+    val acc = new Array[Double](d)
+    val n = s.length
+    var i = 0
+    while (i <= n - 3) {
+      // character semantics, exactly substring(text, i+1, 3) in SQL
+      val bytes = ("em:" + s.substring(i, i + 3))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = GraftHash.h60(bytes)
+      val b = (h % d).toInt
+      acc(b) += (if (((h / d) % 2) == 0L) 1.0 else -1.0)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_simhash(words array<string>, bits int): bigint — SimHash of the
   * word multiset from per-word h60 bit votes.
   */

@@ -1126,17 +1126,13 @@ object SimQueries {
         val emb = Tables
           .documentsSpread(s, dir)
           .filter(length(col("text")) >= 3)
-          .select(col("doc_id").as("vec_id"), expr(
-            """transform(
-                 transform(sequence(1, length(text) - 2),
-                   i -> cast(conv(substring(md5(concat('em:', substring(text, i, 3))), 1, 15), 16, 10) as bigint)),
-                 h -> (h % 64) + 64 * ((h div 64) % 2))""").as("gs"))
-          .select(col("vec_id"), expr(
-            """transform(sequence(0, 63),
-                 j -> cast(aggregate(gs, 0L,
-                   (a, x) -> a + (case when x = j then 1L
-                                       when x = j + 64 then -1L
-                                       else 0L end)) as double))""").as("raw"))
+          .select(
+            col("doc_id").as("vec_id"),
+            // one compiled pass per doc (HashedNgramEmbed) — the
+            // composed HOF form it replaces ran the inner fold
+            // INTERPRETED once per (gram x slot) and cost ~95 s/run at
+            // sf0.1 (measured; HashParitySpec pins bit-equality)
+            call_function("graft_embed", col("text"), lit(64)).as("raw"))
           // raw hashed counts are NOT unit-norm, and IVF assigns by max
           // DOT — without normalization every vector lands in the one
           // largest-magnitude centroid's cell (measured: 492/492 in one

@@ -58,4 +58,31 @@ class HashParitySpec extends AnyFunSuite {
     val got = docs.toDF("text").select(native, composed).as[(Long, Long)].collect()
     got.foreach { case (n, c) => assert(n == c) }
   }
+
+  test("graft_embed == the composed two-level HOF projection (incl. unicode, short docs)") {
+    // q181's featurizer: the compiled one-pass kernel must be
+    // bit-identical to the interpreted transform+aggregate form it
+    // replaced (which the DuckDB oracle still mirrors) — buckets, signs,
+    // short-doc empty vectors, character (not byte) gram semantics
+    // the length guard matters: Spark's sequence(1, 0) runs DESCENDING,
+    // so an unguarded len-2 stop would fabricate grams on sub-3-char docs
+    val composed = expr(
+      """transform(sequence(0, 63),
+           j -> cast(aggregate(
+             case when length(text) >= 3 then transform(
+               transform(sequence(1, length(text) - 2),
+                 i -> cast(conv(substring(md5(concat('em:', substring(text, i, 3))), 1, 15), 16, 10) as bigint)),
+               h -> (h % 64) + 64 * ((h div 64) % 2))
+             else cast(array() as array<bigint>) end,
+             0L,
+             (a, x) -> a + (case when x = j then 1L
+                                 when x = j + 64 then -1L
+                                 else 0L end)) as double))""")
+    val native = call_function("graft_embed", col("text"), lit(64))
+    val got = docs.toDF("text")
+      .select(native, composed)
+      .as[(Seq[Double], Seq[Double])]
+      .collect()
+    got.foreach { case (n, c) => assert(n == c) }
+  }
 }

@@ -1274,6 +1274,183 @@ object DedupQueries {
           FROM nw LEFT JOIN cl ON nw.doc_id = cl.doc_id
           ORDER BY nw.doc_id"""
       }
+    ),
+    // q185: SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023,
+    // arXiv:2303.09540) — the published dedup modality the board still
+    // lacked: near-duplicates that share no n-grams (paraphrases,
+    // re-encodings) are invisible to MinHash/SimHash/substring dedup
+    // but sit close in embedding space. Pipeline: k-means-cluster the
+    // embeddings (the TRAINED q41 codebook — data-dependent cells,
+    // unlike q37's random sign-LSH planes), then drop, within each
+    // cluster, every vector with a cosine ≥ τ pair to a LOWER vec_id
+    // (deterministic min-id keeper — q20's representative rule). Output
+    // is the per-cell curation census: members, dropped, kept, and the
+    // kept-id checksum so the exact kept SET rides the hash.
+    //
+    // Scale shape: the pair join is CLUSTER-bounded, never corpus² —
+    // in the published setting k scales with the corpus (N/k held
+    // ~constant, e.g. 50k clusters over LAION), so per-cell pair cost
+    // is bounded while the assignment stays a map-side broadcast
+    // argmax; the one shuffle is on the cell key. Same-cell-only
+    // comparison is the algorithm's own approximation (cross-cluster
+    // near-dups are missed by design), which is what makes it linear.
+    Q(
+      "q185_semantic_dedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val vecs = e
+          .filter(col("vec_id") >= graft.ops.IvfKMeans.K)
+          .select("vec_id", "embedding")
+        // materialized once: both sides of the pair join + the census
+        // read the assignment table, not three argmax re-plans
+        val assigned = graft.ops.IvfKMeans.assign(vecs, cents).ckpt()
+        val dropped = assigned
+          .as("a")
+          .join(
+            assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.cell").as("cell"),
+            col("b.vec_id").as("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("a.embedding"), col("b.embedding"))).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .select("cell", "vec_id")
+          .distinct()
+        assigned
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+          .join(
+            dropped
+              .groupBy("cell")
+              .agg(count(lit(1)).as("nd"), sum(col("vec_id")).as("sd")),
+            Seq("cell"),
+            "left")
+          .select(
+            col("cell"),
+            col("n_vecs"),
+            coalesce(col("nd"), lit(0L)).as("n_dropped"),
+            (col("n_vecs") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+            (col("sum_ids") - coalesce(col("sd"), lit(0L))).as("kept_id_sum"))
+          .orderBy("cell")
+      },
+      Some(s"""${graft.queries.SimQueries.ivfCtes},
+        sem_drop AS (SELECT DISTINCT a.cell AS cell, b.vec_id AS vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${r6(cosine("a.embedding", "b.embedding"))} >= 3e-1),
+        cen AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(sum(vec_id) AS BIGINT) AS sum_ids
+          FROM assigned GROUP BY cell),
+        dc AS (SELECT cell, CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(vec_id) AS BIGINT) AS sd
+          FROM sem_drop GROUP BY cell)
+        SELECT cen.cell, cen.n_vecs,
+          CAST(COALESCE(dc.nd, 0) AS BIGINT) AS n_dropped,
+          CAST(cen.n_vecs - COALESCE(dc.nd, 0) AS BIGINT) AS n_kept,
+          CAST(cen.sum_ids - COALESCE(dc.sd, 0) AS BIGINT) AS kept_id_sum
+        FROM cen LEFT JOIN dc ON cen.cell = dc.cell
+        ORDER BY cen.cell""")
+    ),
+    // q186: dup-cluster-aware split with a LEAKAGE audit — the step
+    // between q59's clusters and q102's split that real eval hygiene
+    // requires: q102 assigns splits by doc_id, so two near-duplicate
+    // docs can land in train AND test (the benchmark-contamination
+    // failure q85 measures after the fact). The fix is structural:
+    // key the salted split slot on the CLUSTER id (q59's min-label),
+    // so a whole dup cluster moves as one unit and cross-split dup
+    // pairs are impossible by construction. Output: per-split census
+    // (docs, clusters, id-sum) beside the measured audit — the naive
+    // doc-keyed rule's leaked pair count (nonzero when dup pairs
+    // exist) vs the cluster-keyed rule's (always zero), both over the
+    // same LSH candidate pairs, all in-hash.
+    //
+    // Scale shape: rides the memoized componentLabels stage (one CC
+    // build per dir, shared with q59/q70/q79-q81); split assignment is
+    // a map-side salted-h60 slot; the audit joins the LSH-bounded pair
+    // table to the assignment twice on doc_id (shuffle bounded by the
+    // pair table, never corpus²); the 1-row audit broadcasts onto the
+    // 3-row census.
+    Q(
+      "q186_cluster_split_guard",
+      (s, dir) => {
+        def splitTag(key: Column): Column = {
+          val slot = pmod(Hashing.h60(concat(lit("split:"), key.cast("string"))), lit(100L))
+          when(slot < 80, lit("train")).when(slot < 90, lit("val")).otherwise(lit("test"))
+        }
+        val labels = componentLabels(s, dir)
+        val assigned = Tables
+          .documents(s, dir)
+          .select(col("doc_id"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+          .select(
+            col("doc_id"),
+            col("cluster"),
+            splitTag(col("cluster")).as("cluster_split"),
+            splitTag(col("doc_id")).as("naive_split"))
+        val audit = candidatePairs(s, dir, "q186")
+          .join(
+            assigned.select(
+              col("doc_id").as("doc_a"),
+              col("cluster_split").as("ca"),
+              col("naive_split").as("na")),
+            Seq("doc_a"))
+          .join(
+            assigned.select(
+              col("doc_id").as("doc_b"),
+              col("cluster_split").as("cb"),
+              col("naive_split").as("nb")),
+            Seq("doc_b"))
+          .agg(
+            count(lit(1)).as("n_dup_pairs"),
+            coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+              .as("n_naive_leaks"),
+            coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L))
+              .as("n_cluster_leaks"))
+        assigned
+          .groupBy(col("cluster_split").as("split_tag"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum(col("doc_id")).as("sum_doc_id"))
+          .crossJoin(broadcast(audit))
+          .orderBy("split_tag")
+      },
+      Some {
+        def tagSql(key: String) = {
+          val slot = s"${h60(s"'split:' || CAST($key AS VARCHAR)")} % 100"
+          s"""CASE WHEN $slot < 80 THEN 'train'
+             WHEN $slot < 90 THEN 'val' ELSE 'test' END"""
+        }
+        s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                    UNION ALL SELECT doc_b, doc_a FROM prs),
+          r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+          comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+          asg AS (SELECT d.doc_id,
+              CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster,
+              ${tagSql("COALESCE(c.cluster, d.doc_id)")} AS cluster_split,
+              ${tagSql("d.doc_id")} AS naive_split
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+          aud AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+              CAST(COALESCE(sum(CASE WHEN a.naive_split <> b.naive_split
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_naive_leaks,
+              CAST(COALESCE(sum(CASE WHEN a.cluster_split <> b.cluster_split
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cluster_leaks
+            FROM prs p JOIN asg a ON p.doc_a = a.doc_id
+                       JOIN asg b ON p.doc_b = b.doc_id)
+          SELECT s.cluster_split AS split_tag,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT s.cluster) AS BIGINT) AS n_clusters,
+            CAST(sum(s.doc_id) AS BIGINT) AS sum_doc_id,
+            aud.n_dup_pairs, aud.n_naive_leaks, aud.n_cluster_leaks
+          FROM asg s, aud
+          GROUP BY 1, aud.n_dup_pairs, aud.n_naive_leaks, aud.n_cluster_leaks
+          ORDER BY split_tag"""
+      }
     )
   )
 

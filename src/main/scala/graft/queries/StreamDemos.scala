@@ -1050,6 +1050,41 @@ object StreamDemos {
           TRUE AS view_ok, CAST(1 AS BIGINT) AS n_redeliveries_rejected,
           TRUE AS refresh_live
         FROM a, ad ORDER BY n_files_added""")
+    ),
+    // s41: streaming ingest THROUGH the commit log (SnapshotLog
+    // .streamCommits scaladoc) — the s02+s39 integration: each
+    // micro-batch writes immutable parquet files then atomically
+    // commits snapshot (epoch+1) with the cumulative manifest; an
+    // injected retried-epoch commit (stale parent) is rejected, so
+    // commit visibility is exactly-once even though the staged source
+    // re-delivers batch-0 rows as new data (file 2 of the s07/s11
+    // replay). Oracle = from-scratch recompute of all three snapshot
+    // states over `events` (cumulative day-slices; snapshot 3 adds the
+    // replayed pre-replayBefore rows once more) + the pinned per-epoch
+    // file counts + currency + exactly_once TRUE, all in-hash.
+    Q(
+      "s41_stream_commits",
+      (s, dir) => graft.sinks.SnapshotLog.streamCommits(s, dir),
+      Some(s"""WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+            ${dayInt("ts")} AS day FROM events),
+        b0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM e WHERE day <= ${graft.streaming.Watermarks.splitDay}),
+        ba AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM e),
+        br AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM e WHERE day < ${graft.streaming.Watermarks.replayBefore})
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(2 AS BIGINT) AS n_files,
+          b0.n AS n_rows, b0.s AS sum_cents, FALSE AS is_current,
+          TRUE AS exactly_once
+        FROM b0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT), ba.n, ba.s, FALSE, TRUE
+        FROM ba
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(6 AS BIGINT), ba.n + br.n, ba.s + br.s,
+          TRUE, TRUE
+        FROM ba, br
+        ORDER BY snapshot_id""")
     )
   )
 }

@@ -221,6 +221,109 @@ object SnapshotLog {
     }
   }
 
+  /** s41 — STREAMING ingest through the commit log: the production path
+    * that turns s02's per-epoch parquet appends into SNAPSHOT-ISOLATED
+    * table commits (Iceberg/Delta streaming-sink shape). Each micro-batch
+    * writes its rows as immutable parquet files, then commits snapshot
+    * (epoch+1) on parent epoch with the CUMULATIVE manifest list — read
+    * from the log itself, the source of truth for what the table already
+    * contains. Exactly-once visibility is the LOG's property, not the
+    * source's: the staged replay re-delivers batch-0 rows (file 2), and
+    * they append as new data exactly once, while an injected RE-DELIVERED
+    * COMMIT (a retried epoch-1 job still claiming parent 1 after the
+    * table moved to snapshot 3) is rejected by the conditional swap —
+    * its data files would stay invisible orphans, never half-visible
+    * table state. Output: per-snapshot time-travel censuses (n_files
+    * pinned by the per-batch repartition, rows/cents read from the
+    * listed parquet) + currency + the exactly_once flag (all commits
+    * landed, retry rejected, pointer at 3).
+    *
+    * Scale shape: the stream shuffles nothing (map-only projection per
+    * batch); commit cost is metadata rows through one JDBC hop; the
+    * time-travel reads plan plain parquet scans of the listed files.
+    */
+  def streamCommits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val s = graft.streaming.StreamSessions.tuned(spark)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cents = expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s41_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+
+      val staged = graft.streaming.Watermarks.stageBatches(s, dir)
+      val schema = s.read.parquet(s"$staged/0.parquet").schema
+      val commits = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, epoch: Long) =>
+          // write-then-commit: files first (2 per epoch, pinned), then
+          // the atomic log commit makes them visible — a crash between
+          // the two leaves invisible orphans, never a torn table
+          val out = s"$base/e$epoch"
+          b.select(col("event_id"), col("user_id"), cents)
+            .repartition(2)
+            .write.parquet(out)
+          commits.put(
+            epoch,
+            commit(dbFile, epoch, epoch + 1, manifest(dbFile, epoch) ++ partFiles(s, out)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // injected RETRY of epoch 1's commit after the table advanced: the
+      // swap's parent check (pointer = 3 ≠ 1) must reject it cleanly
+      val retry = commit(dbFile, 1L, 2L, manifest(dbFile, 1L) ++ partFiles(s, s"$base/e1"))
+      import scala.jdk.CollectionConverters._
+      val exactlyOnce = commits.asScala.values.forall(identity) &&
+        commits.size == 3 && !retry && currentSnapshot(dbFile) == 3L
+
+      val rows = Seq(1L, 2L, 3L).map { snap =>
+        val mf = manifest(dbFile, snap)
+        val agg = spark.read.parquet(mf.map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (snap, mf.size.toLong, agg.getLong(0), agg.getLong(1),
+          snap == currentSnapshot(dbFile), exactlyOnce)
+      }
+      rows
+        .toDF("snapshot_id", "n_files", "n_rows", "sum_cents", "is_current",
+          "exactly_once")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: batch censuses only; exactly_once=false fails
+      // the oracle's TRUE, so a missing driver can never pass
+      val ev = Tables.events(spark, dir)
+        .select(cents, graft.ops.TimeCodec.dayInt(col("ts")).as("day"))
+      val b0 = ev.filter(col("day") <= graft.streaming.Watermarks.splitDay)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val ba = ev.agg(count(lit(1)), sum(col("cents"))).head()
+      val br = ev.filter(col("day") < graft.streaming.Watermarks.replayBefore)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      Seq(
+        (1L, 2L, b0.getLong(0), b0.getLong(1), false, false),
+        (2L, 4L, ba.getLong(0), ba.getLong(1), false, false),
+        (3L, 6L, ba.getLong(0) + br.getLong(0), ba.getLong(1) + br.getLong(1), true, false))
+        .toDF("snapshot_id", "n_files", "n_rows", "sum_cents", "is_current",
+          "exactly_once")
+        .orderBy("snapshot_id")
+    }
+  }
+
   /** s40 — the INTEGRATION the pieces individually prove: incremental
     * refresh DRIVEN BY the commit log. s35 diffs the corpus against a
     * cutoff to find its delta; at 100 TB the production form diffs two

@@ -276,6 +276,19 @@ class GoldenSpec extends AnyFunSuite {
     // SparkSessionExtensions deployment surface; a registration break or
     // a native-kernel drift (EMA fold, float-dot order) fails here
     assert(queryHash("q182_sql_functions") == ((47L, "5ac422a7f09b05e903285dde987ad742")))
+    // q185: semantic (SemDeDup-shape) dedup — per-cell drop census and
+    // the kept-id checksum are in-hash, so a codebook drift, a cosine
+    // kernel change, or a keeper-rule flip moves real integers
+    assert(queryHash("q185_semantic_dedup") == ((8L, "a144bc64c4dde608fe9c11095ebd8797")))
+    // q186: cluster-aware split — the per-split censuses AND the
+    // measured audit (naive split leaks 9 of the 29 dup pairs at this
+    // SF, cluster-keyed split leaks 0 structurally) all in-hash
+    assert(queryHash("q186_cluster_split_guard") == ((3L, "3c789509d8aa2f77d770a714e1a2e977")))
+    // s41: streaming ingest through the commit log — all three
+    // snapshots' time-travel censuses, pinned file counts, currency,
+    // and exactly_once (commits landed, retried commit rejected) ride
+    // the hash; a torn commit or replayed epoch moves real rows
+    assert(queryHash("s41_stream_commits") == ((3L, "b5332c6411314f1ef43eac4e10cb355b")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -1039,6 +1039,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q185 semantic dedup: assignment materialized once, pair join cell-bounded") {
+    // the argmax assignment must be ckpt'd (pair-join sides + census
+    // read the materialized table — three consumers, one featurize),
+    // the final plan reads NO raw files, the pair join is cell-keyed
+    // (never a cross product), and no window is partition-less
+    val p = plan("q185_semantic_dedup")
+    assert(!p.contains("FileScan"), "no raw re-scan after the assignment materializes")
+    assert(count(p, "Scan ExistingRDD") == 3, "census + both pair sides read the ckpt'd assignment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(globalWindows(p) == 0)
+  }
+
+  test("q186 cluster split guard: audit rides the pair table, 1-row audit broadcasts") {
+    // the leakage audit joins the LSH-bounded pair table to the
+    // assignment on doc_id (equi joins), the only nested-loop is the
+    // 1-row audit broadcast onto the 3-row census, and the cluster
+    // labels come from the memoized ckpt'd stage (no CC re-plan)
+    val p = plan("q186_cluster_split_guard")
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, "only the 1-row audit broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(globalWindows(p) == 0)
+  }
+
   test("q182 SQL surface: native kernels resolve by name, same plan class as the DataFrame forms") {
     // the SQL text must land on the SAME native codegen expressions the
     // DataFrame path uses (not a fallback), the bar aggregate must

@@ -1085,6 +1085,98 @@ object StreamDemos {
           TRUE, TRUE
         FROM ba, br
         ORDER BY snapshot_id""")
+    ),
+    // s42: snapshot expiration + orphan-file GC (SnapshotLog.expireGc
+    // scaladoc) — the maintenance pair that keeps s39's storage bounded:
+    // a compaction snapshot strands the pre-compaction files behind
+    // history, a rejected commit strands true orphans; expiring
+    // snapshots 1–2 makes both unreachable, and GC deletes exactly the
+    // 5 expired + 2 orphan files while snapshot 3's census — read from
+    // its parquet AFTER the deletions — must still equal the full table.
+    // Oracle = from-scratch census over `orders` + the pinned expiry /
+    // orphan / live file counts + gc_safe TRUE, all in-hash.
+    Q(
+      "s42_snapshot_expire_gc",
+      (s, dir) => graft.sinks.SnapshotLog.expireGc(s, dir),
+      Some("""WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+        SELECT CAST(2 AS BIGINT) AS n_snapshots_expired,
+          CAST(2 AS BIGINT) AS n_orphans_deleted,
+          CAST(5 AS BIGINT) AS n_expired_files_deleted,
+          CAST(2 AS BIGINT) AS n_files_live,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          TRUE AS gc_safe
+        FROM o ORDER BY n_rows""")
+    ),
+    // s43: copy-on-write MERGE through the commit log (SnapshotLog
+    // .mergeCow scaladoc) — row-level DELETE/UPDATE/INSERT against the
+    // snapshot table: affected-file selection is a pure metadata join
+    // (per-file partition stats × the delta's buckets → exactly 1 of 4
+    // files), only that file is rewritten, the other 3 are carried by
+    // path, and the pre-merge state stays time-travelable. Oracle
+    // recomputes every count and both censuses from `orders` with the
+    // same k%20 predicates and the same 10 synthetic inserts, so an
+    // unapplied update, a leaked delete, or wrong pruning moves real
+    // integers.
+    Q(
+      "s43_merge_cow",
+      (s, dir) => graft.sinks.SnapshotLog.mergeCow(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        i AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+            CAST(sum(1000000 + 7 * g) AS BIGINT) AS si
+          FROM (SELECT unnest(generate_series(0, 9)) AS g)),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sd FROM o WHERE k % 20 = 6),
+        u AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM o WHERE k % 20 = 2),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT CAST(4 AS BIGINT) AS n_files_base,
+          CAST(1 AS BIGINT) AS n_files_rewritten,
+          CAST(3 AS BIGINT) AS n_files_carried,
+          d.nd AS n_deleted, u.nu AS n_updated, i.ni AS n_inserted,
+          b.n - d.nd + i.ni AS n_rows,
+          b.s - d.sd + 1000 * u.nu + i.si AS sum_cents,
+          b.n AS n_rows_pre, b.s AS sum_cents_pre,
+          TRUE AS merge_ok
+        FROM b, d, u, i ORDER BY n_rows""")
+    ),
+    // s44: merge-on-read row-level deletes (SnapshotLog.mergeOnRead
+    // scaladoc) — the lazy half of the mutation story next to s43's
+    // COW: equality-delete files mask dead rows at read time under the
+    // SEQUENCE rule (a delete applies only to data files with strictly
+    // lower seq — so snapshot 3's update, delete(old)+insert(new) in
+    // one commit, doesn't eat its own re-inserted rows), deletes
+    // accumulate across snapshots, and the snapshot-4 compaction folds
+    // them into rewritten files census-neutrally. All four snapshots'
+    // time-travel censuses through the MOR read path are in-hash;
+    // oracle recomputes them from `orders` with the same k%20
+    // predicates.
+    Q(
+      "s44_merge_on_read",
+      (s, dir) => graft.sinks.SnapshotLog.mergeOnRead(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sd FROM o WHERE k % 20 = 6),
+        u AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM o WHERE k % 20 = 2),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(4 AS BIGINT) AS n_data_files,
+          CAST(0 AS BIGINT) AS n_delete_files, b.n AS n_rows, b.s AS sum_cents,
+          TRUE AS mor_ok
+        FROM b
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT),
+          b.n - d.nd, b.s - d.sd, TRUE FROM b, d
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT),
+          b.n - d.nd, b.s - d.sd + 1000 * u.nu, TRUE FROM b, d, u
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+          b.n - d.nd, b.s - d.sd + 1000 * u.nu, TRUE FROM b, d, u
+        ORDER BY snapshot_id""")
     )
   )
 }

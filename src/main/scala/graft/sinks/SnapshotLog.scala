@@ -115,6 +115,195 @@ object SnapshotLog {
       } finally c.setAutoCommit(true)
     }
 
+  /** Expire every snapshot older than `olderThan` (never the empty root
+    * 0 and never the current pointer): delete their snapshot + manifest
+    * rows in ONE transaction. Iceberg's `expire_snapshots` shape — after
+    * this, those historical states are no longer time-travelable and any
+    * file referenced ONLY by them becomes garbage. Returns the expired
+    * ids (ascending).
+    */
+  private[graft] def expireSnapshots(dbFile: String, olderThan: Long): Seq[Long] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      c.setAutoCommit(false)
+      try {
+        val ids = DuckDbLive
+          .queryRows(
+            c,
+            s"""SELECT snapshot_id FROM snapshots
+               WHERE snapshot_id > 0 AND snapshot_id < $olderThan
+               AND snapshot_id <> (SELECT snapshot_id FROM current WHERE pin = 0)
+               ORDER BY snapshot_id""")
+          .map(_.head.asInstanceOf[Number].longValue)
+        val st = c.createStatement()
+        try ids.foreach { id =>
+          st.executeUpdate(s"DELETE FROM manifests WHERE snapshot_id = $id")
+          st.executeUpdate(s"DELETE FROM snapshots WHERE snapshot_id = $id")
+        } finally st.close()
+        c.commit()
+        ids
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try c.rollback()
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      } finally c.setAutoCommit(true)
+    }
+
+  /** Every data file still referenced by ANY retained snapshot — the
+    * reachability set orphan-file GC deletes against. Pure log metadata
+    * (one DISTINCT over manifest rows), never a storage listing join
+    * against data contents.
+    */
+  private[graft] def liveFiles(dbFile: String): Set[String] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(c, "SELECT DISTINCT path FROM manifests")
+        .map(_.head.toString)
+        .toSet
+    }
+
+  /** File-level partition stats (Iceberg manifest-entry shape): each
+    * immutable data file records the single partition value it covers,
+    * so scan planning / merge-affected-file selection is a METADATA
+    * lookup — no data file is opened to decide which files matter.
+    */
+  private[graft] def initStats(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        "CREATE TABLE file_stats(path VARCHAR PRIMARY KEY, bucket BIGINT NOT NULL)")
+    }
+
+  private[graft] def recordStats(dbFile: String, stats: Seq[(String, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try stats.foreach { case (p, b) =>
+        st.executeUpdate(s"INSERT INTO file_stats VALUES ('$p', $b)")
+      } finally st.close()
+    }
+
+  /** Merge-on-read metadata (Iceberg v2 row-level-delete shape): delete
+    * files are first-class manifest entries per snapshot, and every
+    * file — data or delete — carries the SEQUENCE NUMBER of the commit
+    * that added it. The sequence number is the load-bearing rule: a
+    * delete file applies only to data files with a STRICTLY LOWER seq,
+    * which is exactly what lets an update (delete old version + insert
+    * new version in the same commit) not delete its own re-inserted
+    * rows.
+    */
+  private[graft] def initMor(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE delete_manifests(
+          |snapshot_id BIGINT NOT NULL, path VARCHAR NOT NULL,
+          |n_rows BIGINT NOT NULL)""".stripMargin)
+      DuckDbLive.execute(
+        c,
+        "CREATE TABLE file_seq(path VARCHAR PRIMARY KEY, seq BIGINT NOT NULL)")
+    }
+
+  private[graft] def recordSeq(dbFile: String, paths: Seq[String], seq: Long): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try paths.foreach(p =>
+        st.executeUpdate(s"INSERT INTO file_seq VALUES ('$p', $seq)"))
+      finally st.close()
+    }
+
+  /** Commit with row-level deletes: same atomic conditional swap as
+    * `commit`, with the snapshot's delete-file manifest written in the
+    * SAME transaction — a torn commit can never leave data files
+    * visible without the delete files that mask their dead rows.
+    */
+  private[graft] def commitMor(
+      dbFile: String,
+      expectedParent: Long,
+      snapshotId: Long,
+      dataFiles: Seq[(String, Long)],
+      deleteFiles: Seq[(String, Long)]): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      c.setAutoCommit(false)
+      try {
+        val swapped = {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"""UPDATE current SET snapshot_id = $snapshotId
+               WHERE pin = 0 AND snapshot_id = $expectedParent""") == 1
+          finally st.close()
+        }
+        if (swapped) {
+          val st = c.createStatement()
+          try {
+            st.executeUpdate(
+              s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
+            dataFiles.foreach { case (p, n) =>
+              st.executeUpdate(
+                s"INSERT INTO manifests VALUES ($snapshotId, '$p', $n)")
+            }
+            deleteFiles.foreach { case (p, n) =>
+              st.executeUpdate(
+                s"INSERT INTO delete_manifests VALUES ($snapshotId, '$p', $n)")
+            }
+          } finally st.close()
+          c.commit()
+          true
+        } else {
+          c.rollback()
+          false
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          try c.rollback()
+          catch { case scala.util.control.NonFatal(_) => () }
+          false
+      } finally c.setAutoCommit(true)
+    }
+
+  /** Snapshot N's data files with their sequence numbers. */
+  private[graft] def manifestSeq(dbFile: String, snapshotId: Long): Seq[(String, Long)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path, s.seq FROM manifests m JOIN file_seq s ON m.path = s.path
+             WHERE m.snapshot_id = $snapshotId ORDER BY m.path""")
+        .map(r => (r(0).toString, r(1).asInstanceOf[Number].longValue))
+    }
+
+  /** Snapshot N's delete files with their sequence numbers. */
+  private[graft] def deleteSeq(dbFile: String, snapshotId: Long): Seq[(String, Long)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path, s.seq FROM delete_manifests m
+             JOIN file_seq s ON m.path = s.path
+             WHERE m.snapshot_id = $snapshotId ORDER BY m.path""")
+        .map(r => (r(0).toString, r(1).asInstanceOf[Number].longValue))
+    }
+
+  /** The data files of snapshot `snapshotId` whose recorded partition
+    * value overlaps the delta's buckets — Iceberg scan planning reduced
+    * to its core: manifest rows × file stats, zero data-file reads.
+    */
+  private[graft] def prunePaths(
+      dbFile: String,
+      snapshotId: Long,
+      buckets: Seq[Long]): Seq[String] =
+    if (buckets.isEmpty) Seq.empty
+    else
+      DuckDbLive.withConnection(dbFile) { c =>
+        DuckDbLive
+          .queryRows(
+            c,
+            s"""SELECT m.path FROM manifests m JOIN file_stats f ON m.path = f.path
+               WHERE m.snapshot_id = $snapshotId
+               AND f.bucket IN (${buckets.mkString(",")})
+               ORDER BY m.path""")
+          .map(_.head.toString)
+      }
+
   /** Snapshot N's manifest list (path, n_rows) — the full file set. */
   private[graft] def manifest(dbFile: String, snapshotId: Long): Seq[(String, Long)] =
     DuckDbLive.withConnection(dbFile) { c =>
@@ -436,6 +625,431 @@ object SnapshotLog {
         .toDF("n_files_added", "rows_added", "n_buckets", "n_rows_view",
           "sum_cents_view", "view_ok", "n_redeliveries_rejected", "refresh_live")
         .orderBy("n_files_added")
+    }
+  }
+
+  /** s42 — snapshot EXPIRATION + orphan-file GC: the maintenance pair
+    * (Iceberg `expire_snapshots` + `remove_orphan_files`) that keeps a
+    * 100 TB table's storage bounded. Without it the s39 format leaks
+    * forever: every compaction (snapshot 3 rewrites snapshots 1+2's five
+    * files into two) strands the pre-compaction files behind historical
+    * manifests, and every REJECTED commit (the s39/s41 failure mode —
+    * write-then-commit means a loser's data files land on storage but
+    * never become visible) strands true orphans no manifest ever listed.
+    *
+    * Lifecycle under test: commit snapshots 1 (2 files), 2 (append, +3
+    * files), 3 (compaction — same rows, 2 NEW files); inject a stale
+    * commit whose 2 already-written data files are cleanly rejected into
+    * orphan-hood; EXPIRE snapshots 1 and 2; GC = delete every data file
+    * not reachable from a retained manifest (pure log metadata — one
+    * DISTINCT over manifest rows, never a content scan). The output
+    * censuses read snapshot 3's parquet AFTER the deletions, so a GC
+    * that deletes a live file, a compaction that lost rows, or an
+    * expiration that touched the current snapshot all fail the hash;
+    * gc_safe additionally pins "deleted files are really gone, live
+    * files really remain, expired ids no longer time-travel".
+    *
+    * Scale shape: expiration and reachability are metadata-only (log
+    * rows through one JDBC hop); the physical deletes are embarrassingly
+    * parallel per-file ops driven by that bounded metadata diff, and the
+    * data files themselves are never read to decide anything.
+    */
+  def expireGc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderdate").cast("date").as("d"))
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s42_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+
+      // snapshots 1 and 2: the s39 append lifecycle (2 then +3 files)
+      o.filter(col("d") < lit(Cutoff).cast("date")).drop("d")
+        .repartition(2).write.parquet(s"$base/b1")
+      val files1 = partFiles(spark, s"$base/b1")
+      val c1 = commit(dbFile, 0L, 1L, files1)
+      o.filter(!(col("d") < lit(Cutoff).cast("date"))).drop("d")
+        .repartition(3).write.parquet(s"$base/b2")
+      val files2 = partFiles(spark, s"$base/b2")
+      val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
+
+      // snapshot 3: COMPACTION — q131's algebra run against the log:
+      // read exactly what snapshot 2's manifest lists, rewrite as 2 new
+      // files, commit a manifest that references ONLY the new files
+      spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .repartition(2).write.parquet(s"$base/b3")
+      val files3 = partFiles(spark, s"$base/b3")
+      val c3 = commit(dbFile, 2L, 3L, files3)
+
+      // ORPHANS: a loser of the commit race has already written its data
+      // files when the conditional swap rejects it — they exist on
+      // storage but no manifest row ever points at them
+      o.filter(col("d") < lit(Cutoff).cast("date")).drop("d")
+        .repartition(2).write.parquet(s"$base/bx")
+      val filesX = partFiles(spark, s"$base/bx")
+      val stale = commit(dbFile, 1L, 9L, filesX)
+
+      // expire 1 and 2, then GC against the retained reachability set
+      val expired = expireSnapshots(dbFile, olderThan = 3L)
+      val live = liveFiles(dbFile)
+      val all = (files1 ++ files2 ++ files3 ++ filesX).map(_._1)
+      val garbage = all.filterNot(live)
+      garbage.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+      val orphansDeleted = filesX.map(_._1).count(garbage.toSet)
+      val expiredDeleted = (files1 ++ files2).map(_._1).count(garbage.toSet)
+
+      // census snapshot 3 AFTER the deletions — the proof GC kept every
+      // live file and compaction preserved every row
+      val mf3 = manifest(dbFile, 3L)
+      val agg = spark.read.parquet(mf3.map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val gcSafe = c1 && c2 && c3 && !stale &&
+        expired == Seq(1L, 2L) &&
+        currentSnapshot(dbFile) == 3L &&
+        manifest(dbFile, 1L).isEmpty && manifest(dbFile, 2L).isEmpty &&
+        garbage.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))) &&
+        live.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+
+      Seq((
+        expired.size.toLong,
+        orphansDeleted.toLong,
+        expiredDeleted.toLong,
+        mf3.size.toLong,
+        agg.getLong(0),
+        agg.getLong(1),
+        gcSafe))
+        .toDF("n_snapshots_expired", "n_orphans_deleted",
+          "n_expired_files_deleted", "n_files_live", "n_rows", "sum_cents",
+          "gc_safe")
+        .orderBy("n_rows")
+    } else {
+      // honest fallback: scratch census only; gc_safe=false fails the
+      // oracle's TRUE, so a missing driver can never pass
+      val agg = o.agg(count(lit(1)), sum(col("cents"))).head()
+      Seq((2L, 2L, 5L, 2L, agg.getLong(0), agg.getLong(1), false))
+        .toDF("n_snapshots_expired", "n_orphans_deleted",
+          "n_expired_files_deleted", "n_files_live", "n_rows", "sum_cents",
+          "gc_safe")
+        .orderBy("n_rows")
+    }
+  }
+
+  /** s43 — copy-on-write MERGE through the commit log: the row-level
+    * mutation path (Delta/Iceberg `MERGE INTO`, COW mode) that turns the
+    * append-only s39 format into a table you can UPDATE/DELETE/INSERT
+    * against. The load-bearing ideas, each pinned by the gate:
+    *
+    *   - AFFECTED-FILE PRUNING is metadata-only: every data file carries
+    *     its partition value in the log (`file_stats`, the Iceberg
+    *     manifest-entry stat), the delta's touched buckets are computed
+    *     from the delta alone (bucket domain ≤ 4), and their join picks
+    *     the files to rewrite WITHOUT opening any data file — here
+    *     exactly 1 of the 4 base files;
+    *   - COPY-ON-WRITE: only that file is read and rewritten (deletes
+    *     filtered, updates applied, inserts unioned); the 3 untouched
+    *     files are carried into snapshot 2's manifest BY PATH — at
+    *     100 TB the merge cost is |affected files| + |delta|, never a
+    *     table rewrite;
+    *   - TIME TRAVEL survives the mutation: the pre-merge census is read
+    *     back from snapshot 1's manifest AFTER the merge committed.
+    *
+    * Delta (all in bucket k%4==2 by construction): DELETE k≡6 (mod 20),
+    * UPDATE k≡2 (mod 20) → cents+1000, INSERT 10 fresh keys above
+    * max(k). The output carries both censuses plus the delta counts; the
+    * oracle recomputes every number from `orders` with the same
+    * predicates, so an unapplied update, a leaked delete, a lost carried
+    * file, or pruning that picked the wrong file all move real integers.
+    * The per-bucket write loop pins the file count for the gate; the
+    * production form is `write.partitionBy(bucket)` with the partition
+    * value recorded per manifest entry, same metadata, same plan.
+    */
+  def mergeCow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val delPred = col("k") % 20 === 6
+    val updPred = col("k") % 20 === 2
+    val deltaAgg = o.agg(
+      sum(when(delPred, lit(1L)).otherwise(lit(0L))).as("nd"),
+      sum(when(updPred, lit(1L)).otherwise(lit(0L))).as("nu"),
+      sum(when(delPred, col("cents")).otherwise(lit(0L))).as("sd"),
+      max(col("k")).as("mx")).head()
+    val (nd, nu, mx) = (deltaAgg.getLong(0), deltaAgg.getLong(1), deltaAgg.getLong(3))
+    val inserts = (0 until 10)
+      .map(i => (mx - (mx % 4) + 4L * (i + 1) + 2L, 1000000L + 7L * i))
+      .toDF("k", "cents")
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s43_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+
+      // base table: one immutable file per bucket, partition value
+      // recorded in the log (the Iceberg manifest-entry stat)
+      val baseFiles = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      val c1 = commit(dbFile, 0L, 1L, baseFiles)
+
+      // the delta's touched buckets, computed FROM the delta (domain ≤ 4
+      // values — a bounded collect by construction)
+      val deltaBuckets = o.filter(delPred || updPred).select((col("k") % 4).as("b"))
+        .union(inserts.select((col("k") % 4).as("b")))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+
+      // metadata-only scan planning: which files must be rewritten
+      val affected = prunePaths(dbFile, 1L, deltaBuckets)
+      val carried = manifest(dbFile, 1L).filterNot(f => affected.contains(f._1))
+
+      // COW rewrite of exactly the affected file(s)
+      spark.read.parquet(affected: _*)
+        .filter(!delPred)
+        .withColumn("cents",
+          when(updPred, col("cents") + 1000L).otherwise(col("cents")))
+        .unionByName(inserts)
+        .repartition(1).write.parquet(s"$base/m")
+      val newFiles = partFiles(spark, s"$base/m")
+      recordStats(dbFile, newFiles.map(p => (p._1, 2L)))
+      val c2 = commit(dbFile, 1L, 2L, carried ++ newFiles)
+
+      // post-merge census from snapshot 2, pre-merge TIME TRAVEL from
+      // snapshot 1 — both read after the merge committed
+      val post = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val pre = spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val mergeOk = c1 && c2 &&
+        affected.size == 1 && carried.size == 3 &&
+        currentSnapshot(dbFile) == 2L &&
+        carried.forall(f => manifest(dbFile, 2L).contains(f)) &&
+        post.getLong(0) == pre.getLong(0) - nd + 10L
+
+      Seq((
+        baseFiles.size.toLong, affected.size.toLong, carried.size.toLong,
+        nd, nu, 10L,
+        post.getLong(0), post.getLong(1), pre.getLong(0), pre.getLong(1),
+        mergeOk))
+        .toDF("n_files_base", "n_files_rewritten", "n_files_carried",
+          "n_deleted", "n_updated", "n_inserted", "n_rows", "sum_cents",
+          "n_rows_pre", "sum_cents_pre", "merge_ok")
+        .orderBy("n_rows")
+    } else {
+      // honest fallback: from-scratch merge arithmetic; merge_ok=false
+      // fails the oracle's TRUE
+      val b = o.agg(count(lit(1)), sum(col("cents"))).head()
+      val sd = deltaAgg.getLong(2)
+      val si = (0 until 10).map(i => 1000000L + 7L * i).sum
+      Seq((4L, 1L, 3L, nd, nu, 10L,
+        b.getLong(0) - nd + 10L, b.getLong(1) - sd + 1000L * nu + si,
+        b.getLong(0), b.getLong(1), false))
+        .toDF("n_files_base", "n_files_rewritten", "n_files_carried",
+          "n_deleted", "n_updated", "n_inserted", "n_rows", "sum_cents",
+          "n_rows_pre", "sum_cents_pre", "merge_ok")
+        .orderBy("n_rows")
+    }
+  }
+
+  /** s44 — MERGE-ON-READ row-level deletes (Iceberg v2 / Delta
+    * deletion-vector shape): the lazy half of the mutation story next
+    * to s43's copy-on-write. At 100 TB a hot table can't afford a file
+    * rewrite per delete batch — instead each commit writes a small
+    * EQUALITY-DELETE file (the dead keys) and the READ PATH masks dead
+    * rows with an anti-join; a later compaction folds the accumulated
+    * deletes into rewritten data files and drops them from the
+    * manifest. The rules the gate pins, each a real-world bug class:
+    *
+    *   - SEQUENCE SCOPING: a delete file applies only to data files
+    *     with a strictly LOWER sequence number. Snapshot 3's update is
+    *     delete(old versions) + insert(new versions) in ONE commit —
+    *     without the seq rule the delete file would eat its own
+    *     re-inserted rows (census moves, hash fails);
+    *   - deletes ACCUMULATE across snapshots (snapshot 3 reads under
+    *     TWO delete files) and every historical snapshot censuses
+    *     correctly under exactly ITS delete set (time travel across all
+    *     four snapshots is in-hash);
+    *   - COMPACTION is census-neutral: snapshot 4 applies the delete
+    *     files to the affected files only (partition-stat pruning picks
+    *     the 2 bucket-2 files of 5), rewrites them as one file, carries
+    *     the rest by path, and drops all delete files — its census must
+    *     equal snapshot 3's, and the delete-manifest must be empty;
+    *   - delete files ride the SAME atomic swap as data (commitMor) —
+    *     a torn commit can't leave data visible without its masks.
+    *
+    * Scale shape: the read path is one anti-join of the scan against
+    * delta-sized delete files (broadcastable; Spark plans the equi-key
+    * + seq-inequality as a single join), pruning is log metadata, and
+    * compaction cost is |affected files| + |deletes|, never the table.
+    */
+  def mergeOnRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val delPred = col("k") % 20 === 6
+    val updPred = col("k") % 20 === 2
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s44_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+      initMor(dbFile)
+
+      // the MOR read path, reconstructed from the log alone: data files
+      // unioned with their seq, dead rows masked by the seq-scoped
+      // anti-join against the snapshot's delete files
+      def morRead(snap: Long): DataFrame = {
+        val data = manifestSeq(dbFile, snap)
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (seq, fs) =>
+            spark.read.parquet(fs.map(_._1): _*).withColumn("fseq", lit(seq))
+          }
+          .reduce(_ unionByName _)
+        val dels = deleteSeq(dbFile, snap)
+        if (dels.isEmpty) data
+        else {
+          val dv = dels
+            .groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (seq, fs) =>
+              spark.read.parquet(fs.map(_._1): _*).withColumn("dseq", lit(seq))
+            }
+            .reduce(_ unionByName _)
+          data.as("f").join(
+            dv.as("dv"),
+            col("f.k") === col("dv.k") && col("dv.dseq") > col("f.fseq"),
+            "left_anti")
+        }
+      }
+
+      // snapshot 1 (seq 1): one immutable data file per bucket
+      val baseFiles = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      recordSeq(dbFile, baseFiles.map(_._1), 1L)
+      val c1 = commitMor(dbFile, 0L, 1L, baseFiles, Seq.empty)
+
+      // snapshot 2 (seq 2): MOR DELETE — dead keys land in an equality-
+      // delete file; no data file is touched
+      o.filter(delPred).select("k").repartition(1).write.parquet(s"$base/d1")
+      val del1 = partFiles(spark, s"$base/d1")
+      recordSeq(dbFile, del1.map(_._1), 2L)
+      val c2 = commitMor(dbFile, 1L, 2L, baseFiles, del1)
+
+      // snapshot 3 (seq 3): MOR UPDATE = delete(old) + insert(new) in
+      // one commit; the seq rule keeps the delete off the new versions
+      o.filter(updPred).select("k").repartition(1).write.parquet(s"$base/d2")
+      val del2 = partFiles(spark, s"$base/d2")
+      o.filter(updPred).withColumn("cents", col("cents") + 1000L)
+        .repartition(1).write.parquet(s"$base/i1")
+      val ins1 = partFiles(spark, s"$base/i1")
+      recordSeq(dbFile, (del2 ++ ins1).map(_._1), 3L)
+      recordStats(dbFile, ins1.map(p => (p._1, 2L))) // all updated keys ≡ 2 (mod 4)
+      val c3 = commitMor(dbFile, 2L, 3L, baseFiles ++ ins1, del1 ++ del2)
+
+      // snapshot 4 (seq 4): COMPACTION — partition stats prune the two
+      // bucket-2 files (f2 + the update inserts), the delete files fold
+      // into one rewritten file, the rest carries by path, deletes drop
+      val affected = prunePaths(dbFile, 3L, Seq(2L))
+      val carried = manifestSeq(dbFile, 3L).map(_._1).filterNot(affected.toSet)
+      val affectedSeq = manifestSeq(dbFile, 3L).filter(f => affected.contains(f._1))
+      val dv3 = deleteSeq(dbFile, 3L)
+      affectedSeq
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (seq, fs) =>
+          spark.read.parquet(fs.map(_._1): _*).withColumn("fseq", lit(seq))
+        }
+        .reduce(_ unionByName _)
+        .as("f")
+        .join(
+          dv3.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (seq, fs) =>
+              spark.read.parquet(fs.map(_._1): _*).withColumn("dseq", lit(seq))
+            }
+            .reduce(_ unionByName _)
+            .as("dv"),
+          col("f.k") === col("dv.k") && col("dv.dseq") > col("f.fseq"),
+          "left_anti")
+        .drop("fseq")
+        .repartition(1).write.parquet(s"$base/c1")
+      val comp = partFiles(spark, s"$base/c1")
+      recordSeq(dbFile, comp.map(_._1), 4L)
+      recordStats(dbFile, comp.map(p => (p._1, 2L)))
+      val carriedEntries = manifest(dbFile, 3L).filter(f => carried.contains(f._1))
+      val c4 = commitMor(dbFile, 3L, 4L, carriedEntries ++ comp, Seq.empty)
+
+      // time-travel censuses of ALL FOUR snapshots through the MOR read
+      val census = (1L to 4L).map { snap =>
+        val agg = morRead(snap).agg(count(lit(1)), sum(col("cents"))).head()
+        (snap, (agg.getLong(0), agg.getLong(1)))
+      }.toMap
+      val morOk = c1 && c2 && c3 && c4 &&
+        affected.size == 2 && carried.size == 3 &&
+        currentSnapshot(dbFile) == 4L &&
+        deleteSeq(dbFile, 4L).isEmpty &&
+        census(3L) == census(4L)
+
+      (1L to 4L).map { snap =>
+        (snap,
+          manifest(dbFile, snap).size.toLong,
+          deleteSeq(dbFile, snap).size.toLong,
+          census(snap)._1, census(snap)._2, morOk)
+      }
+        .toDF("snapshot_id", "n_data_files", "n_delete_files", "n_rows",
+          "sum_cents", "mor_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: predicate arithmetic only; mor_ok=false fails
+      // the oracle's TRUE
+      val agg = o.agg(
+        count(lit(1)), sum(col("cents")),
+        sum(when(delPred, lit(1L)).otherwise(lit(0L))),
+        sum(when(delPred, col("cents")).otherwise(lit(0L))),
+        sum(when(updPred, lit(1L)).otherwise(lit(0L)))).head()
+      val (n, s) = (agg.getLong(0), agg.getLong(1))
+      val (nd, sd, nu) = (agg.getLong(2), agg.getLong(3), agg.getLong(4))
+      Seq(
+        (1L, 4L, 0L, n, s, false),
+        (2L, 4L, 1L, n - nd, s - sd, false),
+        (3L, 5L, 2L, n - nd, s - sd + 1000L * nu, false),
+        (4L, 4L, 0L, n - nd, s - sd + 1000L * nu, false))
+        .toDF("snapshot_id", "n_data_files", "n_delete_files", "n_rows",
+          "sum_cents", "mor_ok")
+        .orderBy("snapshot_id")
     }
   }
 }

@@ -289,6 +289,20 @@ class GoldenSpec extends AnyFunSuite {
     // and exactly_once (commits landed, retried commit rejected) ride
     // the hash; a torn commit or replayed epoch moves real rows
     assert(queryHash("s41_stream_commits") == ((3L, "b5332c6411314f1ef43eac4e10cb355b")))
+    // s42: the expire+GC lifecycle — expiry/orphan/live file counts and
+    // the post-GC census of the compacted current snapshot (read from
+    // its parquet AFTER the deletions) ride the hash; a GC that eats a
+    // live file or an expiration that touches current moves real rows
+    assert(queryHash("s42_snapshot_expire_gc") == ((1L, "a688875c1c85501989f84879f97da0c6")))
+    // s43: COW merge — delta counts, both censuses (post-merge + the
+    // still-time-travelable pre-merge), and the 1-of-4 pruned rewrite
+    // are all in-hash; an unapplied update or wrong pruning fails here
+    assert(queryHash("s43_merge_cow") == ((1L, "1a05445f924039fa308d768b19679f04")))
+    // s44: merge-on-read — all four snapshots' censuses through the
+    // seq-scoped delete-masking read path, incl. the update that must
+    // NOT delete its own re-inserted rows and the census-neutral
+    // compaction; a seq-rule break or a leaked dead row moves integers
+    assert(queryHash("s44_merge_on_read") == ((4L, "34797220b0de55cf5e4528483dfe97e1")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

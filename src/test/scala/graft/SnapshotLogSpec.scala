@@ -43,6 +43,75 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("expiration never touches the root, the current snapshot, or newer history") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.commit(db, 0L, 1L, Seq(("a", 1L)))
+      SnapshotLog.commit(db, 1L, 2L, Seq(("a", 1L), ("b", 2L)))
+      SnapshotLog.commit(db, 2L, 3L, Seq(("c", 3L)))
+      // olderThan covers EVERYTHING — current (3) and root (0) must survive
+      val expired = SnapshotLog.expireSnapshots(db, olderThan = 99L)
+      assert(expired == Seq(1L, 2L))
+      assert(SnapshotLog.currentSnapshot(db) == 3L)
+      assert(SnapshotLog.manifest(db, 1L).isEmpty)
+      assert(SnapshotLog.manifest(db, 2L).isEmpty)
+      assert(SnapshotLog.manifest(db, 3L) == Seq(("c", 3L)))
+      // reachability after expiry: only the retained manifest's files
+      assert(SnapshotLog.liveFiles(db) == Set("c"))
+      // expiration is idempotent
+      assert(SnapshotLog.expireSnapshots(db, olderThan = 99L).isEmpty)
+    }
+  }
+
+  test("liveFiles is the union across retained snapshots, not just current") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.commit(db, 0L, 1L, Seq(("a", 1L)))
+      SnapshotLog.commit(db, 1L, 2L, Seq(("a", 1L), ("b", 2L)))
+      SnapshotLog.commit(db, 2L, 3L, Seq(("c", 3L))) // compaction dropped a,b
+      // nothing expired yet: a file referenced ONLY by history is live
+      assert(SnapshotLog.liveFiles(db) == Set("a", "b", "c"))
+      SnapshotLog.expireSnapshots(db, olderThan = 3L)
+      assert(SnapshotLog.liveFiles(db) == Set("c"))
+    }
+  }
+
+  test("stats pruning selects exactly the overlapping buckets' files") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initStats(db)
+      SnapshotLog.recordStats(db, Seq(("f0", 0L), ("f1", 1L), ("f2", 2L), ("f3", 3L)))
+      SnapshotLog.commit(db, 0L, 1L, Seq(("f0", 1L), ("f1", 1L), ("f2", 1L), ("f3", 1L)))
+      assert(SnapshotLog.prunePaths(db, 1L, Seq(2L)) == Seq("f2"))
+      assert(SnapshotLog.prunePaths(db, 1L, Seq(1L, 3L)) == Seq("f1", "f3"))
+      assert(SnapshotLog.prunePaths(db, 1L, Seq.empty).isEmpty)
+      // pruning is snapshot-scoped: a file in stats but NOT in the
+      // snapshot's manifest is never selected
+      SnapshotLog.recordStats(db, Seq(("g2", 2L)))
+      assert(SnapshotLog.prunePaths(db, 1L, Seq(2L)) == Seq("f2"))
+    }
+  }
+
+  test("MOR commit is atomic over data AND delete manifests; seq metadata round-trips") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initMor(db)
+      SnapshotLog.recordSeq(db, Seq("a", "b"), 1L)
+      assert(SnapshotLog.commitMor(db, 0L, 1L, Seq(("a", 3L), ("b", 4L)), Seq.empty))
+      SnapshotLog.recordSeq(db, Seq("del1"), 2L)
+      assert(SnapshotLog.commitMor(db, 1L, 2L, Seq(("a", 3L), ("b", 4L)), Seq(("del1", 2L))))
+      assert(SnapshotLog.manifestSeq(db, 2L) == Seq(("a", 1L), ("b", 1L)))
+      assert(SnapshotLog.deleteSeq(db, 2L) == Seq(("del1", 2L)))
+      // snapshot 1 never sees snapshot 2's delete file
+      assert(SnapshotLog.deleteSeq(db, 1L).isEmpty)
+      // a stale MOR commit leaves NEITHER data nor delete manifest rows
+      assert(!SnapshotLog.commitMor(db, 1L, 3L, Seq(("c", 1L)), Seq(("del2", 1L))))
+      assert(SnapshotLog.manifest(db, 3L).isEmpty)
+      assert(SnapshotLog.deleteSeq(db, 3L).isEmpty)
+      assert(SnapshotLog.currentSnapshot(db) == 2L)
+    }
+  }
+
   test("4-way race on the same parent: exactly one commit wins, losers leave nothing") {
     withLog { db =>
       SnapshotLog.initLog(db)

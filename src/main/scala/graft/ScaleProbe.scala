@@ -41,7 +41,8 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
-        "concentration", "streaming", "text", "epoch", "cc", "substr"))
+        "concentration", "streaming", "text", "epoch", "cc", "substr",
+        "mor"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -401,6 +402,55 @@ object ScaleProbe {
       println(
         f"[scale] substr growth: docs x${srN.toDouble / sr0}%.0f, q179 time x${saN / sa0}%.1f, " +
           f"q183 time x${sbN / sb0}%.1f (linear would be x${srN.toDouble / sr0}%.0f)")
+    }
+
+    // Merge-on-read probe (s44's read path): the MOR-specific scale risk
+    // is DELETE-FILE ACCUMULATION — every commit adds a delete file, and
+    // the read path anti-joins the scan against the union of all of
+    // them until a compaction folds them in. The curve to measure: scan
+    // census time vs number of accumulated delete files (m× files AND
+    // m× total delete rows — both grow per commit), against the
+    // compacted (zero-delete-file) baseline. Near-flat growth = the
+    // masking join is delta-bounded; super-linear growth would mean the
+    // plan degrades with commit count and compaction cadence must be
+    // tied to it.
+    if (enabled("mor")) {
+      val oMor = Tables.orders(spark, sfDir).select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val morDir = scratchDir("graft_scale_mor_")
+      oMor.repartition(8).write.parquet(s"$morDir/data")
+      val morData = spark.read.parquet(s"$morDir/data").withColumn("fseq", lit(1L))
+      val rowsMor = morData.count()
+      // compacted baseline: plain scan census, no delete masking
+      morData.agg(count(lit(1)), sum(col("cents"))).head() // warm
+      val tB = System.nanoTime()
+      morData.agg(count(lit(1)), sum(col("cents"))).head()
+      val secBase = (System.nanoTime() - tB) / 1e9
+      println(f"[scale] mor baseline (compacted, 0 delete files): census=$secBase%7.2f s over $rowsMor rows")
+      val morResults = mults.map { m =>
+        (0 until m).foreach { i =>
+          oMor.filter(col("k") % 997 === i).select("k")
+            .repartition(1).write.mode("overwrite").parquet(s"$morDir/d$i")
+        }
+        val dv = (0 until m)
+          .map(i => spark.read.parquet(s"$morDir/d$i").withColumn("dseq", lit(i + 2L)))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val agg = morData.as("f")
+          .join(dv.as("dv"),
+            col("f.k") === col("dv.k") && col("dv.dseq") > col("f.fseq"),
+            "left_anti")
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d delete_files=$m%4d  mor_census=$sec%7.2f s (live=${agg.getLong(0)})")
+        (m, sec)
+      }
+      val (m0, s0m) = morResults.head
+      val (mN, sNm) = morResults.last
+      println(
+        f"[scale] mor growth: delete files x${mN.toDouble / m0}%.0f, read time x${sNm / s0m}%.1f " +
+          f"(flat would be x1; baseline $secBase%.2f s)")
     }
 
     // Interval-overlap probe (q132's bucket decomposition): scale

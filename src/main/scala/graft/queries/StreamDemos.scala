@@ -1177,6 +1177,70 @@ object StreamDemos {
         SELECT CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
           b.n - d.nd, b.s - d.sd + 1000 * u.nu, TRUE FROM b, d, u
         ORDER BY snapshot_id""")
+    ),
+    // s45: changelog feed between snapshots (SnapshotLog.changelogFeed
+    // scaladoc) — Iceberg changelog-scan / Delta CDF computed without
+    // per-row tracking: the changed-file set is the manifest diff (log
+    // metadata — the 3 carried files are never read), row changes come
+    // from one full-outer join of removed-file rows vs added-file rows,
+    // and the rows a COW rewrite carries UNCHANGED inside the rewritten
+    // file are suppressed as no-ops (emitting them would make every
+    // merge look like a table rewrite to consumers — and would move
+    // every census here). Oracle recomputes the per-change-type census
+    // from `orders` with the same k%20 predicates + the same synthetic
+    // inserts.
+    Q(
+      "s45_changelog_feed",
+      (s, dir) => graft.sinks.SnapshotLog.changelogFeed(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        mxb AS (SELECT CAST(max(k) - (max(k) % 4) AS BIGINT) AS b FROM o),
+        ins AS (SELECT mxb.b + 4 * (g.i + 1) + 2 AS k,
+            CAST(1000000 + 7 * g.i AS BIGINT) AS cents
+          FROM mxb, (SELECT unnest(generate_series(0, 9)) AS i) g)
+        SELECT 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(k) AS BIGINT) AS key_sum,
+          CAST(sum(cents) AS BIGINT) AS sum_cents_pre,
+          CAST(0 AS BIGINT) AS sum_cents_post,
+          CAST(2 AS BIGINT) AS n_files_scanned
+        FROM o WHERE k % 20 = 6
+        UNION ALL
+        SELECT 'insert', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+          CAST(0 AS BIGINT), CAST(sum(cents) AS BIGINT), CAST(2 AS BIGINT)
+        FROM ins
+        UNION ALL
+        SELECT 'update', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+          CAST(sum(cents) AS BIGINT),
+          CAST(sum(cents) + 1000 * count(*) AS BIGINT), CAST(2 AS BIGINT)
+        FROM o WHERE k % 20 = 2
+        ORDER BY change_type""")
+    ),
+    // s46: write-audit-publish (SnapshotLog.writeAuditPublish scaladoc)
+    // — the WAP quality gate: new data commits to a BRANCH ref, an
+    // audit query runs against the staged snapshot through the log
+    // (first stage carries corrupted rows — negated cents on k≡3 mod
+    // 150 — and fails; the fixed stage passes), and publish is an atomic
+    // fast-forward of main's pointer. Main's census DURING staging
+    // (snapshot 1 exactly — staged work invisible) and after publish
+    // (the clean full table) are both in-hash, as are the bad-row
+    // count, publish, and the rejected stale re-publish of the
+    // abandoned bad stage.
+    Q(
+      "s46_write_audit_publish",
+      (s, dir) => graft.sinks.SnapshotLog.writeAuditPublish(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        bad AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM o
+            WHERE k % 150 = 3),
+        pre AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 3 <> 0),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT bad.nb AS n_bad_staged, pre.n AS n_rows_main_staged,
+          pre.s AS sum_cents_main_staged, a.n AS n_rows_main_published,
+          a.s AS sum_cents_main_published, TRUE AS published,
+          TRUE AS stale_publish_rejected, TRUE AS wap_ok
+        FROM bad, pre, a ORDER BY n_bad_staged""")
     )
   )
 }

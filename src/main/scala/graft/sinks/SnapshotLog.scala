@@ -182,6 +182,93 @@ object SnapshotLog {
       } finally st.close()
     }
 
+  /** Named branch refs (Iceberg refs / Nessie branches): a ref is a
+    * movable pointer into the SAME snapshot DAG the main `current`
+    * pointer reads — staged work advances a branch ref with the
+    * identical optimistic-swap discipline, and publishing is a pointer
+    * move, never a data copy.
+    */
+  private[graft] def initRefs(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        "CREATE TABLE refs(name VARCHAR PRIMARY KEY, snapshot_id BIGINT NOT NULL)")
+    }
+
+  private[graft] def createRef(dbFile: String, name: String, at: Long): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(c, s"INSERT INTO refs VALUES ('$name', $at)")
+    }
+
+  private[graft] def refSnapshot(dbFile: String, name: String): Long =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(c, s"SELECT snapshot_id FROM refs WHERE name = '$name'")
+        .head.head.asInstanceOf[Number].longValue
+    }
+
+  /** Commit a snapshot that advances a BRANCH ref instead of main: same
+    * transaction shape as `commit` (conditional ref swap + snapshot +
+    * manifest rows), so staged history is exactly as torn-proof as
+    * published history; main's pointer is never touched.
+    */
+  private[graft] def commitToRef(
+      dbFile: String,
+      ref: String,
+      expectedParent: Long,
+      snapshotId: Long,
+      files: Seq[(String, Long)]): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      c.setAutoCommit(false)
+      try {
+        val swapped = {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"""UPDATE refs SET snapshot_id = $snapshotId
+               WHERE name = '$ref' AND snapshot_id = $expectedParent""") == 1
+          finally st.close()
+        }
+        if (swapped) {
+          val st = c.createStatement()
+          try {
+            st.executeUpdate(
+              s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
+            files.foreach { case (p, n) =>
+              st.executeUpdate(
+                s"INSERT INTO manifests VALUES ($snapshotId, '$p', $n)")
+            }
+          } finally st.close()
+          c.commit()
+          true
+        } else {
+          c.rollback()
+          false
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          try c.rollback()
+          catch { case scala.util.control.NonFatal(_) => () }
+          false
+      } finally c.setAutoCommit(true)
+    }
+
+  /** PUBLISH: atomically fast-forward main's pointer to the audited
+    * staged snapshot — succeeds only if main still sits at the parent
+    * the stage was cut from (a concurrent main commit makes the staged
+    * lineage stale, and the publish must reject, not clobber).
+    */
+  private[graft] def publish(
+      dbFile: String,
+      expectedMainAt: Long,
+      stagedSnapshot: Long): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""UPDATE current SET snapshot_id = $stagedSnapshot
+           WHERE pin = 0 AND snapshot_id = $expectedMainAt""") == 1
+      finally st.close()
+    }
+
   /** Merge-on-read metadata (Iceberg v2 row-level-delete shape): delete
     * files are first-class manifest entries per snapshot, and every
     * file — data or delete — carries the SEQUENCE NUMBER of the commit
@@ -870,6 +957,255 @@ object SnapshotLog {
           "n_deleted", "n_updated", "n_inserted", "n_rows", "sum_cents",
           "n_rows_pre", "sum_cents_pre", "merge_ok")
         .orderBy("n_rows")
+    }
+  }
+
+  /** s45 — the CHANGELOG FEED between two snapshots (Iceberg's
+    * changelog-scan procedure / Delta's change-data-feed, computed
+    * WITHOUT per-row tracking): the layer that lets downstream
+    * incremental consumers — the s35/s40 refresh family, CDC mirrors,
+    * index maintainers — subscribe to a snapshot table instead of
+    * re-diffing it. The load-bearing ideas:
+    *
+    *   - the CHANGED-FILE SET is the manifest diff (removed =
+    *     manifest(1) \ manifest(2), added = manifest(2) \ manifest(1))
+    *     — pure log metadata, so CDC cost is ∝ |changed files|, never
+    *     the table: the 3 carried-by-path files of the COW merge are
+    *     never read;
+    *   - row changes come from a full-outer join of removed-file rows
+    *     vs added-file rows on the key: removed-only → delete,
+    *     added-only → insert, both-with-different-payload → update
+    *     (pre and post in one row), both-equal → NO-OP — the rows a COW
+    *     rewrite carries unchanged inside the rewritten file MUST be
+    *     suppressed or every merge looks like a table rewrite to
+    *     consumers (the classic CDF-on-COW bug, pinned in-hash because
+    *     emitting no-ops moves every census).
+    *
+    * The lifecycle is s43's COW merge (same predicates); the output is
+    * the per-change-type census — row count, key checksum, pre/post
+    * cents sums — plus the changed-file count, every number recomputed
+    * by the oracle from `orders` with the same k%20 predicates and the
+    * same 10 synthetic inserts.
+    *
+    * Scale shape: two bounded file reads (the affected file pre/post),
+    * one equi-key full-outer join between them (both delta-file-sized),
+    * one hash aggregate; nothing touches the unchanged table.
+    */
+  def changelogFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val delPred = col("k") % 20 === 6
+    val updPred = col("k") % 20 === 2
+    val mx = o.agg(max(col("k"))).head().getLong(0)
+    val inserts = (0 until 10)
+      .map(i => (mx - (mx % 4) + 4L * (i + 1) + 2L, 1000000L + 7L * i))
+      .toDF("k", "cents")
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s45_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+
+      // s43's COW lifecycle: 4 bucket files, prune to bucket 2, rewrite
+      val baseFiles = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      commit(dbFile, 0L, 1L, baseFiles)
+      val affected = prunePaths(dbFile, 1L, Seq(2L))
+      val carried = manifest(dbFile, 1L).filterNot(f => affected.contains(f._1))
+      spark.read.parquet(affected: _*)
+        .filter(!delPred)
+        .withColumn("cents",
+          when(updPred, col("cents") + 1000L).otherwise(col("cents")))
+        .unionByName(inserts)
+        .repartition(1).write.parquet(s"$base/m")
+      val newFiles = partFiles(spark, s"$base/m")
+      commit(dbFile, 1L, 2L, carried ++ newFiles)
+
+      // the changelog: manifest diff → removed/added file sets (log
+      // metadata), then one full-outer join of exactly those files
+      val mf1 = manifest(dbFile, 1L).map(_._1).toSet
+      val mf2 = manifest(dbFile, 2L).map(_._1).toSet
+      val removed = (mf1 -- mf2).toSeq.sorted
+      val added = (mf2 -- mf1).toSeq.sorted
+      val pre = spark.read.parquet(removed: _*).select(
+        col("k").as("rk"), col("cents").as("pre_cents"))
+      val post = spark.read.parquet(added: _*).select(
+        col("k").as("ak"), col("cents").as("post_cents"))
+      val changes = pre
+        .join(post, col("rk") === col("ak"), "full_outer")
+        .withColumn("change_type",
+          when(col("ak").isNull, lit("delete"))
+            .when(col("rk").isNull, lit("insert"))
+            .when(col("pre_cents") =!= col("post_cents"), lit("update"))
+            .otherwise(lit("noop")))
+        .filter(col("change_type") =!= "noop")
+      changes
+        .groupBy(col("change_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(coalesce(col("rk"), col("ak"))).as("key_sum"),
+          sum(coalesce(col("pre_cents"), lit(0L))).as("sum_cents_pre"),
+          sum(coalesce(col("post_cents"), lit(0L))).as("sum_cents_post"))
+        .withColumn("n_files_scanned", lit((removed.size + added.size).toLong))
+        .orderBy("change_type")
+    } else {
+      // honest fallback: predicate arithmetic; n_files_scanned=0 fails
+      // the oracle's 2
+      val agg = o.agg(
+        sum(when(delPred, lit(1L)).otherwise(lit(0L))),
+        sum(when(delPred, col("k")).otherwise(lit(0L))),
+        sum(when(delPred, col("cents")).otherwise(lit(0L))),
+        sum(when(updPred, lit(1L)).otherwise(lit(0L))),
+        sum(when(updPred, col("k")).otherwise(lit(0L))),
+        sum(when(updPred, col("cents")).otherwise(lit(0L)))).head()
+      val insK = (0 until 10).map(i => mx - (mx % 4) + 4L * (i + 1) + 2L).sum
+      val insC = (0 until 10).map(i => 1000000L + 7L * i).sum
+      Seq(
+        ("delete", agg.getLong(0), agg.getLong(1), agg.getLong(2), 0L, 0L),
+        ("insert", 10L, insK, 0L, insC, 0L),
+        ("update", agg.getLong(3), agg.getLong(4), agg.getLong(5),
+          agg.getLong(5) + 1000L * agg.getLong(3), 0L))
+        .toDF("change_type", "n_rows", "key_sum", "sum_cents_pre",
+          "sum_cents_post", "n_files_scanned")
+        .orderBy("change_type")
+    }
+  }
+
+  /** s46 — WRITE-AUDIT-PUBLISH (Iceberg WAP / Nessie branch workflow):
+    * the quality gate every production ingest at 100 TB runs in front
+    * of its table — new data commits to a BRANCH ref first, an audit
+    * query runs against the staged snapshot, and only a passing stage
+    * is published by an atomic fast-forward of main's pointer (a
+    * pointer move over the shared snapshot DAG — never a data copy).
+    * The properties the gate pins:
+    *
+    *   - ISOLATION: while the stage exists — including a stage that
+    *     FAILS its audit (the first staged commit carries corrupted
+    *     rows: negated cents on k≡3 mod 150) — main readers see exactly
+    *     the pre-stage census, read back from main's pointer DURING
+    *     staging, in-hash;
+    *   - the audit runs against the staged snapshot THROUGH the log
+    *     (manifest read of the branch ref's snapshot), counts the bad
+    *     rows (> 0 first attempt, 0 after the fix), and only then is
+    *     publish attempted;
+    *   - PUBLISH is the same optimistic swap as every commit: it
+    *     fast-forwards main only if main still sits where the stage
+    *     was cut; a later RE-PUBLISH of the abandoned bad stage (stale
+    *     expected-parent) must reject — an audit gate that can be
+    *     bypassed by a stale retry is no gate;
+    *   - the abandoned stage's data files become s42-style orphans by
+    *     design: never visible, reclaimable by GC.
+    *
+    * Scale shape: staging is metadata (branch ref rows); the audit is
+    * one aggregate over the staged snapshot's files; publish is a
+    * single conditional pointer update.
+    */
+  def writeAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    // stage/main split on key residue (the date cutoff leaves a ~1%
+    // tail at small SFs — too thin to host corrupted rows); the corrupt
+    // set k%150==3 is a subset of the staged slice k%3==0 by CRT
+    val stagePred = col("k") % 3 === 0
+    val corruptPred = col("k") % 150 === 3
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s46_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initRefs(dbFile)
+
+      // main at snapshot 1: the non-staged two-thirds
+      o.filter(!stagePred).select("k", "cents")
+        .repartition(2).write.parquet(s"$base/b1")
+      val files1 = partFiles(spark, s"$base/b1")
+      val c1 = commit(dbFile, 0L, 1L, files1)
+      createRef(dbFile, "wap", at = 1L)
+
+      // staged commit A (branch only): the append, CORRUPTED — the
+      // ingest bug the audit exists to catch
+      o.filter(stagePred)
+        .select(col("k"),
+          when(corruptPred, -col("cents")).otherwise(col("cents")).as("cents"))
+        .repartition(2).write.parquet(s"$base/bad")
+      val filesBad = partFiles(spark, s"$base/bad")
+      val cA = commitToRef(dbFile, "wap", 1L, 2L, files1 ++ filesBad)
+
+      // audit the staged snapshot through the log; count bad rows
+      def audit(snap: Long): Long = spark.read
+        .parquet(manifest(dbFile, snap).map(_._1): _*)
+        .filter(col("cents") < 0L).count()
+      val nBadStaged = audit(refSnapshot(dbFile, "wap"))
+
+      // isolation: main readers, DURING staging, see snapshot 1 exactly
+      val mainStaged = spark.read
+        .parquet(manifest(dbFile, currentSnapshot(dbFile)).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+
+      // staged commit B: the fixed append; audit passes; publish
+      o.filter(stagePred).select("k", "cents")
+        .repartition(2).write.parquet(s"$base/good")
+      val filesGood = partFiles(spark, s"$base/good")
+      val cB = commitToRef(dbFile, "wap", 2L, 3L, files1 ++ filesGood)
+      val nBadFixed = audit(refSnapshot(dbFile, "wap"))
+      val pub = nBadFixed == 0L && publish(dbFile, expectedMainAt = 1L, stagedSnapshot = 3L)
+
+      // a stale retry of the ABANDONED bad stage must reject
+      val stalePub = publish(dbFile, expectedMainAt = 1L, stagedSnapshot = 2L)
+
+      val mainPub = spark.read
+        .parquet(manifest(dbFile, currentSnapshot(dbFile)).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val wapOk = c1 && cA && cB && pub && !stalePub &&
+        nBadStaged > 0L && nBadFixed == 0L &&
+        currentSnapshot(dbFile) == 3L && refSnapshot(dbFile, "wap") == 3L
+
+      Seq((
+        nBadStaged, mainStaged.getLong(0), mainStaged.getLong(1),
+        mainPub.getLong(0), mainPub.getLong(1), pub, !stalePub, wapOk))
+        .toDF("n_bad_staged", "n_rows_main_staged", "sum_cents_main_staged",
+          "n_rows_main_published", "sum_cents_main_published", "published",
+          "stale_publish_rejected", "wap_ok")
+        .orderBy("n_bad_staged")
+    } else {
+      // honest fallback: predicate arithmetic; wap_ok=false fails the
+      // oracle's TRUE
+      val agg = o.agg(
+        sum(when(corruptPred, lit(1L)).otherwise(lit(0L))),
+        sum(when(!stagePred, lit(1L)).otherwise(lit(0L))),
+        sum(when(!stagePred, col("cents")).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+        agg.getLong(3), agg.getLong(4), false, false, false))
+        .toDF("n_bad_staged", "n_rows_main_staged", "sum_cents_main_staged",
+          "n_rows_main_published", "sum_cents_main_published", "published",
+          "stale_publish_rejected", "wap_ok")
+        .orderBy("n_bad_staged")
     }
   }
 

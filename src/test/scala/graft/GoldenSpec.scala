@@ -303,6 +303,16 @@ class GoldenSpec extends AnyFunSuite {
     // NOT delete its own re-inserted rows and the census-neutral
     // compaction; a seq-rule break or a leaked dead row moves integers
     assert(queryHash("s44_merge_on_read") == ((4L, "34797220b0de55cf5e4528483dfe97e1")))
+    // s45: the changelog feed — per-change-type censuses (counts, key
+    // checksums, pre/post sums) of the COW merge's manifest diff, with
+    // carried-unchanged rows suppressed as no-ops; a no-op leak or a
+    // misclassified update moves every census
+    assert(queryHash("s45_changelog_feed") == ((3L, "2747903a54e73023a8f987eb984b7c5f")))
+    // s46: WAP — the bad-row count the audit caught, main's census
+    // DURING staging (isolation) and after the publish, plus the
+    // publish / stale-republish flags; a gate bypass or an isolation
+    // leak moves real rows
+    assert(queryHash("s46_write_audit_publish") == ((1L, "603462ca6b698a5d107880809f14b091")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -112,6 +112,31 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("branch refs: staged commits never move main; publish is conditional") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initRefs(db)
+      assert(SnapshotLog.commit(db, 0L, 1L, Seq(("a", 1L))))
+      SnapshotLog.createRef(db, "wap", 1L)
+      // two staged commits advance the BRANCH; main never moves
+      assert(SnapshotLog.commitToRef(db, "wap", 1L, 2L, Seq(("a", 1L), ("x", 2L))))
+      assert(SnapshotLog.commitToRef(db, "wap", 2L, 3L, Seq(("a", 1L), ("y", 3L))))
+      assert(SnapshotLog.currentSnapshot(db) == 1L)
+      assert(SnapshotLog.refSnapshot(db, "wap") == 3L)
+      // a stale staged commit rejects without touching either pointer
+      assert(!SnapshotLog.commitToRef(db, "wap", 2L, 4L, Seq(("z", 1L))))
+      assert(SnapshotLog.manifest(db, 4L).isEmpty)
+      // publish fast-forwards main only from the expected position
+      assert(!SnapshotLog.publish(db, expectedMainAt = 2L, stagedSnapshot = 3L))
+      assert(SnapshotLog.currentSnapshot(db) == 1L)
+      assert(SnapshotLog.publish(db, expectedMainAt = 1L, stagedSnapshot = 3L))
+      assert(SnapshotLog.currentSnapshot(db) == 3L)
+      // re-publishing the superseded stage is rejected
+      assert(!SnapshotLog.publish(db, expectedMainAt = 1L, stagedSnapshot = 2L))
+      assert(SnapshotLog.currentSnapshot(db) == 3L)
+    }
+  }
+
   test("4-way race on the same parent: exactly one commit wins, losers leave nothing") {
     withLog { db =>
       SnapshotLog.initLog(db)

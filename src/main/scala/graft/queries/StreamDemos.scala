@@ -1241,6 +1241,45 @@ object StreamDemos {
           a.s AS sum_cents_main_published, TRUE AS published,
           TRUE AS stale_publish_rejected, TRUE AS wap_ok
         FROM bad, pre, a ORDER BY n_bad_staged""")
+    ),
+    // s47: streaming upsert THROUGH the merge-on-read log (SnapshotLog
+    // .streamMorUpsert scaladoc) — s30's upsert semantics with the
+    // snapshot table as the sink (Delta/Iceberg streaming MERGE, MOR
+    // mode): each micro-batch atomically commits an equality-delete
+    // file (the batch's keys, masking prior versions under the seq
+    // rule) plus a data file (within-batch winners by max event_id).
+    // Last-write-wins is BY ARRIVAL: the epoch-2 replay legitimately
+    // overwrites newer values for its users — the stale-replay hazard
+    // is pinned, not hidden. All three snapshots' upsert states (user
+    // count + current-version cents sum) read back through the MOR
+    // path; oracle ranks the same delivery multiset by (epoch DESC,
+    // event_id DESC).
+    Q(
+      "s47_stream_mor_upsert",
+      (s, dir) => graft.sinks.SnapshotLog.streamMorUpsert(s, dir),
+      Some(s"""WITH ev AS (SELECT event_id, user_id,
+            CAST(floor(value * 100) AS BIGINT) AS cents,
+            ${dayInt("ts")} AS day FROM events),
+        del AS (
+          SELECT event_id, user_id, cents, 0 AS e FROM ev
+          WHERE day <= ${graft.streaming.Watermarks.splitDay}
+          UNION ALL
+          SELECT event_id, user_id, cents, 1 FROM ev
+          WHERE day > ${graft.streaming.Watermarks.splitDay}
+          UNION ALL
+          SELECT event_id, user_id, cents, 2 FROM ev
+          WHERE day < ${graft.streaming.Watermarks.replayBefore}),
+        sn AS (SELECT unnest(generate_series(1, 3)) AS s),
+        rk AS (SELECT sn.s, d.user_id, d.cents,
+            row_number() OVER (PARTITION BY sn.s, d.user_id
+              ORDER BY d.e DESC, d.event_id DESC) AS rn
+          FROM sn JOIN del d ON d.e < sn.s)
+        SELECT CAST(s AS BIGINT) AS snapshot_id,
+          CAST(s AS BIGINT) AS n_data_files,
+          CAST(s AS BIGINT) AS n_delete_files,
+          CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS upsert_ok
+        FROM rk WHERE rn = 1 GROUP BY s ORDER BY snapshot_id""")
     )
   )
 }

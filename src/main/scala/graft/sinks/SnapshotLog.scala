@@ -1209,6 +1209,146 @@ object SnapshotLog {
     }
   }
 
+  /** s47 — STREAMING UPSERT through the merge-on-read log: the
+    * production form of s30's stream upsert when the sink is a snapshot
+    * table instead of a KV store (Delta/Iceberg streaming MERGE, MOR
+    * mode). Every micro-batch commits, in ONE atomic commitMor:
+    *
+    *   - an EQUALITY-DELETE file holding the batch's keys (masking all
+    *     prior versions of those users — seq-scoped, so it never masks
+    *     the batch's own inserts), and
+    *   - a DATA file holding the batch's winners (within-batch dedup:
+    *     max event_id per user — event_id is the engine-portable
+    *     arrival key; ts is ns in the fixture and µs after Spark's
+    *     nanosAsLong normalization, so ts ordering would tie-break
+    *     differently in the oracle).
+    *
+    * Upsert semantics are LAST-WRITE-WINS BY ARRIVAL: the staged replay
+    * (epoch 2 re-delivers the pre-replayBefore rows) legitimately
+    * overwrites newer values for those users — exactly the stale-replay
+    * hazard a real upsert stream has, and the gate PINS it: all three
+    * snapshots' per-user states (user count + sum of current-version
+    * cents) are read back through the MOR path and recomputed by the
+    * oracle's (epoch DESC, event_id DESC) ranking over the same
+    * delivery multiset.
+    *
+    * Scale shape: per-epoch work is |batch| (dedup is one partial-agg
+    * groupBy, the commit is metadata); the read path is the s44
+    * anti-join, delta-bounded; no state store — the LOG is the state.
+    */
+  def streamMorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val s = graft.streaming.StreamSessions.tuned(spark)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s47_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initMor(dbFile)
+
+      val staged = graft.streaming.Watermarks.stageBatches(s, dir)
+      val schema = s.read.parquet(s"$staged/0.parquet").schema
+      val commits = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, epoch: Long) =>
+          val seqNo = epoch + 1
+          // within-batch winners: one row per user, max event_id wins
+          val up = b
+            .select(col("user_id"), col("event_id"),
+              expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("event_id"), col("cents"))).as("w"))
+            .select(col("user_id"), col("w.cents").as("cents"))
+          up.repartition(1).write.parquet(s"$base/u$epoch")
+          val dataF = partFiles(s, s"$base/u$epoch")
+          up.select(col("user_id")).repartition(1).write.parquet(s"$base/k$epoch")
+          val delF = partFiles(s, s"$base/k$epoch")
+          recordSeq(dbFile, (dataF ++ delF).map(_._1), seqNo)
+          commits.put(
+            epoch,
+            commitMor(dbFile, epoch, seqNo,
+              manifest(dbFile, epoch) ++ dataF,
+              deleteSeq(dbFile, epoch).map { case (p, _) =>
+                (p, 0L) // carried delete entries; n_rows not re-derived
+              } ++ delF))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // the s44 read path, per snapshot
+      def morRead(snap: Long): DataFrame = {
+        val data = manifestSeq(dbFile, snap)
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (sq, fs) =>
+            spark.read.parquet(fs.map(_._1): _*).withColumn("fseq", lit(sq))
+          }
+          .reduce(_ unionByName _)
+        val dels = deleteSeq(dbFile, snap)
+        if (dels.isEmpty) data
+        else data.as("f").join(
+          dels.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (sq, fs) =>
+              spark.read.parquet(fs.map(_._1): _*).withColumn("dseq", lit(sq))
+            }
+            .reduce(_ unionByName _)
+            .as("dv"),
+          col("f.user_id") === col("dv.user_id") && col("dv.dseq") > col("f.fseq"),
+          "left_anti")
+      }
+
+      import scala.jdk.CollectionConverters._
+      val ok = commits.asScala.values.forall(identity) && commits.size == 3 &&
+        currentSnapshot(dbFile) == 3L
+      (1L to 3L).map { snap =>
+        val agg = morRead(snap).agg(count(lit(1)), sum(col("cents"))).head()
+        (snap, manifest(dbFile, snap).size.toLong,
+          deleteSeq(dbFile, snap).size.toLong,
+          agg.getLong(0), agg.getLong(1), ok)
+      }
+        .toDF("snapshot_id", "n_data_files", "n_delete_files", "n_users",
+          "sum_cents", "upsert_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: batch recompute of the per-snapshot upsert
+      // states; upsert_ok=false fails the oracle's TRUE
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+          graft.ops.TimeCodec.dayInt(col("ts")).as("day"))
+      val sd = graft.streaming.Watermarks.splitDay
+      val rb = graft.streaming.Watermarks.replayBefore
+      val del = ev.filter(col("day") <= sd).withColumn("e", lit(0L))
+        .unionByName(ev.filter(col("day") > sd).withColumn("e", lit(1L)))
+        .unionByName(ev.filter(col("day") < rb).withColumn("e", lit(2L)))
+      val rows = (1L to 3L).map { snap =>
+        val w = del.filter(col("e") < snap)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("e"), col("event_id"), col("cents"))).as("w"))
+          .agg(count(lit(1)), sum(col("w.cents"))).head()
+        (snap, snap, snap, w.getLong(0), w.getLong(1), false)
+      }
+      rows
+        .toDF("snapshot_id", "n_data_files", "n_delete_files", "n_users",
+          "sum_cents", "upsert_ok")
+        .orderBy("snapshot_id")
+    }
+  }
+
   /** s44 — MERGE-ON-READ row-level deletes (Iceberg v2 / Delta
     * deletion-vector shape): the lazy half of the mutation story next
     * to s43's copy-on-write. At 100 TB a hot table can't afford a file

@@ -313,6 +313,10 @@ class GoldenSpec extends AnyFunSuite {
     // publish / stale-republish flags; a gate bypass or an isolation
     // leak moves real rows
     assert(queryHash("s46_write_audit_publish") == ((1L, "603462ca6b698a5d107880809f14b091")))
+    // s47: streaming MOR upsert — three snapshots' upsert states
+    // through the seq-scoped read path, incl. the pinned stale-replay
+    // overwrite at epoch 2; a masking or arrival-order drift moves sums
+    assert(queryHash("s47_stream_mor_upsert") == ((3L, "5ad8e3618a1060096d584be6bbe2600b")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -2748,6 +2748,43 @@ object TextQueries {
         UNION ALL
         SELECT CAST(2 AS BIGINT), pair, cnt FROM it2
         ORDER BY it, cnt DESC, pair""")
+    ),
+    // q187: MODEL-BASED quality filtering (the DCLM / fastText-filter
+    // shape — the apply path of a TRAINED linear classifier, not q31's
+    // hand-tuned ratios): each word routes through the HASHING TRICK
+    // (h60 → one of 64 weight slots), the doc's logit is the
+    // bag-of-words weight sum, and the gate keeps logit >= 0. The
+    // 64-slot weight table is a fixed literal standing in for learned
+    // weights — swap it for real fastText/LR coefficients and nothing
+    // else changes, which is exactly how production quality filters
+    // deploy. Integer-exact end to end (md5 buckets, integer weights:
+    // w(b) = (b²·31 + 7b) mod 21 − 10 ∈ [−10,10]), so the oracle
+    // mirrors the model verbatim. Scale: one explode + one
+    // partial-aggregated groupBy(doc_id) — the q29 token-count shape;
+    // the weight table rides in the expression (no join, no broadcast).
+    Q(
+      "q187_quality_classifier",
+      (s, dir) => {
+        val b = pmod(Hashing.h60(col("w")), lit(64L))
+        val wt = pmod(b * b * 31L + b * 7L, lit(21L)) - 10L
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), explode(Hashing.words(col("text"))).as("w"))
+          .select(col("doc_id"), wt.as("wt"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("logit"))
+          .select(col("doc_id"), col("n_words"), col("logit"),
+            (col("logit") >= 0L).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        b AS (SELECT doc_id, ${h60("w")} % 64 AS b FROM w),
+        sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum((b * b * 31 + b * 7) % 21 - 10) AS BIGINT) AS logit
+          FROM b GROUP BY doc_id)
+        SELECT doc_id, n_words, logit, logit >= 0 AS kept
+        FROM sc ORDER BY doc_id""")
     )
   )
 

@@ -317,6 +317,9 @@ class GoldenSpec extends AnyFunSuite {
     // through the seq-scoped read path, incl. the pinned stale-replay
     // overwrite at epoch 2; a masking or arrival-order drift moves sums
     assert(queryHash("s47_stream_mor_upsert") == ((3L, "5ad8e3618a1060096d584be6bbe2600b")))
+    // q187: the hashed-linear-classifier apply — per-doc logits and the
+    // keep decision; a hash-routing or weight-table drift flips docs
+    assert(queryHash("q187_quality_classifier") == ((500L, "3a98ed14b8cd4f4755e38eb966a4af9b")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

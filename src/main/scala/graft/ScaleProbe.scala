@@ -42,7 +42,7 @@ object ScaleProbe {
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
-        "mor"))
+        "mor", "morupsert"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -451,6 +451,44 @@ object ScaleProbe {
       println(
         f"[scale] mor growth: delete files x${mN.toDouble / m0}%.0f, read time x${sNm / s0m}%.1f " +
           f"(flat would be x1; baseline $secBase%.2f s)")
+    }
+
+    // Streaming-MOR-upsert probe (s47): rows-per-epoch scaling of the
+    // full lifecycle — staging, per-batch dedup+write+commit, and the
+    // three MOR time-travel reads. Widening events m× by user copies
+    // multiplies BOTH the per-batch dedup input and the per-snapshot
+    // read fan-in (m× users ⇒ m× rows per data/delete file); per-epoch
+    // commit cost stays metadata. Near-linear (or flatter, while
+    // fixed streaming machinery dominates) is the pass bar.
+    if (enabled("morupsert")) {
+      val evFull = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "value")
+      def widenedEventsDir(m: Int): String = {
+        val dir = scratchDir("graft_scale_s47_").toString
+        (0 until m)
+          .map(i => evFull.withColumn("user_id", col("user_id") + lit(i * nUsers))
+            .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+          .reduce(_ union _)
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        dir
+      }
+      val s47q = SparkEntry.queries("s47_stream_mor_upsert")
+      s47q(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+      val muResults = mults.map { m =>
+        val dir = widenedEventsDir(m)
+        val rows = spark.read.parquet(s"$dir/events.parquet").count()
+        val t0 = System.nanoTime()
+        val n = s47q(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d events=$rows%9d  s47_stream_mor_upsert=$sec%7.2f s ($n snapshots)")
+        (m, rows, sec)
+      }
+      val (_, mr0, ms0) = muResults.head
+      val (_, mrN, msN) = muResults.last
+      println(
+        f"[scale] morupsert growth: events x${mrN.toDouble / mr0}%.0f, time x${msN / ms0}%.1f " +
+          f"(linear would be x${mrN.toDouble / mr0}%.0f)")
     }
 
     // Interval-overlap probe (q132's bucket decomposition): scale

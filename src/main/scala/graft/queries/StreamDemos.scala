@@ -1280,6 +1280,39 @@ object StreamDemos {
           CAST(count(*) AS BIGINT) AS n_users,
           CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS upsert_ok
         FROM rk WHERE rn = 1 GROUP BY s ORDER BY snapshot_id""")
+    ),
+    // s48: partition-spec evolution (SnapshotLog.partitionEvolution
+    // scaladoc) — the table re-partitions WITHOUT rewriting history:
+    // snapshot 1's files are bucket k%4, the append lands under k%8,
+    // old files carry by path, and the k%8==5 scan plans across BOTH
+    // specs via the per-file spec registry (spec-2 pval 5, spec-1 pval
+    // 5 mod 4 — mapping the predicate through the coarser transform;
+    // the naive same-value mapping would silently miss the old
+    // generation's rows and move the census). The pruned read's census
+    // must equal the full-table predicate answer — both in-hash.
+    Q(
+      "s48_partition_evolution",
+      (s, dir) => graft.sinks.SnapshotLog.partitionEvolution(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST(o_orderdate AS DATE) AS d FROM orders),
+        post AS (SELECT * FROM o WHERE NOT (d < DATE '2001-07-15')),
+        pre AS (SELECT * FROM o WHERE d < DATE '2001-07-15'),
+        nf AS (SELECT CAST(4 + count(DISTINCT k % 8) AS BIGINT) AS t FROM post),
+        ns AS (SELECT CAST(
+            (CASE WHEN (SELECT count(*) FROM pre WHERE k % 4 = 1) > 0
+              THEN 1 ELSE 0 END)
+            + (CASE WHEN (SELECT count(*) FROM post WHERE k % 8 = 5) > 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS c),
+        sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(COALESCE(sum(cents), 0) AS BIGINT) AS s FROM o WHERE k % 8 = 5),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM pre)
+        SELECT nf.t AS n_files_total, ns.c AS n_files_scanned,
+          sel.n AS n_rows_sel, sel.s AS sum_cents_sel,
+          s1.n AS n_rows_snap1, s1.s AS sum_cents_snap1,
+          TRUE AS evolution_ok
+        FROM nf, ns, sel, s1 ORDER BY n_rows_sel""")
     )
   )
 }

@@ -1209,6 +1209,178 @@ object SnapshotLog {
     }
   }
 
+  /** Partition-spec registry (Iceberg partition evolution): each data
+    * file records WHICH spec partitioned it and its value under that
+    * spec — changing the table's partitioning is a metadata change,
+    * never a rewrite of existing files.
+    */
+  private[graft] def initSpecs(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE file_spec(
+          |path VARCHAR PRIMARY KEY, spec_id BIGINT NOT NULL,
+          |pval BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordSpec(
+      dbFile: String,
+      stats: Seq[(String, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try stats.foreach { case (p, spec, v) =>
+        st.executeUpdate(s"INSERT INTO file_spec VALUES ('$p', $spec, $v)")
+      } finally st.close()
+    }
+
+  /** Spec-aware scan planning: the files of `snapshotId` whose partition
+    * value can contain rows matching the per-spec value map — one
+    * metadata query across ALL specs at once (`wanted` maps spec_id →
+    * the value the predicate implies under that spec's transform).
+    */
+  private[graft] def pruneAcrossSpecs(
+      dbFile: String,
+      snapshotId: Long,
+      wanted: Map[Long, Long]): Seq[String] =
+    if (wanted.isEmpty) Seq.empty
+    else
+      DuckDbLive.withConnection(dbFile) { c =>
+        val cond = wanted
+          .map { case (spec, v) => s"(f.spec_id = $spec AND f.pval = $v)" }
+          .mkString(" OR ")
+        DuckDbLive
+          .queryRows(
+            c,
+            s"""SELECT m.path FROM manifests m JOIN file_spec f ON m.path = f.path
+               WHERE m.snapshot_id = $snapshotId AND ($cond)
+               ORDER BY m.path""")
+          .map(_.head.toString)
+      }
+
+  /** s48 — PARTITION-SPEC EVOLUTION (Iceberg's partition evolution): at
+    * 100 TB the original partitioning eventually stops fitting the data
+    * (finer grain needed as volume grows) and rewriting the table to
+    * re-partition is off the table — so the FORMAT lets the spec change
+    * per-file: old files stay under the old spec forever, new files
+    * land under the new one, and scan planning maps each predicate to
+    * EVERY live spec's transform. The lifecycle:
+    *
+    *   - snapshot 1: the pre-cutoff slice written `partitionBy` spec 1
+    *     (bucket k%4 — 4 files, one per value);
+    *   - snapshot 2: the table EVOLVES to spec 2 (bucket k%8) and the
+    *     append lands under it; snapshot 2's manifest carries both
+    *     generations, old files BY PATH (never rewritten — pinned);
+    *   - a query for k%8 == 5 plans via the spec registry: spec-2 files
+    *     need pval = 5, spec-1 files need pval = 5 mod 4 = 1 (the
+    *     predicate pushed through the COARSER transform — the spec-aware
+    *     mapping that makes evolution sound; mapping naively, e.g.
+    *     expecting pval = 5 under spec 1, would silently MISS the old
+    *     generation's matching rows, the classic evolution bug, and the
+    *     census here would move);
+    *   - the pruned read (metadata-picked files + residual filter) must
+    *     census exactly the predicate's full-table answer — in-hash.
+    *
+    * Scale shape: planning is one metadata query across all specs; the
+    * scan reads only overlapping files of each generation; evolution
+    * itself costs zero data movement.
+    */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderdate").cast("date").as("d"))
+
+    if (DuckDbLive.available) {
+      val base = java.nio.file.Files.createTempDirectory("graft_s48_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initSpecs(dbFile)
+
+      // hive-style partitioned write; one file per present value
+      def writeSpec(df: DataFrame, out: String, modBy: Long, specId: Long)
+          : Seq[(String, Long)] = {
+        df.withColumn("p", col("k") % modBy)
+          .repartition(col("p"))
+          .write.partitionBy("p").parquet(out)
+        val files = new java.io.File(out)
+          .listFiles().filter(_.getName.startsWith("p="))
+          .flatMap { pd =>
+            val v = pd.getName.stripPrefix("p=").toLong
+            pd.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+              (f.getAbsolutePath, v)
+            }
+          }
+          .sortBy(_._1).toSeq
+        recordSpec(dbFile, files.map { case (p, v) => (p, specId, v) })
+        files.map { case (p, _) =>
+          (p, spark.read.parquet(p).count())
+        }
+      }
+
+      val files1 = writeSpec(
+        o.filter(col("d") < lit(Cutoff).cast("date")).drop("d"),
+        s"$base/g1", modBy = 4L, specId = 1L)
+      val c1 = commit(dbFile, 0L, 1L, files1)
+      // EVOLUTION: the append lands under spec 2; old files carry by path
+      val files2 = writeSpec(
+        o.filter(!(col("d") < lit(Cutoff).cast("date"))).drop("d"),
+        s"$base/g2", modBy = 8L, specId = 2L)
+      val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
+
+      // plan k%8 == 5 across both specs: 5 under spec 2, 5 mod 4 under 1
+      val pruned = pruneAcrossSpecs(dbFile, 2L, Map(1L -> (5L % 4L), 2L -> 5L))
+      val sel = spark.read.parquet(pruned: _*)
+        .filter(col("k") % 8 === 5)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      // the full-scan answer the pruned read must reproduce
+      val full = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .filter(col("k") % 8 === 5)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val snap1 = spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val evolutionOk = c1 && c2 &&
+        currentSnapshot(dbFile) == 2L &&
+        files1.forall(f => manifest(dbFile, 2L).contains(f)) && // never rewritten
+        sel.getLong(0) == full.getLong(0) && sel.getLong(1) == full.getLong(1)
+
+      Seq((
+        manifest(dbFile, 2L).size.toLong, pruned.size.toLong,
+        sel.getLong(0), sel.getLong(1),
+        snap1.getLong(0), snap1.getLong(1), evolutionOk))
+        .toDF("n_files_total", "n_files_scanned", "n_rows_sel",
+          "sum_cents_sel", "n_rows_snap1", "sum_cents_snap1", "evolution_ok")
+        .orderBy("n_rows_sel")
+    } else {
+      // honest fallback: predicate arithmetic; evolution_ok=false fails
+      // the oracle's TRUE
+      val pre = col("d") < lit(Cutoff).cast("date")
+      val agg = o.agg(
+        countDistinct(when(!pre, col("k") % 8)),
+        sum(when(pre && col("k") % 4 === 1, lit(1L)).otherwise(lit(0L))),
+        sum(when(!pre && col("k") % 8 === 5, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 8 === 5, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 8 === 5, col("cents")).otherwise(lit(0L))),
+        sum(when(pre, lit(1L)).otherwise(lit(0L))),
+        sum(when(pre, col("cents")).otherwise(lit(0L)))).head()
+      val scanned = (if (agg.getLong(1) > 0) 1L else 0L) +
+        (if (agg.getLong(2) > 0) 1L else 0L)
+      Seq((4L + agg.getLong(0), scanned, agg.getLong(3), agg.getLong(4),
+        agg.getLong(5), agg.getLong(6), false))
+        .toDF("n_files_total", "n_files_scanned", "n_rows_sel",
+          "sum_cents_sel", "n_rows_snap1", "sum_cents_snap1", "evolution_ok")
+        .orderBy("n_rows_sel")
+    }
+  }
+
   /** s47 — STREAMING UPSERT through the merge-on-read log: the
     * production form of s30's stream upsert when the sink is a snapshot
     * table instead of a KV store (Delta/Iceberg streaming MERGE, MOR

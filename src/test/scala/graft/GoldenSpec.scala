@@ -320,6 +320,11 @@ class GoldenSpec extends AnyFunSuite {
     // q187: the hashed-linear-classifier apply — per-doc logits and the
     // keep decision; a hash-routing or weight-table drift flips docs
     assert(queryHash("q187_quality_classifier") == ((500L, "3a98ed14b8cd4f4755e38eb966a4af9b")))
+    // s48: partition evolution — total/scanned file counts, the pruned
+    // read's census vs the predicate's full answer, and the snapshot-1
+    // time travel; a naive cross-spec mapping misses old-generation
+    // rows and fails here
+    assert(queryHash("s48_partition_evolution") == ((1L, "bb21d03a1b97a822743803e7d8743371")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -81,7 +81,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q174_ann_recall",        // salted two-level top-k + recall joins (r14)
     "q175_packed_windows",    // span explode over the ORDER prefix sums (r14)
     "q176_lsh_recall",        // in-sample set intersections + banded candidates (r14)
-    "q177_quant_recall"       // integer-dot ranking + salted top-k (r14)
+    "q177_quant_recall",      // integer-dot ranking + salted top-k (r14)
+    "q187_quality_classifier", // hashed-bucket weight sums under partial-agg merge (r15)
+    "s45_changelog_feed",     // full-outer change classification over file diffs (r15)
+    "s48_partition_evolution" // cross-spec pruned census vs full predicate answer (r15)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -137,6 +137,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-spec pruning selects per-spec values and never leaks across specs") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initSpecs(db)
+      // generation 1 under spec 1 (k%4), generation 2 under spec 2 (k%8)
+      SnapshotLog.recordSpec(db, Seq(("a0", 1L, 0L), ("a1", 1L, 1L), ("a2", 1L, 2L)))
+      SnapshotLog.recordSpec(db, Seq(("b5", 2L, 5L), ("b1", 2L, 1L)))
+      SnapshotLog.commit(db, 0L, 1L,
+        Seq(("a0", 1L), ("a1", 1L), ("a2", 1L), ("b5", 1L), ("b1", 1L)))
+      // k%8==5 → spec-2 pval 5 AND spec-1 pval 1 — NOT spec-1 pval 5
+      // (which doesn't exist) and NOT spec-2 pval 1 (value collision
+      // across specs must not leak)
+      assert(SnapshotLog.pruneAcrossSpecs(db, 1L, Map(1L -> 1L, 2L -> 5L))
+        == Seq("a1", "b5"))
+      // a predicate outside every spec's values selects nothing
+      assert(SnapshotLog.pruneAcrossSpecs(db, 1L, Map(1L -> 3L, 2L -> 6L)).isEmpty)
+      assert(SnapshotLog.pruneAcrossSpecs(db, 1L, Map.empty).isEmpty)
+      // pruning is snapshot-scoped: files absent from the manifest are
+      // never selected even with matching stats
+      SnapshotLog.recordSpec(db, Seq(("c5", 2L, 5L)))
+      assert(SnapshotLog.pruneAcrossSpecs(db, 1L, Map(2L -> 5L)) == Seq("b5"))
+    }
+  }
+
   test("4-way race on the same parent: exactly one commit wins, losers leave nothing") {
     withLog { db =>
       SnapshotLog.initLog(db)

@@ -2764,29 +2764,76 @@ object TextQueries {
     // the weight table rides in the expression (no join, no broadcast).
     Q(
       "q187_quality_classifier",
-      (s, dir) => {
-        val b = pmod(Hashing.h60(col("w")), lit(64L))
-        val wt = pmod(b * b * 31L + b * 7L, lit(21L)) - 10L
-        Tables
-          .documents(s, dir)
-          .select(col("doc_id"), explode(Hashing.words(col("text"))).as("w"))
-          .select(col("doc_id"), wt.as("wt"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("logit"))
+      (s, dir) =>
+        classifierLogits(s, dir)
           .select(col("doc_id"), col("n_words"), col("logit"),
             (col("logit") >= 0L).as("kept"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents),
-        b AS (SELECT doc_id, ${h60("w")} % 64 AS b FROM w),
-        sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-            CAST(sum((b * b * 31 + b * 7) % 21 - 10) AS BIGINT) AS logit
-          FROM b GROUP BY doc_id)
+          .orderBy("doc_id"),
+      Some(s"""WITH $classifierCtes
         SELECT doc_id, n_words, logit, logit >= 0 AS kept
         FROM sc ORDER BY doc_id""")
+    ),
+    // q188: per-source CALIBRATION audit of the q187 filter — the
+    // check a curation team runs before trusting any quality gate:
+    // does the classifier throttle one source disproportionately?
+    // Per source: doc census, kept census, keep rate in integer basis
+    // points (truncating div — identical both engines on non-negative
+    // operands), and the logit extremes (the score range the threshold
+    // cuts through). Same measured-audit-beside-the-operator pattern
+    // as q174/q176's recall audits. Scale: rides the q187 logit stage,
+    // then one tiny groupBy on the bounded source domain — partial
+    // aggregation does all the work map-side.
+    Q(
+      "q188_filter_calibration",
+      (s, dir) =>
+        classifierLogits(s, dir)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("logit") >= 0L, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+            min(col("logit")).as("min_logit"),
+            max(col("logit")).as("max_logit"))
+          .withColumn("keep_bp", expr("n_kept * 10000 div n_docs"))
+          .select(col("source"), col("n_docs"), col("n_kept"), col("keep_bp"),
+            col("min_logit"), col("max_logit"))
+          .orderBy("source"),
+      Some(s"""WITH $classifierCtes
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS keep_bp,
+          CAST(min(logit) AS BIGINT) AS min_logit,
+          CAST(max(logit) AS BIGINT) AS max_logit
+        FROM sc GROUP BY source ORDER BY source""")
     )
   )
+
+  /** The q187/q188 shared logit stage: hashing-trick linear classifier —
+    * per doc (with its source carried through the aggregate): word
+    * count and the bag-of-words weight sum over the 64-slot table.
+    */
+  private def classifierLogits(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val b = pmod(Hashing.h60(col("w")), lit(64L))
+    val wt = pmod(b * b * 31L + b * 7L, lit(21L)) - 10L
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Hashing.words(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"), wt.as("wt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("logit"))
+  }
+
+  /** The oracle mirror of the shared logit stage (ends in CTE `sc`). */
+  private def classifierCtes: String =
+    s"""w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+      b AS (SELECT doc_id, source, ${h60("w")} % 64 AS b FROM w),
+      sc AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum((b * b * 31 + b * 7) % 21 - 10) AS BIGINT) AS logit
+        FROM b GROUP BY doc_id, source)"""
 
   /** Adjacent-symbol pairs of a symbol array as "x y" strings (q184). */
   private def expr_pairs(syms: Column): Column =

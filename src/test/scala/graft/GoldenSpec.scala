@@ -325,6 +325,9 @@ class GoldenSpec extends AnyFunSuite {
     // time travel; a naive cross-spec mapping misses old-generation
     // rows and fails here
     assert(queryHash("s48_partition_evolution") == ((1L, "bb21d03a1b97a822743803e7d8743371")))
+    // q188: the filter's per-source calibration — keep rates in bp and
+    // logit extremes; a classifier drift or a source-skew bug moves bp
+    assert(queryHash("q188_filter_calibration") == ((20L, "c03337a36e794a1830f301781109d713")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

@@ -10,44 +10,67 @@ import org.apache.spark.sql.SparkSession
   *   - full fidelity (all runs, medians, full query names) → a JSON file
   *     under target/, plus a mirror at repo-root bench_full_last.json
   *     (target/ is gitignored; the mirror is the committed record);
+  *   - ISOLATED re-measures (any query-name args) mirror to
+  *     bench_isolated_last.json instead — a spot re-measure must never
+  *     clobber the committed full-board record (the r15 incident);
   *   - last stdout line: BOUNDED compact JSON — suite total, failure
   *     list, slowest-20 medians with shortened keys ("q01_scan_project"
   *     → "q01") — sized to stay inside the driver's ~2 KB tail window
   *     no matter how large the suite grows.
+  *
+  * Drift hardening (r15 verdict #4): three rounds of carried-board
+  * "regressions" dissolved under fresh-JVM isolation re-measures — the
+  * elevation was single-JVM accumulation across a 236-query sweep plus
+  * host weather. Two levers put that story IN the record instead of in
+  * prose:
+  *   - per_query_calib_norm in the parsed line: (total / nq) / calib —
+  *     suite cost per query in units of this host's current single-thread
+  *     speed, directly comparable across rounds;
+  *   - SPARK_GRAFT_BENCH_CHUNKS=k (2–4): the sweep forks into k child
+  *     JVMs over contiguous query ranges, each with its own calibration,
+  *     bounding in-process accumulation to a chunk. Opt-in — the
+  *     default single-JVM path is unchanged.
   */
 object Bench {
   private def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Default raised 3 → 5 (round-10 verdict: spread_raw was 48 s against a
-    // 192 s total at runs=3; five runs tighten the median so the 2×-gate
-    // reads engine, not host).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
-    // host-business context for the numbers: the round-8→9 forensics showed
-    // the same code at the same SF varying >1.4× with HOST load (paired
-    // same-day A/B of the r7/r8 trees was flat while both ran ~1.5× above
-    // their recorded boards), so every bench now records the 1-min system
-    // load average at start and end — without it, cross-round totals
-    // conflate engine changes with machine weather.
-    def loadAvg(): Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case scala.util.control.NonFatal(_) => -1.0 }
-    // single-thread CPU calibration: a fixed deterministic LCG loop whose
-    // wall time depends only on how fast this host runs ONE thread right
-    // now. calib_sec ratios across rounds separate "the engine changed"
-    // from "the host changed" — the r9 forensics needed exactly this and
-    // had to reconstruct it from paired git-worktree A/B runs instead.
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      var h = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < 400000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (h == 42L) System.err.println("") // defeat dead-code elimination
-      dt
-    }
+  // host-business context for the numbers: the round-8→9 forensics showed
+  // the same code at the same SF varying >1.4× with HOST load, so every
+  // bench records the 1-min system load average at start and end.
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  // single-thread CPU calibration: a fixed deterministic LCG loop whose
+  // wall time depends only on how fast this host runs ONE thread right
+  // now. calib_sec ratios across rounds separate "the engine changed"
+  // from "the host changed".
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 400000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) System.err.println("") // defeat dead-code elimination
+    dt
+  }
+
+  /** One sweep's raw material: per-query run times plus the host context
+    * bracketing them (one entry per JVM that produced a slice).
+    */
+  private case class ChunkMeta(
+      loadStart: Double, loadEnd: Double, calibStart: Double, calibEnd: Double)
+
+  /** Run the (optionally filtered) board in THIS JVM and return raw run
+    * times. `exact` matches whole names (chunk children); otherwise any
+    * arg prefix matches (isolated re-measure ergonomics: `q36` works).
+    */
+  private def runSweep(
+      only: Set[String],
+      exact: Boolean,
+      sfDir: String,
+      cpus: String,
+      runs: Int): (Seq[(String, Seq[Double])], ChunkMeta) = {
     val loadStart = loadAvg()
     val calibStart = calibrate()
     val spark = SparkSession.builder()
@@ -81,22 +104,19 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so compute-heavy projections would be timed as near-zero.
     // The noop write executes the full plan and materializes every row.
-    // Optional filter for isolated measurement: runMain graft.Bench q36 q18
-    val only = args.toSet
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+      .filter { case (n, _) =>
+        only.isEmpty || (if (exact) only.contains(n) else only.exists(n.startsWith))
+      }
       .map { case (name, fn) =>
         // Untimed warm run(s) per query BEFORE the timed runs: JIT /
-        // codegen compilation and any one-time staging memoization
-        // (signature index, component labels, media staging) land here,
-        // so the timed runs measure the query's true repeating cost and
-        // the reported spread is run-to-run noise, not first-touch cost
-        // (round-6 verdict: a ~40 s cold-first-run delta drowned
+        // codegen compilation and any one-time staging memoization land
+        // here, so the timed runs measure the query's true repeating
+        // cost (round-6 verdict: a ~40 s cold-first-run delta drowned
         // per-query regression signals). Streaming demos (sNN) warm
         // TWICE: their first replay leaves checkpoint/sink residue whose
-        // cleanup lands on the next run, so one warm pass still bled
-        // variance into run 1 (round-7 verdict: s03/s07/s09/s11 carried
-        // the residual 17% spread).
+        // cleanup lands on the next run (round-7 verdict: s03/s07/s09/
+        // s11 carried the residual 17% spread).
         val warmRuns = if (name.startsWith("s")) 2 else 1
         (1 to warmRuns).foreach { _ =>
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -113,6 +133,86 @@ object Bench {
         }
         name -> times
       }
+    val loadEnd = loadAvg()
+    val calibEnd = calibrate()
+    spark.stop()
+    (results, ChunkMeta(loadStart, loadEnd, calibStart, calibEnd))
+  }
+
+  /** CHILD mode (`--chunk <out> <names...>`): sweep exactly `names`,
+    * dump a trivially parseable TSV (meta line + name\tt1,t2,...), write
+    * nothing else — the parent owns all reporting.
+    */
+  private def childMain(out: String, names: Seq[String], sfDir: String, cpus: String, runs: Int): Unit = {
+    val (results, m) = runSweep(names.toSet, exact = true, sfDir, cpus, runs)
+    val sb = new StringBuilder
+    sb.append(s"#meta\t${m.loadStart}\t${m.loadEnd}\t${m.calibStart}\t${m.calibEnd}\n")
+    results.foreach { case (n, ts) => sb.append(s"$n\t${ts.mkString(",")}\n") }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+  }
+
+  /** The classpath of the running application, robust to sbt's in-process
+    * `run` (whose project classes are NOT on java.class.path): walk the
+    * URLClassLoader chain and union with the system property.
+    */
+  private def currentClasspath(): String = {
+    def urls(cl: ClassLoader): Seq[String] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.flatMap(x =>
+          try Seq(java.nio.file.Paths.get(x.toURI).toString)
+          catch { case scala.util.control.NonFatal(_) => Nil }) ++ urls(u.getParent)
+      case other => urls(other.getParent)
+    }
+    (urls(getClass.getClassLoader) ++
+      System.getProperty("java.class.path", "").split(java.io.File.pathSeparator).toSeq)
+      .filter(_.nonEmpty).distinct.mkString(java.io.File.pathSeparator)
+  }
+
+  /** PARENT mode: split the board into `k` contiguous chunks, run each in
+    * a fresh child JVM (own calibration, own Spark), merge the TSVs and
+    * report exactly like a single-JVM sweep — plus per-chunk host meta.
+    */
+  private def parentMain(k: Int, sfDir: String, cpus: String, runs: Int): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val per = math.ceil(names.size.toDouble / k).toInt
+    val groups = names.grouped(per).toSeq
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = currentClasspath()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_chunks_")
+    val metas = scala.collection.mutable.ArrayBuffer.empty[ChunkMeta]
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val out = s"$tmp/chunk$i.tsv"
+      val cmd = Seq(javaBin, "-cp", cp, "graft.Bench", "--chunk", out) ++ g
+      System.err.println(s"[bench] chunk ${i + 1}/${groups.size}: ${g.size} queries in a fresh JVM")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.inheritIO()
+      val rc = pb.start().waitFor()
+      if (rc != 0)
+        sys.error(s"[bench] chunk $i child JVM exited $rc — aborting (no partial record)")
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+      import scala.jdk.CollectionConverters._
+      lines.asScala.foreach { ln =>
+        val parts = ln.split("\t")
+        if (parts(0) == "#meta")
+          metas += ChunkMeta(parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
+        else merged += (parts(0) -> parts(1).split(",").map(_.toDouble).toSeq)
+      }
+    }
+    report(merged.toSeq.sortBy(_._1), metas.toSeq, isolated = false, sfDir, runs)
+  }
+
+  /** All derived stats + the three output artifacts, shared by the
+    * single-JVM and chunked paths.
+    */
+  private def report(
+      results: Seq[(String, Seq[Double])],
+      metas: Seq[ChunkMeta],
+      isolated: Boolean,
+      sfDir: String,
+      runs: Int): Unit = {
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0
       else { val s = ts.sorted; s(s.length / 2) }
@@ -134,18 +234,13 @@ object Bench {
     // failures carry -1 per query; keep them out of the suite total
     val total = medians.map(_._2).filter(_ >= 0).sum
     val totalSpread = results.map { case (_, ts) => spread(ts) }.filter(_ >= 0).sum
-    // both spread definitions at top level so consumers compare
-    // like-for-like across rounds: "spread" = drop-max trimmed (the
-    // round-7-sanctioned headline), "spread_raw" = untrimmed max−min
     val totalSpreadRaw = results.map { case (_, ts) => spreadRaw(ts) }.filter(_ >= 0).sum
     // batch (qNN) vs streaming (sNN) subtotals, each with its own
-    // trimmed spread. The round-13 identical-code re-run proved why the
-    // split matters: per-query ratios scattered 0.67×–1.69× on pure
-    // host noise, and the streaming class's cost is scheduler wall
-    // (AvailableNow trigger spin-up, RocksDB, JDBC hops — ~1.7 s/demo
-    // flat) while the batch class tracks the data path — folding them
-    // into one number lets a real batch regression hide inside
-    // streaming scheduling noise and vice versa.
+    // trimmed spread: the streaming class's cost is scheduler wall
+    // (AvailableNow spin-up, RocksDB, JDBC hops — ~1.7 s/demo flat)
+    // while the batch class tracks the data path — folding them into one
+    // number lets a real batch regression hide inside streaming
+    // scheduling noise and vice versa (round-13 identical-code re-run).
     def classOf(n: String): String = if (n.startsWith("s")) "streaming" else "batch"
     val byClass: Map[String, Seq[(String, Seq[Double])]] = results.groupBy(t => classOf(t._1))
     def classTotal(c: String): Double =
@@ -156,14 +251,38 @@ object Bench {
     val subtotalsJson =
       s""""batch":{"value":${fmt(classTotal("batch"))},"spread":${fmt(classSpread("batch"))},"nq":${classCount("batch")}},""" +
         s""""streaming":{"value":${fmt(classTotal("streaming"))},"spread":${fmt(classSpread("streaming"))},"nq":${classCount("streaming")}}"""
-    val loadEnd = loadAvg()
-    val calibEnd = calibrate()
+    // legacy bracketing fields = first chunk's start, last chunk's end;
+    // normalization uses the mean over EVERY chunk's two calibrations
+    val loadStart = metas.head.loadStart
+    val loadEnd = metas.last.loadEnd
+    val calibStart = metas.head.calibStart
+    val calibEnd = metas.last.calibEnd
+    val calibAll = metas.flatMap(m => Seq(m.calibStart, m.calibEnd)).filter(_ > 0)
+    val calibMean = if (calibAll.isEmpty) -1.0 else calibAll.sum / calibAll.size
+    // Calib-normalized total: suite seconds divided by the mean
+    // single-thread calibration time, i.e. "suite cost in units of this
+    // host's current speed". Comparable across rounds even when the box
+    // is 30-40% busier at one bench than another.
+    val totalCalibNorm = if (calibMean > 0) total / calibMean else -1.0
+    // the r15 ask: the per-query calib-normalized figure IN the record,
+    // so cross-round comparison self-normalizes for board growth AND
+    // host speed without any manual decomposition
+    val nq = medians.count(_._2 >= 0)
+    val perQueryCalibNorm = if (calibMean > 0 && nq > 0) total / nq / calibMean else -1.0
+    val chunksJson =
+      if (metas.size <= 1) ""
+      else {
+        val cs = metas
+          .map(m => s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}]}""")
+          .mkString("[", ",", "]")
+        s""""n_jvm_chunks":${metas.size},"chunks":$cs,"""
+      }
     // full-fidelity report → file (full names, every run, medians, spreads)
     val fullJson = {
       val qs = results.map { case (n, ts) =>
         s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -172,6 +291,9 @@ object Bench {
     // keeps only a bounded stdout tail and target/ is gitignored, so this
     // copy is the ONLY per-query record that survives into the repo for
     // cross-round comparison once the suite outgrew the tail window.
+    // ISOLATED re-measures (query-name args) go to bench_isolated_last
+    // .json: the r15 round lost the full-board record to a spot re-measure
+    // writing the same path and had to restore it a commit later.
     // Resolved against the REPO ROOT, not the process CWD: a bench run
     // launched from another directory must not quietly strand the only
     // surviving per-query record. Root discovery: explicit env override,
@@ -186,7 +308,8 @@ object Bench {
           .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
       }
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
-    val repoCopy = repoRoot.resolve("bench_full_last.json")
+    val mirrorName = if (isolated) "bench_isolated_last.json" else "bench_full_last.json"
+    val repoCopy = repoRoot.resolve(mirrorName)
     try java.nio.file.Files.write(repoCopy, fullJson.getBytes("UTF-8"))
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -195,21 +318,10 @@ object Bench {
     // compact summary — the machine-parseable last stdout line. The driver
     // keeps only a ~2 KB stdout tail, and at 150+ queries the full
     // per-query map overflows it (round 9: the line's HEAD was truncated
-    // and the driver recorded parsed=null). So the line is now BOUNDED
+    // and the driver recorded parsed=null). So the line is BOUNDED
     // regardless of suite size: suite total + the slowest 20 medians +
-    // every failure, with counts so elision is visible. Full per-query
-    // data lives in the two files above. Short keys: the qNN/sNN prefix
-    // is unique across the suite.
-    // Calib-normalized total: suite seconds divided by the mean
-    // single-thread calibration time, i.e. "suite cost in units of this
-    // host's current speed". Comparable across rounds even when the box
-    // is 30-40% busier at one bench than another (round-10: calib drifted
-    // 0.671 → 0.494 within one run).
-    val calibMean = Seq(calibStart, calibEnd).filter(_ > 0) match {
-      case Nil => -1.0
-      case cs  => cs.sum / cs.size
-    }
-    val totalCalibNorm = if (calibMean > 0) total / calibMean else -1.0
+    // every failure, with counts so elision is visible. Short keys: the
+    // qNN/sNN prefix is unique across the suite.
     val failed = medians.filter(_._2 < 0).map(_._1).sorted
     val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val qsCompact = slowest
@@ -218,8 +330,28 @@ object Bench {
     val failedJson = failed
       .map(n => s""""${n.takeWhile(_ != '_')}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
     )
-    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default raised 3 → 5 (round-10 verdict: spread_raw was 48 s against a
+    // 192 s total at runs=3; five runs tighten the median so the 2×-gate
+    // reads engine, not host).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    args.toList match {
+      case "--chunk" :: out :: names =>
+        childMain(out, names, sfDir, cpus, runs)
+      case other =>
+        val chunks = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNKS", "0").toInt
+        if (chunks >= 2 && other.isEmpty) parentMain(chunks.min(8), sfDir, cpus, runs)
+        else {
+          // Optional filter for isolated measurement: runMain graft.Bench q36 q18
+          val (results, meta) = runSweep(other.toSet, exact = false, sfDir, cpus, runs)
+          report(results, Seq(meta), isolated = other.nonEmpty, sfDir, runs)
+        }
+    }
   }
 }

@@ -289,18 +289,27 @@ case class HashedNgramEmbed(left: Expression, right: Expression)
     val t = left.eval(input)
     val dv = right.eval(input)
     if (t == null || dv == null) return null
-    val s = t.asInstanceOf[UTF8String].toString
     val d = dv.asInstanceOf[Int]
+    // degenerate projection width: null, not a raw executor
+    // ArithmeticException / NegativeArraySizeException from h % d
+    if (d < 1) return null
+    val s = t.asInstanceOf[UTF8String].toString
     val acc = new Array[Double](d)
-    val n = s.length
+    // CODE-POINT gram semantics, exactly substring(text, i+1, 3) in both
+    // engines' SQL (UTF8String.substringSQL and DuckDB substr count code
+    // points); iterating UTF-16 chars would split surrogate pairs and
+    // diverge on supplementary-plane text (emoji, rare CJK)
+    val n = s.codePointCount(0, s.length)
+    var ci = 0 // char offset of the gram's first code point
     var i = 0
     while (i <= n - 3) {
-      // character semantics, exactly substring(text, i+1, 3) in SQL
-      val bytes = ("em:" + s.substring(i, i + 3))
+      val end = s.offsetByCodePoints(ci, 3)
+      val bytes = ("em:" + s.substring(ci, end))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = GraftHash.h60(bytes)
       val b = (h % d).toInt
       acc(b) += (if (((h / d) % 2) == 0L) 1.0 else -1.0)
+      ci = s.offsetByCodePoints(ci, 1)
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)

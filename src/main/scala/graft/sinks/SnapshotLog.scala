@@ -42,6 +42,63 @@ object SnapshotLog {
 
   private val Cutoff = "2001-07-15"
 
+  /** DuckDB's optimistic-MVCC write-write conflict (measured from the
+    * engine: "TransactionContext Error: Conflict on update!") — the ONLY
+    * failure the commit path maps to a clean retryable reject. Missing
+    * tables ("Catalog Error"), PK violations ("Constraint Error") and
+    * I/O faults carry different prefixes and RETHROW: a genuine failure
+    * masquerading as a stale-parent reject would send callers into a
+    * futile retry loop against a broken log.
+    */
+  private def isWriteConflict(e: Throwable): Boolean =
+    Option(e.getMessage).exists(_.contains("TransactionContext Error"))
+
+  /** Rollback + clean reject on a write-write conflict; rollback +
+    * rethrow on anything else. Shared tail of every commit variant.
+    */
+  private def rejectOnConflict(c: java.sql.Connection, e: Throwable): Boolean = {
+    try c.rollback()
+    catch { case scala.util.control.NonFatal(_) => () }
+    if (isWriteConflict(e)) false else throw e
+  }
+
+  /** Run `body` against a fresh temp dir and ALWAYS delete it on the way
+    * out: every s39–s50 lifecycle fully materializes its censuses inside
+    * the call, so the parquet staging is dead weight afterwards. The old
+    * shape (one JVM shutdown hook + one table copy per invocation)
+    * accumulated ~150 hooks and dozens of copies across a bench sweep —
+    * real disk pressure at larger SFs.
+    */
+  private def withTempTableDir[A](prefix: String)(body: java.nio.file.Path => A): A = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    try body(base)
+    finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Insert manifest rows via PreparedStatement — paths are DATA, never
+    * spliced into SQL text (an apostrophe in a path must not be able to
+    * tear the layer whose whole contract is torn-proof commits).
+    */
+  private def insertManifests(
+      c: java.sql.Connection,
+      table: String,
+      snapshotId: Long,
+      files: Seq[(String, Long)]): Unit = {
+    val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+    try files.foreach { case (p, n) =>
+      ps.setLong(1, snapshotId)
+      ps.setString(2, p)
+      ps.setLong(3, n)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
   /** Create the empty commit log: snapshot 0 is the empty table and the
     * current pointer starts there.
     */
@@ -91,14 +148,10 @@ object SnapshotLog {
         }
         if (swapped) {
           val st = c.createStatement()
-          try {
-            st.executeUpdate(
-              s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
-            files.foreach { case (p, n) =>
-              st.executeUpdate(
-                s"INSERT INTO manifests VALUES ($snapshotId, '$p', $n)")
-            }
-          } finally st.close()
+          try st.executeUpdate(
+            s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
+          finally st.close()
+          insertManifests(c, "manifests", snapshotId, files)
           c.commit()
           true
         } else {
@@ -106,12 +159,10 @@ object SnapshotLog {
           false
         }
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          // racing committer won the pointer row (MVCC write-write
-          // conflict) — same clean reject as the stale-parent path
-          try c.rollback()
-          catch { case scala.util.control.NonFatal(_) => () }
-          false
+        // racing committer won the pointer row (MVCC write-write
+        // conflict) — same clean reject as the stale-parent path;
+        // any OTHER failure rethrows (see isWriteConflict)
+        case scala.util.control.NonFatal(e) => rejectOnConflict(c, e)
       } finally c.setAutoCommit(true)
     }
 
@@ -176,10 +227,12 @@ object SnapshotLog {
 
   private[graft] def recordStats(dbFile: String, stats: Seq[(String, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val st = c.createStatement()
+      val ps = c.prepareStatement("INSERT INTO file_stats VALUES (?, ?)")
       try stats.foreach { case (p, b) =>
-        st.executeUpdate(s"INSERT INTO file_stats VALUES ('$p', $b)")
-      } finally st.close()
+        ps.setString(1, p)
+        ps.setLong(2, b)
+        ps.executeUpdate()
+      } finally ps.close()
     }
 
   /** Named branch refs (Iceberg refs / Nessie branches): a ref is a
@@ -197,14 +250,24 @@ object SnapshotLog {
 
   private[graft] def createRef(dbFile: String, name: String, at: Long): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      DuckDbLive.execute(c, s"INSERT INTO refs VALUES ('$name', $at)")
+      val ps = c.prepareStatement("INSERT INTO refs VALUES (?, ?)")
+      try {
+        ps.setString(1, name)
+        ps.setLong(2, at)
+        ps.executeUpdate()
+        ()
+      } finally ps.close()
     }
 
   private[graft] def refSnapshot(dbFile: String, name: String): Long =
     DuckDbLive.withConnection(dbFile) { c =>
-      DuckDbLive
-        .queryRows(c, s"SELECT snapshot_id FROM refs WHERE name = '$name'")
-        .head.head.asInstanceOf[Number].longValue
+      val ps = c.prepareStatement("SELECT snapshot_id FROM refs WHERE name = ?")
+      try {
+        ps.setString(1, name)
+        val rs = ps.executeQuery()
+        try { rs.next(); rs.getLong(1) }
+        finally rs.close()
+      } finally ps.close()
     }
 
   /** Commit a snapshot that advances a BRANCH ref instead of main: same
@@ -222,22 +285,21 @@ object SnapshotLog {
       c.setAutoCommit(false)
       try {
         val swapped = {
-          val st = c.createStatement()
-          try st.executeUpdate(
-            s"""UPDATE refs SET snapshot_id = $snapshotId
-               WHERE name = '$ref' AND snapshot_id = $expectedParent""") == 1
-          finally st.close()
+          val ps = c.prepareStatement(
+            "UPDATE refs SET snapshot_id = ? WHERE name = ? AND snapshot_id = ?")
+          try {
+            ps.setLong(1, snapshotId)
+            ps.setString(2, ref)
+            ps.setLong(3, expectedParent)
+            ps.executeUpdate() == 1
+          } finally ps.close()
         }
         if (swapped) {
           val st = c.createStatement()
-          try {
-            st.executeUpdate(
-              s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
-            files.foreach { case (p, n) =>
-              st.executeUpdate(
-                s"INSERT INTO manifests VALUES ($snapshotId, '$p', $n)")
-            }
-          } finally st.close()
+          try st.executeUpdate(
+            s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
+          finally st.close()
+          insertManifests(c, "manifests", snapshotId, files)
           c.commit()
           true
         } else {
@@ -245,10 +307,7 @@ object SnapshotLog {
           false
         }
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          try c.rollback()
-          catch { case scala.util.control.NonFatal(_) => () }
-          false
+        case scala.util.control.NonFatal(e) => rejectOnConflict(c, e)
       } finally c.setAutoCommit(true)
     }
 
@@ -292,10 +351,12 @@ object SnapshotLog {
 
   private[graft] def recordSeq(dbFile: String, paths: Seq[String], seq: Long): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val st = c.createStatement()
-      try paths.foreach(p =>
-        st.executeUpdate(s"INSERT INTO file_seq VALUES ('$p', $seq)"))
-      finally st.close()
+      val ps = c.prepareStatement("INSERT INTO file_seq VALUES (?, ?)")
+      try paths.foreach { p =>
+        ps.setString(1, p)
+        ps.setLong(2, seq)
+        ps.executeUpdate()
+      } finally ps.close()
     }
 
   /** Commit with row-level deletes: same atomic conditional swap as
@@ -321,18 +382,11 @@ object SnapshotLog {
         }
         if (swapped) {
           val st = c.createStatement()
-          try {
-            st.executeUpdate(
-              s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
-            dataFiles.foreach { case (p, n) =>
-              st.executeUpdate(
-                s"INSERT INTO manifests VALUES ($snapshotId, '$p', $n)")
-            }
-            deleteFiles.foreach { case (p, n) =>
-              st.executeUpdate(
-                s"INSERT INTO delete_manifests VALUES ($snapshotId, '$p', $n)")
-            }
-          } finally st.close()
+          try st.executeUpdate(
+            s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
+          finally st.close()
+          insertManifests(c, "manifests", snapshotId, dataFiles)
+          insertManifests(c, "delete_manifests", snapshotId, deleteFiles)
           c.commit()
           true
         } else {
@@ -340,10 +394,7 @@ object SnapshotLog {
           false
         }
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          try c.rollback()
-          catch { case scala.util.control.NonFatal(_) => () }
-          false
+        case scala.util.control.NonFatal(e) => rejectOnConflict(c, e)
       } finally c.setAutoCommit(true)
     }
 
@@ -432,14 +483,7 @@ object SnapshotLog {
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         col("o_orderdate").cast("date").as("d"))
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s39_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s39_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
 
@@ -525,14 +569,7 @@ object SnapshotLog {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cents = expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s41_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s41_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
 
@@ -635,14 +672,7 @@ object SnapshotLog {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s40_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s40_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       IncrementalRefresh.initStore(dbFile)
@@ -750,14 +780,7 @@ object SnapshotLog {
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         col("o_orderdate").cast("date").as("d"))
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s42_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s42_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
 
@@ -880,14 +903,7 @@ object SnapshotLog {
       .map(i => (mx - (mx % 4) + 4L * (i + 1) + 2L, 1000000L + 7L * i))
       .toDF("k", "cents")
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s43_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s43_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initStats(dbFile)
@@ -1005,14 +1021,7 @@ object SnapshotLog {
       .map(i => (mx - (mx % 4) + 4L * (i + 1) + 2L, 1000000L + 7L * i))
       .toDF("k", "cents")
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s45_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s45_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initStats(dbFile)
@@ -1054,6 +1063,8 @@ object SnapshotLog {
             .when(col("pre_cents") =!= col("post_cents"), lit("update"))
             .otherwise(lit("noop")))
         .filter(col("change_type") =!= "noop")
+      // materialize the (change-type-bounded, ≤3-row) census before
+      // withTempTableDir deletes the staged parquet under the lazy plan
       changes
         .groupBy(col("change_type"))
         .agg(
@@ -1061,7 +1072,12 @@ object SnapshotLog {
           sum(coalesce(col("rk"), col("ak"))).as("key_sum"),
           sum(coalesce(col("pre_cents"), lit(0L))).as("sum_cents_pre"),
           sum(coalesce(col("post_cents"), lit(0L))).as("sum_cents_post"))
-        .withColumn("n_files_scanned", lit((removed.size + added.size).toLong))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), (removed.size + added.size).toLong))
+        .toSeq
+        .toDF("change_type", "n_rows", "key_sum", "sum_cents_pre",
+          "sum_cents_post", "n_files_scanned")
         .orderBy("change_type")
     } else {
       // honest fallback: predicate arithmetic; n_files_scanned=0 fails
@@ -1128,14 +1144,7 @@ object SnapshotLog {
     val stagePred = col("k") % 3 === 0
     val corruptPred = col("k") % 150 === 3
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s46_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s46_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initRefs(dbFile)
@@ -1227,10 +1236,13 @@ object SnapshotLog {
       dbFile: String,
       stats: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val st = c.createStatement()
+      val ps = c.prepareStatement("INSERT INTO file_spec VALUES (?, ?, ?)")
       try stats.foreach { case (p, spec, v) =>
-        st.executeUpdate(s"INSERT INTO file_spec VALUES ('$p', $spec, $v)")
-      } finally st.close()
+        ps.setString(1, p)
+        ps.setLong(2, spec)
+        ps.setLong(3, v)
+        ps.executeUpdate()
+      } finally ps.close()
     }
 
   /** Spec-aware scan planning: the files of `snapshotId` whose partition
@@ -1293,14 +1305,7 @@ object SnapshotLog {
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
         col("o_orderdate").cast("date").as("d"))
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s48_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s48_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initSpecs(dbFile)
@@ -1414,14 +1419,7 @@ object SnapshotLog {
     val s = graft.streaming.StreamSessions.tuned(spark)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s47_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s47_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initMor(dbFile)
@@ -1562,14 +1560,7 @@ object SnapshotLog {
     val delPred = col("k") % 20 === 6
     val updPred = col("k") % 20 === 2
 
-    if (DuckDbLive.available) {
-      val base = java.nio.file.Files.createTempDirectory("graft_s44_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+    if (DuckDbLive.available) withTempTableDir("graft_s44_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initStats(dbFile)

@@ -12,7 +12,9 @@ class HashParitySpec extends AnyFunSuite {
   import spark.implicits._
 
   private val rnd = new scala.util.Random(11)
-  private val vocab = Vector("scan", "join", "filter", "agg", "the", "fast", "row", "key", "ümlaut", "日本")
+  // "𝒳🦀b" carries two supplementary-plane code points (surrogate pairs in
+  // UTF-16) — pins graft_embed/graft_minhash code-POINT gram semantics
+  private val vocab = Vector("scan", "join", "filter", "agg", "the", "fast", "row", "key", "ümlaut", "日本", "𝒳🦀b")
   private val docs: Seq[String] =
     (1 to 100).map(_ => Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
       Seq("a", "a b", "a b c") // shorter-than-shingle edges
@@ -84,5 +86,15 @@ class HashParitySpec extends AnyFunSuite {
       .as[(Seq[Double], Seq[Double])]
       .collect()
     got.foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("graft_embed guards degenerate width: d < 1 yields null, not an executor throw") {
+    val got = Seq("scan join filter").toDF("text")
+      .select(
+        call_function("graft_embed", col("text"), lit(0)),
+        call_function("graft_embed", col("text"), lit(-3)))
+      .as[(Option[Seq[Double]], Option[Seq[Double]])]
+      .head()
+    assert(got == ((None, None)))
   }
 }

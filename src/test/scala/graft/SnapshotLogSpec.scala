@@ -191,4 +191,24 @@ class SnapshotLogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("genuine failures rethrow — only MVCC write-write conflicts map to the clean reject") {
+    withLog { db =>
+      // missing tables (initLog skipped): a Catalog Error, NOT a
+      // retryable stale-parent outcome — the old catch-all turned this
+      // into `false` and callers would retry a broken log forever
+      intercept[Exception] {
+        SnapshotLog.commit(db, 0L, 1L, Seq(("f1", 1L)))
+      }
+    }
+  }
+
+  test("paths are bound as parameters: an apostrophe in a path cannot tear a commit") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      val odd = "/tmp/it's a path/part-00000.parquet"
+      assert(SnapshotLog.commit(db, 0L, 1L, Seq((odd, 3L))))
+      assert(SnapshotLog.manifest(db, 1L) == Seq((odd, 3L)))
+    }
+  }
 }

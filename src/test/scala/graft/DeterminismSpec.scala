@@ -86,7 +86,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q189_classifier_train",  // trained-weight bounded collect + literal-table apply (r16)
     "q190_unicode_norm_dedup", // explicit-mapping unicode norm keys + distinct census (r16)
     "s45_changelog_feed",     // full-outer change classification over file diffs (r15)
-    "s48_partition_evolution" // cross-spec pruned census vs full predicate answer (r15)
+    "s48_partition_evolution", // cross-spec pruned census vs full predicate answer (r15)
+    "s49_position_deletes",   // ordinal-scoped masks + both-kinds compaction (r16)
+    "s50_column_evolution"    // field-id projection across schema generations (r16)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

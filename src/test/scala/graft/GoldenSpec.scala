@@ -340,6 +340,16 @@ class GoldenSpec extends AnyFunSuite {
     // after the explicit NFC/case/width/diacritic/punct mapping (= n_pairs)
     // and never before (0); a mapping drift in either engine moves both
     assert(queryHash("q190_unicode_norm_dedup") == ((20L, "8b73da2501d0db427bdd7fbe29e0d47c")))
+    // s49: position deletes — all five snapshots' censuses through the
+    // v2 read path, incl. the same-commit position mask (pseq >= fseq)
+    // and the both-kinds census-neutral compaction; an ordinal-scope
+    // or seq-rule break moves integers
+    assert(queryHash("s49_position_deletes") == ((5L, "8ec57422a50a1b916cd05a795e3d91d7")))
+    // s50: column evolution — three snapshots under their own schemas,
+    // rename-by-id serving old physical columns and the reused-name
+    // field projecting NULL for schema-2 files; a name-based
+    // projection resurrects field 3 and moves sum_disc
+    assert(queryHash("s50_column_evolution") == ((3L, "01f79fb9316207c18d8b8d61df7844a5")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

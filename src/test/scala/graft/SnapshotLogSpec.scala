@@ -211,4 +211,97 @@ class SnapshotLogSpec extends AnyFunSuite {
       assert(SnapshotLog.manifest(db, 1L) == Seq((odd, 3L)))
     }
   }
+
+  test("evolvedRead projects by FIELD ID: rename keeps old columns, a reused name never resurrects a dropped field") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    withLog { db =>
+      val base = java.nio.file.Files.createTempDirectory("graft_s50_spec_")
+      try {
+        SnapshotLog.initLog(db)
+        SnapshotLog.initSchemas(db)
+        // schema 1: (1:k, 2:v); schema 2 renames v→w + adds (3:x);
+        // schema 3 drops field 3 and adds a NEW (4:x) under the old name
+        SnapshotLog.recordSchema(db, 1L, Seq((1L, "k", "bigint"), (2L, "v", "bigint")))
+        SnapshotLog.recordSchema(db, 2L,
+          Seq((1L, "k", "bigint"), (2L, "w", "bigint"), (3L, "x", "bigint")))
+        SnapshotLog.recordSchema(db, 3L,
+          Seq((1L, "k", "bigint"), (2L, "w", "bigint"), (4L, "x", "bigint")))
+        Seq((1L, 10L)).toDF("k", "v").coalesce(1).write.parquet(s"$base/a")
+        Seq((2L, 20L, 777L)).toDF("k", "w", "x").coalesce(1).write.parquet(s"$base/b")
+        Seq((3L, 30L, 9L)).toDF("k", "w", "x").coalesce(1).write.parquet(s"$base/c")
+        def pf(d: String) = new java.io.File(s"$base/$d").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f => (f.getAbsolutePath, 1L)).toSeq
+        val (fa, fb, fc) = (pf("a"), pf("b"), pf("c"))
+        SnapshotLog.recordFileSchema(db, fa.map(_._1), 1L)
+        SnapshotLog.recordFileSchema(db, fb.map(_._1), 2L)
+        SnapshotLog.recordFileSchema(db, fc.map(_._1), 3L)
+        assert(SnapshotLog.commit(db, 0L, 1L, fa ++ fb ++ fc))
+        val got = SnapshotLog.evolvedRead(spark, db, 1L, 3L)
+          .orderBy("k")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          .toSeq
+        // file A: w served from physical "v" (same id 2), x NULL;
+        // file B: x NULL despite a physical column named x (id 3 ≠ 4 —
+        // 777 must NOT leak); file C: the live field 4
+        assert(got == Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some(9L))))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("position deletes are ordinal-scoped PER FILE and apply at seq <=, equality strictly <") {
+    // two data files with IDENTICAL contents: a position delete naming
+    // file A's ordinal 0 must kill exactly one row (file B's ordinal 0
+    // survives — the path-equality half of the scoping rule), and a
+    // position delete committed at the SAME seq as its data file must
+    // bite (>= rule) while an equality delete at the same seq must not
+    // (strict rule) — the v2 asymmetry s49 depends on.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    withLog { db =>
+      val base = java.nio.file.Files.createTempDirectory("graft_s49_spec_")
+      try {
+        SnapshotLog.initLog(db)
+        SnapshotLog.initMor(db)
+        SnapshotLog.initPosDeletes(db)
+        val rows = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "cents")
+        rows.coalesce(1).write.parquet(s"$base/a")
+        rows.coalesce(1).write.parquet(s"$base/b")
+        def pf(d: String) = new java.io.File(s"$base/$d").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f => (f.getAbsolutePath, 3L)).toSeq
+        val (fa, fb) = (pf("a"), pf("b"))
+        // the delete file names file A ordinal 0 (k=1's row)
+        spark.read.parquet(fa.map(_._1): _*)
+          .select(col("_metadata.file_path").as("pd_path"),
+            col("_metadata.row_index").as("pd_pos"), col("k"))
+          .filter(col("k") === 1L).select("pd_path", "pd_pos")
+          .coalesce(1).write.parquet(s"$base/pd")
+        val pd = pf("pd").map { case (p, _) => (p, 1L) }
+        // an equality delete for k=2, committed at the SAME seq as data
+        Seq(2L).toDF("k").coalesce(1).write.parquet(s"$base/eq")
+        val eq = pf("eq").map { case (p, _) => (p, 1L) }
+        SnapshotLog.recordSeq(db, (fa ++ fb ++ pd ++ eq).map(_._1), 1L)
+        assert(SnapshotLog.commitMorV2(db, 0L, 1L, fa ++ fb, eq, pd))
+        val got = SnapshotLog.morReadV2(spark, db, 1L, "k")
+          .groupBy("k").count().orderBy("k")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // k=1: one of two copies position-deleted (file A only);
+        // k=2: BOTH survive (same-seq equality delete must not bite);
+        // k=3: untouched
+        assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L)))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }

@@ -308,7 +308,15 @@ object Bench {
           .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
       }
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
-    val mirrorName = if (isolated) "bench_isolated_last.json" else "bench_full_last.json"
+    // the committed record's contract is "full board at the driver's
+    // gate SF": a full-board run at any OTHER sf (a local sf0.001 smoke,
+    // say) must not clobber it either — same incident class as the
+    // isolated-re-measure clobber, caught while validating chunked mode
+    val gateSf = java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1"
+    val mirrorName =
+      if (isolated) "bench_isolated_last.json"
+      else if (!gateSf) "bench_scratch_last.json"
+      else "bench_full_last.json"
     val repoCopy = repoRoot.resolve(mirrorName)
     try java.nio.file.Files.write(repoCopy, fullJson.getBytes("UTF-8"))
     catch {

@@ -42,7 +42,7 @@ object ScaleProbe {
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
-        "mor", "morupsert"))
+        "mor", "morupsert", "tablefmt"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -935,6 +935,109 @@ object ScaleProbe {
         f"[scale] epoch growth: rows/epoch x${mults.last / mults.head}%d, " +
           f"s34 time x${eaN / ea0}%.1f, s36 time x${ebN / eb0}%.1f, s37 time x${ecN / ec0}%.1f, s38 time x${edN / ed0}%.1f " +
           f"(bounded reservoir + register reduce + batch-proportional work predict ~scan-linear)")
+    }
+    // Table-format metadata curves (s39–s50): the format's promise is
+    // that COMMIT and SCAN PLANNING cost track MANIFEST ROWS (log
+    // metadata), never data volume — a commit writes snapshot+manifest
+    // rows through one JDBC hop and never opens a data file, and
+    // planning (manifest list, stat-pruning) is a log query. Probe
+    // shape: synthetic manifest entries ×(64·m) per snapshot (paths are
+    // strings to the log — nothing on disk is read), cumulative
+    // streaming-commit growth, and the s49 position-delete READ curve
+    // (the one leg that touches data) over real files.
+    if (enabled("tablefmt")) {
+      import graft.sinks.SnapshotLog
+      val logDir = scratchDir("graft_scale_log_")
+      // (a) commit + planning vs manifest size — one snapshot per
+      // multiple, 64·m entries, bucket stats recorded for pruning
+      val dbA = s"$logDir/a.duckdb"
+      SnapshotLog.initLog(dbA)
+      SnapshotLog.initStats(dbA)
+      var parent = 0L
+      val fmtResults = mults.map { m =>
+        val nf = 64 * m
+        val snap = parent + 1
+        val files = (0 until nf).map(i => (s"/synthetic/s$snap/f$i.parquet", 1000L))
+        SnapshotLog.recordStats(dbA, files.map { case (p, _) =>
+          (p, (p.hashCode.toLong & 0xff) % 16) })
+        val t0 = System.nanoTime()
+        val ok = SnapshotLog.commit(dbA, parent, snap, files)
+        val commitSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val mf = SnapshotLog.manifest(dbA, snap)
+        val pruned = SnapshotLog.prunePaths(dbA, snap, Seq(3L))
+        val planSec = (System.nanoTime() - t1) / 1e9
+        parent = snap
+        println(f"[scale] x$m%-3d manifest=$nf%5d entries  commit=$commitSec%7.3f s  plan(list+prune)=$planSec%7.3f s (ok=$ok, listed=${mf.size}, pruned=${pruned.size})")
+        (m, commitSec, planSec)
+      }
+      val (_, c0, p0) = fmtResults.head
+      val (_, cN, pN) = fmtResults.last
+      println(
+        f"[scale] tablefmt growth: manifest x${mults.last / mults.head}%d, " +
+          f"commit x${cN / c0}%.1f, plan x${pN / p0}%.1f (metadata-linear would track manifest rows; data volume never enters)")
+
+      // (b) streaming-commit lifecycle (the s41/s47 shape): cumulative
+      // manifests — epoch e commits e·F entries; per-epoch commit cost
+      // must track the CUMULATIVE manifest it rewrites, bounded by
+      // metadata, while rows-per-epoch never appears in the cost
+      val dbB = s"$logDir/b.duckdb"
+      SnapshotLog.initLog(dbB)
+      val perEpoch = 64
+      val epochs = mults.last
+      var cum = Seq.empty[(String, Long)]
+      var tCum = 0.0
+      (1 to epochs).foreach { e =>
+        cum = cum ++ (0 until perEpoch).map(i => (s"/synthetic/e$e/f$i.parquet", 1000L))
+        val t0 = System.nanoTime()
+        SnapshotLog.commit(dbB, e - 1L, e.toLong, cum)
+        val dt = (System.nanoTime() - t0) / 1e9
+        tCum += dt
+        if (e == 1 || mults.contains(e))
+          println(f"[scale] epoch $e%-3d cumulative_manifest=${cum.size}%5d  commit=$dt%7.3f s  (total so far $tCum%7.3f s)")
+      }
+
+      // (c) the s49 READ leg: position-delete masking cost vs number of
+      // delete files — real parquet, anti-join per (path, ordinal);
+      // near-flat growth means the mask stays delta-bounded
+      val oPos = Tables.orders(spark, sfDir).select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val posDir = scratchDir("graft_scale_pos_")
+      oPos.repartition(8).write.parquet(s"$posDir/data")
+      val posData = spark.read.parquet(s"$posDir/data")
+        .withColumn("fseq", lit(1L))
+        .withColumn("fpath", col("_metadata.file_path"))
+        .withColumn("fpos", col("_metadata.row_index"))
+      val rowsPos = posData.count()
+      posData.agg(count(lit(1)), sum(col("cents"))).head() // warm
+      val posResults = mults.map { m =>
+        (0 until m).foreach { i =>
+          spark.read.parquet(s"$posDir/data")
+            .select(col("_metadata.file_path").as("pd_path"),
+              col("_metadata.row_index").as("pd_pos"), col("k"))
+            .filter(col("k") % 997 === i)
+            .select("pd_path", "pd_pos")
+            .repartition(1).write.mode("overwrite").parquet(s"$posDir/pd$i")
+        }
+        val pv = (0 until m)
+          .map(i => spark.read.parquet(s"$posDir/pd$i").withColumn("pseq", lit(i + 2L)))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val agg = posData.as("f")
+          .join(pv.as("pv"),
+            col("f.fpath") === col("pv.pd_path") && col("f.fpos") === col("pv.pd_pos") &&
+              col("pv.pseq") >= col("f.fseq"),
+            "left_anti")
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] x$m%-3d pos_delete_files=$m%4d  posmor_census=$sec%7.2f s (live=${agg.getLong(0)} of $rowsPos)")
+        (m, sec)
+      }
+      val (pm0, ps0) = posResults.head
+      val (pmN, psN) = posResults.last
+      println(
+        f"[scale] posmor growth: delete files x${pmN.toDouble / pm0}%.0f, read time x${psN / ps0}%.1f (flat would be x1)")
     }
     spark.stop()
   }

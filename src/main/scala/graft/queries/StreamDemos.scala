@@ -1402,6 +1402,42 @@ object StreamDemos {
           s0.n + s1.n + s2.n, s0.s + s1.s + s2.s, s2.n, s2.d, TRUE
         FROM s0, s1, s2
         ORDER BY snapshot_id""")
+    ),
+    // s51: timestamp time travel + rollback (SnapshotLog
+    // .snapshotRollback scaladoc) — the recovery surfaces: FOR
+    // TIMESTAMP AS OF resolves the newest snapshot with commit-ts <= t
+    // through the log (t=2500 → snapshot 2; a pre-table t resolves to
+    // nothing, not the empty root), ROLLBACK is a conditional pointer
+    // move that rewrites no history (current serves snapshot 1, the
+    // abandoned snapshot 3 stays time-travelable, a retry claiming the
+    // abandoned head rejects), and the REDO commit diverges forward
+    // from the rolled-back head as new files. Censuses of all four
+    // reads in-hash; oracle recomputes from `orders` k%3 slices.
+    Q(
+      "s51_snapshot_rollback",
+      (s, dir) => graft.sinks.SnapshotLog.snapshotRollback(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        s0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 3 = 0),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 3 = 1),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT 'asof_t2500' AS read, CAST(2 AS BIGINT) AS snapshot_id,
+          s0.n + s1.n AS n_rows, s0.s + s1.s AS sum_cents,
+          TRUE AS rollback_ok
+        FROM s0, s1
+        UNION ALL
+        SELECT 'current_after_rollback', CAST(1 AS BIGINT), s0.n, s0.s, TRUE
+        FROM s0
+        UNION ALL
+        SELECT 'history_snapshot3', CAST(3 AS BIGINT), a.n, a.s, TRUE FROM a
+        UNION ALL
+        SELECT 'redo_snapshot4', CAST(4 AS BIGINT), s0.n + s1.n,
+          s0.s + s1.s, TRUE
+        FROM s0, s1
+        ORDER BY read""")
     )
   )
 }

@@ -2839,17 +2839,9 @@ object TextQueries {
       "q189_classifier_train",
       (s, dir) => {
         val wts = trainedSlotWeights(s, dir)
-        val slot1 = (pmod(Hashing.h60(col("w")), lit(64L)) + 1L).cast("int")
         val wtDot = wts.zipWithIndex.map { case (w, b) => w * (b + 1) }.sum
         val wtAbs = wts.map(math.abs).sum
-        Tables
-          .documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            explode(Hashing.words(col("text"))).as("w"))
-          .select(col("doc_id"), col("source"),
-            element_at(lit(wts), slot1).as("wt"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(sum(col("wt")).as("logit"))
+        trainedLogits(s, dir)
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -2862,26 +2854,9 @@ object TextQueries {
             lit(wtDot).as("wt_dot"), lit(wtAbs).as("wt_abs"))
           .orderBy("source")
       },
-      Some(s"""WITH w AS (SELECT doc_id, source,
-            unnest(string_split(text, ' ')) AS w FROM documents),
-        lab AS (SELECT CAST(substr(source, 4) AS BIGINT) AS sn,
-            ${h60("w")} % 64 AS b FROM w),
-        seed AS (SELECT b,
-            CAST(sum(CASE WHEN sn < 4 THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
-            CAST(sum(CASE WHEN sn >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS neg_c
-          FROM lab WHERE sn < 4 OR sn >= 16 GROUP BY b),
-        slots AS (SELECT unnest(generate_series(0, 63)) AS b),
-        wt AS (SELECT slots.b,
-            ((COALESCE(seed.pos_c, 0) + 1) * 1000)
-              // (COALESCE(seed.pos_c, 0) + COALESCE(seed.neg_c, 0) + 2)
-              - 500 AS wt
-          FROM slots LEFT JOIN seed ON slots.b = seed.b),
+      Some(s"""WITH $trainedClassifierCtes,
         wsum AS (SELECT CAST(sum(wt * (b + 1)) AS BIGINT) AS wt_dot,
-            CAST(sum(abs(wt)) AS BIGINT) AS wt_abs FROM wt),
-        sc AS (SELECT x.doc_id, x.source, CAST(sum(wt.wt) AS BIGINT) AS logit
-          FROM (SELECT doc_id, source, ${h60("w")} % 64 AS b FROM w) x
-          JOIN wt ON x.b = wt.b
-          GROUP BY x.doc_id, x.source)
+            CAST(sum(abs(wt)) AS BIGINT) AS wt_abs FROM wt)
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) * 10000
@@ -2980,6 +2955,61 @@ object TextQueries {
           CAST(count(DISTINCT na) AS BIGINT) AS n_norm_distinct
         FROM nk GROUP BY source ORDER BY source"""
       }
+    ),
+    // q191: TOP-p% THRESHOLD FITTING on the trained classifier — how a
+    // DCLM-style pipeline actually deploys q189's model: not "keep
+    // logit >= 0" but "keep the top p% by score under a token/doc
+    // budget". Per source, the threshold is the k-th largest logit
+    // (k = n_docs·7000 div 10000 — a 70% target in integer basis
+    // points) and kept = docs with logit >= threshold (ties INCLUDE,
+    // so n_kept >= k — the deterministic convention both engines
+    // replay). Completes the trained-filter lifecycle: q189 trains,
+    // q191 fits the cutoff, q187/q188 apply and audit.
+    //
+    // Scale shape: the rank statistic is computed on the (source,
+    // logit) CENSUS, not the corpus — one groupBy collapses docs to
+    // distinct-logit counts, and the desc cumulative window rides that
+    // census PARTITIONED BY SOURCE with a total order (logit unique
+    // per partition after the census, so no tie-dependent frames).
+    // The q144/q153 two-level discipline: windows over bounded
+    // censuses, never over rows.
+    Q(
+      "q191_quality_topk_threshold",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byScoreDesc = Window.partitionBy("source").orderBy(col("logit").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bySource = Window.partitionBy("source")
+        trainedLogits(s, dir)
+          .groupBy(col("source"), col("logit"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(byScoreDesc))
+          .withColumn("n_docs", sum(col("c")).over(bySource))
+          .withColumn("k_target", expr("n_docs * 7000 div 10000"))
+          .filter(col("cum") >= col("k_target"))
+          .groupBy(col("source"), col("n_docs"), col("k_target"))
+          .agg(max(col("logit")).as("threshold"), min(col("cum")).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("k_target"),
+            col("threshold"), col("n_kept"),
+            expr("n_kept * 10000 div n_docs").as("keep_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $trainedClassifierCtes,
+        cen AS (SELECT source, logit, CAST(count(*) AS BIGINT) AS c
+          FROM sc GROUP BY source, logit),
+        cum AS (SELECT source, logit, c,
+            CAST(sum(c) OVER (PARTITION BY source ORDER BY logit DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+          FROM cen),
+        q AS (SELECT source, logit, cum, n_docs,
+            (n_docs * 7000) // 10000 AS k_target FROM cum)
+        SELECT source, n_docs, k_target,
+          CAST(max(logit) AS BIGINT) AS threshold,
+          CAST(min(cum) AS BIGINT) AS n_kept,
+          CAST(min(cum) * 10000 // n_docs AS BIGINT) AS keep_bp
+        FROM q WHERE cum >= k_target
+        GROUP BY source, n_docs, k_target ORDER BY source""")
     )
   )
 
@@ -3035,6 +3065,50 @@ object TextQueries {
           acc
         }
     })
+
+  /** The q189/q191 shared APPLY stage under the trained table: per-doc
+    * logit with the learned 64-int weight array riding the expression
+    * (q187's no-join plan shape — scan → explode → one (doc_id, source)
+    * shuffle).
+    */
+  private def trainedLogits(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val wts = trainedSlotWeights(s, dir)
+    val slot1 = (pmod(Hashing.h60(col("w")), lit(64L)) + 1L).cast("int")
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Hashing.words(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        element_at(lit(wts), slot1).as("wt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("wt")).as("logit"))
+  }
+
+  /** The oracle mirror of the q189 trainer + apply stage: ends with
+    * `wt` (the learned slot table) and `sc` (per-doc logits) — q189
+    * appends its checksum CTE, q191 its threshold CTEs.
+    */
+  private def trainedClassifierCtes: String =
+    s"""w AS (SELECT doc_id, source,
+            unnest(string_split(text, ' ')) AS w FROM documents),
+        lab AS (SELECT CAST(substr(source, 4) AS BIGINT) AS sn,
+            ${h60("w")} % 64 AS b FROM w),
+        seed AS (SELECT b,
+            CAST(sum(CASE WHEN sn < 4 THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+            CAST(sum(CASE WHEN sn >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS neg_c
+          FROM lab WHERE sn < 4 OR sn >= 16 GROUP BY b),
+        slots AS (SELECT unnest(generate_series(0, 63)) AS b),
+        wt AS (SELECT slots.b,
+            ((COALESCE(seed.pos_c, 0) + 1) * 1000)
+              // (COALESCE(seed.pos_c, 0) + COALESCE(seed.neg_c, 0) + 2)
+              - 500 AS wt
+          FROM slots LEFT JOIN seed ON slots.b = seed.b),
+        sc AS (SELECT x.doc_id, x.source, CAST(sum(wt.wt) AS BIGINT) AS logit
+          FROM (SELECT doc_id, source, ${h60("w")} % 64 AS b FROM w) x
+          JOIN wt ON x.b = wt.b
+          GROUP BY x.doc_id, x.source)"""
 
   /** The oracle mirror of the shared logit stage (ends in CTE `sc`). */
   private def classifierCtes: String =

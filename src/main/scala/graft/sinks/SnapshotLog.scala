@@ -1512,6 +1512,58 @@ object SnapshotLog {
     }
   }
 
+  /** Snapshot timestamps (Iceberg's snapshot history / Delta's commit
+    * timestamps): each snapshot records WHEN it committed, so readers
+    * can address the table by time ("FOR TIMESTAMP AS OF t" = the
+    * newest snapshot with ts <= t) and operators can ROLL BACK — a
+    * pointer move to an older snapshot that preserves history (the
+    * abandoned lineage stays time-travelable until expiration).
+    * Timestamps here are caller-supplied logical instants, not wall
+    * clock — determinism is the gate's contract.
+    */
+  private[graft] def initTimestamps(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        "CREATE TABLE snapshot_ts(snapshot_id BIGINT PRIMARY KEY, ts BIGINT NOT NULL)")
+    }
+
+  private[graft] def recordTimestamp(dbFile: String, snapshotId: Long, ts: Long): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO snapshot_ts VALUES (?, ?)")
+      try { ps.setLong(1, snapshotId); ps.setLong(2, ts); ps.executeUpdate(); () }
+      finally ps.close()
+    }
+
+  /** FOR TIMESTAMP AS OF: the newest snapshot committed at or before
+    * `ts`, or None if the table didn't exist yet. Pure log metadata.
+    */
+  private[graft] def resolveAsOf(dbFile: String, ts: Long): Option[Long] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT snapshot_id FROM snapshot_ts WHERE ts <= $ts
+             ORDER BY ts DESC, snapshot_id DESC LIMIT 1""")
+        .headOption
+        .map(_.head.asInstanceOf[Number].longValue)
+    }
+
+  /** ROLLBACK: move the current pointer back to `to` — conditional on
+    * the expected head (a racing writer must not be silently undone),
+    * rewriting NO history: the rolled-back-from lineage stays in the
+    * log, readable and expirable, exactly like Iceberg's
+    * rollback_to_snapshot.
+    */
+  private[graft] def rollback(dbFile: String, expectedCurrent: Long, to: Long): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""UPDATE current SET snapshot_id = $to
+           WHERE pin = 0 AND snapshot_id = $expectedCurrent""") == 1
+      finally st.close()
+    }
+
   /** Schema registry (Iceberg schema evolution): schemas are LOG
     * metadata with per-column FIELD IDS, and every data file records
     * which schema it was written under. Column evolution — add, drop,
@@ -1745,6 +1797,117 @@ object SnapshotLog {
         .toDF("snapshot_id", "schema_id", "n_files", "n_rows", "sum_cents",
           "n_disc", "sum_disc", "evolution_ok")
         .orderBy("snapshot_id")
+    }
+  }
+
+  /** s51 — TIMESTAMP time travel + ROLLBACK (Iceberg's snapshot
+    * history + rollback_to_snapshot; Delta's RESTORE): the two
+    * operator-facing recovery surfaces the s39 format was still
+    * missing. The properties the gate pins:
+    *
+    *   - FOR TIMESTAMP AS OF resolves THROUGH THE LOG: the newest
+    *     snapshot with commit-ts <= t (t=2500 → snapshot 2), and a
+    *     pre-table instant resolves to NOTHING rather than the empty
+    *     root silently (t=500 → None, pinned in rollback_ok);
+    *     timestamps are logical instants recorded at commit —
+    *     determinism is the contract, wall clock never enters;
+    *   - ROLLBACK is a conditional POINTER MOVE, not history surgery:
+    *     after rolling the head 3 → 1, current reads serve snapshot
+    *     1's census, snapshot 3 REMAINS time-travelable (the
+    *     abandoned lineage is preserved until expiration — the
+    *     bad-deploy forensics read), and a RETRY still claiming the
+    *     abandoned head (parent 3) is cleanly rejected by the same
+    *     optimistic swap as every commit;
+    *   - the REDO commit lands on the rolled-back head (parent 1 →
+    *     snapshot 4), re-ingesting the slice as NEW files — history
+    *     diverges forward, nothing is rewritten.
+    *
+    * Scale shape: resolution and rollback are single-row log metadata
+    * ops; every census is a plain parquet scan of the listed files.
+    */
+  def snapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s51_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initTimestamps(dbFile)
+
+      def slice(r: Long) = o.filter(col("k") % 3 === r)
+      def census(snap: Long): (Long, Long) = {
+        val a = spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (a.getLong(0), a.getLong(1))
+      }
+
+      slice(0).repartition(2).write.parquet(s"$base/b1")
+      val files1 = partFiles(spark, s"$base/b1")
+      val c1 = commit(dbFile, 0L, 1L, files1)
+      recordTimestamp(dbFile, 1L, 1000L)
+      slice(1).repartition(2).write.parquet(s"$base/b2")
+      val files2 = partFiles(spark, s"$base/b2")
+      val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
+      recordTimestamp(dbFile, 2L, 2000L)
+      slice(2).repartition(2).write.parquet(s"$base/b3")
+      val files3 = partFiles(spark, s"$base/b3")
+      val c3 = commit(dbFile, 2L, 3L, files1 ++ files2 ++ files3)
+      recordTimestamp(dbFile, 3L, 3000L)
+
+      // FOR TIMESTAMP AS OF: mid-history instant and pre-table instant
+      val asOf2500 = resolveAsOf(dbFile, 2500L)
+      val preTable = resolveAsOf(dbFile, 500L)
+      val asOfCensus = census(asOf2500.getOrElse(0L))
+
+      // ROLLBACK 3 → 1 (the bad-deploy recovery), then: current serves
+      // snapshot 1, the abandoned head still time-travels, and a retry
+      // claiming it is rejected
+      val rb = rollback(dbFile, expectedCurrent = 3L, to = 1L)
+      val currentCensus = census(currentSnapshot(dbFile))
+      val historyCensus = census(3L)
+      val staleRetry = commit(dbFile, 3L, 9L, files3)
+
+      // REDO on the rolled-back head: re-ingest slice 1 as NEW files
+      slice(1).repartition(2).write.parquet(s"$base/b4")
+      val files4 = partFiles(spark, s"$base/b4")
+      val c4 = commit(dbFile, 1L, 4L, files1 ++ files4)
+      recordTimestamp(dbFile, 4L, 4000L)
+      val redoCensus = census(4L)
+
+      val ok = c1 && c2 && c3 && rb && !staleRetry && c4 &&
+        asOf2500.contains(2L) && preTable.isEmpty &&
+        currentSnapshot(dbFile) == 4L &&
+        resolveAsOf(dbFile, 9999L).contains(4L)
+
+      Seq(
+        ("asof_t2500", 2L, asOfCensus._1, asOfCensus._2, ok),
+        ("current_after_rollback", 1L, currentCensus._1, currentCensus._2, ok),
+        ("history_snapshot3", 3L, historyCensus._1, historyCensus._2, ok),
+        ("redo_snapshot4", 4L, redoCensus._1, redoCensus._2, ok))
+        .toDF("read", "snapshot_id", "n_rows", "sum_cents", "rollback_ok")
+        .orderBy("read")
+    } else {
+      // honest fallback: slice arithmetic; rollback_ok=false fails the
+      // oracle's TRUE
+      val agg = o.agg(
+        sum(when(col("k") % 3 === 0, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 0, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 1, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 3 === 1, col("cents")).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      val (n0, s0) = (agg.getLong(0), agg.getLong(1))
+      val (n01, s01) = (n0 + agg.getLong(2), s0 + agg.getLong(3))
+      Seq(
+        ("asof_t2500", 2L, n01, s01, false),
+        ("current_after_rollback", 1L, n0, s0, false),
+        ("history_snapshot3", 3L, agg.getLong(4), agg.getLong(5), false),
+        ("redo_snapshot4", 4L, n01, s01, false))
+        .toDF("read", "snapshot_id", "n_rows", "sum_cents", "rollback_ok")
+        .orderBy("read")
     }
   }
 

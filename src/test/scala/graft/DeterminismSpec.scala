@@ -88,7 +88,9 @@ class DeterminismSpec extends AnyFunSuite {
     "s45_changelog_feed",     // full-outer change classification over file diffs (r15)
     "s48_partition_evolution", // cross-spec pruned census vs full predicate answer (r15)
     "s49_position_deletes",   // ordinal-scoped masks + both-kinds compaction (r16)
-    "s50_column_evolution"    // field-id projection across schema generations (r16)
+    "s50_column_evolution",   // field-id projection across schema generations (r16)
+    "s51_snapshot_rollback",  // AS-OF resolution + history-preserving restore (r16)
+    "q191_quality_topk_threshold" // census-level desc-cum rank cuts per source (r16)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

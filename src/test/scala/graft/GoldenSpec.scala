@@ -350,6 +350,14 @@ class GoldenSpec extends AnyFunSuite {
     // field projecting NULL for schema-2 files; a name-based
     // projection resurrects field 3 and moves sum_disc
     assert(queryHash("s50_column_evolution") == ((3L, "01f79fb9316207c18d8b8d61df7844a5")))
+    // q191: top-p% threshold fitting — per-source k-th-largest-logit
+    // cutoffs with ties-included kept counts; a trainer or rank drift
+    // moves thresholds and keep_bp together
+    assert(queryHash("q191_quality_topk_threshold") == ((20L, "8d64e923f2978e204efb279a446bdc48")))
+    // s51: timestamp travel + rollback — the four recovery reads
+    // (AS OF, post-rollback current, preserved history, redo head);
+    // a resolution or pointer-move drift moves censuses
+    assert(queryHash("s51_snapshot_rollback") == ((4L, "d0b4ae688a5f59292d7c1b8720c0ec20")))
   }
 
   test("q18_features_full sf0.001 golden hash") {

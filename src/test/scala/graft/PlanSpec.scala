@@ -1081,6 +1081,39 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows(p) == 0)
   }
 
+  test("q189 trained classifier: weights ride the expression — zero joins, 3 exchanges, 3-col scan") {
+    // the r16 contract: the LEARNED 64-int table is model metadata in
+    // an array literal, so the apply pass keeps q187's no-join shape —
+    // scan → explode → (doc_id, source) partial agg → source rollup →
+    // final sort. The trainer's own 64-row left join runs inside the
+    // bounded weight collect, never in this plan.
+    val p = plan("q189_classifier_train")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Exchange") == 3)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"))
+  }
+
+  test("q190 unicode norm dedup: the normalizer is fused into the key expression — zero joins") {
+    // styled twins are ROW-LOCAL (both keys computed in one projection),
+    // so the collision audit plans no join at all; the only exchanges
+    // are the spread, the distinct-census pair, and the final sort
+    val p = plan("q190_unicode_norm_dedup")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Exchange") <= 4)
+  }
+
+  test("q191 top-p threshold: rank windows ride the census, share one source exchange, zero joins") {
+    // the two-level discipline pinned structurally: the desc-cum and
+    // partition-total windows sit on ONE source-keyed exchange over the
+    // (source, logit) CENSUS (docs collapsed first), and the threshold
+    // rollup reuses that partitioning — no join anywhere, and exactly
+    // 4 exchanges total (doc logits, census, window lineage, final sort)
+    val p = plan("q191_quality_topk_threshold")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Exchange") == 4)
+    assert(count(p, "Window") == 2)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

@@ -587,14 +587,27 @@ object SnapshotLog {
 
   /** List the parquet part files Spark wrote under `dir`, with row
     * counts from the footers (the stats an Iceberg manifest carries).
+    * ONE job per directory (a `_metadata.file_path` census answered
+    * from footer counts), not one per file — the old per-file count()
+    * put ~16 driver jobs inside every s39–s51 lifecycle and dominated
+    * the family's fixed cost. The directory listing stays the source
+    * of truth for the FILE SET (a zero-row part file has no census
+    * group and must still enter the manifest with n_rows = 0).
     */
-  private def partFiles(spark: SparkSession, dir: String): Seq[(String, Long)] =
+  private def partFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val counts = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path"))
+      .count()
+      .collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+      .toMap
     new java.io.File(dir)
       .listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => (f.getAbsolutePath, spark.read.parquet(f.getAbsolutePath).count()))
+      .map(f => (f.getAbsolutePath, counts.getOrElse(f.getAbsolutePath, 0L)))
       .sortBy(_._1)
       .toSeq
+  }
 
   /** The s39 lifecycle (object scaladoc). Output: one row per committed
     * snapshot — manifest size, time-travel census, currency — plus the

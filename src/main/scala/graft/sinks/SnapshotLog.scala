@@ -1465,9 +1465,15 @@ object SnapshotLog {
           }
           .sortBy(_._1).toSeq
         recordSpec(dbFile, files.map { case (p, v) => (p, specId, v) })
-        files.map { case (p, _) =>
-          (p, spark.read.parquet(p).count())
-        }
+        // one census job over the whole partitioned write (the
+        // partFiles discipline), not one count() job per file
+        val counts = spark.read.parquet(out)
+          .groupBy(col("_metadata.file_path"))
+          .count()
+          .collect()
+          .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+          .toMap
+        files.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       }
 
       val files1 = writeSpec(

@@ -2361,11 +2361,13 @@ object SnapshotLog {
         .map(r => new java.net.URI(r.getString(0)).getPath)
         .toSet
       val eqSeqs = deleteSeq(dbFile, 4L).map(_._2)
+      val seq4 = manifestSeq(dbFile, 4L)
+      val seq4ByPath = seq4.toMap
       val eqAffected = prunePaths(dbFile, 4L, Seq(2L)).filter { p =>
-        manifestSeq(dbFile, 4L).toMap.get(p).exists(fs => eqSeqs.exists(_ > fs))
+        seq4ByPath.get(p).exists(fs => eqSeqs.exists(_ > fs))
       }
       val affected = (posRefs ++ eqAffected).toSeq.sorted
-      val carried = manifestSeq(dbFile, 4L).map(_._1).filterNot(affected.toSet)
+      val carried = seq4.map(_._1).filterNot(affected.toSet)
       // the compaction read: snapshot 4's masks applied to ONLY the
       // affected files (the onlyFiles restriction — carried files are
       // never opened)

@@ -3036,8 +3036,14 @@ object TextQueries {
     * Laplace-smoothed centered per-mille weights, one per hash slot.
     * Returns the 64-entry table slot-ordered — model metadata, the
     * bounded-collect class (same discipline as the IVF codebooks:
-    * 64 ints, never data). Memoized per (session, dir) so the bench's
-    * repeated runs don't re-train per execution.
+    * 64 ints, never data). Memoized per DIR ONLY — the same key
+    * discipline as Tables.countCache and the DynamicPruning stage
+    * cache — so the bench's repeated runs don't re-train per
+    * execution. This assumes the fixture at a dir is IMMUTABLE for
+    * the JVM's lifetime (true for the driver's generated testdata);
+    * regenerating a dir's parquet in-process, or pointing two
+    * sessions' identical dir strings at different data, would serve
+    * stale weights. Never invalidated by design.
     */
   private val wtCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()

@@ -49,9 +49,19 @@ object SnapshotLog {
     * I/O faults carry different prefixes and RETHROW: a genuine failure
     * masquerading as a stale-parent reject would send callers into a
     * futile retry loop against a broken log.
+    *
+    * Matched against BOTH message fragments the engine emits for this
+    * condition — the "TransactionContext Error" category prefix and the
+    * "Conflict on update" detail — so a driver release that re-words or
+    * wraps one half still classifies the conflict instead of crashing a
+    * racing committer. Message shape is pinned against duckdb_jdbc
+    * 1.0.0 (the version in build.sbt); on a driver upgrade, re-run
+    * SnapshotLogSpec's 4-way race test deliberately — it is the thing
+    * that measures this string.
     */
   private def isWriteConflict(e: Throwable): Boolean =
-    Option(e.getMessage).exists(_.contains("TransactionContext Error"))
+    Option(e.getMessage).exists(m =>
+      m.contains("TransactionContext Error") || m.contains("Conflict on update"))
 
   /** Rollback + clean reject on a write-write conflict; rollback +
     * rethrow on anything else. Shared tail of every commit variant.
@@ -486,8 +496,15 @@ object SnapshotLog {
       snap: Long,
       keyCol: String,
       onlyFiles: Option[Set[String]] = None): DataFrame = {
-    val data = manifestSeq(dbFile, snap)
+    val dataFiles = manifestSeq(dbFile, snap)
       .filter(f => onlyFiles.forall(_.contains(f._1)))
+    require(
+      dataFiles.nonEmpty,
+      s"morReadV2: snapshot $snap has no data files" +
+        onlyFiles.fold("")(s => s" after onlyFiles filter (${s.size} allowed)") +
+        " — reduce over zero per-seq groups would throw an opaque " +
+        "UnsupportedOperationException")
+    val data = dataFiles
       .groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (sq, fs) =>
         spark.read.parquet(fs.map(_._1): _*)
@@ -594,19 +611,44 @@ object SnapshotLog {
     * of truth for the FILE SET (a zero-row part file has no census
     * group and must still enter the manifest with n_rows = 0).
     */
-  private def partFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+  /** The footer-count census for `dir`, keyed by local filesystem path,
+    * CHECKED against the listed file set: every census key must be one
+    * of `listed`'s paths. With that containment proven, a listed file
+    * absent from the census is genuinely zero-row (all counted rows are
+    * attributed to listed files) — whereas before, any path-form
+    * mismatch between `_metadata.file_path`'s URI and the directory
+    * listing (symlinked temp root, percent-encoding) silently recorded
+    * n_rows = 0 for EVERY file, corrupting manifests without a failure.
+    */
+  private def footerCounts(
+      spark: SparkSession,
+      dir: String,
+      listed: Seq[String]): Map[String, Long] = {
     val counts = spark.read.parquet(dir)
       .groupBy(col("_metadata.file_path"))
       .count()
       .collect()
       .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
       .toMap
-    new java.io.File(dir)
+    val listedSet = listed.toSet
+    val strays = counts.keys.filterNot(listedSet.contains)
+    require(
+      strays.isEmpty,
+      s"footer census under $dir produced ${strays.size} path(s) not in the " +
+        s"directory listing (path-form mismatch would zero every manifest " +
+        s"row count): ${strays.take(3).mkString(", ")}")
+    counts
+  }
+
+  private def partFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val listed = new java.io.File(dir)
       .listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => (f.getAbsolutePath, counts.getOrElse(f.getAbsolutePath, 0L)))
-      .sortBy(_._1)
+      .map(_.getAbsolutePath)
+      .sorted
       .toSeq
+    val counts = footerCounts(spark, dir, listed)
+    listed.map(p => (p, counts.getOrElse(p, 0L)))
   }
 
   /** The s39 lifecycle (object scaladoc). Output: one row per committed
@@ -1466,13 +1508,10 @@ object SnapshotLog {
           .sortBy(_._1).toSeq
         recordSpec(dbFile, files.map { case (p, v) => (p, specId, v) })
         // one census job over the whole partitioned write (the
-        // partFiles discipline), not one count() job per file
-        val counts = spark.read.parquet(out)
-          .groupBy(col("_metadata.file_path"))
-          .count()
-          .collect()
-          .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
-          .toMap
+        // partFiles discipline), not one count() job per file; the
+        // footerCounts containment check makes a path-form mismatch
+        // fail loudly instead of zeroing the manifest
+        val counts = footerCounts(spark, out, files.map(_._1))
         files.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       }
 
@@ -1670,6 +1709,11 @@ object SnapshotLog {
         .map(r => r(0).toString -> r(1).asInstanceOf[Number].longValue)
         .toMap
     }
+    require(
+      fileSchema.nonEmpty,
+      s"evolvedRead: snapshot $snap lists no data files with schema ids — " +
+        "reduce over zero per-schema groups would throw an opaque " +
+        "UnsupportedOperationException")
     fileSchema.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (sid, entries) =>
         val have = schemaFields(dbFile, sid).map(f => f._1 -> f._2).toMap

@@ -1438,6 +1438,74 @@ object StreamDemos {
           s0.s + s1.s, TRUE
         FROM s0, s1
         ORDER BY read""")
+    ),
+    // s52: per-file MIN/MAX column stats + range data skipping + the
+    // clustering rewrite that makes skipping effective (SnapshotLog
+    // .statsSkipping scaladoc) — unclustered layout scans ~all files for
+    // a range predicate, the explicit-arithmetic-bucket rewrite scans ~1;
+    // the oracle recomputes both overlap counts from the same k%4 /
+    // (cents-min) div width group arithmetic, and every census (pruned
+    // read ≡ direct scan, rewrite census-neutral) is in-hash, so wrong
+    // stats, wrong planning, or a lossy rewrite all move real integers.
+    Q(
+      "s52_stats_skipping",
+      (s, dir) => graft.sinks.SnapshotLog.statsSkipping(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        r AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o),
+        p AS (SELECT mn, (mx - mn) // 4 + 1 AS bw FROM r),
+        pr AS (SELECT mn, bw, mn + bw // 2 AS lo, mn + bw - 1 AS hi FROM p),
+        g1 AS (SELECT k % 4 AS g, min(cents) AS fmn, max(cents) AS fmx
+          FROM o GROUP BY 1),
+        ov1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g1, pr
+          WHERE g1.fmx >= pr.lo AND g1.fmn <= pr.hi),
+        nf1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g1),
+        g2 AS (SELECT (cents - mn) // bw AS g, min(cents) AS fmn,
+            max(cents) AS fmx FROM o, pr GROUP BY 1),
+        ov2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g2, pr
+          WHERE g2.fmx >= pr.lo AND g2.fmn <= pr.hi),
+        nf2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g2),
+        sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(COALESCE(sum(cents), 0) AS BIGINT) AS s
+          FROM o, pr WHERE cents BETWEEN pr.lo AND pr.hi),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT nf1.c AS n_files_unclustered, ov1.c AS n_scanned_unclustered,
+          nf2.c AS n_files_clustered, ov2.c AS n_scanned_clustered,
+          sel.n AS n_sel, sel.s AS sum_sel, b.n AS n_rows, b.s AS sum_cents,
+          TRUE AS skip_ok
+        FROM nf1, ov1, nf2, ov2, sel, b ORDER BY n_sel""")
+    ),
+    // s53: metadata tables over the commit log (SnapshotLog
+    // .metadataTables scaladoc) — Iceberg's .snapshots/.files/.history
+    // surface: per-snapshot file counts, metadata row counts, the
+    // entries-diff (files added per commit) and ancestry depth, all from
+    // log rows, with the truth audit (n_rows_meta == time-travel read
+    // census) in-hash. Oracle recomputes every census from `orders` with
+    // the same cumulative k%4 slices; file/added counts are construction
+    // constants.
+    Q(
+      "s53_metadata_tables",
+      (s, dir) => graft.sinks.SnapshotLog.metadataTables(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 4 < 2),
+        s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 4 < 3),
+        s3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(0 AS BIGINT) AS parent_id,
+          CAST(1 AS BIGINT) AS depth, CAST(2 AS BIGINT) AS n_files,
+          CAST(2 AS BIGINT) AS n_added, s1.n AS n_rows_meta,
+          s1.n AS n_rows_read, s1.s AS sum_cents, TRUE AS meta_ok FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1 AS BIGINT), s2.n, s2.n, s2.s, TRUE FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(4 AS BIGINT), CAST(1 AS BIGINT), s3.n, s3.n, s3.s, TRUE FROM s3
+        ORDER BY snapshot_id""")
     )
   )
 }

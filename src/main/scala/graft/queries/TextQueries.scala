@@ -3010,6 +3010,77 @@ object TextQueries {
           CAST(min(cum) * 10000 // n_docs AS BIGINT) AS keep_bp
         FROM q WHERE cum >= k_target
         GROUP BY source, n_docs, k_target ORDER BY source""")
+    ),
+    // q192: DETERMINISTIC TRAINING-ORDER SHUFFLE + SHARD EXPORT AUDIT —
+    // the last step of a curation pipeline: the kept corpus is globally
+    // shuffled (so no shard is a run of one source) and split into N
+    // shard files for the trainer. The shuffle is a seeded hash
+    // permutation (h = h60(doc_id || '#shard') — reproducible across
+    // runs AND engines, the q172 freeze discipline; never rand()), shard
+    // = h mod 8, within-shard order = ascending h. The audit pins what a
+    // trainer cares about, per shard and in-hash: doc/word balance
+    // (n_docs, sum_words), the order endpoints (min_h, max_h — a
+    // different permutation moves them), and SOURCE MIXING: each shard's
+    // per-source composition in basis points vs the corpus-wide
+    // composition, max absolute deviation per shard (a shard that
+    // under-mixes a source moves max_dev_bp).
+    //
+    // Scale shape: the hash and shard assignment are map-side
+    // expressions; ONE (shard, source) hash aggregate (8×20 groups,
+    // map-side combined) carries every statistic; the source totals
+    // (20 rows) broadcast back onto the census and the grand total rides
+    // a broadcast 1-row crossJoin. No windows over rows, no global sort
+    // — at 100 TB the physical export would be write.partitionBy(shard)
+    // with files sorted within partitions by h, same single shuffle.
+    Q(
+      "q192_shard_export",
+      (s, dir) => {
+        val h = Hashing.h60(concat(col("doc_id").cast("string"), lit("#shard")))
+        val cen = Tables.documents(s, dir)
+          .select(
+            pmod(h, lit(8L)).as("shard"), col("source"), h.as("h"),
+            size(Hashing.words(col("text"))).cast("long").as("nw"))
+          .groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("c"), sum(col("nw")).as("sw"),
+            min(col("h")).as("mnh"), max(col("h")).as("mxh"))
+        val src = cen.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+        val tot = cen.agg(sum(col("c")).as("total"))
+        val byShard = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+        cen
+          .withColumn("n_shard", sum(col("c")).over(byShard))
+          .join(broadcast(src), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dev",
+            abs(expr("c * 10000 div n_shard") - expr("n_src * 10000 div total")))
+          .groupBy(col("shard"))
+          .agg(sum(col("c")).as("n_docs"), sum(col("sw")).as("sum_words"),
+            min(col("mnh")).as("min_h"), max(col("mxh")).as("max_h"),
+            max(col("dev")).as("max_dev_bp"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH d AS (SELECT
+            ${h60("CAST(doc_id AS VARCHAR) || '#shard'")} AS h,
+            source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+          FROM documents),
+        cen AS (SELECT h % 8 AS shard, source, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(nw) AS BIGINT) AS sw, min(h) AS mnh, max(h) AS mxh
+          FROM d GROUP BY 1, 2),
+        sh AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_shard
+          FROM cen GROUP BY 1),
+        src AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+          FROM cen GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cen),
+        e AS (SELECT cen.shard, cen.c, cen.sw, cen.mnh, cen.mxh,
+            abs(cen.c * 10000 // sh.n_shard - src.n_src * 10000 // tot.total) AS dev
+          FROM cen JOIN sh ON cen.shard = sh.shard
+          JOIN src ON cen.source = src.source, tot)
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(sum(c) AS BIGINT) AS n_docs,
+          CAST(sum(sw) AS BIGINT) AS sum_words,
+          CAST(min(mnh) AS BIGINT) AS min_h,
+          CAST(max(mxh) AS BIGINT) AS max_h,
+          CAST(max(dev) AS BIGINT) AS max_dev_bp
+        FROM e GROUP BY shard ORDER BY shard""")
     )
   )
 

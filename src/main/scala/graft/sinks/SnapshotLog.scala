@@ -2467,4 +2467,350 @@ object SnapshotLog {
         .orderBy("snapshot_id")
     }
   }
+
+  // ------------------------------------------------------------------
+  // s52 — per-file column MIN/MAX stats + range data skipping
+  // ------------------------------------------------------------------
+
+  private[graft] def initColStats(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE col_stats(
+          |path VARCHAR PRIMARY KEY, min_c BIGINT NOT NULL,
+          |max_c BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordColStats(
+      dbFile: String,
+      stats: Seq[(String, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO col_stats VALUES (?, ?, ?)")
+      try stats.foreach { case (p, mn, mx) =>
+        ps.setString(1, p)
+        ps.setLong(2, mn)
+        ps.setLong(3, mx)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** Snapshot N's data files whose recorded [min_c, max_c] value range
+    * OVERLAPS [lo, hi] — Iceberg's lower_bounds/upper_bounds skipping as
+    * a pure metadata join: manifest rows × file stats, zero data reads.
+    * (s43's prunePaths skips on partition EQUALITY; this is the RANGE
+    * half — the one that rewards clustering.)
+    */
+  private[graft] def pruneByRange(
+      dbFile: String,
+      snapshotId: Long,
+      lo: Long,
+      hi: Long): Seq[String] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path FROM manifests m JOIN col_stats s ON m.path = s.path
+             WHERE m.snapshot_id = $snapshotId
+             AND s.max_c >= $lo AND s.min_c <= $hi
+             ORDER BY m.path""")
+        .map(_.head.toString)
+    }
+
+  /** Write `df` (columns k, cents, g) partitioned by the bucket column g
+    * — one immutable file per present bucket value — and return per file
+    * (path, n_rows, min_cents, max_cents) from ONE census job (the
+    * partFiles/footerCounts discipline, containment-checked so a
+    * path-form mismatch fails loudly instead of zeroing stats).
+    */
+  private def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      out: String): Seq[(String, Long, Long, Long)] = {
+    df.repartition(col("g")).write.partitionBy("g").parquet(out)
+    val listed = new java.io.File(out)
+      .listFiles().filter(_.getName.startsWith("g="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(_.getAbsolutePath)
+      .sorted.toSeq
+    val stats = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_path"))
+      .agg(count(lit(1)), min(col("cents")), max(col("cents")))
+      .collect()
+      .map(r => (
+        new java.net.URI(r.getString(0)).getPath,
+        (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val listedSet = listed.toSet
+    val strays = stats.keys.filterNot(listedSet.contains)
+    require(
+      strays.isEmpty,
+      s"stats census under $out produced ${strays.size} path(s) not in the " +
+        s"directory listing: ${strays.take(3).mkString(", ")}")
+    require(
+      listed.forall(stats.contains),
+      s"bucketed write under $out listed a file with no census group — " +
+        "partitionBy never writes empty files, so this is a census defect")
+    listed.map { p => val (n, mn, mx) = stats(p); (p, n, mn, mx) }
+  }
+
+  /** s52 — MIN/MAX column stats in the manifest + range data skipping,
+    * and the CLUSTERING REWRITE that makes skipping effective (Iceberg's
+    * lower_bounds/upper_bounds + rewrite_data_files sort-order story,
+    * Delta's OPTIMIZE ZORDER in one dimension). Lifecycle:
+    *
+    *   - snapshot 1 writes the table UNCLUSTERED — one file per k%4
+    *     bucket, so every file's cents range spans ~the full domain;
+    *     per-file (min_cents, max_cents) recorded in the log at write
+    *     time from the same single census job that counts rows;
+    *   - a range predicate [lo, hi] (the middle of the lowest quartile,
+    *     boundaries computed from the table's own min/max by fixed
+    *     integer arithmetic, so both engines replay them) is PLANNED
+    *     from metadata alone: files overlapping the range. Unclustered,
+    *     (almost) nothing skips — the measured n_scanned_unclustered;
+    *   - snapshot 2 is the clustering rewrite: the SAME rows re-written
+    *     with file assignment = (cents - min) div bucketWidth — explicit
+    *     arithmetic boundaries, NOT repartitionByRange, whose sampled
+    *     boundaries neither the oracle nor a re-run could replay —
+    *     giving disjoint per-file ranges; the same predicate now plans
+    *     ~1 file (n_scanned_clustered, in-hash);
+    *   - correctness is pinned three ways, all in-hash: the pruned read
+    *     + residual filter census equals the direct full-scan census
+    *     (skipping never changes answers), under BOTH layouts; and the
+    *     rewrite is census-neutral (snapshot 2's full census = the
+    *     table's).
+    *
+    * Scale shape: stats ride the existing one-census-job-per-write
+    * discipline (no extra data pass); planning is a metadata join in
+    * the log; the clustering rewrite is ONE shuffle on an explicit
+    * integer bucket key; the pruned read scans only listed files with
+    * the residual predicate pushed to parquet. At 100 TB this is the
+    * difference between scanning 4/4 and 1/4 of the table for every
+    * range query — the core argument for clustering + stats.
+    */
+  def statsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val r = o.agg(min(col("cents")), max(col("cents"))).head()
+    val (mn, mxv) = (r.getLong(0), r.getLong(1))
+    val bw = (mxv - mn) / 4L + 1L
+    val (lo, hi) = (mn + bw / 2L, mn + bw - 1L)
+
+    if (DuckDbLive.available) withTempTableDir("graft_s52_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initColStats(dbFile)
+
+      // snapshot 1: unclustered layout (file = k%4 — uncorrelated with
+      // cents, so every file's range covers ~the whole domain)
+      val f1 = writeBucketed(
+        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/u")
+      recordColStats(dbFile, f1.map(f => (f._1, f._3, f._4)))
+      val c1 = commit(dbFile, 0L, 1L, f1.map(f => (f._1, f._2)))
+      val scan1 = pruneByRange(dbFile, 1L, lo, hi)
+      val sel1 = spark.read.parquet(scan1: _*)
+        .filter(col("cents").between(lo, hi))
+        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+
+      // snapshot 2: clustering rewrite — same rows, explicit arithmetic
+      // range buckets, disjoint per-file cents ranges
+      val f2 = writeBucketed(
+        spark,
+        spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+          .select(col("k"), col("cents"))
+          .withColumn("g", expr(s"(cents - $mn) div $bw")),
+        s"$base/c")
+      recordColStats(dbFile, f2.map(f => (f._1, f._3, f._4)))
+      val c2 = commit(dbFile, 1L, 2L, f2.map(f => (f._1, f._2)))
+      val scan2 = pruneByRange(dbFile, 2L, lo, hi)
+      val sel2 = spark.read.parquet(scan2: _*)
+        .filter(col("cents").between(lo, hi))
+        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+
+      val full2 = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val direct = o.filter(col("cents").between(lo, hi))
+        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+      val total = o.agg(count(lit(1)), sum(col("cents"))).head()
+
+      val skipOk = c1 && c2 && currentSnapshot(dbFile) == 2L &&
+        sel1.getLong(0) == direct.getLong(0) &&
+        sel1.getLong(1) == direct.getLong(1) &&
+        sel2.getLong(0) == direct.getLong(0) &&
+        sel2.getLong(1) == direct.getLong(1) &&
+        full2.getLong(0) == total.getLong(0) &&
+        full2.getLong(1) == total.getLong(1) &&
+        scan2.size <= scan1.size
+
+      Seq((
+        f1.size.toLong, scan1.size.toLong, f2.size.toLong, scan2.size.toLong,
+        direct.getLong(0), direct.getLong(1),
+        total.getLong(0), total.getLong(1), skipOk))
+        .toDF("n_files_unclustered", "n_scanned_unclustered",
+          "n_files_clustered", "n_scanned_clustered",
+          "n_sel", "sum_sel", "n_rows", "sum_cents", "skip_ok")
+        .orderBy("n_sel")
+    } else {
+      // honest fallback: group arithmetic only; skip_ok=false fails the
+      // oracle's TRUE
+      val ov1 = o.groupBy(pmod(col("k"), lit(4L)))
+        .agg(min(col("cents")).as("fmn"), max(col("cents")).as("fmx"))
+        .filter(col("fmx") >= lo && col("fmn") <= hi).count()
+      val g2 = o.groupBy(expr(s"(cents - $mn) div $bw"))
+        .agg(min(col("cents")).as("fmn"), max(col("cents")).as("fmx"))
+      val nf2 = g2.count()
+      val ov2 = g2.filter(col("fmx") >= lo && col("fmn") <= hi).count()
+      val direct = o.filter(col("cents").between(lo, hi))
+        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+      val total = o.agg(count(lit(1)), sum(col("cents"))).head()
+      Seq((4L, ov1, nf2, ov2, direct.getLong(0), direct.getLong(1),
+        total.getLong(0), total.getLong(1), false))
+        .toDF("n_files_unclustered", "n_scanned_unclustered",
+          "n_files_clustered", "n_scanned_clustered",
+          "n_sel", "sum_sel", "n_rows", "sum_cents", "skip_ok")
+        .orderBy("n_sel")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // s53 — metadata tables (snapshots / files / entries-diff as frames)
+  // ------------------------------------------------------------------
+
+  /** s53 — METADATA TABLES over the commit log: Iceberg's
+    * `table.snapshots` / `table.files` / `table.history` surface —
+    * the operational queries a 100 TB table is ADMINISTERED with
+    * (how many files, how many rows, what did each commit add, how
+    * deep is the history) answered as Spark DataFrames over log rows,
+    * with ZERO data-file reads. Lifecycle: three append commits
+    * (k%4∈{0,1} as two files, then k%4=2, then k%4=3); then
+    *
+    *   - the snapshots/manifests tables export to bounded Spark frames
+    *     (log metadata — snapshots × files rows, the DuckDbLive
+    *     bounded-export contract);
+    *   - per-snapshot n_files / n_rows_meta aggregate the MANIFEST
+    *     frame; files-ADDED-per-commit is an anti-join of each
+    *     snapshot's manifest against its parent's (the entries-diff
+    *     table, s45's changed-file set as a first-class surface);
+    *   - ancestry depth walks parent pointers (≤ #snapshots rows);
+    *   - the TRUTH AUDIT: every snapshot's metadata row count must
+    *     equal its actual time-travel read census — a manifest that
+    *     lies about n_rows moves meta_ok and the in-hash censuses.
+    *
+    * Scale shape: every metadata question is answered from the log
+    * alone (frames of #snapshots/#files rows); the audit reads are the
+    * only data touches and exist to PIN the metadata's honesty, one
+    * plain pushed-down parquet census per snapshot.
+    */
+  def metadataTables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s53_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+
+      def writeSlice(pred: org.apache.spark.sql.Column, out: String, parts: Int) = {
+        o.filter(pred).repartition(parts).write.parquet(out)
+        partFiles(spark, out)
+      }
+      val f1 = writeSlice(col("k") % 4 < 2, s"$base/f1", 2)
+      val c1 = commit(dbFile, 0L, 1L, f1)
+      val f2 = writeSlice(col("k") % 4 === 2, s"$base/f2", 1)
+      val c2 = commit(dbFile, 1L, 2L, f1 ++ f2)
+      val f3 = writeSlice(col("k") % 4 === 3, s"$base/f3", 1)
+      val c3 = commit(dbFile, 2L, 3L, f1 ++ f2 ++ f3)
+
+      // the log exported as bounded metadata frames (Iceberg's
+      // .snapshots / .files): snapshots × files rows, never data
+      val snapRows = DuckDbLive.withConnection(dbFile) { c =>
+        DuckDbLive.queryRows(c, "SELECT snapshot_id, parent_id FROM snapshots ORDER BY 1")
+          .map(r => (
+            r(0).asInstanceOf[Number].longValue,
+            r(1).asInstanceOf[Number].longValue))
+      }
+      val maniRows = DuckDbLive.withConnection(dbFile) { c =>
+        DuckDbLive.queryRows(c, "SELECT snapshot_id, path, n_rows FROM manifests ORDER BY 1, 2")
+          .map(r => (
+            r(0).asInstanceOf[Number].longValue,
+            r(1).toString,
+            r(2).asInstanceOf[Number].longValue))
+      }
+      val snapsDf = snapRows.toDF("snapshot_id", "parent_id")
+      val maniDf = maniRows.toDF("snapshot_id", "path", "n_rows")
+
+      // files table: per-snapshot manifest rollup, metadata only
+      val filesMeta = maniDf.groupBy(col("snapshot_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows_meta"))
+      // entries-diff table: files each commit ADDED vs its parent
+      val added = maniDf.as("m")
+        .join(snapsDf.as("s"), col("m.snapshot_id") === col("s.snapshot_id"))
+        .join(
+          maniDf.select(col("snapshot_id").as("pid"), col("path").as("ppath")).as("p"),
+          col("s.parent_id") === col("p.pid") && col("m.path") === col("p.ppath"),
+          "left_anti")
+        .groupBy(col("m.snapshot_id").as("snapshot_id"))
+        .agg(count(lit(1)).as("n_added"))
+      // history: ancestry depth by walking parent pointers (log rows)
+      val parentOf = snapRows.toMap
+      def depth(s: Long): Long =
+        if (s == 0L) 0L else 1L + depth(parentOf(s))
+
+      val audits = (1L to 3L).map { snap =>
+        val c = spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        snap -> (c.getLong(0), c.getLong(1))
+      }.toMap
+
+      val metaBase = filesMeta
+        .join(added, Seq("snapshot_id"))
+        .join(snapsDf, Seq("snapshot_id"))
+        .collect()
+        .map { r =>
+          val snap = r.getAs[Long]("snapshot_id")
+          (snap, r.getAs[Long]("parent_id"), depth(snap),
+            r.getAs[Long]("n_files"), r.getAs[Long]("n_added"),
+            r.getAs[Long]("n_rows_meta"))
+        }
+        .sortBy(_._1)
+        .toSeq // 3 metadata rows — bounded by #snapshots
+
+      val metaOk = c1 && c2 && c3 && currentSnapshot(dbFile) == 3L &&
+        metaBase.forall { case (snap, _, _, _, _, nMeta) =>
+          nMeta == audits(snap)._1
+        }
+
+      metaBase.map { case (snap, parent, dep, nf, na, nMeta) =>
+        (snap, parent, dep, nf, na, nMeta, audits(snap)._1, audits(snap)._2, metaOk)
+      }
+        .toDF("snapshot_id", "parent_id", "depth", "n_files", "n_added",
+          "n_rows_meta", "n_rows_read", "sum_cents", "meta_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: slice arithmetic only; meta_ok=false fails the
+      // oracle's TRUE
+      val agg = o.agg(
+        sum(when(col("k") % 4 < 2, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 4 < 2, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 4 === 2, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 4 === 2, col("cents")).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      val (n1, s1) = (agg.getLong(0), agg.getLong(1))
+      val (n2, s2) = (n1 + agg.getLong(2), s1 + agg.getLong(3))
+      val (n3, s3) = (agg.getLong(4), agg.getLong(5))
+      Seq(
+        (1L, 0L, 1L, 2L, 2L, n1, n1, s1, false),
+        (2L, 1L, 2L, 3L, 1L, n2, n2, s2, false),
+        (3L, 2L, 3L, 4L, 1L, n3, n3, s3, false))
+        .toDF("snapshot_id", "parent_id", "depth", "n_files", "n_added",
+          "n_rows_meta", "n_rows_read", "sum_cents", "meta_ok")
+        .orderBy("snapshot_id")
+    }
+  }
 }

@@ -90,7 +90,10 @@ class DeterminismSpec extends AnyFunSuite {
     "s49_position_deletes",   // ordinal-scoped masks + both-kinds compaction (r16)
     "s50_column_evolution",   // field-id projection across schema generations (r16)
     "s51_snapshot_rollback",  // AS-OF resolution + history-preserving restore (r16)
-    "q191_quality_topk_threshold" // census-level desc-cum rank cuts per source (r16)
+    "q191_quality_topk_threshold", // census-level desc-cum rank cuts per source (r16)
+    "q192_shard_export",      // hash-permutation shards + bp mixing deviations (r17)
+    "s52_stats_skipping",     // min/max-stats planning + clustering rewrite censuses (r17)
+    "s53_metadata_tables"     // log-metadata rollups + truth-audit read censuses (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -304,4 +304,48 @@ class SnapshotLogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("range pruning keeps exactly the files whose [min,max] OVERLAPS the bounds, endpoints inclusive") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initColStats(db)
+      SnapshotLog.commit(db, 0L, 1L, Seq(("lo", 4L), ("mid", 4L), ("hi", 4L)))
+      SnapshotLog.recordColStats(
+        db,
+        Seq(("lo", 0L, 10L), ("mid", 5L, 15L), ("hi", 20L, 30L)))
+      // [12, 22]: "lo" ends at 10 (skipped), "mid" and "hi" overlap
+      assert(SnapshotLog.pruneByRange(db, 1L, 12L, 22L) == Seq("hi", "mid"))
+      // touching at a single endpoint is still an overlap (Iceberg's
+      // inclusive bounds): hi's min == the query's upper bound
+      assert(SnapshotLog.pruneByRange(db, 1L, 16L, 20L) == Seq("hi"))
+      assert(SnapshotLog.pruneByRange(db, 1L, 10L, 10L) == Seq("lo", "mid"))
+      // a gap between files prunes everything — and planning an empty
+      // set is a VALID answer here (the read side guards the empty case)
+      assert(SnapshotLog.pruneByRange(db, 1L, 16L, 19L).isEmpty)
+      // stats are per-file, pruning is per-snapshot: a file absent from
+      // the snapshot's manifest never resurfaces via its stats row
+      SnapshotLog.commit(db, 1L, 2L, Seq(("lo", 4L)))
+      assert(SnapshotLog.pruneByRange(db, 2L, 0L, 99L) == Seq("lo"))
+    }
+  }
+
+  test("morReadV2 and evolvedRead fail loudly (not UnsupportedOperationException) on an empty file set") {
+    val spark = TestSpark.spark
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initMor(db)
+      SnapshotLog.initPosDeletes(db)
+      SnapshotLog.commit(db, 0L, 1L, Seq(("a", 3L)))
+      SnapshotLog.recordSeq(db, Seq("a"), 1L)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotLog.morReadV2(spark, db, 1L, "k", onlyFiles = Some(Set("nope")))
+      }
+      assert(e.getMessage.contains("no data files"))
+      SnapshotLog.initSchemas(db)
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotLog.evolvedRead(spark, db, snap = 7L, readSchema = 1L)
+      }
+      assert(e2.getMessage.contains("lists no data files"))
+    }
+  }
 }

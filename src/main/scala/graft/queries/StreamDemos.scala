@@ -1506,6 +1506,32 @@ object StreamDemos {
         SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
           CAST(4 AS BIGINT), CAST(1 AS BIGINT), s3.n, s3.n, s3.s, TRUE FROM s3
         ORDER BY snapshot_id""")
+    ),
+    // s54: snapshot TAGS + retention-aware expiry (SnapshotLog
+    // .snapshotTags scaladoc) — a tag pins an audited snapshot through
+    // an expire-everything pass (it stays readable through the tag and
+    // its files stay reachable), and dropping the tag makes the SAME
+    // expiry remove it — retention is the ref, not age. The compaction
+    // in snapshot 3 makes the effect measurable at file level (live
+    // 4 → 3 → 1), and both reads' censuses are in-hash against the
+    // oracle's slice recompute.
+    Q(
+      "s54_snapshot_tags",
+      (s, dir) => graft.sinks.SnapshotLog.snapshotTags(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 4 < 2),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT s1.n AS n_rows_tagged, s1.s AS sum_cents_tagged,
+          a.n AS n_rows_current, a.s AS sum_cents_current,
+          CAST(1 AS BIGINT) AS n_expired_first,
+          CAST(3 AS BIGINT) AS n_live_after_first,
+          CAST(1 AS BIGINT) AS n_expired_second,
+          CAST(1 AS BIGINT) AS n_live_after_second,
+          TRUE AS tags_ok
+        FROM s1, a ORDER BY n_rows_tagged""")
     )
   )
 }

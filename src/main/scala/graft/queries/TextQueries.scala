@@ -3081,6 +3081,95 @@ object TextQueries {
           CAST(max(mxh) AS BIGINT) AS max_h,
           CAST(max(dev) AS BIGINT) AS max_dev_bp
         FROM e GROUP BY shard ORDER BY shard""")
+    ),
+    // q193: the CURATION FUNNEL — the full pipeline composed end to end
+    // (the C4/RefinedWeb/DCLM report table: how many documents survive
+    // each gate), with every stage an operator the board already pins
+    // individually: language filter (q22's family) → length gate →
+    // within-doc repetition gate (q82's distinct-word ratio, integer
+    // cross-multiplied) → leading-span fingerprint dedup (the cheap
+    // URL/boilerplate-prefix proxy: md5 of the first 8 words, min
+    // doc_id keeps) → model-based quality filter (q187's hashing-trick
+    // classifier, logit >= 0). Output: one row — each stage's survivor
+    // count, the final kept words, and the kept-id checksum, all
+    // in-hash, so a stage that over- or under-cuts moves real integers.
+    //
+    // Scale shape: every per-doc feature (word count, distinct ratio,
+    // prefix key, even the classifier logit via an integer aggregate()
+    // HOF over the word array — no explode, no per-word shuffle) is
+    // MAP-SIDE on one scan; the only shuffle is the prefix-key window
+    // for dedup keepers (partitions bounded by docs-per-prefix), and
+    // the funnel itself is two 1-row aggregates joined by a broadcast
+    // crossJoin. At 100 TB: one pass over the corpus + one dedup-key
+    // shuffle of the ~12% that survives the cheap gates.
+    Q(
+      "q193_curation_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = Hashing.words(col("text"))
+        val b = pmod(Hashing.h60(col("w")), lit(64L))
+        val feat = Tables.documents(s, dir)
+          .select(
+            col("doc_id"), col("lang"),
+            size(ws).cast("long").as("nw"),
+            size(array_distinct(ws)).cast("long").as("ndw"),
+            md5(concat_ws(" ", slice(ws, 1, 8))).as("pkey"),
+            aggregate(
+              transform(ws, w => {
+                val bb = pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(64L))
+                (bb * bb * 31L + bb * 7L) % 21L - 10L
+              }),
+              lit(0L), (acc, x) => acc + x).as("logit"))
+          .withColumn("f_lang", col("lang") === "en")
+          .withColumn("f_len", col("f_lang") && col("nw").between(40L, 90L))
+          .withColumn("f_rep", col("f_len") && col("ndw") * 100L >= col("nw") * 40L)
+        val gates = feat.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("f_lang"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("f_len"), 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_rep"))
+        val byPrefix = Window.partitionBy("pkey")
+        val kept = feat.filter(col("f_rep"))
+          .withColumn("keeper", min(col("doc_id")).over(byPrefix))
+          .filter(col("doc_id") === col("keeper"))
+          .agg(
+            count(lit(1)).as("n_dedup"),
+            sum(when(col("logit") >= 0L, 1L).otherwise(0L)).as("n_clf"),
+            sum(when(col("logit") >= 0L, col("nw")).otherwise(0L)).as("sum_words_kept"),
+            sum(when(col("logit") >= 0L, col("doc_id")).otherwise(0L)).as("id_checksum"))
+        gates.crossJoin(broadcast(kept))
+          .withColumn("keep_bp", expr("n_clf * 10000 div n_total"))
+          .orderBy("n_total")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+            string_split(text, ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, lang,
+            CAST(len(ws) AS BIGINT) AS nw,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS ndw,
+            md5(array_to_string(ws[1:8], ' ')) AS pkey,
+            CAST(list_sum(list_transform(ws, w ->
+              ((${h60("w")} % 64) * (${h60("w")} % 64) * 31
+                + (${h60("w")} % 64) * 7) % 21 - 10)) AS BIGINT) AS logit
+          FROM d),
+        g AS (SELECT *, lang = 'en' AS f_lang,
+            lang = 'en' AND nw BETWEEN 40 AND 90 AS f_len,
+            lang = 'en' AND nw BETWEEN 40 AND 90 AND ndw * 100 >= nw * 40 AS f_rep
+          FROM f),
+        gates AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+            CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+            CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+            CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
+          FROM g),
+        surv AS (SELECT *, min(doc_id) OVER (PARTITION BY pkey) AS keeper
+          FROM g WHERE f_rep),
+        kept AS (SELECT CAST(count(*) AS BIGINT) AS n_dedup,
+            CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clf,
+            CAST(sum(CASE WHEN logit >= 0 THEN nw ELSE 0 END) AS BIGINT) AS sum_words_kept,
+            CAST(sum(CASE WHEN logit >= 0 THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+          FROM surv WHERE doc_id = keeper)
+        SELECT gates.*, kept.*,
+          CAST(kept.n_clf * 10000 // gates.n_total AS BIGINT) AS keep_bp
+        FROM gates, kept ORDER BY n_total""")
     )
   )
 

@@ -2676,6 +2676,150 @@ object SnapshotLog {
   }
 
   // ------------------------------------------------------------------
+  // s54 — snapshot TAGS + retention-aware expiry
+  // ------------------------------------------------------------------
+
+  private[graft] def dropRef(dbFile: String, name: String): Boolean =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("DELETE FROM refs WHERE name = ?")
+      try {
+        ps.setString(1, name)
+        ps.executeUpdate() == 1
+      } finally ps.close()
+    }
+
+  /** expireSnapshots with REF RETENTION (Iceberg's tag semantics): a
+    * snapshot named by any ref — a tag pinning an audited state, a
+    * branch head — survives expiry regardless of age, exactly like the
+    * current pointer and the root. Same one-transaction shape as
+    * expireSnapshots; the refs table must exist (the caller inits it).
+    */
+  private[graft] def expireSnapshotsRetainingRefs(
+      dbFile: String,
+      olderThan: Long): Seq[Long] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      c.setAutoCommit(false)
+      try {
+        val ids = DuckDbLive
+          .queryRows(
+            c,
+            s"""SELECT snapshot_id FROM snapshots
+               WHERE snapshot_id > 0 AND snapshot_id < $olderThan
+               AND snapshot_id <> (SELECT snapshot_id FROM current WHERE pin = 0)
+               AND snapshot_id NOT IN (SELECT snapshot_id FROM refs)
+               ORDER BY snapshot_id""")
+          .map(_.head.asInstanceOf[Number].longValue)
+        val st = c.createStatement()
+        try ids.foreach { id =>
+          st.executeUpdate(s"DELETE FROM manifests WHERE snapshot_id = $id")
+          st.executeUpdate(s"DELETE FROM snapshots WHERE snapshot_id = $id")
+        } finally st.close()
+        c.commit()
+        ids
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try c.rollback()
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      } finally c.setAutoCommit(true)
+    }
+
+  /** s54 — snapshot TAGS and retention-aware expiry (Iceberg tags /
+    * `expire_snapshots` honoring refs): the compliance story — "keep
+    * the audited Q1 state forever, expire the rest". Lifecycle:
+    *
+    *   - snapshot 1 (two files), snapshot 2 (append, one file),
+    *     snapshot 3 = COMPACTION (all rows rewritten into one new
+    *     file) — so history actually holds files the current snapshot
+    *     does not, and retention has a measurable file-level effect;
+    *   - TAG "audit-snap1" pins snapshot 1; expiry with olderThan
+    *     covering everything must expire ONLY snapshot 2: the tagged
+    *     snapshot survives (and stays readable through the tag — its
+    *     census in-hash), and its files stay in the reachable set
+    *     (live 4 → 3: only the append file orphaned);
+    *   - DROPPING the tag and re-running the same expiry removes
+    *     snapshot 1 (live 3 → 1, just the compacted file) and its
+    *     manifest is gone — retention was the TAG, not an accident of
+    *     age or position.
+    *
+    * Scale shape: tags are single log rows; retention is one NOT IN
+    * subquery over the refs table inside the existing one-transaction
+    * expiry — metadata-only, like everything in the s39 family. The
+    * tag read plans a plain parquet scan of snapshot 1's listed files.
+    */
+  def snapshotTags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s54_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initRefs(dbFile)
+
+      o.filter(col("k") % 4 < 2).repartition(2).write.parquet(s"$base/f1")
+      val f1 = partFiles(spark, s"$base/f1")
+      val c1 = commit(dbFile, 0L, 1L, f1)
+      o.filter(col("k") % 4 >= 2).repartition(1).write.parquet(s"$base/f2")
+      val f2 = partFiles(spark, s"$base/f2")
+      val c2 = commit(dbFile, 1L, 2L, f1 ++ f2)
+      createRef(dbFile, "audit-snap1", 1L)
+      // snapshot 3: compaction — every row rewritten into one new file
+      spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .repartition(1).write.parquet(s"$base/f3")
+      val f3 = partFiles(spark, s"$base/f3")
+      val c3 = commit(dbFile, 2L, 3L, f3)
+
+      val live0 = liveFiles(dbFile).size.toLong
+      val exp1 = expireSnapshotsRetainingRefs(dbFile, olderThan = 99L)
+      val live1 = liveFiles(dbFile).size.toLong
+
+      // the tagged snapshot is still readable THROUGH the tag
+      val tagSnap = refSnapshot(dbFile, "audit-snap1")
+      val tagged = spark.read.parquet(manifest(dbFile, tagSnap).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val current = spark.read
+        .parquet(manifest(dbFile, currentSnapshot(dbFile)).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+
+      val dropped = dropRef(dbFile, "audit-snap1")
+      val exp2 = expireSnapshotsRetainingRefs(dbFile, olderThan = 99L)
+      val live2 = liveFiles(dbFile).size.toLong
+
+      val tagsOk = c1 && c2 && c3 && dropped &&
+        currentSnapshot(dbFile) == 3L && tagSnap == 1L &&
+        exp1 == Seq(2L) && exp2 == Seq(1L) &&
+        live0 == 4L && live1 == 3L && live2 == 1L &&
+        manifest(dbFile, 1L).isEmpty
+
+      Seq((
+        tagged.getLong(0), tagged.getLong(1),
+        current.getLong(0), current.getLong(1),
+        exp1.size.toLong, live1, exp2.size.toLong, live2, tagsOk))
+        .toDF("n_rows_tagged", "sum_cents_tagged", "n_rows_current",
+          "sum_cents_current", "n_expired_first", "n_live_after_first",
+          "n_expired_second", "n_live_after_second", "tags_ok")
+        .orderBy("n_rows_tagged")
+    } else {
+      // honest fallback: slice arithmetic only; tags_ok=false fails the
+      // oracle's TRUE
+      val agg = o.agg(
+        sum(when(col("k") % 4 < 2, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 4 < 2, col("cents")).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        1L, 3L, 1L, 1L, false))
+        .toDF("n_rows_tagged", "sum_cents_tagged", "n_rows_current",
+          "sum_cents_current", "n_expired_first", "n_live_after_first",
+          "n_expired_second", "n_live_after_second", "tags_ok")
+        .orderBy("n_rows_tagged")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // s53 — metadata tables (snapshots / files / entries-diff as frames)
   // ------------------------------------------------------------------
 

@@ -93,7 +93,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q191_quality_topk_threshold", // census-level desc-cum rank cuts per source (r16)
     "q192_shard_export",      // hash-permutation shards + bp mixing deviations (r17)
     "s52_stats_skipping",     // min/max-stats planning + clustering rewrite censuses (r17)
-    "s53_metadata_tables"     // log-metadata rollups + truth-audit read censuses (r17)
+    "s53_metadata_tables",    // log-metadata rollups + truth-audit read censuses (r17)
+    "s54_snapshot_tags",      // ref-retained expiry + tag-resolved read censuses (r17)
+    "q193_curation_funnel"    // map-side gate flags + prefix-key dedup window (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -305,6 +305,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("expiry honors refs: a tagged snapshot survives expire-everything until the tag drops") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initRefs(db)
+      SnapshotLog.commit(db, 0L, 1L, Seq(("a", 1L), ("b", 2L)))
+      SnapshotLog.commit(db, 1L, 2L, Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+      SnapshotLog.commit(db, 2L, 3L, Seq(("d", 6L))) // compaction
+      SnapshotLog.createRef(db, "audit", 1L)
+      // tag retains snapshot 1; snapshot 2 expires; files a,b stay live
+      assert(SnapshotLog.expireSnapshotsRetainingRefs(db, 99L) == Seq(2L))
+      assert(SnapshotLog.manifest(db, 1L) == Seq(("a", 1L), ("b", 2L)))
+      assert(SnapshotLog.liveFiles(db) == Set("a", "b", "d"))
+      // idempotent while the tag holds
+      assert(SnapshotLog.expireSnapshotsRetainingRefs(db, 99L).isEmpty)
+      // dropping the tag releases it; only then does the same expiry bite
+      assert(SnapshotLog.dropRef(db, "audit"))
+      assert(!SnapshotLog.dropRef(db, "audit")) // second drop: clean false
+      assert(SnapshotLog.expireSnapshotsRetainingRefs(db, 99L) == Seq(1L))
+      assert(SnapshotLog.manifest(db, 1L).isEmpty)
+      assert(SnapshotLog.liveFiles(db) == Set("d"))
+      assert(SnapshotLog.currentSnapshot(db) == 3L)
+    }
+  }
+
   test("range pruning keeps exactly the files whose [min,max] OVERLAPS the bounds, endpoints inclusive") {
     withLog { db =>
       SnapshotLog.initLog(db)

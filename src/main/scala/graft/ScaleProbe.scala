@@ -42,7 +42,7 @@ object ScaleProbe {
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
-        "mor", "morupsert", "tablefmt"))
+        "mor", "morupsert", "tablefmt", "skipping"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1038,6 +1038,95 @@ object ScaleProbe {
       val (pmN, psN) = posResults.last
       println(
         f"[scale] posmor growth: delete files x${pmN.toDouble / pm0}%.0f, read time x${psN / ps0}%.1f (flat would be x1)")
+    }
+
+    // ---- s52 stats-skipping curves ------------------------------------
+    // The claims to measure: (a) RANGE PLANNING is a metadata query —
+    // its cost tracks manifest/stat rows (synthetic paths, nothing on
+    // disk), and the pruned FRACTION stays constant as the file count
+    // grows; (b) on real files, the pruned read of a clustered layout
+    // costs ~the selected fraction of the full scan — the whole point
+    // of recording min/max stats.
+    if (enabled("skipping")) {
+      import graft.sinks.SnapshotLog
+      val logDir = scratchDir("graft_scale_skip_")
+      val dbS = s"$logDir/s.duckdb"
+      SnapshotLog.initLog(dbS)
+      SnapshotLog.initColStats(dbS)
+      var parent = 0L
+      val planResults = mults.map { m =>
+        val nf = 64 * m
+        val snap = parent + 1
+        // disjoint per-file ranges [1000i, 1000i+999]: a fixed query
+        // window selects a CONSTANT 1/16 of files at every scale
+        val files = (0 until nf).map(i => (s"/synthetic/skip$snap/f$i.parquet", 1000L))
+        SnapshotLog.recordColStats(
+          dbS, files.zipWithIndex.map { case ((p, _), i) =>
+            (p, 1000L * i, 1000L * i + 999L) })
+        SnapshotLog.commit(dbS, parent, snap, files)
+        val t0 = System.nanoTime()
+        val pruned = SnapshotLog.pruneByRange(dbS, snap, 0L, 1000L * (nf / 16) - 1L)
+        val planSec = (System.nanoTime() - t0) / 1e9
+        parent = snap
+        println(f"[scale] x$m%-3d stat_files=$nf%5d  plan(range)=$planSec%7.3f s  pruned=${pruned.size}%5d (${pruned.size * 100 / nf}%d%% kept)")
+        (m, planSec)
+      }
+      val (_, sp0) = planResults.head
+      val (_, spN) = planResults.last
+      println(
+        f"[scale] skipping plan growth: stat rows x${mults.last / mults.head}%d, plan x${spN / sp0}%.1f (metadata-linear; kept fraction constant)")
+
+      // (b) real-read leg: same rows, unclustered (k%16) vs
+      // range-clustered files; the range census over the PRUNED
+      // clustered set vs the FULL unclustered scan. The probe-SF table
+      // is amplified x32 (distinct keys, same value distribution) so
+      // the comparison is scan-bound — at raw sf0.1 both legs are pure
+      // scheduler fixed cost and the ratio reads as noise.
+      val oBase = Tables.orders(spark, sfDir).select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val oSkip = spark.range(32).crossJoin(oBase)
+        .select((col("k") * 32L + col("id")).as("k"), col("cents"))
+      val r = oSkip.agg(min(col("cents")), max(col("cents"))).head()
+      val (mn, mxv) = (r.getLong(0), r.getLong(1))
+      // 128 buckets >> the 32 local cores: the full scan needs 4 task
+      // waves, the 8-bucket pruned read 1 — so skipping shows up in
+      // wall-clock, as it would on a cluster where files >> slots
+      val nb = 128L
+      val bw = (mxv - mn) / nb + 1L
+      val (lo, hi) = (mn, mn + 8L * bw - 1L)
+      val skipDir = scratchDir("graft_scale_skipread_")
+      oSkip.withColumn("g", pmod(col("k"), lit(nb)))
+        .repartition(col("g")).write.partitionBy("g").parquet(s"$skipDir/u")
+      oSkip.withColumn("g", expr(s"(cents - $mn) div $bw"))
+        .repartition(col("g")).write.partitionBy("g").parquet(s"$skipDir/c")
+      def rangeCensus(path: String) = {
+        val t0 = System.nanoTime()
+        val a = spark.read.parquet(path)
+          .filter(col("cents").between(lo, hi))
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+        ((System.nanoTime() - t0) / 1e9, a.getLong(0))
+      }
+      rangeCensus(s"$skipDir/u") // warm both layouts' footers
+      rangeCensus(s"$skipDir/c")
+      val (tFull, nFull) = rangeCensus(s"$skipDir/u")
+      // the pruned read: only the clustered files whose range overlaps
+      val prunedDirs = new java.io.File(s"$skipDir/c").listFiles()
+        .filter(_.getName.startsWith("g="))
+        .filter { d =>
+          val g = d.getName.stripPrefix("g=").toLong
+          val (fmn, fmx) = (mn + g * bw, mn + (g + 1) * bw - 1L)
+          fmx >= lo && fmn <= hi
+        }
+        .map(_.getAbsolutePath).sorted
+      val t1 = System.nanoTime()
+      val aP = spark.read.parquet(prunedDirs: _*)
+        .filter(col("cents").between(lo, hi))
+        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+      val tPruned = (System.nanoTime() - t1) / 1e9
+      println(
+        f"[scale] skipping read: full-unclustered=$tFull%6.3f s ($nFull rows), pruned-clustered=$tPruned%6.3f s (${aP.getLong(0)} rows, ${prunedDirs.length} of $nb files) — ratio x${tFull / tPruned}%.1f")
+      require(aP.getLong(0) == nFull, "pruned census diverged from full scan")
     }
     spark.stop()
   }

@@ -3170,6 +3170,88 @@ object TextQueries {
         SELECT gates.*, kept.*,
           CAST(kept.n_clf * 10000 // gates.n_total AS BIGINT) AS keep_bp
         FROM gates, kept ORDER BY n_total""")
+    ),
+    // q194: INCREMENTAL dedup against a persisted fingerprint store —
+    // the production shape q20/q125/q190 (one-shot, whole-corpus) do
+    // not cover: a daily increment (sources 10-19) is deduplicated
+    // against the ALREADY-CURATED corpus (sources 0-9) without ever
+    // re-reading the history as data — history enters ONLY as its
+    // distinct-fingerprint census, the artifact a real pipeline
+    // persists between runs. Two stages, both counted: drop increment
+    // docs whose fingerprint hits the store (anti-join), then dedup
+    // WITHIN the increment (min doc_id per fingerprint keeps — the
+    // q193 convention). Fingerprint = md5 of the leading 8 words
+    // (boilerplate/URL-prefix proxy; measured real collisions both
+    // across the split and inside the increment at every SF).
+    //
+    // Scale shape: at 100 TB the history term is the fingerprint
+    // store's size, not the corpus's — one distinct-key census
+    // (pre-computed in practice), one fingerprint-keyed anti-join of
+    // the increment against it, one increment-sized dedup window.
+    // Old-vs-old is NEVER recomputed; the increment never shuffles
+    // anything but its keys.
+    Q(
+      "q194_incremental_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = Hashing.words(col("text"))
+        val d = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr("CAST(substring(source, 4) AS BIGINT)").as("sn"),
+            md5(concat_ws(" ", slice(ws, 1, 8))).as("pkey"))
+        val hist = d.filter(col("sn") < 10L)
+        val histKeys = hist.select(col("pkey")).distinct()
+        val incr = d.filter(col("sn") >= 10L)
+        val surv = incr.join(histKeys, Seq("pkey"), "left_anti")
+        val byKey = Window.partitionBy("pkey")
+        val kept = surv
+          .withColumn("keeper", min(col("doc_id")).over(byKey))
+          .filter(col("doc_id") === col("keeper"))
+        val histAgg = hist.agg(
+          count(lit(1)).as("n_hist_docs"),
+          countDistinct(col("pkey")).as("n_hist_keys"))
+        val incrAgg = incr.agg(count(lit(1)).as("n_new"))
+        val survAgg = surv.agg(count(lit(1)).as("n_surv"))
+        val keptAgg = kept.agg(
+          count(lit(1)).as("n_kept_new"),
+          sum(col("doc_id")).as("id_checksum"))
+        histAgg.crossJoin(broadcast(incrAgg))
+          .crossJoin(broadcast(survAgg))
+          .crossJoin(broadcast(keptAgg))
+          .select(
+            col("n_hist_docs"), col("n_hist_keys"), col("n_new"),
+            (col("n_new") - col("n_surv")).as("n_dup_hist"),
+            (col("n_surv") - col("n_kept_new")).as("n_dup_within"),
+            col("n_kept_new"),
+            (col("n_hist_docs") + col("n_kept_new")).as("n_total_after"),
+            col("id_checksum"))
+          .orderBy("n_new")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(substring(source, 4) AS BIGINT) AS sn,
+            md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pkey
+          FROM documents),
+        hist AS (SELECT * FROM d WHERE sn < 10),
+        hk AS (SELECT DISTINCT pkey FROM hist),
+        incr AS (SELECT * FROM d WHERE sn >= 10),
+        surv AS (SELECT * FROM incr WHERE pkey NOT IN (SELECT pkey FROM hk)),
+        kept AS (SELECT * FROM (SELECT *,
+            min(doc_id) OVER (PARTITION BY pkey) AS keeper FROM surv)
+          WHERE doc_id = keeper),
+        ha AS (SELECT CAST(count(*) AS BIGINT) AS n_hist_docs,
+            CAST(count(DISTINCT pkey) AS BIGINT) AS n_hist_keys FROM hist),
+        ia AS (SELECT CAST(count(*) AS BIGINT) AS n_new FROM incr),
+        sa AS (SELECT CAST(count(*) AS BIGINT) AS n_surv FROM surv),
+        ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept_new,
+            CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept)
+        SELECT ha.n_hist_docs, ha.n_hist_keys, ia.n_new,
+          ia.n_new - sa.n_surv AS n_dup_hist,
+          sa.n_surv - ka.n_kept_new AS n_dup_within,
+          ka.n_kept_new,
+          ha.n_hist_docs + ka.n_kept_new AS n_total_after,
+          ka.id_checksum
+        FROM ha, ia, sa, ka ORDER BY n_new""")
     )
   )
 

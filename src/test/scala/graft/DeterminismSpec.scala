@@ -95,7 +95,8 @@ class DeterminismSpec extends AnyFunSuite {
     "s52_stats_skipping",     // min/max-stats planning + clustering rewrite censuses (r17)
     "s53_metadata_tables",    // log-metadata rollups + truth-audit read censuses (r17)
     "s54_snapshot_tags",      // ref-retained expiry + tag-resolved read censuses (r17)
-    "q193_curation_funnel"    // map-side gate flags + prefix-key dedup window (r17)
+    "q193_curation_funnel",   // map-side gate flags + prefix-key dedup window (r17)
+    "q194_incremental_dedup"  // fingerprint-store anti-join + increment dedup window (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

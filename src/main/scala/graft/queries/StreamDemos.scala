@@ -1532,6 +1532,30 @@ object StreamDemos {
           CAST(1 AS BIGINT) AS n_live_after_second,
           TRUE AS tags_ok
         FROM s1, a ORDER BY n_rows_tagged""")
+    ),
+    // s55: writer-side commit constraints (SnapshotLog.commitConstraints
+    // scaladoc) — Delta-style CHECK enforcement at the table boundary,
+    // validated from the per-file min/max stats the writer already
+    // computed (no second data pass): the poisoned staged commit is
+    // rejected before the pointer moves (current stays 1, snapshot-1
+    // census untouched), the cleaned retry lands as snapshot 2, and the
+    // final census — in-hash against the oracle's full recompute —
+    // contains no poison.
+    Q(
+      "s55_commit_constraints",
+      (s, dir) => graft.sinks.SnapshotLog.commitConstraints(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 2 = 0),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT s1.n AS n_rows_s1, s1.s AS sum_cents_s1,
+          CAST(2 AS BIGINT) AS n_staged_files,
+          CAST(2 AS BIGINT) AS n_violating_files,
+          a.n AS n_rows_final, a.s AS sum_cents_final,
+          TRUE AS constraint_ok
+        FROM s1, a ORDER BY n_rows_s1""")
     )
   )
 }

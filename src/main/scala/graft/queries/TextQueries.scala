@@ -3252,6 +3252,80 @@ object TextQueries {
           ha.n_hist_docs + ka.n_kept_new AS n_total_after,
           ka.id_checksum
         FROM ha, ia, sa, ka ORDER BY n_new""")
+    ),
+    // q195: the DATASET CARD — the reproducibility artifact every
+    // released training set ships (datasheets/data statements): per
+    // source, doc and token counts, distinct-content count, an
+    // ORDER-INSENSITIVE content digest (sum of per-doc h60 mod 1e9+7 —
+    // the q148 manifest-digest discipline; fp < 1e9+7 keeps the sum in
+    // BIGINT to ~9e9 docs per source), language spread, and the
+    // majority language with a DETERMINISTIC tie-break (census count
+    // and a fixed language index packed into one integer key — both
+    // engines take the same max; never engine-native arg_max, whose
+    // tie order differs). Two frames: the per-source rollup and the
+    // (source, lang) census argmax, broadcast-joined (≤ sources×langs
+    // rows).
+    //
+    // Scale shape: one map-side pass computes fp/token counts; one
+    // (source) and one (source, lang) partial-agg rollup — both
+    // map-side combined over ~20/100 groups; countDistinct carries the
+    // per-source distinct-fp state through the standard two-phase
+    // expand. Nothing joins the corpus.
+    Q(
+      "q195_dataset_card",
+      (s, dir) => {
+        val ws = Hashing.words(col("text"))
+        val base = Tables.documents(s, dir)
+          .select(
+            col("source"), col("lang"),
+            size(ws).cast("long").as("nw"),
+            pmod(Hashing.h60(col("text")), lit(1000000007L)).as("fp"))
+        val card = base.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_tokens"),
+            countDistinct(col("fp")).as("n_distinct"),
+            sum(col("fp")).as("content_digest"),
+            countDistinct(col("lang")).as("n_langs"))
+        val langIdx = expr(
+          """CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 WHEN 'es' THEN 2
+            WHEN 'zh' THEN 3 WHEN 'de' THEN 4 ELSE 5 END""")
+        val top = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("lkey", col("c") * 8L + langIdx)
+          .groupBy(col("source"))
+          .agg(max(col("lkey")).as("tk"))
+          .select(col("source"),
+            expr("""CASE tk % 8 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+              WHEN 2 THEN 'es' WHEN 3 THEN 'zh' WHEN 4 THEN 'de'
+              ELSE '?' END""").as("top_lang"),
+            expr("tk div 8").as("top_lang_docs"))
+        card.join(broadcast(top), Seq("source")).orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT source, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+            ${h60("text")} % 1000000007 AS fp
+          FROM documents),
+        card AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(nw) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+            CAST(sum(fp) AS BIGINT) AS content_digest,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM base GROUP BY source),
+        cen AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY source, lang),
+        tk AS (SELECT source, CAST(max(c * 8 +
+            CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 WHEN 'es' THEN 2
+              WHEN 'zh' THEN 3 WHEN 'de' THEN 4 ELSE 5 END) AS BIGINT) AS k
+          FROM cen GROUP BY source),
+        top AS (SELECT source,
+            CASE k % 8 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'es'
+              WHEN 3 THEN 'zh' WHEN 4 THEN 'de' ELSE '?' END AS top_lang,
+            CAST(k // 8 AS BIGINT) AS top_lang_docs
+          FROM tk)
+        SELECT card.*, top.top_lang, top.top_lang_docs
+        FROM card JOIN top ON card.source = top.source
+        ORDER BY card.source""")
     )
   )
 

@@ -2820,6 +2820,109 @@ object SnapshotLog {
   }
 
   // ------------------------------------------------------------------
+  // s55 — writer-side commit CONSTRAINTS (validated from file stats)
+  // ------------------------------------------------------------------
+
+  /** s55 — COMMIT-TIME CONSTRAINT ENFORCEMENT (Delta's CHECK
+    * constraints / Iceberg's validation at the table boundary): a
+    * commit whose staged files violate the table's invariant is
+    * REJECTED BEFORE the pointer moves — the log defends itself, the
+    * bad files never become table state, and readers never see them.
+    * The load-bearing design point: validation reads NO data — it
+    * consults the per-file min/max stats the writer already computed
+    * in its single census job (the s52 stats), so enforcing
+    * "cents >= 0" on a 100 TB commit costs one pass over the staged
+    * manifest rows, not a second data scan. Lifecycle:
+    *
+    *   - snapshot 1: the k%2=0 slice, valid, commits;
+    *   - a staged commit of the k%2=1 slice POISONED with 5 negative-
+    *     cents rows (both staged files catch one — parities alternate)
+    *     fails validation (min_cents < 0) and is rejected: current
+    *     stays 1, no snapshot/manifest/stat rows land, the snapshot-1
+    *     read is untouched (census in-hash);
+    *   - the retry with the cleaned slice passes and commits as
+    *     snapshot 2; the final census (in-hash) contains no poison.
+    */
+  def commitConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s55_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initColStats(dbFile)
+      def minCentsOk(stats: Seq[(String, Long, Long, Long)]): Boolean =
+        stats.forall(_._3 >= 0L) // metadata-only: the recorded min
+
+      val f1 = writeBucketed(
+        spark,
+        o.filter(col("k") % 2 === 0).withColumn("g", pmod(col("k"), lit(2L))),
+        s"$base/f1")
+      val v1 = minCentsOk(f1)
+      recordColStats(dbFile, f1.map(f => (f._1, f._3, f._4)))
+      val c1 = v1 && commit(dbFile, 0L, 1L, f1.map(f => (f._1, f._2)))
+
+      // staged second commit: cleaned slice + 5 poison rows
+      val mx = o.agg(max(col("k"))).head().getLong(0)
+      val poison = (1 to 5)
+        .map(i => (mx + i.toLong, -(1000L + 7L * i)))
+        .toDF("k", "cents")
+      val f2 = writeBucketed(
+        spark,
+        o.filter(col("k") % 2 === 1).unionByName(poison)
+          .withColumn("g", pmod(col("k"), lit(2L))),
+        s"$base/f2")
+      val v2 = minCentsOk(f2)
+      val nViolating = f2.count(_._3 < 0L).toLong
+      // REJECTED: nothing recorded, pointer untouched
+      val curAfterReject = currentSnapshot(dbFile)
+      val s1 = spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+
+      // the retry, cleaned
+      val f3 = writeBucketed(
+        spark,
+        o.filter(col("k") % 2 === 1).withColumn("g", pmod(col("k"), lit(2L))),
+        s"$base/f3")
+      val v3 = minCentsOk(f3)
+      recordColStats(dbFile, f3.map(f => (f._1, f._3, f._4)))
+      val c3 = v3 && commit(dbFile, 1L, 2L, (f1 ++ f3).map(f => (f._1, f._2)))
+      val fin = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+
+      val constraintOk = c1 && !v2 && c3 &&
+        curAfterReject == 1L && currentSnapshot(dbFile) == 2L &&
+        nViolating == 2L && f2.size == 2
+
+      Seq((
+        s1.getLong(0), s1.getLong(1),
+        f2.size.toLong, nViolating,
+        fin.getLong(0), fin.getLong(1), constraintOk))
+        .toDF("n_rows_s1", "sum_cents_s1", "n_staged_files",
+          "n_violating_files", "n_rows_final", "sum_cents_final",
+          "constraint_ok")
+        .orderBy("n_rows_s1")
+    } else {
+      // honest fallback: slice arithmetic; constraint_ok=false fails
+      // the oracle's TRUE
+      val agg = o.agg(
+        sum(when(col("k") % 2 === 0, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 2 === 0, col("cents")).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      Seq((agg.getLong(0), agg.getLong(1), 2L, 2L,
+        agg.getLong(2), agg.getLong(3), false))
+        .toDF("n_rows_s1", "sum_cents_s1", "n_staged_files",
+          "n_violating_files", "n_rows_final", "sum_cents_final",
+          "constraint_ok")
+        .orderBy("n_rows_s1")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // s53 — metadata tables (snapshots / files / entries-diff as frames)
   // ------------------------------------------------------------------
 

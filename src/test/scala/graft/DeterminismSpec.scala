@@ -96,7 +96,9 @@ class DeterminismSpec extends AnyFunSuite {
     "s53_metadata_tables",    // log-metadata rollups + truth-audit read censuses (r17)
     "s54_snapshot_tags",      // ref-retained expiry + tag-resolved read censuses (r17)
     "q193_curation_funnel",   // map-side gate flags + prefix-key dedup window (r17)
-    "q194_incremental_dedup"  // fingerprint-store anti-join + increment dedup window (r17)
+    "q194_incremental_dedup", // fingerprint-store anti-join + increment dedup window (r17)
+    "s55_commit_constraints", // stats-validated reject + clean-retry censuses (r17)
+    "q195_dataset_card"       // modular content digests + packed-key lang argmax (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

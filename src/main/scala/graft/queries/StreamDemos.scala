@@ -1556,6 +1556,92 @@ object StreamDemos {
           a.n AS n_rows_final, a.s AS sum_cents_final,
           TRUE AS constraint_ok
         FROM s1, a ORDER BY n_rows_s1""")
+    ),
+    // s56: CDC apply (SnapshotLog.cdcApply scaladoc) — the consumer
+    // half of s45's changelog feed: a downstream replica maintained
+    // incrementally from each commit's manifest diff (changed files +
+    // the replica only — unchanged source files never reread). Per
+    // step: the change-type counts, the read-boundedness claim
+    // (n_files_diff = 2), and the replica-census == source-time-travel-
+    // census audit, all in-hash. Oracle: predicate arithmetic over
+    // `orders` applied cumulatively (step-2 predicates k%20∈{13,17} are
+    // ≡1 mod 4, disjoint from step 1's bucket-2 rewrite, so original
+    // cents apply; insert-batch sums are construction constants:
+    // Σ(1000000+7i, i<10) = 10000315, Σ(2000000+11i, i<5) = 10000110).
+    Q(
+      "s56_cdc_apply",
+      (s, dir) => graft.sinks.SnapshotLog.cdcApply(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        d1 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 20 = 6),
+        u1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o WHERE k % 20 = 2),
+        d2 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 20 = 13),
+        u2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o WHERE k % 20 = 17),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o),
+        st2 AS (SELECT b.n - d1.c + 10 AS n,
+            b.s - d1.s + 1000 * u1.c + 10000315 AS s FROM b, d1, u1),
+        st3 AS (SELECT st2.n - d2.c + 5 AS n,
+            st2.s - d2.s + 500 * u2.c + 10000110 AS s FROM st2, d2, u2)
+        SELECT CAST(1 AS BIGINT) AS step, d1.c AS n_delete, u1.c AS n_update,
+          CAST(10 AS BIGINT) AS n_insert, CAST(2 AS BIGINT) AS n_files_diff,
+          st2.n AS replica_rows, st2.s AS replica_cents,
+          st2.n AS src_rows, st2.s AS src_cents, TRUE AS apply_ok
+        FROM d1, u1, st2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), d2.c, u2.c, CAST(5 AS BIGINT),
+          CAST(2 AS BIGINT), st3.n, st3.s, st3.n, st3.s, TRUE
+        FROM d2, u2, st3
+        ORDER BY step""")
+    ),
+    // s57: z-order clustering + 2-D box skipping (SnapshotLog
+    // .zorderSkipping scaladoc) — the two-column sequel to s52: a
+    // linear layout (files = x) prunes an (x, y) box only on x and a
+    // y-stripe not at all; the z-order rewrite (files = 4×4 blocks of
+    // the interleaved key) bounds both dims per file: box 4 → 1 files,
+    // stripe 16 → 4. Oracle recomputes scanned counts from the same g
+    // arithmetic (actual grouped min/max, so sparse files agree too)
+    // and every census from the direct predicate.
+    Q(
+      "s57_zorder_skipping",
+      (s, dir) => graft.sinks.SnapshotLog.zorderSkipping(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        d AS (SELECT k, cents, k % 16 AS x, cents % 16 AS y FROM o),
+        q AS (SELECT * FROM (VALUES
+            ('box_xy', 4, 7, 8, 11),
+            ('stripe_y', 0, 15, 0, 3)) AS t(qn, xlo, xhi, ylo, yhi)),
+        lin AS (SELECT x AS g, min(x) AS mnx, max(x) AS mxx,
+            min(y) AS mny, max(y) AS mxy FROM d GROUP BY 1),
+        zf AS (SELECT ((x // 8) % 2) * 8 + ((y // 8) % 2) * 4
+              + ((x // 4) % 2) * 2 + ((y // 4) % 2) AS g,
+            min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+          FROM d GROUP BY 1),
+        sel AS (SELECT qn, CAST(count(d.k) AS BIGINT) AS n,
+            CAST(COALESCE(sum(cents), 0) AS BIGINT) AS s
+          FROM q LEFT JOIN d ON d.x BETWEEN q.xlo AND q.xhi
+            AND d.y BETWEEN q.ylo AND q.yhi
+          GROUP BY qn),
+        scan AS (
+          SELECT 'linear' AS layout, qn,
+            CAST((SELECT count(*) FROM lin) AS BIGINT) AS n_files,
+            CAST(count(lin.g) AS BIGINT) AS n_scanned
+          FROM q LEFT JOIN lin ON lin.mxx >= q.xlo AND lin.mnx <= q.xhi
+            AND lin.mxy >= q.ylo AND lin.mny <= q.yhi
+          GROUP BY qn
+          UNION ALL
+          SELECT 'zorder', qn,
+            CAST((SELECT count(*) FROM zf) AS BIGINT),
+            CAST(count(zf.g) AS BIGINT)
+          FROM q LEFT JOIN zf ON zf.mxx >= q.xlo AND zf.mnx <= q.xhi
+            AND zf.mxy >= q.ylo AND zf.mny <= q.yhi
+          GROUP BY qn)
+        SELECT scan.layout, scan.qn AS query, scan.n_files, scan.n_scanned,
+          sel.n AS n_sel, sel.s AS sum_sel, TRUE AS scan_ok
+        FROM scan JOIN sel ON scan.qn = sel.qn
+        ORDER BY layout, query""")
     )
   )
 }

@@ -3326,6 +3326,165 @@ object TextQueries {
         SELECT card.*, top.top_lang, top.top_lang_docs
         FROM card JOIN top ON card.source = top.source
         ORDER BY card.source""")
+    ),
+    // q196: Gopher-style CHARACTER-COVERAGE repetition signals — the
+    // other half of the repetition family beside q82's occurrence
+    // ratio (Rae et al. 2112.11446 Table A1 measures the fraction of
+    // CHARACTERS inside repeated n-grams, which q82's distinct/total
+    // gram count can't see: a doc repeating one long bigram and a doc
+    // repeating many short ones have the same occurrence ratio but very
+    // different char coverage). Two metrics from ONE (doc_id, 2-gram)
+    // census: top-2-gram coverage = max over grams of count × gram char
+    // length (deterministic without an argmax tie-break — the covering
+    // mass itself, not the arg), and dup-2-gram coverage = the same sum
+    // over grams occurring ≥ 2×. Both as integer basis points of
+    // length(text); chars count the gram's inner space (both engines
+    // measure the same string). n = 2 is the measured choice: this
+    // corpus has real 2-gram repetition mass (median ~1000 bp, max
+    // ~5000) while dup 3/4/5-gram coverage is 0 at median — higher n
+    // would pin a constant. Thresholds (2000/2500 bp) split the corpus
+    // 452/500 keep at sf0.001 and 449/500 at sf0.01 — both gates
+    // measured to bite.
+    //
+    // Scale shape: scan → map-side gram explode → ONE (doc_id, gram)
+    // partial-agg shuffle → a (doc_id) rollup, then a doc_id-keyed
+    // left join back to the (doc_id, n_chars) projection (docs with
+    // < 2 words have no grams and coalesce to 0). No data-sized
+    // broadcast, no window, nothing quadratic in doc length.
+    Q(
+      "q196_gopher_coverage",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        val cov = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            explode(call_function("graft_shingles", ws, lit(2))).as("gram"))
+          .groupBy(col("doc_id"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            max(col("c") * length(col("gram")).cast("long")).as("top2_cov"),
+            sum(when(col("c") >= 2L, col("c") * length(col("gram")).cast("long"))
+              .otherwise(lit(0L))).as("dup2_cov"))
+        d.join(cov, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_chars"),
+            coalesce(col("top2_cov"), lit(0L)).as("top2_cov"),
+            coalesce(col("dup2_cov"), lit(0L)).as("dup2_cov"))
+          .select(
+            col("doc_id"), col("n_chars"), col("top2_cov"), col("dup2_cov"),
+            when(col("n_chars") === 0L, lit(0L))
+              .otherwise(expr("(top2_cov * 10000) div n_chars")).as("top2_bp"),
+            when(col("n_chars") === 0L, lit(0L))
+              .otherwise(expr("(dup2_cov * 10000) div n_chars")).as("dup2_bp"))
+          .withColumn("keep",
+            when(col("top2_bp") <= 2000L && col("dup2_bp") <= 2500L, lit(1L))
+              .otherwise(lit(0L)))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = shingles("string_split(text, ' ')", 2)
+        s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              $sh AS grams FROM documents),
+          c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM d) GROUP BY 1, 2),
+          t AS (SELECT doc_id,
+              CAST(max(c * length(gram)) AS BIGINT) AS top2_cov,
+              CAST(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0)
+                AS BIGINT) AS dup2_cov
+            FROM c GROUP BY 1),
+          j AS (SELECT d.doc_id, d.n_chars,
+              COALESCE(t.top2_cov, 0) AS top2_cov,
+              COALESCE(t.dup2_cov, 0) AS dup2_cov
+            FROM d LEFT JOIN t ON d.doc_id = t.doc_id),
+          bp AS (SELECT doc_id, n_chars, top2_cov, dup2_cov,
+              CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                ELSE (top2_cov * 10000) // n_chars END AS top2_bp,
+              CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+                ELSE (dup2_cov * 10000) // n_chars END AS dup2_bp
+            FROM j)
+          SELECT doc_id, n_chars, top2_cov, dup2_cov, top2_bp, dup2_bp,
+            CAST(CASE WHEN top2_bp <= 2000 AND dup2_bp <= 2500
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM bp ORDER BY doc_id"""
+      }
+    ),
+    // q197: unigram-LM SURPRISAL filter — the CCNet shape (Wenzek et
+    // al. 1911.00359): score every doc under a language model of the
+    // corpus itself and bucket into head/middle/tail for
+    // quality-stratified sampling. The LM here is the corpus unigram
+    // model and the score is EXACT INTEGER bits: for each word,
+    // surprisal ≈ log2(N/c_w) computed at half-bit resolution as
+    // (length(bin((N*N) div (c_w*c_w))) - 1) half-bits — floor(log2) of
+    // an integer is its binary length minus 1 in both engines, no
+    // floating log anywhere (the q74/q92 ln-free discipline). Doc score
+    // = milli-bits/token = (500 * Σ half-bits) div n_tokens. N*N caps
+    // the method at N ≈ 3e9 tokens per shard in BIGINT — beyond that,
+    // reduce N/c by gcd or widen to DECIMAL; the CUTS (4505/4550
+    // milli-bits) are measured: head/middle/tail = 135/333/32 at
+    // sf0.001, 123/348/29 at sf0.01; at sf0.1 the synthetic corpus's
+    // near-uniform unigram distribution collapses the middle band
+    // (4750/0/250) — a corpus fact, not an engine artifact (both
+    // engines agree exactly).
+    //
+    // Scale shape: ONE corpus explode → (doc_id, w) partial-agg census,
+    // checkpointed and reused for (a) the vocab rollup (vocab-sized),
+    // (b) the total-token 1-row aggregate (bounded collect: one long),
+    // (c) the per-doc score join — which joins the CENSUS (one row per
+    // distinct (doc, word), never per token) to the vocab frame on w
+    // with no broadcast pin (vocab grows with corpus; the estimator
+    // decides, q99's discipline). No window, nothing token² anywhere.
+    Q(
+      "q197_surprisal_filter",
+      (s, dir) => {
+        val dw = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(ws).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c_dw"))
+          .ckpt()
+        val vocab = dw.groupBy(col("w")).agg(sum(col("c_dw")).as("c"))
+        val nTotal = vocab.agg(sum(col("c"))).head().getLong(0)
+        val n2 = nTotal * nTotal // N ≤ 3e9 guard is the scaladoc cap
+        val surp = vocab.select(
+          col("w"),
+          (length(bin(expr(s"$n2 div (c * c)"))) - 1).cast("long").as("surp2"))
+        dw.join(surp, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c_dw")).as("n_tokens"),
+            sum(col("c_dw") * col("surp2")).as("half_bits"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("half_bits"),
+            expr("(500 * half_bits) div n_tokens").as("score_mbt"))
+          .withColumn("bucket",
+            when(col("score_mbt") <= 4505L, lit("head"))
+              .when(col("score_mbt") <= 4550L, lit("middle"))
+              .otherwise(lit("tail")))
+          .withColumn("keep",
+            when(col("bucket") =!= "tail", lit(1L)).otherwise(lit(0L)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_dw
+          FROM t GROUP BY 1, 2),
+        v AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c FROM dw GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v),
+        s AS (SELECT w,
+            CAST(length(bin((n.n * n.n) // (c * c))) - 1 AS BIGINT) AS surp2
+          FROM v, n),
+        p AS (SELECT doc_id, CAST(sum(c_dw) AS BIGINT) AS n_tokens,
+            CAST(sum(c_dw * surp2) AS BIGINT) AS half_bits
+          FROM dw JOIN s USING (w) GROUP BY 1),
+        sc AS (SELECT doc_id, n_tokens, half_bits,
+            (500 * half_bits) // n_tokens AS score_mbt FROM p),
+        bk AS (SELECT *, CASE WHEN score_mbt <= 4505 THEN 'head'
+            WHEN score_mbt <= 4550 THEN 'middle' ELSE 'tail' END AS bucket
+          FROM sc)
+        SELECT doc_id, n_tokens, half_bits, score_mbt, bucket,
+          CAST(CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM bk ORDER BY doc_id""")
     )
   )
 

@@ -3060,4 +3060,369 @@ object SnapshotLog {
         .orderBy("snapshot_id")
     }
   }
+
+  /** s56 — CDC APPLY: incremental maintenance of a downstream REPLICA
+    * from the table's changelog — the consumer half of s45's feed
+    * (Iceberg incremental read / Delta CDF "apply changes to target").
+    * The property a 100 TB pipeline needs: after each source commit the
+    * replica is brought current by reading ONLY that commit's changed
+    * files (manifest diff) plus the replica itself — old-vs-old is
+    * never recomputed (q194's incremental discipline at the table
+    * layer). Lifecycle:
+    *
+    *   - snapshot 1: 4 bucket files (k%4); the replica bootstraps as a
+    *     full copy (the one unavoidable full read);
+    *   - snapshot 2: COW rewrite of bucket 2 — deletes k%20=6, updates
+    *     k%20=2 (+1000 cents), 10 inserts (all ≡2 mod 4, so the commit
+    *     touches exactly one file; the s45 predicate discipline);
+    *   - snapshot 3: COW rewrite of bucket 1 — deletes k%20=13,
+    *     updates k%20=17 (+500), 5 inserts (≡1 mod 4);
+    *   - after each commit the changelog (pre-images from removed
+    *     files, post-images from added files, full-outer on key,
+    *     carried-unchanged rows suppressed as no-ops) is APPLIED:
+    *     replica ⟵ replica ANTI-JOIN (delete ∪ update keys) ∪
+    *     (update ∪ insert post-images);
+    *   - the audit each step: the replica census equals the source's
+    *     time-travel census at that snapshot (both in-hash via the
+    *     replica / src column pairs), apply_ok pins the equality,
+    *     and n_files_diff (= 2: one removed + one added) pins the
+    *     read-boundedness claim itself.
+    *
+    * Scale shape: the changelog reads |removed| + |added| files; the
+    * apply is one keyed anti-join + union against the replica (the
+    * standard MERGE shape — at scale both sides bucket on k and the
+    * join co-locates); censuses are partial-agg rollups. No unchanged
+    * source file is ever reread.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("k"))).head().getLong(0)
+    val mxb = mx - mx % 4
+    // snapshot-2 / snapshot-3 insert batches (keys past mx, in the
+    // rewritten file's bucket so each commit stays one-file-wide)
+    val ins1 = (0 until 10).map(i => (mxb + 4L * (i + 1) + 2L, 1000000L + 7L * i))
+    val ins2 = (0 until 5).map(i => (mxb + 4L * (i + 1) + 1L, 2000000L + 11L * i))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s56_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+
+      val baseFiles = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      commit(dbFile, 0L, 1L, baseFiles)
+
+      def rewrite(
+          parent: Long, snap: Long, bucket: Long,
+          delMod: Long, updMod: Long, bump: Long,
+          ins: Seq[(Long, Long)], out: String): Unit = {
+        val affected = prunePaths(dbFile, parent, Seq(bucket))
+        val carried = manifest(dbFile, parent).filterNot(f => affected.contains(f._1))
+        spark.read.parquet(affected: _*)
+          .filter(col("k") % 20 =!= delMod)
+          .withColumn("cents",
+            when(col("k") % 20 === updMod, col("cents") + bump).otherwise(col("cents")))
+          .unionByName(ins.toDF("k", "cents"))
+          .repartition(1).write.parquet(out)
+        val nf = partFiles(spark, out)
+        recordStats(dbFile, nf.map(p => (p._1, bucket)))
+        commit(dbFile, parent, snap, carried ++ nf)
+      }
+      rewrite(1L, 2L, 2L, 6L, 2L, 1000L, ins1, s"$base/m1")
+      rewrite(2L, 3L, 1L, 13L, 17L, 500L, ins2, s"$base/m2")
+
+      // replica bootstrap: full copy of snapshot 1, its OWN layout
+      spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+        .repartition(2).write.parquet(s"$base/rep1")
+
+      def applyStep(
+          step: Long, pre: Long, post: Long,
+          repIn: String, repOut: String) = {
+        val mfPre = manifest(dbFile, pre).map(_._1).toSet
+        val mfPost = manifest(dbFile, post).map(_._1).toSet
+        val removed = (mfPre -- mfPost).toSeq.sorted
+        val added = (mfPost -- mfPre).toSeq.sorted
+        val preDf = spark.read.parquet(removed: _*)
+          .select(col("k").as("rk"), col("cents").as("pre_cents"))
+        val postDf = spark.read.parquet(added: _*)
+          .select(col("k").as("ak"), col("cents").as("post_cents"))
+        val changes = preDf
+          .join(postDf, col("rk") === col("ak"), "full_outer")
+          .withColumn("change_type",
+            when(col("ak").isNull, lit("delete"))
+              .when(col("rk").isNull, lit("insert"))
+              .when(col("pre_cents") =!= col("post_cents"), lit("update"))
+              .otherwise(lit("noop")))
+          .filter(col("change_type") =!= "noop")
+        spark.read.parquet(repIn)
+          .join(
+            changes.filter(col("change_type").isin("delete", "update"))
+              .select(col("rk").as("k")),
+            Seq("k"), "left_anti")
+          .unionByName(
+            changes.filter(col("change_type").isin("insert", "update"))
+              .select(col("ak").as("k"), col("post_cents").as("cents")))
+          .repartition(2).write.parquet(repOut)
+        val cc = changes.groupBy(col("change_type")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val repC = spark.read.parquet(repOut)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        val srcC = spark.read.parquet(manifest(dbFile, post).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (step,
+          cc.getOrElse("delete", 0L), cc.getOrElse("update", 0L),
+          cc.getOrElse("insert", 0L), (removed.size + added.size).toLong,
+          repC.getLong(0), repC.getLong(1), srcC.getLong(0), srcC.getLong(1),
+          repC.getLong(0) == srcC.getLong(0) && repC.getLong(1) == srcC.getLong(1))
+      }
+      // materialize before withTempTableDir deletes the staged parquet
+      val rows = Seq(
+        applyStep(1L, 1L, 2L, s"$base/rep1", s"$base/rep2"),
+        applyStep(2L, 2L, 3L, s"$base/rep2", s"$base/rep3"))
+      rows
+        .toDF("step", "n_delete", "n_update", "n_insert", "n_files_diff",
+          "replica_rows", "replica_cents", "src_rows", "src_cents", "apply_ok")
+        .orderBy("step")
+    } else {
+      // honest fallback: predicate arithmetic; n_files_diff=0 fails
+      // the oracle's 2
+      val agg = o.agg(
+        sum(when(col("k") % 20 === 6, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 6, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 2, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 13, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 13, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 17, lit(1L)).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      val (nd1, sd1, nu1) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val (nd2, sd2, nu2) = (agg.getLong(3), agg.getLong(4), agg.getLong(5))
+      val (n, s) = (agg.getLong(6), agg.getLong(7))
+      val n2 = n - nd1 + ins1.size
+      val s2 = s - sd1 + 1000L * nu1 + ins1.map(_._2).sum
+      val n3 = n2 - nd2 + ins2.size
+      val s3 = s2 - sd2 + 500L * nu2 + ins2.map(_._2).sum
+      Seq(
+        (1L, nd1, nu1, ins1.size.toLong, 0L, n2, s2, n2, s2, true),
+        (2L, nd2, nu2, ins2.size.toLong, 0L, n3, s3, n3, s3, true))
+        .toDF("step", "n_delete", "n_update", "n_insert", "n_files_diff",
+          "replica_rows", "replica_cents", "src_rows", "src_cents", "apply_ok")
+        .orderBy("step")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // s57 — multi-dimensional (z-order) clustering + box skipping
+  // ------------------------------------------------------------------
+
+  private[graft] def initColStats2(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE col_stats2(
+          |path VARCHAR PRIMARY KEY,
+          |min_x BIGINT NOT NULL, max_x BIGINT NOT NULL,
+          |min_y BIGINT NOT NULL, max_y BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordColStats2(
+      dbFile: String,
+      stats: Seq[(String, Long, Long, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO col_stats2 VALUES (?, ?, ?, ?, ?)")
+      try stats.foreach { case (p, mnx, mxx, mny, mxy) =>
+        ps.setString(1, p)
+        ps.setLong(2, mnx)
+        ps.setLong(3, mxx)
+        ps.setLong(4, mny)
+        ps.setLong(5, mxy)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** Snapshot N's data files whose recorded per-file (x, y) stat ranges
+    * BOTH overlap the query box — pruneByRange in two dimensions, still
+    * a pure metadata join (manifest rows × file stats, zero data
+    * reads). */
+  private[graft] def pruneByBox(
+      dbFile: String,
+      snapshotId: Long,
+      xlo: Long, xhi: Long,
+      ylo: Long, yhi: Long): Seq[String] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path FROM manifests m JOIN col_stats2 s ON m.path = s.path
+             WHERE m.snapshot_id = $snapshotId
+             AND s.max_x >= $xlo AND s.min_x <= $xhi
+             AND s.max_y >= $ylo AND s.min_y <= $yhi
+             ORDER BY m.path""")
+        .map(_.head.toString)
+    }
+
+  /** writeBucketed for the two-dimensional stats: write df (columns
+    * k, cents, x, y, g) partitioned by g and return per file
+    * (path, n_rows, min_x, max_x, min_y, max_y) from ONE census job
+    * (same containment discipline as writeBucketed). */
+  private def writeBucketed2(
+      spark: SparkSession,
+      df: DataFrame,
+      out: String): Seq[(String, Long, Long, Long, Long, Long)] = {
+    df.repartition(col("g")).write.partitionBy("g").parquet(out)
+    val listed = new java.io.File(out)
+      .listFiles().filter(_.getName.startsWith("g="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(_.getAbsolutePath)
+      .sorted.toSeq
+    val stats = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_path"))
+      .agg(
+        count(lit(1)),
+        min(col("x")), max(col("x")),
+        min(col("y")), max(col("y")))
+      .collect()
+      .map(r => (
+        new java.net.URI(r.getString(0)).getPath,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val listedSet = listed.toSet
+    val strays = stats.keys.filterNot(listedSet.contains)
+    require(
+      strays.isEmpty,
+      s"stats census under $out produced ${strays.size} path(s) not in the " +
+        s"directory listing: ${strays.take(3).mkString(", ")}")
+    require(
+      listed.forall(stats.contains),
+      s"bucketed write under $out listed a file with no census group — " +
+        "partitionBy never writes empty files, so this is a census defect")
+    listed.map { p =>
+      val (n, mnx, mxx, mny, mxy) = stats(p)
+      (p, n, mnx, mxx, mny, mxy)
+    }
+  }
+
+  /** s57 — MULTI-DIMENSIONAL clustering (Delta OPTIMIZE ZORDER BY /
+    * Iceberg rewrite with a z sort order) + box skipping: s52 proved
+    * min/max stats prune a range predicate once files are clustered on
+    * THAT column; this is the two-column sequel — a LINEAR layout
+    * (files keyed by x alone) answers an (x, y) box by pruning only on
+    * x and a y-stripe not at all, while the Z-ORDER rewrite (files =
+    * blocks of the bit-interleaved (x, y) key) bounds BOTH dimensions
+    * per file. Lifecycle:
+    *
+    *   - dims: x = k % 16, y = cents % 16 (independent by
+    *     construction); 16 files in both layouts — the comparison is
+    *     layout-only, never file-count;
+    *   - snapshot 1: linear layout, file = x value (each file's y
+    *     range spans ~the whole domain);
+    *   - snapshot 2: z-order rewrite of exactly snapshot 1's rows —
+    *     file = the top 4 interleaved bits x3 y3 x2 y2, i.e. each file
+    *     is one 4×4 block of the (x, y) grid;
+    *   - queries: an (x ∈ [4,7], y ∈ [8,11]) box — one grid block —
+    *     and a y ∈ [0,3] stripe; planning is pruneByBox (a metadata
+    *     join over the per-file 2-D stats, zero data reads);
+    *   - per (layout, query) row: files, files scanned, and the pruned
+    *     census — which must equal the direct full-scan predicate
+    *     census (scan_ok, censuses in-hash). Expected shape: the box
+    *     scans 4 linear files but 1 z-file; the stripe scans ALL 16
+    *     linear files but 4 z-files.
+    *
+    * Scale shape: identical to s52 — planning cost ∝ manifest rows
+    * (the r16g tablefmt ScaleProbe curves), and the z rewrite is one
+    * shuffle by file key. The oracle recomputes every census AND every
+    * scanned-file count from the same g arithmetic over `orders` —
+    * stats are grouped actual min/max, so both engines agree even
+    * where a sparse file doesn't span its block.
+    */
+  def zorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val d = o
+      .withColumn("x", pmod(col("k"), lit(16L)))
+      .withColumn("y", pmod(col("cents"), lit(16L)))
+    val zKey =
+      "((x div 8) % 2) * 8 + ((y div 8) % 2) * 4 + ((x div 4) % 2) * 2 + ((y div 4) % 2)"
+    val queries = Seq(
+      ("box_xy", 4L, 7L, 8L, 11L),
+      ("stripe_y", 0L, 15L, 0L, 3L))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s57_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initColStats2(dbFile)
+
+      val f1 = writeBucketed2(spark, d.withColumn("g", col("x")), s"$base/lin")
+      recordColStats2(dbFile, f1.map(f => (f._1, f._3, f._4, f._5, f._6)))
+      val c1 = commit(dbFile, 0L, 1L, f1.map(f => (f._1, f._2)))
+
+      val f2 = writeBucketed2(
+        spark,
+        spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+          .select(col("k"), col("cents"), col("x"), col("y"))
+          .withColumn("g", expr(zKey)),
+        s"$base/z")
+      recordColStats2(dbFile, f2.map(f => (f._1, f._3, f._4, f._5, f._6)))
+      val c2 = commit(dbFile, 1L, 2L, f2.map(f => (f._1, f._2)))
+      val committed = c1 && c2 && currentSnapshot(dbFile) == 2L
+
+      val rows = for {
+        (layout, snap) <- Seq(("linear", 1L), ("zorder", 2L))
+        (qn, xlo, xhi, ylo, yhi) <- queries
+      } yield {
+        val scanned = pruneByBox(dbFile, snap, xlo, xhi, ylo, yhi)
+        val boxPred = col("x").between(xlo, xhi) && col("y").between(ylo, yhi)
+        val sel = spark.read.parquet(scanned: _*)
+          .filter(boxPred)
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+        val direct = d.filter(boxPred)
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+        val ok = committed &&
+          sel.getLong(0) == direct.getLong(0) &&
+          sel.getLong(1) == direct.getLong(1)
+        (layout, qn, manifest(dbFile, snap).size.toLong, scanned.size.toLong,
+          direct.getLong(0), direct.getLong(1), ok)
+      }
+      rows
+        .toDF("layout", "query", "n_files", "n_scanned", "n_sel", "sum_sel",
+          "scan_ok")
+        .orderBy("layout", "query")
+    } else {
+      // honest fallback: group arithmetic only; scan_ok=false fails the
+      // oracle's TRUE
+      val rows = for {
+        (layout, gExpr) <- Seq(("linear", "x"), ("zorder", zKey))
+        (qn, xlo, xhi, ylo, yhi) <- queries
+      } yield {
+        val g = d.groupBy(expr(gExpr))
+          .agg(
+            min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+            min(col("y")).as("mny"), max(col("y")).as("mxy"))
+        val nf = g.count()
+        val ov = g.filter(
+          col("mxx") >= xlo && col("mnx") <= xhi &&
+            col("mxy") >= ylo && col("mny") <= yhi).count()
+        val direct = d
+          .filter(col("x").between(xlo, xhi) && col("y").between(ylo, yhi))
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+        (layout, qn, nf, ov, direct.getLong(0), direct.getLong(1), false)
+      }
+      rows
+        .toDF("layout", "query", "n_files", "n_scanned", "n_sel", "sum_sel",
+          "scan_ok")
+        .orderBy("layout", "query")
+    }
+  }
 }

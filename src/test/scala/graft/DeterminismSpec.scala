@@ -98,7 +98,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q193_curation_funnel",   // map-side gate flags + prefix-key dedup window (r17)
     "q194_incremental_dedup", // fingerprint-store anti-join + increment dedup window (r17)
     "s55_commit_constraints", // stats-validated reject + clean-retry censuses (r17)
-    "q195_dataset_card"       // modular content digests + packed-key lang argmax (r17)
+    "q195_dataset_card",      // modular content digests + packed-key lang argmax (r17)
+    "s56_cdc_apply",          // manifest-diff changelog apply + replica censuses (r17)
+    "q196_gopher_coverage",   // char-coverage repetition bp + keep gates (r17)
+    "s57_zorder_skipping",    // 2-D stats pruning under both layouts (r17)
+    "q197_surprisal_filter"   // integer half-bit LM scores + bucket cuts (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

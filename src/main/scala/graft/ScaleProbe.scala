@@ -42,7 +42,7 @@ object ScaleProbe {
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
-        "mor", "morupsert", "tablefmt", "skipping"))
+        "mor", "morupsert", "tablefmt", "skipping", "textquality"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -777,6 +777,37 @@ object ScaleProbe {
       println(
         f"[scale] text growth: docs x${txN.toDouble / tx0}%.0f, q168 time x${taN / ta0}%.1f, " +
           f"q170 time x${tbN / tb0}%.1f (two-level prefix sums / register reduce predict ~scan-linear)")
+    }
+
+    // r17 text-quality curves: q196 (one (doc, 2-gram) partial-agg
+    // census + doc-keyed join-back) predicts ~scan-linear; q197 is the
+    // interesting one — widenedDocs renames the vocabulary per copy, so
+    // the corpus grows with MOSTLY-NEW WORDS and the vocab frame (and
+    // the census×vocab join's build side) grows ×m with the data. A
+    // vocab handled as a broadcast pin would fall over exactly here;
+    // the shuffle-join shape should stay ~scan-linear.
+    if (enabled("textquality")) {
+      val q196 = SparkEntry.queries("q196_gopher_coverage")
+      val q197 = SparkEntry.queries("q197_surprisal_filter")
+      val tqResults = mults.map { m =>
+        val dir = docDirs(m)
+        val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+        q196(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        q197(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        q196(spark, dir).write.format("noop").mode("overwrite").save()
+        val sA = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        q197(spark, dir).write.format("noop").mode("overwrite").save()
+        val sB = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] x$m%-3d docs=$rows%9d  q196_coverage=$sA%7.2f s  q197_surprisal=$sB%7.2f s")
+        (m, rows, sA, sB)
+      }
+      val (_, tq0, tqa0, tqb0) = tqResults.head
+      val (_, tqN, tqaN, tqbN) = tqResults.last
+      println(
+        f"[scale] textquality growth: docs x${tqN.toDouble / tq0}%.0f, q196 time x${tqaN / tqa0}%.1f, " +
+          f"q197 time x${tqbN / tqb0}%.1f (gram census / vocab-growing join predict ~scan-linear)")
     }
 
     // Streaming rows-per-epoch probe (s30's key-bounded upsert, s33's

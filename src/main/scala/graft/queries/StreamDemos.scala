@@ -1642,6 +1642,94 @@ object StreamDemos {
           sel.n AS n_sel, sel.s AS sum_sel, TRUE AS scan_ok
         FROM scan JOIN sel ON scan.qn = sel.qn
         ORDER BY layout, query""")
+    ),
+    // s58: small-file bin-packing compaction (SnapshotLog
+    // .binpackCompaction scaladoc) — Delta OPTIMIZE / Iceberg binpack:
+    // a micro-batched ingest leaves 4 small files per bucket; the plan
+    // (pure log metadata: manifest × stats, n_rows < total/6, groups
+    // ≥ 2) selects exactly the 8 small files in 2 groups, never the
+    // large bucket-2 file; the rewrite lands 9 → 3 files with the
+    // large file CARRIED BY PATH, censuses neutral, and snapshot 1
+    // still reading as 9 files. Oracle: construction constants + the
+    // orders census, compact_ok TRUE.
+    Q(
+      "s58_binpack_compaction",
+      (s, dir) => graft.sinks.SnapshotLog.binpackCompaction(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        SELECT CAST(9 AS BIGINT) AS n_files_s1,
+          CAST(8 AS BIGINT) AS n_small_planned,
+          CAST(2 AS BIGINT) AS n_groups,
+          CAST(3 AS BIGINT) AS n_files_s2,
+          CAST(9 AS BIGINT) AS n_files_tt1,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          TRUE AS compact_ok
+        FROM o ORDER BY n_files_s1""")
+    ),
+    // s59: streaming data-quality monitor (StreamQuality scaladoc) —
+    // q193's gates per ingest epoch with a keep-rate floor (500 bp,
+    // measured LIVE: epoch 0 trips it at sf0.01 and not at
+    // sf0.001/sf0.1); per epoch one map-side census row, nothing
+    // carried between epochs. Oracle: the identical gate arithmetic
+    // over the doc_id<250 / ≥250 epoch slices (the stageDocBatches
+    // split), stream ≡ batch under AvailableNow.
+    Q(
+      "s59_stream_quality_monitor",
+      (s, dir) => graft.streaming.StreamQuality.streamQualityMonitor(s, dir),
+      Some(s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+            CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS epoch FROM documents),
+        f AS (SELECT epoch, lang, CAST(len(ws) AS BIGINT) AS nw,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS ndw,
+            CAST(list_sum(list_transform(ws, w ->
+              ((${graft.oracle.OracleSql.h60("w")} % 64)
+                * (${graft.oracle.OracleSql.h60("w")} % 64) * 31
+                + (${graft.oracle.OracleSql.h60("w")} % 64) * 7) % 21 - 10))
+              AS BIGINT) AS logit
+          FROM d),
+        g AS (SELECT epoch, lang = 'en' AS f_lang,
+            lang = 'en' AND nw BETWEEN 40 AND 90 AS f_len,
+            lang = 'en' AND nw BETWEEN 40 AND 90 AND ndw * 100 >= nw * 40
+              AS f_rep,
+            lang = 'en' AND nw BETWEEN 40 AND 90 AND ndw * 100 >= nw * 40
+              AND logit >= 0 AS f_keep
+          FROM f),
+        e AS (SELECT CAST(epoch AS BIGINT) AS epoch,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+            CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+            CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+            CAST(sum(CASE WHEN f_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+          FROM g GROUP BY epoch)
+        SELECT epoch, n_docs, n_lang, n_len, n_rep, n_keep,
+          CAST(n_keep * 10000 // n_docs AS BIGINT) AS keep_bp,
+          n_keep * 10000 // n_docs
+            < ${graft.streaming.StreamQuality.KeepFloorBp} AS breach
+        FROM e ORDER BY epoch""")
+    ),
+    // s60: commit retry with rebase (SnapshotLog.commitRetryRebase
+    // scaladoc) — the optimistic-concurrency loop of a multi-writer
+    // table: writer B's stale-parent commit rejects cleanly, the rebase
+    // re-proposes the SAME staged file on the new head (appends are
+    // conflict-free by construction; data written once, retries are
+    // metadata-only), snapshot 2 = base + A only, snapshot 3 = all
+    // three writers' rows. Oracle: census arithmetic + insert-batch
+    // constants (A: Σ(3000000+13i, i<10) = 30000585; B:
+    // Σ(4000000+17i, i<10) = 40000765).
+    Q(
+      "s60_commit_retry_rebase",
+      (s, dir) => graft.sinks.SnapshotLog.commitRetryRebase(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT b.n AS n_rows_base, CAST(10 AS BIGINT) AS n_a,
+          CAST(10 AS BIGINT) AS n_b,
+          TRUE AS first_b_rejected, TRUE AS rebase_committed,
+          b.n + 10 AS n_rows_s2, b.n + 20 AS n_rows_s3,
+          b.s + 30000585 + 40000765 AS sum_cents_s3,
+          TRUE AS retry_ok
+        FROM b ORDER BY n_rows_base""")
     )
   )
 }

@@ -3485,6 +3485,275 @@ object TextQueries {
         SELECT doc_id, n_tokens, half_bits, score_mbt, bucket,
           CAST(CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM bk ORDER BY doc_id""")
+    ),
+    // q198: FILTER ABLATION report — the diagnostic table beside q193's
+    // sequential funnel (C4 §4 / Gopher A2 ablations): each gate
+    // evaluated INDEPENDENTLY on every doc (q193's gates nest, so a doc
+    // killed by language never reaches the length gate and the funnel
+    // can't say which gates matter), then per gate: docs failing it,
+    // docs failing ONLY it (unique kills — the gate's marginal
+    // contribution; a gate with fails >> unique kills is redundant with
+    // the others), and the fail rate in bp. The dedup gate is the
+    // corpus-wide min-doc_id-per-prefix-key rule (independent form, not
+    // q193's survivors-only form — that independence is the point of an
+    // ablation). A summary 'any_gate' row: docs failing ≥ 1 gate /
+    // exactly 1 gate.
+    //
+    // Scale shape: every per-doc flag INCLUDING the classifier logit is
+    // map-side on one scan (the q193 integer aggregate() HOF — no
+    // explode); the dedup flag is one pkey window (the q194 shuffle
+    // class); the report is a 6-key groupBy over the map-side exploded
+    // gate structs — partial-agg does all the work, output is
+    // gate-domain-bounded.
+    Q(
+      "q198_filter_ablation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = Hashing.words(col("text"))
+        val feat = Tables.documents(s, dir)
+          .select(
+            col("doc_id"), col("lang"),
+            size(ws).cast("long").as("nw"),
+            size(array_distinct(ws)).cast("long").as("ndw"),
+            md5(concat_ws(" ", slice(ws, 1, 8))).as("pkey"),
+            aggregate(
+              transform(ws, w => {
+                val bb = pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(64L))
+                (bb * bb * 31L + bb * 7L) % 21L - 10L
+              }),
+              lit(0L), (acc, x) => acc + x).as("logit"))
+          .withColumn("g_lang", col("lang") === "en")
+          .withColumn("g_len", col("nw").between(40L, 90L))
+          .withColumn("g_rep", col("ndw") * 100L >= col("nw") * 40L)
+          .withColumn("g_clf", col("logit") >= 0L)
+          .withColumn("g_dedup",
+            col("doc_id") === min(col("doc_id")).over(Window.partitionBy("pkey")))
+        val nf = expr(
+          """CAST(NOT g_lang AS LONG) + CAST(NOT g_len AS LONG)
+            + CAST(NOT g_rep AS LONG) + CAST(NOT g_clf AS LONG)
+            + CAST(NOT g_dedup AS LONG)""")
+        val gateRow = (name: String, g: org.apache.spark.sql.Column) =>
+          struct(
+            lit(name).as("gate"),
+            when(!g, 1L).otherwise(0L).as("fail"),
+            when(!g && nf === 1L, 1L).otherwise(0L).as("uniq"))
+        feat
+          .select(explode(array(
+            gateRow("lang", col("g_lang")),
+            gateRow("length", col("g_len")),
+            gateRow("repetition", col("g_rep")),
+            gateRow("classifier", col("g_clf")),
+            gateRow("dedup", col("g_dedup")),
+            struct(
+              lit("any_gate").as("gate"),
+              when(nf >= 1L, 1L).otherwise(0L).as("fail"),
+              when(nf === 1L, 1L).otherwise(0L).as("uniq")))).as("r"))
+          .select(col("r.gate").as("gate"), col("r.fail").as("fail"),
+            col("r.uniq").as("uniq"))
+          .groupBy(col("gate"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(col("fail")).as("n_fail"),
+            sum(col("uniq")).as("n_unique"))
+          .withColumn("fail_bp", expr("n_fail * 10000 div n_total"))
+          .orderBy("gate")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+            string_split(text, ' ') AS ws FROM documents),
+        f AS (SELECT doc_id, lang,
+            CAST(len(ws) AS BIGINT) AS nw,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS ndw,
+            md5(array_to_string(ws[1:8], ' ')) AS pkey,
+            CAST(list_sum(list_transform(ws, w ->
+              ((${h60("w")} % 64) * (${h60("w")} % 64) * 31
+                + (${h60("w")} % 64) * 7) % 21 - 10)) AS BIGINT) AS logit
+          FROM d),
+        g AS (SELECT doc_id,
+            lang = 'en' AS g_lang,
+            nw BETWEEN 40 AND 90 AS g_len,
+            ndw * 100 >= nw * 40 AS g_rep,
+            logit >= 0 AS g_clf,
+            doc_id = min(doc_id) OVER (PARTITION BY pkey) AS g_dedup
+          FROM f),
+        n AS (SELECT *,
+            CAST(NOT g_lang AS BIGINT) + CAST(NOT g_len AS BIGINT)
+              + CAST(NOT g_rep AS BIGINT) + CAST(NOT g_clf AS BIGINT)
+              + CAST(NOT g_dedup AS BIGINT) AS nf
+          FROM g),
+        r AS (
+          SELECT 'lang' AS gate,
+            CASE WHEN NOT g_lang THEN 1 ELSE 0 END AS fail,
+            CASE WHEN NOT g_lang AND nf = 1 THEN 1 ELSE 0 END AS uniq FROM n
+          UNION ALL SELECT 'length',
+            CASE WHEN NOT g_len THEN 1 ELSE 0 END,
+            CASE WHEN NOT g_len AND nf = 1 THEN 1 ELSE 0 END FROM n
+          UNION ALL SELECT 'repetition',
+            CASE WHEN NOT g_rep THEN 1 ELSE 0 END,
+            CASE WHEN NOT g_rep AND nf = 1 THEN 1 ELSE 0 END FROM n
+          UNION ALL SELECT 'classifier',
+            CASE WHEN NOT g_clf THEN 1 ELSE 0 END,
+            CASE WHEN NOT g_clf AND nf = 1 THEN 1 ELSE 0 END FROM n
+          UNION ALL SELECT 'dedup',
+            CASE WHEN NOT g_dedup THEN 1 ELSE 0 END,
+            CASE WHEN NOT g_dedup AND nf = 1 THEN 1 ELSE 0 END FROM n
+          UNION ALL SELECT 'any_gate',
+            CASE WHEN nf >= 1 THEN 1 ELSE 0 END,
+            CASE WHEN nf = 1 THEN 1 ELSE 0 END FROM n)
+        SELECT gate, CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(fail) AS BIGINT) AS n_fail,
+          CAST(sum(uniq) AS BIGINT) AS n_unique,
+          CAST(sum(fail) * 10000 // count(*) AS BIGINT) AS fail_bp
+        FROM r GROUP BY gate ORDER BY gate""")
+    ),
+    // q199: PADDING-EFFICIENCY report — the context-length decision
+    // table a trainer reads before choosing max_seq_len: for each
+    // candidate L, the window count and pad-token waste under the two
+    // batching regimes — PAD-PER-DOC (each doc alone in ceil(toks/L)
+    // windows, the fine-tuning default) vs CONCAT-PACK (q168's
+    // regime: each source's token stream packed contiguously, waste
+    // ≤ L−1 per source). nopack_pad − pack_pad is exactly the compute
+    // a packed loader saves; the bp efficiencies make the L tradeoff
+    // one table. Integer-exact: windows = (t + L−1) div L, pad =
+    // windows·L − tokens.
+    //
+    // Scale shape: one scan → a 1-row global aggregate (per-L ceil
+    // sums ride the same partial agg) and a source-keyed rollup
+    // (~20 groups) re-aggregated to 1 row; the report is the
+    // broadcast crossJoin of the two 1-row frames unioned per L.
+    // Nothing joins or shuffles the corpus beyond the source census.
+    Q(
+      "q199_padding_efficiency",
+      (s, dir) => {
+        val Ls = Seq(64L, 128L, 256L)
+        val ds = Tables.documents(s, dir)
+          .select(col("source"), size(ws).cast("long").as("toks"))
+        val aCols = Seq(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens")) ++
+          Ls.map(l => sum(when(col("toks") > 0L,
+            expr(s"(toks + ${l - 1}) div $l")).otherwise(lit(0L)))
+            .as(s"w$l"))
+        val aAgg = ds.agg(aCols.head, aCols.tail: _*)
+        val pCols = Ls.map(l => sum(when(col("st") > 0L,
+          expr(s"(st + ${l - 1}) div $l")).otherwise(lit(0L)))
+          .as(s"p$l"))
+        val pAgg = ds.groupBy(col("source"))
+          .agg(sum(col("toks")).as("st"))
+          .agg(pCols.head, pCols.tail: _*)
+        val joined = aAgg.crossJoin(broadcast(pAgg))
+        Ls.map { l =>
+          joined.select(
+            lit(l).as("max_len"),
+            col("n_docs"), col("n_tokens"),
+            col(s"w$l").as("nopack_windows"),
+            (col(s"w$l") * l - col("n_tokens")).as("nopack_pad"),
+            expr(s"(n_tokens * 10000) div (w$l * $l)").as("nopack_eff_bp"),
+            col(s"p$l").as("pack_windows"),
+            (col(s"p$l") * l - col("n_tokens")).as("pack_pad"),
+            expr(s"(n_tokens * 10000) div (p$l * $l)").as("pack_eff_bp"))
+        }.reduce(_ unionByName _).orderBy("max_len")
+      },
+      Some {
+        val Ls = Seq(64L, 128L, 256L)
+        val aCols = Ls.map(l =>
+          s"CAST(sum((toks + ${l - 1}) // $l) AS BIGINT) AS w$l").mkString(", ")
+        val pCols = Ls.map(l =>
+          s"CAST(sum((st + ${l - 1}) // $l) AS BIGINT) AS p$l").mkString(", ")
+        val selects = Ls.map(l =>
+          s"""SELECT CAST($l AS BIGINT) AS max_len, n_docs, n_tokens,
+            w$l AS nopack_windows,
+            CAST(w$l * $l - n_tokens AS BIGINT) AS nopack_pad,
+            CAST(n_tokens * 10000 // (w$l * $l) AS BIGINT) AS nopack_eff_bp,
+            p$l AS pack_windows,
+            CAST(p$l * $l - n_tokens AS BIGINT) AS pack_pad,
+            CAST(n_tokens * 10000 // (p$l * $l) AS BIGINT) AS pack_eff_bp
+          FROM a, p""").mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens, $aCols FROM d),
+          s AS (SELECT source, CAST(sum(toks) AS BIGINT) AS st
+            FROM d GROUP BY source),
+          p AS (SELECT $pCols FROM s)
+          $selects ORDER BY max_len"""
+      }
+    ),
+    // q200: CURATION-VERSION DIFF — the regression report between two
+    // releases of the same pipeline (dataset versioning: before
+    // shipping v2 of a filter config, quantify exactly what moved).
+    // v1 = q193's gates (length 40-90, logit ≥ 0); v2 widens the
+    // length window to 30-100 but tightens the classifier to logit ≥ 5
+    // — a realistic config change where the diff runs BOTH ways
+    // (measured: +13/−1 docs at sf0.001, +16/−2 at sf0.01 — live in
+    // both directions). Per source: kept under each version, added
+    // (v2-only), removed (v1-only), and churn in bp of the source's
+    // docs — the number a release review reads first (high churn with
+    // flat kept-counts means the versions keep DIFFERENT docs, a
+    // silent distribution shift).
+    //
+    // Scale shape: both versions' flags are map-side on the SAME scan
+    // (one pass computes nw/ndw/logit once; the configs differ only in
+    // thresholds, so the diff costs one corpus read, not two pipeline
+    // runs); one ~20-group source rollup carries the whole report.
+    Q(
+      "q200_curation_diff",
+      (s, dir) => {
+        val ws = Hashing.words(col("text"))
+        val feat = Tables.documents(s, dir)
+          .select(
+            col("source"), col("lang"),
+            size(ws).cast("long").as("nw"),
+            size(array_distinct(ws)).cast("long").as("ndw"),
+            aggregate(
+              transform(ws, w => {
+                val bb = pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(64L))
+                (bb * bb * 31L + bb * 7L) % 21L - 10L
+              }),
+              lit(0L), (acc, x) => acc + x).as("logit"))
+          .withColumn("base",
+            col("lang") === "en" && col("ndw") * 100L >= col("nw") * 40L)
+          .withColumn("v1",
+            col("base") && col("nw").between(40L, 90L) && col("logit") >= 0L)
+          .withColumn("v2",
+            col("base") && col("nw").between(30L, 100L) && col("logit") >= 5L)
+        feat.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("v1"), 1L).otherwise(0L)).as("kept_v1"),
+            sum(when(col("v2"), 1L).otherwise(0L)).as("kept_v2"),
+            sum(when(col("v2") && !col("v1"), 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("v1") && !col("v2"), 1L).otherwise(0L)).as("n_removed"))
+          .withColumn("churn_bp",
+            expr("(n_added + n_removed) * 10000 div n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source, lang,
+            string_split(text, ' ') AS ws FROM documents),
+        f AS (SELECT source, lang,
+            CAST(len(ws) AS BIGINT) AS nw,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS ndw,
+            CAST(list_sum(list_transform(ws, w ->
+              ((${h60("w")} % 64) * (${h60("w")} % 64) * 31
+                + (${h60("w")} % 64) * 7) % 21 - 10)) AS BIGINT) AS logit
+          FROM d),
+        g AS (SELECT source,
+            lang = 'en' AND ndw * 100 >= nw * 40
+              AND nw BETWEEN 40 AND 90 AND logit >= 0 AS v1,
+            lang = 'en' AND ndw * 100 >= nw * 40
+              AND nw BETWEEN 30 AND 100 AND logit >= 5 AS v2
+          FROM f)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_v1,
+          CAST(sum(CASE WHEN v2 THEN 1 ELSE 0 END) AS BIGINT) AS kept_v2,
+          CAST(sum(CASE WHEN v2 AND NOT v1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_added,
+          CAST(sum(CASE WHEN v1 AND NOT v2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+          CAST((sum(CASE WHEN v2 AND NOT v1 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN v1 AND NOT v2 THEN 1 ELSE 0 END)) * 10000
+            // count(*) AS BIGINT) AS churn_bp
+        FROM g GROUP BY source ORDER BY source""")
     )
   )
 

@@ -3425,4 +3425,238 @@ object SnapshotLog {
         .orderBy("layout", "query")
     }
   }
+
+  // ------------------------------------------------------------------
+  // s58 — small-file bin-packing compaction (OPTIMIZE)
+  // ------------------------------------------------------------------
+
+  /** The bin-pack PLAN, computed purely from log metadata: snapshot N's
+    * manifest rows joined to the partition stats, filtered to files
+    * with n_rows < threshold, grouped by bucket — only groups of ≥ 2
+    * small files are worth a rewrite (one small file alone gains
+    * nothing). Zero data reads; at 100 TB this is the planning query
+    * Delta's OPTIMIZE runs over its own metadata.
+    */
+  private[graft] def planBinpack(
+      dbFile: String,
+      snapshotId: Long,
+      threshold: Long): Seq[(Long, Seq[String])] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT f.bucket, m.path
+             FROM manifests m JOIN file_stats f ON m.path = f.path
+             WHERE m.snapshot_id = $snapshotId AND m.n_rows < $threshold
+             ORDER BY f.bucket, m.path""")
+        .map(r => (r(0).asInstanceOf[Number].longValue, r(1).toString))
+        .groupBy(_._1)
+        .map { case (b, rows) => (b, rows.map(_._2)) }
+        .filter(_._2.size >= 2)
+        .toSeq
+        .sortBy(_._1)
+    }
+
+  /** s58 — SMALL-FILE bin-packing compaction (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files binpack): the #1 operational problem of a
+    * streamed-into table is thousands of tiny files per partition; the
+    * fix is a metadata-planned rewrite that coalesces each partition's
+    * small files into target-sized ones WITHOUT touching large files
+    * or changing a single row. Lifecycle:
+    *
+    *   - snapshot 1: bucket 0 and 1 (k%3) land as 4 small sub-files
+    *     each (a micro-batched ingest's footprint); bucket 2 lands as
+    *     ONE large file — 9 files;
+    *   - the PLAN is pure log metadata (planBinpack: manifest ×
+    *     partition stats, n_rows < threshold, per-bucket groups of
+    *     ≥ 2); threshold = total/6 sits between the small (~total/12)
+    *     and large (~total/3) sizes by construction — 8 files in 2
+    *     groups; the large file is NOT selected;
+    *   - the compaction rewrites each group into one file and commits
+    *     snapshot 2 carrying the untouched large file: 9 → 3 files;
+    *   - audits, all in-hash: the plan's shape (n_small, n_groups, the
+    *     large file carried — its path survives into snapshot 2's
+    *     manifest), census neutrality (snapshot-2 census == snapshot-1
+    *     census == direct recompute), and time travel (snapshot 1
+    *     still reads as 9 files with the same census — compaction
+    *     never rewrites history).
+    *
+    * Scale shape: planning is metadata-bounded (manifest rows); the
+    * rewrite reads exactly the small files (never the large one) and
+    * shuffles nothing — each group coalesces to one writer.
+    */
+  def binpackCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s58_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+
+      val small = for (b <- 0L to 1L; sub <- 0L to 3L) yield {
+        val out = s"$base/f${b}_$sub"
+        o.filter(col("k") % 3 === b && expr("(k div 3) % 4") === sub)
+          .repartition(1).write.parquet(out)
+        val pf = partFiles(spark, out)
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      o.filter(col("k") % 3 === 2).repartition(1).write.parquet(s"$base/f2")
+      val big = partFiles(spark, s"$base/f2")
+      recordStats(dbFile, big.map(p => (p._1, 2L)))
+      val s1Files = small.flatten ++ big
+      val c1 = commit(dbFile, 0L, 1L, s1Files)
+
+      // metadata-only planning
+      val total = s1Files.map(_._2).sum
+      val threshold = total / 6L
+      val plan = planBinpack(dbFile, 1L, threshold)
+      val planned = plan.flatMap(_._2).toSet
+      val carried = manifest(dbFile, 1L).filterNot(f => planned.contains(f._1))
+
+      // the rewrite: one file per group, large file untouched
+      val packed = plan.flatMap { case (b, paths) =>
+        val out = s"$base/packed_$b"
+        spark.read.parquet(paths: _*).repartition(1).write.parquet(out)
+        val pf = partFiles(spark, out)
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      val c2 = commit(dbFile, 1L, 2L, carried ++ packed)
+
+      val census2 = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val tt1 = manifest(dbFile, 1L)
+      val census1 = spark.read.parquet(tt1.map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+      val direct = o.agg(count(lit(1)), sum(col("cents"))).head()
+      val bigCarried = big.forall(f =>
+        manifest(dbFile, 2L).exists(_._1 == f._1))
+      val ok = c1 && c2 && currentSnapshot(dbFile) == 2L && bigCarried &&
+        census2.getLong(0) == direct.getLong(0) &&
+        census2.getLong(1) == direct.getLong(1) &&
+        census1.getLong(0) == direct.getLong(0) &&
+        census1.getLong(1) == direct.getLong(1)
+
+      Seq((
+        s1Files.size.toLong, planned.size.toLong, plan.size.toLong,
+        manifest(dbFile, 2L).size.toLong, tt1.size.toLong,
+        direct.getLong(0), direct.getLong(1), ok))
+        .toDF("n_files_s1", "n_small_planned", "n_groups", "n_files_s2",
+          "n_files_tt1", "n_rows", "sum_cents", "compact_ok")
+        .orderBy("n_files_s1")
+    } else {
+      // honest fallback: construction constants; compact_ok=false fails
+      // the oracle's TRUE
+      val direct = o.agg(count(lit(1)), sum(col("cents"))).head()
+      Seq((9L, 8L, 2L, 3L, 9L, direct.getLong(0), direct.getLong(1), false))
+        .toDF("n_files_s1", "n_small_planned", "n_groups", "n_files_s2",
+          "n_files_tt1", "n_rows", "sum_cents", "compact_ok")
+        .orderBy("n_files_s1")
+    }
+  }
+
+  /** s60 — COMMIT RETRY WITH REBASE (Iceberg's commit.retry /
+    * Delta's conflict-checked retry): the optimistic-concurrency loop
+    * every multi-writer table lives by. The log's conditional swap
+    * makes a losing writer FAIL CLEANLY (s39's race pins that); what a
+    * production writer does next is the interesting half — it REBASES:
+    * re-reads the new head, checks its planned change still applies
+    * (a pure APPEND is conflict-free by construction: its file set is
+    * disjoint from every concurrent change; a rewrite would re-check
+    * its read set), and re-proposes the SAME files on the new parent.
+    * Data is never rewritten for a retry — the files staged once ride
+    * the second attempt untouched. Lifecycle:
+    *
+    *   - snapshot 1: the base table (2 files);
+    *   - writers A and B both cut plans at parent 1 and stage their
+    *     append files (10 rows each, disjoint keys past max(k));
+    *   - A commits 1 → 2: wins;
+    *   - B's first attempt (1 → 3) REJECTS — stale parent, the swap
+    *     returns false, no snapshot/manifest rows land (pinned);
+    *   - B rebases: new parent = current head (2), append still
+    *     conflict-free, same staged file, commit 2 → 3: wins;
+    *   - audits, all in-hash: the reject and the rebase-commit flags,
+    *     snapshot 2 = base + A only (time travel — B's retry never
+    *     leaked into history), snapshot 3 = base + A + B, current = 3.
+    *
+    * Scale shape: a retry costs one manifest re-read + one conditional
+    * swap — metadata only; the staged data files are written exactly
+    * once no matter how many retries.
+    */
+  def commitRetryRebase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("k"))).head().getLong(0)
+    val insA = (0 until 10).map(i => (mx + 1L + i, 3000000L + 13L * i))
+    val insB = (0 until 10).map(i => (mx + 11L + i, 4000000L + 17L * i))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s60_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+
+      (0L to 1L).foreach { b =>
+        o.filter(col("k") % 2 === b).repartition(1).write.parquet(s"$base/f$b")
+      }
+      val baseFiles = partFiles(spark, s"$base/f0") ++ partFiles(spark, s"$base/f1")
+      val c1 = commit(dbFile, 0L, 1L, baseFiles)
+
+      // both writers stage against parent 1 — files written ONCE
+      insA.toDF("k", "cents").repartition(1).write.parquet(s"$base/a")
+      insB.toDF("k", "cents").repartition(1).write.parquet(s"$base/b")
+      val fa = partFiles(spark, s"$base/a")
+      val fb = partFiles(spark, s"$base/b")
+      val planParentB = 1L
+
+      val cA = commit(dbFile, 1L, 2L, manifest(dbFile, 1L) ++ fa)
+      // B's first attempt on its stale plan parent
+      val bFirst = commit(dbFile, planParentB, 3L, manifest(dbFile, planParentB) ++ fb)
+      // rebase: re-read the head; an append's file set is disjoint from
+      // any concurrent change, so the same staged file re-proposes as-is
+      val head = currentSnapshot(dbFile)
+      val bRebase = !bFirst && commit(dbFile, head, 3L, manifest(dbFile, head) ++ fb)
+
+      def census(snap: Long) = {
+        val r = spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n2, s2) = census(2L)
+      val (n3, s3) = census(3L)
+      val (nb, sb) = {
+        val r = o.agg(count(lit(1)), sum(col("cents"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val ok = c1 && cA && !bFirst && bRebase && currentSnapshot(dbFile) == 3L &&
+        n2 == nb + insA.size && s2 == sb + insA.map(_._2).sum &&
+        n3 == nb + insA.size + insB.size &&
+        s3 == sb + insA.map(_._2).sum + insB.map(_._2).sum
+
+      Seq((nb, insA.size.toLong, insB.size.toLong, !bFirst, bRebase,
+        n2, n3, s3, ok))
+        .toDF("n_rows_base", "n_a", "n_b", "first_b_rejected",
+          "rebase_committed", "n_rows_s2", "n_rows_s3", "sum_cents_s3",
+          "retry_ok")
+        .orderBy("n_rows_base")
+    } else {
+      // honest fallback: retry_ok=false fails the oracle's TRUE
+      val r = o.agg(count(lit(1)), sum(col("cents"))).head()
+      val (nb, sb) = (r.getLong(0), r.getLong(1))
+      Seq((nb, 10L, 10L, true, true, nb + 10L, nb + 20L,
+        sb + insA.map(_._2).sum + insB.map(_._2).sum, false))
+        .toDF("n_rows_base", "n_a", "n_b", "first_b_rejected",
+          "rebase_committed", "n_rows_s2", "n_rows_s3", "sum_cents_s3",
+          "retry_ok")
+        .orderBy("n_rows_base")
+    }
+  }
 }

@@ -102,7 +102,13 @@ class DeterminismSpec extends AnyFunSuite {
     "s56_cdc_apply",          // manifest-diff changelog apply + replica censuses (r17)
     "q196_gopher_coverage",   // char-coverage repetition bp + keep gates (r17)
     "s57_zorder_skipping",    // 2-D stats pruning under both layouts (r17)
-    "q197_surprisal_filter"   // integer half-bit LM scores + bucket cuts (r17)
+    "q197_surprisal_filter",  // integer half-bit LM scores + bucket cuts (r17)
+    "q198_filter_ablation",   // independent gate flags + unique-kill census (r17)
+    "s58_binpack_compaction", // metadata-planned rewrite + carried-file audit (r17)
+    "s59_stream_quality_monitor", // per-epoch gate censuses + breach floor (r17)
+    "q199_padding_efficiency", // per-L ceil sums under both batching regimes (r17)
+    "s60_commit_retry_rebase", // stale-parent reject + rebase commit censuses (r17)
+    "q200_curation_diff"      // two-version gate flags + churn rollup (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -1114,6 +1114,62 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 2)
   }
 
+  test("q196 gopher coverage: one gram census, doc-keyed join-back, 2-col scan") {
+    // ONE (doc_id, gram) partial-agg shuffle feeds the doc rollup; the
+    // join back to the (doc_id, n_chars) projection is doc-keyed (the
+    // estimator picks broadcast at sf0.001 — either shape is keyed,
+    // never a cartesian); the scan reads exactly doc_id + text
+    val p = plan("q196_gopher_coverage")
+    assert(count(p, "Join") == 1)
+    assert(count(p, "NestedLoop") == 0)
+    assert(globalWindows(p) == 0)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q197 surprisal filter: ckpt'd census reused, one vocab join, no global windows") {
+    // the (doc_id, w) census is checkpointed once (ONE corpus explode —
+    // the pre-ckpt lineage is pinned by the board-wide budget sweep);
+    // the final plan joins that census to the vocab frame on w and
+    // rolls up per doc — exactly one join, zero windows
+    val p = plan("q197_surprisal_filter")
+    assert(count(p, "Join") == 1)
+    assert(count(p, "NestedLoop") == 0)
+    assert(globalWindows(p) == 0)
+  }
+
+  test("q198 filter ablation: flags map-side, one pkey window, gate-domain rollup, no joins") {
+    // every gate flag incl. the classifier logit is computed in the
+    // scan projection (integer aggregate() HOF — no explode of words,
+    // no weight join); the dedup flag is ONE partitioned pkey window;
+    // the report groupBy runs over the map-side exploded gate structs
+    val p = plan("q198_filter_ablation")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 1)
+    assert(globalWindows(p) == 0)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"))
+  }
+
+  test("q199 padding efficiency: 1-row frames crossJoin-broadcast, no row-sized join, no windows") {
+    // the two aggregates collapse to 1-row frames before any join —
+    // every join in the plan is a broadcast of a 1-row side (the
+    // report construction), never a row-keyed shuffle join
+    val p = plan("q199_padding_efficiency")
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "ShuffledHashJoin") == 0)
+    assert(globalWindows(p) == 0)
+  }
+
+  test("q200 curation diff: both versions' flags on one scan, zero joins, source rollup") {
+    // v1/v2 share the feature projection (nw/ndw/logit computed once);
+    // the only exchanges are the ~20-group source rollup and the final
+    // sort — one corpus read for a two-version diff
+    val p = plan("q200_curation_diff")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Exchange") <= 2)
+    assert(globalWindows(p) == 0)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string>"))
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

@@ -1277,6 +1277,73 @@ object SimQueries {
           SELECT method, k, n_probes, mean_recall_bp, min_recall_bp, floor_bp, floor_ok
           FROM summaries ORDER BY method"""
       }
+    ),
+    // q201: IVF INDEX-QUALITY audit — the health report an index owner
+    // reads before trusting search results (FAISS's imbalance_factor +
+    // per-list stats): per trained cell, member count, share of the
+    // corpus in bp (the balance read-off — one cell holding half the
+    // data means probes either scan half the corpus or miss), the
+    // summed assignment affinity (quantized r6·1e6 dot with the OWN
+    // centroid — the inertia analog under the engine's max-dot
+    // assignment), and the WORST member's affinity (min — the vector
+    // most likely mis-served by cell-restricted search). Cells the
+    // training dropped to empty still report (n_members 0 — the
+    // left-join from the codebook side).
+    //
+    // Scale shape: the codebook is a literal 8-row broadcast leaf
+    // (IvfKMeans.codebook); assignment + the affinity re-dot are
+    // map-side over the broadcast; ONE cell-keyed partial-agg rollup
+    // (8 groups) + a 1-row total crossJoined back. Nothing shuffles
+    // but the 8-group census.
+    Q(
+      "q201_ivf_quality",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val vecs = e.filter(col("vec_id") >= graft.ops.IvfKMeans.K)
+          .select("vec_id", "embedding")
+        val assigned = graft.ops.IvfKMeans.assign(vecs, cents)
+        val aff = assigned
+          .join(broadcast(cents), col("cell") === col("cent_id"))
+          .select(
+            col("cell"),
+            floor(FeatureOps.r6(VectorOps.dot(col("embedding"), col("cent"))) * 1e6 + 0.5)
+              .cast("long").as("affq"))
+        val roll = aff.groupBy(col("cell"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            sum(col("affq")).as("affinity_qsum"),
+            min(col("affq")).as("min_affinity_q"))
+        val tot = aff.agg(count(lit(1)).as("t"))
+        cents.select(col("cent_id").as("cell"))
+          .join(roll, Seq("cell"), "left")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("cell"),
+            coalesce(col("n_members"), lit(0L)).as("n_members"),
+            expr("coalesce(n_members, 0) * 10000 div t").as("share_bp"),
+            coalesce(col("affinity_qsum"), lit(0L)).as("affinity_qsum"),
+            coalesce(col("min_affinity_q"), lit(0L)).as("min_affinity_q"))
+          .orderBy("cell")
+      },
+      Some(s"""$ivfCtes,
+          aff AS (SELECT a.cell,
+              CAST(floor((${r6(dot("a.embedding", "c.cent"))}) * 1e6 + 5e-1)
+                AS BIGINT) AS affq
+            FROM assigned a JOIN cents2 c ON a.cell = c.cent_id),
+          roll AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(affq) AS BIGINT) AS affinity_qsum,
+              CAST(min(affq) AS BIGINT) AS min_affinity_q
+            FROM aff GROUP BY cell),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM aff)
+          SELECT c.cent_id AS cell,
+            COALESCE(roll.n_members, 0) AS n_members,
+            CAST(COALESCE(roll.n_members, 0) * 10000 // tot.t AS BIGINT)
+              AS share_bp,
+            COALESCE(roll.affinity_qsum, 0) AS affinity_qsum,
+            COALESCE(roll.min_affinity_q, 0) AS min_affinity_q
+          FROM cents2 c LEFT JOIN roll ON c.cent_id = roll.cell, tot
+          ORDER BY cell""")
     )
   )
 }

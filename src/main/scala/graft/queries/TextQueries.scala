@@ -3754,6 +3754,125 @@ object TextQueries {
             + sum(CASE WHEN v1 AND NOT v2 THEN 1 ELSE 0 END)) * 10000
             // count(*) AS BIGINT) AS churn_bp
         FROM g GROUP BY source ORDER BY source""")
+    ),
+    // q202: WATER-FILLING token-budget allocation — the data-mixing
+    // step under a HARD budget (q169's temperature weights answer "how
+    // often to re-read each source"; this answers "given a T-token
+    // budget, how many tokens does each source contribute", the
+    // Llama-style mixture cap): allocate T = 60% of the CURATION-
+    // SURVIVING tokens (q193's v1 gates — availability is what you may
+    // actually train on, and the per-source keep spread is what makes
+    // capping real: avail spans 0–218 tokens/source at sf0.001 incl.
+    // zero-keep sources, and the min source caps at every SF) as
+    // equally as possible, capping each source at its availability and
+    // redistributing the freed share — exact integer water-filling.
+    // Greedy ascending by availability: source k (1-based, ties by
+    // name) is CAPPED iff avail_k·(n−k+1) + cum_{k−1} ≤ T; k* = first
+    // failure − 1 (the capped set is a prefix: the first uncapped
+    // source already exceeds the equal share, so every larger one
+    // does); the uncapped split rem = T − cum_{k*} as base = rem div
+    // slots with the first rem%slots uncapped sources (in sort order —
+    // the deterministic remainder rule) getting +1. Σalloc = T exactly.
+    //
+    // Scale shape: the corpus does ONE map-side gate pass + (source)
+    // census (partial-agg, ~20 groups); the allocator itself runs
+    // driver-side over that census — the bounded-collect class (source
+    // domain ≤ thousands at any real scale — model metadata, like the
+    // IVF codebooks). The oracle replays the same algorithm
+    // declaratively (windows + aggregates over the census CTE).
+    Q(
+      "q202_token_budget_waterfill",
+      (s, dir) => {
+        import s.implicits._
+        val census = Tables.documents(s, dir)
+          .select(
+            col("source"), col("lang"),
+            size(ws).cast("long").as("nw"),
+            size(array_distinct(ws)).cast("long").as("ndw"),
+            aggregate(
+              transform(ws, w => {
+                val bb = pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(64L))
+                (bb * bb * 31L + bb * 7L) % 21L - 10L
+              }),
+              lit(0L), (acc, x) => acc + x).as("logit"))
+          .withColumn("kept",
+            col("lang") === "en" && col("nw").between(40L, 90L) &&
+              col("ndw") * 100L >= col("nw") * 40L && col("logit") >= 0L)
+          .groupBy(col("source"))
+          .agg(sum(when(col("kept"), col("nw")).otherwise(lit(0L))).as("avail"))
+          .collect() // source-domain-bounded (~20 rows) — model metadata
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (src, avail) => (avail, src) }
+        val n = census.length
+        val total = census.map(_._2).sum
+        val budget = total * 6L / 10L
+        // greedy capped prefix
+        val cums = census.scanLeft(0L)(_ + _._2) // cums(k) = cum_{k}, 1-based
+        var kstar = 0
+        while (kstar < n &&
+          census(kstar)._2 * (n - kstar) + cums(kstar) <= budget) kstar += 1
+        val rem = budget - cums(kstar)
+        val slots = n - kstar
+        val base = if (slots > 0) rem / slots else 0L
+        val extra = if (slots > 0) rem % slots else 0L
+        val rows = census.zipWithIndex.map { case ((src, avail), i) =>
+          val k = i + 1
+          val capped = k <= kstar
+          val alloc =
+            if (capped) avail
+            else base + (if (k - kstar <= extra) 1L else 0L)
+          val fillBp = if (avail == 0L) 0L else alloc * 10000L / avail
+          (src, avail, k.toLong, capped, alloc, fillBp)
+        }
+        rows.toSeq
+          .toDF("source", "avail_tokens", "rank_asc", "capped",
+            "alloc_tokens", "fill_bp")
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source, lang,
+            string_split(text, ' ') AS ws FROM documents),
+        f AS (SELECT source, lang,
+            CAST(len(ws) AS BIGINT) AS nw,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS ndw,
+            CAST(list_sum(list_transform(ws, w ->
+              ((${h60("w")} % 64) * (${h60("w")} % 64) * 31
+                + (${h60("w")} % 64) * 7) % 21 - 10)) AS BIGINT) AS logit
+          FROM d),
+        census AS (SELECT source,
+            CAST(COALESCE(sum(CASE WHEN lang = 'en' AND nw BETWEEN 40 AND 90
+              AND ndw * 100 >= nw * 40 AND logit >= 0 THEN nw END), 0)
+              AS BIGINT) AS avail
+          FROM f GROUP BY source),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(avail) * 6 // 10 AS BIGINT) AS budget FROM census),
+        x AS (SELECT source, avail,
+            CAST(row_number() OVER w AS BIGINT) AS k,
+            CAST(sum(avail) OVER w AS BIGINT) AS cum
+          FROM census
+          WINDOW w AS (ORDER BY avail, source)),
+        b AS (SELECT x.*, t.n, t.budget,
+            avail * (t.n - k + 1) + (cum - avail) > t.budget AS bad
+          FROM x, t),
+        ks AS (SELECT COALESCE(min(CASE WHEN bad THEN k END) - 1,
+            (SELECT n FROM t)) AS kstar FROM b),
+        cs AS (SELECT COALESCE(max(CASE WHEN k <= (SELECT kstar FROM ks)
+            THEN cum END), 0) AS cumk FROM b),
+        fin AS (SELECT ks.kstar, t.n - ks.kstar AS slots,
+            t.budget - cs.cumk AS rem FROM ks, cs, t)
+        SELECT b.source, b.avail AS avail_tokens, b.k AS rank_asc,
+          b.k <= fin.kstar AS capped,
+          CAST(CASE WHEN b.k <= fin.kstar THEN b.avail
+            WHEN fin.slots > 0 THEN rem // fin.slots
+              + CASE WHEN b.k - fin.kstar <= rem % fin.slots
+                THEN 1 ELSE 0 END
+            ELSE 0 END AS BIGINT) AS alloc_tokens,
+          CAST(CASE WHEN b.avail = 0 THEN 0
+            ELSE (CASE WHEN b.k <= fin.kstar THEN b.avail
+              WHEN fin.slots > 0 THEN rem // fin.slots
+                + CASE WHEN b.k - fin.kstar <= rem % fin.slots
+                  THEN 1 ELSE 0 END
+              ELSE 0 END) * 10000 // b.avail END AS BIGINT) AS fill_bp
+        FROM b, fin ORDER BY b.source""")
     )
   )
 

@@ -108,7 +108,9 @@ class DeterminismSpec extends AnyFunSuite {
     "s59_stream_quality_monitor", // per-epoch gate censuses + breach floor (r17)
     "q199_padding_efficiency", // per-L ceil sums under both batching regimes (r17)
     "s60_commit_retry_rebase", // stale-parent reject + rebase commit censuses (r17)
-    "q200_curation_diff"      // two-version gate flags + churn rollup (r17)
+    "q200_curation_diff",     // two-version gate flags + churn rollup (r17)
+    "q201_ivf_quality",       // per-cell affinity censuses off the trained codebook (r17)
+    "q202_token_budget_waterfill" // exact integer water-filling over the kept census (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -353,6 +353,58 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("box pruning requires overlap in BOTH dimensions, endpoints inclusive") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initColStats2(db)
+      SnapshotLog.commit(db, 0L, 1L, Seq(("a", 4L), ("b", 4L), ("c", 4L)))
+      // a: x[0,3] y[0,3]; b: x[4,7] y[8,11]; c: x[4,7] y[0,3]
+      SnapshotLog.recordColStats2(
+        db,
+        Seq(("a", 0L, 3L, 0L, 3L), ("b", 4L, 7L, 8L, 11L), ("c", 4L, 7L, 0L, 3L)))
+      // the box hits b only: a fails on x, c fails on y — a file
+      // overlapping one dimension but not the other must be pruned
+      // (this is the whole point of 2-D stats over 1-D)
+      assert(SnapshotLog.pruneByBox(db, 1L, 4L, 7L, 8L, 11L) == Seq("b"))
+      // endpoint touch counts in both dims (inclusive bounds): the box
+      // corner (3, 3) touches a's max corner exactly
+      assert(SnapshotLog.pruneByBox(db, 1L, 3L, 5L, 3L, 5L) == Seq("a", "c"))
+      // a y-stripe keeps every file whose y range overlaps, any x
+      assert(SnapshotLog.pruneByBox(db, 1L, 0L, 7L, 0L, 3L) == Seq("a", "c"))
+      // disjoint in y everywhere → empty plan (valid; read side guards)
+      assert(SnapshotLog.pruneByBox(db, 1L, 0L, 7L, 4L, 7L).isEmpty)
+      // pruning is per-snapshot: dropping a file from the manifest
+      // hides it regardless of its stats row
+      SnapshotLog.commit(db, 1L, 2L, Seq(("b", 4L)))
+      assert(SnapshotLog.pruneByBox(db, 2L, 0L, 99L, 0L, 99L) == Seq("b"))
+    }
+  }
+
+  test("binpack planning: strictly-below threshold, groups of >= 2, per bucket, per snapshot") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initStats(db)
+      SnapshotLog.commit(
+        db, 0L, 1L,
+        Seq(("s1", 10L), ("s2", 10L), ("s3", 10L), ("big", 100L), ("lone", 10L)))
+      SnapshotLog.recordStats(
+        db,
+        Seq(("s1", 0L), ("s2", 0L), ("s3", 1L), ("big", 1L), ("lone", 2L)))
+      // threshold 50: s1+s2 group under bucket 0; bucket 1 has only one
+      // small file (s3 — big is above threshold) so it does NOT pack
+      // (one small file alone gains nothing); bucket 2's lone file
+      // likewise stays
+      assert(SnapshotLog.planBinpack(db, 1L, 50L) == Seq((0L, Seq("s1", "s2"))))
+      // threshold is strict <: a file AT the threshold is not small
+      assert(SnapshotLog.planBinpack(db, 1L, 10L).isEmpty)
+      // the plan is per-snapshot: after compaction the group is gone
+      SnapshotLog.commit(
+        db, 1L, 2L, Seq(("packed0", 20L), ("s3", 10L), ("big", 100L), ("lone", 10L)))
+      SnapshotLog.recordStats(db, Seq(("packed0", 0L)))
+      assert(SnapshotLog.planBinpack(db, 2L, 50L).isEmpty)
+    }
+  }
+
   test("morReadV2 and evolvedRead fail loudly (not UnsupportedOperationException) on an empty file set") {
     val spark = TestSpark.spark
     withLog { db =>

@@ -1451,6 +1451,60 @@ object DedupQueries {
           GROUP BY 1, aud.n_dup_pairs, aud.n_naive_leaks, aud.n_cluster_leaks
           ORDER BY split_tag"""
       }
+    ),
+    // q203: DUPLICATE-CLUSTER SIZE DISTRIBUTION — the dedup report a
+    // curation run publishes (how duplicated IS this corpus): the
+    // histogram of q59's connected-component sizes (every doc assigned,
+    // singletons = size-1 clusters), per size: cluster count, docs
+    // covered, corpus share bp, and dup_excess = docs − clusters (the
+    // rows a keep-one-representative dedup would remove at that size —
+    // Σ dup_excess is the corpus's total duplication mass). A corpus
+    // whose mass sits in a few giant clusters dedups very differently
+    // from one with many pairs; this table is how you see which.
+    //
+    // Scale shape: labels ride the memoized component cache (min-label
+    // propagation over capped LSH pairs); the report is two successive
+    // DOMAIN-COLLAPSING rollups — (cluster) then (size) — plus a 1-row
+    // total crossJoined back. Nothing beyond the label join touches
+    // corpus rows.
+    Q(
+      "q203_dedup_cluster_stats",
+      (s, dir) => {
+        val labels = componentLabels(s, dir)
+        val asg = Tables
+          .documents(s, dir)
+          .select(col("doc_id"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        val hist = sizes.groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+        val tot = asg.agg(count(lit(1)).as("total"))
+        hist.crossJoin(broadcast(tot))
+          .select(
+            col("cluster_size"), col("n_clusters"), col("n_docs"),
+            expr("n_docs * 10000 div total").as("docs_bp"),
+            (col("n_docs") - col("n_clusters")).as("dup_excess"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+        comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+        asg AS (SELECT CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+          FROM asg GROUP BY cluster),
+        h AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(sz) AS BIGINT) AS n_docs FROM cs GROUP BY sz),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM asg)
+        SELECT cluster_size, n_clusters, n_docs,
+          CAST(n_docs * 10000 // t.total AS BIGINT) AS docs_bp,
+          CAST(n_docs - n_clusters AS BIGINT) AS dup_excess
+        FROM h, t ORDER BY cluster_size""")
     )
   )
 

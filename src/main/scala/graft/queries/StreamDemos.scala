@@ -1730,6 +1730,44 @@ object StreamDemos {
           b.s + 30000585 + 40000765 AS sum_cents_s3,
           TRUE AS retry_ok
         FROM b ORDER BY n_rows_base""")
+    ),
+    // s61: streaming auto-compaction (SnapshotLog.streamAutoCompact
+    // scaladoc) — the maintenance loop fused into the ingest loop:
+    // each epoch appends 2 small files through the log; the file-count
+    // policy (manifest ≥ 4) trips after epoch 1 and the s58 planner
+    // lands a census-neutral compaction as its own commit (4 → 1
+    // files); epoch 2's appends arrive on top (3 files). All four
+    // snapshots time-travel with their own file counts. Oracle: s41's
+    // epoch slices (splitDay / full / replay) + construction-constant
+    // file counts.
+    Q(
+      "s61_stream_autocompact",
+      (s, dir) => graft.sinks.SnapshotLog.streamAutoCompact(s, dir),
+      Some(s"""WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+            ${dayInt("ts")} AS day FROM events),
+        b0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM e WHERE day <= ${graft.streaming.Watermarks.splitDay}),
+        ba AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM e),
+        br AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+          FROM e WHERE day < ${graft.streaming.Watermarks.replayBefore})
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(2 AS BIGINT) AS n_files,
+          b0.n AS n_rows, b0.s AS sum_cents, FALSE AS compacted,
+          FALSE AS is_current, TRUE AS loop_ok
+        FROM b0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT), ba.n, ba.s, FALSE,
+          FALSE, TRUE
+        FROM ba
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT), ba.n, ba.s, TRUE,
+          FALSE, TRUE
+        FROM ba
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT), ba.n + br.n,
+          ba.s + br.s, FALSE, TRUE, TRUE
+        FROM ba, br
+        ORDER BY snapshot_id""")
     )
   )
 }

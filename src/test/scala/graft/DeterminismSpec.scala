@@ -110,7 +110,9 @@ class DeterminismSpec extends AnyFunSuite {
     "s60_commit_retry_rebase", // stale-parent reject + rebase commit censuses (r17)
     "q200_curation_diff",     // two-version gate flags + churn rollup (r17)
     "q201_ivf_quality",       // per-cell affinity censuses off the trained codebook (r17)
-    "q202_token_budget_waterfill" // exact integer water-filling over the kept census (r17)
+    "q202_token_budget_waterfill", // exact integer water-filling over the kept census (r17)
+    "s61_stream_autocompact", // ingest-fused compaction + per-snapshot censuses (r17)
+    "q203_dedup_cluster_stats" // component-size histogram off the memoized labels (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed
@@ -121,7 +123,8 @@ class DeterminismSpec extends AnyFunSuite {
     * re-materialize the cached stages under its own conf.
     */
   private val cacheBacked =
-    Set("q34_minhash_pairs", "q101_pagerank_dupgraph", "q129_triangle_count", "q176_lsh_recall")
+    Set("q34_minhash_pairs", "q101_pagerank_dupgraph", "q129_triangle_count",
+      "q176_lsh_recall", "q203_dedup_cluster_stats")
 
   sample.foreach { name =>
     test(s"$name is invariant under repartitioning (4→7) and AQE off") {

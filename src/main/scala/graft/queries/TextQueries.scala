@@ -3873,6 +3873,76 @@ object TextQueries {
                   THEN 1 ELSE 0 END
               ELSE 0 END) * 10000 // b.avail END AS BIGINT) AS fill_bp
         FROM b, fin ORDER BY b.source""")
+    ),
+    // q204: TOKENIZER FERTILITY by language — the multilingual-parity
+    // table every tokenizer eval publishes (fertility = tokens/word;
+    // a tokenizer trained on one language fragments the others, and
+    // fertility is the number that shows it): per lang under q180's
+    // fixed 278-merge BPE — word/token/char totals, fertility ×100,
+    // chars-per-token ×100, and compression bp (tokens per 10k chars).
+    // All integer: totals are exact BIGINT sums over the word-count
+    // table, ratios divide once at the end (q21's discipline).
+    //
+    // Scale shape: q180's exactly — corpus instances collapse map-side
+    // into the (lang, word) count table (vocab-bounded per lang),
+    // encoding runs ONCE per distinct word (the HF-tokenizers trick),
+    // the join is vocab-sized, and the output is the ≤5-row lang
+    // census. No corpus-sized anything after the one word-count
+    // shuffle.
+    Q(
+      "q204_tokenizer_fertility",
+      (s, dir) => {
+        val wc = Tables
+          .documentsSpread(s, dir)
+          .select(col("lang"), explode(ws).as("word"))
+          .groupBy("lang", "word")
+          .agg(count(lit(1)).as("c"))
+        val tok = wc
+          .select("word")
+          .distinct()
+          .select(col("word"), bpeEncode(col("word")).as("e"))
+          .select(
+            col("word"),
+            (length(col("e")) - length(expr("replace(e, '<', '')"))).cast("long").as("ntok"),
+            length(col("word")).cast("long").as("nch"))
+        wc.join(tok, "word")
+          .groupBy("lang")
+          .agg(
+            sum(col("c")).as("n_words"),
+            sum(col("c") * col("ntok")).as("n_tokens"),
+            sum(col("c") * col("nch")).as("n_chars"))
+          .select(
+            col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+            when(col("n_words") === 0L, lit(0L))
+              .otherwise(expr("(n_tokens * 100) div n_words")).as("fertility_x100"),
+            when(col("n_tokens") === 0L, lit(0L))
+              .otherwise(expr("(n_chars * 100) div n_tokens")).as("chars_per_tok_x100"),
+            when(col("n_chars") === 0L, lit(0L))
+              .otherwise(expr("(n_tokens * 10000) div n_chars")).as("cmp_bp"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH wr AS (SELECT lang,
+            unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+          FROM wr GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT word FROM wc),
+        ${bpeStagedCtes("regexp_replace(word, '(.)', '<\\1>', 'g')", "vocab")},
+        tok AS (SELECT word,
+            CAST(len(e) - len(replace(e, '<', '')) AS BIGINT) AS ntok,
+            CAST(len(word) AS BIGINT) AS nch
+          FROM enc),
+        agg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+            CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+            CAST(sum(c * nch) AS BIGINT) AS n_chars
+          FROM wc JOIN tok USING (word) GROUP BY lang)
+        SELECT lang, n_words, n_tokens, n_chars,
+          CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE (n_tokens * 100) // n_words END AS BIGINT) AS fertility_x100,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (n_chars * 100) // n_tokens END AS BIGINT) AS chars_per_tok_x100,
+          CAST(CASE WHEN n_chars = 0 THEN 0
+            ELSE (n_tokens * 10000) // n_chars END AS BIGINT) AS cmp_bp
+        FROM agg ORDER BY lang""")
     )
   )
 

@@ -112,7 +112,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q201_ivf_quality",       // per-cell affinity censuses off the trained codebook (r17)
     "q202_token_budget_waterfill", // exact integer water-filling over the kept census (r17)
     "s61_stream_autocompact", // ingest-fused compaction + per-snapshot censuses (r17)
-    "q203_dedup_cluster_stats" // component-size histogram off the memoized labels (r17)
+    "q203_dedup_cluster_stats", // component-size histogram off the memoized labels (r17)
+    "q204_tokenizer_fertility" // vocab-bounded BPE encode + lang census ratios (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

@@ -1505,6 +1505,87 @@ object DedupQueries {
           CAST(n_docs * 10000 // t.total AS BIGINT) AS docs_bp,
           CAST(n_docs - n_clusters AS BIGINT) AS dup_excess
         FROM h, t ORDER BY cluster_size""")
+    ),
+    // q205: QUALITY-AWARE representative selection — the refinement
+    // production dedup applies on top of q59/q193's min-doc_id rule:
+    // within each duplicate cluster keep the member the q187 quality
+    // classifier scores HIGHEST (RefinedWeb/FineWeb keep-best-copy:
+    // near-dup copies differ in boilerplate and truncation, and keeping
+    // the first-crawled one throws quality away). Deterministic
+    // argmax: max logit, min doc_id among ties. Per multi-member
+    // cluster: size, the chosen rep + its logit, removed count, and
+    // the removed-id checksum, all in-hash — a rep choice that drifts
+    // from the oracle's moves the checksum.
+    //
+    // Scale shape: logits are map-side on the scan (integer
+    // aggregate() HOF — no explode); labels ride the memoized
+    // component cache; the argmax is the standard two-pass (per-
+    // cluster max join-back, then min-id among maxima) — every frame
+    // after the label join is CLUSTER-domain-bounded.
+    Q(
+      "q205_quality_rep_dedup",
+      (s, dir) => {
+        val labels = componentLabels(s, dir)
+        val logit = aggregate(
+          transform(Hashing.words(col("text")), w => {
+            val bb = pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(64L))
+            (bb * bb * 31L + bb * 7L) % 21L - 10L
+          }),
+          lit(0L), (acc, x) => acc + x)
+        val members = Tables
+          .documents(s, dir)
+          .select(col("doc_id"), logit.as("logit"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(
+            col("doc_id"), col("logit"),
+            coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        val multi = members.groupBy(col("cluster"))
+          .agg(
+            count(lit(1)).as("size"),
+            sum(col("doc_id")).as("id_sum"),
+            max(col("logit")).as("rep_logit"))
+          .filter(col("size") >= 2L)
+        val rep = members
+          .join(multi.select(col("cluster"), col("rep_logit")), Seq("cluster"))
+          .filter(col("logit") === col("rep_logit"))
+          .groupBy(col("cluster"))
+          .agg(min(col("doc_id")).as("rep_id"))
+        multi.join(rep, Seq("cluster"))
+          .select(
+            col("cluster"), col("size"), col("rep_id"), col("rep_logit"),
+            (col("size") - 1L).as("n_removed"),
+            (col("id_sum") - col("rep_id")).as("removed_id_checksum"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $mhCteSql, $pairsCteSql,
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        r AS (SELECT DISTINCT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl FROM edges e JOIN r ON e.src = r.id),
+        comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+        lg AS (SELECT doc_id, CAST(list_sum(list_transform(
+              string_split(text, ' '), w ->
+              ((${h60("w")} % 64) * (${h60("w")} % 64) * 31
+                + (${h60("w")} % 64) * 7) % 21 - 10)) AS BIGINT) AS logit
+          FROM documents),
+        asg AS (SELECT d.doc_id, lg.logit,
+            CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+          FROM documents d JOIN lg ON d.doc_id = lg.doc_id
+          LEFT JOIN comp c ON d.doc_id = c.id),
+        multi AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+            CAST(sum(doc_id) AS BIGINT) AS id_sum,
+            CAST(max(logit) AS BIGINT) AS rep_logit
+          FROM asg GROUP BY cluster HAVING count(*) >= 2),
+        rep AS (SELECT a.cluster, CAST(min(a.doc_id) AS BIGINT) AS rep_id
+          FROM asg a JOIN multi m
+            ON a.cluster = m.cluster AND a.logit = m.rep_logit
+          GROUP BY a.cluster)
+        SELECT m.cluster, m.size, r.rep_id, m.rep_logit,
+          CAST(m.size - 1 AS BIGINT) AS n_removed,
+          CAST(m.id_sum - r.rep_id AS BIGINT) AS removed_id_checksum
+        FROM multi m JOIN rep r ON m.cluster = r.cluster
+        ORDER BY m.cluster""")
     )
   )
 

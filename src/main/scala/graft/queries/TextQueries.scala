@@ -3802,29 +3802,13 @@ object TextQueries {
           .agg(sum(when(col("kept"), col("nw")).otherwise(lit(0L))).as("avail"))
           .collect() // source-domain-bounded (~20 rows) — model metadata
           .map(r => (r.getString(0), r.getLong(1)))
-          .sortBy { case (src, avail) => (avail, src) }
-        val n = census.length
-        val total = census.map(_._2).sum
-        val budget = total * 6L / 10L
-        // greedy capped prefix
-        val cums = census.scanLeft(0L)(_ + _._2) // cums(k) = cum_{k}, 1-based
-        var kstar = 0
-        while (kstar < n &&
-          census(kstar)._2 * (n - kstar) + cums(kstar) <= budget) kstar += 1
-        val rem = budget - cums(kstar)
-        val slots = n - kstar
-        val base = if (slots > 0) rem / slots else 0L
-        val extra = if (slots > 0) rem % slots else 0L
-        val rows = census.zipWithIndex.map { case ((src, avail), i) =>
-          val k = i + 1
-          val capped = k <= kstar
-          val alloc =
-            if (capped) avail
-            else base + (if (k - kstar <= extra) 1L else 0L)
-          val fillBp = if (avail == 0L) 0L else alloc * 10000L / avail
-          (src, avail, k.toLong, capped, alloc, fillBp)
-        }
-        rows.toSeq
+          .toSeq
+        val budget = census.map(_._2).sum * 6L / 10L
+        graft.ops.Waterfill.allocate(census, budget)
+          .map { a =>
+            val fillBp = if (a.avail == 0L) 0L else a.alloc * 10000L / a.avail
+            (a.name, a.avail, a.rank, a.capped, a.alloc, fillBp)
+          }
           .toDF("source", "avail_tokens", "rank_asc", "capped",
             "alloc_tokens", "fill_bp")
           .orderBy("source")

@@ -113,7 +113,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q202_token_budget_waterfill", // exact integer water-filling over the kept census (r17)
     "s61_stream_autocompact", // ingest-fused compaction + per-snapshot censuses (r17)
     "q203_dedup_cluster_stats", // component-size histogram off the memoized labels (r17)
-    "q204_tokenizer_fertility" // vocab-bounded BPE encode + lang census ratios (r17)
+    "q204_tokenizer_fertility", // vocab-bounded BPE encode + lang census ratios (r17)
+    "q205_quality_rep_dedup"  // max-logit/min-id rep argmax off the memoized labels (r17)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed
@@ -125,7 +126,7 @@ class DeterminismSpec extends AnyFunSuite {
     */
   private val cacheBacked =
     Set("q34_minhash_pairs", "q101_pagerank_dupgraph", "q129_triangle_count",
-      "q176_lsh_recall", "q203_dedup_cluster_stats")
+      "q176_lsh_recall", "q203_dedup_cluster_stats", "q205_quality_rep_dedup")
 
   sample.foreach { name =>
     test(s"$name is invariant under repartitioning (4→7) and AQE off") {

@@ -3876,11 +3876,15 @@ object TextQueries {
     Q(
       "q204_tokenizer_fertility",
       (s, dir) => {
+        // the census feeds BOTH the distinct-vocab encode and the join
+        // left side — ckpt it so the corpus explode runs ONCE, not once
+        // per consumer (the census itself is (lang, word)-bounded)
         val wc = Tables
           .documentsSpread(s, dir)
           .select(col("lang"), explode(ws).as("word"))
           .groupBy("lang", "word")
           .agg(count(lit(1)).as("c"))
+          .ckpt()
         val tok = wc
           .select("word")
           .distinct()

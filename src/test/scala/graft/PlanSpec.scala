@@ -1170,6 +1170,60 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string>"))
   }
 
+  test("q201 IVF quality: codebook is a literal broadcast leaf, cell-bounded joins, no global windows") {
+    // the codebook rides as LocalTableScan -> broadcast; the
+    // assignment argmax is the vec_id-PARTITIONED window the assign
+    // kernel always plans (never global); the one shuffle join is the
+    // 8-row codebook <- rollup left join (cell-domain-bounded)
+    val p = plan("q201_ivf_quality")
+    assert(count(p, "SortMergeJoin") <= 1)
+    assert(count(p, "LocalTableScan") >= 1)
+    assert(globalWindows(p) == 0)
+  }
+
+  test("q203 cluster histogram: label join then domain-collapsing rollups, no windows") {
+    // labels come from the memoized component stage (Scan ExistingRDD
+    // after ckpt); after the doc_id-keyed label join every frame is
+    // cluster- then size-domain-bounded — zero windows in the final
+    // plan, the only joins are the label join + the 1-row total
+    // broadcast
+    val p = plan("q203_dedup_cluster_stats")
+    assert(count(p, "Window") == 0)
+    assert(globalWindows(p) == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1) // the 1-row total
+  }
+
+  test("q204 tokenizer fertility: the ckpt'd census feeds both consumers — zero Generates in the final plan") {
+    // the (lang, word) census is checkpointed (the corpus explode runs
+    // ONCE, at ckpt time — covered by the board-wide ckpt sweep); both
+    // the distinct-vocab encode and the join read Scan ExistingRDD, so
+    // the final plan carries no Generate at all
+    val p = plan("q204_tokenizer_fertility")
+    assert(count(p, "Generate") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
+  test("q205 keep-best rep: logits map-side, cluster-bounded argmax, no windows") {
+    // the logit is an aggregate() HOF in the scan projection (no
+    // Generate anywhere — words never explode); the two-pass argmax
+    // (max join-back, min-id among maxima) runs over cluster-domain
+    // frames; no window operator appears
+    val p = plan("q205_quality_rep_dedup")
+    assert(count(p, "Generate") == 0)
+    assert(count(p, "Window") == 0)
+    assert(globalWindows(p) == 0)
+  }
+
+  test("q202 waterfill: one census aggregate feeds the driver-side allocator — a local-relation result") {
+    // the output frame is the allocator's literal rows (LocalTableScan
+    // + sort): the corpus work happened in the collected census, and
+    // no join/window/exchange beyond the final sort appears
+    val p = plan("q202_token_budget_waterfill")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+    assert(count(p, "LocalTableScan") == 1)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

@@ -42,7 +42,8 @@ object ScaleProbe {
       .getOrElse(Set("features", "dedup", "incremental", "ann", "dpp",
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
-        "mor", "morupsert", "tablefmt", "skipping", "textquality"))
+        "mor", "morupsert", "tablefmt", "skipping", "textquality",
+        "binpack"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1106,6 +1107,40 @@ object ScaleProbe {
       val (_, spN) = planResults.last
       println(
         f"[scale] skipping plan growth: stat rows x${mults.last / mults.head}%d, plan x${spN / sp0}%.1f (metadata-linear; kept fraction constant)")
+
+      // ---- s58/s61 binpack-planning curve --------------------------
+      // the auto-compact/OPTIMIZE planner must stay metadata-bounded:
+      // 64·m manifest rows (16 buckets, alternating small/large files),
+      // a fixed threshold selects the constant small half in 16 groups
+      // — planning wall must track manifest rows, never data. Rides the
+      // skipping section's scratch log: enable as "skipping,binpack".
+      if (enabled("binpack")) {
+        val dbB = s"$logDir/b.duckdb"
+        SnapshotLog.initLog(dbB)
+        SnapshotLog.initStats(dbB)
+        var bParent = 0L
+        val bpResults = mults.map { m =>
+          val nf = 64 * m
+          val snap = bParent + 1
+          val files = (0 until nf).map { i =>
+            val rows = if (i % 2 == 0) 10L else 1000L
+            (s"/synthetic/bp$snap/f$i.parquet", rows)
+          }
+          SnapshotLog.recordStats(
+            dbB, files.zipWithIndex.map { case ((p, _), i) => (p, (i % 16).toLong) })
+          SnapshotLog.commit(dbB, bParent, snap, files)
+          val t0 = System.nanoTime()
+          val bp = SnapshotLog.planBinpack(dbB, snap, 500L)
+          val planSec = (System.nanoTime() - t0) / 1e9
+          bParent = snap
+          println(f"[scale] x$m%-3d manifest=$nf%5d  plan(binpack)=$planSec%7.3f s  groups=${bp.size}%3d files=${bp.map(_._2.size).sum}%5d")
+          (m, planSec)
+        }
+        val (_, bp0) = bpResults.head
+        val (_, bpN) = bpResults.last
+        println(
+          f"[scale] binpack plan growth: manifest rows x${mults.last / mults.head}%d, plan x${bpN / bp0}%.1f (metadata-linear; group count constant)")
+      }
 
       // (b) real-read leg: same rows, unclustered (k%16) vs
       // range-clustered files; the range census over the PRUNED

@@ -2472,49 +2472,80 @@ object SnapshotLog {
   // s52 — per-file column MIN/MAX stats + range data skipping
   // ------------------------------------------------------------------
 
+  /** ONE long-form stat table for every column-stats consumer (the
+    * Iceberg shape: lower_bounds/upper_bounds keyed by column): s52/s55
+    * record single-column cents ranges, s57 records the (x, y) pair —
+    * all land as (path, col_name, min_v, max_v) rows, and
+    * pruneByRange/pruneByBox are the SAME planner query with one resp.
+    * two per-column stat joins (an n-dimensional box is n joins).
+    * Idempotent so lifecycles composing both recorders share the table.
+    */
   private[graft] def initColStats(dbFile: String): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.execute(
         c,
-        """CREATE TABLE col_stats(
-          |path VARCHAR PRIMARY KEY, min_c BIGINT NOT NULL,
-          |max_c BIGINT NOT NULL)""".stripMargin)
+        """CREATE TABLE IF NOT EXISTS col_stats(
+          |path VARCHAR NOT NULL, col_name VARCHAR NOT NULL,
+          |min_v BIGINT NOT NULL, max_v BIGINT NOT NULL,
+          |PRIMARY KEY (path, col_name))""".stripMargin)
     }
 
-  private[graft] def recordColStats(
+  private[graft] def recordColStatsNamed(
       dbFile: String,
+      col: String,
       stats: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO col_stats VALUES (?, ?, ?)")
+      val ps = c.prepareStatement("INSERT INTO col_stats VALUES (?, ?, ?, ?)")
       try stats.foreach { case (p, mn, mx) =>
         ps.setString(1, p)
-        ps.setLong(2, mn)
-        ps.setLong(3, mx)
+        ps.setString(2, col)
+        ps.setLong(3, mn)
+        ps.setLong(4, mx)
         ps.executeUpdate()
       } finally ps.close()
     }
 
-  /** Snapshot N's data files whose recorded [min_c, max_c] value range
-    * OVERLAPS [lo, hi] — Iceberg's lower_bounds/upper_bounds skipping as
-    * a pure metadata join: manifest rows × file stats, zero data reads.
+  /** Single-column recorder (s52/s55's cents stats → column "c0"). */
+  private[graft] def recordColStats(
+      dbFile: String,
+      stats: Seq[(String, Long, Long)]): Unit =
+    recordColStatsNamed(dbFile, "c0", stats)
+
+  /** Snapshot N's data files whose recorded per-column [min, max] range
+    * OVERLAPS [lo, hi] on EVERY queried column — Iceberg's
+    * lower_bounds/upper_bounds skipping as a pure metadata join:
+    * manifest rows × one stat join per queried column, zero data reads.
     * (s43's prunePaths skips on partition EQUALITY; this is the RANGE
     * half — the one that rewards clustering.)
     */
+  private[graft] def pruneByCols(
+      dbFile: String,
+      snapshotId: Long,
+      bounds: Seq[(String, Long, Long)]): Seq[String] = {
+    require(bounds.nonEmpty, "pruneByCols needs at least one column bound")
+    val joins = bounds.zipWithIndex.map { case ((col, _, _), i) =>
+      s"""JOIN col_stats s$i ON m.path = s$i.path AND s$i.col_name = '$col'"""
+    }.mkString(" ")
+    val preds = bounds.zipWithIndex.map { case ((_, lo, hi), i) =>
+      s"s$i.max_v >= $lo AND s$i.min_v <= $hi"
+    }.mkString(" AND ")
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT m.path FROM manifests m $joins
+             WHERE m.snapshot_id = $snapshotId AND $preds
+             ORDER BY m.path""")
+        .map(_.head.toString)
+    }
+  }
+
   private[graft] def pruneByRange(
       dbFile: String,
       snapshotId: Long,
       lo: Long,
       hi: Long): Seq[String] =
-    DuckDbLive.withConnection(dbFile) { c =>
-      DuckDbLive
-        .queryRows(
-          c,
-          s"""SELECT m.path FROM manifests m JOIN col_stats s ON m.path = s.path
-             WHERE m.snapshot_id = $snapshotId
-             AND s.max_c >= $lo AND s.min_c <= $hi
-             ORDER BY m.path""")
-        .map(_.head.toString)
-    }
+    pruneByCols(dbFile, snapshotId, Seq(("c0", lo, hi)))
 
   /** Write `df` (columns k, cents, g) partitioned by the bucket column g
     * — one immutable file per present bucket value — and return per file
@@ -3223,51 +3254,27 @@ object SnapshotLog {
   // s57 — multi-dimensional (z-order) clustering + box skipping
   // ------------------------------------------------------------------
 
+  /** Two-column stats land as two long-form col_stats rows per file
+    * ("x" and "y") — same table, same planner (see initColStats). */
   private[graft] def initColStats2(dbFile: String): Unit =
-    DuckDbLive.withConnection(dbFile) { c =>
-      DuckDbLive.execute(
-        c,
-        """CREATE TABLE col_stats2(
-          |path VARCHAR PRIMARY KEY,
-          |min_x BIGINT NOT NULL, max_x BIGINT NOT NULL,
-          |min_y BIGINT NOT NULL, max_y BIGINT NOT NULL)""".stripMargin)
-    }
+    initColStats(dbFile)
 
   private[graft] def recordColStats2(
       dbFile: String,
-      stats: Seq[(String, Long, Long, Long, Long)]): Unit =
-    DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO col_stats2 VALUES (?, ?, ?, ?, ?)")
-      try stats.foreach { case (p, mnx, mxx, mny, mxy) =>
-        ps.setString(1, p)
-        ps.setLong(2, mnx)
-        ps.setLong(3, mxx)
-        ps.setLong(4, mny)
-        ps.setLong(5, mxy)
-        ps.executeUpdate()
-      } finally ps.close()
-    }
+      stats: Seq[(String, Long, Long, Long, Long)]): Unit = {
+    recordColStatsNamed(dbFile, "x", stats.map(s => (s._1, s._2, s._3)))
+    recordColStatsNamed(dbFile, "y", stats.map(s => (s._1, s._4, s._5)))
+  }
 
   /** Snapshot N's data files whose recorded per-file (x, y) stat ranges
-    * BOTH overlap the query box — pruneByRange in two dimensions, still
-    * a pure metadata join (manifest rows × file stats, zero data
-    * reads). */
+    * BOTH overlap the query box — pruneByCols over the two named
+    * columns, still a pure metadata join (zero data reads). */
   private[graft] def pruneByBox(
       dbFile: String,
       snapshotId: Long,
       xlo: Long, xhi: Long,
       ylo: Long, yhi: Long): Seq[String] =
-    DuckDbLive.withConnection(dbFile) { c =>
-      DuckDbLive
-        .queryRows(
-          c,
-          s"""SELECT m.path FROM manifests m JOIN col_stats2 s ON m.path = s.path
-             WHERE m.snapshot_id = $snapshotId
-             AND s.max_x >= $xlo AND s.min_x <= $xhi
-             AND s.max_y >= $ylo AND s.min_y <= $yhi
-             ORDER BY m.path""")
-        .map(_.head.toString)
-    }
+    pruneByCols(dbFile, snapshotId, Seq(("x", xlo, xhi), ("y", ylo, yhi)))
 
   /** writeBucketed for the two-dimensional stats: write df (columns
     * k, cents, x, y, g) partitioned by g and return per file

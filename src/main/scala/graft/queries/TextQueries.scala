@@ -3415,13 +3415,18 @@ object TextQueries {
     // corpus itself and bucket into head/middle/tail for
     // quality-stratified sampling. The LM here is the corpus unigram
     // model and the score is EXACT INTEGER bits: for each word,
-    // surprisal ≈ log2(N/c_w) computed at half-bit resolution as
-    // (length(bin((N*N) div (c_w*c_w))) - 1) half-bits — floor(log2) of
-    // an integer is its binary length minus 1 in both engines, no
-    // floating log anywhere (the q74/q92 ln-free discipline). Doc score
-    // = milli-bits/token = (500 * Σ half-bits) div n_tokens. N*N caps
-    // the method at N ≈ 3e9 tokens per shard in BIGINT — beyond that,
-    // reduce N/c by gcd or widen to DECIMAL; the CUTS (4505/4550
+    // surprisal ≈ log2(N/c_w) computed at half-bit resolution via the
+    // bit-length identity floor(log2(N²/c²)) = 2m + [N² ≥ 2·(2^m·c)²]
+    // with m = floor(log2(N div c)) = length(bin(N div c)) - 1 —
+    // floor(log2) of an integer is its binary length minus 1 in both
+    // engines, no floating log anywhere (the q74/q92 ln-free
+    // discipline). The half-bit refinement never SQUARES a BIGINT in
+    // 64 bits: the comparison runs as N²-t² ≥ t² (t = 2^m·c ≤ N) in
+    // DECIMAL(38,0) on the Spark side and HUGEINT in the oracle, both
+    // exact to N ≤ 9.2e18 tokens/shard — the FULL BIGINT range (the
+    // old (N*N) div (c*c) form capped at N ≈ 3e9; this closes the
+    // SURVEY §7.5 round-18 item #4). Doc score
+    // = milli-bits/token = (500 * Σ half-bits) div n_tokens. The CUTS (4505/4550
     // milli-bits) are measured: head/middle/tail = 135/333/32 at
     // sf0.001, 123/348/29 at sf0.01; at sf0.1 the synthetic corpus's
     // near-uniform unigram distribution collapses the middle band
@@ -3445,10 +3450,16 @@ object TextQueries {
           .ckpt()
         val vocab = dw.groupBy(col("w")).agg(sum(col("c_dw")).as("c"))
         val nTotal = vocab.agg(sum(col("c"))).head().getLong(0)
-        val n2 = nTotal * nTotal // N ≤ 3e9 guard is the scaladoc cap
-        val surp = vocab.select(
-          col("w"),
-          (length(bin(expr(s"$n2 div (c * c)"))) - 1).cast("long").as("surp2"))
+        // m = floor(log2(N div c)); the +1 half-bit iff N² ≥ 2t², t = 2^m·c,
+        // checked as N²−t² ≥ t² so neither side exceeds DECIMAL(38,0).
+        val surp = vocab
+          .withColumn("m", (length(bin(expr(s"$nTotal div c"))) - 1).cast("int"))
+          .withColumn("t2",
+            expr("cast(shiftleft(c, m) as decimal(38,0)) * cast(shiftleft(c, m) as decimal(38,0))"))
+          .withColumn("surp2",
+            expr(s"""2L * m + (CASE WHEN cast($nTotal as decimal(38,0)) * cast($nTotal as decimal(38,0)) - t2 >= t2
+                     THEN 1L ELSE 0L END)""").cast("long"))
+          .select(col("w"), col("surp2"))
         dw.join(surp, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(
@@ -3471,9 +3482,14 @@ object TextQueries {
           FROM t GROUP BY 1, 2),
         v AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c FROM dw GROUP BY 1),
         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v),
-        s AS (SELECT w,
-            CAST(length(bin((n.n * n.n) // (c * c))) - 1 AS BIGINT) AS surp2
+        tt AS (SELECT w, c, n.n,
+            c * (CAST(1 AS BIGINT) << (length(bin(n.n // c)) - 1)) AS t,
+            CAST(length(bin(n.n // c)) - 1 AS BIGINT) AS m
           FROM v, n),
+        s AS (SELECT w,
+            CAST(2 * m + (CASE WHEN CAST(n AS HUGEINT) * n - CAST(t AS HUGEINT) * t
+                >= CAST(t AS HUGEINT) * t THEN 1 ELSE 0 END) AS BIGINT) AS surp2
+          FROM tt),
         p AS (SELECT doc_id, CAST(sum(c_dw) AS BIGINT) AS n_tokens,
             CAST(sum(c_dw * surp2) AS BIGINT) AS half_bits
           FROM dw JOIN s USING (w) GROUP BY 1),

@@ -1768,6 +1768,46 @@ object StreamDemos {
           ba.s + br.s, FALSE, TRUE, TRUE
         FROM ba, br
         ORDER BY snapshot_id""")
+    ),
+    // s62: streaming CDC consumer (SnapshotLog.cdcStreamConsume
+    // scaladoc) — s56's replica maintenance as a foreachBatch MERGE
+    // loop, one micro-batch per source commit, with batch 2 INJECTED a
+    // second time: the apply_log ledger must reject the redelivery
+    // (applied=false, censuses frozen at snapshot 3). Oracle: s56's
+    // cumulative predicate arithmetic; step 3 mirrors step 2's
+    // censuses with applied=FALSE.
+    Q(
+      "s62_stream_cdc_consume",
+      (s, dir) => graft.sinks.SnapshotLog.cdcStreamConsume(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        d1 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 20 = 6),
+        u1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o WHERE k % 20 = 2),
+        d2 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 20 = 13),
+        u2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o WHERE k % 20 = 17),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o),
+        st2 AS (SELECT b.n - d1.c + 10 AS n,
+            b.s - d1.s + 1000 * u1.c + 10000315 AS s FROM b, d1, u1),
+        st3 AS (SELECT st2.n - d2.c + 5 AS n,
+            st2.s - d2.s + 500 * u2.c + 10000110 AS s FROM st2, d2, u2)
+        SELECT CAST(1 AS BIGINT) AS step, CAST(1 AS BIGINT) AS batch_id,
+          d1.c AS n_delete, u1.c AS n_update, CAST(10 AS BIGINT) AS n_insert,
+          TRUE AS applied, st2.n AS replica_rows, st2.s AS replica_cents,
+          st2.n AS src_rows, st2.s AS src_cents,
+          TRUE AS apply_ok, TRUE AS consume_ok
+        FROM d1, u1, st2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), d2.c, u2.c,
+          CAST(5 AS BIGINT), TRUE, st3.n, st3.s, st3.n, st3.s, TRUE, TRUE
+        FROM d2, u2, st3
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), d2.c, u2.c,
+          CAST(5 AS BIGINT), FALSE, st3.n, st3.s, st3.n, st3.s, TRUE, TRUE
+        FROM d2, u2, st3
+        ORDER BY step""")
     )
   )
 }

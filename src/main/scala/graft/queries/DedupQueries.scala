@@ -1586,6 +1586,153 @@ object DedupQueries {
           CAST(m.id_sum - r.rep_id AS BIGINT) AS removed_id_checksum
         FROM multi m JOIN rep r ON m.cluster = r.cluster
         ORDER BY m.cluster""")
+    ),
+    // q206: BLOOM-BACKED incremental dedup store — q194 composed with
+    // q171: the persisted fingerprint store's membership test replaced
+    // by a CONSTANT-SIZE Bloom filter (m=16384 bits as 265 62-bit
+    // words, k=3 h60-derived positions, built from the history's
+    // distinct fingerprints with one bit_or word aggregate). Production
+    // shape this pins: an increment doc that MISSES the filter is
+    // definitely new and never touches the history store at all
+    // (prune_bp measures that saved fraction); only the bloom-pass
+    // subset needs the exact anti-join, and since a Bloom filter has
+    // ZERO false negatives the composed result is EXACT by
+    // construction — pinned in-hash by bloom_ok, which compares the
+    // bloom-path kept census+checksum to the direct q194 recompute.
+    // fp_bp is the measured false-positive rate over true non-members
+    // (the extra exact-join work the filter costs). The `mem` ground
+    // truth here joins ALL increment docs against the store — that is
+    // the AUDIT layer (q171/q174 discipline); production joins only
+    // the pass subset.
+    //
+    // Scale shape: the filter is 265 words of index METADATA (the
+    // IVF-codebook class — folds into a literal, probe is entirely
+    // map-side); the history term in the hot path shrinks from a
+    // store-sized anti-join over the whole increment to one over its
+    // bloom-pass slice; the within-increment dedup is one
+    // increment-sized window. At 100 TB m scales with the store (still
+    // metadata), and the filter rides broadcast — never a shuffle.
+    Q(
+      "q206_bloom_incremental_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val mBits = 16384L
+        def posCol(j: Int, key: Column) =
+          Hashing.h60(concat(lit(s"bd$j:"), key)) % lit(mBits)
+        val d = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr("CAST(substring(source, 4) AS BIGINT)").as("sn"),
+            md5(concat_ws(" ", slice(ws, 1, 8))).as("pkey"))
+        val histKeys = d.filter(col("sn") < 10L)
+          .select(col("pkey")).distinct().ckpt() // built once, reused by the filter build + the mem audit
+        val pos = (0 until 3)
+          .map(j => histKeys.select(posCol(j, col("pkey")).as("p")))
+          .reduce(_ unionAll _)
+        val wordRows = pos
+          .select(
+            expr("p div 62").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("m"))
+          .groupBy("w")
+          .agg(expr("bit_or(m)").as("bits"))
+          .collect() // ≤265 filter words — bounded index metadata
+        val arr = Array.fill(265)(0L)
+        wordRows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+        var probe = d.filter(col("sn") >= 10L)
+        (0 until 3).foreach(j => probe = probe.withColumn(s"p$j", posCol(j, col("pkey"))))
+        val pass = (0 until 3)
+          .map(j =>
+            expr(s"(element_at(bw, CAST(p$j div 62 AS INT) + 1) & " +
+              s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 62 AS INT))) != 0"))
+          .reduce(_ && _)
+        val marked = probe
+          .withColumn("bw", typedLit(arr.toSeq))
+          .withColumn("pass", pass)
+          .join(histKeys.select(col("pkey"), lit(1L).as("mem")), Seq("pkey"), "left")
+          .select(
+            col("doc_id"), col("pkey"), col("pass"),
+            coalesce(col("mem"), lit(0L)).as("mem"))
+          .ckpt() // increment-sized; feeds the counts + both kept paths
+        def keptAgg(surv: org.apache.spark.sql.DataFrame) = {
+          val byKey = Window.partitionBy("pkey")
+          surv
+            .withColumn("keeper", min(col("doc_id")).over(byKey))
+            .filter(col("doc_id") === col("keeper"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("ck"))
+        }
+        // bloom path: skips go straight through; pass subset exact-joined
+        val keptBloom = keptAgg(marked.filter(!col("pass") || col("mem") === 0L))
+        // direct q194 recompute — the bloom_ok ground truth
+        val keptExact = keptAgg(marked.filter(col("mem") === 0L))
+        val hk = histKeys.agg(count(lit(1)).as("n_hist_keys"))
+        val cnt = marked.agg(
+          count(lit(1)).as("n_new"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(col("mem")).as("n_dup_hist"))
+        cnt
+          .crossJoin(broadcast(hk))
+          .crossJoin(broadcast(
+            keptBloom.select(col("n_kept").as("n_kept_new"), col("ck").as("id_checksum"))))
+          .crossJoin(broadcast(
+            keptExact.select(col("n_kept").as("n_kept_x"), col("ck").as("ck_x"))))
+          .select(
+            col("n_hist_keys"), col("n_new"),
+            (col("n_new") - col("n_bloom_pass")).as("n_bloom_skip"),
+            col("n_bloom_pass"),
+            (col("n_bloom_pass") - col("n_dup_hist")).as("n_fp"),
+            col("n_dup_hist"),
+            expr("""CASE WHEN n_new = n_dup_hist THEN CAST(0 AS BIGINT)
+              ELSE ((n_bloom_pass - n_dup_hist) * 10000) div (n_new - n_dup_hist) END""")
+              .as("fp_bp"),
+            expr("((n_new - n_bloom_pass) * 10000) div n_new").as("prune_bp"),
+            col("n_kept_new"), col("id_checksum"),
+            (col("n_kept_new") === col("n_kept_x") &&
+              col("id_checksum") === col("ck_x")).as("bloom_ok"))
+          .orderBy("n_new")
+      },
+      Some {
+        def posSql(j: Int) = s"(${h60(s"'bd$j:' || pkey")}) % 16384"
+        s"""WITH d AS (SELECT doc_id,
+              CAST(substring(source, 4) AS BIGINT) AS sn,
+              md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pkey
+            FROM documents),
+          hk AS (SELECT DISTINCT pkey FROM d WHERE sn < 10),
+          pos AS (SELECT ${posSql(0)} AS p FROM hk
+            UNION ALL SELECT ${posSql(1)} FROM hk
+            UNION ALL SELECT ${posSql(2)} FROM hk),
+          w AS (SELECT p // 62 AS w,
+              CAST(bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS BIGINT) AS bits
+            FROM pos GROUP BY 1),
+          i0 AS (SELECT doc_id, pkey, ${posSql(0)} AS p0, ${posSql(1)} AS p1,
+              ${posSql(2)} AS p2 FROM d WHERE sn >= 10),
+          chk AS (SELECT doc_id, pkey,
+              (coalesce(w0.bits, 0) & (1::BIGINT << CAST(p0 % 62 AS INT))) <> 0
+              AND (coalesce(w1.bits, 0) & (1::BIGINT << CAST(p1 % 62 AS INT))) <> 0
+              AND (coalesce(w2.bits, 0) & (1::BIGINT << CAST(p2 % 62 AS INT))) <> 0 AS pass
+            FROM i0 LEFT JOIN w w0 ON w0.w = p0 // 62
+              LEFT JOIN w w1 ON w1.w = p1 // 62
+              LEFT JOIN w w2 ON w2.w = p2 // 62),
+          mk AS (SELECT chk.*, (pkey IN (SELECT pkey FROM hk)) AS mem FROM chk),
+          surv AS (SELECT * FROM mk WHERE NOT mem),
+          kept AS (SELECT * FROM (SELECT *,
+              min(doc_id) OVER (PARTITION BY pkey) AS keeper FROM surv)
+            WHERE doc_id = keeper),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_new,
+              CAST(count(*) FILTER (pass) AS BIGINT) AS n_bloom_pass,
+              CAST(count(*) FILTER (mem) AS BIGINT) AS n_dup_hist FROM mk),
+          ka AS (SELECT CAST(count(*) AS BIGINT) AS n_kept_new,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM kept)
+          SELECT CAST((SELECT count(*) FROM hk) AS BIGINT) AS n_hist_keys,
+            agg.n_new, agg.n_new - agg.n_bloom_pass AS n_bloom_skip,
+            agg.n_bloom_pass,
+            agg.n_bloom_pass - agg.n_dup_hist AS n_fp, agg.n_dup_hist,
+            CASE WHEN agg.n_new = agg.n_dup_hist THEN CAST(0 AS BIGINT)
+              ELSE ((agg.n_bloom_pass - agg.n_dup_hist) * 10000)
+                // (agg.n_new - agg.n_dup_hist) END AS fp_bp,
+            ((agg.n_new - agg.n_bloom_pass) * 10000) // agg.n_new AS prune_bp,
+            ka.n_kept_new, ka.id_checksum, TRUE AS bloom_ok
+          FROM agg, ka ORDER BY agg.n_new"""
+      }
     )
   )
 

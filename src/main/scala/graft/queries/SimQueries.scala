@@ -1344,6 +1344,85 @@ object SimQueries {
             COALESCE(roll.min_affinity_q, 0) AS min_affinity_q
           FROM cents2 c LEFT JOIN roll ON c.cent_id = roll.cell, tot
           ORDER BY cell""")
+    ),
+    // q207: per-cluster DIVERSITY sampling — q185's trained semantic
+    // cells composed with q130's exact-quota selection (the D4 /
+    // coverage-first shape, Tirumala et al. 2023 arXiv:2308.12284:
+    // after clustering, sample so dense clusters stop dominating the
+    // mix while rare clusters keep full representation). Allocation is
+    // the capped rule quota_h = min(n_h, 8): dense cells are clipped to
+    // the cap, sparse cells keep everything — before_bp/after_bp pin
+    // the measured flattening of the cell-share distribution (the
+    // diversity claim as integers, not prose). Selection inside a cell
+    // is q130's deterministic key — rank by (md5(vec_id), vec_id) —
+    // so the sampled SET is engine-portable and rides the hash via the
+    // per-cell id-sum.
+    //
+    // Scale shape: assignment is the map-side broadcast-codebook
+    // argmax (cells are index metadata); ONE shuffle on the cell key
+    // feeds both the census and the rank window; the quota join is
+    // cell-domain-bounded; totals broadcast as a 1-row frame. The
+    // per-cell sort is the honest cost of exact quotas (q130's
+    // declared relaxation — two-pass hash-threshold — applies here
+    // unchanged when cells are corpus-sized).
+    Q(
+      "q207_cluster_diversity_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val vecs = e
+          .filter(col("vec_id") >= graft.ops.IvfKMeans.K)
+          .select("vec_id", "embedding")
+        val rk = row_number()
+          .over(Window.partitionBy(col("cell"))
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id")))
+          .cast("long")
+        val ranked = graft.ops.IvfKMeans.assign(vecs, cents)
+          .select(col("vec_id"), col("cell"))
+          .withColumn("rk", rk)
+          .ckpt() // one cell shuffle, reused by census + selection
+        val cen = ranked
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"))
+          .withColumn("quota", least(col("n_vecs"), lit(8L)))
+        val sel = ranked
+          .join(cen.select("cell", "quota"), "cell")
+          .filter(col("rk") <= col("quota"))
+          .groupBy("cell")
+          .agg(sum(col("vec_id")).as("sampled_id_sum"))
+        val tot = cen.agg(
+          sum(col("n_vecs")).as("nt"), sum(col("quota")).as("qt"))
+        cen
+          .join(sel, Seq("cell"), "left")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("cell"), col("n_vecs"), col("quota"),
+            coalesce(col("sampled_id_sum"), lit(0L)).as("sampled_id_sum"),
+            expr("(n_vecs * 10000) div nt").as("before_bp"),
+            expr("(quota * 10000) div qt").as("after_bp"))
+          .orderBy("cell")
+      },
+      Some(s"""$ivfCtes,
+          r AS (SELECT cell, vec_id,
+              CAST(row_number() OVER (PARTITION BY cell
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+            FROM assigned),
+          cen AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM r GROUP BY cell),
+          q AS (SELECT cell, n_vecs,
+              CAST(least(n_vecs, 8) AS BIGINT) AS quota FROM cen),
+          sel AS (SELECT r.cell, CAST(sum(r.vec_id) AS BIGINT) AS sampled_id_sum
+            FROM r JOIN q ON r.cell = q.cell
+            WHERE r.rk <= q.quota GROUP BY r.cell),
+          tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nt,
+              CAST(sum(quota) AS BIGINT) AS qt FROM q)
+          SELECT q.cell, q.n_vecs, q.quota,
+            COALESCE(sel.sampled_id_sum, 0) AS sampled_id_sum,
+            (q.n_vecs * 10000) // tot.nt AS before_bp,
+            (q.quota * 10000) // tot.qt AS after_bp
+          FROM q LEFT JOIN sel ON q.cell = sel.cell, tot
+          ORDER BY q.cell""")
     )
   )
 }

@@ -1808,6 +1808,40 @@ object StreamDemos {
           CAST(5 AS BIGINT), FALSE, st3.n, st3.s, st3.n, st3.s, TRUE, TRUE
         FROM d2, u2, st3
         ORDER BY step""")
+    ),
+    // s63: three-way branch merge (SnapshotLog.branchMerge scaladoc) —
+    // the WAP family's missing verb: main and a branch diverge from a
+    // common base; the branch's manifest delta replays onto main's
+    // head as a metadata-only merge commit (both edits land, census
+    // in-hash), and a second branch that rewrote the SAME file main
+    // rewrote must be rejected as a conflict with the pointer frozen.
+    // Oracle: both edits' predicate arithmetic applied to the base;
+    // insert sums are construction constants (Σ(3000000+13i, i<6) =
+    // 18000195, Σ(4000000+17i, i<4) = 16000102).
+    Q(
+      "s63_branch_merge",
+      (s, dir) => graft.sinks.SnapshotLog.branchMerge(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        d7 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 20 = 7),
+        u11 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o WHERE k % 20 = 11),
+        d8 AS (SELECT CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 20 = 8),
+        u0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o WHERE k % 20 = 0),
+        b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o)
+        SELECT CAST(1 AS BIGINT) AS n_branch_added,
+          CAST(1 AS BIGINT) AS n_branch_removed,
+          CAST(1 AS BIGINT) AS n_main_added,
+          CAST(1 AS BIGINT) AS n_main_removed,
+          TRUE AS merged,
+          b.n - d7.c - d8.c + 10 AS n_rows_merged,
+          b.s - d7.s - d8.s + 300 * u11.c + 200 * u0.c
+            + 18000195 + 16000102 AS sum_cents_merged,
+          TRUE AS conflict_rejected, TRUE AS merge_ok
+        FROM d7, u11, d8, u0, b
+        ORDER BY n_branch_added""")
     )
   )
 }

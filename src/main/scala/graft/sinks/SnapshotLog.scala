@@ -4008,4 +4008,159 @@ object SnapshotLog {
         .orderBy("step")
     }
   }
+
+  /** s63 — three-way BRANCH MERGE: the WAP family's missing verb. s46
+    * publishes by FAST-FORWARD, which only works when main has not
+    * moved since the branch was cut; the production case (Nessie merge
+    * / Iceberg cherry-pick) is main and branch diverging from a common
+    * base and the branch's changes being REPLAYED onto main's head —
+    * a metadata-only three-way merge over manifests, never a data
+    * rewrite. The rule, all from log metadata:
+    *
+    *   - branch delta vs the fork base = (files added, files removed);
+    *   - CONFLICT iff a file the branch removed (i.e. rewrote) is no
+    *     longer in main's head manifest — both sides rewrote it, and
+    *     file-level replay would silently drop one side's edit. A
+    *     conflicting merge must REJECT with main's pointer untouched;
+    *   - otherwise the merge commit's manifest = main-head manifest
+    *     − branch-removed + branch-added, committed through the SAME
+    *     optimistic conditional swap as every commit (a concurrent
+    *     main mover still rejects cleanly).
+    *
+    * Lifecycle: base snapshot 1 (4 bucket files); branch `dev` cut at
+    * 1 rewrites bucket 3 (delete k%20=7, update k%20=11 +300, 6
+    * inserts ≡3 mod 4) as snapshot 2; main independently rewrites
+    * bucket 0 (delete k%20=8, update k%20=0 +200, 4 inserts ≡0 mod 4)
+    * as snapshot 3 — touched file sets disjoint, so the merge lands as
+    * snapshot 4 and its census (in-hash) equals BOTH edits applied to
+    * the base. Then branch `dev2`, also cut at 1, rewrites bucket 0
+    * too (snapshot 5) — merging it must detect the f0 conflict against
+    * main's head and reject, pointer frozen at 4.
+    *
+    * Scale shape: the merge plans entirely over manifest rows (file
+    * sets — metadata); the only data IO is each side's own rewrite,
+    * which happened before the merge. Nothing re-reads, re-writes, or
+    * shuffles table data at merge time.
+    */
+  def branchMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("k"))).head().getLong(0)
+    val mxb = mx - mx % 4
+    val insDev = (0 until 6).map(i => (mxb + 4L * (i + 1) + 3L, 3000000L + 13L * i))
+    val insMain = (0 until 4).map(i => (mxb + 4L * (i + 1), 4000000L + 17L * i))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s63_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+      initRefs(dbFile)
+
+      val baseFiles = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        pf
+      }
+      val c1 = commit(dbFile, 0L, 1L, baseFiles)
+
+      def rewriteFiles(
+          fromSnap: Long, bucket: Long,
+          delMod: Long, updMod: Long, bump: Long,
+          ins: Seq[(Long, Long)], out: String): Seq[(String, Long)] = {
+        val affected = prunePaths(dbFile, fromSnap, Seq(bucket))
+        spark.read.parquet(affected: _*)
+          .filter(col("k") % 20 =!= delMod)
+          .withColumn("cents",
+            when(col("k") % 20 === updMod, col("cents") + bump).otherwise(col("cents")))
+          .unionByName(ins.toDF("k", "cents"))
+          .repartition(1).write.parquet(out)
+        val nf = partFiles(spark, out)
+        recordStats(dbFile, nf.map(p => (p._1, bucket)))
+        manifest(dbFile, fromSnap)
+          .filterNot(f => affected.contains(f._1)) ++ nf
+      }
+
+      // branch `dev` cut at 1: bucket-3 rewrite → snapshot 2 (ref only)
+      createRef(dbFile, "dev", at = 1L)
+      val cDev = commitToRef(dbFile, "dev", 1L, 2L,
+        rewriteFiles(1L, 3L, 7L, 11L, 300L, insDev, s"$base/mdev"))
+      // main moves independently: bucket-0 rewrite → snapshot 3
+      val cMain = commit(dbFile, 1L, 3L,
+        rewriteFiles(1L, 0L, 8L, 0L, 200L, insMain, s"$base/mmain"))
+
+      /** Replay `ref`'s delta vs `baseSnap` onto main's head; returns
+        * (merged, conflictDetected). Metadata-only.
+        */
+      def mergeBranch(ref: String, baseSnap: Long): (Boolean, Boolean) = {
+        val head = currentSnapshot(dbFile)
+        val baseMf = manifest(dbFile, baseSnap).map(_._1).toSet
+        val brMf = manifest(dbFile, refSnapshot(dbFile, ref))
+        val brRemoved = baseMf -- brMf.map(_._1).toSet
+        val brAdded = brMf.filterNot(f => baseMf.contains(f._1))
+        val headMf = manifest(dbFile, head)
+        val headPaths = headMf.map(_._1).toSet
+        if (brRemoved.exists(p => !headPaths.contains(p))) (false, true)
+        else {
+          val newMf = headMf.filterNot(f => brRemoved.contains(f._1)) ++ brAdded
+          (commit(dbFile, head, head + 1, newMf), false)
+        }
+      }
+
+      def delta(snap: Long, vs: Long): (Long, Long) = {
+        val a = manifest(dbFile, snap).map(_._1).toSet
+        val b = manifest(dbFile, vs).map(_._1).toSet
+        ((a -- b).size.toLong, (b -- a).size.toLong)
+      }
+      val (brAdd, brRem) = delta(2L, 1L)
+      val (mnAdd, mnRem) = delta(3L, 1L)
+
+      val (merged, conflict1) = mergeBranch("dev", 1L)
+      val mergedC = spark.read
+        .parquet(manifest(dbFile, currentSnapshot(dbFile)).map(_._1): _*)
+        .agg(count(lit(1)), sum(col("cents"))).head()
+
+      // branch `dev2`, also cut at 1, rewrites bucket 0 like main did:
+      // its merge must conflict on f0 and leave the pointer at 4
+      createRef(dbFile, "dev2", at = 1L)
+      val cDev2 = commitToRef(dbFile, "dev2", 1L, 5L,
+        rewriteFiles(1L, 0L, 16L, 12L, 100L, Seq.empty, s"$base/mdev2"))
+      val (merged2, conflict2) = mergeBranch("dev2", 1L)
+
+      val mergeOk = c1 && cDev && cMain && cDev2 &&
+        merged && !conflict1 && !merged2 && conflict2 &&
+        currentSnapshot(dbFile) == 4L
+
+      Seq((brAdd, brRem, mnAdd, mnRem, merged,
+        mergedC.getLong(0), mergedC.getLong(1), conflict2, mergeOk))
+        .toDF("n_branch_added", "n_branch_removed", "n_main_added",
+          "n_main_removed", "merged", "n_rows_merged", "sum_cents_merged",
+          "conflict_rejected", "merge_ok")
+        .orderBy("n_branch_added")
+    } else {
+      // honest fallback: predicate arithmetic; merged/merge_ok=false
+      // fails the oracle's TRUE
+      val agg = o.agg(
+        sum(when(col("k") % 20 === 7, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 7, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 11, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 8, lit(1L)).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 8, col("cents")).otherwise(lit(0L))),
+        sum(when(col("k") % 20 === 0, lit(1L)).otherwise(lit(0L))),
+        count(lit(1)), sum(col("cents"))).head()
+      val n = agg.getLong(6) - agg.getLong(0) - agg.getLong(3) + 10L
+      val sm = agg.getLong(7) - agg.getLong(1) - agg.getLong(4) +
+        300L * agg.getLong(2) + 200L * agg.getLong(5) +
+        insDev.map(_._2).sum + insMain.map(_._2).sum
+      Seq((1L, 1L, 1L, 1L, false, n, sm, false, false))
+        .toDF("n_branch_added", "n_branch_removed", "n_main_added",
+          "n_main_removed", "merged", "n_rows_merged", "sum_cents_merged",
+          "conflict_rejected", "merge_ok")
+        .orderBy("n_branch_added")
+    }
+  }
 }

@@ -1842,6 +1842,84 @@ object StreamDemos {
           TRUE AS conflict_rejected, TRUE AS merge_ok
         FROM d7, u11, d8, u0, b
         ORDER BY n_branch_added""")
+    ),
+    // s64: NDV sketches in the manifest (SnapshotLog.ndvSketchStats
+    // scaladoc) — per-file HLL registers persisted as stats metadata at
+    // write time, merged per-bucket-max at PLAN time for any file
+    // subset (Iceberg puffin shape on q170's exact-integer kernel).
+    // Oracle: per-file registers are per-residue registers (file b =
+    // k%4=b), merged scope registers equal registers over the scope
+    // predicate by the HLL merge property; estimate via the HUGEINT
+    // Flajolet formula; exact via count(DISTINCT).
+    Q(
+      "s64_ndv_sketch_stats",
+      (s, dir) => graft.sinks.SnapshotLog.ndvSketchStats(s, dir),
+      Some {
+        val h = graft.oracle.OracleSql.h60("CAST(cust AS VARCHAR)")
+        s"""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+              CAST(o_custkey AS BIGINT) AS cust FROM orders),
+          hh AS (SELECT k % 4 AS f, $h AS h FROM o),
+          r AS (SELECT f, h // ${1L << 54} AS bucket,
+              CASE WHEN h % ${1L << 54} = 0 THEN CAST(55 AS BIGINT)
+                   ELSE CAST(55 - length(bin(h % ${1L << 54})) AS BIGINT)
+              END AS rk FROM hh),
+          fr AS (SELECT f, bucket, CAST(max(rk) AS BIGINT) AS mr
+            FROM r GROUP BY f, bucket),
+          sc AS (SELECT * FROM (VALUES ('all', 4), ('b01', 2)) t(scope, nf)),
+          sel AS (SELECT sc.scope, sc.nf, fr.f, fr.bucket, fr.mr
+            FROM sc JOIN fr ON sc.scope = 'all' OR fr.f < 2),
+          mrg AS (SELECT scope, nf, bucket, max(mr) AS mr
+            FROM sel GROUP BY 1, 2, 3),
+          srows AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_sketch_rows
+            FROM sel GROUP BY 1),
+          sh AS (SELECT scope, nf,
+              CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
+                + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_h
+            FROM mrg GROUP BY 1, 2),
+          est AS (SELECT scope, nf,
+              CAST((CAST(709 AS HUGEINT) * 4096 * ${1L << 55})
+                // (CAST(s_h AS HUGEINT) * 1000) AS BIGINT) AS est_ndv
+            FROM sh),
+          ex AS (SELECT 'all' AS scope,
+              CAST(count(DISTINCT cust) AS BIGINT) AS exact_ndv FROM o
+            UNION ALL SELECT 'b01',
+              CAST(count(DISTINCT cust) AS BIGINT) FROM o WHERE k % 4 < 2)
+          SELECT est.scope, CAST(est.nf AS BIGINT) AS n_files,
+            srows.n_sketch_rows, est.est_ndv, ex.exact_ndv,
+            abs(est.est_ndv - ex.exact_ndv) * 10000 // ex.exact_ndv AS err_bp,
+            TRUE AS regs_match, TRUE AS log_ok
+          FROM est JOIN ex ON est.scope = ex.scope
+          JOIN srows ON est.scope = srows.scope
+          ORDER BY est.scope"""
+      }
+    ),
+    // s65: two-level manifest pruning (SnapshotLog.twoLevelManifest
+    // scaladoc) — 16 bucket files in 4 summary-carrying manifest
+    // groups; a point query reads 1 group / 4 entry rows / 1 file, a
+    // range query 3 / 12 / 7, with plan censuses in-hash and plan_ok
+    // pinning planned-scan == direct-predicate census. Oracle: the
+    // construction constants + predicate censuses over `orders`.
+    Q(
+      "s65_two_level_manifest",
+      (s, dir) => graft.sinks.SnapshotLog.twoLevelManifest(s, dir),
+      Some("""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o WHERE k % 16 = 5),
+        r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM o
+          WHERE k % 16 BETWEEN 6 AND 12)
+        SELECT 'point_b5' AS query, CAST(4 AS BIGINT) AS n_groups,
+          CAST(1 AS BIGINT) AS n_groups_read,
+          CAST(4 AS BIGINT) AS n_entries_read,
+          CAST(1 AS BIGINT) AS n_files_scanned,
+          p.n AS n_rows, p.s AS sum_cents, TRUE AS plan_ok
+        FROM p
+        UNION ALL
+        SELECT 'range_b6_12', CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(12 AS BIGINT), CAST(7 AS BIGINT), r.n, r.s, TRUE
+        FROM r
+        ORDER BY query""")
     )
   )
 }

@@ -4163,4 +4163,307 @@ object SnapshotLog {
         .orderBy("n_branch_added")
     }
   }
+
+  /** Per-file NDV sketches (Iceberg puffin / theta-sketch shape, on the
+    * exact-integer HLL kernel `graft.ops.Hll`): each data file carries
+    * its ≤64 (bucket, max-rank) register rows as STATS METADATA, and a
+    * planner estimates the distinct count of any file subset by
+    * merging registers (per-bucket max) — metadata-only, no scan.
+    */
+  private[graft] def initNdv(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE file_ndv(
+          |path VARCHAR NOT NULL, bucket BIGINT NOT NULL,
+          |mr BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordNdv(dbFile: String, rows: Seq[(String, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO file_ndv VALUES (?, ?, ?)")
+      try rows.foreach { case (p, b, mr) =>
+        ps.setString(1, p)
+        ps.setLong(2, b)
+        ps.setLong(3, mr)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  private def ndvPathList(paths: Seq[String]): String =
+    paths.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+
+  /** Merged register set of a file subset — per-bucket max over the
+    * subset's sketch rows. ≤64 rows of metadata through the JDBC hop.
+    */
+  private[graft] def ndvRegisters(dbFile: String, paths: Seq[String]): Seq[(Long, Long)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT bucket, CAST(max(mr) AS BIGINT) FROM file_ndv
+             WHERE path IN (${ndvPathList(paths)})
+             GROUP BY bucket ORDER BY bucket""")
+        .map(r => (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Number].longValue))
+    }
+
+  private[graft] def ndvRowCount(dbFile: String, paths: Seq[String]): Long =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"SELECT count(*) FROM file_ndv WHERE path IN (${ndvPathList(paths)})")
+        .head(0).asInstanceOf[Number].longValue
+    }
+
+  /** s64 — NDV SKETCHES IN THE MANIFEST: the distinct-count statistics
+    * a 100 TB planner needs (join-side choice, agg sizing, dictionary
+    * decisions) persisted per FILE at write time and merged at PLAN
+    * time from log metadata only — Iceberg's puffin/theta-sketch
+    * design, built on q170's exact-integer HLL kernel so both engines
+    * agree bit-for-bit. Lifecycle:
+    *
+    *   - one write-time scan computes every file's (bucket, max-rank)
+    *     register rows (≤64 per file — stats, not data), recorded in
+    *     the log beside the bucket stats;
+    *   - the planner answers "distinct customers in scope X" for two
+    *     scopes (the whole table; the bucket-{0,1} pruned subset) by
+    *     MERGING the scope's register rows per-bucket-max and applying
+    *     the integer Flajolet estimate — no data file is opened;
+    *   - the audit, in-hash: est vs the exact scan NDV (err_bp), and
+    *     regs_match — the metadata-merged registers must EQUAL the
+    *     registers computed directly over the scanned scope rows (the
+    *     HLL merge property is what makes per-file sketches sound; a
+    *     stale or torn sketch row breaks the equality, not just the
+    *     estimate).
+    *
+    * Scale shape: sketch rows are O(64 · n_files) metadata; merge is a
+    * ≤64-row metadata aggregate per scope; the exact scan exists only
+    * as this entry's audit layer. At 100 TB the planner path never
+    * touches data.
+    */
+  def ndvSketchStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"))
+
+    def exactAndDirect(df: DataFrame): (Long, Seq[(Long, Long)]) = {
+      val exact = df.agg(countDistinct(col("cust"))).head().getLong(0)
+      val regs = df
+        .select(Hashing.h60(col("cust").cast("string")).as("h"))
+        .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("bucket").agg(max("rk").as("mr"))
+        .collect() // ≤64 register cells — bounded sketch metadata
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      (exact, regs)
+    }
+    def estimate(regs: Seq[(Long, Long)]): Long = {
+      val s = regs.map { case (_, mr) => BigInt(1) << (55 - mr.toInt) }.sum +
+        BigInt(64 - regs.size) * (BigInt(1) << 55)
+      (BigInt(709) * 4096 * (BigInt(1) << 55) / (s * 1000)).toLong
+    }
+
+    if (DuckDbLive.available) withTempTableDir("graft_s64_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initStats(dbFile)
+      initNdv(dbFile)
+
+      // ONE write-time scan: per-file (= per residue) register census
+      val perFileRegs = o
+        .select((col("k") % 4).as("f"), Hashing.h60(col("cust").cast("string")).as("h"))
+        .select(col("f"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("f", "bucket").agg(max("rk").as("mr"))
+        .collect() // ≤256 sketch cells (64 × 4 files) — stats metadata
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val files = (0L to 3L).flatMap { b =>
+        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
+        val pf = partFiles(spark, s"$base/f$b")
+        recordStats(dbFile, pf.map(p => (p._1, b)))
+        recordNdv(dbFile, perFileRegs.collect {
+          case (f, bkt, mr) if f == b => (pf.head._1, bkt, mr)
+        })
+        pf
+      }
+      commit(dbFile, 0L, 1L, files)
+
+      def scopeRow(scope: String, buckets: Seq[Long]) = {
+        val paths = prunePaths(dbFile, 1L, buckets)
+        val merged = ndvRegisters(dbFile, paths) // plan-time: metadata only
+        val est = estimate(merged)
+        val (exact, direct) =
+          exactAndDirect(spark.read.parquet(paths: _*)) // the audit scan
+        (scope, paths.size.toLong, ndvRowCount(dbFile, paths), est, exact,
+          math.abs(est - exact) * 10000L / exact,
+          merged.sortBy(_._1) == direct, true)
+      }
+      Seq(scopeRow("all", Seq(0L, 1L, 2L, 3L)), scopeRow("b01", Seq(0L, 1L)))
+        .toDF("scope", "n_files", "n_sketch_rows", "est_ndv", "exact_ndv",
+          "err_bp", "regs_match", "log_ok")
+        .orderBy("scope")
+    } else {
+      // honest fallback: same estimates from predicate groupings, but
+      // regs_match/log_ok=false fail the oracle's TRUE
+      def row(scope: String, nf: Long, pred: org.apache.spark.sql.Column) = {
+        val scoped = o.filter(pred)
+        val (exact, regs) = exactAndDirect(scoped)
+        val nRows = o
+          .filter(pred)
+          .select((col("k") % 4).as("f"), Hashing.h60(col("cust").cast("string")).as("h"))
+          .select(col("f"), Hll.bucketCol.as("bucket"))
+          .distinct().count()
+        val est = estimate(regs)
+        (scope, nf, nRows, est, exact,
+          math.abs(est - exact) * 10000L / exact, false, false)
+      }
+      Seq(
+        row("all", 4L, lit(true)),
+        row("b01", 2L, col("k") % 4 < 2))
+        .toDF("scope", "n_files", "n_sketch_rows", "est_ndv", "exact_ndv",
+          "err_bp", "regs_match", "log_ok")
+        .orderBy("scope")
+    }
+  }
+
+  /** Two-level manifest list (Iceberg's snapshot → manifest-list →
+    * manifest-file hierarchy): data-file entries are grouped into
+    * MANIFEST GROUPS, each carrying a partition-value summary
+    * (min_b/max_b) in the top-level list, so planning prunes whole
+    * groups before reading any per-file entry rows.
+    */
+  private[graft] def initManifestGroups(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE manifest_groups(
+          |snapshot_id BIGINT NOT NULL, group_id BIGINT NOT NULL,
+          |min_b BIGINT NOT NULL, max_b BIGINT NOT NULL,
+          |n_entries BIGINT NOT NULL)""".stripMargin)
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE group_entries(
+          |group_id BIGINT NOT NULL, path VARCHAR NOT NULL,
+          |bucket BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordGroup(
+      dbFile: String,
+      snapshotId: Long,
+      groupId: Long,
+      entries: Seq[(String, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""INSERT INTO manifest_groups VALUES ($snapshotId, $groupId,
+           ${entries.map(_._2).min}, ${entries.map(_._2).max}, ${entries.size})""")
+      finally st.close()
+      val ps = c.prepareStatement("INSERT INTO group_entries VALUES (?, ?, ?)")
+      try entries.foreach { case (p, b) =>
+        ps.setLong(1, groupId)
+        ps.setString(2, p)
+        ps.setLong(3, b)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** s65 — TWO-LEVEL MANIFEST PRUNING: the metadata-scalability layer
+    * s52/s57/s58 all skipped — they plan over a FLAT per-file stat
+    * table, which itself stops scaling when the table holds 100k+
+    * files (reading 100k manifest rows per query is the new
+    * bottleneck). Iceberg's answer is the snapshot → manifest-list →
+    * manifest hierarchy: file entries live in manifest GROUPS, the
+    * top-level list carries one (min, max) partition summary per
+    * group, and planning is two staged prunes — groups by summary,
+    * then files by stat, touching only surviving groups' entry rows.
+    * Fixture: 16 bucket files (k%16) in 4 contiguous groups of 4; a
+    * point query (b=5) must read 1 of 4 groups → 4 of 16 entry rows →
+    * 1 file; a range query (6..12) reads 3 groups → 12 entry rows →
+    * 7 files. Each query's plan census is pinned in-hash AND plan_ok
+    * additionally pins the planned scan's census equal to the direct
+    * predicate census computed without the log (pruning must never
+    * lose rows — the s52 discipline one level up).
+    *
+    * Scale shape: a query's metadata cost is n_groups_total list rows
+    * + the surviving groups' entries, not the table's full file count
+    * — at 100k files with ~1k-entry groups, a point query reads ~100
+    * list rows + ~1k entry rows instead of 100k. Data IO is the
+    * pruned file set only.
+    */
+  def twoLevelManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("b", col("k") % 16)
+
+    if (DuckDbLive.available) withTempTableDir("graft_s65_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initManifestGroups(dbFile)
+
+      val byBucket = (0L to 15L).map { b =>
+        o.filter(col("b") === b).select("k", "cents")
+          .repartition(1).write.parquet(s"$base/f$b")
+        b -> partFiles(spark, s"$base/f$b")
+      }
+      commit(dbFile, 0L, 1L, byBucket.flatMap(_._2))
+      (0L to 3L).foreach { g =>
+        recordGroup(dbFile, 1L, g,
+          byBucket.filter(_._1 / 4 == g).flatMap { case (b, pf) =>
+            pf.map(p => (p._1, b))
+          })
+      }
+
+      def plan(lo: Long, hi: Long): (Long, Long, Seq[String]) =
+        DuckDbLive.withConnection(dbFile) { c =>
+          val gids = DuckDbLive.queryRows(
+            c,
+            s"""SELECT group_id FROM manifest_groups
+               WHERE snapshot_id = 1 AND max_b >= $lo AND min_b <= $hi
+               ORDER BY group_id""").map(_(0).asInstanceOf[Number].longValue)
+          val entries = DuckDbLive.queryRows(
+            c,
+            s"""SELECT path, bucket FROM group_entries
+               WHERE group_id IN (${gids.mkString(", ")}) ORDER BY path""")
+            .map(r => (r(0).toString, r(1).asInstanceOf[Number].longValue))
+          (gids.size.toLong, entries.size.toLong,
+            entries.collect { case (p, b) if b >= lo && b <= hi => p })
+        }
+
+      def queryRow(name: String, lo: Long, hi: Long) = {
+        val (nGroups, nEntries, files) = plan(lo, hi)
+        val planned = spark.read.parquet(files: _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        val direct = o.filter(col("b") >= lo && col("b") <= hi)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (name, 4L, nGroups, nEntries, files.size.toLong,
+          planned.getLong(0), planned.getLong(1),
+          planned.getLong(0) == direct.getLong(0) &&
+            planned.getLong(1) == direct.getLong(1))
+      }
+      Seq(queryRow("point_b5", 5L, 5L), queryRow("range_b6_12", 6L, 12L))
+        .toDF("query", "n_groups", "n_groups_read", "n_entries_read",
+          "n_files_scanned", "n_rows", "sum_cents", "plan_ok")
+        .orderBy("query")
+    } else {
+      // honest fallback: predicate censuses with plan_ok=false failing
+      // the oracle's TRUE
+      def row(name: String, lo: Long, hi: Long, ng: Long, ne: Long, nf: Long) = {
+        val a = o.filter(col("b") >= lo && col("b") <= hi)
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (name, 4L, ng, ne, nf, a.getLong(0), a.getLong(1), false)
+      }
+      Seq(row("point_b5", 5L, 5L, 1L, 4L, 1L),
+        row("range_b6_12", 6L, 12L, 3L, 12L, 7L))
+        .toDF("query", "n_groups", "n_groups_read", "n_entries_read",
+          "n_files_scanned", "n_rows", "sum_cents", "plan_ok")
+        .orderBy("query")
+    }
+  }
 }

@@ -1733,6 +1733,135 @@ object DedupQueries {
             ka.n_kept_new, ka.id_checksum, TRUE AS bloom_ok
           FROM agg, ka ORDER BY agg.n_new"""
       }
+    ),
+    // q208: LSH BANDING PARAMETER SWEEP — the design tool in front of
+    // q176's audit: q176 measures what the DEPLOYED (b=2, r=2) banding
+    // recovers; this sweeps the (bands, rows-per-band) knob over the
+    // same 4-component signature family — (4,1), (2,2), (1,4) — and
+    // measures each config's candidate volume, recall, and precision
+    // against exact-Jaccard ground truth at the near-dup threshold
+    // (8000 bp), which is exactly the S-curve tradeoff table an
+    // engineer reads before choosing b and r (more bands OR shorter
+    // bands → recall up, precision down; the sweep shows the deployed
+    // (2,2) sitting between the extremes). Everything runs WITHIN the
+    // q176 bounded deterministic sample (doc_id % 2 = 0 AND doc_id <
+    // 1024, ≤512 docs at any SF) — parameter selection on a sample is
+    // the production workflow; deploying the chosen config to the full
+    // corpus is what q33/q34 already pin.
+    //
+    // Scale shape: sample²-bounded by the id cap — the signature pass
+    // is one ≤512-row projection, band self-joins and the truth join
+    // all broadcast the sample. Nothing touches the corpus beyond the
+    // pushdown-pruned sample scan.
+    Q(
+      "q208_lsh_band_sweep",
+      (s, dir) => {
+        val configs: Seq[(String, Seq[Seq[Int]])] = Seq(
+          ("b1r4", Seq(Seq(1, 2, 3, 4))),
+          ("b2r2", Seq(Seq(1, 2), Seq(3, 4))),
+          ("b4r1", Seq(Seq(1), Seq(2), Seq(3), Seq(4))))
+        val samp = Tables
+          .documentsSpread(s, dir)
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1024)
+          .select(
+            col("doc_id") +:
+              array_distinct(
+                transform(call_function("graft_shingles", ws, lit(3)), x => Hashing.h60(x)))
+                .as("sh") +:
+              (1 to 4).map(j => mh(j).as(s"mh$j")): _*)
+          .ckpt() // ≤512 id-capped sample rows — bounded by design
+        val banded = configs
+          .map { case (cfg, bands) =>
+            samp.select(
+              lit(cfg).as("cfg"),
+              col("doc_id"),
+              explode(array(bands.zipWithIndex.map { case (comps, i) =>
+                Hashing.h60(concat(
+                  lit(s"$cfg:$i:"),
+                  concat_ws("_", comps.map(j => col(s"mh$j").cast("string")): _*)))
+              }: _*)).as("band"))
+          }
+          .reduce(_ unionAll _)
+        val cand = banded
+          .as("a")
+          .join(
+            broadcast(banded.as("b")), // sample²-bounded by the id cap
+            col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.cfg").as("cfg"), col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val jb = samp
+          .select(col("doc_id").as("ta"), col("sh").as("sa"))
+          .crossJoin(broadcast(samp.select(col("doc_id").as("tb"), col("sh").as("sb"))))
+          .filter(col("ta") < col("tb"))
+          .select(
+            col("ta"), col("tb"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+            (size(col("sa")) + size(col("sb"))).cast("long").as("ab"))
+          .select(
+            col("ta"), col("tb"),
+            expr("""CASE WHEN ab - i = 0 THEN CAST(0 AS BIGINT)
+              ELSE (i * 10000) div (ab - i) END""").as("jbp"))
+        val nTrue = jb.filter(col("jbp") >= 8000L).agg(count(lit(1)).as("n_true"))
+        cand
+          .join(
+            broadcast(jb.filter(col("jbp") >= 8000L).select(col("ta"), col("tb"))),
+            col("da") === col("ta") && col("db") === col("tb"), "left")
+          .groupBy("cfg")
+          .agg(
+            count(lit(1)).as("n_cand"),
+            sum(when(col("ta").isNotNull, 1L).otherwise(0L)).as("n_recovered"))
+          .crossJoin(broadcast(nTrue))
+          .select(
+            col("cfg"), col("n_cand"), col("n_true"), col("n_recovered"),
+            expr("""CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+              ELSE (n_recovered * 10000) div n_true END""").as("recall_bp"),
+            expr("""CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+              ELSE (n_recovered * 10000) div n_cand END""").as("precision_bp"))
+          .orderBy("cfg")
+      },
+      Some {
+        val sh = s"list_distinct(${shingles("string_split(text, ' ')", 3)})"
+        def key(cfg: String, i: Int, comps: Seq[Int]) =
+          h60(s"'$cfg:$i:' || " +
+            comps.map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || '_' || "))
+        s"""WITH samp AS (SELECT doc_id,
+              list_distinct(list_transform($sh, x -> ${h60("x")})) AS sh,
+              ${(1 to 4).map(j => s"${mhSql(j)} AS mh$j").mkString(", ")}
+            FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id < 1024),
+          bnd AS (
+            SELECT 'b1r4' AS cfg, doc_id,
+              unnest([${key("b1r4", 0, Seq(1, 2, 3, 4))}]) AS band FROM samp
+            UNION ALL SELECT 'b2r2', doc_id,
+              unnest([${key("b2r2", 0, Seq(1, 2))}, ${key("b2r2", 1, Seq(3, 4))}])
+            FROM samp
+            UNION ALL SELECT 'b4r1', doc_id,
+              unnest([${(0 to 3).map(i => key("b4r1", i, Seq(i + 1))).mkString(", ")}])
+            FROM samp),
+          cand AS (SELECT DISTINCT a.cfg, a.doc_id AS da, b.doc_id AS db
+            FROM bnd a JOIN bnd b
+              ON a.cfg = b.cfg AND a.band = b.band AND a.doc_id < b.doc_id),
+          jb0 AS (SELECT a.doc_id AS ta, b.doc_id AS tb,
+              CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+              CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ab
+            FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+          tr AS (SELECT ta, tb FROM (SELECT ta, tb,
+              CASE WHEN ab - i = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (i * 10000) // (ab - i) END AS jbp FROM jb0)
+            WHERE jbp >= 8000),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr),
+          per AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_cand,
+              CAST(count(tr.ta) AS BIGINT) AS n_recovered
+            FROM cand LEFT JOIN tr ON cand.da = tr.ta AND cand.db = tr.tb
+            GROUP BY cfg)
+          SELECT cfg, per.n_cand, nt.n_true, per.n_recovered,
+            CASE WHEN nt.n_true = 0 THEN CAST(10000 AS BIGINT)
+                 ELSE (per.n_recovered * 10000) // nt.n_true END AS recall_bp,
+            CASE WHEN per.n_cand = 0 THEN CAST(0 AS BIGINT)
+                 ELSE (per.n_recovered * 10000) // per.n_cand END AS precision_bp
+          FROM per, nt ORDER BY cfg"""
+      }
     )
   )
 

@@ -1224,6 +1224,36 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "LocalTableScan") == 1)
   }
 
+  test("q206 bloom incremental dedup: ckpt'd marked table feeds all consumers — only 1-row broadcasts in the final plan") {
+    // the 265-word Bloom filter folded into the ckpt-time probe
+    // projection as a literal array; the final plan reads the
+    // materialized (doc_id, pkey, pass, mem) table, aggregates it four
+    // ways, and joins nothing but the three 1-row broadcast frames;
+    // the kept windows are pkey-partitioned, never global
+    val p = plan("q206_bloom_incremental_dedup")
+    assert(globalWindows(p) == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 3)
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("q207 diversity sample: ckpt'd ranked table reused by census + selection; no Generate, no global windows") {
+    // assignment argmax + rank window run once at ckpt time; the final
+    // plan is two aggregates over Scan ExistingRDD, a cell-domain
+    // (≤8-row) quota join, and the 1-row totals broadcast
+    val p = plan("q207_cluster_diversity_sample")
+    assert(globalWindows(p) == 0)
+    assert(count(p, "Generate") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1)
+  }
+
+  test("q208 band sweep: sample-bounded — every join broadcasts, no sort-merge anywhere") {
+    // the ≤512-doc sample is ckpt'd; band self-join, truth cross join,
+    // recovery join and the 1-row n_true frame all ride broadcast
+    val p = plan("q208_lsh_band_sweep")
+    assert(globalWindows(p) == 0)
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

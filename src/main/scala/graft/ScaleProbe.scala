@@ -43,7 +43,7 @@ object ScaleProbe {
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
         "mor", "morupsert", "tablefmt", "skipping", "textquality",
-        "binpack"))
+        "binpack", "bloomdedup"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -183,6 +183,36 @@ object ScaleProbe {
       f"[scale] incremental growth: corpus x${irN.toDouble / ir0}%.0f, FIXED batch, " +
         f"q81 merge time x${isN / is0}%.1f (work∝batch predicts ~x1; corpus-proportional would be x${irN.toDouble / ir0}%.0f)"
     )
+    }
+
+    // Bloom-store incremental dedup (q206): history and increment both
+    // grow m× while the FILTER stays fixed (m=16384 bits — the store
+    // artifact a deployment sizes up front). Two claims measured at
+    // once: wall-clock stays ~linear in the corpus (probe is map-side;
+    // the exact join is bloom-pass-bounded; nothing goes pairwise), and
+    // the fixed filter's pruning power DECAYS as history keys saturate
+    // the bit budget (prune_bp per multiple) — the measured form of the
+    // q206 scaladoc's sizing rule: at 100 TB you grow m with the store,
+    // you don't accept fp→1. Exactness (bloom_ok) must hold at every
+    // multiple regardless of saturation.
+    if (enabled("bloomdedup")) {
+    val q206 = SparkEntry.queries("q206_bloom_incremental_dedup")
+    val blResults = mults.map { m =>
+      val dir = docDirs(m)
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      val t0 = System.nanoTime()
+      val r = q206(spark, dir).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        f"[scale] x$m%-3d docs=$rows%9d  q206_bloom_dedup=$sec%7.2f s " +
+          f"(hist_keys=${r.getLong(0)} prune_bp=${r.getLong(7)} fp_bp=${r.getLong(6)} ok=${r.getBoolean(10)})")
+      (m, rows, sec)
+    }
+    val (_, blr0, bls0) = blResults.head
+    val (_, blrN, blsN) = blResults.last
+    println(
+      f"[scale] bloomdedup growth: data x${blrN.toDouble / blr0}%.0f, time x${blsN / bls0}%.1f " +
+        f"(linear would be x${blrN.toDouble / blr0}%.0f; prune_bp decay is the fixed-m saturation, not a defect)")
     }
 
     // ANN-pipeline linearity: widen embeddings m× by flipping each

@@ -3159,6 +3159,94 @@ object RelQueries {
               graft.oracle.OracleSql.dot("embedding", "embedding"))} AS val
           FROM embeddings WHERE vec_id < 32)
         ORDER BY metric, id""")
+    ),
+    // q209: BUCKETED co-located join — Spark's own storage-layout
+    // answer to the co-location question the SnapshotLog family solves
+    // at the format layer: both join sides written `bucketBy(8,
+    // custkey)` through the session catalog, so EnsureRequirements
+    // plans the SortMergeJoin with ZERO Exchange below it (each task
+    // reads matched bucket files — at 100 TB this is THE way a
+    // recurring fact⋈dim join amortizes its shuffle into the write
+    // path). The claim is MEASURED, not asserted: the query counts
+    // Exchange operators in its own bucketed join plan (0) and in the
+    // identical plain-parquet plan under the same merge-join hint (2 —
+    // both sides repartitioned), and surfaces both counts in-hash
+    // beside the join census. Plan shapes are static (EnsureRequirements
+    // decides from output partitioning, not statistics), so the
+    // constants hold at every SF.
+    //
+    // Scale shape: the bucketed write is a one-time layout cost
+    // (memoized per dir here — the production table is written once);
+    // the recurring join reads co-partitioned buckets with no exchange
+    // on either side; the census is one partial-agg rollup.
+    Q(
+      "q209_bucketed_colocated_join",
+      (s, dir) => {
+        import s.implicits._
+        val (ordersT, custT) = bucketedTables(s, dir)
+        def joined(o: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+          o.hint("merge")
+            .join(c.hint("merge"), Seq("ck"))
+            .select(col("cents"))
+        val bk = joined(s.table(ordersT), s.table(custT))
+        val plain = joined(
+          Tables.orders(s, dir).select(col("o_custkey").cast("long").as("ck"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents")),
+          Tables.customer(s, dir).select(col("c_custkey").cast("long").as("ck")))
+        def exchanges(df: org.apache.spark.sql.DataFrame): Long =
+          df.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange")).toLong
+        val (exB, exP) = (exchanges(bk), exchanges(plain))
+        val a = bk.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc")).head()
+        Seq((a.getLong(0), a.getLong(1), 8L, exB, exP, exB == 0L && exP > exB))
+          .toDF("n_rows", "sum_cents", "n_buckets", "exchanges_bucketed",
+            "exchanges_plain", "colocated_ok")
+          .orderBy("n_rows")
+      },
+      Some("""WITH j AS (SELECT CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          CAST(8 AS BIGINT) AS n_buckets,
+          CAST(0 AS BIGINT) AS exchanges_bucketed,
+          CAST(2 AS BIGINT) AS exchanges_plain,
+          TRUE AS colocated_ok
+        FROM j ORDER BY n_rows""")
     )
   )
+
+  /** q209's bucketed catalog tables, staged once per (context, dir):
+    * the production table is written once and joined many times — the
+    * bench's repeated invocations must measure the join, not rewrite
+    * the layout. External tables under a temp path; names carry the
+    * dir hash so two dirs never collide in the shared session catalog.
+    */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketedCache.compute(
+      dir,
+      (_, prev) => {
+        val tag = math.abs(dir.hashCode).toString
+        val (to, tc) = (s"graft_q209_orders_$tag", s"graft_q209_cust_$tag")
+        if (prev != null && s.catalog.tableExists(to) && !s.sparkContext.isStopped) prev
+        else {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q209_").toAbsolutePath.toString
+          s.sql(s"DROP TABLE IF EXISTS $to")
+          s.sql(s"DROP TABLE IF EXISTS $tc")
+          Tables.orders(s, dir)
+            .select(col("o_custkey").cast("long").as("ck"),
+              expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+            .write.bucketBy(8, "ck").sortBy("ck")
+            .option("path", s"$base/orders").saveAsTable(to)
+          Tables.customer(s, dir)
+            .select(col("c_custkey").cast("long").as("ck"))
+            .write.bucketBy(8, "ck").sortBy("ck")
+            .option("path", s"$base/cust").saveAsTable(tc)
+          (to, tc)
+        }
+      })
 }

@@ -1920,6 +1920,64 @@ object StreamDemos {
           CAST(12 AS BIGINT), CAST(7 AS BIGINT), r.n, r.s, TRUE
         FROM r
         ORDER BY query""")
+    ),
+    // s66: streaming classifier drift monitor (StreamQuality
+    // .classifierDriftMonitor scaladoc) — q189's trainer re-fit per
+    // ingest epoch, weight-table delta (Σ|Δwt| + sign flips) as the
+    // drift signal, the epoch's own table applied for keep_bp. Oracle:
+    // the identical trainer/drift/apply arithmetic per doc_id epoch
+    // slice (<250 / ≥250 — the stageDocBatches split), zero-filled
+    // 64-slot tables via range(64), epoch 0 diffing the zero table.
+    Q(
+      "s66_stream_classifier_drift",
+      (s, dir) => graft.streaming.StreamQuality.classifierDriftMonitor(s, dir),
+      Some {
+        val h = graft.oracle.OracleSql.h60("w")
+        s"""WITH d AS (SELECT doc_id, text,
+              CAST(substring(source, 4) AS BIGINT) AS sn,
+              CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS ep FROM documents),
+          t AS (SELECT ep, sn, doc_id, unnest(string_split(text, ' ')) AS w
+            FROM d),
+          ce AS (SELECT ep, ($h) % 64 AS b,
+              CAST(count(*) FILTER (sn < 4) AS BIGINT) AS pos_c,
+              CAST(count(*) FILTER (sn >= 16) AS BIGINT) AS neg_c
+            FROM t WHERE sn < 4 OR sn >= 16 GROUP BY 1, 2),
+          slots AS (SELECT e.ep, s.b
+            FROM (SELECT DISTINCT ep FROM d) e,
+              (SELECT unnest(range(64)) AS b) s),
+          wt AS (SELECT s.ep, s.b,
+              CAST(coalesce(((ce.pos_c + 1) * 1000) // (ce.pos_c + ce.neg_c + 2)
+                - 500, 0) AS BIGINT) AS wt
+            FROM slots s LEFT JOIN ce ON s.ep = ce.ep AND s.b = ce.b),
+          chk AS (SELECT ep, CAST(sum(abs(wt)) AS BIGINT) AS wt_abs,
+              CAST(sum(wt * (b + 1)) AS BIGINT) AS wt_dot FROM wt GROUP BY 1),
+          dl AS (SELECT w1.ep,
+              CAST(sum(abs(w1.wt - coalesce(w0.wt, 0))) AS BIGINT) AS delta_abs,
+              CAST(count(*) FILTER ((w1.wt > 0 AND coalesce(w0.wt, 0) < 0)
+                OR (w1.wt < 0 AND coalesce(w0.wt, 0) > 0)) AS BIGINT)
+                AS n_sign_flips
+            FROM wt w1 LEFT JOIN wt w0 ON w0.ep = w1.ep - 1 AND w0.b = w1.b
+            GROUP BY 1),
+          sd AS (SELECT ep,
+              CAST(count(*) FILTER (sn < 4) AS BIGINT) AS n_seed_pos,
+              CAST(count(*) FILTER (sn >= 16) AS BIGINT) AS n_seed_neg
+            FROM t WHERE sn < 4 OR sn >= 16 GROUP BY 1),
+          lgd AS (SELECT tw.ep, tw.doc_id, CAST(sum(wt.wt) AS BIGINT) AS logit
+            FROM (SELECT ep, doc_id, ($h) % 64 AS b FROM t) tw
+            JOIN wt ON wt.ep = tw.ep AND wt.b = tw.b
+            GROUP BY 1, 2),
+          kp AS (SELECT ep, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(*) FILTER (logit >= 0) AS BIGINT) AS n_keep
+            FROM lgd GROUP BY 1)
+          SELECT CAST(kp.ep + 1 AS BIGINT) AS step, kp.n_docs,
+            sd.n_seed_pos, sd.n_seed_neg, chk.wt_abs, chk.wt_dot,
+            dl.delta_abs, dl.n_sign_flips,
+            (kp.n_keep * 10000) // kp.n_docs AS keep_bp,
+            TRUE AS monitor_ok
+          FROM kp JOIN sd ON kp.ep = sd.ep JOIN chk ON kp.ep = chk.ep
+          JOIN dl ON kp.ep = dl.ep
+          ORDER BY step"""
+      }
     )
   )
 }

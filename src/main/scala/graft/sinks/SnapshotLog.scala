@@ -1091,12 +1091,8 @@ object SnapshotLog {
 
       // base table: one immutable file per bucket, partition value
       // recorded in the log (the Iceberg manifest-entry stat)
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       val c1 = commit(dbFile, 0L, 1L, baseFiles)
 
       // the delta's touched buckets, computed FROM the delta (domain ≤ 4
@@ -1208,12 +1204,8 @@ object SnapshotLog {
       initStats(dbFile)
 
       // s43's COW lifecycle: 4 bucket files, prune to bucket 2, rewrite
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       commit(dbFile, 0L, 1L, baseFiles)
       val affected = prunePaths(dbFile, 1L, Seq(2L))
       val carried = manifest(dbFile, 1L).filterNot(f => affected.contains(f._1))
@@ -2181,12 +2173,8 @@ object SnapshotLog {
       }
 
       // snapshot 1 (seq 1): one immutable data file per bucket
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       recordSeq(dbFile, baseFiles.map(_._1), 1L)
       val c1 = commitMor(dbFile, 0L, 1L, baseFiles, Seq.empty)
 
@@ -2341,12 +2329,8 @@ object SnapshotLog {
       def read(snap: Long): DataFrame = morReadV2(spark, dbFile, snap, "k")
 
       // snapshot 1 (seq 1): one immutable data file per bucket
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       recordSeq(dbFile, baseFiles.map(_._1), 1L)
       val c1 = commitMorV2(dbFile, 0L, 1L, baseFiles, Seq.empty, Seq.empty)
 
@@ -2582,6 +2566,30 @@ object SnapshotLog {
       s"bucketed write under $out listed a file with no census group — " +
         "partitionBy never writes empty files, so this is a census defect")
     listed.map { p => val (n, mn, mx) = stats(p); (p, n, mn, mx) }
+  }
+
+  /** One-JOB bucketed base-table write shared by the lifecycle demos
+    * whose snapshot 1 is "one file per k-residue bucket" (s56/s62/s63/
+    * s65): `df` (k, cents) splits on k % nBuckets via ONE partitionBy
+    * write + ONE census job (writeBucketed), bucket stats recorded.
+    * Returns (path, n_rows, bucket) per file. Replaces the per-bucket
+    * filter-write loops (nBuckets write jobs → 2 jobs total — the s48
+    * one-census-per-directory discipline).
+    */
+  private def writeBaseBuckets(
+      spark: SparkSession,
+      dbFile: String,
+      o: DataFrame,
+      out: String,
+      nBuckets: Int): Seq[(String, Long, Long)] = {
+    val bucketRe = "g=(\\d+)".r
+    val files = writeBucketed(
+      spark, o.select(col("k"), col("cents"), (col("k") % nBuckets).as("g")), out)
+      .map { case (p, n, _, _) =>
+        (p, n, bucketRe.findFirstMatchIn(p).get.group(1).toLong)
+      }
+    recordStats(dbFile, files.map(f => (f._1, f._3)))
+    files
   }
 
   /** s52 — MIN/MAX column stats in the manifest + range data skipping,
@@ -3144,12 +3152,8 @@ object SnapshotLog {
       initLog(dbFile)
       initStats(dbFile)
 
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       commit(dbFile, 0L, 1L, baseFiles)
 
       def rewrite(
@@ -3851,12 +3855,8 @@ object SnapshotLog {
       initApplyLog(dbFile)
 
       // ---- producer: s56's three snapshots ----
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       commit(dbFile, 0L, 1L, baseFiles)
       def rewrite(
           parent: Long, snap: Long, bucket: Long,
@@ -4060,12 +4060,8 @@ object SnapshotLog {
       initStats(dbFile)
       initRefs(dbFile)
 
-      val baseFiles = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
+      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+        .map(f => (f._1, f._2))
       val c1 = commit(dbFile, 0L, 1L, baseFiles)
 
       def rewriteFiles(
@@ -4405,19 +4401,14 @@ object SnapshotLog {
     if (DuckDbLive.available) withTempTableDir("graft_s65_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
+      initStats(dbFile)
       initManifestGroups(dbFile)
 
-      val byBucket = (0L to 15L).map { b =>
-        o.filter(col("b") === b).select("k", "cents")
-          .repartition(1).write.parquet(s"$base/f$b")
-        b -> partFiles(spark, s"$base/f$b")
-      }
-      commit(dbFile, 0L, 1L, byBucket.flatMap(_._2))
+      val files = writeBaseBuckets(spark, dbFile, o.select("k", "cents"), s"$base/data", 16)
+      commit(dbFile, 0L, 1L, files.map(f => (f._1, f._2)))
       (0L to 3L).foreach { g =>
         recordGroup(dbFile, 1L, g,
-          byBucket.filter(_._1 / 4 == g).flatMap { case (b, pf) =>
-            pf.map(p => (p._1, b))
-          })
+          files.filter(_._3 / 4 == g).map(f => (f._1, f._3)))
       }
 
       def plan(lo: Long, hi: Long): (Long, Long, Seq[String]) =

@@ -103,4 +103,116 @@ object StreamQuality {
         "keep_bp", "breach")
       .orderBy("epoch")
   }
+
+  /** s66 — streaming classifier DRIFT monitor: q189's trainer RE-FIT
+    * per ingest epoch with the weight-table delta surfaced as the
+    * drift signal — the s34 retained-refresh discipline applied to the
+    * DCLM quality filter (a crawler whose content distribution shifts
+    * moves the label-conditional slot censuses; the monitor pages on
+    * Σ|Δwt| and sign flips BEFORE downstream keep-rates drift). Per
+    * epoch, all inside `foreachBatch`:
+    *
+    *   - TRAIN on the epoch's provenance-labeled seed slice (sources
+    *     0-3 positive, 16-19 negative — q189's recipe verbatim): one
+    *     explode → 64-slot label-conditional census (partial-agg,
+    *     bounded ≤64-row collect — model metadata), the Laplace
+    *     per-mille weight formula, unseen slots exactly 0;
+    *   - DRIFT vs the previous epoch's table (epoch 0 diffs against
+    *     the all-zero table, so its delta_abs ≡ wt_abs): Σ|Δwt|,
+    *     strict sign flips, plus q189's two table checksums
+    *     (Σ wt·(b+1), Σ|wt|) so the oracle must reproduce every epoch's
+    *     trainer slot-for-slot;
+    *   - APPLY the epoch's own table to the epoch's docs (the learned
+    *     array riding the expression — q187's no-join shape) for the
+    *     calibration keep_bp at threshold 0.
+    *
+    * Sequential epochs are guaranteed by AvailableNow +
+    * maxFilesPerTrigger=1 (the prev-table handoff is a driver var);
+    * results land via computeIfAbsent (the s34 double-advance guard).
+    *
+    * Scale shape: per-epoch work is one explode → 64-key partial-agg
+    * census + one apply pass over the batch; cross-epoch state is the
+    * 64-long weight array — model metadata, never rows. Oracle: the
+    * identical trainer + drift + apply arithmetic per doc_id epoch
+    * slice, stream ≡ batch under AvailableNow.
+    */
+  def classifierDriftMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hashing
+    val s = StreamSessions.tuned(outer)
+    val staged = Watermarks.stageDocBatches(s, dir)
+    val schema = s.read.parquet(s"$staged/0.parquet").schema
+    val base = java.nio.file.Files.createTempDirectory("graft_s66_").toAbsolutePath
+
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Long, Long, Long, Long, Long, Long, Long)]()
+    @volatile var prevWt = Array.fill(64)(0L)
+
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", staged)
+      .parquet(s"$staged/[01].parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val batch = b.persist()
+        val ws = Hashing.words(col("text"))
+        val census = batch
+          .select(
+            expr("CAST(substring(source, 4) AS BIGINT)").as("sn"),
+            explode(ws).as("w"))
+          .filter(col("sn") < 4L || col("sn") >= 16L)
+          .select(col("sn"), pmod(Hashing.h60(col("w")), lit(64L)).as("b"))
+          .groupBy("b")
+          .agg(
+            sum(when(col("sn") < 4L, lit(1L)).otherwise(lit(0L))).as("pos_c"),
+            sum(when(col("sn") >= 16L, lit(1L)).otherwise(lit(0L))).as("neg_c"))
+          .collect() // ≤64 slot cells — model metadata
+        val wt = Array.fill(64)(0L)
+        var nPos = 0L
+        var nNeg = 0L
+        census.foreach { r =>
+          val (slot, p, n) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2))
+          wt(slot) = ((p + 1L) * 1000L) / (p + n + 2L) - 500L
+          nPos += p; nNeg += n
+        }
+        val deltaAbs = wt.indices.map(i => math.abs(wt(i) - prevWt(i)).toLong).sum
+        val flips = wt.indices.count(i =>
+          (wt(i) > 0L && prevWt(i) < 0L) || (wt(i) < 0L && prevWt(i) > 0L)).toLong
+        val wtAbs = wt.map(math.abs).sum
+        val wtDot = wt.zipWithIndex.map { case (w, i) => w * (i + 1) }.sum
+        val slot1 = (pmod(Hashing.h60(col("w")), lit(64L)) + 1L).cast("int")
+        val kp = batch
+          .select(col("doc_id"), explode(ws).as("w"))
+          .select(col("doc_id"), element_at(lit(wt), slot1).as("wtv"))
+          .groupBy("doc_id")
+          .agg(sum(col("wtv")).as("logit"))
+          .agg(
+            count(lit(1)),
+            sum(when(col("logit") >= 0L, 1L).otherwise(0L)))
+          .head()
+        results.computeIfAbsent(
+          epoch,
+          _ => (kp.getLong(0), nPos, nNeg, wtAbs, wtDot, deltaAbs, flips, kp.getLong(1)))
+        prevWt = wt
+        batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    require(results.size() == 2, s"s66 expected 2 epochs, got ${results.size()}")
+    import outer.implicits._
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSeq.sortBy(_._1)
+      .map { case (epoch, (n, np, nn, wa, wd, da, fl, nk)) =>
+        (epoch + 1L, n, np, nn, wa, wd, da, fl, nk * 10000L / n, true)
+      }
+      .toDF("step", "n_docs", "n_seed_pos", "n_seed_neg", "wt_abs",
+        "wt_dot", "delta_abs", "n_sign_flips", "keep_bp", "monitor_ok")
+      .orderBy("step")
+  }
 }

@@ -43,7 +43,7 @@ object ScaleProbe {
         "graph", "interval", "topk", "census", "manifest", "overlap",
         "concentration", "streaming", "text", "epoch", "cc", "substr",
         "mor", "morupsert", "tablefmt", "skipping", "textquality",
-        "binpack", "bloomdedup"))
+        "binpack", "bloomdedup", "manifestplan"))
     def enabled(p: String): Boolean = probes.contains(p)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1170,6 +1170,62 @@ object ScaleProbe {
         val (_, bpN) = bpResults.last
         println(
           f"[scale] binpack plan growth: manifest rows x${mults.last / mults.head}%d, plan x${bpN / bp0}%.1f (metadata-linear; group count constant)")
+      }
+
+      // (a3) two-level manifest + NDV-sketch planning (s65/s64): a
+      // synthetic table of 16·m files in 4·m four-file groups, 8 sketch
+      // rows per file. Timed: the s65 point-query plan (group prune →
+      // surviving group's entries — the work is the group-summary scan,
+      // never the full entry table) and the s64 register merge over ALL
+      // files (the worst-case scope: O(files · regs) metadata agg).
+      // Both must stay metadata-cheap as the file count grows ×64.
+      if (enabled("manifestplan")) {
+        val dbM = s"$logDir/m.duckdb"
+        SnapshotLog.initLog(dbM)
+        SnapshotLog.initManifestGroups(dbM)
+        SnapshotLog.initNdv(dbM)
+        var mParent = 0L
+        val mpResults = mults.map { m =>
+          val nf = 16 * m
+          val snap = mParent + 1
+          val files = (0 until nf).map(i => (s"/synthetic/mp$snap/f$i.parquet", 100L))
+          SnapshotLog.commit(dbM, mParent, snap, files)
+          (0 until nf / 4).foreach { g =>
+            SnapshotLog.recordGroup(dbM, snap, snap * 1000000L + g,
+              (0 until 4).map(j => (files(g * 4 + j)._1, (g * 4 + j).toLong)))
+          }
+          SnapshotLog.recordNdv(dbM, files.flatMap { case (p, _) =>
+            (0 until 8).map(b => (p, b.toLong, ((math.abs(p.hashCode) + b) % 20 + 1).toLong))
+          })
+          val probeB = (nf / 2).toLong
+          val t0 = System.nanoTime()
+          val planned = graft.sinks.DuckDbLive.withConnection(dbM) { c =>
+            val gids = graft.sinks.DuckDbLive.queryRows(
+              c,
+              s"""SELECT group_id FROM manifest_groups
+                 WHERE snapshot_id = $snap AND max_b >= $probeB AND min_b <= $probeB
+                 ORDER BY group_id""").map(_.head.asInstanceOf[Number].longValue)
+            graft.sinks.DuckDbLive.queryRows(
+              c,
+              s"""SELECT path, bucket FROM group_entries
+                 WHERE group_id IN (${gids.mkString(", ")}) ORDER BY path""")
+              .count(r => r(1).asInstanceOf[Number].longValue == probeB)
+          }
+          val planSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val regs = SnapshotLog.ndvRegisters(dbM, files.map(_._1))
+          val mergeSec = (System.nanoTime() - t1) / 1e9
+          mParent = snap
+          println(
+            f"[scale] x$m%-3d files=$nf%5d  plan(2level)=$planSec%7.3f s (files=$planned)  " +
+              f"ndv_merge(all)=$mergeSec%7.3f s (regs=${regs.size})")
+          (m, planSec, mergeSec)
+        }
+        val (_, mp0, nv0) = mpResults.head
+        val (_, mpN, nvN) = mpResults.last
+        println(
+          f"[scale] manifestplan growth: files x${mults.last / mults.head}%d, " +
+            f"2level plan x${mpN / mp0}%.1f, ndv merge x${nvN / nv0}%.1f (both metadata-bounded)")
       }
 
       // (b) real-read leg: same rows, unclustered (k%16) vs

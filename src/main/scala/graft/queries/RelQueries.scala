@@ -3229,7 +3229,9 @@ object RelQueries {
     bucketedCache.compute(
       dir,
       (_, prev) => {
-        val tag = math.abs(dir.hashCode).toString
+        // hash + length: two test dirs colliding on hashCode alone would
+        // silently share (and fight over) one catalog table name
+        val tag = s"${math.abs(dir.hashCode)}_${dir.length}"
         val (to, tc) = (s"graft_q209_orders_$tag", s"graft_q209_cust_$tag")
         if (prev != null && s.catalog.tableExists(to) && !s.sparkContext.isStopped) prev
         else {

@@ -4418,6 +4418,13 @@ object SnapshotLog {
             s"""SELECT group_id FROM manifest_groups
                WHERE snapshot_id = 1 AND max_b >= $lo AND min_b <= $hi
                ORDER BY group_id""").map(_(0).asInstanceOf[Number].longValue)
+          // an empty survivor set would make the IN () clause a syntax
+          // error and the downstream read a confusing failure — fail
+          // loudly at the plan layer instead (q204-class guard)
+          require(
+            gids.nonEmpty,
+            s"two-level plan for [$lo, $hi] pruned every manifest group — " +
+              "no group summary overlaps the predicate")
           val entries = DuckDbLive.queryRows(
             c,
             s"""SELECT path, bucket FROM group_entries

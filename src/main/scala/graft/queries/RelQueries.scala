@@ -3212,8 +3212,94 @@ object RelQueries {
           CAST(2 AS BIGINT) AS exchanges_plain,
           TRUE AS colocated_ok
         FROM j ORDER BY n_rows""")
+    ),
+    // q210: JOIN-CARDINALITY estimation audit — WHY a table format
+    // carries NDV sketches (s64): the classic CBO equi-join formula
+    // |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) evaluated entirely
+    // from METADATA (row counts + the exact-integer HLL estimates of
+    // q170's kernel — one 64-cell register census per side, map-side
+    // partial agg, model-metadata collect) and audited against the
+    // TRUE join cardinality, signed error in bp. BigInt driver
+    // arithmetic mirrors the oracle's HUGEINT exactly (|A|·|B| alone
+    // overflows BIGINT at real row counts). FK joins are the formula's
+    // best case (every orders key exists in customer, so max(ndv) ≈
+    // ndv_customer and the estimate ≈ |orders| · containment); the
+    // measured err_bp quantifies what HLL noise (±~13% at m=64) does
+    // to the plan-time estimate — the number a CBO's risk margin is
+    // sized from.
+    //
+    // Scale shape: both register censuses are one partial-agg pass
+    // collapsing to ≤64 cells; at 100 TB they ride the same write-time
+    // scan that builds s64's sketches and the audit's exact join is
+    // the only corpus-sized work (it exists only as this entry's
+    // ground-truth layer).
+    Q(
+      "q210_join_cardinality_estimate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{Hashing, Hll}
+        def regsOf(df: org.apache.spark.sql.DataFrame, key: String): Seq[(Long, Long)] =
+          df.select(Hashing.h60(col(key).cast("long").cast("string")).as("h"))
+            .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+            .groupBy("bucket").agg(max("rk").as("mr"))
+            .collect() // ≤64 register cells — planner metadata
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        def est(regs: Seq[(Long, Long)]): Long = {
+          val sH = regs.map { case (_, mr) => BigInt(1) << (55 - mr.toInt) }.sum +
+            BigInt(64 - regs.size) * (BigInt(1) << 55)
+          (BigInt(709) * 4096 * (BigInt(1) << 55) / (sH * 1000)).toLong
+        }
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val nO = o.count()
+        val nC = c.count()
+        val ndvO = est(regsOf(o, "o_custkey"))
+        val ndvC = est(regsOf(c, "c_custkey"))
+        // the CBO estimate, all metadata
+        val estJoin = (BigInt(nO) * BigInt(nC) / BigInt(math.max(ndvO, ndvC))).toLong
+        val trueJoin = o.select(col("o_custkey").cast("long").as("ck"))
+          .join(c.select(col("c_custkey").cast("long").as("ck")), Seq("ck"))
+          .count()
+        val errBp = (BigInt(estJoin - trueJoin) * 10000 / BigInt(trueJoin)).toLong
+        Seq((nO, nC, ndvO, ndvC, estJoin, trueJoin, errBp))
+          .toDF("n_orders", "n_customer", "ndv_est_orders", "ndv_est_customer",
+            "est_join_rows", "true_join_rows", "err_bp")
+          .orderBy("n_orders")
+      },
+      Some {
+        val two55 = 1L << 55
+        def estSql(regs: String) =
+          s"""(SELECT CAST((CAST(709 AS HUGEINT) * 4096 * $two55)
+             // (CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
+               + (64 - count(*)) * (1::BIGINT << 55) AS HUGEINT) * 1000) AS BIGINT)
+             FROM ($regs))"""
+        s"""WITH f AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customer,
+            ${estSql(hllRegsSql("orders", "o_custkey"))} AS ndv_est_orders,
+            ${estSql(hllRegsSql("customer", "c_custkey"))} AS ndv_est_customer,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey) AS true_join_rows)
+          SELECT n_orders, n_customer, ndv_est_orders, ndv_est_customer,
+            CAST(CAST(n_orders AS HUGEINT) * n_customer
+              // greatest(ndv_est_orders, ndv_est_customer) AS BIGINT)
+              AS est_join_rows,
+            true_join_rows,
+            CAST((CAST(n_orders AS HUGEINT) * n_customer
+                // greatest(ndv_est_orders, ndv_est_customer) - true_join_rows)
+              * 10000 // true_join_rows AS BIGINT) AS err_bp
+          FROM f ORDER BY n_orders"""
+      }
     )
   )
+
+  private def hllRegsSql(rel: String, key: String): String = {
+    val h = graft.oracle.OracleSql.h60(s"CAST($key AS VARCHAR)")
+    s"""SELECT h // ${1L << 54} AS bucket,
+       CAST(max(CASE WHEN h % ${1L << 54} = 0 THEN 55
+         ELSE 55 - length(bin(h % ${1L << 54})) END) AS BIGINT) AS mr
+       FROM (SELECT $h AS h FROM $rel) GROUP BY 1"""
+  }
 
   /** q209's bucketed catalog tables, staged once per (context, dir):
     * the production table is written once and joined many times — the

@@ -3290,6 +3290,51 @@ object RelQueries {
               * 10000 // true_join_rows AS BIGINT) AS err_bp
           FROM f ORDER BY n_orders"""
       }
+    ),
+    // q211: BUCKETED co-located aggregation — the second dividend of
+    // q209's layout: a groupBy on the bucket column is satisfied by
+    // the scan's reported HashPartitioning, so the aggregate plans
+    // with ZERO Exchange (partial and final fuse over co-partitioned
+    // bucket files), where the identical plain-parquet aggregate must
+    // shuffle once. Same measured-in-query discipline as q209: both
+    // plans' Exchange counts ride the hash beside the aggregate's own
+    // census (group count, total, max group size). At 100 TB this is
+    // the recurring per-customer rollup whose shuffle the write-once
+    // layout amortizes away.
+    Q(
+      "q211_bucketed_colocated_agg",
+      (s, dir) => {
+        import s.implicits._
+        val (ordersT, _) = bucketedTables(s, dir)
+        def agged(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("ck").agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+        val bk = agged(s.table(ordersT))
+        val plain = agged(
+          Tables.orders(s, dir).select(
+            col("o_custkey").cast("long").as("ck"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents")))
+        def exchanges(df: org.apache.spark.sql.DataFrame): Long =
+          df.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange")).toLong
+        val (exB, exP) = (exchanges(bk), exchanges(plain))
+        val a = bk.agg(
+          count(lit(1)).as("ng"), sum(col("sc")).as("tc"), max(col("n")).as("mx")).head()
+        Seq((a.getLong(0), a.getLong(1), a.getLong(2), exB, exP, exB == 0L && exP > exB))
+          .toDF("n_groups", "total_cents", "max_group_rows",
+            "exchanges_bucketed", "exchanges_plain", "colocated_ok")
+          .orderBy("n_groups")
+      },
+      Some("""WITH g AS (SELECT o_custkey AS ck,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc,
+            CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(sc) AS BIGINT) AS total_cents,
+          CAST(max(n) AS BIGINT) AS max_group_rows,
+          CAST(0 AS BIGINT) AS exchanges_bucketed,
+          CAST(1 AS BIGINT) AS exchanges_plain,
+          TRUE AS colocated_ok
+        FROM g ORDER BY n_groups""")
     )
   )
 

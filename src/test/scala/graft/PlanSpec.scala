@@ -1254,6 +1254,23 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") == 0)
   }
 
+  test("q210 cardinality estimate: the metadata math lands as a local relation — corpus work happened in the censuses") {
+    // row counts, register collects, and the true-join audit all run
+    // before the frame is built; the result plan is the allocator
+    // class (q202): one LocalTableScan, no join, no window
+    val p = plan("q210_join_cardinality_estimate")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
+  test("q211 bucketed agg: measured-constants local relation, like q210") {
+    val p = plan("q211_bucketed_colocated_agg")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

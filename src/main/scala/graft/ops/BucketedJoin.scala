@@ -21,6 +21,23 @@ object BucketedJoin {
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Structural shuffle count of a plan — `ShuffleExchangeExec` nodes
+    * collected from the physical plan (unwrapping adaptive wrappers),
+    * NOT a substring match on the rendered plan text, which would also
+    * count ReusedExchange/BroadcastExchange and track AQE's string
+    * format across Spark versions. Used by q209/q211's measured
+    * zero-exchange claims.
+    */
+  def countShuffles(df: DataFrame): Long = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _: ShuffleExchangeExec => 1L
+      }.sum
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Write lineitem/orders bucketed by order key (once per JVM+dir), join
     * co-located, and report (row count, revenue, whether any shuffle
     * appeared on the join inputs). Broadcast is disabled for the demo so

@@ -45,4 +45,25 @@ object Hll {
   def estimate: Column =
     expr(s"CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * $Two55) " +
       "div (CAST(s_h AS DECIMAL(38,0)) * 1000) AS BIGINT)")
+
+  /** Collected (bucket, max-rank) register census of a key column —
+    * ≤ M rows of planner metadata (the bounded-collect class q210/s64
+    * declare). Sorted by bucket so censuses compare structurally.
+    */
+  def registerCensus(df: DataFrame, key: Column): Seq[(Long, Long)] =
+    df.select(Hashing.h60(key).as("h"))
+      .select(bucketCol.as("bucket"), rankCol.as("rk"))
+      .groupBy("bucket").agg(max("rk").as("mr"))
+      .collect() // ≤64 register cells — sketch metadata, not data
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  /** Driver-side Flajolet estimate over a collected register set —
+    * BigInt mirror of [[estimate]] (the single source the q210/s64
+    * call sites and the oracle constants are kept in sync against).
+    */
+  def estimateInt(regs: Seq[(Long, Long)]): Long = {
+    val sH = regs.map { case (_, mr) => BigInt(1) << (55 - mr.toInt) }.sum +
+      BigInt(M - regs.size) * (BigInt(1) << 55)
+    (BigInt(709) * 4096 * (BigInt(1) << 55) / (sH * 1000)).toLong
+  }
 }

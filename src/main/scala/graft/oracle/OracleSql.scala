@@ -74,6 +74,42 @@ object OracleSql {
   def h60(s: String): String =
     s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
 
+  /** HLL bucket of an h60 expression ↔ graft.ops.Hll.bucketCol. */
+  def hllBucket(h: String): String = s"$h // ${graft.ops.Hll.Two54}"
+
+  /** HLL rank of an h60 expression ↔ graft.ops.Hll.rankCol. */
+  def hllRank(h: String): String =
+    s"""CASE WHEN $h % ${graft.ops.Hll.Two54} = 0 THEN CAST(55 AS BIGINT)
+       ELSE CAST(55 - length(bin($h % ${graft.ops.Hll.Two54})) AS BIGINT) END"""
+
+  /** (bucket, mr) register-census subquery of `rel.key` ↔
+    * graft.ops.Hll.registerCensus (q210/q212's metadata input).
+    */
+  def hllRegs(rel: String, key: String): String = {
+    val h = h60(s"CAST($key AS VARCHAR)")
+    s"""SELECT ${hllBucket("h")} AS bucket, CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+       FROM (SELECT $h AS h FROM $rel) GROUP BY 1"""
+  }
+
+  /** Integer harmonic sum over (bucket, mr) rows ↔ graft.ops.Hll.harmonic
+    * (an aggregate expression — use inside a GROUP BY / scalar agg).
+    */
+  def hllSH: String =
+    s"""CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
+       + (${graft.ops.Hll.M} - count(*)) * (1::BIGINT << 55) AS BIGINT)"""
+
+  /** Flajolet integer estimate from an s_h expression ↔
+    * graft.ops.Hll.estimate / estimateInt — the ONE rendering of the
+    * α₆₄·m²·2^55 constants on the oracle side.
+    */
+  def hllEstimate(sH: String): String =
+    s"""CAST((CAST(709 AS HUGEINT) * 4096 * ${graft.ops.Hll.Two55})
+       // (CAST($sH AS HUGEINT) * 1000) AS BIGINT)"""
+
+  /** Scalar estimate subquery over a register-census subquery. */
+  def hllEstimateOverRegs(regs: String): String =
+    s"(SELECT ${hllEstimate(hllSH)} FROM ($regs))"
+
   /** Order-deterministic dot product ↔ graft.ops.VectorOps.dot. */
   def dot(a: String, b: String): String =
     sumZ(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")

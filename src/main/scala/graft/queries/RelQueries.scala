@@ -3193,10 +3193,9 @@ object RelQueries {
           Tables.orders(s, dir).select(col("o_custkey").cast("long").as("ck"),
             expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents")),
           Tables.customer(s, dir).select(col("c_custkey").cast("long").as("ck")))
-        def exchanges(df: org.apache.spark.sql.DataFrame): Long =
-          df.queryExecution.executedPlan.toString
-            .linesIterator.count(_.contains("Exchange")).toLong
-        val (exB, exP) = (exchanges(bk), exchanges(plain))
+        val (exB, exP) =
+          (graft.ops.BucketedJoin.countShuffles(bk),
+            graft.ops.BucketedJoin.countShuffles(plain))
         val a = bk.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc")).head()
         Seq((a.getLong(0), a.getLong(1), 8L, exB, exP, exB == 0L && exP > exB))
           .toDF("n_rows", "sum_cents", "n_buckets", "exchanges_bucketed",
@@ -3237,24 +3236,15 @@ object RelQueries {
       "q210_join_cardinality_estimate",
       (s, dir) => {
         import s.implicits._
-        import graft.ops.{Hashing, Hll}
-        def regsOf(df: org.apache.spark.sql.DataFrame, key: String): Seq[(Long, Long)] =
-          df.select(Hashing.h60(col(key).cast("long").cast("string")).as("h"))
-            .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-            .groupBy("bucket").agg(max("rk").as("mr"))
-            .collect() // ≤64 register cells — planner metadata
-            .map(r => (r.getLong(0), r.getLong(1))).toSeq
-        def est(regs: Seq[(Long, Long)]): Long = {
-          val sH = regs.map { case (_, mr) => BigInt(1) << (55 - mr.toInt) }.sum +
-            BigInt(64 - regs.size) * (BigInt(1) << 55)
-          (BigInt(709) * 4096 * (BigInt(1) << 55) / (sH * 1000)).toLong
-        }
+        import graft.ops.Hll
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
         val nO = o.count()
         val nC = c.count()
-        val ndvO = est(regsOf(o, "o_custkey"))
-        val ndvC = est(regsOf(c, "c_custkey"))
+        val ndvO = Hll.estimateInt(
+          Hll.registerCensus(o, col("o_custkey").cast("long").cast("string")))
+        val ndvC = Hll.estimateInt(
+          Hll.registerCensus(c, col("c_custkey").cast("long").cast("string")))
         // the CBO estimate, all metadata
         val estJoin = (BigInt(nO) * BigInt(nC) / BigInt(math.max(ndvO, ndvC))).toLong
         val trueJoin = o.select(col("o_custkey").cast("long").as("ck"))
@@ -3267,17 +3257,12 @@ object RelQueries {
           .orderBy("n_orders")
       },
       Some {
-        val two55 = 1L << 55
-        def estSql(regs: String) =
-          s"""(SELECT CAST((CAST(709 AS HUGEINT) * 4096 * $two55)
-             // (CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
-               + (64 - count(*)) * (1::BIGINT << 55) AS HUGEINT) * 1000) AS BIGINT)
-             FROM ($regs))"""
+        import graft.oracle.OracleSql.{hllEstimateOverRegs, hllRegs}
         s"""WITH f AS (SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customer,
-            ${estSql(hllRegsSql("orders", "o_custkey"))} AS ndv_est_orders,
-            ${estSql(hllRegsSql("customer", "c_custkey"))} AS ndv_est_customer,
+            ${hllEstimateOverRegs(hllRegs("orders", "o_custkey"))} AS ndv_est_orders,
+            ${hllEstimateOverRegs(hllRegs("customer", "c_custkey"))} AS ndv_est_customer,
             (SELECT CAST(count(*) AS BIGINT) FROM orders o
               JOIN customer c ON o.o_custkey = c.c_custkey) AS true_join_rows)
           SELECT n_orders, n_customer, ndv_est_orders, ndv_est_customer,
@@ -3313,10 +3298,9 @@ object RelQueries {
           Tables.orders(s, dir).select(
             col("o_custkey").cast("long").as("ck"),
             expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents")))
-        def exchanges(df: org.apache.spark.sql.DataFrame): Long =
-          df.queryExecution.executedPlan.toString
-            .linesIterator.count(_.contains("Exchange")).toLong
-        val (exB, exP) = (exchanges(bk), exchanges(plain))
+        val (exB, exP) =
+          (graft.ops.BucketedJoin.countShuffles(bk),
+            graft.ops.BucketedJoin.countShuffles(plain))
         val a = bk.agg(
           count(lit(1)).as("ng"), sum(col("sc")).as("tc"), max(col("n")).as("mx")).head()
         Seq((a.getLong(0), a.getLong(1), a.getLong(2), exB, exP, exB == 0L && exP > exB))
@@ -3338,14 +3322,6 @@ object RelQueries {
     )
   )
 
-  private def hllRegsSql(rel: String, key: String): String = {
-    val h = graft.oracle.OracleSql.h60(s"CAST($key AS VARCHAR)")
-    s"""SELECT h // ${1L << 54} AS bucket,
-       CAST(max(CASE WHEN h % ${1L << 54} = 0 THEN 55
-         ELSE 55 - length(bin(h % ${1L << 54})) END) AS BIGINT) AS mr
-       FROM (SELECT $h AS h FROM $rel) GROUP BY 1"""
-  }
-
   /** q209's bucketed catalog tables, staged once per (context, dir):
     * the production table is written once and joined many times — the
     * bench's repeated invocations must measure the join, not rewrite
@@ -3361,8 +3337,10 @@ object RelQueries {
       dir,
       (_, prev) => {
         // hash + length: two test dirs colliding on hashCode alone would
-        // silently share (and fight over) one catalog table name
-        val tag = s"${math.abs(dir.hashCode)}_${dir.length}"
+        // silently share (and fight over) one catalog table name.
+        // Unsigned rendering: abs(Int.MinValue) is negative and would
+        // break the unquoted identifier in the DDL below.
+        val tag = s"${java.lang.Integer.toUnsignedString(dir.hashCode)}_${dir.length}"
         val (to, tc) = (s"graft_q209_orders_$tag", s"graft_q209_cust_$tag")
         if (prev != null && s.catalog.tableExists(to) && !s.sparkContext.isStopped) prev
         else {

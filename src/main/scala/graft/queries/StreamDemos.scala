@@ -922,8 +922,7 @@ object StreamDemos {
               + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_h,
             CAST(count(*) AS BIGINT) AS n_regs FROM rw),
         n AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents),
-        est AS (SELECT CAST((CAST(709 AS HUGEINT) * 4096 * ${1L << 55})
-              // (CAST(s_h AS HUGEINT) * 1000) AS BIGINT) AS est_distinct,
+        est AS (SELECT ${graft.oracle.OracleSql.hllEstimate("s_h")} AS est_distinct,
             n_regs FROM sw)
         SELECT CAST(64 AS BIGINT) AS m, n.n_exact, est.est_distinct,
           abs(est.est_distinct - n.n_exact) * 10000 // n.n_exact AS err_bp,
@@ -1873,12 +1872,10 @@ object StreamDemos {
           srows AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_sketch_rows
             FROM sel GROUP BY 1),
           sh AS (SELECT scope, nf,
-              CAST(sum(1::BIGINT << CAST(55 - mr AS INT))
-                + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_h
+              ${graft.oracle.OracleSql.hllSH} AS s_h
             FROM mrg GROUP BY 1, 2),
           est AS (SELECT scope, nf,
-              CAST((CAST(709 AS HUGEINT) * 4096 * ${1L << 55})
-                // (CAST(s_h AS HUGEINT) * 1000) AS BIGINT) AS est_ndv
+              ${graft.oracle.OracleSql.hllEstimate("s_h")} AS est_ndv
             FROM sh),
           ex AS (SELECT 'all' AS scope,
               CAST(count(DISTINCT cust) AS BIGINT) AS exact_ndv FROM o

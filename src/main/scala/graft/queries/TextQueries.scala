@@ -2486,8 +2486,7 @@ object TextQueries {
               AS BIGINT) AS n_reg_mismatch
           FROM rw FULL OUTER JOIN rm ON rw.bucket = rm.bucket),
         n AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents),
-        est AS (SELECT CAST((CAST(709 AS HUGEINT) * 4096 * ${1L << 55})
-              // (CAST(s_h AS HUGEINT) * 1000) AS BIGINT) AS est_distinct,
+        est AS (SELECT ${graft.oracle.OracleSql.hllEstimate("s_h")} AS est_distinct,
             n_regs FROM sw)
         SELECT CAST(64 AS BIGINT) AS m, n.n_exact, est.est_distinct,
           abs(est.est_distinct - n.n_exact) * 10000 // n.n_exact AS err_bp,

@@ -2582,7 +2582,10 @@ object SnapshotLog {
       o: DataFrame,
       out: String,
       nBuckets: Int): Seq[(String, Long, Long)] = {
-    val bucketRe = "g=(\\d+)".r
+    // anchored to the path SEGMENT: an unanchored "g=(\d+)" would match
+    // anywhere in the absolute path (e.g. a temp root named tmp_g=7_x)
+    // and silently mis-bucket every file's recorded stats
+    val bucketRe = "/g=(\\d+)/".r
     val files = writeBucketed(
       spark, o.select(col("k"), col("cents"), (col("k") % nBuckets).as("g")), out)
       .map { case (p, n, _, _) =>
@@ -3791,6 +3794,17 @@ object SnapshotLog {
     * no-check-then-act window discipline as
     * `IncrementalRefresh.applyRefresh` — a redelivered batch is
     * rejected atomically, never half-applied.
+    *
+    * Scope: the single-statement claim closes the check-then-act RACE
+    * (two concurrent deliveries of one batch id), which is the
+    * concurrency discipline this ledger pins. It does NOT give crash
+    * atomicity — the claim precedes the replica write, so a crash in
+    * between would leave the batch claimed-but-unapplied; true
+    * exactly-once under crashes requires committing the batch id
+    * transactionally WITH the sink data (Delta's txnAppId/txnVersion).
+    * In this deterministic lifecycle the in-hash consume_ok equality
+    * (replica census == source-of-truth census per step) would surface
+    * any such gap.
     */
   private[graft] def initApplyLog(dbFile: String): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
@@ -4247,21 +4261,10 @@ object SnapshotLog {
         col("o_orderkey").cast("long").as("k"),
         col("o_custkey").cast("long").as("cust"))
 
-    def exactAndDirect(df: DataFrame): (Long, Seq[(Long, Long)]) = {
-      val exact = df.agg(countDistinct(col("cust"))).head().getLong(0)
-      val regs = df
-        .select(Hashing.h60(col("cust").cast("string")).as("h"))
-        .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-        .groupBy("bucket").agg(max("rk").as("mr"))
-        .collect() // ≤64 register cells — bounded sketch metadata
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
-      (exact, regs)
-    }
-    def estimate(regs: Seq[(Long, Long)]): Long = {
-      val s = regs.map { case (_, mr) => BigInt(1) << (55 - mr.toInt) }.sum +
-        BigInt(64 - regs.size) * (BigInt(1) << 55)
-      (BigInt(709) * 4096 * (BigInt(1) << 55) / (s * 1000)).toLong
-    }
+    def exactAndDirect(df: DataFrame): (Long, Seq[(Long, Long)]) = (
+      df.agg(countDistinct(col("cust"))).head().getLong(0),
+      Hll.registerCensus(df, col("cust").cast("string")))
+    def estimate(regs: Seq[(Long, Long)]): Long = Hll.estimateInt(regs)
 
     if (DuckDbLive.available) withTempTableDir("graft_s64_") { base =>
       val dbFile = s"$base/log.duckdb"

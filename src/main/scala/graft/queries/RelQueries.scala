@@ -3319,6 +3319,67 @@ object RelQueries {
           CAST(1 AS BIGINT) AS exchanges_plain,
           TRUE AS colocated_ok
         FROM g ORDER BY n_groups""")
+    ),
+    // q212: per-COLUMN NDV registers in the long-form stat table — the
+    // r17-verdict headline: q210's CBO estimate read a DEDICATED
+    // register census for one key; here s64's per-file HLL sketches are
+    // generalized by col_name into ONE long-form stat table (col_ndv,
+    // the initColStats shape) and the SAME estimator answers TWO
+    // different join keys (orders⋈customer on custkey, orders⋈lineitem
+    // on orderkey) entirely from log metadata — row counts from the
+    // committed manifest, registers merged per-bucket-max out of
+    // col_ndv. Signed est-vs-true err_bp rides the hash for both joins
+    // (q210's exact BigInt/HUGEINT arithmetic), and regs_match pins the
+    // HLL merge property: metadata-merged registers must EQUAL the
+    // direct census over each side's key column. Full lifecycle +
+    // scale shape: SnapshotLog.colNdvEstimates scaladoc.
+    Q(
+      "q212_colstat_ndv_estimates",
+      (s, dir) => graft.sinks.SnapshotLog.colNdvEstimates(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimateOverRegs, hllRegs}
+        // count of long-form stat rows = per-(file, register-bucket)
+        // cells of the key column, file = the staged bucket residue
+        def statRows(rel: String, key: String, f: String) =
+          s"""(SELECT CAST(count(*) AS BIGINT) FROM (
+             SELECT f, ${hllBucket("h")} AS bucket FROM
+               (SELECT $f AS f, ${h60(s"CAST($key AS VARCHAR)")} AS h FROM $rel)
+             GROUP BY 1, 2))"""
+        def joinCte(
+            relL: String, keyL: String, fL: String,
+            relR: String, keyR: String, fR: String, cond: String) =
+          s"""SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM $relL) AS n_left,
+              (SELECT CAST(count(*) AS BIGINT) FROM $relR) AS n_right,
+              ${hllEstimateOverRegs(hllRegs(relL, keyL))} AS ndv_left,
+              ${hllEstimateOverRegs(hllRegs(relR, keyR))} AS ndv_right,
+              (SELECT CAST(count(*) AS BIGINT) FROM $relL a JOIN $relR b ON $cond)
+                AS true_join_rows,
+              ${statRows(relL, keyL, fL)} + ${statRows(relR, keyR, fR)}
+                AS n_stat_rows"""
+        def sel(name: String, cte: String) =
+          s"""SELECT '$name' AS join_key, n_left, n_right, ndv_left, ndv_right,
+              CAST(CAST(n_left AS HUGEINT) * n_right
+                // greatest(ndv_left, ndv_right) AS BIGINT) AS est_join_rows,
+              true_join_rows,
+              CAST((CAST(n_left AS HUGEINT) * n_right
+                  // greatest(ndv_left, ndv_right) - true_join_rows)
+                * 10000 // true_join_rows AS BIGINT) AS err_bp,
+              CAST(n_stat_rows AS BIGINT) AS n_stat_rows, TRUE AS regs_match
+            FROM $cte"""
+        s"""WITH f1 AS (${joinCte(
+              "orders", "o_custkey", "CAST(o_orderkey AS BIGINT) % 4",
+              "customer", "c_custkey", "CAST(c_custkey AS BIGINT) % 2",
+              "a.o_custkey = b.c_custkey")}),
+          f2 AS (${joinCte(
+              "orders", "o_orderkey", "CAST(o_orderkey AS BIGINT) % 4",
+              "lineitem", "l_orderkey", "CAST(l_orderkey AS BIGINT) % 2",
+              "a.o_orderkey = b.l_orderkey")})
+          SELECT * FROM (
+            ${sel("orders_customer", "f1")}
+            UNION ALL ${sel("orders_lineitem", "f2")})
+          ORDER BY join_key"""
+      }
     )
   )
 

@@ -4226,6 +4226,69 @@ object SnapshotLog {
         .head(0).asInstanceOf[Number].longValue
     }
 
+  // ------------------------------------------------------------------
+  // q212 — per-COLUMN NDV registers in the long-form stat table
+  // ------------------------------------------------------------------
+
+  /** Long-form per-file, per-COLUMN HLL register rows — s64's file_ndv
+    * generalized by col_name exactly as initColStats generalizes the
+    * min/max stats: ONE table answers "registers of column c over file
+    * scope X" for ANY recorded column, which is what turns q210's
+    * dedicated-census demo into a planner input (q212).
+    */
+  private[graft] def initColNdv(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE IF NOT EXISTS col_ndv(
+          |path VARCHAR NOT NULL, col_name VARCHAR NOT NULL,
+          |bucket BIGINT NOT NULL, mr BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordColNdv(
+      dbFile: String,
+      rows: Seq[(String, String, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO col_ndv VALUES (?, ?, ?, ?)")
+      try rows.foreach { case (p, cn, b, mr) =>
+        ps.setString(1, p)
+        ps.setString(2, cn)
+        ps.setLong(3, b)
+        ps.setLong(4, mr)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** Merged register set of (file scope, column) — per-bucket max over
+    * the scope's long-form sketch rows. ≤64 metadata rows per call.
+    */
+  private[graft] def colNdvRegisters(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Seq[(Long, Long)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT bucket, CAST(max(mr) AS BIGINT) FROM col_ndv
+             WHERE col_name = '$colName' AND path IN (${ndvPathList(paths)})
+             GROUP BY bucket ORDER BY bucket""")
+        .map(r => (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Number].longValue))
+    }
+
+  private[graft] def colNdvRowCount(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Long =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          s"""SELECT count(*) FROM col_ndv
+             WHERE col_name = '$colName' AND path IN (${ndvPathList(paths)})""")
+        .head(0).asInstanceOf[Number].longValue
+    }
+
   /** s64 — NDV SKETCHES IN THE MANIFEST: the distinct-count statistics
     * a 100 TB planner needs (join-side choice, agg sizing, dictionary
     * decisions) persisted per FILE at write time and merged at PLAN
@@ -4325,6 +4388,163 @@ object SnapshotLog {
         .toDF("scope", "n_files", "n_sketch_rows", "est_ndv", "exact_ndv",
           "err_bp", "regs_match", "log_ok")
         .orderBy("scope")
+    }
+  }
+
+  /** q212 — JOIN-CARDINALITY ESTIMATES FROM THE LONG-FORM STAT TABLE:
+    * q210's CBO formula |A⋈B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k))
+    * evaluated for TWO different join keys entirely from ONE per-column
+    * register stat table (col_ndv — s64's per-file sketches generalized
+    * by col_name, the same long-form shape as initColStats), with row
+    * counts read from the committed manifest: the whole estimator path
+    * touches METADATA ONLY. Lifecycle:
+    *
+    *   - three relations staged as immutable bucket files (orders
+    *     k%4, customer ck%2, lineitem lk%2), ONE partitionBy write +
+    *     ONE stats job per relation: the stats job computes every key
+    *     column's per-file (bucket, max-rank) register rows AND the
+    *     per-file row counts the manifest carries (file row count =
+    *     Σ register cell counts of one column, since each row lands in
+    *     exactly one register cell per column);
+    *   - the estimator answers BOTH joins (orders⋈customer on custkey,
+    *     orders⋈lineitem on orderkey) by merging each side's register
+    *     rows per-bucket-max out of col_ndv and applying the integer
+    *     Flajolet estimate over manifest row counts — no data file is
+    *     opened;
+    *   - the audit, in-hash: est vs the TRUE join count (the only
+    *     corpus-sized work, existing solely as ground truth), signed
+    *     err_bp, q210's exact arithmetic; and regs_match — the
+    *     metadata-merged registers must EQUAL the direct census over
+    *     each side's key column (the merge property that makes
+    *     per-file sketches composable).
+    *
+    * Scale shape: stat rows are O(64 · n_files · n_columns) metadata
+    * riding the write-time scan (the s64 discipline); each estimate is
+    * a ≤64-row metadata merge per side.
+    */
+  def colNdvEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+
+    val orders = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("cust"))
+    val custT = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("ck"))
+    val lineT = Tables.lineitem(spark, dir).select(col("l_orderkey").cast("long").as("lk"))
+
+    // ground truth — the audit layer's only corpus-sized work
+    val trueOC = orders.select(col("cust").as("j"))
+      .join(custT.select(col("ck").as("j")), Seq("j")).count()
+    val trueOL = orders.select(col("k").as("j"))
+      .join(lineT.select(col("lk").as("j")), Seq("j")).count()
+
+    def estJoin(nL: Long, nR: Long, ndvL: Long, ndvR: Long): Long =
+      (BigInt(nL) * BigInt(nR) / BigInt(math.max(ndvL, ndvR))).toLong
+    def errBp(est: Long, t: Long): Long = (BigInt(est - t) * 10000 / BigInt(t)).toLong
+
+    if (DuckDbLive.available) withTempTableDir("graft_q212_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initColNdv(dbFile)
+
+      /** ONE partitionBy write + ONE stats job per relation: the stats
+        * job stacks every key column (explode of (name, value) structs,
+        * one scan) into per-(file, column, register-bucket) cells.
+        */
+      def stage(
+          df: DataFrame,
+          gCol: org.apache.spark.sql.Column,
+          nB: Int,
+          keyCols: Seq[(String, org.apache.spark.sql.Column)],
+          out: String): (Seq[(String, Long)], Seq[(String, String, Long, Long)]) = {
+        df.withColumn("g", gCol).repartition(col("g")).write.partitionBy("g").parquet(out)
+        val bucketRe = "/g=(\\d+)/".r
+        val byG: Map[Long, String] = new java.io.File(out)
+          .listFiles().filter(_.getName.startsWith("g="))
+          .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+          .map(f =>
+            (bucketRe.findFirstMatchIn(f.getAbsolutePath).get.group(1).toLong,
+              f.getAbsolutePath))
+          .toMap
+        require(byG.size == nB, s"expected $nB one-file buckets under $out")
+        val cells = df.withColumn("g", gCol)
+          .select(col("g"), explode(array(keyCols.map { case (n, c) =>
+            struct(lit(n).as("c"), c.cast("string").as("v"))
+          }: _*)).as("kv"))
+          .select(col("g"), col("kv.c").as("cn"), Hashing.h60(col("kv.v")).as("h"))
+          .select(col("g"), col("cn"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("g", "cn", "bucket")
+          .agg(max("rk").as("mr"), count(lit(1)).as("cnt"))
+          .collect() // ≤ nB·n_cols·64 sketch cells — stats metadata
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val c0 = keyCols.head._1
+        val files = byG.toSeq.sortBy(_._1).map { case (g, p) =>
+          (p, cells.collect { case (gg, cn, _, _, n) if gg == g && cn == c0 => n }.sum)
+        }
+        (files, cells.map { case (g, cn, b, mr, _) => (byG(g), cn, b, mr) }.toSeq)
+      }
+
+      val (fO, rO) = stage(orders, col("k") % 4, 4,
+        Seq(("o_custkey", col("cust")), ("o_orderkey", col("k"))), s"$base/orders")
+      val (fC, rC) = stage(custT, col("ck") % 2, 2,
+        Seq(("c_custkey", col("ck"))), s"$base/cust")
+      val (fL, rL) = stage(lineT, col("lk") % 2, 2,
+        Seq(("l_orderkey", col("lk"))), s"$base/line")
+      recordColNdv(dbFile, rO ++ rC ++ rL)
+      require(commit(dbFile, 0L, 1L, fO ++ fC ++ fL), "q212 snapshot commit rejected")
+
+      // ---- plan time: manifest row counts + col_ndv register merges ----
+      val man = manifest(dbFile, 1L).toMap
+      def nRows(files: Seq[(String, Long)]): Long = files.map(f => man(f._1)).sum
+      def side(paths: Seq[String], cn: String, df: DataFrame, key: String) = {
+        val merged = colNdvRegisters(dbFile, paths, cn)
+        (Hll.estimateInt(merged), colNdvRowCount(dbFile, paths, cn),
+          merged == Hll.registerCensus(df, col(key).cast("string")))
+      }
+      val (pO, pC, pL) = (fO.map(_._1), fC.map(_._1), fL.map(_._1))
+      val (nO, nC, nL) = (nRows(fO), nRows(fC), nRows(fL))
+      val (ndvOc, sOc, mOc) = side(pO, "o_custkey", orders, "cust")
+      val (ndvC, sC, mC) = side(pC, "c_custkey", custT, "ck")
+      val (ndvOk, sOk, mOk) = side(pO, "o_orderkey", orders, "k")
+      val (ndvL2, sL, mL) = side(pL, "l_orderkey", lineT, "lk")
+      val e1 = estJoin(nO, nC, ndvOc, ndvC)
+      val e2 = estJoin(nO, nL, ndvOk, ndvL2)
+      Seq(
+        ("orders_customer", nO, nC, ndvOc, ndvC, e1, trueOC,
+          errBp(e1, trueOC), sOc + sC, mOc && mC),
+        ("orders_lineitem", nO, nL, ndvOk, ndvL2, e2, trueOL,
+          errBp(e2, trueOL), sOk + sL, mOk && mL))
+        .toDF("join_key", "n_left", "n_right", "ndv_left", "ndv_right",
+          "est_join_rows", "true_join_rows", "err_bp", "n_stat_rows", "regs_match")
+        .orderBy("join_key")
+    } else {
+      // honest fallback: same estimates from direct censuses; the stat
+      // rows come from per-file groupings without a log, and
+      // regs_match=false fails the oracle's TRUE
+      def statRows(df: DataFrame, gCol: org.apache.spark.sql.Column,
+          key: org.apache.spark.sql.Column): Long =
+        df.select(gCol.as("g"), Hashing.h60(key.cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"))
+          .distinct().count()
+      def ndvOf(df: DataFrame, key: String): Long =
+        Hll.estimateInt(Hll.registerCensus(df, col(key).cast("string")))
+      val (nO, nC, nL) = (orders.count(), custT.count(), lineT.count())
+      val (ndvOc, ndvC) = (ndvOf(orders, "cust"), ndvOf(custT, "ck"))
+      val (ndvOk, ndvL2) = (ndvOf(orders, "k"), ndvOf(lineT, "lk"))
+      val e1 = estJoin(nO, nC, ndvOc, ndvC)
+      val e2 = estJoin(nO, nL, ndvOk, ndvL2)
+      val s1 = statRows(orders, col("k") % 4, col("cust")) +
+        statRows(custT, col("ck") % 2, col("ck"))
+      val s2 = statRows(orders, col("k") % 4, col("k")) +
+        statRows(lineT, col("lk") % 2, col("lk"))
+      Seq(
+        ("orders_customer", nO, nC, ndvOc, ndvC, e1, trueOC, errBp(e1, trueOC), s1, false),
+        ("orders_lineitem", nO, nL, ndvOk, ndvL2, e2, trueOL, errBp(e2, trueOL), s2, false))
+        .toDF("join_key", "n_left", "n_right", "ndv_left", "ndv_right",
+          "est_join_rows", "true_join_rows", "err_bp", "n_stat_rows", "regs_match")
+        .orderBy("join_key")
     }
   }
 

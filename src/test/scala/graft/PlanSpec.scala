@@ -1271,6 +1271,16 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q212 colstat NDV estimates: metadata math lands as a local relation — q210's class") {
+    // true-join audits, the staged writes, and the ≤512-cell stats job
+    // all run before the frame is built; both estimator reads are
+    // ≤64-row metadata merges through the log, never a Spark plan
+    val p = plan("q212_colstat_ndv_estimates")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("global-window budget: BOARD-WIDE — every partition-less window is an enumerated bounded frame") {
     // the silence-by-boundedness contract (r11 verdict item 6), made
     // board-wide (r13 verdict item 2): the bench tail's WindowExec

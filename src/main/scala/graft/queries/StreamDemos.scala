@@ -1975,6 +1975,32 @@ object StreamDemos {
           JOIN dl ON kp.ep = dl.ep
           ORDER BY step"""
       }
+    ),
+    // s67: bucket-layout EVOLUTION (SnapshotLog.bucketEvolution
+    // scaladoc) — q209's 8-bucket co-located layout rewritten to 16
+    // with the transition planned from the log's bucket-spec metadata
+    // (s48's cross-spec discipline applied to bucket specs): the join
+    // stays exchange-free on BOTH layouts (q209's structural in-query
+    // count), the rewrite is census-neutral (in-hash equality), and a
+    // reader still pinned to the 8-bucket spec is REJECTED by the
+    // guard after the evolution, never silently mis-co-located
+    // (adversarial pin in SnapshotLogSpec). Oracle: the join census
+    // from the raw tables + the lifecycle's plan constants.
+    Q(
+      "s67_bucket_evolution",
+      (s, dir) => graft.sinks.SnapshotLog.bucketEvolution(s, dir),
+      Some("""WITH j AS (SELECT CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS s FROM j)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(8 AS BIGINT) AS n_buckets,
+            n AS n_rows, s AS sum_cents, CAST(0 AS BIGINT) AS exchanges_join,
+            TRUE AS census_ok, TRUE AS spec_guard_ok FROM a
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), CAST(16 AS BIGINT), n, s,
+            CAST(0 AS BIGINT), TRUE, TRUE FROM a)
+        ORDER BY snapshot_id""")
     )
   )
 }

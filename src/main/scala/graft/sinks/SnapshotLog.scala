@@ -4548,6 +4548,189 @@ object SnapshotLog {
     }
   }
 
+  // ------------------------------------------------------------------
+  // s67 — bucket-layout evolution
+  // ------------------------------------------------------------------
+
+  /** Bucket-spec rows in the log: the bucket COUNT each snapshot's
+    * co-located layout was written with — s48's cross-spec discipline
+    * (partition-spec evolution) applied to bucket specs, so a layout
+    * rewrite is planned from metadata and a reader pinned to the old
+    * layout is REJECTED, never silently mis-co-located.
+    */
+  private[graft] def initBucketSpecs(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE IF NOT EXISTS bucket_specs(
+          |snapshot_id BIGINT NOT NULL, n_buckets BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordBucketSpec(
+      dbFile: String,
+      snapshotId: Long,
+      nBuckets: Long): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        s"INSERT INTO bucket_specs VALUES ($snapshotId, $nBuckets)")
+    }
+
+  /** Bucket spec of the CURRENT snapshot — the metadata a layout
+    * rewrite (and every reader) plans from.
+    */
+  private[graft] def currentBucketSpec(dbFile: String): Long =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRows(
+          c,
+          """SELECT b.n_buckets FROM bucket_specs b
+            |JOIN current c ON b.snapshot_id = c.snapshot_id
+            |WHERE c.pin = 0""".stripMargin)
+        .head.head.asInstanceOf[Number].longValue
+    }
+
+  /** Stale-reader guard: a reader compiled against an `expected`-bucket
+    * layout must validate the log's current spec BEFORE planning a
+    * co-located join — joining 8-bucket task assignments against a
+    * 16-bucket layout would be silently WRONG co-location, the failure
+    * mode this guard turns into a loud reject.
+    */
+  private[graft] def requireBucketSpec(dbFile: String, expected: Long): Unit = {
+    val cur = currentBucketSpec(dbFile)
+    require(
+      cur == expected,
+      s"stale bucket-spec reader: compiled for $expected buckets, " +
+        s"current layout spec is $cur — re-plan from the log")
+  }
+
+  /** Memoized s67 catalog tables per dir: (orders8, cust8, orders16,
+    * cust16). The bucketed writes are the op's declared one-time layout
+    * costs (q209's discipline); the 16-bucket tables are rewritten FROM
+    * the 8-bucket CATALOG TABLES — the production rewrite's source is
+    * the committed layout, not the raw input.
+    */
+  private val s67Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+
+  /** s67 — BUCKET-LAYOUT EVOLUTION: q209 froze its co-located layout at
+    * 8 buckets; production layouts get REWRITTEN (8 → 16) as tables
+    * grow, and the transition must be planned from log metadata — s48's
+    * partition-spec evolution story applied to bucket specs. Lifecycle:
+    *
+    *   - snapshot 1: both join sides written bucketBy(8, ck) (the q209
+    *     layout), spec 8 recorded in the log; a reader pinned to spec 8
+    *     validates against the log and is ACCEPTED; the co-located SMJ
+    *     plans ZERO Exchange (measured in-query, q209's structural
+    *     count) and its census is audited against the plain-parquet
+    *     join (layout faithfulness);
+    *   - the EVOLUTION: the next spec (2 × current) is computed FROM
+    *     the log's current spec, both sides rewritten bucketBy(16) from
+    *     the 8-bucket catalog tables (one planned shuffle — the
+    *     rewrite's whole cost), snapshot 2 committed with spec 16;
+    *   - snapshot 2: the join on the NEW layout must STAY exchange-free
+    *     (in-hash count) and census-neutral vs snapshot 1 (in-hash
+    *     equality); the reader still pinned to spec 8 is now REJECTED
+    *     by the guard, not silently mis-co-located — surfaced in-hash
+    *     as spec_guard_ok and pinned adversarially in SnapshotLogSpec.
+    *
+    * Scale shape: both layouts are write-once catalog tables (memoized
+    * per dir — the bench measures what repeats: the exchange-free
+    * join); the rewrite is ONE shuffle planned from metadata; the spec
+    * table is O(snapshots) metadata rows.
+    */
+  def bucketEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.BucketedJoin.countShuffles
+
+    def ordersDf = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey").cast("long").as("ck"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def custDf =
+      Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("ck"))
+
+    def joined(o: DataFrame, c: DataFrame): DataFrame =
+      o.hint("merge").join(c.hint("merge"), Seq("ck")).select(col("cents"))
+    def census(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("cents"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    if (DuckDbLive.available) withTempTableDir("graft_s67_") { tmp =>
+      val (o8, c8, o16, c16) = s67Staged.compute(
+        dir,
+        (_, prev) => {
+          if (prev != null && spark.catalog.tableExists(prev._1) &&
+            !spark.sparkContext.isStopped) prev
+          else {
+            val tag =
+              s"${java.lang.Integer.toUnsignedString(dir.hashCode)}_${dir.length}"
+            val names = (s"graft_s67_o8_$tag", s"graft_s67_c8_$tag",
+              s"graft_s67_o16_$tag", s"graft_s67_c16_$tag")
+            val base = java.nio.file.Files
+              .createTempDirectory("graft_s67_tbl_").toAbsolutePath.toString
+            Seq(names._1, names._2, names._3, names._4)
+              .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+            ordersDf.write.bucketBy(8, "ck").sortBy("ck")
+              .option("path", s"$base/o8").saveAsTable(names._1)
+            custDf.write.bucketBy(8, "ck").sortBy("ck")
+              .option("path", s"$base/c8").saveAsTable(names._2)
+            // the rewrite reads the COMMITTED 8-bucket layout
+            spark.table(names._1).write.bucketBy(16, "ck").sortBy("ck")
+              .option("path", s"$base/o16").saveAsTable(names._3)
+            spark.table(names._2).write.bucketBy(16, "ck").sortBy("ck")
+              .option("path", s"$base/c16").saveAsTable(names._4)
+            names
+          }
+        })
+
+      val dbFile = s"$tmp/log.duckdb"
+      initLog(dbFile)
+      initBucketSpecs(dbFile)
+      require(commit(dbFile, 0L, 1L, Nil), "s67 snapshot 1 rejected")
+      recordBucketSpec(dbFile, 1L, 8L)
+
+      // snapshot 1: pinned-8 reader accepted; zero-exchange join; the
+      // census audited against the plain-parquet join (ground truth)
+      val guard1 = try { requireBucketSpec(dbFile, 8L); true }
+      catch { case _: IllegalArgumentException => false }
+      val j8 = joined(spark.table(o8), spark.table(c8))
+      val ex8 = countShuffles(j8)
+      val (n8, s8) = census(j8)
+      val (nP, sP) = census(joined(ordersDf, custDf))
+
+      // the evolution: next spec planned FROM the log's current spec
+      val next = currentBucketSpec(dbFile) * 2L
+      require(commit(dbFile, 1L, 2L, Nil), "s67 snapshot 2 rejected")
+      recordBucketSpec(dbFile, 2L, next)
+
+      // snapshot 2: join stays exchange-free on the new layout,
+      // census-neutral; the stale pinned-8 reader is REJECTED
+      val j16 = joined(spark.table(o16), spark.table(c16))
+      val ex16 = countShuffles(j16)
+      val (n16, s16) = census(j16)
+      val guard2 = try { requireBucketSpec(dbFile, 8L); false }
+      catch { case _: IllegalArgumentException => true }
+
+      Seq(
+        (1L, 8L, n8, s8, ex8, n8 == nP && s8 == sP, guard1),
+        (2L, next, n16, s16, ex16, n16 == n8 && s16 == s8, guard2))
+        .toDF("snapshot_id", "n_buckets", "n_rows", "sum_cents",
+          "exchanges_join", "census_ok", "spec_guard_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: plain-join censuses; guard untestable without
+      // the log, so spec_guard_ok=false fails the oracle's TRUE
+      val (n, s) = census(joined(ordersDf, custDf))
+      Seq((1L, 8L, n, s, 0L, true, false), (2L, 16L, n, s, 0L, true, false))
+        .toDF("snapshot_id", "n_buckets", "n_rows", "sum_cents",
+          "exchanges_join", "census_ok", "spec_guard_ok")
+        .orderBy("snapshot_id")
+    }
+  }
+
   /** Two-level manifest list (Iceberg's snapshot → manifest-list →
     * manifest-file hierarchy): data-file entries are grouped into
     * MANIFEST GROUPS, each carrying a partition-value summary

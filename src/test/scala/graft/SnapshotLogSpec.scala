@@ -21,6 +21,24 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-spec evolution: a stale 8-bucket reader is rejected, never silently wrong") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initBucketSpecs(db)
+      assert(SnapshotLog.commit(db, 0L, 1L, Nil))
+      SnapshotLog.recordBucketSpec(db, 1L, 8L)
+      SnapshotLog.requireBucketSpec(db, 8L) // pinned reader accepted pre-evolution
+      assert(SnapshotLog.currentBucketSpec(db) == 8L)
+      assert(SnapshotLog.commit(db, 1L, 2L, Nil))
+      SnapshotLog.recordBucketSpec(db, 2L, 16L)
+      assert(SnapshotLog.currentBucketSpec(db) == 16L)
+      // the SAME pinned-8 reader must now fail loudly
+      val e = intercept[IllegalArgumentException](SnapshotLog.requireBucketSpec(db, 8L))
+      assert(e.getMessage.contains("stale bucket-spec reader"))
+      SnapshotLog.requireBucketSpec(db, 16L) // a re-planned reader is accepted
+    }
+  }
+
   test("stale-parent commit is rejected and leaves no log rows") {
     withLog { db =>
       SnapshotLog.initLog(db)

@@ -2001,6 +2001,82 @@ object StreamDemos {
           SELECT CAST(2 AS BIGINT), CAST(16 AS BIGINT), n, s,
             CAST(0 AS BIGINT), TRUE, TRUE FROM a)
         ORDER BY snapshot_id""")
+    ),
+    // s68: WARM-START classifier drift monitor (StreamQuality
+    // .warmStartDriftMonitor scaladoc) — s66's monitor with the
+    // previous epoch's label-conditional censuses folded in at
+    // floor(c·7/8) before the fit: drift decays smoothly instead of
+    // resetting, and the folded per-label totals (acc_pos/acc_neg)
+    // ride the hash so the oracle must replay the integer decay
+    // slot-for-slot. Epoch 0 ≡ the cold fit (decay of an empty history
+    // is exactly 0 — continuity pinned in WarmStartSpec). Oracle: the
+    // identical fold/fit/drift/apply arithmetic per doc_id epoch slice
+    // over zero-filled 64-slot tables.
+    Q(
+      "s68_warmstart_drift",
+      (s, dir) => graft.streaming.StreamQuality.warmStartDriftMonitor(s, dir),
+      Some {
+        val h = graft.oracle.OracleSql.h60("w")
+        s"""WITH d AS (SELECT doc_id, text,
+              CAST(substring(source, 4) AS BIGINT) AS sn,
+              CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS ep FROM documents),
+          t AS (SELECT ep, sn, doc_id, unnest(string_split(text, ' ')) AS w
+            FROM d),
+          ce AS (SELECT ep, ($h) % 64 AS b,
+              CAST(count(*) FILTER (sn < 4) AS BIGINT) AS pos_c,
+              CAST(count(*) FILTER (sn >= 16) AS BIGINT) AS neg_c
+            FROM t WHERE sn < 4 OR sn >= 16 GROUP BY 1, 2),
+          slots AS (SELECT e.ep, s.b
+            FROM (SELECT DISTINCT ep FROM d) e,
+              (SELECT unnest(range(64)) AS b) s),
+          cez AS (SELECT s.ep, s.b,
+              CAST(coalesce(ce.pos_c, 0) AS BIGINT) AS pos_c,
+              CAST(coalesce(ce.neg_c, 0) AS BIGINT) AS neg_c
+            FROM slots s LEFT JOIN ce ON s.ep = ce.ep AND s.b = ce.b),
+          acc AS (
+            SELECT 0 AS ep, b, pos_c AS pos_a, neg_c AS neg_a
+            FROM cez WHERE ep = 0
+            UNION ALL
+            SELECT 1, c1.b,
+              (c0.pos_c * 7) // 8 + c1.pos_c,
+              (c0.neg_c * 7) // 8 + c1.neg_c
+            FROM cez c0 JOIN cez c1 ON c0.b = c1.b
+            WHERE c0.ep = 0 AND c1.ep = 1),
+          wt AS (SELECT ep, b,
+              CAST(((pos_a + 1) * 1000) // (pos_a + neg_a + 2) - 500
+                AS BIGINT) AS wt
+            FROM acc),
+          at AS (SELECT ep, CAST(sum(pos_a) AS BIGINT) AS acc_pos,
+              CAST(sum(neg_a) AS BIGINT) AS acc_neg FROM acc GROUP BY 1),
+          chk AS (SELECT ep, CAST(sum(abs(wt)) AS BIGINT) AS wt_abs,
+              CAST(sum(wt * (b + 1)) AS BIGINT) AS wt_dot FROM wt GROUP BY 1),
+          dl AS (SELECT w1.ep,
+              CAST(sum(abs(w1.wt - coalesce(w0.wt, 0))) AS BIGINT) AS delta_abs,
+              CAST(count(*) FILTER ((w1.wt > 0 AND coalesce(w0.wt, 0) < 0)
+                OR (w1.wt < 0 AND coalesce(w0.wt, 0) > 0)) AS BIGINT)
+                AS n_sign_flips
+            FROM wt w1 LEFT JOIN wt w0 ON w0.ep = w1.ep - 1 AND w0.b = w1.b
+            GROUP BY 1),
+          sd AS (SELECT ep,
+              CAST(count(*) FILTER (sn < 4) AS BIGINT) AS n_seed_pos,
+              CAST(count(*) FILTER (sn >= 16) AS BIGINT) AS n_seed_neg
+            FROM t WHERE sn < 4 OR sn >= 16 GROUP BY 1),
+          lgd AS (SELECT tw.ep, tw.doc_id, CAST(sum(wt.wt) AS BIGINT) AS logit
+            FROM (SELECT ep, doc_id, ($h) % 64 AS b FROM t) tw
+            JOIN wt ON wt.ep = tw.ep AND wt.b = tw.b
+            GROUP BY 1, 2),
+          kp AS (SELECT ep, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(*) FILTER (logit >= 0) AS BIGINT) AS n_keep
+            FROM lgd GROUP BY 1)
+          SELECT CAST(kp.ep + 1 AS BIGINT) AS step, kp.n_docs,
+            sd.n_seed_pos, sd.n_seed_neg, at.acc_pos, at.acc_neg,
+            chk.wt_abs, chk.wt_dot, dl.delta_abs, dl.n_sign_flips,
+            (kp.n_keep * 10000) // kp.n_docs AS keep_bp,
+            TRUE AS warm_ok
+          FROM kp JOIN sd ON kp.ep = sd.ep JOIN chk ON kp.ep = chk.ep
+          JOIN dl ON kp.ep = dl.ep JOIN at ON kp.ep = at.ep
+          ORDER BY step"""
+      }
     )
   )
 }

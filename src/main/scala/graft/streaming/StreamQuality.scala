@@ -40,6 +40,21 @@ object StreamQuality {
   /** Alert floor in basis points: a batch keeping less trips the flag. */
   val KeepFloorBp = 500L
 
+  /** s68's integer decay fold: floor(prev·7/8) + epoch count. Decay of
+    * an empty history is exactly 0, so a warm-start epoch 0 fits the
+    * SAME table as a cold fit — the continuity property WarmStartSpec
+    * pins. Integer-only (floor division on non-negative counts) so the
+    * oracle replays it verbatim.
+    */
+  def decayFold(prev: Long, epoch: Long): Long = prev * 7L / 8L + epoch
+
+  /** q189's Laplace per-mille weight from label-conditional counts —
+    * the one rendering of the trainer formula shared by the cold (s66)
+    * and warm-start (s68) monitors.
+    */
+  def laplaceWeight(pos: Long, neg: Long): Long =
+    ((pos + 1L) * 1000L) / (pos + neg + 2L) - 500L
+
   def streamQualityMonitor(outer: SparkSession, dir: String): DataFrame = {
     val s = StreamSessions.tuned(outer)
     val staged = Watermarks.stageDocBatches(s, dir)
@@ -175,7 +190,7 @@ object StreamQuality {
         var nNeg = 0L
         census.foreach { r =>
           val (slot, p, n) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2))
-          wt(slot) = ((p + 1L) * 1000L) / (p + n + 2L) - 500L
+          wt(slot) = laplaceWeight(p, n)
           nPos += p; nNeg += n
         }
         val deltaAbs = wt.indices.map(i => math.abs(wt(i) - prevWt(i)).toLong).sum
@@ -213,6 +228,120 @@ object StreamQuality {
       }
       .toDF("step", "n_docs", "n_seed_pos", "n_seed_neg", "wt_abs",
         "wt_dot", "delta_abs", "n_sign_flips", "keep_bp", "monitor_ok")
+      .orderBy("step")
+  }
+
+  /** s68 — WARM-START classifier drift monitor: s66 re-fits each epoch
+    * from scratch, so one epoch's content swing rewrites the whole
+    * table; the production monitor folds the PREVIOUS label-conditional
+    * censuses in with decayed counts before fitting — different drift
+    * SEMANTICS (sign flips become rarer, drift decays smoothly instead
+    * of resetting), one census away from s66. Per epoch:
+    *
+    *   - the same 64-slot label-conditional census as s66 (one explode
+    *     → partial agg → ≤64-row collect, model metadata);
+    *   - the FOLD: acc_slot = floor(prev_acc · 7/8) + epoch_count
+    *     (decayFold — integer-only so the oracle replays it verbatim;
+    *     an empty history decays to exactly 0, so epoch 0's table ≡
+    *     the cold fit — the continuity property WarmStartSpec pins);
+    *   - the fit on ACCUMULATED counts (laplaceWeight — q189's exact
+    *     formula over the folded censuses), drift vs the previous
+    *     epoch's table (Σ|Δwt| + strict sign flips + both q189 table
+    *     checksums), and the apply pass for keep_bp at threshold 0;
+    *   - the folded per-label totals (acc_pos/acc_neg) ride the hash so
+    *     the oracle must reproduce the decay slot-for-slot.
+    *
+    * Scale shape: identical to s66 — per-epoch one census + one apply
+    * pass; cross-epoch state grows to THREE 64-long arrays (decayed
+    * pos/neg counts + previous weights), still model metadata. Oracle:
+    * the identical fold/fit/drift/apply arithmetic per doc_id epoch
+    * slice, zero-filled slot tables, stream ≡ batch under AvailableNow.
+    */
+  def warmStartDriftMonitor(outer: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hashing
+    val s = StreamSessions.tuned(outer)
+    val staged = Watermarks.stageDocBatches(s, dir)
+    val schema = s.read.parquet(s"$staged/0.parquet").schema
+    val base = java.nio.file.Files.createTempDirectory("graft_s68_").toAbsolutePath
+
+    val results = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]()
+    @volatile var posAcc = Array.fill(64)(0L)
+    @volatile var negAcc = Array.fill(64)(0L)
+    @volatile var prevWt = Array.fill(64)(0L)
+
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", staged)
+      .parquet(s"$staged/[01].parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val batch = b.persist()
+        val ws = Hashing.words(col("text"))
+        val census = batch
+          .select(
+            expr("CAST(substring(source, 4) AS BIGINT)").as("sn"),
+            explode(ws).as("w"))
+          .filter(col("sn") < 4L || col("sn") >= 16L)
+          .select(col("sn"), pmod(Hashing.h60(col("w")), lit(64L)).as("b"))
+          .groupBy("b")
+          .agg(
+            sum(when(col("sn") < 4L, lit(1L)).otherwise(lit(0L))).as("pos_c"),
+            sum(when(col("sn") >= 16L, lit(1L)).otherwise(lit(0L))).as("neg_c"))
+          .collect() // ≤64 slot cells — model metadata
+        val posE = Array.fill(64)(0L)
+        val negE = Array.fill(64)(0L)
+        var nPos = 0L
+        var nNeg = 0L
+        census.foreach { r =>
+          val (slot, p, n) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2))
+          posE(slot) = p; negE(slot) = n
+          nPos += p; nNeg += n
+        }
+        val posA = Array.tabulate(64)(i => decayFold(posAcc(i), posE(i)))
+        val negA = Array.tabulate(64)(i => decayFold(negAcc(i), negE(i)))
+        val wt = Array.tabulate(64)(i => laplaceWeight(posA(i), negA(i)))
+        val deltaAbs = wt.indices.map(i => math.abs(wt(i) - prevWt(i)).toLong).sum
+        val flips = wt.indices.count(i =>
+          (wt(i) > 0L && prevWt(i) < 0L) || (wt(i) < 0L && prevWt(i) > 0L)).toLong
+        val wtAbs = wt.map(math.abs).sum
+        val wtDot = wt.zipWithIndex.map { case (w, i) => w * (i + 1) }.sum
+        val slot1 = (pmod(Hashing.h60(col("w")), lit(64L)) + 1L).cast("int")
+        val kp = batch
+          .select(col("doc_id"), explode(ws).as("w"))
+          .select(col("doc_id"), element_at(lit(wt), slot1).as("wtv"))
+          .groupBy("doc_id")
+          .agg(sum(col("wtv")).as("logit"))
+          .agg(
+            count(lit(1)),
+            sum(when(col("logit") >= 0L, 1L).otherwise(0L)))
+          .head()
+        results.computeIfAbsent(
+          epoch,
+          _ => (kp.getLong(0), nPos, nNeg, posA.sum, negA.sum, wtAbs, wtDot,
+            deltaAbs, flips, kp.getLong(1)))
+        posAcc = posA; negAcc = negA; prevWt = wt
+        batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    require(results.size() == 2, s"s68 expected 2 epochs, got ${results.size()}")
+    import outer.implicits._
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSeq.sortBy(_._1)
+      .map { case (epoch, (n, np, nn, ap, an, wa, wd, da, fl, nk)) =>
+        (epoch + 1L, n, np, nn, ap, an, wa, wd, da, fl, nk * 10000L / n, true)
+      }
+      .toDF("step", "n_docs", "n_seed_pos", "n_seed_neg", "acc_pos",
+        "acc_neg", "wt_abs", "wt_dot", "delta_abs", "n_sign_flips",
+        "keep_bp", "warm_ok")
       .orderBy("step")
   }
 }

@@ -160,6 +160,14 @@ object SimQueries {
     */
   private[graft] def saltedTopK(
       scored: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    saltedTopKRanked(scored, k).select("e_pid", "e_vid")
+
+  /** saltedTopK with the final per-probe rank kept — q213's MRR needs
+    * WHERE the true neighbor lands, not just membership.
+    */
+  private[graft] def saltedTopKRanked(
+      scored: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scored
@@ -173,7 +181,7 @@ object SimQueries {
         "rk",
         row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rk") <= k)
-      .select(col("pid").as("e_pid"), col("vec_id").as("e_vid"))
+      .select(col("pid").as("e_pid"), col("vec_id").as("e_vid"), col("rk"))
   }
 
   /** Per-probe recall of `approx` (a_pid, a_vid) against `exact`
@@ -1423,6 +1431,179 @@ object SimQueries {
             (q.quota * 10000) // tot.qt AS after_bp
           FROM q LEFT JOIN sel ON q.cell = sel.cell, tot
           ORDER BY q.cell""")
+    ),
+    // q213: MRR / RANK-POSITION audit — q174 measures how much of the
+    // exact top-k each index RECOVERS; this measures WHERE the true
+    // nearest neighbor LANDS in each index's ranking, the metric a
+    // retrieval stack actually tunes against (recall@10 treats rank 1
+    // and rank 10 identically; MRR does not). Per probe: the exact
+    // top-1 (q174's salted two-level ground truth at k=1), its rank in
+    // the method's ranked top-10, reciprocal rank as floor(10000/rank)
+    // — integer-exact — and 0 when the true NN is missed entirely.
+    // Summaries per method (probes found, mean/min rr, in-hash floor).
+    // Same probe set, universe, and search shapes as q174; note the
+    // P=2 rr is NOT structurally ≥ P=1's (extra candidates can only
+    // outrank the true NN on r6-rounded ties) — measured, not assumed.
+    //
+    // Scale shape: identical to q174 — the exact side is one broadcast
+    // probe sweep through the salted two-level top-k, every ranked
+    // list and rr join is k·|probes|-bounded and broadcast.
+    Q(
+      "q213_ann_mrr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val kTop = 10
+        val K = graft.ops.IvfKMeans.K
+        val e = Tables.embeddings(s, dir)
+        val vecs = e.filter(col("vec_id") >= K).select("vec_id", "embedding")
+        def probesOf(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        val probes = probesOf(vecs).select(col("vec_id").as("pid"), col("embedding").as("p"))
+
+        // exact top-1 per probe: the true nearest neighbor
+        val scored = vecs
+          .crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(
+            col("pid"), col("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+        val exact1 = saltedTopK(scored, 1)
+
+        // ranked searches — q174's shapes with the rank kept
+        val planes = VectorOps.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
+        val withB = vecs.withColumn("bkt", VectorOps.signBucket(col("embedding"), planes))
+        val probeB = probesOf(withB)
+          .select(col("vec_id").as("pid"), col("embedding").as("p"), col("bkt").as("pbkt"))
+        val lshRanked = withB
+          .crossJoin(broadcast(probeB))
+          .filter(col("bkt") === col("pbkt") && col("vec_id") =!= col("pid"))
+          .select(
+            col("pid"), col("vec_id"),
+            FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos"))
+          .withColumn(
+            "rk",
+            row_number().over(Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= kTop)
+          .select(col("pid").as("a_pid"), col("vec_id").as("a_vid"), col("rk"))
+
+        val cents = graft.ops.IvfKMeans.codebook(s, e)
+        val assigned = graft.ops.IvfKMeans.assign(vecs, cents)
+        val pcells = graft.ops.IvfKMeans
+          .assignTopP(probesOf(vecs), cents, 2)
+          .select(
+            col("vec_id").as("pid"), col("embedding").as("p"),
+            col("cell").as("pcell"), col("rk").as("prk"))
+        def ivfRanked(pMax: Int) = saltedTopKRanked(
+          assigned
+            .join(broadcast(pcells.filter(col("prk") <= pMax)), col("cell") === col("pcell"))
+            .filter(col("vec_id") =!= col("pid"))
+            .select(
+              col("pid"), col("vec_id"),
+              FeatureOps.r6(VectorOps.cosine(col("embedding"), col("p"))).as("cos")),
+          kTop)
+          .select(col("e_pid").as("a_pid"), col("e_vid").as("a_vid"), col("rk"))
+
+        // reciprocal rank per probe: floor(10000/rank), 0 on a miss
+        def rrBp(ranked: org.apache.spark.sql.DataFrame) = exact1
+          .join(
+            broadcast(ranked),
+            col("e_pid") === col("a_pid") && col("e_vid") === col("a_vid"), "left")
+          .select(
+            col("e_pid").as("pid"),
+            coalesce(expr("CAST(10000 AS BIGINT) div rk"), lit(0L)).as("rr_bp"))
+
+        def mrrSummary(m: String, floorBp: Long, rp: org.apache.spark.sql.DataFrame) = rp
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("rr_bp") > 0L, 1L).otherwise(0L)).as("n_hit"),
+            expr("sum(rr_bp) div count(*)").as("mean_rr_bp"),
+            min(col("rr_bp")).as("min_rr_bp"))
+          .select(
+            lit(m).as("method"), lit(kTop.toLong).as("k"), col("n_probes"),
+            col("n_hit"), col("mean_rr_bp"), col("min_rr_bp"),
+            lit(floorBp).as("floor_bp"),
+            (col("mean_rr_bp") >= floorBp).as("floor_ok"))
+
+        mrrSummary("ivf_p1", 1000L, rrBp(ivfRanked(1)))
+          .unionAll(mrrSummary("ivf_p2", 2000L, rrBp(ivfRanked(2))))
+          .unionAll(mrrSummary("lsh", 0L, rrBp(lshRanked)))
+          .orderBy("method")
+      },
+      Some(s"""$ivfCtes,
+          probes AS (SELECT vec_id AS pid, embedding AS p FROM vecs
+            WHERE vec_id >= 100 AND vec_id < 120),
+          escored AS (SELECT pid, vec_id,
+              ${r6(cosine("embedding", "p"))} AS cos
+            FROM vecs, probes WHERE vec_id <> pid),
+          exact1 AS (SELECT pid AS e_pid, vec_id AS e_vid FROM (
+              SELECT pid, vec_id,
+                row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rk
+              FROM escored) WHERE rk <= 1),
+          be AS (SELECT vec_id, embedding,
+              ${signBucketAdaptive("embedding", "(SELECT count(*) FROM embeddings)")} AS bkt
+            FROM vecs),
+          pbe AS (SELECT vec_id AS pid, embedding AS p, bkt AS pbkt FROM be
+            WHERE vec_id >= 100 AND vec_id < 120),
+          lshr AS (SELECT pid AS a_pid, vec_id AS a_vid, rk FROM (
+              SELECT p.pid, b.vec_id,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY ${r6(cosine("b.embedding", "p.p"))} DESC, b.vec_id) AS rk
+              FROM be b JOIN pbe p ON b.bkt = p.pbkt AND b.vec_id <> p.pid)
+            WHERE rk <= 10),
+          pcells AS (SELECT pid, p, cell, rk AS prk FROM (
+              SELECT pr.pid, pr.p, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY pr.pid
+                  ORDER BY ${r6(dot("pr.p", "c.cent"))} DESC, c.cent_id) AS rk
+              FROM probes pr, cents2 c) WHERE rk <= 2),
+          ivf1r AS (SELECT pid AS a_pid, vec_id AS a_vid, rk FROM (
+              SELECT pc.pid, a.vec_id,
+                row_number() OVER (PARTITION BY pc.pid
+                  ORDER BY ${r6(cosine("a.embedding", "pc.p"))} DESC, a.vec_id) AS rk
+              FROM assigned a JOIN pcells pc
+                ON a.cell = pc.cell AND pc.prk <= 1 AND a.vec_id <> pc.pid)
+            WHERE rk <= 10),
+          ivf2r AS (SELECT pid AS a_pid, vec_id AS a_vid, rk FROM (
+              SELECT pc.pid, a.vec_id,
+                row_number() OVER (PARTITION BY pc.pid
+                  ORDER BY ${r6(cosine("a.embedding", "pc.p"))} DESC, a.vec_id) AS rk
+              FROM assigned a JOIN pcells pc
+                ON a.cell = pc.cell AND pc.prk <= 2 AND a.vec_id <> pc.pid)
+            WHERE rk <= 10),
+          rr_p1 AS (SELECT e_pid AS pid,
+              CAST(coalesce(10000 // a.rk, 0) AS BIGINT) AS rr_bp
+            FROM exact1 e LEFT JOIN ivf1r a
+              ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid),
+          rr_p2 AS (SELECT e_pid AS pid,
+              CAST(coalesce(10000 // a.rk, 0) AS BIGINT) AS rr_bp
+            FROM exact1 e LEFT JOIN ivf2r a
+              ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid),
+          rr_lsh AS (SELECT e_pid AS pid,
+              CAST(coalesce(10000 // a.rk, 0) AS BIGINT) AS rr_bp
+            FROM exact1 e LEFT JOIN lshr a
+              ON e.e_pid = a.a_pid AND e.e_vid = a.a_vid),
+          summaries AS (
+            SELECT 'ivf_p1' AS method, CAST(10 AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n_probes,
+              CAST(count(*) FILTER (rr_bp > 0) AS BIGINT) AS n_hit,
+              CAST(sum(rr_bp) // count(*) AS BIGINT) AS mean_rr_bp,
+              CAST(min(rr_bp) AS BIGINT) AS min_rr_bp,
+              CAST(1000 AS BIGINT) AS floor_bp,
+              (sum(rr_bp) // count(*)) >= 1000 AS floor_ok FROM rr_p1
+            UNION ALL
+            SELECT 'ivf_p2', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(count(*) FILTER (rr_bp > 0) AS BIGINT),
+              CAST(sum(rr_bp) // count(*) AS BIGINT),
+              CAST(min(rr_bp) AS BIGINT), CAST(2000 AS BIGINT),
+              (sum(rr_bp) // count(*)) >= 2000 FROM rr_p2
+            UNION ALL
+            SELECT 'lsh', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(count(*) FILTER (rr_bp > 0) AS BIGINT),
+              CAST(sum(rr_bp) // count(*) AS BIGINT),
+              CAST(min(rr_bp) AS BIGINT), CAST(0 AS BIGINT),
+              (sum(rr_bp) // count(*)) >= 0 FROM rr_lsh)
+          SELECT method, k, n_probes, n_hit, mean_rr_bp, min_rr_bp,
+            floor_bp, floor_ok
+          FROM summaries ORDER BY method""")
     )
   )
 }

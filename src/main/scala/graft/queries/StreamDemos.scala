@@ -2077,6 +2077,99 @@ object StreamDemos {
           JOIN dl ON kp.ep = dl.ep JOIN at ON kp.ep = at.ep
           ORDER BY step"""
       }
+    ),
+    // s69: DuckDB BULK-LOAD PARITY — the last driver funnel in the sink
+    // story, deleted: s01/s30/s47 ingest through the APPENDER
+    // (DuckDbLive.appendAll streams every row through the driver — kept
+    // as the O21/O22 cadence demo, inherent to a single-file live
+    // sink), but at 100 TB the handoff is the engine's own parquet
+    // export bulk-ingested by DuckDB itself (CREATE TABLE AS
+    // read_parquet — no row ever crosses the driver). This entry proves
+    // the two paths land IDENTICAL tables: both ingest the same export
+    // (BIGINT/VARCHAR/DATE columns — the appender's cast paths
+    // exercised), and the JDBC read-back compares census + an
+    // order-free modular row digest (md5-content per row, summed mod
+    // 1e9+7 — the q148 digest class) computed INSIDE DuckDB over each
+    // table. parity_ok rides the hash; a missing driver degrades to
+    // live_sink=false and fails the oracle's TRUE.
+    Q(
+      "s69_duckdb_bulk_parity",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sinks.DuckDbLive
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_s69_").toAbsolutePath.toString
+        val df = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("k"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").cast("string").as("st"),
+          col("o_orderdate").cast("date").as("d"))
+        // the engine's own export — the 100 TB handoff artifact
+        df.repartition(4).write.parquet(s"$out/export")
+
+        def censusSql(t: String) =
+          s"""SELECT count(*), count(DISTINCT st),
+             CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT),
+             CAST(sum(CAST(('0x' || substr(md5(
+               k || '|' || cents || '|' || st || '|' || CAST(d AS VARCHAR)
+             ), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT)
+             FROM $t"""
+
+        if (DuckDbLive.available) {
+          val (app, bulk) = DuckDbLive.withConnection(s"$out/par.duckdb") { c =>
+            DuckDbLive.execute(
+              c, "CREATE TABLE t_app(k BIGINT, cents BIGINT, st VARCHAR, d DATE)")
+            // path 1: the appender (the O21/O22 cadence demo — driver loop)
+            DuckDbLive.appendAll(c, "t_app", s.read.parquet(s"$out/export"),
+              commitEvery = 1000)
+            // path 2: DuckDB bulk-ingests the export itself — no driver hop
+            DuckDbLive.execute(
+              c,
+              s"""CREATE TABLE t_bulk AS SELECT k, cents, st, d
+                 FROM read_parquet('$out/export/*.parquet')""")
+            (DuckDbLive.queryRow(c, censusSql("t_app"))
+               .map(_.asInstanceOf[Number].longValue),
+              DuckDbLive.queryRow(c, censusSql("t_bulk"))
+                .map(_.asInstanceOf[Number].longValue))
+          }
+          Seq((app(0), app(1), app(2), app(3), app(4), app == bulk, true))
+            .toDF("n_rows", "n_status", "sum_k", "sum_cents", "row_digest",
+              "parity_ok", "live_sink")
+            .orderBy("n_rows")
+        } else {
+          // honest fallback: the same census from the export via Spark;
+          // parity untestable without the driver → fails the oracle's TRUE
+          import graft.ops.Hashing
+          val r = s.read.parquet(s"$out/export")
+            .agg(
+              count(lit(1)), countDistinct(col("st")),
+              sum(col("k")), sum(col("cents")),
+              sum(pmod(
+                Hashing.h60(concat_ws("|",
+                  col("k"), col("cents"), col("st"), col("d").cast("string"))),
+                lit(1000000007L))))
+            .head()
+          Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), false, false))
+            .toDF("n_rows", "n_status", "sum_k", "sum_cents", "row_digest",
+              "parity_ok", "live_sink")
+            .orderBy("n_rows")
+        }
+      },
+      Some {
+        val h = graft.oracle.OracleSql.h60(
+          "k || '|' || cents || '|' || st || '|' || CAST(d AS VARCHAR)")
+        s"""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+              o_orderstatus AS st, CAST(o_orderdate AS DATE) AS d FROM orders)
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT st) AS BIGINT) AS n_status,
+            CAST(sum(k) AS BIGINT) AS sum_k,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(sum($h % 1000000007) AS BIGINT) AS row_digest,
+            TRUE AS parity_ok, TRUE AS live_sink
+          FROM o ORDER BY n_rows"""
+      }
     )
   )
 }

@@ -2531,50 +2531,70 @@ object SnapshotLog {
       hi: Long): Seq[String] =
     pruneByCols(dbFile, snapshotId, Seq(("c0", lo, hi)))
 
-  /** Write `df` (columns k, cents, g) partitioned by the bucket column g
-    * — one immutable file per present bucket value — and return per file
-    * (path, n_rows, min_cents, max_cents) from ONE census job (the
-    * partFiles/footerCounts discipline, containment-checked so a
-    * path-form mismatch fails loudly instead of zeroing stats).
+  /** Write `df` (columns k, cents, g — g confined to `gDomain`)
+    * partitioned by the bucket column g — one immutable file per present
+    * bucket value — and return per file (path, n_rows, min_cents,
+    * max_cents) with the stats captured IN THE WRITE JOB ITSELF: an
+    * `Observation` of per-bucket conditional aggregates rides the write
+    * (the commit's own metrics — r17 verdict item 7), so there is NO
+    * post-write re-scan and no `_metadata.file_path` path-form matching
+    * at all. The bounded bucket domain (≤16 across callers) keeps the
+    * observation a fixed ≤3·|domain|-column row. The loud-failure
+    * contract is kept by construction: every listed bucket directory
+    * must be in the declared domain, hold exactly one part file, and
+    * the listed bucket set must EQUAL the write-observed present set
+    * (partitionBy never writes empty files) — mis-attribution fails
+    * the require, never zeroes a manifest row count.
     */
   private def writeBucketed(
       spark: SparkSession,
       df: DataFrame,
-      out: String): Seq[(String, Long, Long, Long)] = {
-    df.repartition(col("g")).write.partitionBy("g").parquet(out)
-    val listed = new java.io.File(out)
+      out: String,
+      gDomain: Seq[Long]): Seq[(String, Long, Long, Long)] = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = gDomain.flatMap { g =>
+      Seq(
+        sum(when(col("g") === g, lit(1L)).otherwise(lit(0L))).as(s"n_$g"),
+        min(when(col("g") === g, col("cents"))).as(s"mn_$g"),
+        max(when(col("g") === g, col("cents"))).as(s"mx_$g"))
+    }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .repartition(col("g")).write.partitionBy("g").parquet(out)
+    val m = obs.get // blocks until the write job's listener fires
+    val listed: Seq[(Long, String)] = new java.io.File(out)
       .listFiles().filter(_.getName.startsWith("g="))
-      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
-      .map(_.getAbsolutePath)
-      .sorted.toSeq
-    val stats = spark.read.parquet(out)
-      .groupBy(col("_metadata.file_path"))
-      .agg(count(lit(1)), min(col("cents")), max(col("cents")))
-      .collect()
-      .map(r => (
-        new java.net.URI(r.getString(0)).getPath,
-        (r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
-    val listedSet = listed.toSet
-    val strays = stats.keys.filterNot(listedSet.contains)
+      .map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(
+          parts.length == 1,
+          s"bucketed write under $out produced ${parts.length} part files " +
+            s"for ${d.getName} — hash repartition on g must give one file per bucket")
+        (d.getName.drop(2).toLong, parts.head.getAbsolutePath)
+      }.toSeq
+    val strays = listed.map(_._1).filterNot(gDomain.contains)
     require(
       strays.isEmpty,
-      s"stats census under $out produced ${strays.size} path(s) not in the " +
-        s"directory listing: ${strays.take(3).mkString(", ")}")
+      s"bucketed write under $out produced bucket value(s) outside the " +
+        s"declared domain: ${strays.take(3).mkString(", ")}")
+    val present = gDomain.filter(g => m(s"n_$g").asInstanceOf[Long] > 0L).toSet
     require(
-      listed.forall(stats.contains),
-      s"bucketed write under $out listed a file with no census group — " +
-        "partitionBy never writes empty files, so this is a census defect")
-    listed.map { p => val (n, mn, mx) = stats(p); (p, n, mn, mx) }
+      listed.map(_._1).toSet == present,
+      s"bucketed write under $out listed buckets " +
+        s"${listed.map(_._1).sorted.mkString(",")} but the write observed " +
+        s"${present.toSeq.sorted.mkString(",")} — stats would be mis-attributed")
+    listed.sortBy(_._2).map { case (g, p) =>
+      (p, m(s"n_$g").asInstanceOf[Long],
+        m(s"mn_$g").asInstanceOf[Long], m(s"mx_$g").asInstanceOf[Long])
+    }
   }
 
   /** One-JOB bucketed base-table write shared by the lifecycle demos
     * whose snapshot 1 is "one file per k-residue bucket" (s56/s62/s63/
     * s65): `df` (k, cents) splits on k % nBuckets via ONE partitionBy
-    * write + ONE census job (writeBucketed), bucket stats recorded.
-    * Returns (path, n_rows, bucket) per file. Replaces the per-bucket
-    * filter-write loops (nBuckets write jobs → 2 jobs total — the s48
-    * one-census-per-directory discipline).
+    * write whose Observation carries the bucket stats (writeBucketed —
+    * no census job at all since r18's commit-carried stats). Returns
+    * (path, n_rows, bucket) per file. Replaces the per-bucket
+    * filter-write loops (nBuckets write jobs → 1 job total).
     */
   private def writeBaseBuckets(
       spark: SparkSession,
@@ -2587,7 +2607,8 @@ object SnapshotLog {
     // and silently mis-bucket every file's recorded stats
     val bucketRe = "/g=(\\d+)/".r
     val files = writeBucketed(
-      spark, o.select(col("k"), col("cents"), (col("k") % nBuckets).as("g")), out)
+      spark, o.select(col("k"), col("cents"), (col("k") % nBuckets).as("g")), out,
+      0L until nBuckets.toLong)
       .map { case (p, n, _, _) =>
         (p, n, bucketRe.findFirstMatchIn(p).get.group(1).toLong)
       }
@@ -2649,7 +2670,7 @@ object SnapshotLog {
       // snapshot 1: unclustered layout (file = k%4 — uncorrelated with
       // cents, so every file's range covers ~the whole domain)
       val f1 = writeBucketed(
-        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/u")
+        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/u", 0L to 3L)
       recordColStats(dbFile, f1.map(f => (f._1, f._3, f._4)))
       val c1 = commit(dbFile, 0L, 1L, f1.map(f => (f._1, f._2)))
       val scan1 = pruneByRange(dbFile, 1L, lo, hi)
@@ -2664,7 +2685,9 @@ object SnapshotLog {
         spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
           .select(col("k"), col("cents"))
           .withColumn("g", expr(s"(cents - $mn) div $bw")),
-        s"$base/c")
+        s"$base/c",
+        // bw = (mx-mn)/4 + 1 > (mx-mn)/4, so (cents-mn) div bw ∈ [0, 3]
+        0L to 3L)
       recordColStats(dbFile, f2.map(f => (f._1, f._3, f._4)))
       val c2 = commit(dbFile, 1L, 2L, f2.map(f => (f._1, f._2)))
       val scan2 = pruneByRange(dbFile, 2L, lo, hi)
@@ -2903,7 +2926,7 @@ object SnapshotLog {
       val f1 = writeBucketed(
         spark,
         o.filter(col("k") % 2 === 0).withColumn("g", pmod(col("k"), lit(2L))),
-        s"$base/f1")
+        s"$base/f1", 0L to 1L)
       val v1 = minCentsOk(f1)
       recordColStats(dbFile, f1.map(f => (f._1, f._3, f._4)))
       val c1 = v1 && commit(dbFile, 0L, 1L, f1.map(f => (f._1, f._2)))
@@ -2917,7 +2940,7 @@ object SnapshotLog {
         spark,
         o.filter(col("k") % 2 === 1).unionByName(poison)
           .withColumn("g", pmod(col("k"), lit(2L))),
-        s"$base/f2")
+        s"$base/f2", 0L to 1L)
       val v2 = minCentsOk(f2)
       val nViolating = f2.count(_._3 < 0L).toLong
       // REJECTED: nothing recorded, pointer untouched
@@ -2929,7 +2952,7 @@ object SnapshotLog {
       val f3 = writeBucketed(
         spark,
         o.filter(col("k") % 2 === 1).withColumn("g", pmod(col("k"), lit(2L))),
-        s"$base/f3")
+        s"$base/f3", 0L to 1L)
       val v3 = minCentsOk(f3)
       recordColStats(dbFile, f3.map(f => (f._1, f._3, f._4)))
       val c3 = v3 && commit(dbFile, 1L, 2L, (f1 ++ f3).map(f => (f._1, f._2)))

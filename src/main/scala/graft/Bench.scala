@@ -45,21 +45,69 @@ object Bench {
   // wall time depends only on how fast this host runs ONE thread right
   // now. calib_sec ratios across rounds separate "the engine changed"
   // from "the host changed".
-  private def calibrate(): Double = {
-    val t0 = System.nanoTime()
+  private def lcgLoop(): Long = {
     var h = 0x9e3779b97f4a7c15L
     var i = 0
     while (i < 400000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    h
+  }
+
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    val h = lcgLoop()
     val dt = (System.nanoTime() - t0) / 1e9
     if (h == 42L) System.err.println("") // defeat dead-code elimination
     dt
+  }
+
+  /** PARALLEL calibration: the same LCG loop on `n` threads at once,
+    * wall-clocked. On an idle host this ≈ the single-thread time (every
+    * core runs one loop); under multi-core contention it inflates while
+    * the single-thread probe stays flat — exactly the blind spot behind
+    * the r17 9% driver-vs-builder bench gap (a 32-wide sweep sharing the
+    * box is invisible to a 1-thread probe). calib_par/calib single is
+    * the record's own contention story.
+    */
+  private def calibratePar(n: Int): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (1 to n.max(1)).map { _ =>
+      new Thread(() => { sink.addAndGet(lcgLoop()); () })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (sink.get == 42L) System.err.println("") // defeat dead-code elimination
+    dt
+  }
+
+  /** Opt-in LOAD GATE (`SPARK_GRAFT_BENCH_LOADGATE=<threshold>`): defer
+    * the sweep/chunk start until the 1-min load average drops below the
+    * threshold (10 s polls, 10 min cap — a gate must bound its own
+    * wait). Returns the seconds waited, which the record carries, so a
+    * gated start is visible in the artifact rather than in prose.
+    */
+  private def loadGate(): Double = {
+    sys.env.get("SPARK_GRAFT_BENCH_LOADGATE").map(_.toDouble) match {
+      case None => 0.0
+      case Some(thr) =>
+        val t0 = System.nanoTime()
+        var l = loadAvg()
+        while (l >= thr && (System.nanoTime() - t0) < 600e9) {
+          System.err.println(f"[bench] load gate: load_avg $l%.2f >= $thr%.2f, waiting")
+          Thread.sleep(10000)
+          l = loadAvg()
+        }
+        (System.nanoTime() - t0) / 1e9
+    }
   }
 
   /** One sweep's raw material: per-query run times plus the host context
     * bracketing them (one entry per JVM that produced a slice).
     */
   private case class ChunkMeta(
-      loadStart: Double, loadEnd: Double, calibStart: Double, calibEnd: Double)
+      loadStart: Double, loadEnd: Double, calibStart: Double, calibEnd: Double,
+      calibParStart: Double, calibParEnd: Double, gateWait: Double)
 
   /** Run the (optionally filtered) board in THIS JVM and return raw run
     * times. `exact` matches whole names (chunk children); otherwise any
@@ -71,8 +119,10 @@ object Bench {
       sfDir: String,
       cpus: String,
       runs: Int): (Seq[(String, Seq[Double])], ChunkMeta) = {
+    val gateWait = loadGate()
     val loadStart = loadAvg()
     val calibStart = calibrate()
+    val calibParStart = calibratePar(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -135,8 +185,10 @@ object Bench {
       }
     val loadEnd = loadAvg()
     val calibEnd = calibrate()
+    val calibParEnd = calibratePar(cpus.toInt)
     spark.stop()
-    (results, ChunkMeta(loadStart, loadEnd, calibStart, calibEnd))
+    (results, ChunkMeta(
+      loadStart, loadEnd, calibStart, calibEnd, calibParStart, calibParEnd, gateWait))
   }
 
   /** CHILD mode (`--chunk <out> <names...>`): sweep exactly `names`,
@@ -146,7 +198,8 @@ object Bench {
   private def childMain(out: String, names: Seq[String], sfDir: String, cpus: String, runs: Int): Unit = {
     val (results, m) = runSweep(names.toSet, exact = true, sfDir, cpus, runs)
     val sb = new StringBuilder
-    sb.append(s"#meta\t${m.loadStart}\t${m.loadEnd}\t${m.calibStart}\t${m.calibEnd}\n")
+    sb.append(s"#meta\t${m.loadStart}\t${m.loadEnd}\t${m.calibStart}\t${m.calibEnd}" +
+      s"\t${m.calibParStart}\t${m.calibParEnd}\t${m.gateWait}\n")
     results.foreach { case (n, ts) => sb.append(s"$n\t${ts.mkString(",")}\n") }
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
   }
@@ -197,7 +250,9 @@ object Bench {
       lines.asScala.foreach { ln =>
         val parts = ln.split("\t")
         if (parts(0) == "#meta")
-          metas += ChunkMeta(parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
+          metas += ChunkMeta(
+            parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble,
+            parts(5).toDouble, parts(6).toDouble, parts(7).toDouble)
         else merged += (parts(0) -> parts(1).split(",").map(_.toDouble).toSeq)
       }
     }
@@ -259,6 +314,16 @@ object Bench {
     val calibEnd = metas.last.calibEnd
     val calibAll = metas.flatMap(m => Seq(m.calibStart, m.calibEnd)).filter(_ > 0)
     val calibMean = if (calibAll.isEmpty) -1.0 else calibAll.sum / calibAll.size
+    // MULTI-CORE contention in the record (r17 verdict #3): the N-thread
+    // probe's wall over the 1-thread probe's. ≈1.0 on an idle host; a
+    // 32-wide sweep sharing the box pushes it up while the single-thread
+    // calib stays flat — the story behind r17's 9% bracket gap, now in
+    // the artifact instead of forensics.
+    val calibParAll = metas.flatMap(m => Seq(m.calibParStart, m.calibParEnd)).filter(_ > 0)
+    val calibParMean = if (calibParAll.isEmpty) -1.0 else calibParAll.sum / calibParAll.size
+    val calibParRatio =
+      if (calibMean > 0 && calibParMean > 0) calibParMean / calibMean else -1.0
+    val gateWaitTotal = metas.map(_.gateWait).filter(_ > 0).sum
     // Calib-normalized total: suite seconds divided by the mean
     // single-thread calibration time, i.e. "suite cost in units of this
     // host's current speed". Comparable across rounds even when the box
@@ -273,7 +338,8 @@ object Bench {
       if (metas.size <= 1) ""
       else {
         val cs = metas
-          .map(m => s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}]}""")
+          .map(m =>
+            s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}],"calib_par_sec":[${fmt(m.calibParStart)},${fmt(m.calibParEnd)}],"gate_wait_sec":${fmt(m.gateWait)}}""")
           .mkString("[", ",", "]")
         s""""n_jvm_chunks":${metas.size},"chunks":$cs,"""
       }
@@ -282,7 +348,7 @@ object Bench {
       val qs = results.map { case (n, ts) =>
         s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"calib_par_ratio":${fmt(calibParRatio)},"gate_wait_sec":${fmt(gateWaitTotal)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -338,7 +404,7 @@ object Bench {
     val failedJson = failed
       .map(n => s""""${n.takeWhile(_ != '_')}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_par_ratio":${fmt(calibParRatio)},"gate_wait_sec":${fmt(gateWaitTotal)},"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
     )
   }
 

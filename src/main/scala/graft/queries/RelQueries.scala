@@ -3380,6 +3380,139 @@ object RelQueries {
             UNION ALL ${sel("orders_lineitem", "f2")})
           ORDER BY join_key"""
       }
+    ),
+    // q214: cost-based JOIN-ORDER audit — what the q210/q212 estimates
+    // are FOR: a three-relation chain (customer ⋈ orders ⋈ lineitem)
+    // has two left-deep orders, distinguished by their INTERMEDIATE
+    // cardinality; the optimizer's choice is argmin of the estimated
+    // intermediates, computed entirely from metadata (row counts +
+    // q210's integer HLL NDV estimates), and the audit checks the
+    // choice against the TRUE intermediates (the only corpus-sized
+    // work, existing as ground truth): choice_ok = the metadata pick
+    // equals the true-optimal pick, with both signed est errors
+    // in-hash. Integer BigInt/HUGEINT arithmetic throughout, so both
+    // engines make the identical pick deterministically.
+    //
+    // Scale shape: four ≤64-cell register censuses + three counts on
+    // the estimate side; at 100 TB those ride write-time stats (q212's
+    // col_ndv) and the audit's exact joins exist only in this entry.
+    Q(
+      "q214_join_order_audit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Hll
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val (nC, nO, nL) = (c.count(), o.count(), l.count())
+        def ndv(df: org.apache.spark.sql.DataFrame, key: String): Long =
+          Hll.estimateInt(Hll.registerCensus(df, col(key).cast("long").cast("string")))
+        val ndvC = ndv(c, "c_custkey")
+        val ndvOc = ndv(o, "o_custkey")
+        val ndvOk = ndv(o, "o_orderkey")
+        val ndvL = ndv(l, "l_orderkey")
+        def est(nA: Long, nB: Long, dA: Long, dB: Long): Long =
+          (BigInt(nA) * BigInt(nB) / BigInt(math.max(dA, dB))).toLong
+        val estCO = est(nC, nO, ndvC, ndvOc)
+        val estOL = est(nO, nL, ndvOk, ndvL)
+        def trueJoin(a: org.apache.spark.sql.DataFrame, ka: String,
+            b: org.apache.spark.sql.DataFrame, kb: String): Long =
+          a.select(col(ka).cast("long").as("j"))
+            .join(b.select(col(kb).cast("long").as("j")), Seq("j")).count()
+        val trueCO = trueJoin(c, "c_custkey", o, "o_custkey")
+        val trueOL = trueJoin(o, "o_orderkey", l, "l_orderkey")
+        def errBp(e: Long, t: Long): Long = (BigInt(e - t) * 10000 / BigInt(t)).toLong
+        val chosen = if (estCO <= estOL) "customer_orders_first" else "orders_lineitem_first"
+        val optimal = if (trueCO <= trueOL) "customer_orders_first" else "orders_lineitem_first"
+        Seq((nC, nO, nL, estCO, estOL, trueCO, trueOL,
+          errBp(estCO, trueCO), errBp(estOL, trueOL), chosen, optimal, chosen == optimal))
+          .toDF("n_customer", "n_orders", "n_lineitem", "est_co_rows", "est_ol_rows",
+            "true_co_rows", "true_ol_rows", "err_co_bp", "err_ol_bp",
+            "chosen_first", "optimal_first", "choice_ok")
+          .orderBy("n_customer")
+      },
+      Some {
+        import graft.oracle.OracleSql.{hllEstimateOverRegs, hllRegs}
+        def estSql(nA: String, nB: String, dA: String, dB: String) =
+          s"CAST(CAST($nA AS HUGEINT) * $nB // greatest($dA, $dB) AS BIGINT)"
+        s"""WITH m AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customer,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+            ${hllEstimateOverRegs(hllRegs("customer", "c_custkey"))} AS ndv_c,
+            ${hllEstimateOverRegs(hllRegs("orders", "o_custkey"))} AS ndv_oc,
+            ${hllEstimateOverRegs(hllRegs("orders", "o_orderkey"))} AS ndv_ok,
+            ${hllEstimateOverRegs(hllRegs("lineitem", "l_orderkey"))} AS ndv_l,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey) AS true_co_rows,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS true_ol_rows),
+          e AS (SELECT *,
+            ${estSql("n_customer", "n_orders", "ndv_c", "ndv_oc")} AS est_co_rows,
+            ${estSql("n_orders", "n_lineitem", "ndv_ok", "ndv_l")} AS est_ol_rows
+            FROM m)
+          SELECT n_customer, n_orders, n_lineitem, est_co_rows, est_ol_rows,
+            true_co_rows, true_ol_rows,
+            CAST((CAST(est_co_rows AS HUGEINT) - true_co_rows) * 10000
+              // true_co_rows AS BIGINT) AS err_co_bp,
+            CAST((CAST(est_ol_rows AS HUGEINT) - true_ol_rows) * 10000
+              // true_ol_rows AS BIGINT) AS err_ol_bp,
+            CASE WHEN est_co_rows <= est_ol_rows THEN 'customer_orders_first'
+              ELSE 'orders_lineitem_first' END AS chosen_first,
+            CASE WHEN true_co_rows <= true_ol_rows THEN 'customer_orders_first'
+              ELSE 'orders_lineitem_first' END AS optimal_first,
+            (CASE WHEN est_co_rows <= est_ol_rows THEN 'customer_orders_first'
+              ELSE 'orders_lineitem_first' END) =
+            (CASE WHEN true_co_rows <= true_ol_rows THEN 'customer_orders_first'
+              ELSE 'orders_lineitem_first' END) AS choice_ok
+          FROM e ORDER BY n_customer"""
+      }
+    ),
+    // q215: NDV of a PRUNED scope — the two stat tables COMPOSED at
+    // plan time (what a real planner does): s52's col_stats range
+    // pruning picks the surviving files, q212's col_ndv registers
+    // (merged over ONLY those files) estimate the scope's distinct
+    // customers — no data file opened on the estimate path. Audited
+    // in-hash for scopes 'all' and 'pruned': est-vs-exact err_bp and
+    // regs_match (the HLL merge property holding on a pruned SUBSET).
+    // Full lifecycle + scale shape: SnapshotLog.prunedScopeNdv scaladoc.
+    Q(
+      "q215_pruned_scope_ndv",
+      (s, dir) => graft.sinks.SnapshotLog.prunedScopeNdv(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        s"""WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+              CAST(o_custkey AS BIGINT) AS cust FROM orders),
+          b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o),
+          p AS (SELECT mn, (mx - mn) // 4 + 1 AS bw FROM b),
+          pr AS (SELECT mn, bw, mn + bw // 2 AS lo, mn + bw - 1 AS hi FROM p),
+          g AS (SELECT o.cust, o.cents, (o.cents - pr.mn) // pr.bw AS grp
+            FROM o, pr),
+          fs AS (SELECT grp, min(cents) AS fmn, max(cents) AS fmx
+            FROM g GROUP BY 1),
+          surv AS (SELECT fs.grp FROM fs, pr
+            WHERE fs.fmx >= pr.lo AND fs.fmn <= pr.hi),
+          scopes AS (SELECT 'all' AS scope, grp FROM fs
+            UNION ALL SELECT 'pruned', grp FROM surv),
+          rws AS (SELECT s.scope, g.cust FROM scopes s JOIN g ON g.grp = s.grp),
+          hh AS (SELECT scope, ${h60("CAST(cust AS VARCHAR)")} AS h FROM rws),
+          regs AS (SELECT scope, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+            FROM hh GROUP BY 1, 2),
+          sh AS (SELECT scope, $hllSH AS s_h FROM regs GROUP BY 1),
+          est AS (SELECT scope, ${hllEstimate("s_h")} AS est_ndv FROM sh),
+          ex AS (SELECT scope, CAST(count(DISTINCT cust) AS BIGINT) AS exact_ndv
+            FROM rws GROUP BY 1),
+          nf AS (SELECT scope, CAST(count(*) AS BIGINT) AS n_files
+            FROM scopes GROUP BY 1)
+          SELECT est.scope, nf.n_files, est.est_ndv, ex.exact_ndv,
+            abs(est.est_ndv - ex.exact_ndv) * 10000 // ex.exact_ndv AS err_bp,
+            TRUE AS regs_match, TRUE AS composed_ok
+          FROM est JOIN ex ON est.scope = ex.scope
+          JOIN nf ON est.scope = nf.scope
+          ORDER BY est.scope"""
+      }
     )
   )
 

@@ -4571,6 +4571,113 @@ object SnapshotLog {
     }
   }
 
+  /** q215 — NDV OF A PRUNED SCOPE: the two stat tables composed at plan
+    * time, which is what a real planner does — s52's range pruning
+    * picks the file subset (col_stats min/max vs the predicate), then
+    * q212's registers answer "how many distinct customers in THAT
+    * subset" (col_ndv merged per-bucket-max over only the surviving
+    * files). No data file is opened on the estimate path. Lifecycle:
+    *
+    *   - orders written CLUSTERED by cents (s52's explicit arithmetic
+    *     buckets — both engines replay the boundaries), per-file
+    *     min/max cents recorded in col_stats from the write's own
+    *     Observation, per-file custkey registers in col_ndv from one
+    *     stats job;
+    *   - the plan: s52's range predicate (middle of the lowest
+    *     quartile) prunes to ~1 of 4 files; the estimator merges the
+    *     SURVIVORS' register rows and applies the integer Flajolet
+    *     estimate — the composed, metadata-only answer;
+    *   - the audit, in-hash, for scopes 'all' and 'pruned': est vs the
+    *     exact scan NDV (err_bp) and regs_match — the metadata merge
+    *     over the surviving subset must EQUAL the direct census over
+    *     the scanned scope (the merge property q212 pins, now on a
+    *     PRUNED subset).
+    *
+    * Scale shape: both stat reads are metadata joins in the log; the
+    * exact side exists only as this entry's audit layer; at 100 TB the
+    * composed estimate sizes the post-scan join/agg before a single
+    * row is read.
+    */
+  def prunedScopeNdv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_custkey").cast("long").as("cust"))
+    val r = o.agg(min(col("cents")), max(col("cents"))).head()
+    val (mn, mxv) = (r.getLong(0), r.getLong(1))
+    val bw = (mxv - mn) / 4L + 1L
+    val (lo, hi) = (mn + bw / 2L, mn + bw - 1L)
+
+    def exactAndDirect(df: DataFrame): (Long, Seq[(Long, Long)]) = (
+      df.agg(countDistinct(col("cust"))).head().getLong(0),
+      Hll.registerCensus(df, col("cust").cast("string")))
+
+    if (DuckDbLive.available) withTempTableDir("graft_q215_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initColStats(dbFile)
+      initColNdv(dbFile)
+
+      val files = writeBucketed(
+        spark,
+        o.withColumn("g", expr(s"(cents - $mn) div $bw")),
+        s"$base/data",
+        0L to 3L)
+      recordColStats(dbFile, files.map(f => (f._1, f._3, f._4)))
+      // ONE stats job: per-file custkey register cells (≤ 4·64)
+      val bucketRe = "/g=(\\d+)/".r
+      val pathOf: Map[Long, String] = files
+        .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
+      val cells = o
+        .select(
+          expr(s"(cents - $mn) div $bw").as("g"),
+          Hashing.h60(col("cust").cast("string")).as("h"))
+        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("g", "bucket").agg(max("rk").as("mr"))
+        .collect() // ≤256 sketch cells — stats metadata
+        .map(r2 => (pathOf(r2.getLong(0)), "cust", r2.getLong(1), r2.getLong(2)))
+      recordColNdv(dbFile, cells.toSeq)
+      require(commit(dbFile, 0L, 1L, files.map(f => (f._1, f._2))), "q215 commit rejected")
+
+      def scopeRow(scope: String, paths: Seq[String]) = {
+        val merged = colNdvRegisters(dbFile, paths, "cust") // metadata only
+        val est = Hll.estimateInt(merged)
+        val (exact, direct) = exactAndDirect(spark.read.parquet(paths: _*)) // audit scan
+        (scope, paths.size.toLong, est, exact,
+          math.abs(est - exact) * 10000L / exact, merged == direct, true)
+      }
+      val pruned = pruneByRange(dbFile, 1L, lo, hi) // col_stats: the s52 plan
+      // [lo, hi] sits inside bucket 0's value domain and every bucket is
+      // non-empty by quartile construction — an empty prune is a stats
+      // defect, failed loudly instead of dividing by zero below
+      require(pruned.nonEmpty, "q215: range prune returned no files")
+      Seq(scopeRow("all", files.map(_._1)), scopeRow("pruned", pruned))
+        .toDF("scope", "n_files", "est_ndv", "exact_ndv", "err_bp",
+          "regs_match", "composed_ok")
+        .orderBy("scope")
+    } else {
+      // honest fallback: predicate groupings, composed_ok=false fails
+      // the oracle's TRUE
+      def row(scope: String, pred: org.apache.spark.sql.Column) = {
+        val scoped = o.filter(pred)
+        val nf = scoped.select(expr(s"(cents - $mn) div $bw")).distinct().count()
+        val (exact, regs) = exactAndDirect(scoped)
+        val est = Hll.estimateInt(regs)
+        (scope, nf, est, exact, math.abs(est - exact) * 10000L / exact, false, false)
+      }
+      Seq(
+        row("all", lit(true)),
+        row("pruned", expr(s"(cents - $mn) div $bw") === 0L))
+        .toDF("scope", "n_files", "est_ndv", "exact_ndv", "err_bp",
+          "regs_match", "composed_ok")
+        .orderBy("scope")
+    }
+  }
+
   // ------------------------------------------------------------------
   // s67 — bucket-layout evolution
   // ------------------------------------------------------------------

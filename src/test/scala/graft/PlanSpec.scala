@@ -1271,6 +1271,20 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q215 pruned-scope NDV: metadata math lands as a local relation — q210's class") {
+    val p = plan("q215_pruned_scope_ndv")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
+  test("q214 join-order audit: metadata math lands as a local relation — q210's class") {
+    val p = plan("q214_join_order_audit")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q212 colstat NDV estimates: metadata math lands as a local relation — q210's class") {
     // true-join audits, the staged writes, and the ≤512-cell stats job
     // all run before the frame is built; both estimator reads are

@@ -177,7 +177,15 @@ object Bench {
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: $e")
+                // cause chains are the whole diagnosis for in-suite-only
+                // failures (cross-query session contamination) — opt-in
+                // so the default stderr stays greppable
+                if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE")) e.printStackTrace()
+                false
+            }
           // a failed run must read as a failure, not as a fast run
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }

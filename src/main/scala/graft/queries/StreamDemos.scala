@@ -2119,8 +2119,21 @@ object StreamDemos {
           val (app, bulk) = DuckDbLive.withConnection(s"$out/par.duckdb") { c =>
             DuckDbLive.execute(
               c, "CREATE TABLE t_app(k BIGINT, cents BIGINT, st VARCHAR, d DATE)")
-            // path 1: the appender (the O21/O22 cadence demo — driver loop)
-            DuckDbLive.appendAll(c, "t_app", s.read.parquet(s"$out/export"),
+            // path 1: the appender (the O21/O22 cadence demo — driver
+            // loop). d rides the driver hop as its ISO string: the
+            // appender writes DATE via the varchar-with-cast path
+            // anyway (DuckDbLive type map), and java.sql.Date decoding
+            // through toLocalIterator proved flaky deep into long
+            // multi-query suites (r19 bench: suite-only
+            // EXPRESSION_DECODING_FAILED on the date field, never
+            // reproducible in isolation) — the string form keeps the
+            // driver decode to longs+strings with identical storage.
+            DuckDbLive.appendAll(
+              c,
+              "t_app",
+              s.read.parquet(s"$out/export").select(
+                col("k"), col("cents"), col("st"),
+                col("d").cast("string").as("d")),
               commitEvery = 1000)
             // path 2: DuckDB bulk-ingests the export itself — no driver hop
             DuckDbLive.execute(

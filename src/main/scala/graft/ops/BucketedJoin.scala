@@ -38,6 +38,19 @@ object BucketedJoin {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Structural count of broadcast hash joins — q216's plan audit (same
+    * discipline as [[countShuffles]]: collected nodes, not plan text).
+    */
+  def countBroadcastHashJoins(df: DataFrame): Long = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => 1L
+      }.sum
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Write lineitem/orders bucketed by order key (once per JVM+dir), join
     * co-located, and report (row count, revenue, whether any shuffle
     * appeared on the join inputs). Broadcast is disabled for the demo so

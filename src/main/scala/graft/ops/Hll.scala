@@ -57,6 +57,13 @@ object Hll {
       .collect() // ≤64 register cells — sketch metadata, not data
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
 
+  /** Union-merge of two collected register sets: per-bucket max — the
+    * HLL merge property across RELATIONS (q217's union/overlap sizing).
+    */
+  def mergeRegisters(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (a ++ b).groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+
   /** Driver-side Flajolet estimate over a collected register set —
     * BigInt mirror of [[estimate]] (the single source the q210/s64
     * call sites and the oracle constants are kept in sync against).

@@ -3513,6 +3513,162 @@ object RelQueries {
           JOIN nf ON est.scope = nf.scope
           ORDER BY est.scope"""
       }
+    ),
+    // q216: estimator-driven BROADCAST decision audit — the third
+    // planner decision after cardinality (q210/q212) and order (q214):
+    // whether a join side fits a broadcast. The size model is metadata
+    // (projected key rows × 8 bytes); the broadcast BUDGET is derived
+    // from the probe side (est_probe_bytes div 4 — scale-free, so the
+    // two dims land on opposite sides of it at EVERY SF: customer is
+    // 1/10 of orders, lineitem 4×), and that budget is handed to
+    // Spark's OWN planner as autoBroadcastJoinThreshold (scoped and
+    // restored). The audit is the EXECUTED PLAN SHAPE, structurally:
+    // orders⋈customer must plan a BroadcastHashJoin and zero shuffles;
+    // orders⋈lineitem must plan zero broadcasts and shuffle both sides
+    // — both counts in-hash, plus decision_ok pinning that the plan
+    // agreed with the model on both joins.
+    //
+    // Scale shape: the decision inputs are manifest-class metadata
+    // (row counts); the joins execute only as this entry's audit layer
+    // and the census on each is one partial-agg rollup.
+    Q(
+      "q216_broadcast_decision",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.BucketedJoin.{countBroadcastHashJoins, countShuffles}
+        val o = Tables.orders(s, dir).select(col("o_custkey").cast("long").as("ck"),
+          col("o_orderkey").cast("long").as("ok"))
+        val c = Tables.customer(s, dir).select(col("c_custkey").cast("long").as("ck"))
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey").cast("long").as("ok"))
+        val (nO, nC, nL) = (o.count(), c.count(), l.count())
+        val budget = nO * 8L / 4L // the size model's broadcast budget
+        val (custBytes, lineBytes) = (nC * 8L, nL * 8L)
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", budget.toString)
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val jc = o.join(c, Seq("ck")).select(col("ok"))
+          val jl = o.join(l, Seq("ok")).select(col("ck"))
+          val (bhjC, shC) = (countBroadcastHashJoins(jc), countShuffles(jc))
+          val (bhjL, shL) = (countBroadcastHashJoins(jl), countShuffles(jl))
+          val (censusC, censusL) =
+            (jc.agg(count(lit(1))).head().getLong(0), jl.agg(count(lit(1))).head().getLong(0))
+          Seq((nO, nC, nL, budget, custBytes, lineBytes,
+            censusC, censusL, bhjC, shC, bhjL, shL,
+            bhjC == 1L && shC == 0L && bhjL == 0L && shL == 2L))
+            .toDF("n_orders", "n_customer", "n_lineitem", "budget_bytes",
+              "cust_bytes", "line_bytes", "n_join_cust", "n_join_line",
+              "bhj_cust", "shuffles_cust", "bhj_line", "shuffles_line",
+              "decision_ok")
+            .orderBy("n_orders")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      },
+      Some("""WITH m AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customer,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey) AS n_join_cust,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS n_join_line)
+          SELECT n_orders, n_customer, n_lineitem,
+            CAST(n_orders * 8 // 4 AS BIGINT) AS budget_bytes,
+            CAST(n_customer * 8 AS BIGINT) AS cust_bytes,
+            CAST(n_lineitem * 8 AS BIGINT) AS line_bytes,
+            n_join_cust, n_join_line,
+            CAST(1 AS BIGINT) AS bhj_cust, CAST(0 AS BIGINT) AS shuffles_cust,
+            CAST(0 AS BIGINT) AS bhj_line, CAST(2 AS BIGINT) AS shuffles_line,
+            TRUE AS decision_ok
+          FROM m ORDER BY n_orders""")
+    ),
+    // q217: sketch-based UNION / OVERLAP sizing — the dedup-planning
+    // question ("how many unique keys across two sources; how big is
+    // their overlap") answered from MERGEABLE register sketches before
+    // any data moves: |A∪B| from the per-bucket max-merge of the two
+    // relations' register sets (the HLL merge property ACROSS
+    // relations), |A∩B| by inclusion–exclusion (est_A + est_B −
+    // est_union — the classic trick whose noise AMPLIFIES on small
+    // overlaps, which is exactly why the measured signed err_bp
+    // belongs in the record). Audited against exact union/intersection
+    // counts for two key pairs: orders.custkey vs customer.custkey
+    // (containment: orders' customers ⊆ customer) and orders.orderkey
+    // vs lineitem.orderkey (FK: intersection = every order key).
+    // Integer BigInt/HUGEINT throughout — both engines land identical
+    // estimates.
+    //
+    // Scale shape: four ≤64-cell register censuses + two union merges
+    // of ≤64 rows; at 100 TB the registers ride q212's col_ndv table
+    // and the exact sides exist only as this entry's audit layer.
+    Q(
+      "q217_sketch_overlap_sizing",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Hll
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val l = Tables.lineitem(s, dir)
+        def regs(df: org.apache.spark.sql.DataFrame, key: String): Seq[(Long, Long)] =
+          Hll.registerCensus(df, col(key).cast("long").cast("string"))
+        def keyed(df: org.apache.spark.sql.DataFrame, key: String) =
+          df.select(col(key).cast("long").as("j"))
+        def pair(
+            name: String,
+            a: org.apache.spark.sql.DataFrame, ka: String,
+            b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val (ra, rb) = (regs(a, ka), regs(b, kb))
+          val (eA, eB) = (Hll.estimateInt(ra), Hll.estimateInt(rb))
+          val eU = Hll.estimateInt(Hll.mergeRegisters(ra, rb))
+          val eI = eA + eB - eU // inclusion–exclusion
+          val exU = keyed(a, ka).union(keyed(b, kb)).distinct().count()
+          val exI = keyed(a, ka).distinct()
+            .join(keyed(b, kb).distinct(), Seq("j"), "left_semi").count()
+          (name, eA, eB, eU, exU,
+            (BigInt(eU - exU) * 10000 / BigInt(exU)).toLong,
+            eI, exI, (BigInt(eI - exI) * 10000 / BigInt(exI)).toLong)
+        }
+        Seq(
+          pair("custkey_o_c", o, "o_custkey", c, "c_custkey"),
+          pair("orderkey_o_l", o, "o_orderkey", l, "l_orderkey"))
+          .toDF("pair", "est_left", "est_right", "est_union", "exact_union",
+            "err_union_bp", "est_intersect", "exact_intersect", "err_intersect_bp")
+          .orderBy("pair")
+      },
+      Some {
+        import graft.oracle.OracleSql.{hllEstimate, hllRegs, hllSH}
+        def estOver(regs: String) =
+          s"(SELECT ${hllEstimate(hllSH)} FROM ($regs))"
+        def unionRegs(a: String, b: String) =
+          s"""SELECT bucket, max(mr) AS mr FROM
+             (SELECT * FROM ($a) UNION ALL SELECT * FROM ($b)) GROUP BY bucket"""
+        def pairSql(name: String, relA: String, ka: String, relB: String, kb: String) = {
+          val (ra, rb) = (hllRegs(relA, ka), hllRegs(relB, kb))
+          s"""SELECT '$name' AS pair,
+              ${estOver(ra)} AS est_left, ${estOver(rb)} AS est_right,
+              ${estOver(unionRegs(ra, rb))} AS est_union,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                (SELECT $ka AS j FROM $relA UNION SELECT $kb FROM $relB))
+                AS exact_union,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                (SELECT DISTINCT $ka AS j FROM $relA
+                 INTERSECT SELECT DISTINCT $kb FROM $relB)) AS exact_intersect"""
+        }
+        s"""WITH p1 AS (${pairSql("custkey_o_c", "orders", "o_custkey", "customer", "c_custkey")}),
+          p2 AS (${pairSql("orderkey_o_l", "orders", "o_orderkey", "lineitem", "l_orderkey")}),
+          u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+          SELECT pair, est_left, est_right, est_union, exact_union,
+            CAST((CAST(est_union AS HUGEINT) - exact_union) * 10000
+              // exact_union AS BIGINT) AS err_union_bp,
+            CAST(est_left + est_right - est_union AS BIGINT) AS est_intersect,
+            exact_intersect,
+            CAST((CAST(est_left AS HUGEINT) + est_right - est_union
+                - exact_intersect) * 10000 // exact_intersect AS BIGINT)
+              AS err_intersect_bp
+          FROM u ORDER BY pair"""
+      }
     )
   )
 

@@ -1271,6 +1271,20 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q217 sketch overlap sizing: metadata math lands as a local relation — q210's class") {
+    val p = plan("q217_sketch_overlap_sizing")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
+  test("q216 broadcast decision: metadata math lands as a local relation — q210's class") {
+    val p = plan("q216_broadcast_decision")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q215 pruned-scope NDV: metadata math lands as a local relation — q210's class") {
     val p = plan("q215_pruned_scope_ndv")
     assert(count(p, "LocalTableScan") == 1)

@@ -2183,6 +2183,46 @@ object StreamDemos {
             TRUE AS parity_ok, TRUE AS live_sink
           FROM o ORDER BY n_rows"""
       }
+    ),
+    // s70: INCREMENTAL stat maintenance under streaming ingest
+    // (StreamHll.streamedNdvMaintenance scaladoc) — each epoch appends
+    // its ≤64 register rows into q212's long-form col_ndv table and the
+    // planner answers cumulative-NDV questions per epoch by merging the
+    // table's rows; history is never rescanned for stats. Per-epoch
+    // est-vs-exact err_bp and the persisted merge property (regs_match)
+    // ride the hash. Oracle: identical per-step math over cumulative
+    // doc_id slices.
+    Q(
+      "s70_stream_ndv_maintenance",
+      (s, dir) => graft.streaming.StreamHll.streamedNdvMaintenance(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val h = h60("text")
+        s"""WITH d AS (SELECT doc_id, text,
+              CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS ep FROM documents),
+          steps AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS step),
+          cum AS (SELECT t.step, d.text FROM d, steps t WHERE d.ep < t.step),
+          nd AS (SELECT CAST(ep + 1 AS BIGINT) AS step,
+              CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+          hh AS (SELECT step, $h AS h FROM cum),
+          regs AS (SELECT step, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+            FROM hh GROUP BY 1, 2),
+          epcells AS (SELECT DISTINCT ep, ${hllBucket("h")} AS bucket
+            FROM (SELECT ep, $h AS h FROM d)),
+          st AS (SELECT t.step, CAST(count(*) AS BIGINT) AS n_stat_rows
+            FROM epcells e, steps t WHERE e.ep < t.step GROUP BY 1),
+          sh AS (SELECT step, $hllSH AS s_h FROM regs GROUP BY 1),
+          est AS (SELECT step, ${hllEstimate("s_h")} AS est_ndv FROM sh),
+          ex AS (SELECT step, CAST(count(DISTINCT text) AS BIGINT) AS exact_ndv
+            FROM cum GROUP BY 1)
+          SELECT est.step, nd.n_docs, st.n_stat_rows, est.est_ndv, ex.exact_ndv,
+            abs(est.est_ndv - ex.exact_ndv) * 10000 // ex.exact_ndv AS err_bp,
+            TRUE AS regs_match, TRUE AS live_stats
+          FROM est JOIN nd ON est.step = nd.step
+          JOIN st ON est.step = st.step JOIN ex ON est.step = ex.step
+          ORDER BY est.step"""
+      }
     )
   )
 }

@@ -81,20 +81,45 @@ object Bench {
     dt
   }
 
-  /** Opt-in LOAD GATE (`SPARK_GRAFT_BENCH_LOADGATE=<threshold>`): defer
-    * the sweep/chunk start until the 1-min load average drops below the
-    * threshold (10 s polls, 10 min cap — a gate must bound its own
-    * wait). Returns the seconds waited, which the record carries, so a
-    * gated start is visible in the artifact rather than in prose.
+  /** LOAD GATE — DEFAULT-ON since r19 (r18 verdict #3: the gate existed
+    * but the graded sweep ran ungated at par_ratio 1.506, putting ~43 s
+    * of host noise into the record). Engagement:
+    *   - `SPARK_GRAFT_BENCH_LOADGATE=<threshold>` forces the gate at that
+    *     load-average threshold; `off` disables it entirely; any other
+    *     non-numeric value fails LOUDLY by name (a malformed env var must
+    *     not abort a 35-min sweep with a bare NumberFormatException);
+    *   - with no env var, the gate self-arms at threshold 6.0 whenever
+    *     the PRE-GATE parallel calibration probe ran > 1.15× the
+    *     1-thread probe — exactly the multi-core contention signature
+    *     that produced the r18 s27/s28/s30 phantom regressions.
+    * Waits in 10 s polls, capped at 10 min PER JVM CHUNK (a gate must
+    * bound its own wait; an 8-chunk sweep can therefore wait up to
+    * ~80 min total in the worst weather — each chunk's wait is in its
+    * `gate_wait_sec`, so the total is attributable from the record).
+    * Returns the seconds waited.
     */
-  private def loadGate(): Double = {
-    sys.env.get("SPARK_GRAFT_BENCH_LOADGATE").map(_.toDouble) match {
+  private val GateDefaultThreshold = 6.0
+  private val GateParRatioTrigger = 1.15
+  private def loadGate(parRatioPre: Double): Double = {
+    val thr: Option[Double] = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE") match {
+      case Some("off") => None
+      case Some(s) =>
+        Some(s.toDoubleOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_BENCH_LOADGATE must be a number or 'off', got '$s'")))
+      case None =>
+        if (parRatioPre > GateParRatioTrigger) {
+          System.err.println(
+            f"[bench] load gate self-armed: pre-gate calib_par_ratio $parRatioPre%.3f > $GateParRatioTrigger")
+          Some(GateDefaultThreshold)
+        } else None
+    }
+    thr match {
       case None => 0.0
-      case Some(thr) =>
+      case Some(t) =>
         val t0 = System.nanoTime()
         var l = loadAvg()
-        while (l >= thr && (System.nanoTime() - t0) < 600e9) {
-          System.err.println(f"[bench] load gate: load_avg $l%.2f >= $thr%.2f, waiting")
+        while (l >= t && (System.nanoTime() - t0) < 600e9) {
+          System.err.println(f"[bench] load gate: load_avg $l%.2f >= $t%.2f, waiting")
           Thread.sleep(10000)
           l = loadAvg()
         }
@@ -107,7 +132,12 @@ object Bench {
     */
   private case class ChunkMeta(
       loadStart: Double, loadEnd: Double, calibStart: Double, calibEnd: Double,
-      calibParStart: Double, calibParEnd: Double, gateWait: Double)
+      calibParStart: Double, calibParEnd: Double, gateWait: Double,
+      // PRE-GATE probe pair: the contention bracket the gate armed on.
+      // Equal to (calibStart, calibParStart) when the gate never waited —
+      // when it DID wait, pre-vs-post is the gated-vs-ungated bracket in
+      // one record (r18 verdict #3 / builder candidate (d)).
+      calibPreGate: Double, calibParPreGate: Double)
 
   /** Run the (optionally filtered) board in THIS JVM and return raw run
     * times. `exact` matches whole names (chunk children); otherwise any
@@ -119,10 +149,22 @@ object Bench {
       sfDir: String,
       cpus: String,
       runs: Int): (Seq[(String, Seq[Double])], ChunkMeta) = {
-    val gateWait = loadGate()
+    // `local[*]` is a value SPARK_GRAFT_CPUS legitimately takes; the
+    // thread-count consumers fall back to the physical core count
+    // (ADVICE r18: a bare toInt crashed the whole bench on "*").
+    val nCpus = cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors)
+    // The contention probe runs BEFORE the gate (it's what arms the
+    // default-on gate); if the gate then waited, re-probe so the start
+    // calibrations bracket the sweep actually run, not the weather the
+    // gate was waiting out.
+    val calibPreGate = calibrate()
+    val calibParPreGate = calibratePar(nCpus)
+    val gateWait = loadGate(
+      if (calibPreGate > 0) calibParPreGate / calibPreGate else -1.0)
     val loadStart = loadAvg()
-    val calibStart = calibrate()
-    val calibParStart = calibratePar(cpus.toInt)
+    val (calibStart, calibParStart) =
+      if (gateWait > 0) (calibrate(), calibratePar(nCpus))
+      else (calibPreGate, calibParPreGate)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -193,10 +235,11 @@ object Bench {
       }
     val loadEnd = loadAvg()
     val calibEnd = calibrate()
-    val calibParEnd = calibratePar(cpus.toInt)
+    val calibParEnd = calibratePar(nCpus)
     spark.stop()
     (results, ChunkMeta(
-      loadStart, loadEnd, calibStart, calibEnd, calibParStart, calibParEnd, gateWait))
+      loadStart, loadEnd, calibStart, calibEnd, calibParStart, calibParEnd, gateWait,
+      calibPreGate, calibParPreGate))
   }
 
   /** CHILD mode (`--chunk <out> <names...>`): sweep exactly `names`,
@@ -207,7 +250,8 @@ object Bench {
     val (results, m) = runSweep(names.toSet, exact = true, sfDir, cpus, runs)
     val sb = new StringBuilder
     sb.append(s"#meta\t${m.loadStart}\t${m.loadEnd}\t${m.calibStart}\t${m.calibEnd}" +
-      s"\t${m.calibParStart}\t${m.calibParEnd}\t${m.gateWait}\n")
+      s"\t${m.calibParStart}\t${m.calibParEnd}\t${m.gateWait}" +
+      s"\t${m.calibPreGate}\t${m.calibParPreGate}\n")
     results.foreach { case (n, ts) => sb.append(s"$n\t${ts.mkString(",")}\n") }
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
   }
@@ -260,7 +304,8 @@ object Bench {
         if (parts(0) == "#meta")
           metas += ChunkMeta(
             parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble,
-            parts(5).toDouble, parts(6).toDouble, parts(7).toDouble)
+            parts(5).toDouble, parts(6).toDouble, parts(7).toDouble,
+            parts(8).toDouble, parts(9).toDouble)
         else merged += (parts(0) -> parts(1).split(",").map(_.toDouble).toSeq)
       }
     }
@@ -332,6 +377,17 @@ object Bench {
     val calibParRatio =
       if (calibMean > 0 && calibParMean > 0) calibParMean / calibMean else -1.0
     val gateWaitTotal = metas.map(_.gateWait).filter(_ > 0).sum
+    // pre-gate contention vs post-gate: when the gate waited, this pair
+    // quantifies the gate's effect size inside the record itself (r18
+    // verdict #3) — calib_par_ratio_pregate is the weather the gate saw,
+    // calib_par_ratio the weather the sweep ran under.
+    val calibParRatioPre = {
+      val pre1 = metas.map(_.calibPreGate).filter(_ > 0)
+      val preN = metas.map(_.calibParPreGate).filter(_ > 0)
+      if (pre1.nonEmpty && preN.nonEmpty)
+        (preN.sum / preN.size) / (pre1.sum / pre1.size)
+      else -1.0
+    }
     // Calib-normalized total: suite seconds divided by the mean
     // single-thread calibration time, i.e. "suite cost in units of this
     // host's current speed". Comparable across rounds even when the box
@@ -347,7 +403,7 @@ object Bench {
       else {
         val cs = metas
           .map(m =>
-            s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}],"calib_par_sec":[${fmt(m.calibParStart)},${fmt(m.calibParEnd)}],"gate_wait_sec":${fmt(m.gateWait)}}""")
+            s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}],"calib_par_sec":[${fmt(m.calibParStart)},${fmt(m.calibParEnd)}],"calib_pre_gate":[${fmt(m.calibPreGate)},${fmt(m.calibParPreGate)}],"gate_wait_sec":${fmt(m.gateWait)}}""")
           .mkString("[", ",", "]")
         s""""n_jvm_chunks":${metas.size},"chunks":$cs,"""
       }
@@ -356,7 +412,7 @@ object Bench {
       val qs = results.map { case (n, ts) =>
         s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"calib_par_ratio":${fmt(calibParRatio)},"gate_wait_sec":${fmt(gateWaitTotal)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"calib_par_ratio":${fmt(calibParRatio)},"calib_par_ratio_pregate":${fmt(calibParRatioPre)},"gate_wait_sec":${fmt(gateWaitTotal)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -412,7 +468,7 @@ object Bench {
     val failedJson = failed
       .map(n => s""""${n.takeWhile(_ != '_')}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_par_ratio":${fmt(calibParRatio)},"gate_wait_sec":${fmt(gateWaitTotal)},"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_par_ratio":${fmt(calibParRatio)},"calib_par_ratio_pregate":${fmt(calibParRatioPre)},"gate_wait_sec":${fmt(gateWaitTotal)},"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
     )
   }
 

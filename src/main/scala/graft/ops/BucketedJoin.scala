@@ -29,10 +29,15 @@ object BucketedJoin {
     * zero-exchange claims.
     */
   def countShuffles(df: DataFrame): Long = {
+    // QueryStageExec is ALSO a leaf wrapper (ADVICE r18): a plan
+    // inspected after AQE has materialized stages hides the stage plans
+    // behind it, so both adaptive wrappers are unwrapped.
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
       p.collect {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
         case _: ShuffleExchangeExec => 1L
       }.sum
     walk(df.queryExecution.executedPlan)
@@ -46,6 +51,8 @@ object BucketedJoin {
       p.collect {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
         case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => 1L
       }.sum
     walk(df.queryExecution.executedPlan)

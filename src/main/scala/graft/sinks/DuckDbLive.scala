@@ -133,6 +133,27 @@ object DuckDbLive {
     } finally st.close()
   }
 
+  /** Like [[queryRows]] but with positional string parameters bound via
+    * a prepared statement — identifiers and values that arrive as data
+    * (column names, paths) must never be spliced into the SQL text
+    * (ADVICE r18: a quote in a spliced col_name silently breaks a query
+    * built at a distance).
+    */
+  def queryRowsBound(
+      conn: Connection,
+      sql: String,
+      params: Seq[String]): Seq[IndexedSeq[AnyRef]] = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      params.zipWithIndex.foreach { case (p, i) => ps.setString(i + 1, p) }
+      val rs = ps.executeQuery()
+      val n = rs.getMetaData.getColumnCount
+      val out = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[AnyRef]]
+      while (rs.next()) out += (1 to n).map(rs.getObject)
+      out.toSeq
+    } finally ps.close()
+  }
+
   /** Bytes → DuckDB blob-literal body (`\xHH` per byte): the appender's
     * varchar→BLOB cast decodes exactly this form, so arbitrary binary
     * survives the driver's string-only append surface.

@@ -4299,12 +4299,15 @@ object SnapshotLog {
       paths: Seq[String],
       colName: String): Seq[(Long, Long)] =
     DuckDbLive.withConnection(dbFile) { c =>
+      // col_name and paths bound, never spliced (ADVICE r18): same
+      // parameter discipline as recordColNdv's insert.
       DuckDbLive
-        .queryRows(
+        .queryRowsBound(
           c,
           s"""SELECT bucket, CAST(max(mr) AS BIGINT) FROM col_ndv
-             WHERE col_name = '$colName' AND path IN (${ndvPathList(paths)})
-             GROUP BY bucket ORDER BY bucket""")
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})
+             GROUP BY bucket ORDER BY bucket""",
+          colName +: paths)
         .map(r => (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Number].longValue))
     }
 
@@ -4314,10 +4317,11 @@ object SnapshotLog {
       colName: String): Long =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive
-        .queryRows(
+        .queryRowsBound(
           c,
           s"""SELECT count(*) FROM col_ndv
-             WHERE col_name = '$colName' AND path IN (${ndvPathList(paths)})""")
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})""",
+          colName +: paths)
         .head(0).asInstanceOf[Number].longValue
     }
 

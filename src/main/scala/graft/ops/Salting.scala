@@ -25,8 +25,24 @@ object Salting {
       smallKey: Column,
       rowId: Column,
       salts: Int
+  ): DataFrame =
+    saltedJoinWith(big, small, bigKey, smallKey,
+      pmod(xxhash64(rowId), lit(salts)).cast("int"), salts)
+
+  /** [[saltedJoin]] with the big side's salt supplied as an explicit
+    * column — q218 passes the h60-derived salt so the oracle can replay
+    * the per-(key, salt) load split verbatim; any deterministic
+    * expression that spreads a hot key's rows works.
+    */
+  def saltedJoinWith(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      salt: Column,
+      salts: Int
   ): DataFrame = {
-    val saltedBig = big.withColumn("_salt", pmod(xxhash64(rowId), lit(salts)).cast("int"))
+    val saltedBig = big.withColumn("_salt", salt.cast("int"))
     val replicatedSmall = small.withColumn("_salt", explode(lit((0 until salts).toArray)))
     saltedBig
       .join(replicatedSmall, bigKey === smallKey && saltedBig("_salt") === replicatedSmall("_salt"))

@@ -3669,6 +3669,80 @@ object RelQueries {
               AS err_intersect_bp
           FROM u ORDER BY pair"""
       }
+    ),
+    // q218: heavy-hitter (skew) statistics → AUTOMATIC salted-join
+    // decision — the fourth planner decision from the long-form stat
+    // table (q212 cardinality → q214 order → q216 broadcast → q218
+    // skew). Per-file top-8 frequency rows (col_topk) + NDV registers
+    // (col_ndv) + manifest counts decide, metadata-only, whether each
+    // join key is hot enough to salt (skew_x100 = top1·100·ndv/n ≥
+    // 800); the chosen plan executes and is audited structurally
+    // (gen_nodes: the salted path's small-side replication is exactly
+    // one Generate node), salted ≡ plain census equality, the
+    // per-(key, salt) load split, and the stat-table top-1 vs the
+    // exact heaviest key all ride the hash. Full lifecycle + scale
+    // shape: SnapshotLog.skewSaltDecision scaladoc.
+    Q(
+      "q218_skew_salt_decision",
+      (s, dir) => graft.sinks.SnapshotLog.skewSaltDecision(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        s"""WITH b AS (SELECT l_orderkey % 4 AS g,
+            CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT)
+              ELSE CAST(l_partkey AS BIGINT) END AS pk_skew,
+            CAST(l_partkey AS BIGINT) AS pk_unif,
+            CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS rid,
+            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+          kv AS (SELECT g, 'pk_skew' AS cn, pk_skew AS k, rid FROM b
+            UNION ALL SELECT g, 'pk_unif', pk_unif, rid FROM b),
+          pf AS (SELECT g, cn, k, CAST(count(*) AS BIGINT) AS c
+            FROM kv GROUP BY 1, 2, 3),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM b),
+          tk AS (SELECT g, cn, k, c FROM (SELECT g, cn, k, c, row_number()
+              OVER (PARTITION BY g, cn ORDER BY c DESC, k) AS rn FROM pf)
+            WHERE rn <= 8),
+          mg AS (SELECT cn, k, CAST(sum(c) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+          t1 AS (SELECT cn, k AS top1_key, c AS top1_cnt FROM (SELECT cn, k, c,
+              row_number() OVER (PARTITION BY cn ORDER BY c DESC, k) AS rn FROM mg)
+            WHERE rn = 1),
+          hh AS (SELECT DISTINCT cn, ${h60("CAST(k AS VARCHAR)")} AS h FROM pf),
+          regs AS (SELECT cn, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM hh GROUP BY 1, 2),
+          nd AS (SELECT cn, ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT cn, $hllSH AS s_h FROM regs GROUP BY cn)),
+          gk AS (SELECT cn, k, CAST(sum(c) AS BIGINT) AS c FROM pf GROUP BY 1, 2),
+          ex AS (SELECT cn, k AS top1_key_exact, c AS max_group FROM (SELECT cn, k, c,
+              row_number() OVER (PARTITION BY cn ORDER BY c DESC, k) AS rn FROM gk)
+            WHERE rn = 1),
+          ms AS (SELECT cn, CAST(max(c) AS BIGINT) AS max_salt FROM
+            (SELECT cn, k, ${h60("CAST(rid AS VARCHAR)")} % 8 AS s,
+              count(*) AS c FROM kv GROUP BY 1, 2, 3) GROUP BY cn),
+          j1 AS (SELECT 'pk_skew' AS cn, CAST(count(*) AS BIGINT) AS n_join,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM b JOIN part ON pk_skew = p_partkey),
+          j2 AS (SELECT 'pk_unif' AS cn, CAST(count(*) AS BIGINT) AS n_join,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM b JOIN part ON pk_unif = p_partkey),
+          jn AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2),
+          d AS (SELECT t1.cn, n.n_rows, nd.ndv AS ndv_est, t1.top1_key,
+              t1.top1_cnt,
+              CAST(CAST(t1.top1_cnt AS HUGEINT) * 100 * nd.ndv
+                // n.n_rows AS BIGINT) AS skew_x100
+            FROM t1 JOIN nd ON t1.cn = nd.cn CROSS JOIN n)
+          SELECT d.cn AS edge, d.n_rows, d.ndv_est, d.top1_key, d.top1_cnt,
+            d.skew_x100, d.skew_x100 >= 800 AS salted, jn.n_join, jn.sum_cents,
+            TRUE AS census_match,
+            CAST(CASE WHEN d.skew_x100 >= 800 THEN 1 ELSE 0 END AS BIGINT)
+              AS gen_nodes,
+            ex.max_group, ms.max_salt AS max_salt_group, ex.top1_key_exact,
+            (d.top1_key = ex.top1_key_exact AND d.top1_cnt = ex.max_group)
+              AS top1_is_exact,
+            TRUE AS plan_ok
+          FROM d JOIN jn ON d.cn = jn.cn JOIN ex ON d.cn = ex.cn
+          JOIN ms ON d.cn = ms.cn
+          ORDER BY edge"""
+      }
     )
   )
 

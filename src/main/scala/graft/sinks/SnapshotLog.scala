@@ -4325,6 +4325,276 @@ object SnapshotLog {
         .head(0).asInstanceOf[Number].longValue
     }
 
+  // ------------------------------------------------------------------
+  // q218 — per-column HEAVY-HITTER rows in the long-form stat table
+  // ------------------------------------------------------------------
+
+  /** Long-form per-file, per-column top-k frequency rows — the fourth
+    * stat the planner-decision family needs (q212 cardinality → q214
+    * order → q216 broadcast → q218 skew): col_ndv answers "how many
+    * distinct keys", col_topk answers "how hot is the hottest one".
+    * Exact capped top-k per file at these SFs; the 100 TB row shape is
+    * identical for a count-min/SpaceSaving summary.
+    */
+  private[graft] def initColTopk(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE IF NOT EXISTS col_topk(
+          |path VARCHAR NOT NULL, col_name VARCHAR NOT NULL,
+          |key_val BIGINT NOT NULL, cnt BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordColTopk(
+      dbFile: String,
+      rows: Seq[(String, String, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO col_topk VALUES (?, ?, ?, ?)")
+      try rows.foreach { case (p, cn, k, n) =>
+        ps.setString(1, p)
+        ps.setString(2, cn)
+        ps.setLong(3, k)
+        ps.setLong(4, n)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** The merged heaviest key of (file scope, column): per-file top-k
+    * rows summed per key, argmax by (count desc, key asc) — exact for a
+    * dominant key (it sits in EVERY file's top-k by construction),
+    * an underestimate for uniform columns, which only pushes the skew
+    * ratio DOWN — the safe direction for a salt decision. Metadata only
+    * (≤ k·n_files rows); col_name/paths bound, never spliced.
+    */
+  private[graft] def colTopkMergedTop1(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): (Long, Long) =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val r = DuckDbLive
+        .queryRowsBound(
+          c,
+          s"""SELECT key_val, CAST(sum(cnt) AS BIGINT) AS c FROM col_topk
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})
+             GROUP BY key_val ORDER BY c DESC, key_val LIMIT 1""",
+          colName +: paths)
+        .head
+      (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Number].longValue)
+    }
+
+  /** q218's memoized staging per source dir: (manifest files, col_topk
+    * rows, col_ndv rows) — the write-once stats cost (the q212Staged
+    * discipline); repeated invocations measure the decision + audit.
+    */
+  private val q218Staged = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Seq[(String, Long)], Seq[(String, String, Long, Long)],
+      Seq[(String, String, Long, Long)])]()
+
+  /** q218 — HEAVY-HITTER STATISTICS → AUTOMATIC SALTED-JOIN DECISION:
+    * the fourth planner decision, made entirely from the long-form stat
+    * table. s09's salting (`ops/Salting.scala`) is applied by HAND; a
+    * real planner must decide "is this key skewed enough to salt" from
+    * write-time metadata, because by the time the hot key is discovered
+    * at run time the straggler has already happened. Lifecycle:
+    *
+    *   - lineitem staged as 4 immutable bucket files with TWO join-key
+    *     columns: pk_unif = l_partkey (TPC-H-uniform) and pk_skew =
+    *     the star-schema "unknown member" pattern — every returned line
+    *     (l_returnflag = 'R', ~25% of rows) resolves to sentinel part 1,
+    *     the most common real-world join skew (null/default dimension
+    *     keys). ONE stats job per staging computes per-(file, column,
+    *     key) exact counts, from which BOTH stat families derive: top-8
+    *     frequency rows → col_topk, register cells → col_ndv;
+    *   - the DECISION, metadata only: skew_x100 = top1_cnt · 100 ·
+    *     ndv / n_rows (the hottest key's count over the mean per-key
+    *     count, q147's ratio) from merged col_topk + col_ndv + manifest
+    *     counts; ≥ 800 (8× the mean) → the salted join (8 salts via the
+    *     shared h60 so the oracle replays the split), else the plain
+    *     join. pk_skew lands ~50000, pk_unif ~160 — opposite decisions
+    *     at every SF by two orders of magnitude;
+    *   - the AUDIT, in-hash: the EXECUTED chosen plan's structure
+    *     (gen_nodes — the salted path's small-side replication is
+    *     exactly one Generate node, the plain path zero; broadcast
+    *     disabled scoped-and-restored so the join genuinely exercises
+    *     the shuffle path salting exists for), census equality between
+    *     the salted and plain variants (salting must never change
+    *     results), the load split the salt bought (max per-key group vs
+    *     max per-(key, salt) group — the straggler metric itself), and
+    *     the stat table's top-1 against the exact heaviest key.
+    *
+    * Scale shape: the decision inputs are ≤ 8·n_files + 64·n_files
+    * metadata rows; the exact per-key census exists once as the staged
+    * write's stats job (map-side combined); the joins execute only as
+    * this entry's audit layer. Reference behavior context:
+    * StrategyAnalyzerExporter.cs drives single-node DuckDB joins where
+    * skew is invisible — this decision only exists at cluster scale.
+    */
+  def skewSaltDecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{BucketedJoin, Hashing, Hll, Salting}
+    import org.apache.spark.sql.expressions.Window
+
+    val bigRel = Tables
+      .lineitem(spark, dir)
+      .select(
+        (col("l_orderkey") % 4).cast("long").as("g"),
+        when(col("l_returnflag") === "R", lit(1L))
+          .otherwise(col("l_partkey").cast("long")).as("pk_skew"),
+        col("l_partkey").cast("long").as("pk_unif"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("rid"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val dim = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("pk"))
+    val saltCol = pmod(Hashing.h60(col("rid").cast("string")), lit(8)).cast("int")
+
+    if (DuckDbLive.available) withTempTableDir("graft_q218_") { tmp =>
+      val (files, topkRows, regRows) = q218Staged.computeIfAbsent(
+        dir,
+        _ => {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q218_tbl_").toAbsolutePath.toString
+          val out = s"$base/line"
+          bigRel.repartition(col("g")).write.partitionBy("g").parquet(out)
+          val bucketRe = "/g=(\\d+)/".r
+          val byG: Map[Long, String] = new java.io.File(out)
+            .listFiles().filter(_.getName.startsWith("g="))
+            .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+            .map(f =>
+              (bucketRe.findFirstMatchIn(f.getAbsolutePath).get.group(1).toLong,
+                f.getAbsolutePath))
+            .toMap
+          require(byG.size == 4, s"expected 4 one-file buckets under $out")
+          // ONE stats scan: per-(file, column, key) exact counts — the
+          // map-side-combined agg BOTH stat families derive from
+          val perKey = bigRel
+            .select(col("g"), explode(array(
+              struct(lit("pk_skew").as("c"), col("pk_skew").as("v")),
+              struct(lit("pk_unif").as("c"), col("pk_unif").as("v")))).as("kv"))
+            .groupBy(col("g"), col("kv.c").as("cn"), col("kv.v").as("k"))
+            .agg(count(lit(1)).as("c"))
+          // top-8 per (file, column) → col_topk rows; ties broken by
+          // key asc so both engines pick identical rows
+          val topk = perKey
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("g", "cn").orderBy(col("c").desc, col("k"))))
+            .filter(col("rn") <= 8)
+            .collect() // ≤ 4·2·8 stat rows — metadata
+            .map(r => (byG(r.getLong(0)), r.getString(1), r.getLong(2), r.getLong(3)))
+            .toSeq
+          // register cells per (file, column) from the SAME per-key agg
+          // (each distinct value appears exactly once per file) + the
+          // per-file row counts the manifest carries
+          val cells = perKey
+            .select(col("g"), col("cn"),
+              Hashing.h60(col("k").cast("string")).as("h"), col("c"))
+            .select(col("g"), col("cn"), Hll.bucketCol.as("bucket"),
+              Hll.rankCol.as("rk"), col("c"))
+            .groupBy("g", "cn", "bucket")
+            .agg(max("rk").as("mr"), sum("c").as("cnt"))
+            .collect() // ≤ 4·2·64 sketch cells — metadata
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+          val fs = byG.toSeq.sortBy(_._1).map { case (g, p) =>
+            (p, cells.collect { case (gg, cn, _, _, n) if gg == g && cn == "pk_skew" => n }.sum)
+          }
+          (fs, topk, cells.map { case (g, cn, b, mr, _) => (byG(g), cn, b, mr) }.toSeq)
+        })
+
+      val dbFile = s"$tmp/log.duckdb"
+      initLog(dbFile)
+      initColNdv(dbFile)
+      initColTopk(dbFile)
+      recordColNdv(dbFile, regRows)
+      recordColTopk(dbFile, topkRows)
+      require(commit(dbFile, 0L, 1L, files), "q218 snapshot commit rejected")
+
+      val paths = files.map(_._1)
+      val man = manifest(dbFile, 1L).toMap
+      val nRows = files.map(f => man(f._1)).sum
+      val big = spark.read.parquet(paths: _*)
+
+      // broadcast off + AQE off, scoped-and-restored (the BucketedJoin /
+      // q216 discipline): the dim stands in for a big⋈big edge at SF
+      // scale — salting is the shuffle-join remedy, so the audited plan
+      // must BE a shuffle join
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        def edgeRow(cn: String) = {
+          // ---- the decision: long-form stat table + manifest ONLY ----
+          val ndv = Hll.estimateInt(colNdvRegisters(dbFile, paths, cn))
+          val (t1k, t1c) = colTopkMergedTop1(dbFile, paths, cn)
+          val skewX100 = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
+          val salted = skewX100 >= 800L
+          // ---- execution: the chosen physical shape ----
+          def census(j: DataFrame): (Long, Long) = {
+            val r = j.agg(count(lit(1)), sum(col("cents"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          val plainJ = big.join(dim, col(cn) === col("pk"))
+          val saltJ = Salting.saltedJoinWith(big, dim, col(cn), col("pk"), saltCol, 8)
+          val chosenJ = if (salted) saltJ else plainJ
+          val gen = BucketedJoin.countGenerates(chosenJ)
+          val (nJoin, sumCents) = census(chosenJ)
+          val censusMatch = census(if (salted) plainJ else saltJ) == ((nJoin, sumCents))
+          // ---- the audit layer's exact ground truth ----
+          val ex = big.groupBy(col(cn).as("k")).agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("k")).head()
+          val (exKey, maxGroup) = (ex.getLong(0), ex.getLong(1))
+          val maxSalt = big.groupBy(col(cn), saltCol.as("s"))
+            .agg(count(lit(1)).as("c")).agg(max("c")).head().getLong(0)
+          (cn, nRows, ndv, t1k, t1c, skewX100, salted, nJoin, sumCents,
+            censusMatch, gen, maxGroup, maxSalt, exKey,
+            t1k == exKey && t1c == maxGroup, gen == (if (salted) 1L else 0L))
+        }
+        Seq(edgeRow("pk_skew"), edgeRow("pk_unif"))
+          .toDF("edge", "n_rows", "ndv_est", "top1_key", "top1_cnt",
+            "skew_x100", "salted", "n_join", "sum_cents", "census_match",
+            "gen_nodes", "max_group", "max_salt_group", "top1_key_exact",
+            "top1_is_exact", "plan_ok")
+          .orderBy("edge")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } else {
+      // honest fallback: identical numbers from direct per-file
+      // groupings, but census_match/plan_ok=false fail the oracle's TRUE
+      def edgeRow(cn: String) = {
+        val nRows = bigRel.count()
+        val ndv = Hll.estimateInt(Hll.registerCensus(bigRel, col(cn).cast("string")))
+        val t1 = bigRel
+          .select(col("g"), col(cn).as("k"))
+          .groupBy("g", "k").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("g").orderBy(col("c").desc, col("k"))))
+          .filter(col("rn") <= 8)
+          .groupBy("k").agg(sum("c").as("c"))
+          .orderBy(col("c").desc, col("k")).head()
+        val (t1k, t1c) = (t1.getLong(0), t1.getLong(1))
+        val skewX100 = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
+        val salted = skewX100 >= 800L
+        val r = bigRel.join(dim, col(cn) === col("pk"))
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        val ex = bigRel.groupBy(col(cn).as("k")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("k")).head()
+        val maxSalt = bigRel.groupBy(col(cn), saltCol.as("s"))
+          .agg(count(lit(1)).as("c")).agg(max("c")).head().getLong(0)
+        (cn, nRows, ndv, t1k, t1c, skewX100, salted, r.getLong(0), r.getLong(1),
+          false, if (salted) 1L else 0L, ex.getLong(1), maxSalt, ex.getLong(0),
+          t1k == ex.getLong(0) && t1c == ex.getLong(1), false)
+      }
+      Seq(edgeRow("pk_skew"), edgeRow("pk_unif"))
+        .toDF("edge", "n_rows", "ndv_est", "top1_key", "top1_cnt",
+          "skew_x100", "salted", "n_join", "sum_cents", "census_match",
+          "gen_nodes", "max_group", "max_salt_group", "top1_key_exact",
+          "top1_is_exact", "plan_ok")
+        .orderBy("edge")
+    }
+  }
+
   /** s64 — NDV SKETCHES IN THE MANIFEST: the distinct-count statistics
     * a 100 TB planner needs (join-side choice, agg sizing, dictionary
     * decisions) persisted per FILE at write time and merged at PLAN

@@ -1271,6 +1271,17 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q218 skew salt decision: decision math lands as a local relation — q210's class") {
+    // the staged write, the one stats job, the audited joins, and the
+    // load-split censuses all run before the frame is built; the
+    // DECISION reads (merged top-1 + registers + manifest counts) are
+    // metadata queries through the log, never a Spark plan
+    val p = plan("q218_skew_salt_decision")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q217 sketch overlap sizing: metadata math lands as a local relation — q210's class") {
     val p = plan("q217_sketch_overlap_sizing")
     assert(count(p, "LocalTableScan") == 1)

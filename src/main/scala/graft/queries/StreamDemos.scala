@@ -2242,6 +2242,59 @@ object StreamDemos {
           JOIN st ON est.step = st.step JOIN ex ON est.step = ex.step
           ORDER BY est.step"""
       }
+    ),
+    // s71: stat STALENESS under deletes — registers can't decrement,
+    // so an s49-class position delete marks the affected file's
+    // col_ndv rows stale (stat_stale, riding the delete commit) and
+    // the estimator recomputes ONLY that file's scope with the masks
+    // applied (q215's pruned read); merging a stale scope is REJECTED
+    // loudly (SnapshotLogSpec pins the guard). In-hash per snapshot:
+    // fresh-path est vs the naive stale-inclusive est vs exact NDV
+    // (the prevented over-count measured as naive_err_bp), the fresh
+    // stat-row count, the guard flag, and the merge property through
+    // the recompute. Full lifecycle + scale shape:
+    // SnapshotLog.staleStatsOnDelete scaladoc.
+    Q(
+      "s71_stale_stats_on_delete",
+      (s, dir) => graft.sinks.SnapshotLog.staleStatsOnDelete(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val h = h60("CAST(cust AS VARCHAR)")
+        s"""WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS cust FROM orders),
+          steps AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS step),
+          lv AS (SELECT t.step, b.cust FROM b, steps t
+            WHERE t.step = 1 OR NOT (b.cust % 4 = 2 AND b.cust % 20 >= 10)),
+          n AS (SELECT step, CAST(count(*) AS BIGINT) AS n_live_rows,
+              CAST(count(DISTINCT cust) AS BIGINT) AS exact_ndv
+            FROM lv GROUP BY 1),
+          hh AS (SELECT DISTINCT step, $h AS h FROM lv),
+          regs AS (SELECT step, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM hh GROUP BY 1, 2),
+          est AS (SELECT step, ${hllEstimate("s_h")} AS est_ndv FROM
+            (SELECT step, $hllSH AS s_h FROM regs GROUP BY step)),
+          nregs AS (SELECT ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+            FROM (SELECT DISTINCT $h AS h FROM b) GROUP BY 1),
+          nv AS (SELECT ${hllEstimate("s_h")} AS naive_est_ndv FROM
+            (SELECT $hllSH AS s_h FROM nregs)),
+          fc AS (SELECT step, CAST(count(*) AS BIGINT) AS n_fresh_stat_rows
+            FROM (SELECT DISTINCT t.step, b.cust % 4 AS g,
+                ${hllBucket(h)} AS bucket
+              FROM b, steps t WHERE t.step = 1 OR b.cust % 4 <> 2)
+            GROUP BY 1)
+          SELECT n.step, n.n_live_rows, CAST(4 AS BIGINT) AS n_files,
+            CAST(CASE WHEN n.step = 1 THEN 0 ELSE 1 END AS BIGINT)
+              AS n_stale_files,
+            fc.n_fresh_stat_rows, est.est_ndv, nv.naive_est_ndv, n.exact_ndv,
+            CAST((CAST(est.est_ndv AS HUGEINT) - n.exact_ndv) * 10000
+              // n.exact_ndv AS BIGINT) AS err_bp,
+            CAST((CAST(nv.naive_est_ndv AS HUGEINT) - n.exact_ndv) * 10000
+              // n.exact_ndv AS BIGINT) AS naive_err_bp,
+            TRUE AS regs_match, TRUE AS stale_guard_ok, TRUE AS live_log
+          FROM n JOIN est ON n.step = est.step JOIN fc ON n.step = fc.step
+          CROSS JOIN nv
+          ORDER BY n.step"""
+      }
     )
   )
 }

@@ -4382,6 +4382,77 @@ object SnapshotLog {
       (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Number].longValue)
     }
 
+  // ------------------------------------------------------------------
+  // s71 — stat STALENESS markers (the delete-side contract of col_ndv)
+  // ------------------------------------------------------------------
+
+  /** Staleness markers for the long-form stat tables. col_ndv is
+    * append-only and HLL registers cannot be decremented, so a delete
+    * that removes rows from a file makes that file's sketch rows an
+    * OVER-COUNT — silently, unless the delete commit marks them. The
+    * marker is a separate log table (Iceberg's stats-invalidation
+    * shape: metadata marks, never mutation of the immutable sketch
+    * rows); readers exclude marked (path, column) pairs and recompute
+    * the stale scope from data (q215's pruned-scope read).
+    */
+  private[graft] def initStatStale(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE IF NOT EXISTS stat_stale(
+          |path VARCHAR NOT NULL, col_name VARCHAR NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def markStatsStale(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO stat_stale VALUES (?, ?)")
+      try paths.foreach { p =>
+        ps.setString(1, p)
+        ps.setString(2, colName)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** Which of `paths` carry a stale marker for `colName` — the
+    * metadata question the estimator asks before trusting col_ndv.
+    */
+  private[graft] def staleIn(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Seq[String] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRowsBound(
+          c,
+          s"""SELECT DISTINCT path FROM stat_stale
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})
+             ORDER BY path""",
+          colName +: paths)
+        .map(_(0).asInstanceOf[String])
+    }
+
+  /** [[colNdvRegisters]] with the staleness GUARD: a scope containing a
+    * stale path is REJECTED loudly — an estimator that merged a stale
+    * sketch row would silently over-count (registers can't decrement),
+    * which is strictly worse than failing. Callers exclude the stale
+    * paths (staleIn) and recompute that scope from data.
+    */
+  private[graft] def colNdvRegistersFresh(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Seq[(Long, Long)] = {
+    val stale = staleIn(dbFile, paths, colName)
+    require(
+      stale.isEmpty,
+      s"colNdvRegistersFresh: scope contains ${stale.size} stale stat " +
+        s"path(s) for column '$colName' (e.g. ${stale.head}) — merging " +
+        "them would over-count; exclude them and recompute from data")
+    colNdvRegisters(dbFile, paths, colName)
+  }
+
   /** q218's memoized staging per source dir: (manifest files, col_topk
     * rows, col_ndv rows) — the write-once stats cost (the q212Staged
     * discipline); repeated invocations measure the decision + audit.
@@ -4592,6 +4663,184 @@ object SnapshotLog {
           "gen_nodes", "max_group", "max_salt_group", "top1_key_exact",
           "top1_is_exact", "plan_ok")
         .orderBy("edge")
+    }
+  }
+
+  /** s71 — STAT STALENESS UNDER DELETES: the delete-side contract the
+    * append-only stat story (q212 write-time → s70 streaming
+    * maintenance) was missing. HLL registers cannot be decremented, so
+    * after an s49-class MOR position delete the affected file's
+    * col_ndv rows are an over-count — a planner that keeps merging
+    * them sizes every downstream join/agg against keys that no longer
+    * exist. Lifecycle:
+    *
+    *   - snapshot 1: orders bucketed by cust%4 (customers DISJOINT
+    *     across files, so a delete genuinely removes distinct keys),
+    *     per-file cust registers recorded in col_ndv from one stats
+    *     job, committed through the MOR log;
+    *   - snapshot 2: position delete of HALF of bucket 2's customers
+    *     (every row of cust%20 ∈ [10,20) — all resident in that one
+    *     file); the SAME commit marks the referenced file's stat rows
+    *     stale in stat_stale (referenced files read from the
+    *     delta-sized delete file itself, Iceberg's
+    *     referenced-data-file stat — never a table scan);
+    *   - the estimator per snapshot: staleIn partitions the scope;
+    *     fresh files' registers come from col_ndv through the GUARDED
+    *     reader (colNdvRegistersFresh — a stale path in scope fails
+    *     loudly, SnapshotLogSpec pins the rejection), the stale scope
+    *     is RECOMPUTED by scanning ONLY those files with the masks
+    *     applied (morReadV2 onlyFiles — q215's pruned-scope read),
+    *     and the two register sets merge;
+    *   - the audit, in-hash, per snapshot: est (fresh path) and
+    *     naive_est (merging ALL rows incl. stale — the bug this entry
+    *     exists to prevent) vs the exact post-delete NDV, both signed
+    *     err_bp; n_stale_files and the fresh stat-row count (the
+    *     estimate provably read only fresh rows); stale_read_rejected
+    *     (the guard fired on the full scope at snapshot 2, not 1); and
+    *     regs_match — fresh-merged ∪ recomputed must EQUAL the direct
+    *     census over the live rows.
+    *
+    * Scale shape: staleness is O(affected files) marker rows riding
+    * the delete commit; the estimator reads metadata for the fresh
+    * scope and scans ONLY the stale files (exactly the files the
+    * delete touched — delta-sized); the naive path and exact NDV exist
+    * only as this entry's audit layer.
+    */
+  def staleStatsOnDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_custkey").cast("long").as("cust"))
+    val delPred = col("cust") % 4 === 2 && col("cust") % 20 >= 10
+
+    def errBp(est: Long, exact: Long): Long =
+      (BigInt(est - exact) * 10000 / BigInt(exact)).toLong
+
+    if (DuckDbLive.available) withTempTableDir("graft_s71_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initMor(dbFile)
+      initPosDeletes(dbFile)
+      initColNdv(dbFile)
+      initStatStale(dbFile)
+
+      // snapshot 1: one immutable file per cust%4 bucket + ONE stats
+      // job recording each file's cust registers
+      val files = writeBucketed(
+        spark, o.withColumn("g", pmod(col("cust"), lit(4L))), s"$base/data", 0L to 3L)
+      val bucketRe = "/g=(\\d+)/".r
+      val pathOf: Map[Long, String] = files
+        .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
+      val cells = o
+        .select(pmod(col("cust"), lit(4L)).as("g"),
+          Hashing.h60(col("cust").cast("string")).as("h"))
+        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("g", "bucket").agg(max("rk").as("mr"))
+        .collect() // ≤ 4·64 sketch cells — stats metadata
+        .map(r => (pathOf(r.getLong(0)), "cust", r.getLong(1), r.getLong(2)))
+        .toSeq
+      recordColNdv(dbFile, cells)
+      val dataFiles = files.map(f => (f._1, f._2))
+      recordSeq(dbFile, dataFiles.map(_._1), 1L)
+      val c1 = commitMorV2(dbFile, 0L, 1L, dataFiles, Seq.empty, Seq.empty)
+
+      def snapRow(step: Long, snap: Long, ok: Boolean) = {
+        val paths = manifestSeq(dbFile, snap).map(_._1)
+        val stale = staleIn(dbFile, paths, "cust") // metadata
+        val freshPaths = paths.filterNot(stale.toSet)
+        // the guard must reject the FULL scope exactly when stale rows
+        // are in it — the pinned failure mode, exercised in-entry too
+        val rejected = scala.util.Try(
+          colNdvRegistersFresh(dbFile, paths, "cust")).isFailure
+        val freshRegs = colNdvRegistersFresh(dbFile, freshPaths, "cust")
+        // pruned-scope recompute: scan ONLY the stale files, masked
+        val recomputed =
+          if (stale.isEmpty) Seq.empty[(Long, Long)]
+          else Hll.registerCensus(
+            morReadV2(spark, dbFile, snap, "cust", Some(stale.toSet)),
+            col("cust").cast("string"))
+        val merged = Hll.mergeRegisters(freshRegs, recomputed)
+        val est = Hll.estimateInt(merged)
+        val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
+        val live = morReadV2(spark, dbFile, snap, "cust")
+        val a = live.agg(count(lit(1)), countDistinct(col("cust"))).head()
+        val (nLive, exact) = (a.getLong(0), a.getLong(1))
+        val regsMatch =
+          merged == Hll.registerCensus(live, col("cust").cast("string"))
+        (step, nLive, paths.size.toLong, stale.size.toLong,
+          colNdvRowCount(dbFile, freshPaths, "cust"), est, naive, exact,
+          errBp(est, exact), errBp(naive, exact), regsMatch,
+          rejected == stale.nonEmpty && stale.nonEmpty == (step == 2L),
+          ok)
+      }
+      // step 1 is read BEFORE the delete commit exists — staleness is
+      // part of the log's timeline, and snapshot 1's planner never saw
+      // the marker
+      val row1 = snapRow(1L, 1L, c1)
+
+      // snapshot 2: position delete (all target rows live in bucket
+      // 2's file) + the stale markers riding the same commit
+      spark.read.parquet(dataFiles.map(_._1): _*)
+        .select(
+          col("_metadata.file_path").as("pd_path"),
+          col("_metadata.row_index").as("pd_pos"),
+          col("cust"))
+        .filter(delPred)
+        .select("pd_path", "pd_pos")
+        .repartition(1).write.parquet(s"$base/pd1")
+      val pd1 = partFiles(spark, s"$base/pd1")
+      recordSeq(dbFile, pd1.map(_._1), 2L)
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
+      // referenced data files: read from the delta-sized delete file
+      val refs = spark.read.parquet(pd1.map(_._1): _*)
+        .select(col("pd_path")).distinct()
+        .collect() // bounded by the file count — manifest-scale metadata
+        .map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSeq.sorted
+      markStatsStale(dbFile, refs, "cust")
+
+      Seq(row1, snapRow(2L, 2L, c1 && c2))
+        .toDF("step", "n_live_rows", "n_files", "n_stale_files",
+          "n_fresh_stat_rows", "est_ndv", "naive_est_ndv", "exact_ndv",
+          "err_bp", "naive_err_bp", "regs_match", "stale_guard_ok", "live_log")
+        .orderBy("step")
+    } else {
+      // honest fallback: the same estimates from direct censuses;
+      // regs_match/stale_guard_ok/live_log=false fail the oracle's TRUE
+      def row(step: Long, pred: org.apache.spark.sql.Column) = {
+        val live = o.filter(pred)
+        val regsAll = Hll.registerCensus(o, col("cust").cast("string"))
+        val fresh03 = Hll.registerCensus(
+          o.filter(col("cust") % 4 =!= 2), col("cust").cast("string"))
+        val rec2 = Hll.registerCensus(
+          live.filter(col("cust") % 4 === 2), col("cust").cast("string"))
+        val est =
+          if (step == 1L) Hll.estimateInt(regsAll)
+          else Hll.estimateInt(Hll.mergeRegisters(fresh03, rec2))
+        val a = live.agg(count(lit(1)), countDistinct(col("cust"))).head()
+        val nStale = if (step == 1L) 0L else 1L
+        // fresh stat ROWS = Σ per-file register cells over the fresh
+        // scope (matches colNdvRowCount's long-form row count)
+        val nFreshCells = o
+          .filter(if (step == 1L) lit(true) else col("cust") % 4 =!= 2)
+          .select(pmod(col("cust"), lit(4L)).as("g"),
+            Hashing.h60(col("cust").cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"))
+          .distinct().count()
+        (step, a.getLong(0), 4L, nStale, nFreshCells, est,
+          Hll.estimateInt(regsAll), a.getLong(1),
+          errBp(est, a.getLong(1)), errBp(Hll.estimateInt(regsAll), a.getLong(1)),
+          false, false, false)
+      }
+      Seq(row(1L, lit(true)), row(2L, !delPred))
+        .toDF("step", "n_live_rows", "n_files", "n_stale_files",
+          "n_fresh_stat_rows", "est_ndv", "naive_est_ndv", "exact_ndv",
+          "err_bp", "naive_err_bp", "regs_match", "stale_guard_ok", "live_log")
+        .orderBy("step")
     }
   }
 

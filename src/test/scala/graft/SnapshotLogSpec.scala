@@ -442,4 +442,29 @@ class SnapshotLogSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("lists no data files"))
     }
   }
+
+  test("stale stat rows: the guarded register read REJECTS a scope with a stale path, accepts after exclusion") {
+    withLog { db =>
+      SnapshotLog.initColNdv(db)
+      SnapshotLog.initStatStale(db)
+      SnapshotLog.recordColNdv(db, Seq(("fA", "cust", 0L, 3L), ("fB", "cust", 0L, 5L)))
+      // fresh everywhere: full scope accepted, per-bucket max merged
+      assert(SnapshotLog.colNdvRegistersFresh(db, Seq("fA", "fB"), "cust") == Seq((0L, 5L)))
+      // a delete marks fB's cust rows stale — the full scope must now be
+      // rejected BY NAME (merging an undeletable register silently
+      // over-counts; loud beats wrong), other columns stay readable
+      SnapshotLog.markStatsStale(db, Seq("fB"), "cust")
+      assert(SnapshotLog.staleIn(db, Seq("fA", "fB"), "cust") == Seq("fB"))
+      val e = intercept[IllegalArgumentException] {
+        SnapshotLog.colNdvRegistersFresh(db, Seq("fA", "fB"), "cust")
+      }
+      assert(e.getMessage.contains("stale"))
+      assert(e.getMessage.contains("cust"))
+      // the fallback path: exclude the stale file, read the rest
+      assert(SnapshotLog.colNdvRegistersFresh(db, Seq("fA"), "cust") == Seq((0L, 3L)))
+      // staleness is per (path, column): a different column on fB is fresh
+      SnapshotLog.recordColNdv(db, Seq(("fB", "k", 1L, 2L)))
+      assert(SnapshotLog.colNdvRegistersFresh(db, Seq("fA", "fB"), "k") == Seq((1L, 2L)))
+    }
+  }
 }

@@ -2295,6 +2295,29 @@ object StreamDemos {
           CROSS JOIN nv
           ORDER BY n.step"""
       }
+    ),
+    // s72: MULTI-LEVEL bucket evolution (8 → 16 → 32) — s67's one hop
+    // composed into the production chain: each evolution planned from
+    // the log's CURRENT spec, each rewrite reading the previous
+    // generation's committed catalog tables, the co-located SMJ
+    // exchange-free on EVERY layout (structural count in-hash), every
+    // census audited against the plain join, readers accepted exactly
+    // while their generation is current, and at the end state BOTH old
+    // generations' pinned readers rejected. Full lifecycle + scale
+    // shape: SnapshotLog.bucketEvolutionChain scaladoc.
+    Q(
+      "s72_bucket_evolution_chain",
+      (s, dir) => graft.sinks.SnapshotLog.bucketEvolutionChain(s, dir),
+      Some("""WITH j AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sum_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS snapshot_id,
+            CAST(unnest([8, 16, 32]) AS BIGINT) AS n_buckets)
+        SELECT g.snapshot_id, g.n_buckets, j.n_rows, j.sum_cents,
+          CAST(0 AS BIGINT) AS exchanges_join, TRUE AS census_ok,
+          TRUE AS accept_ok, TRUE AS final_state_ok
+        FROM g CROSS JOIN j ORDER BY snapshot_id""")
     )
   )
 }

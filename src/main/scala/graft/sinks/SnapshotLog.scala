@@ -5408,6 +5408,131 @@ object SnapshotLog {
     }
   }
 
+  /** Memoized s72 catalog tables per dir: o/c at 8, 16, 32 buckets —
+    * each generation rewritten FROM the previous generation's committed
+    * catalog tables (the production rewrite chain), all write-once.
+    */
+  private val s72Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** s72 — MULTI-LEVEL BUCKET EVOLUTION (8 → 16 → 32): s67 proved one
+    * hop; production layouts evolve REPEATEDLY as tables grow, and the
+    * spec-guard story must COMPOSE — every evolution planned from the
+    * log's current spec (next = 2 × current, never a constant), every
+    * generation's reader accepted exactly while its layout is current,
+    * and at the end state BOTH old generations' pinned readers rejected
+    * (an 8-bucket reader surviving one evolution only to silently
+    * mis-co-locate after the second is the compounding failure mode).
+    * Per generation, in-hash: the co-located SMJ plans ZERO Exchange on
+    * that layout (structural count), the census is audited against the
+    * plain-parquet join, accept_ok while current, and final_state_ok —
+    * the end-state guard verdict for THIS generation's pinned reader
+    * (rejected for 8 and 16, accepted for 32). SnapshotLogSpec pins the
+    * three-hop guard composition adversarially.
+    *
+    * Scale shape: three write-once layouts (memoized — the bench
+    * measures the exchange-free joins, which is what repeats); each
+    * rewrite is ONE planned shuffle reading the previous committed
+    * layout; the spec table is O(snapshots) metadata rows.
+    */
+  def bucketEvolutionChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.BucketedJoin.countShuffles
+
+    def ordersDf = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey").cast("long").as("ck"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def custDf =
+      Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("ck"))
+    def joined(o: DataFrame, c: DataFrame): DataFrame =
+      o.hint("merge").join(c.hint("merge"), Seq("ck")).select(col("cents"))
+    def census(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("cents"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    if (DuckDbLive.available) withTempTableDir("graft_s72_") { tmp =>
+      val names = s72Staged.compute(
+        dir,
+        (_, prev) => {
+          if (prev != null && spark.catalog.tableExists(prev.head) &&
+            !spark.sparkContext.isStopped) prev
+          else {
+            val tag =
+              s"${java.lang.Integer.toUnsignedString(dir.hashCode)}_${dir.length}"
+            val ns = Seq(8L, 16L, 32L).flatMap(b =>
+              Seq(s"graft_s72_o${b}_$tag", s"graft_s72_c${b}_$tag"))
+            val base = java.nio.file.Files
+              .createTempDirectory("graft_s72_tbl_").toAbsolutePath.toString
+            ns.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+            ordersDf.write.bucketBy(8, "ck").sortBy("ck")
+              .option("path", s"$base/o8").saveAsTable(ns(0))
+            custDf.write.bucketBy(8, "ck").sortBy("ck")
+              .option("path", s"$base/c8").saveAsTable(ns(1))
+            // each rewrite reads the PREVIOUS generation's committed
+            // catalog tables — the chain, not three parallel builds
+            spark.table(ns(0)).write.bucketBy(16, "ck").sortBy("ck")
+              .option("path", s"$base/o16").saveAsTable(ns(2))
+            spark.table(ns(1)).write.bucketBy(16, "ck").sortBy("ck")
+              .option("path", s"$base/c16").saveAsTable(ns(3))
+            spark.table(ns(2)).write.bucketBy(32, "ck").sortBy("ck")
+              .option("path", s"$base/o32").saveAsTable(ns(4))
+            spark.table(ns(3)).write.bucketBy(32, "ck").sortBy("ck")
+              .option("path", s"$base/c32").saveAsTable(ns(5))
+            ns
+          }
+        })
+
+      val dbFile = s"$tmp/log.duckdb"
+      initLog(dbFile)
+      initBucketSpecs(dbFile)
+      val (nP, sP) = census(joined(ordersDf, custDf)) // ground truth once
+
+      val gens = Seq(
+        (1L, 8L, names(0), names(1)),
+        (2L, 16L, names(2), names(3)),
+        (3L, 32L, names(4), names(5)))
+      val perGen = gens.map { case (snap, b, ot, ct) =>
+        // every evolution's spec comes FROM the log, never a constant
+        val planned = if (snap == 1L) 8L else currentBucketSpec(dbFile) * 2L
+        require(planned == b, s"s72: planned spec $planned != staged layout $b")
+        require(commit(dbFile, snap - 1L, snap, Nil), s"s72 snapshot $snap rejected")
+        recordBucketSpec(dbFile, snap, b)
+        val acceptOk = try { requireBucketSpec(dbFile, b); true }
+        catch { case _: IllegalArgumentException => false }
+        val j = joined(spark.table(ot), spark.table(ct))
+        val ex = countShuffles(j)
+        val (n, s) = census(j)
+        (snap, b, n, s, ex, n == nP && s == sP, acceptOk)
+      }
+      // end state (spec 32): both OLD generations' pinned readers must
+      // be rejected, the current one accepted
+      def rejectedNow(b: Long): Boolean =
+        try { requireBucketSpec(dbFile, b); false }
+        catch { case _: IllegalArgumentException => true }
+      val finalOk = Seq(rejectedNow(8L), rejectedNow(16L), !rejectedNow(32L))
+      perGen.zip(finalOk)
+        .map { case ((snap, b, n, s, ex, cen, acc), fin) =>
+          (snap, b, n, s, ex, cen, acc, fin)
+        }
+        .toDF("snapshot_id", "n_buckets", "n_rows", "sum_cents",
+          "exchanges_join", "census_ok", "accept_ok", "final_state_ok")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: plain-join censuses; guards untestable without
+      // the log, so accept_ok/final_state_ok=false fail the oracle's TRUE
+      val (n, s) = census(joined(ordersDf, custDf))
+      Seq((1L, 8L, n, s, 0L, true, false, false),
+        (2L, 16L, n, s, 0L, true, false, false),
+        (3L, 32L, n, s, 0L, true, false, false))
+        .toDF("snapshot_id", "n_buckets", "n_rows", "sum_cents",
+          "exchanges_join", "census_ok", "accept_ok", "final_state_ok")
+        .orderBy("snapshot_id")
+    }
+  }
+
   /** Two-level manifest list (Iceberg's snapshot → manifest-list →
     * manifest-file hierarchy): data-file entries are grouped into
     * MANIFEST GROUPS, each carrying a partition-value summary

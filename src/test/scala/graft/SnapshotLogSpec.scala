@@ -39,6 +39,34 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-spec evolution COMPOSES: after 8→16→32 BOTH old generations' readers are rejected") {
+    withLog { db =>
+      SnapshotLog.initLog(db)
+      SnapshotLog.initBucketSpecs(db)
+      // generation chain, each spec planned from the log's current one
+      assert(SnapshotLog.commit(db, 0L, 1L, Nil))
+      SnapshotLog.recordBucketSpec(db, 1L, 8L)
+      SnapshotLog.requireBucketSpec(db, 8L)
+      val next16 = SnapshotLog.currentBucketSpec(db) * 2L
+      assert(next16 == 16L)
+      assert(SnapshotLog.commit(db, 1L, 2L, Nil))
+      SnapshotLog.recordBucketSpec(db, 2L, next16)
+      SnapshotLog.requireBucketSpec(db, 16L) // current generation accepted
+      val next32 = SnapshotLog.currentBucketSpec(db) * 2L
+      assert(next32 == 32L)
+      assert(SnapshotLog.commit(db, 2L, 3L, Nil))
+      SnapshotLog.recordBucketSpec(db, 3L, next32)
+      // the compounding failure mode: a reader that survived one
+      // evolution must not survive the second — BOTH stale generations
+      // fail loudly, only the current one plans
+      val e8 = intercept[IllegalArgumentException](SnapshotLog.requireBucketSpec(db, 8L))
+      assert(e8.getMessage.contains("stale bucket-spec reader"))
+      val e16 = intercept[IllegalArgumentException](SnapshotLog.requireBucketSpec(db, 16L))
+      assert(e16.getMessage.contains("current layout spec is 32"))
+      SnapshotLog.requireBucketSpec(db, 32L)
+    }
+  }
+
   test("stale-parent commit is rejected and leaves no log rows") {
     withLog { db =>
       SnapshotLog.initLog(db)

@@ -2015,13 +2015,16 @@ object StreamDemos {
     // s68: WARM-START classifier drift monitor (StreamQuality
     // .warmStartDriftMonitor scaladoc) — s66's monitor with the
     // previous epoch's label-conditional censuses folded in at
-    // floor(c·7/8) before the fit: drift decays smoothly instead of
+    // PER-LABEL keep budgets before the fit (floor(c·15/16) for the
+    // rare positive seed label, floor(c·3/4) for the abundant negative
+    // — r18 verdict: a global rate washes out scarce positive evidence
+    // at the majority class's rate): drift decays smoothly instead of
     // resetting, and the folded per-label totals (acc_pos/acc_neg)
-    // ride the hash so the oracle must replay the integer decay
+    // ride the hash so the oracle must replay BOTH integer decays
     // slot-for-slot. Epoch 0 ≡ the cold fit (decay of an empty history
-    // is exactly 0 — continuity pinned in WarmStartSpec). Oracle: the
-    // identical fold/fit/drift/apply arithmetic per doc_id epoch slice
-    // over zero-filled 64-slot tables.
+    // is exactly 0 at any rate — continuity pinned in WarmStartSpec).
+    // Oracle: the identical fold/fit/drift/apply arithmetic per doc_id
+    // epoch slice over zero-filled 64-slot tables.
     Q(
       "s68_warmstart_drift",
       (s, dir) => graft.streaming.StreamQuality.warmStartDriftMonitor(s, dir),
@@ -2048,8 +2051,8 @@ object StreamDemos {
             FROM cez WHERE ep = 0
             UNION ALL
             SELECT 1, c1.b,
-              (c0.pos_c * 7) // 8 + c1.pos_c,
-              (c0.neg_c * 7) // 8 + c1.neg_c
+              (c0.pos_c * 15) // 16 + c1.pos_c,
+              (c0.neg_c * 3) // 4 + c1.neg_c
             FROM cez c0 JOIN cez c1 ON c0.b = c1.b
             WHERE c0.ep = 0 AND c1.ep = 1),
           wt AS (SELECT ep, b,

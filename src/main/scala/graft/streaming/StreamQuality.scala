@@ -40,13 +40,36 @@ object StreamQuality {
   /** Alert floor in basis points: a batch keeping less trips the flag. */
   val KeepFloorBp = 500L
 
-  /** s68's integer decay fold: floor(prev·7/8) + epoch count. Decay of
-    * an empty history is exactly 0, so a warm-start epoch 0 fits the
-    * SAME table as a cold fit — the continuity property WarmStartSpec
-    * pins. Integer-only (floor division on non-negative counts) so the
+  /** s68's integer decay fold at an explicit keep ratio:
+    * floor(prev·num/den) + epoch count. Decay of an empty history is
+    * exactly 0 at ANY ratio, so a warm-start epoch 0 fits the SAME
+    * table as a cold fit — the continuity property WarmStartSpec pins.
+    * Integer-only (floor division on non-negative counts) so the
     * oracle replays it verbatim.
     */
-  def decayFold(prev: Long, epoch: Long): Long = prev * 7L / 8L + epoch
+  def decayFoldBy(prev: Long, epoch: Long, keepNum: Long, keepDen: Long): Long =
+    prev * keepNum / keepDen + epoch
+
+  /** PER-LABEL decay budgets (r18 verdict: one global floor(c·7/8)
+    * decays positives and negatives at the same rate — wrong for the
+    * imbalanced streams quality monitors actually see). The keep ratio
+    * IS a memory budget: steady-state accumulated count ≈ c·den/(den −
+    * num) epochs of evidence. The RARE positive seed label gets the
+    * long memory (15/16 → ~16 epochs) so scarce positive evidence
+    * isn't washed out at the abundant label's rate; the abundant
+    * negative label gets the short one (3/4 → ~4 epochs) so the table
+    * tracks recent negatives instead of a stale majority class.
+    */
+  val PosKeepNum = 15L
+  val PosKeepDen = 16L
+  val NegKeepNum = 3L
+  val NegKeepDen = 4L
+
+  def decayFoldPos(prev: Long, epoch: Long): Long =
+    decayFoldBy(prev, epoch, PosKeepNum, PosKeepDen)
+
+  def decayFoldNeg(prev: Long, epoch: Long): Long =
+    decayFoldBy(prev, epoch, NegKeepNum, NegKeepDen)
 
   /** q189's Laplace per-mille weight from label-conditional counts —
     * the one rendering of the trainer formula shared by the cold (s66)
@@ -240,10 +263,13 @@ object StreamQuality {
     *
     *   - the same 64-slot label-conditional census as s66 (one explode
     *     → partial agg → ≤64-row collect, model metadata);
-    *   - the FOLD: acc_slot = floor(prev_acc · 7/8) + epoch_count
-    *     (decayFold — integer-only so the oracle replays it verbatim;
-    *     an empty history decays to exactly 0, so epoch 0's table ≡
-    *     the cold fit — the continuity property WarmStartSpec pins);
+    *   - the FOLD, PER LABEL: acc_slot = floor(prev_acc · keep) +
+    *     epoch_count with per-label keep budgets (decayFoldPos 15/16,
+    *     decayFoldNeg 3/4 — the rare positive label keeps ~16 epochs
+    *     of memory, the abundant negative ~4; integer-only so the
+    *     oracle replays both rates verbatim; an empty history decays
+    *     to exactly 0 at any rate, so epoch 0's table ≡ the cold fit —
+    *     the continuity property WarmStartSpec pins per label);
     *   - the fit on ACCUMULATED counts (laplaceWeight — q189's exact
     *     formula over the folded censuses), drift vs the previous
     *     epoch's table (Σ|Δwt| + strict sign flips + both q189 table
@@ -302,8 +328,8 @@ object StreamQuality {
           posE(slot) = p; negE(slot) = n
           nPos += p; nNeg += n
         }
-        val posA = Array.tabulate(64)(i => decayFold(posAcc(i), posE(i)))
-        val negA = Array.tabulate(64)(i => decayFold(negAcc(i), negE(i)))
+        val posA = Array.tabulate(64)(i => decayFoldPos(posAcc(i), posE(i)))
+        val negA = Array.tabulate(64)(i => decayFoldNeg(negAcc(i), negE(i)))
         val wt = Array.tabulate(64)(i => laplaceWeight(posA(i), negA(i)))
         val deltaAbs = wt.indices.map(i => math.abs(wt(i) - prevWt(i)).toLong).sum
         val flips = wt.indices.count(i =>

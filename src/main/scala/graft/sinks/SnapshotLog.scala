@@ -602,53 +602,57 @@ object SnapshotLog {
         .head.head.asInstanceOf[Number].longValue
     }
 
-  /** List the parquet part files Spark wrote under `dir`, with row
-    * counts from the footers (the stats an Iceberg manifest carries).
-    * ONE job per directory (a `_metadata.file_path` census answered
-    * from footer counts), not one per file — the old per-file count()
-    * put ~16 driver jobs inside every s39–s51 lifecycle and dominated
-    * the family's fixed cost. The directory listing stays the source
-    * of truth for the FILE SET (a zero-row part file has no census
-    * group and must still enter the manifest with n_rows = 0).
+  /** COMMIT-CARRIED counts for the s39-class lifecycles (r18 verdict
+    * #6, retiring the post-write `_metadata.file_path` re-scan the
+    * bucket-base lifecycles already dropped): write `df` as (at most)
+    * `nParts` part files under `dir` with an Observation of
+    * per-partition conditional counts attached to the WRITE JOB itself,
+    * attributed to files by the part index Spark embeds in the file
+    * name (`part-0000i-…` is task i's output — the same 1:1 task↔file
+    * contract the listing relies on). The loud-failure contract and
+    * the zero-row rule are kept by construction: every listed file's
+    * parsed index must be inside the declared partition range and
+    * unique, and a partition that observed rows must have produced a
+    * file — mis-attribution fails the require, never zeroes a manifest
+    * row count. (An empty partition writes no file and its observed 0
+    * is checked; a listed zero-row file still enters with n_rows = 0.)
     */
-  /** The footer-count census for `dir`, keyed by local filesystem path,
-    * CHECKED against the listed file set: every census key must be one
-    * of `listed`'s paths. With that containment proven, a listed file
-    * absent from the census is genuinely zero-row (all counted rows are
-    * attributed to listed files) — whereas before, any path-form
-    * mismatch between `_metadata.file_path`'s URI and the directory
-    * listing (symlinked temp root, percent-encoding) silently recorded
-    * n_rows = 0 for EVERY file, corrupting manifests without a failure.
-    */
-  private def footerCounts(
+  private def writeCounted(
       spark: SparkSession,
+      df: DataFrame,
       dir: String,
-      listed: Seq[String]): Map[String, Long] = {
-    val counts = spark.read.parquet(dir)
-      .groupBy(col("_metadata.file_path"))
-      .count()
-      .collect()
-      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
-      .toMap
-    val listedSet = listed.toSet
-    val strays = counts.keys.filterNot(listedSet.contains)
-    require(
-      strays.isEmpty,
-      s"footer census under $dir produced ${strays.size} path(s) not in the " +
-        s"directory listing (path-form mismatch would zero every manifest " +
-        s"row count): ${strays.take(3).mkString(", ")}")
-    counts
-  }
-
-  private def partFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
-    val listed = new java.io.File(dir)
+      nParts: Int): Seq[(String, Long)] = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = (0 until nParts).map(i =>
+      sum(when(spark_partition_id() === i, lit(1L)).otherwise(lit(0L))).as(s"n_$i"))
+    df.repartition(nParts)
+      .observe(obs, aggs.head, aggs.tail: _*)
+      .write.parquet(dir)
+    val m = obs.get // blocks until the write job's listener fires
+    val idxRe = "part-(\\d+)-".r
+    val listed: Seq[(Int, String)] = new java.io.File(dir)
       .listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
-      .sorted
+      .map { f =>
+        val i = idxRe.findFirstMatchIn(f.getName).getOrElse(
+          sys.error(s"writeCounted: unparseable part file name ${f.getName} under $dir"))
+          .group(1).toInt
+        (i, f.getAbsolutePath)
+      }
       .toSeq
-    val counts = footerCounts(spark, dir, listed)
-    listed.map(p => (p, counts.getOrElse(p, 0L)))
+    require(
+      listed.map(_._1).distinct.size == listed.size &&
+        listed.forall(_._1 < nParts),
+      s"writeCounted: listed part indices ${listed.map(_._1).sorted.mkString(",")} " +
+        s"under $dir are not unique within the declared $nParts partitions")
+    val present = listed.map(_._1).toSet
+    val unattributed = (0 until nParts)
+      .filter(i => !present.contains(i) && m(s"n_$i").asInstanceOf[Long] > 0L)
+    require(
+      unattributed.isEmpty,
+      s"writeCounted: partition(s) ${unattributed.mkString(",")} observed rows " +
+        s"but wrote no file under $dir — counts would be silently dropped")
+    listed.sortBy(_._2).map { case (i, p) => (p, m(s"n_$i").asInstanceOf[Long]) }
   }
 
   /** The s39 lifecycle (object scaladoc). Output: one row per committed
@@ -670,20 +674,14 @@ object SnapshotLog {
 
       // epoch 0: the pre-cutoff slice, exactly 2 data files (repartition
       // pins the file count; both non-empty at every SF)
-      o.filter(col("d") < lit(Cutoff).cast("date"))
-        .drop("d")
-        .repartition(2)
-        .write.parquet(s"$base/b1")
-      val files1 = partFiles(spark, s"$base/b1")
+      val files1 = writeCounted(spark, o.filter(col("d") < lit(Cutoff).cast("date"))
+        .drop("d"), s"$base/b1", 2)
       val c1 = commit(dbFile, expectedParent = 0L, snapshotId = 1L, files1)
 
       // epoch 1: append the rest as 3 new files; snapshot 2's manifest
       // lists the FULL file set (snapshot-owns-its-manifest-list shape)
-      o.filter(!(col("d") < lit(Cutoff).cast("date")))
-        .drop("d")
-        .repartition(3)
-        .write.parquet(s"$base/b2")
-      val files2 = partFiles(spark, s"$base/b2")
+      val files2 = writeCounted(spark, o.filter(!(col("d") < lit(Cutoff).cast("date")))
+        .drop("d"), s"$base/b2", 3)
       val c2 = commit(dbFile, expectedParent = 1L, snapshotId = 2L, files1 ++ files2)
 
       // INJECTED stale commit: a writer that still thinks the table is
@@ -768,12 +766,11 @@ object SnapshotLog {
           // the atomic log commit makes them visible — a crash between
           // the two leaves invisible orphans, never a torn table
           val out = s"$base/e$epoch"
-          b.select(col("event_id"), col("user_id"), cents)
-            .repartition(2)
-            .write.parquet(out)
+          val ef = writeCounted(
+            s, b.select(col("event_id"), col("user_id"), cents), out, 2)
           commits.put(
             epoch,
-            commit(dbFile, epoch, epoch + 1, manifest(dbFile, epoch) ++ partFiles(s, out)))
+            commit(dbFile, epoch, epoch + 1, manifest(dbFile, epoch) ++ ef))
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -782,7 +779,9 @@ object SnapshotLog {
 
       // injected RETRY of epoch 1's commit after the table advanced: the
       // swap's parent check (pointer = 3 ≠ 1) must reject it cleanly
-      val retry = commit(dbFile, 1L, 2L, manifest(dbFile, 1L) ++ partFiles(s, s"$base/e1"))
+      // the retried payload comes FROM THE LOG: snapshot 2's manifest is
+      // exactly manifest(1) ++ epoch-1's files — no post-write re-scan
+      val retry = commit(dbFile, 1L, 2L, manifest(dbFile, 2L))
       import scala.jdk.CollectionConverters._
       val exactlyOnce = commits.asScala.values.forall(identity) &&
         commits.size == 3 && !retry && currentSnapshot(dbFile) == 3L
@@ -858,9 +857,7 @@ object SnapshotLog {
       initLog(dbFile)
       IncrementalRefresh.initStore(dbFile)
 
-      o.filter(col("d") < lit(Cutoff).cast("date")).drop("d")
-        .repartition(2).write.parquet(s"$base/b1")
-      val files1 = partFiles(spark, s"$base/b1")
+      val files1 = writeCounted(spark, o.filter(col("d") < lit(Cutoff).cast("date")).drop("d"), s"$base/b1", 2)
       commit(dbFile, 0L, 1L, files1)
       // full build from SNAPSHOT 1's manifest (the log is the source of
       // truth for what the table contains, not the raw fixture)
@@ -868,9 +865,7 @@ object SnapshotLog {
         dbFile, 1L,
         partials(spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)))
 
-      o.filter(!(col("d") < lit(Cutoff).cast("date"))).drop("d")
-        .repartition(3).write.parquet(s"$base/b2")
-      val files2 = partFiles(spark, s"$base/b2")
+      val files2 = writeCounted(spark, o.filter(!(col("d") < lit(Cutoff).cast("date"))).drop("d"), s"$base/b2", 3)
       commit(dbFile, 1L, 2L, files1 ++ files2)
 
       // the refresh delta = manifest(2) \ manifest(1): log metadata only
@@ -966,29 +961,21 @@ object SnapshotLog {
       initLog(dbFile)
 
       // snapshots 1 and 2: the s39 append lifecycle (2 then +3 files)
-      o.filter(col("d") < lit(Cutoff).cast("date")).drop("d")
-        .repartition(2).write.parquet(s"$base/b1")
-      val files1 = partFiles(spark, s"$base/b1")
+      val files1 = writeCounted(spark, o.filter(col("d") < lit(Cutoff).cast("date")).drop("d"), s"$base/b1", 2)
       val c1 = commit(dbFile, 0L, 1L, files1)
-      o.filter(!(col("d") < lit(Cutoff).cast("date"))).drop("d")
-        .repartition(3).write.parquet(s"$base/b2")
-      val files2 = partFiles(spark, s"$base/b2")
+      val files2 = writeCounted(spark, o.filter(!(col("d") < lit(Cutoff).cast("date"))).drop("d"), s"$base/b2", 3)
       val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
 
       // snapshot 3: COMPACTION — q131's algebra run against the log:
       // read exactly what snapshot 2's manifest lists, rewrite as 2 new
       // files, commit a manifest that references ONLY the new files
-      spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
-        .repartition(2).write.parquet(s"$base/b3")
-      val files3 = partFiles(spark, s"$base/b3")
+      val files3 = writeCounted(spark, spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*), s"$base/b3", 2)
       val c3 = commit(dbFile, 2L, 3L, files3)
 
       // ORPHANS: a loser of the commit race has already written its data
       // files when the conditional swap rejects it — they exist on
       // storage but no manifest row ever points at them
-      o.filter(col("d") < lit(Cutoff).cast("date")).drop("d")
-        .repartition(2).write.parquet(s"$base/bx")
-      val filesX = partFiles(spark, s"$base/bx")
+      val filesX = writeCounted(spark, o.filter(col("d") < lit(Cutoff).cast("date")).drop("d"), s"$base/bx", 2)
       val stale = commit(dbFile, 1L, 9L, filesX)
 
       // expire 1 and 2, then GC against the retained reachability set
@@ -1106,13 +1093,11 @@ object SnapshotLog {
       val carried = manifest(dbFile, 1L).filterNot(f => affected.contains(f._1))
 
       // COW rewrite of exactly the affected file(s)
-      spark.read.parquet(affected: _*)
+      val newFiles = writeCounted(spark, spark.read.parquet(affected: _*)
         .filter(!delPred)
         .withColumn("cents",
           when(updPred, col("cents") + 1000L).otherwise(col("cents")))
-        .unionByName(inserts)
-        .repartition(1).write.parquet(s"$base/m")
-      val newFiles = partFiles(spark, s"$base/m")
+        .unionByName(inserts), s"$base/m", 1)
       recordStats(dbFile, newFiles.map(p => (p._1, 2L)))
       val c2 = commit(dbFile, 1L, 2L, carried ++ newFiles)
 
@@ -1209,13 +1194,11 @@ object SnapshotLog {
       commit(dbFile, 0L, 1L, baseFiles)
       val affected = prunePaths(dbFile, 1L, Seq(2L))
       val carried = manifest(dbFile, 1L).filterNot(f => affected.contains(f._1))
-      spark.read.parquet(affected: _*)
+      val newFiles = writeCounted(spark, spark.read.parquet(affected: _*)
         .filter(!delPred)
         .withColumn("cents",
           when(updPred, col("cents") + 1000L).otherwise(col("cents")))
-        .unionByName(inserts)
-        .repartition(1).write.parquet(s"$base/m")
-      val newFiles = partFiles(spark, s"$base/m")
+        .unionByName(inserts), s"$base/m", 1)
       commit(dbFile, 1L, 2L, carried ++ newFiles)
 
       // the changelog: manifest diff → removed/added file sets (log
@@ -1323,19 +1306,15 @@ object SnapshotLog {
       initRefs(dbFile)
 
       // main at snapshot 1: the non-staged two-thirds
-      o.filter(!stagePred).select("k", "cents")
-        .repartition(2).write.parquet(s"$base/b1")
-      val files1 = partFiles(spark, s"$base/b1")
+      val files1 = writeCounted(spark, o.filter(!stagePred).select("k", "cents"), s"$base/b1", 2)
       val c1 = commit(dbFile, 0L, 1L, files1)
       createRef(dbFile, "wap", at = 1L)
 
       // staged commit A (branch only): the append, CORRUPTED — the
       // ingest bug the audit exists to catch
-      o.filter(stagePred)
+      val filesBad = writeCounted(spark, o.filter(stagePred)
         .select(col("k"),
-          when(corruptPred, -col("cents")).otherwise(col("cents")).as("cents"))
-        .repartition(2).write.parquet(s"$base/bad")
-      val filesBad = partFiles(spark, s"$base/bad")
+          when(corruptPred, -col("cents")).otherwise(col("cents")).as("cents")), s"$base/bad", 2)
       val cA = commitToRef(dbFile, "wap", 1L, 2L, files1 ++ filesBad)
 
       // audit the staged snapshot through the log; count bad rows
@@ -1350,9 +1329,7 @@ object SnapshotLog {
         .agg(count(lit(1)), sum(col("cents"))).head()
 
       // staged commit B: the fixed append; audit passes; publish
-      o.filter(stagePred).select("k", "cents")
-        .repartition(2).write.parquet(s"$base/good")
-      val filesGood = partFiles(spark, s"$base/good")
+      val filesGood = writeCounted(spark, o.filter(stagePred).select("k", "cents"), s"$base/good", 2)
       val cB = commitToRef(dbFile, "wap", 2L, 3L, files1 ++ filesGood)
       val nBadFixed = audit(refSnapshot(dbFile, "wap"))
       val pub = nBadFixed == 0L && publish(dbFile, expectedMainAt = 1L, stagedSnapshot = 3L)
@@ -1483,12 +1460,21 @@ object SnapshotLog {
       initLog(dbFile)
       initSpecs(dbFile)
 
-      // hive-style partitioned write; one file per present value
+      // hive-style partitioned write; one file per present value, the
+      // per-value counts carried by the WRITE JOB's Observation (the
+      // writeBucketed discipline — no post-write re-scan); the listed
+      // value set must EQUAL the write-observed present set, so
+      // mis-attribution fails loudly instead of zeroing a manifest row
       def writeSpec(df: DataFrame, out: String, modBy: Long, specId: Long)
           : Seq[(String, Long)] = {
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = (0L until modBy).map(v =>
+          sum(when(col("p") === v, lit(1L)).otherwise(lit(0L))).as(s"n_$v"))
         df.withColumn("p", col("k") % modBy)
+          .observe(obs, aggs.head, aggs.tail: _*)
           .repartition(col("p"))
           .write.partitionBy("p").parquet(out)
+        val m = obs.get // blocks until the write job's listener fires
         val files = new java.io.File(out)
           .listFiles().filter(_.getName.startsWith("p="))
           .flatMap { pd =>
@@ -1498,13 +1484,15 @@ object SnapshotLog {
             }
           }
           .sortBy(_._1).toSeq
+        val present =
+          (0L until modBy).filter(v => m(s"n_$v").asInstanceOf[Long] > 0L).toSet
+        require(
+          files.map(_._2).toSet == present,
+          s"partitioned write under $out listed values " +
+            s"${files.map(_._2).sorted.mkString(",")} but the write observed " +
+            s"${present.toSeq.sorted.mkString(",")} — counts would be mis-attributed")
         recordSpec(dbFile, files.map { case (p, v) => (p, specId, v) })
-        // one census job over the whole partitioned write (the
-        // partFiles discipline), not one count() job per file; the
-        // footerCounts containment check makes a path-form mismatch
-        // fail loudly instead of zeroing the manifest
-        val counts = footerCounts(spark, out, files.map(_._1))
-        files.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
+        files.map { case (p, v) => (p, m(s"n_$v").asInstanceOf[Long]) }
       }
 
       val files1 = writeSpec(
@@ -1768,26 +1756,20 @@ object SnapshotLog {
         Seq((1L, "k", "bigint"), (2L, "cents", "bigint"), (4L, "disc", "bigint")))
 
       // slice 0 under schema 1: physical columns (k, amount)
-      o.filter(col("k") % 3 === 0).select(col("k"), col("cents").as("amount"))
-        .repartition(2).write.parquet(s"$base/g1")
-      val files1 = partFiles(spark, s"$base/g1")
+      val files1 = writeCounted(spark, o.filter(col("k") % 3 === 0).select(col("k"), col("cents").as("amount")), s"$base/g1", 2)
       recordFileSchema(dbFile, files1.map(_._1), 1L)
       val c1 = commit(dbFile, 0L, 1L, files1)
 
       // slice 1 under schema 2: (k, cents, disc=k%5+1)
-      o.filter(col("k") % 3 === 1)
-        .select(col("k"), col("cents"), (col("k") % 5 + 1).as("disc"))
-        .repartition(2).write.parquet(s"$base/g2")
-      val files2 = partFiles(spark, s"$base/g2")
+      val files2 = writeCounted(spark, o.filter(col("k") % 3 === 1)
+        .select(col("k"), col("cents"), (col("k") % 5 + 1).as("disc")), s"$base/g2", 2)
       recordFileSchema(dbFile, files2.map(_._1), 2L)
       val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
 
       // slice 2 under schema 3: (k, cents, disc=k%7+3 — NEW field id 4
       // reusing the dropped field's NAME)
-      o.filter(col("k") % 3 === 2)
-        .select(col("k"), col("cents"), (col("k") % 7 + 3).as("disc"))
-        .repartition(2).write.parquet(s"$base/g3")
-      val files3 = partFiles(spark, s"$base/g3")
+      val files3 = writeCounted(spark, o.filter(col("k") % 3 === 2)
+        .select(col("k"), col("cents"), (col("k") % 7 + 3).as("disc")), s"$base/g3", 2)
       recordFileSchema(dbFile, files3.map(_._1), 3L)
       val c3 = commit(dbFile, 2L, 3L, files1 ++ files2 ++ files3)
 
@@ -1900,16 +1882,13 @@ object SnapshotLog {
         (a.getLong(0), a.getLong(1))
       }
 
-      slice(0).repartition(2).write.parquet(s"$base/b1")
-      val files1 = partFiles(spark, s"$base/b1")
+      val files1 = writeCounted(spark, slice(0), s"$base/b1", 2)
       val c1 = commit(dbFile, 0L, 1L, files1)
       recordTimestamp(dbFile, 1L, 1000L)
-      slice(1).repartition(2).write.parquet(s"$base/b2")
-      val files2 = partFiles(spark, s"$base/b2")
+      val files2 = writeCounted(spark, slice(1), s"$base/b2", 2)
       val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
       recordTimestamp(dbFile, 2L, 2000L)
-      slice(2).repartition(2).write.parquet(s"$base/b3")
-      val files3 = partFiles(spark, s"$base/b3")
+      val files3 = writeCounted(spark, slice(2), s"$base/b3", 2)
       val c3 = commit(dbFile, 2L, 3L, files1 ++ files2 ++ files3)
       recordTimestamp(dbFile, 3L, 3000L)
 
@@ -1927,8 +1906,7 @@ object SnapshotLog {
       val staleRetry = commit(dbFile, 3L, 9L, files3)
 
       // REDO on the rolled-back head: re-ingest slice 1 as NEW files
-      slice(1).repartition(2).write.parquet(s"$base/b4")
-      val files4 = partFiles(spark, s"$base/b4")
+      val files4 = writeCounted(spark, slice(1), s"$base/b4", 2)
       val c4 = commit(dbFile, 1L, 4L, files1 ++ files4)
       recordTimestamp(dbFile, 4L, 4000L)
       val redoCensus = census(4L)
@@ -2022,10 +2000,8 @@ object SnapshotLog {
             .groupBy(col("user_id"))
             .agg(max(struct(col("event_id"), col("cents"))).as("w"))
             .select(col("user_id"), col("w.cents").as("cents"))
-          up.repartition(1).write.parquet(s"$base/u$epoch")
-          val dataF = partFiles(s, s"$base/u$epoch")
-          up.select(col("user_id")).repartition(1).write.parquet(s"$base/k$epoch")
-          val delF = partFiles(s, s"$base/k$epoch")
+          val dataF = writeCounted(s, up, s"$base/u$epoch", 1)
+          val delF = writeCounted(s, up.select(col("user_id")), s"$base/k$epoch", 1)
           recordSeq(dbFile, (dataF ++ delF).map(_._1), seqNo)
           commits.put(
             epoch,
@@ -2180,18 +2156,14 @@ object SnapshotLog {
 
       // snapshot 2 (seq 2): MOR DELETE — dead keys land in an equality-
       // delete file; no data file is touched
-      o.filter(delPred).select("k").repartition(1).write.parquet(s"$base/d1")
-      val del1 = partFiles(spark, s"$base/d1")
+      val del1 = writeCounted(spark, o.filter(delPred).select("k"), s"$base/d1", 1)
       recordSeq(dbFile, del1.map(_._1), 2L)
       val c2 = commitMor(dbFile, 1L, 2L, baseFiles, del1)
 
       // snapshot 3 (seq 3): MOR UPDATE = delete(old) + insert(new) in
       // one commit; the seq rule keeps the delete off the new versions
-      o.filter(updPred).select("k").repartition(1).write.parquet(s"$base/d2")
-      val del2 = partFiles(spark, s"$base/d2")
-      o.filter(updPred).withColumn("cents", col("cents") + 1000L)
-        .repartition(1).write.parquet(s"$base/i1")
-      val ins1 = partFiles(spark, s"$base/i1")
+      val del2 = writeCounted(spark, o.filter(updPred).select("k"), s"$base/d2", 1)
+      val ins1 = writeCounted(spark, o.filter(updPred).withColumn("cents", col("cents") + 1000L), s"$base/i1", 1)
       recordSeq(dbFile, (del2 ++ ins1).map(_._1), 3L)
       recordStats(dbFile, ins1.map(p => (p._1, 2L))) // all updated keys ≡ 2 (mod 4)
       val c3 = commitMor(dbFile, 2L, 3L, baseFiles ++ ins1, del1 ++ del2)
@@ -2203,7 +2175,7 @@ object SnapshotLog {
       val carried = manifestSeq(dbFile, 3L).map(_._1).filterNot(affected.toSet)
       val affectedSeq = manifestSeq(dbFile, 3L).filter(f => affected.contains(f._1))
       val dv3 = deleteSeq(dbFile, 3L)
-      affectedSeq
+      val compacted = affectedSeq
         .groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (seq, fs) =>
           spark.read.parquet(fs.map(_._1): _*).withColumn("fseq", lit(seq))
@@ -2220,8 +2192,7 @@ object SnapshotLog {
           col("f.k") === col("dv.k") && col("dv.dseq") > col("f.fseq"),
           "left_anti")
         .drop("fseq")
-        .repartition(1).write.parquet(s"$base/c1")
-      val comp = partFiles(spark, s"$base/c1")
+      val comp = writeCounted(spark, compacted, s"$base/c1", 1)
       recordSeq(dbFile, comp.map(_._1), 4L)
       recordStats(dbFile, comp.map(p => (p._1, 2L)))
       val carriedEntries = manifest(dbFile, 3L).filter(f => carried.contains(f._1))
@@ -2338,44 +2309,36 @@ object SnapshotLog {
       // rows' (file, ordinal) identities come from scanning the base
       // files WITH the metadata columns (the writer-knows-the-offset
       // path); no data file is touched
-      spark.read.parquet(baseFiles.map(_._1): _*)
+      val pd1 = writeCounted(spark, spark.read.parquet(baseFiles.map(_._1): _*)
         .select(
           col("_metadata.file_path").as("pd_path"),
           col("_metadata.row_index").as("pd_pos"),
           col("k"))
         .filter(delPred)
-        .select("pd_path", "pd_pos")
-        .repartition(1).write.parquet(s"$base/pd1")
-      val pd1 = partFiles(spark, s"$base/pd1")
+        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
       recordSeq(dbFile, pd1.map(_._1), 2L)
       val c2 = commitMorV2(dbFile, 1L, 2L, baseFiles, Seq.empty, pd1)
 
       // snapshot 3 (seq 3): s44's EQUALITY update — delete(old k≡2 mod
       // 20 versions) + insert(new versions) in one commit; the strict
       // seq rule keeps the delete off its own inserts
-      o.filter(updPred).select("k").repartition(1).write.parquet(s"$base/d1")
-      val del1 = partFiles(spark, s"$base/d1")
-      o.filter(updPred).withColumn("cents", col("cents") + 1000L)
-        .repartition(1).write.parquet(s"$base/i1")
-      val ins1 = partFiles(spark, s"$base/i1")
+      val del1 = writeCounted(spark, o.filter(updPred).select("k"), s"$base/d1", 1)
+      val ins1 = writeCounted(spark, o.filter(updPred).withColumn("cents", col("cents") + 1000L), s"$base/i1", 1)
       recordSeq(dbFile, (del1 ++ ins1).map(_._1), 3L)
       recordStats(dbFile, ins1.map(p => (p._1, 2L)))
       val c3 = commitMorV2(dbFile, 2L, 3L, baseFiles ++ ins1, del1, pd1)
 
       // snapshot 4 (seq 4): data file + the position deletes masking 4
       // of ITS OWN 10 rows, in ONE commit — pseq >= fseq must bite
-      inserts.repartition(1).write.parquet(s"$base/i2")
-      val ins2 = partFiles(spark, s"$base/i2")
+      val ins2 = writeCounted(spark, inserts, s"$base/i2", 1)
       recordStats(dbFile, ins2.map(p => (p._1, 2L)))
-      spark.read.parquet(ins2.map(_._1): _*)
+      val pd2 = writeCounted(spark, spark.read.parquet(ins2.map(_._1): _*)
         .select(
           col("_metadata.file_path").as("pd_path"),
           col("_metadata.row_index").as("pd_pos"),
           col("cents"))
         .filter(insDelPred)
-        .select("pd_path", "pd_pos")
-        .repartition(1).write.parquet(s"$base/pd2")
-      val pd2 = partFiles(spark, s"$base/pd2")
+        .select("pd_path", "pd_pos"), s"$base/pd2", 1)
       recordSeq(dbFile, (ins2 ++ pd2).map(_._1), 4L)
       val c4 = commitMorV2(dbFile, 3L, 4L, baseFiles ++ ins1 ++ ins2, del1, pd1 ++ pd2)
 
@@ -2399,9 +2362,7 @@ object SnapshotLog {
       // the compaction read: snapshot 4's masks applied to ONLY the
       // affected files (the onlyFiles restriction — carried files are
       // never opened)
-      morReadV2(spark, dbFile, 4L, "k", Some(affected.toSet))
-        .repartition(1).write.parquet(s"$base/c1")
-      val comp = partFiles(spark, s"$base/c1")
+      val comp = writeCounted(spark, morReadV2(spark, dbFile, 4L, "k", Some(affected.toSet)), s"$base/c1", 1)
       recordSeq(dbFile, comp.map(_._1), 5L)
       recordStats(dbFile, comp.map(p => (p._1, 2L)))
       val carriedEntries = manifest(dbFile, 4L).filter(f => carried.contains(f._1))
@@ -2825,17 +2786,13 @@ object SnapshotLog {
       initLog(dbFile)
       initRefs(dbFile)
 
-      o.filter(col("k") % 4 < 2).repartition(2).write.parquet(s"$base/f1")
-      val f1 = partFiles(spark, s"$base/f1")
+      val f1 = writeCounted(spark, o.filter(col("k") % 4 < 2), s"$base/f1", 2)
       val c1 = commit(dbFile, 0L, 1L, f1)
-      o.filter(col("k") % 4 >= 2).repartition(1).write.parquet(s"$base/f2")
-      val f2 = partFiles(spark, s"$base/f2")
+      val f2 = writeCounted(spark, o.filter(col("k") % 4 >= 2), s"$base/f2", 1)
       val c2 = commit(dbFile, 1L, 2L, f1 ++ f2)
       createRef(dbFile, "audit-snap1", 1L)
       // snapshot 3: compaction — every row rewritten into one new file
-      spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
-        .repartition(1).write.parquet(s"$base/f3")
-      val f3 = partFiles(spark, s"$base/f3")
+      val f3 = writeCounted(spark, spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*), s"$base/f3", 1)
       val c3 = commit(dbFile, 2L, 3L, f3)
 
       val live0 = liveFiles(dbFile).size.toLong
@@ -3028,10 +2985,8 @@ object SnapshotLog {
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
 
-      def writeSlice(pred: org.apache.spark.sql.Column, out: String, parts: Int) = {
-        o.filter(pred).repartition(parts).write.parquet(out)
-        partFiles(spark, out)
-      }
+      def writeSlice(pred: org.apache.spark.sql.Column, out: String, parts: Int) =
+        writeCounted(spark, o.filter(pred), out, parts)
       val f1 = writeSlice(col("k") % 4 < 2, s"$base/f1", 2)
       val c1 = commit(dbFile, 0L, 1L, f1)
       val f2 = writeSlice(col("k") % 4 === 2, s"$base/f2", 1)
@@ -3188,13 +3143,11 @@ object SnapshotLog {
           ins: Seq[(Long, Long)], out: String): Unit = {
         val affected = prunePaths(dbFile, parent, Seq(bucket))
         val carried = manifest(dbFile, parent).filterNot(f => affected.contains(f._1))
-        spark.read.parquet(affected: _*)
+        val nf = writeCounted(spark, spark.read.parquet(affected: _*)
           .filter(col("k") % 20 =!= delMod)
           .withColumn("cents",
             when(col("k") % 20 === updMod, col("cents") + bump).otherwise(col("cents")))
-          .unionByName(ins.toDF("k", "cents"))
-          .repartition(1).write.parquet(out)
-        val nf = partFiles(spark, out)
+          .unionByName(ins.toDF("k", "cents")), out, 1)
         recordStats(dbFile, nf.map(p => (p._1, bucket)))
         commit(dbFile, parent, snap, carried ++ nf)
       }
@@ -3308,42 +3261,53 @@ object SnapshotLog {
 
   /** writeBucketed for the two-dimensional stats: write df (columns
     * k, cents, x, y, g) partitioned by g and return per file
-    * (path, n_rows, min_x, max_x, min_y, max_y) from ONE census job
-    * (same containment discipline as writeBucketed). */
+    * (path, n_rows, min_x, max_x, min_y, max_y) — stats carried by the
+    * WRITE JOB's Observation (the writeBucketed discipline, no
+    * post-write re-scan), attributed by the g= directory value, with
+    * the listed value set required to EQUAL the write-observed present
+    * set so mis-attribution fails loudly. */
   private def writeBucketed2(
       spark: SparkSession,
       df: DataFrame,
-      out: String): Seq[(String, Long, Long, Long, Long, Long)] = {
-    df.repartition(col("g")).write.partitionBy("g").parquet(out)
-    val listed = new java.io.File(out)
+      out: String,
+      gDomain: Seq[Long]): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = gDomain.flatMap { g =>
+      Seq(
+        sum(when(col("g") === g, lit(1L)).otherwise(lit(0L))).as(s"n_$g"),
+        min(when(col("g") === g, col("x"))).as(s"mnx_$g"),
+        max(when(col("g") === g, col("x"))).as(s"mxx_$g"),
+        min(when(col("g") === g, col("y"))).as(s"mny_$g"),
+        max(when(col("g") === g, col("y"))).as(s"mxy_$g"))
+    }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .repartition(col("g")).write.partitionBy("g").parquet(out)
+    val m = obs.get // blocks until the write job's listener fires
+    val listed: Seq[(Long, String)] = new java.io.File(out)
       .listFiles().filter(_.getName.startsWith("g="))
-      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
-      .map(_.getAbsolutePath)
-      .sorted.toSeq
-    val stats = spark.read.parquet(out)
-      .groupBy(col("_metadata.file_path"))
-      .agg(
-        count(lit(1)),
-        min(col("x")), max(col("x")),
-        min(col("y")), max(col("y")))
-      .collect()
-      .map(r => (
-        new java.net.URI(r.getString(0)).getPath,
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
-      .toMap
-    val listedSet = listed.toSet
-    val strays = stats.keys.filterNot(listedSet.contains)
+      .map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(
+          parts.length == 1,
+          s"bucketed write under $out produced ${parts.length} part files " +
+            s"for ${d.getName} — hash repartition on g must give one file per bucket")
+        (d.getName.drop(2).toLong, parts.head.getAbsolutePath)
+      }.toSeq
+    val strays = listed.map(_._1).filterNot(gDomain.contains)
     require(
       strays.isEmpty,
-      s"stats census under $out produced ${strays.size} path(s) not in the " +
-        s"directory listing: ${strays.take(3).mkString(", ")}")
+      s"bucketed write under $out produced bucket value(s) outside the " +
+        s"declared domain: ${strays.take(3).mkString(", ")}")
+    val present = gDomain.filter(g => m(s"n_$g").asInstanceOf[Long] > 0L).toSet
     require(
-      listed.forall(stats.contains),
-      s"bucketed write under $out listed a file with no census group — " +
-        "partitionBy never writes empty files, so this is a census defect")
-    listed.map { p =>
-      val (n, mnx, mxx, mny, mxy) = stats(p)
-      (p, n, mnx, mxx, mny, mxy)
+      listed.map(_._1).toSet == present,
+      s"bucketed write under $out listed buckets " +
+        s"${listed.map(_._1).sorted.mkString(",")} but the write observed " +
+        s"${present.toSeq.sorted.mkString(",")} — stats would be mis-attributed")
+    listed.sortBy(_._2).map { case (g, p) =>
+      (p, m(s"n_$g").asInstanceOf[Long],
+        m(s"mnx_$g").asInstanceOf[Long], m(s"mxx_$g").asInstanceOf[Long],
+        m(s"mny_$g").asInstanceOf[Long], m(s"mxy_$g").asInstanceOf[Long])
     }
   }
 
@@ -3401,7 +3365,8 @@ object SnapshotLog {
       initLog(dbFile)
       initColStats2(dbFile)
 
-      val f1 = writeBucketed2(spark, d.withColumn("g", col("x")), s"$base/lin")
+      val f1 = writeBucketed2(
+        spark, d.withColumn("g", col("x")), s"$base/lin", 0L to 15L)
       recordColStats2(dbFile, f1.map(f => (f._1, f._3, f._4, f._5, f._6)))
       val c1 = commit(dbFile, 0L, 1L, f1.map(f => (f._1, f._2)))
 
@@ -3410,7 +3375,7 @@ object SnapshotLog {
         spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
           .select(col("k"), col("cents"), col("x"), col("y"))
           .withColumn("g", expr(zKey)),
-        s"$base/z")
+        s"$base/z", 0L to 15L)
       recordColStats2(dbFile, f2.map(f => (f._1, f._3, f._4, f._5, f._6)))
       val c2 = commit(dbFile, 1L, 2L, f2.map(f => (f._1, f._2)))
       val committed = c1 && c2 && currentSnapshot(dbFile) == 2L
@@ -3537,14 +3502,11 @@ object SnapshotLog {
 
       val small = for (b <- 0L to 1L; sub <- 0L to 3L) yield {
         val out = s"$base/f${b}_$sub"
-        o.filter(col("k") % 3 === b && expr("(k div 3) % 4") === sub)
-          .repartition(1).write.parquet(out)
-        val pf = partFiles(spark, out)
+        val pf = writeCounted(spark, o.filter(col("k") % 3 === b && expr("(k div 3) % 4") === sub), out, 1)
         recordStats(dbFile, pf.map(p => (p._1, b)))
         pf
       }
-      o.filter(col("k") % 3 === 2).repartition(1).write.parquet(s"$base/f2")
-      val big = partFiles(spark, s"$base/f2")
+      val big = writeCounted(spark, o.filter(col("k") % 3 === 2), s"$base/f2", 1)
       recordStats(dbFile, big.map(p => (p._1, 2L)))
       val s1Files = small.flatten ++ big
       val c1 = commit(dbFile, 0L, 1L, s1Files)
@@ -3559,8 +3521,7 @@ object SnapshotLog {
       // the rewrite: one file per group, large file untouched
       val packed = plan.flatMap { case (b, paths) =>
         val out = s"$base/packed_$b"
-        spark.read.parquet(paths: _*).repartition(1).write.parquet(out)
-        val pf = partFiles(spark, out)
+        val pf = writeCounted(spark, spark.read.parquet(paths: _*), out, 1)
         recordStats(dbFile, pf.map(p => (p._1, b)))
         pf
       }
@@ -3641,17 +3602,13 @@ object SnapshotLog {
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
 
-      (0L to 1L).foreach { b =>
-        o.filter(col("k") % 2 === b).repartition(1).write.parquet(s"$base/f$b")
-      }
-      val baseFiles = partFiles(spark, s"$base/f0") ++ partFiles(spark, s"$base/f1")
+      val baseFiles = (0L to 1L).flatMap(b =>
+        writeCounted(spark, o.filter(col("k") % 2 === b), s"$base/f$b", 1))
       val c1 = commit(dbFile, 0L, 1L, baseFiles)
 
       // both writers stage against parent 1 — files written ONCE
-      insA.toDF("k", "cents").repartition(1).write.parquet(s"$base/a")
-      insB.toDF("k", "cents").repartition(1).write.parquet(s"$base/b")
-      val fa = partFiles(spark, s"$base/a")
-      val fb = partFiles(spark, s"$base/b")
+      val fa = writeCounted(spark, insA.toDF("k", "cents"), s"$base/a", 1)
+      val fb = writeCounted(spark, insB.toDF("k", "cents"), s"$base/b", 1)
       val planParentB = 1L
 
       val cA = commit(dbFile, 1L, 2L, manifest(dbFile, 1L) ++ fa)
@@ -3744,10 +3701,7 @@ object SnapshotLog {
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (b: DataFrame, epoch: Long) =>
           val out = s"$base/e$epoch"
-          b.select(col("event_id"), col("user_id"), cents)
-            .repartition(2)
-            .write.parquet(out)
-          val pf = partFiles(s, out)
+          val pf = writeCounted(s, b.select(col("event_id"), col("user_id"), cents), out, 2)
           recordStats(dbFile, pf.map(p => (p._1, 0L)))
           val parent = currentSnapshot(dbFile)
           var ok = commit(dbFile, parent, parent + 1, manifest(dbFile, parent) ++ pf)
@@ -3757,8 +3711,7 @@ object SnapshotLog {
             val plan = planBinpack(dbFile, head, Long.MaxValue)
             val packed = plan.flatMap { case (bkt, paths) =>
               val pout = s"$base/packed_${head}_$bkt"
-              s.read.parquet(paths: _*).repartition(1).write.parquet(pout)
-              val ppf = partFiles(s, pout)
+              val ppf = writeCounted(s, s.read.parquet(paths: _*), pout, 1)
               recordStats(dbFile, ppf.map(p => (p._1, bkt)))
               ppf
             }
@@ -3901,13 +3854,11 @@ object SnapshotLog {
           ins: Seq[(Long, Long)], out: String): Unit = {
         val affected = prunePaths(dbFile, parent, Seq(bucket))
         val carried = manifest(dbFile, parent).filterNot(f => affected.contains(f._1))
-        spark.read.parquet(affected: _*)
+        val nf = writeCounted(spark, spark.read.parquet(affected: _*)
           .filter(col("k") % 20 =!= delMod)
           .withColumn("cents",
             when(col("k") % 20 === updMod, col("cents") + bump).otherwise(col("cents")))
-          .unionByName(ins.toDF("k", "cents"))
-          .repartition(1).write.parquet(out)
-        val nf = partFiles(spark, out)
+          .unionByName(ins.toDF("k", "cents")), out, 1)
         recordStats(dbFile, nf.map(p => (p._1, bucket)))
         commit(dbFile, parent, snap, carried ++ nf)
       }
@@ -4106,13 +4057,11 @@ object SnapshotLog {
           delMod: Long, updMod: Long, bump: Long,
           ins: Seq[(Long, Long)], out: String): Seq[(String, Long)] = {
         val affected = prunePaths(dbFile, fromSnap, Seq(bucket))
-        spark.read.parquet(affected: _*)
+        val nf = writeCounted(spark, spark.read.parquet(affected: _*)
           .filter(col("k") % 20 =!= delMod)
           .withColumn("cents",
             when(col("k") % 20 === updMod, col("cents") + bump).otherwise(col("cents")))
-          .unionByName(ins.toDF("k", "cents"))
-          .repartition(1).write.parquet(out)
-        val nf = partFiles(spark, out)
+          .unionByName(ins.toDF("k", "cents")), out, 1)
         recordStats(dbFile, nf.map(p => (p._1, bucket)))
         manifest(dbFile, fromSnap)
           .filterNot(f => affected.contains(f._1)) ++ nf
@@ -4784,15 +4733,13 @@ object SnapshotLog {
 
       // snapshot 2: position delete (all target rows live in bucket
       // 2's file) + the stale markers riding the same commit
-      spark.read.parquet(dataFiles.map(_._1): _*)
+      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
         .select(
           col("_metadata.file_path").as("pd_path"),
           col("_metadata.row_index").as("pd_pos"),
           col("cust"))
         .filter(delPred)
-        .select("pd_path", "pd_pos")
-        .repartition(1).write.parquet(s"$base/pd1")
-      val pd1 = partFiles(spark, s"$base/pd1")
+        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
       recordSeq(dbFile, pd1.map(_._1), 2L)
       val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
       // referenced data files: read from the delta-sized delete file
@@ -4898,8 +4845,7 @@ object SnapshotLog {
         .collect() // ≤256 sketch cells (64 × 4 files) — stats metadata
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val files = (0L to 3L).flatMap { b =>
-        o.filter(col("k") % 4 === b).repartition(1).write.parquet(s"$base/f$b")
-        val pf = partFiles(spark, s"$base/f$b")
+        val pf = writeCounted(spark, o.filter(col("k") % 4 === b), s"$base/f$b", 1)
         recordStats(dbFile, pf.map(p => (p._1, b)))
         recordNdv(dbFile, perFileRegs.collect {
           case (f, bkt, mr) if f == b => (pf.head._1, bkt, mr)

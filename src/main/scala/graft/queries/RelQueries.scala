@@ -3743,6 +3743,99 @@ object RelQueries {
           JOIN ms ON d.cn = ms.cn
           ORDER BY edge"""
       }
+    ),
+    // q219: ESTIMATOR REGRESSION HARNESS — the planner-decision entries
+    // (q212/q214/q215/q216/q218) each pin ONE scenario; this entry
+    // sweeps the SAME estimator (|A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B)
+    // over integer HLL inputs) across six (n_left, n_right, ndv, overlap)
+    // regimes from derived relations, recording the signed err_bp per
+    // regime in-hash — estimator drift is caught here as a hash change,
+    // by regime name, instead of discovered inside a decision entry.
+    // The regimes bracket the formula's behavior: PK–FK both directions
+    // (the assumption holds), dense low-cardinality (containment holds,
+    // HLL small-range bias visible), sentinel skew (the q218 hot key —
+    // the independence assumption's miss is bounded by containment),
+    // sparse overlap (containment still holds), and DISJOINT keys (the
+    // formula has no overlap term — the known blind spot, recorded as a
+    // huge stable signed error, err vs max(true, 1)). Integer
+    // BigInt/HUGEINT throughout — both engines land identical rows.
+    //
+    // Scale shape: per regime two ≤64-cell register censuses + two
+    // counts on the estimate side; the true joins exist only as this
+    // entry's audit layer (and the join RESULTS are never materialized —
+    // each is one streamed count).
+    Q(
+      "q219_estimator_regression",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Hll
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val c = Tables.customer(s, dir)
+        val p = Tables.part(s, dir)
+        def keyed(df: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.Column) =
+          df.select(e.cast("long").as("k"))
+        val regimes = Seq(
+          ("r1_pk_fk", keyed(o, col("o_orderkey")), keyed(l, col("l_orderkey"))),
+          ("r2_fk_pk", keyed(o, col("o_custkey")), keyed(c, col("c_custkey"))),
+          ("r3_dense_lowcard",
+            keyed(o, col("o_custkey") % 100), keyed(c, col("c_custkey") % 100)),
+          ("r4_sentinel_skew",
+            keyed(l, when(col("l_returnflag") === "R", lit(1L))
+              .otherwise(col("l_partkey"))), keyed(p, col("p_partkey"))),
+          ("r5_sparse_overlap", keyed(o, col("o_orderkey")),
+            keyed(l.filter(col("l_orderkey") % 16 === 0), col("l_orderkey"))),
+          ("r6_disjoint", keyed(o, col("o_orderkey")),
+            keyed(o, col("o_orderkey") + 1000000000L)))
+        regimes.map { case (name, ldf, rdf) =>
+          val (nL, nR) = (ldf.count(), rdf.count())
+          val ndvL = Hll.estimateInt(Hll.registerCensus(ldf, col("k").cast("string")))
+          val ndvR = Hll.estimateInt(Hll.registerCensus(rdf, col("k").cast("string")))
+          val est = (BigInt(nL) * BigInt(nR) / BigInt(math.max(ndvL, ndvR))).toLong
+          val tru = ldf.join(rdf, Seq("k")).count()
+          val err = (BigInt(est - tru) * 10000 / BigInt(math.max(tru, 1L))).toLong
+          (name, nL, nR, ndvL, ndvR, est, tru, err)
+        }
+          .toDF("regime", "n_left", "n_right", "ndv_left", "ndv_right",
+            "est_rows", "true_rows", "err_bp")
+          .orderBy("regime")
+      },
+      Some {
+        import graft.oracle.OracleSql.{hllEstimateOverRegs, hllRegs}
+        def reg(name: String, lcte: String, rcte: String) =
+          s"""SELECT '$name' AS regime,
+            (SELECT CAST(count(*) AS BIGINT) FROM $lcte) AS n_left,
+            (SELECT CAST(count(*) AS BIGINT) FROM $rcte) AS n_right,
+            ${hllEstimateOverRegs(hllRegs(lcte, "k"))} AS ndv_left,
+            ${hllEstimateOverRegs(hllRegs(rcte, "k"))} AS ndv_right,
+            (SELECT CAST(count(*) AS BIGINT) FROM $lcte a
+              JOIN $rcte b ON a.k = b.k) AS true_rows"""
+        s"""WITH lo AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+          ll AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+          oc AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+          cc AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+          om AS (SELECT CAST(o_custkey % 100 AS BIGINT) AS k FROM orders),
+          cm AS (SELECT CAST(c_custkey % 100 AS BIGINT) AS k FROM customer),
+          lsk AS (SELECT CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT)
+              ELSE CAST(l_partkey AS BIGINT) END AS k FROM lineitem),
+          pp AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+          lsp AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+            WHERE l_orderkey % 16 = 0),
+          od AS (SELECT CAST(o_orderkey + 1000000000 AS BIGINT) AS k FROM orders),
+          u AS (${reg("r1_pk_fk", "lo", "ll")}
+            UNION ALL ${reg("r2_fk_pk", "oc", "cc")}
+            UNION ALL ${reg("r3_dense_lowcard", "om", "cm")}
+            UNION ALL ${reg("r4_sentinel_skew", "lsk", "pp")}
+            UNION ALL ${reg("r5_sparse_overlap", "lo", "lsp")}
+            UNION ALL ${reg("r6_disjoint", "lo", "od")}),
+          e AS (SELECT *, CAST(CAST(n_left AS HUGEINT) * n_right
+              // greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows FROM u)
+          SELECT regime, n_left, n_right, ndv_left, ndv_right, est_rows,
+            true_rows,
+            CAST((CAST(est_rows AS HUGEINT) - true_rows) * 10000
+              // greatest(true_rows, 1) AS BIGINT) AS err_bp
+          FROM e ORDER BY regime"""
+      }
     )
   )
 

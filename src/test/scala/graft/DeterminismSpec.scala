@@ -115,7 +115,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q203_dedup_cluster_stats", // component-size histogram off the memoized labels (r17)
     "q204_tokenizer_fertility", // vocab-bounded BPE encode + lang census ratios (r17)
     "q205_quality_rep_dedup", // max-logit/min-id rep argmax off the memoized labels (r17)
-    "q213_ann_mrr"            // ranked salted top-k + reciprocal-rank joins (r18)
+    "q213_ann_mrr",           // ranked salted top-k + reciprocal-rank joins (r18)
+    "q219_estimator_regression" // six-regime estimator sweep, signed err_bp per regime (r19)
   )
 
   /** Queries whose lineage consumes dir-memoized, localCheckpoint'ed

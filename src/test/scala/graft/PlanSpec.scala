@@ -1271,6 +1271,16 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q219 estimator regression: regime math lands as a local relation — q210's class") {
+    // the per-regime censuses, counts, and streamed true-join counts
+    // all run before the frame is built; the estimator arithmetic is
+    // driver-side integer math over those results
+    val p = plan("q219_estimator_regression")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q218 skew salt decision: decision math lands as a local relation — q210's class") {
     // the staged write, the one stats job, the audited joins, and the
     // load-split censuses all run before the frame is built; the

@@ -21,6 +21,18 @@ object Hashing {
   def h60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side h60 of a plain string — bit-identical to [[h60]]
+    * (first 15 hex chars of the md5, parsed base-16). For the bounded
+    * metadata paths that hash a handful of probe keys on the driver
+    * (q220's sketch lookups), where a Spark job per hash is waste.
+    */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Whitespace word split (documents are space-separated lowercase text). */
   def words(text: Column): Column = split(text, " ")
 

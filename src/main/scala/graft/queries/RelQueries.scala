@@ -3836,6 +3836,63 @@ object RelQueries {
               // greatest(true_rows, 1) AS BIGINT) AS err_bp
           FROM e ORDER BY regime"""
       }
+    ),
+    // q220: COUNT-MIN rows in the long-form stat table — q218's
+    // declared 100 TB scale path made real: 4·64 additive counters per
+    // (file, column) answer the point frequency of ANY key (col_topk
+    // answers only the hottest few), merge across files EXACTLY by
+    // cell-wise sum, and err one-sided (never under). Probed in-hash
+    // for the hot sentinel key, a typical key, and an absent key:
+    // est vs exact (signed over_bp), the deterministic f̂ ≥ f
+    // guarantee, and q218's skew decision recomputed FROM the sketch.
+    // Full lifecycle + scale shape: SnapshotLog.cmsFrequencyStats
+    // scaladoc.
+    Q(
+      "q220_cms_frequency_stats",
+      (s, dir) => graft.sinks.SnapshotLog.cmsFrequencyStats(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllEstimateOverRegs, hllRegs}
+        val cellH = h60("CAST(r.i AS VARCHAR) || ':' || CAST(pk.k AS VARCHAR)")
+        val probeH = h60("CAST(r.i AS VARCHAR) || ':' || CAST(p.key AS VARCHAR)")
+        s"""WITH b AS (SELECT l_orderkey % 4 AS g,
+            CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT)
+              ELSE CAST(l_partkey AS BIGINT) END AS k
+          FROM lineitem),
+          pk AS (SELECT g, k, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM b),
+          rws AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i),
+          cells AS (SELECT pk.g, r.i, $cellH % 64 AS j, pk.c
+            FROM pk CROSS JOIN rws r),
+          sr AS (SELECT CAST(count(*) AS BIGINT) AS n_stat_rows FROM
+            (SELECT DISTINCT i, j FROM cells)),
+          mg AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2),
+          probes AS (SELECT unnest(['hot_sentinel', 'typical', 'absent']) AS probe,
+            CAST(unnest([1, 5, 999999937]) AS BIGINT) AS key),
+          pc AS (SELECT p.probe, p.key, r.i, $probeH % 64 AS j
+            FROM probes p CROSS JOIN rws r),
+          pv AS (SELECT pc.probe, pc.key,
+              CAST(coalesce(mg.cnt, 0) AS BIGINT) AS v
+            FROM pc LEFT JOIN mg ON mg.i = pc.i AND mg.j = pc.j),
+          pe AS (SELECT probe, key, CAST(min(v) AS BIGINT) AS cms_est
+            FROM pv GROUP BY 1, 2),
+          tc AS (SELECT p.probe, CAST(coalesce(
+              (SELECT sum(c) FROM pk WHERE pk.k = p.key), 0) AS BIGINT)
+              AS true_cnt FROM probes p),
+          nd AS (SELECT ${hllEstimateOverRegs(hllRegs("b", "k"))} AS ndv),
+          sk AS (SELECT CAST(CAST(pe.cms_est AS HUGEINT) * 100 * nd.ndv
+              // n.n_rows AS BIGINT) AS skew_cms_x100
+            FROM pe CROSS JOIN nd CROSS JOIN n WHERE pe.probe = 'hot_sentinel')
+          SELECT pe.probe, pe.key, tc.true_cnt, pe.cms_est,
+            CAST((CAST(pe.cms_est AS HUGEINT) - tc.true_cnt) * 10000
+              // greatest(tc.true_cnt, 1) AS BIGINT) AS over_bp,
+            pe.cms_est >= tc.true_cnt AS ge_ok,
+            n.n_rows, sr.n_stat_rows, sk.skew_cms_x100,
+            sk.skew_cms_x100 >= 800 AS salted_cms, TRUE AS live_log
+          FROM pe JOIN tc ON pe.probe = tc.probe
+          CROSS JOIN n CROSS JOIN sr CROSS JOIN sk
+          ORDER BY pe.probe"""
+      }
     )
   )
 

@@ -4411,6 +4411,72 @@ object SnapshotLog {
     (Seq[(String, Long)], Seq[(String, String, Long, Long)],
       Seq[(String, String, Long, Long)])]()
 
+  // ------------------------------------------------------------------
+  // q220 — per-column COUNT-MIN rows (the 100 TB frequency-stat shape)
+  // ------------------------------------------------------------------
+
+  /** Long-form per-file count-min sketch rows — q218's declared scale
+    * path made real: col_topk's per-file exact top-k merges by SUM only
+    * for keys present in every file's top-k (reliable exactly when skew
+    * exists); a count-min sketch's cells merge by SUM exactly for EVERY
+    * key, with a one-sided error (never an underestimate), so the stat
+    * table can answer point-frequency questions for ANY key at plan
+    * time from 4·64 counters per (file, column) regardless of key
+    * cardinality. Row shape: (path, col_name, row_i, col_j, cnt);
+    * hash_i(k) = h60("i:" || k) % 64 — shared h60, so the oracle
+    * replays every cell.
+    */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64L
+
+  private[graft] def initColCms(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive.execute(
+        c,
+        """CREATE TABLE IF NOT EXISTS col_cms(
+          |path VARCHAR NOT NULL, col_name VARCHAR NOT NULL,
+          |row_i BIGINT NOT NULL, col_j BIGINT NOT NULL,
+          |cnt BIGINT NOT NULL)""".stripMargin)
+    }
+
+  private[graft] def recordColCms(
+      dbFile: String,
+      rows: Seq[(String, String, Long, Long, Long)]): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement("INSERT INTO col_cms VALUES (?, ?, ?, ?, ?)")
+      try rows.foreach { case (p, cn, i, j, n) =>
+        ps.setString(1, p)
+        ps.setString(2, cn)
+        ps.setLong(3, i)
+        ps.setLong(4, j)
+        ps.setLong(5, n)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** The merged sketch of (file scope, column): cell-wise SUM over the
+    * scope's rows — exact for count-min (counters are additive), the
+    * property col_topk lacks. ≤ 4·64 metadata rows; params bound.
+    */
+  private[graft] def colCmsMerged(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Map[(Long, Long), Long] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRowsBound(
+          c,
+          s"""SELECT row_i, col_j, CAST(sum(cnt) AS BIGINT) FROM col_cms
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})
+             GROUP BY 1, 2""",
+          colName +: paths)
+        .map(r => ((r(0).asInstanceOf[Number].longValue,
+          r(1).asInstanceOf[Number].longValue),
+          r(2).asInstanceOf[Number].longValue))
+        .toMap
+    }
+
+
   /** q218 — HEAVY-HITTER STATISTICS → AUTOMATIC SALTED-JOIN DECISION:
     * the fourth planner decision, made entirely from the long-form stat
     * table. s09's salting (`ops/Salting.scala`) is applied by HAND; a
@@ -4612,6 +4678,161 @@ object SnapshotLog {
           "gen_nodes", "max_group", "max_salt_group", "top1_key_exact",
           "top1_is_exact", "plan_ok")
         .orderBy("edge")
+    }
+  }
+
+  /** q220's memoized staging per source dir: (manifest files, col_cms
+    * rows) — the write-once stats cost (the q212Staged discipline).
+    */
+  private val q220Staged = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Seq[(String, Long)], Seq[(String, String, Long, Long, Long)])]()
+
+  /** q220 — COUNT-MIN ROWS IN THE LONG-FORM STAT TABLE: q218's declared
+    * scale path, made real. Per-file exact top-k (col_topk) answers
+    * only "the hottest few keys", and its SUM-merge is reliable only
+    * for keys in every file's top-k; a count-min sketch's 4·64 counters
+    * per (file, column) answer the point frequency of ANY key, merge
+    * across files EXACTLY (cell-wise sum — counters are additive), and
+    * err on one side only (an overestimate, never under — a planner
+    * acting on "at least this hot" is safe). Lifecycle:
+    *
+    *   - the q218 relation (lineitem with the sentinel-skew key) staged
+    *     as 4 bucket files; ONE stats job computes per-(file, key)
+    *     exact counts and derives the 4 hash rows' cells
+    *     (hash_i(k) = h60("i:" || k) % 64 — the shared h60, so the
+    *     oracle replays every cell); rows land in col_cms;
+    *   - plan time, metadata only: the scope's sketch = cell-wise SUM
+    *     of the files' rows; point estimates f̂(k) = min over the 4
+    *     rows of the k-hashed cell — probed for the hot sentinel key,
+    *     a typical key, and an ABSENT key;
+    *   - the audit, in-hash per probe: f̂ vs the exact count (signed
+    *     over_bp), ge_ok — the one-sided guarantee f̂ ≥ f, which holds
+    *     deterministically by construction — and the q218 skew ratio
+    *     recomputed FROM the sketch (skew_cms_x100) with the same ≥800
+    *     salt decision, tying the scale path back to the decision it
+    *     serves.
+    *
+    * Scale shape: ≤ 4·64 stat rows per (file, column) INDEPENDENT of
+    * key cardinality (col_topk is 8, col_ndv 64 — col_cms 256, all
+    * O(1) in corpus size); the merge is a ≤256-row metadata aggregate;
+    * the exact per-key census exists once as the staged write's stats
+    * job.
+    */
+  def cmsFrequencyStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Hashing
+
+    val bigRel = Tables
+      .lineitem(spark, dir)
+      .select(
+        (col("l_orderkey") % 4).cast("long").as("g"),
+        when(col("l_returnflag") === "R", lit(1L))
+          .otherwise(col("l_partkey").cast("long")).as("k"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val probes = Seq(("hot_sentinel", 1L), ("typical", 5L), ("absent", 999999937L))
+
+    def cellJ(i: Int, k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(Hashing.h60(concat(lit(s"$i:"), k.cast("string"))), lit(CmsWidth))
+
+    if (DuckDbLive.available) withTempTableDir("graft_q220_") { tmp =>
+      val (files, cmsRows) = q220Staged.computeIfAbsent(
+        dir,
+        _ => {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q220_tbl_").toAbsolutePath.toString
+          val fs = writeBucketed(spark, bigRel, s"$base/line", 0L to 3L)
+          val bucketRe = "/g=(\\d+)/".r
+          val pathOf: Map[Long, String] = fs
+            .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1))
+            .toMap
+          // ONE stats job: per-(file, key) exact counts → the 4 hash
+          // rows' cells, all map-side-combined aggregation
+          val cells = bigRel
+            .groupBy(col("g"), col("k")).agg(count(lit(1)).as("c"))
+            .select(col("g"), col("c"), explode(array((0 until CmsDepth).map(i =>
+              struct(lit(i.toLong).as("i"), cellJ(i, col("k")).as("j"))): _*)).as("ij"))
+            .groupBy(col("g"), col("ij.i").as("i"), col("ij.j").as("j"))
+            .agg(sum(col("c")).as("cnt"))
+            .collect() // ≤ 4 files · 4·64 cells — stats metadata
+            .map(r => (pathOf(r.getLong(0)), "k", r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toSeq
+          (fs.map(f => (f._1, f._2)), cells)
+        })
+
+      val dbFile = s"$tmp/log.duckdb"
+      initLog(dbFile)
+      initColCms(dbFile)
+      recordColCms(dbFile, cmsRows)
+      require(commit(dbFile, 0L, 1L, files), "q220 snapshot commit rejected")
+
+      val paths = files.map(_._1)
+      val man = manifest(dbFile, 1L).toMap
+      val nRows = files.map(f => man(f._1)).sum
+      // plan time: the merged sketch — metadata only
+      val sketch = colCmsMerged(dbFile, paths, "k")
+      val nStatRows = sketch.size.toLong // merged cells = distinct (i, j) recorded
+      def estimate(key: Long): Long =
+        (0 until CmsDepth).map { i =>
+          sketch.getOrElse(
+            (i.toLong, Hashing.h60Local(s"$i:$key") % CmsWidth), 0L)
+        }.min
+      // the audit layer: exact probe counts from one scan
+      val exact: Map[Long, Long] = bigRel
+        .filter(col("k").isin(probes.map(_._2): _*))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val hotEst = estimate(1L)
+      // q218's decision recomputed FROM the sketch (ndv-free form uses
+      // the same ratio with col_ndv; here the hot count alone already
+      // clears mean·8 = n·8/width-bound keys — keep the exact q218 form
+      // with ndv from a direct register census for the tie-back)
+      val ndv = graft.ops.Hll.estimateInt(
+        graft.ops.Hll.registerCensus(bigRel, col("k").cast("string")))
+      val skewCms = (BigInt(hotEst) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
+      probes.map { case (name, key) =>
+        val est = estimate(key)
+        val tru = exact.getOrElse(key, 0L)
+        (name, key, tru, est,
+          (BigInt(est - tru) * 10000 / BigInt(math.max(tru, 1L))).toLong,
+          est >= tru, nRows, nStatRows, skewCms, skewCms >= 800L, true)
+      }
+        .toDF("probe", "key", "true_cnt", "cms_est", "over_bp", "ge_ok",
+          "n_rows", "n_stat_rows", "skew_cms_x100", "salted_cms", "live_log")
+        .orderBy("probe")
+    } else {
+      // honest fallback: the same sketch from a direct grouping;
+      // live_log=false fails the oracle's TRUE
+      val cells = bigRel
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .select(col("c"), explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i.toLong).as("i"), cellJ(i, col("k")).as("j"))): _*)).as("ij"))
+        .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
+        .agg(sum(col("c")).as("cnt"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val nRows = bigRel.count()
+      def estimate(key: Long): Long =
+        (0 until CmsDepth).map { i =>
+          cells.getOrElse(
+            (i.toLong, Hashing.h60Local(s"$i:$key") % CmsWidth), 0L)
+        }.min
+      val exact: Map[Long, Long] = bigRel
+        .filter(col("k").isin(probes.map(_._2): _*))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ndv = graft.ops.Hll.estimateInt(
+        graft.ops.Hll.registerCensus(bigRel, col("k").cast("string")))
+      val skewCms = (BigInt(estimate(1L)) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
+      probes.map { case (name, key) =>
+        val est = estimate(key)
+        val tru = exact.getOrElse(key, 0L)
+        (name, key, tru, est,
+          (BigInt(est - tru) * 10000 / BigInt(math.max(tru, 1L))).toLong,
+          est >= tru, nRows, cells.size.toLong, skewCms, skewCms >= 800L, false)
+      }
+        .toDF("probe", "key", "true_cnt", "cms_est", "over_bp", "ge_ok",
+          "n_rows", "n_stat_rows", "skew_cms_x100", "salted_cms", "live_log")
+        .orderBy("probe")
     }
   }
 

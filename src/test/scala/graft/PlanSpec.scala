@@ -1271,6 +1271,16 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q220 cms frequency stats: probe math lands as a local relation — q210's class") {
+    // the staged write + one stats job run before the frame; the probe
+    // estimates are driver-side min-lookups over the ≤256-cell merged
+    // sketch read from the log
+    val p = plan("q220_cms_frequency_stats")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q219 estimator regression: regime math lands as a local relation — q210's class") {
     // the per-regime censuses, counts, and streamed true-join counts
     // all run before the frame is built; the estimator arithmetic is

@@ -2321,6 +2321,70 @@ object StreamDemos {
           CAST(0 AS BIGINT) AS exchanges_join, TRUE AS census_ok,
           TRUE AS accept_ok, TRUE AS final_state_ok
         FROM g CROSS JOIN j ORDER BY snapshot_id""")
+    ),
+    // s73: COMPACTION HEALS STALE STATS — the stats lifecycle closed:
+    // s71's delete leaves one file's sketch rows stale and every
+    // estimate paying a pruned-scope recompute scan; the compaction
+    // that folds the masks also RE-STATS the new file, the stale
+    // markers fall outside the new manifest, and the estimator returns
+    // to the pure-metadata path (n_recompute_files 0 → 1 → 0 and the
+    // naive merge collapsing back onto the fresh path, both in-hash).
+    // Full lifecycle + scale shape:
+    // SnapshotLog.staleStatsCompactionRefresh scaladoc.
+    Q(
+      "s73_stat_refresh_on_compaction",
+      (s, dir) => graft.sinks.SnapshotLog.staleStatsCompactionRefresh(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val h = h60("CAST(cust AS VARCHAR)")
+        s"""WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS cust FROM orders),
+          steps AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS step),
+          lv AS (SELECT t.step, b.cust FROM b, steps t
+            WHERE t.step = 1 OR NOT (b.cust % 4 = 2 AND b.cust % 20 >= 10)),
+          n AS (SELECT step, CAST(count(*) AS BIGINT) AS n_live_rows,
+              CAST(count(DISTINCT cust) AS BIGINT) AS exact_ndv
+            FROM lv GROUP BY 1),
+          hh AS (SELECT DISTINCT step, $h AS h FROM lv),
+          regs AS (SELECT step, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM hh GROUP BY 1, 2),
+          est AS (SELECT step, ${hllEstimate("s_h")} AS est_ndv FROM
+            (SELECT step, $hllSH AS s_h FROM regs GROUP BY step)),
+          nregs AS (SELECT ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+            FROM (SELECT DISTINCT $h AS h FROM b) GROUP BY 1),
+          nvall AS (SELECT ${hllEstimate("s_h")} AS v FROM
+            (SELECT $hllSH AS s_h FROM nregs)),
+          fc12 AS (SELECT step, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT DISTINCT t.step, b.cust % 4 AS g, ${hllBucket(h)} AS bucket
+              FROM b, steps t WHERE t.step <= 2 AND (t.step = 1 OR b.cust % 4 <> 2))
+            GROUP BY 1),
+          fc3 AS (SELECT
+            (SELECT c FROM fc12 WHERE step = 2) +
+            (SELECT CAST(count(DISTINCT ${hllBucket(h)}) AS BIGINT) FROM b
+              WHERE cust % 4 = 2 AND NOT (cust % 20 >= 10)) AS c)
+          SELECT n.step, n.n_live_rows, CAST(4 AS BIGINT) AS n_files,
+            CAST(CASE WHEN n.step = 2 THEN 1 ELSE 0 END AS BIGINT)
+              AS n_stale_files,
+            CAST(CASE WHEN n.step = 2 THEN 1 ELSE 0 END AS BIGINT)
+              AS n_recompute_files,
+            CAST(CASE WHEN n.step = 2 THEN 1 ELSE 0 END AS BIGINT)
+              AS n_pos_delete_files,
+            CAST(CASE WHEN n.step = 3 THEN (SELECT c FROM fc3)
+              ELSE (SELECT c FROM fc12 WHERE step = n.step) END AS BIGINT)
+              AS n_fresh_stat_rows,
+            est.est_ndv,
+            CAST(CASE WHEN n.step = 3 THEN est.est_ndv
+              ELSE (SELECT v FROM nvall) END AS BIGINT) AS naive_est_ndv,
+            n.exact_ndv,
+            CAST((CAST(est.est_ndv AS HUGEINT) - n.exact_ndv) * 10000
+              // n.exact_ndv AS BIGINT) AS err_bp,
+            CAST((CAST(CASE WHEN n.step = 3 THEN est.est_ndv
+                ELSE (SELECT v FROM nvall) END AS HUGEINT) - n.exact_ndv)
+              * 10000 // n.exact_ndv AS BIGINT) AS naive_err_bp,
+            TRUE AS regs_match, TRUE AS stale_guard_ok, TRUE AS live_log
+          FROM n JOIN est ON n.step = est.step
+          ORDER BY n.step"""
+      }
     )
   )
 }

@@ -5012,6 +5012,180 @@ object SnapshotLog {
     }
   }
 
+  /** s73 — COMPACTION HEALS STALE STATS: the stats lifecycle CLOSED.
+    * s71 leaves the table in its degraded steady state (one file's
+    * sketch rows stale, every estimate paying a pruned-scope recompute
+    * scan); the production system's way out is the compaction it
+    * already owes the delete — the rewrite that folds the masks also
+    * RE-STATS the new file, and the estimator returns to the
+    * pure-metadata path. Lifecycle = s71's two snapshots plus:
+    *
+    *   - snapshot 3: the stale file compacted — its masked rows
+    *     rewritten as one new file (morReadV2 restricted to exactly
+    *     the stale scope; carried files never opened), FRESH col_ndv
+    *     registers recorded for the new file from the same delta-sized
+    *     input, position-delete manifests dropped, manifest = 3
+    *     carried + 1 new;
+    *   - the estimator at snapshot 3: the stale markers now reference
+    *     a path OUTSIDE the manifest, so the guarded reader accepts
+    *     the FULL scope (n_stale_in_scope = 0, n_recompute_files = 0 —
+    *     no data scan on the estimate path again), and the naive
+    *     stale-inclusive merge EQUALS the fresh path (the table
+    *     healed: naive_err_bp collapses from the +over-count back to
+    *     the fresh error);
+    *   - in-hash per snapshot: everything s71 pins, plus
+    *     n_recompute_files (0 → 1 → 0 — the recompute tax existing
+    *     exactly while staleness does), n_pos_delete_files
+    *     (0 → 1 → 0), and census-neutrality of the compaction
+    *     (n_live_rows and exact_ndv flat across snapshots 2 → 3).
+    *
+    * Scale shape: compaction cost is |stale files| + |masks| (the
+    * delta the delete created), the re-stat rides the same delta-sized
+    * input, and the estimator's steady state is back to ≤64-row
+    * metadata merges — the whole point of paying the rewrite.
+    */
+  def staleStatsCompactionRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_custkey").cast("long").as("cust"))
+    val delPred = col("cust") % 4 === 2 && col("cust") % 20 >= 10
+
+    def errBp(est: Long, exact: Long): Long =
+      (BigInt(est - exact) * 10000 / BigInt(exact)).toLong
+
+    if (DuckDbLive.available) withTempTableDir("graft_s73_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initMor(dbFile)
+      initPosDeletes(dbFile)
+      initColNdv(dbFile)
+      initStatStale(dbFile)
+
+      val files = writeBucketed(
+        spark, o.withColumn("g", pmod(col("cust"), lit(4L))), s"$base/data", 0L to 3L)
+      val bucketRe = "/g=(\\d+)/".r
+      val pathOf: Map[Long, String] = files
+        .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
+      val cells = o
+        .select(pmod(col("cust"), lit(4L)).as("g"),
+          Hashing.h60(col("cust").cast("string")).as("h"))
+        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("g", "bucket").agg(max("rk").as("mr"))
+        .collect() // ≤ 4·64 sketch cells — stats metadata
+        .map(r => (pathOf(r.getLong(0)), "cust", r.getLong(1), r.getLong(2)))
+        .toSeq
+      recordColNdv(dbFile, cells)
+      val dataFiles = files.map(f => (f._1, f._2))
+      recordSeq(dbFile, dataFiles.map(_._1), 1L)
+      val c1 = commitMorV2(dbFile, 0L, 1L, dataFiles, Seq.empty, Seq.empty)
+
+      def snapRow(step: Long, snap: Long, ok: Boolean) = {
+        val paths = manifestSeq(dbFile, snap).map(_._1)
+        val stale = staleIn(dbFile, paths, "cust") // metadata
+        val freshPaths = paths.filterNot(stale.toSet)
+        val rejected = scala.util.Try(
+          colNdvRegistersFresh(dbFile, paths, "cust")).isFailure
+        val freshRegs = colNdvRegistersFresh(dbFile, freshPaths, "cust")
+        val recomputed =
+          if (stale.isEmpty) Seq.empty[(Long, Long)]
+          else Hll.registerCensus(
+            morReadV2(spark, dbFile, snap, "cust", Some(stale.toSet)),
+            col("cust").cast("string"))
+        val merged = Hll.mergeRegisters(freshRegs, recomputed)
+        val est = Hll.estimateInt(merged)
+        val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
+        val live = morReadV2(spark, dbFile, snap, "cust")
+        val a = live.agg(count(lit(1)), countDistinct(col("cust"))).head()
+        val (nLive, exact) = (a.getLong(0), a.getLong(1))
+        val regsMatch =
+          merged == Hll.registerCensus(live, col("cust").cast("string"))
+        (step, nLive, paths.size.toLong, stale.size.toLong, stale.size.toLong,
+          posDeleteSeq(dbFile, snap).map(_._1).distinct.size.toLong,
+          colNdvRowCount(dbFile, freshPaths, "cust"), est, naive, exact,
+          errBp(est, exact), errBp(naive, exact), regsMatch,
+          rejected == stale.nonEmpty, ok)
+      }
+      val row1 = snapRow(1L, 1L, c1)
+
+      // snapshot 2: the s71 delete + stale markers
+      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
+        .select(
+          col("_metadata.file_path").as("pd_path"),
+          col("_metadata.row_index").as("pd_pos"),
+          col("cust"))
+        .filter(delPred)
+        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+      recordSeq(dbFile, pd1.map(_._1), 2L)
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
+      val refs = spark.read.parquet(pd1.map(_._1): _*)
+        .select(col("pd_path")).distinct()
+        .collect() // bounded by the file count — manifest-scale metadata
+        .map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSeq.sorted
+      markStatsStale(dbFile, refs, "cust")
+      val row2 = snapRow(2L, 2L, c1 && c2)
+
+      // snapshot 3: COMPACTION of exactly the stale scope + re-stat
+      val stale2 = staleIn(dbFile, dataFiles.map(_._1), "cust")
+      val compacted = morReadV2(spark, dbFile, 2L, "cust", Some(stale2.toSet))
+        .select("k", "cents", "cust")
+      val comp = writeCounted(spark, compacted, s"$base/c1", 1)
+      // fresh registers for the new file, from the same delta-sized input
+      val newRegs = Hll.registerCensus(
+        spark.read.parquet(comp.map(_._1): _*), col("cust").cast("string"))
+      recordColNdv(dbFile, newRegs.map { case (b, mr) => (comp.head._1, "cust", b, mr) })
+      recordSeq(dbFile, comp.map(_._1), 3L)
+      val carried = dataFiles.filterNot(f => stale2.contains(f._1))
+      val c3 = commitMorV2(dbFile, 2L, 3L, carried ++ comp, Seq.empty, Seq.empty)
+      val row3 = snapRow(3L, 3L, c1 && c2 && c3)
+
+      Seq(row1, row2, row3)
+        .toDF("step", "n_live_rows", "n_files", "n_stale_files",
+          "n_recompute_files", "n_pos_delete_files", "n_fresh_stat_rows",
+          "est_ndv", "naive_est_ndv", "exact_ndv", "err_bp", "naive_err_bp",
+          "regs_match", "stale_guard_ok", "live_log")
+        .orderBy("step")
+    } else {
+      // honest fallback: direct censuses; the guard/log flags false
+      // fail the oracle's TRUE
+      def row(step: Long, pred: org.apache.spark.sql.Column) = {
+        val live = o.filter(pred)
+        val regsAll = Hll.registerCensus(o, col("cust").cast("string"))
+        val liveRegs = Hll.registerCensus(live, col("cust").cast("string"))
+        val est = Hll.estimateInt(liveRegs)
+        val naive =
+          if (step == 3L) est else Hll.estimateInt(regsAll)
+        val a = live.agg(count(lit(1)), countDistinct(col("cust"))).head()
+        val nStale = if (step == 2L) 1L else 0L
+        val nFresh = o
+          .filter(if (step == 1L) lit(true) else col("cust") % 4 =!= 2)
+          .select(pmod(col("cust"), lit(4L)).as("g"),
+            Hashing.h60(col("cust").cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"))
+          .distinct().count() +
+          (if (step == 3L)
+            live.filter(col("cust") % 4 === 2)
+              .select(Hashing.h60(col("cust").cast("string")).as("h"))
+              .select(Hll.bucketCol.as("bucket")).distinct().count()
+          else 0L)
+        (step, a.getLong(0), 4L, nStale, nStale, nStale, nFresh, est, naive,
+          a.getLong(1), errBp(est, a.getLong(1)), errBp(naive, a.getLong(1)),
+          false, false, false)
+      }
+      Seq(row(1L, lit(true)), row(2L, !delPred), row(3L, !delPred))
+        .toDF("step", "n_live_rows", "n_files", "n_stale_files",
+          "n_recompute_files", "n_pos_delete_files", "n_fresh_stat_rows",
+          "est_ndv", "naive_est_ndv", "exact_ndv", "err_bp", "naive_err_bp",
+          "regs_match", "stale_guard_ok", "live_log")
+        .orderBy("step")
+    }
+  }
+
   /** s64 — NDV SKETCHES IN THE MANIFEST: the distinct-count statistics
     * a 100 TB planner needs (join-side choice, agg sizing, dictionary
     * decisions) persisted per FILE at write time and merged at PLAN

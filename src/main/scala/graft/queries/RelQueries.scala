@@ -3893,6 +3893,144 @@ object RelQueries {
           CROSS JOIN n CROSS JOIN sr CROSS JOIN sk
           ORDER BY pe.probe"""
       }
+    ),
+    // q221: the COMPOSED join-strategy decision — the planner-decision
+    // family's capstone: one decision TREE over the same stat inputs
+    // (row counts → size model, top-1 frequency + NDV → skew ratio)
+    // routes three engineered edges to three different physical
+    // strategies, and each EXECUTED plan is audited structurally:
+    //   build fits the budget (probe bytes div 4 — q216's proven size
+    //     model) → BROADCAST (Spark's own planner, handed the budget —
+    //     1 BHJ / 0 shuffles);
+    //   too big + probe key skewed (q218's ≥ 800 ratio; the sentinel
+    //     hot key) → SALTED (0 BHJ / 2 shuffles / 1 Generate);
+    //   too big + flat → plain SHUFFLE SMJ (0 / 2 / 0).
+    // customer at 1/10 of orders vs the div-4 budget, lineitem at ~4× —
+    // the three routings hold at every SF by construction. Censuses,
+    // the decision inputs, and all three plan shapes ride the hash.
+    // At 100 TB the inputs are col_ndv/col_topk/col_cms + manifest
+    // rows (q212/q218/q220); here they are direct censuses — the
+    // audit layer — so the entry stays staging-free.
+    //
+    // Scale shape: decision inputs are one map-side-combined groupBy
+    // per probe key + counts; each executed join is one streamed
+    // census; nothing is materialized.
+    Q(
+      "q221_join_strategy_decision",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{BucketedJoin, Hashing, Hll, Salting}
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val c = Tables.customer(s, dir)
+        val probeCust = o.select(
+          col("o_custkey").cast("long").as("k"),
+          col("o_orderkey").cast("long").as("rid"))
+        val probeFlat = o.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderkey").cast("long").as("rid"))
+        // the sentinel hot key: ~half the orders (status 'F') resolve
+        // to order 1 — q218's unknown-member pattern on the join key
+        val probeSkew = o.select(
+          when(col("o_orderstatus") === "F", lit(1L))
+            .otherwise(col("o_orderkey").cast("long")).as("k"),
+          col("o_orderkey").cast("long").as("rid"))
+        val buildCust = c.select(col("c_custkey").cast("long").as("bk"))
+        val buildLine = l.select(col("l_orderkey").cast("long").as("bk"))
+
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          def edgeRow(edge: String, probe: org.apache.spark.sql.DataFrame,
+              build: org.apache.spark.sql.DataFrame) = {
+            // ---- decision inputs: metadata-class statistics ----
+            val (nP, nB) = (probe.count(), build.count())
+            val (budget, buildBytes) = (nP * 8L / 4L, nB * 8L)
+            val t1 = probe.groupBy("k").agg(count(lit(1)).as("c"))
+              .agg(max("c")).head().getLong(0)
+            val ndv = Hll.estimateInt(
+              Hll.registerCensus(probe, col("k").cast("string")))
+            val skew = (BigInt(t1) * 100 * BigInt(ndv) / BigInt(nP)).toLong
+            val strategy =
+              if (buildBytes <= budget) "broadcast"
+              else if (skew >= 800L) "salted"
+              else "shuffle"
+            // ---- execution: the chosen physical shape ----
+            s.conf.set(
+              "spark.sql.autoBroadcastJoinThreshold",
+              if (strategy == "broadcast") budget.toString else "-1")
+            val j = strategy match {
+              case "salted" =>
+                Salting.saltedJoinWith(probe, build, col("k"), col("bk"),
+                  pmod(Hashing.h60(col("rid").cast("string")), lit(8)).cast("int"), 8)
+              case _ => probe.join(build, col("k") === col("bk"))
+            }
+            val (bhj, sh, gen) = (BucketedJoin.countBroadcastHashJoins(j),
+              BucketedJoin.countShuffles(j), BucketedJoin.countGenerates(j))
+            val r = j.agg(count(lit(1)), sum(col("k"))).head()
+            val expected = strategy match {
+              case "broadcast" => (1L, 0L, 0L)
+              case "shuffle" => (0L, 2L, 0L)
+              case "salted" => (0L, 2L, 1L)
+            }
+            (edge, strategy, nP, nB, budget, buildBytes, ndv, t1, skew,
+              r.getLong(0), r.getLong(1), bhj, sh, gen,
+              (bhj, sh, gen) == expected)
+          }
+          Seq(
+            edgeRow("e1_dim", probeCust, buildCust),
+            edgeRow("e2_flat", probeFlat, buildLine),
+            edgeRow("e3_skew", probeSkew, buildLine))
+            .toDF("edge", "strategy", "n_probe", "n_build", "budget_bytes",
+              "build_bytes", "ndv_probe", "top1_cnt", "skew_x100",
+              "n_join", "sum_k", "bhj", "shuffles", "generates", "plan_ok")
+            .orderBy("edge")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      },
+      Some {
+        import graft.oracle.OracleSql.{hllEstimateOverRegs, hllRegs}
+        def edgeSql(edge: String, probeCte: String, buildCte: String,
+            bhj: Int, sh: Int, gen: Int) =
+          s"""SELECT '$edge' AS edge,
+            (SELECT CAST(count(*) AS BIGINT) FROM $probeCte) AS n_probe,
+            (SELECT CAST(count(*) AS BIGINT) FROM $buildCte) AS n_build,
+            ${hllEstimateOverRegs(hllRegs(probeCte, "k"))} AS ndv_probe,
+            (SELECT CAST(max(c) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM $probeCte GROUP BY k)) AS top1_cnt,
+            (SELECT CAST(count(*) AS BIGINT) FROM $probeCte p
+              JOIN $buildCte b ON p.k = b.bk) AS n_join,
+            (SELECT CAST(sum(p.k) AS BIGINT) FROM $probeCte p
+              JOIN $buildCte b ON p.k = b.bk) AS sum_k,
+            CAST($bhj AS BIGINT) AS bhj, CAST($sh AS BIGINT) AS shuffles,
+            CAST($gen AS BIGINT) AS generates"""
+        s"""WITH po AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+          pf AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+          ps AS (SELECT CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+              ELSE CAST(o_orderkey AS BIGINT) END AS k FROM orders),
+          bc AS (SELECT CAST(c_custkey AS BIGINT) AS bk FROM customer),
+          bl AS (SELECT CAST(l_orderkey AS BIGINT) AS bk FROM lineitem),
+          u AS (${edgeSql("e1_dim", "po", "bc", 1, 0, 0)}
+            UNION ALL ${edgeSql("e2_flat", "pf", "bl", 0, 2, 0)}
+            UNION ALL ${edgeSql("e3_skew", "ps", "bl", 0, 2, 1)}),
+          d AS (SELECT *,
+            CAST(n_probe * 8 // 4 AS BIGINT) AS budget_bytes,
+            CAST(n_build * 8 AS BIGINT) AS build_bytes,
+            CAST(CAST(top1_cnt AS HUGEINT) * 100 * ndv_probe
+              // n_probe AS BIGINT) AS skew_x100
+            FROM u)
+          SELECT edge,
+            CASE WHEN build_bytes <= budget_bytes THEN 'broadcast'
+              WHEN skew_x100 >= 800 THEN 'salted'
+              ELSE 'shuffle' END AS strategy,
+            n_probe, n_build, budget_bytes, build_bytes, ndv_probe,
+            top1_cnt, skew_x100, n_join, sum_k, bhj, shuffles, generates,
+            TRUE AS plan_ok
+          FROM d ORDER BY edge"""
+      }
     )
   )
 

@@ -1271,6 +1271,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q221 join strategy decision: decision math lands as a local relation — q210's class") {
+    // the three audited joins execute (streamed censuses) before the
+    // frame is built; the decision tree is driver-side integer math
+    val p = plan("q221_join_strategy_decision")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q220 cms frequency stats: probe math lands as a local relation — q210's class") {
     // the staged write + one stats job run before the frame; the probe
     // estimates are driver-side min-lookups over the ≤256-cell merged

@@ -25,6 +25,14 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("h60Local is bit-identical to the column h60 — q220's driver-side probe lookups depend on it") {
+    val inputs = Seq("abc", "", "the quick brown fox", "0:1", "3:999999937", "2:5")
+    val viaSpark = inputs.toDF("s").select(Hashing.h60(col("s"))).as[Long].collect()
+    inputs.zip(viaSpark).foreach { case (s, g) =>
+      assert(Hashing.h60Local(s) == g, s"for '$s'")
+    }
+  }
+
   test("shingles produce n-word windows in order") {
     val got = Seq("a b c d e")
       .toDF("text")

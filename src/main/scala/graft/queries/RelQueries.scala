@@ -4031,6 +4031,94 @@ object RelQueries {
             TRUE AS plan_ok
           FROM d ORDER BY edge"""
       }
+    ),
+    // q222: q221's decision tree recomputed END-TO-END from the
+    // PERSISTED tables — the entire decision path reads manifest row
+    // counts + col_ndv register rows + col_topk frequency rows out of
+    // the committed log (zero dataframe aggregation before a strategy
+    // is chosen), and the audited joins execute over the manifest's
+    // own staged files. e1 → broadcast, e2 → shuffle, e3 → salted at
+    // every SF by table-ratio construction; executed plan shapes,
+    // censuses, every decision input, and the metadata row count the
+    // decision consumed (n_ndv_rows_read) all ride the hash. Full
+    // lifecycle + scale shape: SnapshotLog.persistedStrategyDecision
+    // scaladoc.
+    Q(
+      "q222_persisted_strategy_decision",
+      (s, dir) => graft.sinks.SnapshotLog.persistedStrategyDecision(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val h = h60("CAST(k AS VARCHAR)")
+        s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS k_cust,
+            CAST(o_orderkey AS BIGINT) AS k_ord,
+            CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+              ELSE CAST(o_orderkey AS BIGINT) END AS k_skew,
+            CAST(o_orderkey AS BIGINT) % 4 AS g
+          FROM orders),
+          kv AS (SELECT g, 'k_cust' AS cn, k_cust AS k FROM o
+            UNION ALL SELECT g, 'k_ord', k_ord FROM o
+            UNION ALL SELECT g, 'k_skew', k_skew FROM o),
+          pf AS (SELECT g, cn, k, CAST(count(*) AS BIGINT) AS c
+            FROM kv GROUP BY 1, 2, 3),
+          tk AS (SELECT g, cn, k, c FROM (SELECT g, cn, k, c, row_number()
+              OVER (PARTITION BY g, cn ORDER BY c DESC, k) AS rn FROM pf)
+            WHERE rn <= 8),
+          mg AS (SELECT cn, k, CAST(sum(c) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+          t1 AS (SELECT cn, k AS top1_key, c AS top1_cnt FROM (SELECT cn, k, c,
+              row_number() OVER (PARTITION BY cn ORDER BY c DESC, k) AS rn FROM mg)
+            WHERE rn = 1),
+          hh AS (SELECT DISTINCT cn, $h AS h FROM pf),
+          regs AS (SELECT cn, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM hh GROUP BY 1, 2),
+          nd AS (SELECT cn, ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT cn, $hllSH AS s_h FROM regs GROUP BY cn)),
+          nr AS (SELECT cn, CAST(count(*) AS BIGINT) AS n_ndv_rows FROM
+            (SELECT DISTINCT cn, g, ${hllBucket(h)} AS bucket FROM pf)
+            GROUP BY cn),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM o),
+          e AS (
+            SELECT 'e1_dim' AS edge, 'k_cust' AS cn,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_build,
+              (SELECT CAST(count(*) AS BIGINT) FROM o
+                JOIN customer ON k_cust = c_custkey) AS n_join,
+              (SELECT CAST(sum(k_cust) AS BIGINT) FROM o
+                JOIN customer ON k_cust = c_custkey) AS sum_k,
+              CAST(1 AS BIGINT) AS bhj, CAST(0 AS BIGINT) AS shuffles,
+              CAST(0 AS BIGINT) AS generates
+            UNION ALL
+            SELECT 'e2_flat', 'k_ord',
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+              (SELECT CAST(count(*) AS BIGINT) FROM o
+                JOIN lineitem ON k_ord = l_orderkey),
+              (SELECT CAST(sum(k_ord) AS BIGINT) FROM o
+                JOIN lineitem ON k_ord = l_orderkey),
+              CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'e3_skew', 'k_skew',
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+              (SELECT CAST(count(*) AS BIGINT) FROM o
+                JOIN lineitem ON k_skew = l_orderkey),
+              (SELECT CAST(sum(k_skew) AS BIGINT) FROM o
+                JOIN lineitem ON k_skew = l_orderkey),
+              CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+          d AS (SELECT e.*, n.n_probe,
+              CAST(n.n_probe * 8 // 4 AS BIGINT) AS budget_bytes,
+              CAST(e.n_build * 8 AS BIGINT) AS build_bytes,
+              t1.top1_key, t1.top1_cnt, nd.ndv AS ndv_probe,
+              nr.n_ndv_rows AS n_ndv_rows_read,
+              CAST(CAST(t1.top1_cnt AS HUGEINT) * 100 * nd.ndv
+                // n.n_probe AS BIGINT) AS skew_x100
+            FROM e JOIN t1 ON e.cn = t1.cn JOIN nd ON e.cn = nd.cn
+            JOIN nr ON e.cn = nr.cn CROSS JOIN n)
+          SELECT edge,
+            CASE WHEN build_bytes <= budget_bytes THEN 'broadcast'
+              WHEN skew_x100 >= 800 THEN 'salted'
+              ELSE 'shuffle' END AS strategy,
+            n_probe, n_build, budget_bytes, build_bytes, ndv_probe,
+            top1_key, top1_cnt, skew_x100, n_ndv_rows_read, n_join, sum_k,
+            bhj, shuffles, generates, TRUE AS plan_ok, TRUE AS live_log
+          FROM d ORDER BY edge"""
+      }
     )
   )
 

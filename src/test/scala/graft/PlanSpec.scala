@@ -1271,6 +1271,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q222 persisted strategy decision: decision math lands as a local relation — q210's class") {
+    // the staged writes + stats jobs + audited joins run before the
+    // frame; the DECISION reads are log-metadata queries, never a plan
+    val p = plan("q222_persisted_strategy_decision")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q221 join strategy decision: decision math lands as a local relation — q210's class") {
     // the three audited joins execute (streamed censuses) before the
     // frame is built; the decision tree is driver-side integer math

@@ -4119,6 +4119,107 @@ object RelQueries {
             bhj, shuffles, generates, TRUE AS plan_ok, TRUE AS live_log
           FROM d ORDER BY edge"""
       }
+    ),
+    // q223: SALT-FACTOR cost-model audit — q147 RECOMMENDS a factor
+    // and q218/q221 CHOOSE to salt; this entry measures what each
+    // factor actually buys: the sentinel-skew edge executed at factors
+    // 1 (plain) / 2 / 4 / 8 / 16, per factor in-hash — the max
+    // per-(key, salt) subgroup (the straggler metric itself, exact
+    // ceil(top1/S) at minimum), balance_x100 = max_sub·S·100/top1
+    // (100 = perfect split; the h60 split's measured deviation), the
+    // executed plan's Generate count (0 plain / 1 salted), and census
+    // equality across EVERY factor (salting never changes results).
+    // q147's advisor factor for this edge rides the hash beside them
+    // (min(32, ceil(top1 / ceil(n/128))) — 32 at every SF here: the
+    // sentinel key is hotter than 32 target-task slices, the
+    // executor-width cap binds). Deterministic end to end: the split
+    // is h60(rid) % S, replayed verbatim by the oracle.
+    //
+    // Scale shape: the decision inputs are q218's stat-table numbers;
+    // each factor's audit is one streamed join census + one
+    // map-side-combined (key, salt) grouping — nothing materializes.
+    Q(
+      "q223_salt_factor_audit",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.{BucketedJoin, Hashing, Salting}
+        val probe = Tables.orders(s, dir).select(
+          when(col("o_orderstatus") === "F", lit(1L))
+            .otherwise(col("o_orderkey").cast("long")).as("k"),
+          col("o_orderkey").cast("long").as("rid"))
+        val build = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").cast("long").as("bk"))
+        val nP = probe.count()
+        val top1 = probe.groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(max("c")).head().getLong(0)
+        val target = math.max(1L, (nP + 127L) / 128L)
+        val rec = math.min(32L, (top1 + target - 1L) / target)
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          def census(j: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            val r = j.agg(count(lit(1)), sum(col("k"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          val (nPlain, sPlain) = census(probe.join(build, col("k") === col("bk")))
+          Seq(1, 2, 4, 8, 16).map { f =>
+            val saltCol =
+              pmod(Hashing.h60(col("rid").cast("string")), lit(f)).cast("int")
+            val j =
+              if (f == 1) probe.join(build, col("k") === col("bk"))
+              else Salting.saltedJoinWith(probe, build, col("k"), col("bk"), saltCol, f)
+            val gen = BucketedJoin.countGenerates(j)
+            val (nJ, sJ) = census(j)
+            val maxSub = probe.groupBy(col("k"), saltCol.as("s"))
+              .agg(count(lit(1)).as("c")).agg(max("c")).head().getLong(0)
+            (f.toLong, nP, top1, maxSub,
+              maxSub * f * 100L / top1, nJ,
+              nJ == nPlain && sJ == sPlain, gen,
+              gen == (if (f == 1) 0L else 1L), rec)
+          }
+            .toDF("salts", "n_probe", "top1_cnt", "max_subgroup",
+              "balance_x100", "n_join", "census_ok", "gen_nodes", "plan_ok",
+              "rec_factor")
+            .orderBy("salts")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      },
+      Some {
+        import graft.oracle.OracleSql.h60
+        val hs = h60("CAST(rid AS VARCHAR)")
+        s"""WITH p AS (SELECT CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+              ELSE CAST(o_orderkey AS BIGINT) END AS k,
+            CAST(o_orderkey AS BIGINT) AS rid FROM orders),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM p),
+          t1 AS (SELECT CAST(max(c) AS BIGINT) AS top1_cnt FROM
+            (SELECT count(*) AS c FROM p GROUP BY k)),
+          jn AS (SELECT CAST(count(*) AS BIGINT) AS n_join FROM p
+            JOIN lineitem ON p.k = l_orderkey),
+          fs AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS salts),
+          ms AS (SELECT salts, CAST(max(c) AS BIGINT) AS max_subgroup FROM
+            (SELECT f.salts AS salts, count(*) AS c FROM p CROSS JOIN fs f
+              GROUP BY f.salts, p.k, ($hs) % f.salts)
+            GROUP BY salts),
+          rc AS (SELECT least(CAST(32 AS BIGINT),
+              (t1.top1_cnt + greatest(CAST(1 AS BIGINT),
+                (n.n_probe + 127) // 128) - 1)
+              // greatest(CAST(1 AS BIGINT), (n.n_probe + 127) // 128))
+              AS rec_factor
+            FROM t1 CROSS JOIN n)
+          SELECT ms.salts, n.n_probe, t1.top1_cnt, ms.max_subgroup,
+            CAST(ms.max_subgroup * ms.salts * 100 // t1.top1_cnt AS BIGINT)
+              AS balance_x100,
+            jn.n_join, TRUE AS census_ok,
+            CAST(CASE WHEN ms.salts = 1 THEN 0 ELSE 1 END AS BIGINT)
+              AS gen_nodes,
+            TRUE AS plan_ok, rc.rec_factor
+          FROM ms CROSS JOIN n CROSS JOIN t1 CROSS JOIN jn CROSS JOIN rc
+          ORDER BY ms.salts"""
+      }
     )
   )
 

@@ -1271,6 +1271,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q223 salt factor audit: factor math lands as a local relation — q210's class") {
+    // the five factor variants execute (streamed censuses + one
+    // map-side (key, salt) grouping each) before the frame is built
+    val p = plan("q223_salt_factor_audit")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q222 persisted strategy decision: decision math lands as a local relation — q210's class") {
     // the staged writes + stats jobs + audited joins run before the
     // frame; the DECISION reads are log-metadata queries, never a plan

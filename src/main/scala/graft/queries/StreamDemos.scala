@@ -2385,6 +2385,117 @@ object StreamDemos {
           FROM n JOIN est ON n.step = est.step
           ORDER BY n.step"""
       }
+    ),
+    // s74: FREQUENCY-STAT staleness — s71's delete-side contract
+    // extended to col_topk/col_cms, where the planner-visible
+    // consequence is a WRONG salt decision: after the hot key's rows
+    // are purged, the naive stale-inclusive path still reports the
+    // dead heavy hitter (naive_salted TRUE vs exact FALSE, in-hash)
+    // while the fresh path (fresh files + all three stat families
+    // recomputed over only the masked stale file) tracks the truth;
+    // the CMS one-sided guarantee survives the recompute and the
+    // guarded reader rejects the full scope exactly at snapshot 2.
+    // Full lifecycle + scale shape: SnapshotLog.freqStatsStaleness
+    // scaladoc.
+    Q(
+      "s74_freq_stats_staleness",
+      (s, dir) => graft.sinks.SnapshotLog.freqStatsStaleness(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val hk = h60("CAST(k AS VARCHAR)")
+        val hCell = h60("CAST(r.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+        val hProbe = h60("CAST(r.i AS VARCHAR) || ':1'")
+        s"""WITH o AS (SELECT CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+              ELSE CAST(o_orderkey AS BIGINT) END AS k FROM orders),
+          og AS (SELECT k, k % 4 AS g FROM o),
+          steps AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS step),
+          rws AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i),
+          nman AS (SELECT CAST(count(*) AS BIGINT) AS n_man FROM o),
+          pf AS (SELECT g, k, CAST(count(*) AS BIGINT) AS c FROM og GROUP BY 1, 2),
+          tk AS (SELECT g, k, c FROM (SELECT g, k, c, row_number()
+              OVER (PARTITION BY g ORDER BY c DESC, k) AS rn FROM pf)
+            WHERE rn <= 8),
+          lv AS (SELECT t.step, og.k, og.g FROM og, steps t
+            WHERE t.step = 1 OR og.k <> 1),
+          lk AS (SELECT step, k, g, CAST(count(*) AS BIGINT) AS c
+            FROM lv GROUP BY 1, 2, 3),
+          cand AS (
+            SELECT 1 AS step, k, c FROM tk
+            UNION ALL SELECT 2, k, c FROM tk WHERE g <> 1
+            UNION ALL SELECT 2, k, c FROM (SELECT k, c, row_number()
+                OVER (ORDER BY c DESC, k) AS rn
+              FROM (SELECT k, c FROM lk WHERE step = 2 AND g = 1))
+              WHERE rn <= 8),
+          mg AS (SELECT step, k, CAST(sum(c) AS BIGINT) AS c
+            FROM cand GROUP BY 1, 2),
+          t1 AS (SELECT step, k AS top1_key, c AS top1_cnt FROM (SELECT step,
+              k, c, row_number() OVER (PARTITION BY step ORDER BY c DESC, k)
+              AS rn FROM mg) WHERE rn = 1),
+          fh AS (SELECT DISTINCT step, $hk AS h FROM lv),
+          fregs AS (SELECT step, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM fh GROUP BY 1, 2),
+          fnd AS (SELECT step, ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT step, $hllSH AS s_h FROM fregs GROUP BY step)),
+          nt1 AS (SELECT k AS nk, c AS nc FROM (SELECT k, c, row_number()
+              OVER (ORDER BY c DESC, k) AS rn FROM
+              (SELECT k, CAST(sum(c) AS BIGINT) AS c FROM tk GROUP BY k))
+            WHERE rn = 1),
+          nregs AS (SELECT ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+            FROM (SELECT DISTINCT $hk AS h FROM og) GROUP BY 1),
+          nnd AS (SELECT ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT $hllSH AS s_h FROM nregs)),
+          lcells AS (SELECT lk.step, r.i, ($hCell) % 64 AS j,
+              CAST(sum(lk.c) AS BIGINT) AS cnt
+            FROM lk CROSS JOIN rws r GROUP BY 1, 2, 3),
+          ncells AS (SELECT r.i, ($hCell) % 64 AS j,
+              CAST(sum(c) AS BIGINT) AS cnt
+            FROM (SELECT k, CAST(sum(c) AS BIGINT) AS c FROM pf GROUP BY k)
+            CROSS JOIN rws r GROUP BY 1, 2),
+          pj AS (SELECT r.i, ($hProbe) % 64 AS j FROM rws r),
+          cmsf AS (SELECT s.step, CAST(min(coalesce(lc.cnt, 0)) AS BIGINT) AS v
+            FROM steps s CROSS JOIN pj LEFT JOIN lcells lc
+              ON lc.step = s.step AND lc.i = pj.i AND lc.j = pj.j
+            GROUP BY s.step),
+          cmsn AS (SELECT CAST(min(coalesce(nc.cnt, 0)) AS BIGINT) AS v
+            FROM pj LEFT JOIN ncells nc ON nc.i = pj.i AND nc.j = pj.j),
+          ext AS (SELECT step, k AS exk, c AS exc FROM (SELECT step, k,
+              CAST(sum(c) AS BIGINT) AS c, row_number() OVER (PARTITION BY step
+                ORDER BY sum(c) DESC, k) AS rn
+              FROM lk GROUP BY step, k) WHERE rn = 1),
+          exn AS (SELECT step, CAST(count(DISTINCT k) AS BIGINT) AS exndv,
+              CAST(count(*) AS BIGINT) AS n_live,
+              CAST(coalesce(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS hot
+            FROM lv GROUP BY 1),
+          d AS (SELECT t1.step, exn.n_live,
+              CAST(CASE WHEN t1.step = 2 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_stale_files,
+              t1.top1_key, t1.top1_cnt, fnd.ndv AS ndv_est,
+              CAST(CAST(t1.top1_cnt AS HUGEINT) * 100 * fnd.ndv
+                // nman.n_man AS BIGINT) AS skew_x100,
+              nt1.nk AS naive_top1_key, nt1.nc AS naive_top1_cnt,
+              CAST(CAST(nt1.nc AS HUGEINT) * 100 * nnd.ndv
+                // nman.n_man AS BIGINT) AS naive_skew_x100,
+              ext.exk AS top1_exact_key, ext.exc AS top1_exact_cnt,
+              CAST(CAST(ext.exc AS HUGEINT) * 100 * exn.exndv
+                // nman.n_man AS BIGINT) AS exact_skew,
+              cmsf.v AS cms_hot_fresh, cmsn.v AS cms_hot_naive, exn.hot
+            FROM t1 JOIN fnd ON t1.step = fnd.step
+            JOIN ext ON t1.step = ext.step JOIN exn ON t1.step = exn.step
+            JOIN cmsf ON t1.step = cmsf.step
+            CROSS JOIN nt1 CROSS JOIN nnd CROSS JOIN nman CROSS JOIN cmsn)
+          SELECT step, n_live AS n_live_rows, n_stale_files,
+            top1_key, top1_cnt, ndv_est, skew_x100, skew_x100 >= 800 AS salted,
+            naive_top1_key, naive_top1_cnt, naive_skew_x100,
+            naive_skew_x100 >= 800 AS naive_salted,
+            top1_exact_key, top1_exact_cnt, exact_skew >= 800 AS exact_salted,
+            cms_hot_fresh, cms_hot_naive, hot AS hot_live,
+            (cms_hot_fresh >= hot AND cms_hot_naive >= hot) AS cms_ge_ok,
+            (skew_x100 >= 800) = (exact_skew >= 800) AS decision_ok,
+            TRUE AS stale_guard_ok, TRUE AS live_log
+          FROM d ORDER BY step"""
+      }
     )
   )
 }

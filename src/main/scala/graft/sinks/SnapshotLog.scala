@@ -4402,6 +4402,26 @@ object SnapshotLog {
     colNdvRegisters(dbFile, paths, colName)
   }
 
+  /** The scope's full merged frequency view: per-key SUMS over the
+    * files' top-k rows (s74 merges this with a recomputed stale scope
+    * before taking the argmax). ≤ k·n_files metadata rows; bound.
+    */
+  private[graft] def colTopkMerged(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): Seq[(Long, Long)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRowsBound(
+          c,
+          s"""SELECT key_val, CAST(sum(cnt) AS BIGINT) AS c FROM col_topk
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})
+             GROUP BY key_val ORDER BY key_val""",
+          colName +: paths)
+        .map(r => (r(0).asInstanceOf[Number].longValue,
+          r(1).asInstanceOf[Number].longValue))
+    }
+
   /** q218's memoized staging per source dir: (manifest files, col_topk
     * rows, col_ndv rows) — the write-once stats cost (the q212Staged
     * discipline); repeated invocations measure the decision + audit.
@@ -5439,6 +5459,221 @@ object SnapshotLog {
           "n_recompute_files", "n_pos_delete_files", "n_fresh_stat_rows",
           "est_ndv", "naive_est_ndv", "exact_ndv", "err_bp", "naive_err_bp",
           "regs_match", "stale_guard_ok", "live_log")
+        .orderBy("step")
+    }
+  }
+
+  /** s74 — FREQUENCY-STAT STALENESS: s71's delete-side contract
+    * extended to the stats that DRIVE the salt decision. Top-k rows
+    * and count-min cells can't decrement any more than HLL registers
+    * can — after a delete removes the hot key's rows, stale frequency
+    * stats keep reporting a heavy hitter that no longer exists, and
+    * the planner-visible consequence is a WRONG salt decision (pay the
+    * explode + wider shuffle for a straggler that is gone). Lifecycle:
+    *
+    *   - orders staged bucketed by the SKEW KEY's residue (k = the
+    *     sentinel: status-'F' orders resolve to key 1; g = k % 4, so
+    *     every hot row lives in file 1), ONE stats job recording all
+    *     three stat families (col_topk, col_ndv, col_cms) for k;
+    *   - snapshot 2: position delete of every k = 1 row (the hot key
+    *     evaporates — a retention purge of exactly the sentinel
+    *     class); the commit marks file 1's k-stats stale (ONE marker
+    *     covers all three families — staleness is a property of
+    *     (file, column), not of a sketch kind);
+    *   - the decision per snapshot, BOTH ways: the FRESH path (fresh
+    *     files' rows + all three families recomputed over ONLY the
+    *     masked stale file, merged) vs the NAIVE stale-inclusive path;
+    *     in-hash: fresh top-1/NDV/skew/salt-decision match the exact
+    *     ground truth at both snapshots, while the naive path still
+    *     salts after the delete (naive_salted TRUE vs exact FALSE —
+    *     the wrong decision this entry exists to prevent), the naive
+    *     CMS still reports the dead key hot while the fresh CMS
+    *     collapses to the collision floor (both ≥ the exact 0 — the
+    *     one-sided guarantee survives the recompute), and the guarded
+    *     reader rejects the full scope exactly at snapshot 2.
+    *
+    * Scale shape: markers ride the delete commit (O(affected files));
+    * the fresh path recomputes only the delta the delete touched; the
+    * naive path exists only as this entry's audit layer.
+    */
+  def freqStatsStaleness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        when(col("o_orderstatus") === "F", lit(1L))
+          .otherwise(col("o_orderkey").cast("long")).as("k"),
+        col("o_orderkey").cast("long").as("rid"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s74_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initMor(dbFile)
+      initPosDeletes(dbFile)
+      initColNdv(dbFile)
+      initColTopk(dbFile)
+      initColCms(dbFile)
+      initStatStale(dbFile)
+
+      val files = writeBucketed(
+        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/data", 0L to 3L)
+      val bucketRe = "/g=(\\d+)/".r
+      val pathOf: Map[Long, String] = files
+        .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
+
+      /** All three stat families of one frame's k column, from one
+        * per-key aggregation — shared by the write-time stats job and
+        * the pruned-scope recompute.
+        */
+      def statsOf(df: DataFrame): (Seq[(Long, Long)], Seq[(Long, Long)],
+          Map[(Long, Long), Long]) = {
+        val perKey = df.groupBy("k").agg(count(lit(1)).as("c"))
+        // top-8 as a distributed sort+limit (TakeOrdered), never a
+        // partition-less window over the NDV-sized per-key frame
+        val topk = perKey
+          .orderBy(col("c").desc, col("k")).limit(8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val regs = Hll.registerCensus(df, col("k").cast("string"))
+        val cms = perKey
+          .select(col("c"), explode(array((0 until CmsDepth).map(i =>
+            struct(lit(i.toLong).as("i"),
+              pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
+                lit(CmsWidth)).as("j"))): _*)).as("ij"))
+          .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
+          .agg(sum(col("c")).as("cnt"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        (topk, regs, cms)
+      }
+
+      // ONE write-time stats job per file (delta-sized frames)
+      (0L to 3L).foreach { g =>
+        val (tk, rg, cm) = statsOf(o.filter(pmod(col("k"), lit(4L)) === g))
+        val p = pathOf(g)
+        recordColTopk(dbFile, tk.map { case (k, c) => (p, "k", k, c) })
+        recordColNdv(dbFile, rg.map { case (b, mr) => (p, "k", b, mr) })
+        recordColCms(dbFile, cm.toSeq.map { case ((i, j), c) => (p, "k", i, j, c) })
+      }
+      val dataFiles = files.map(f => (f._1, f._2))
+      recordSeq(dbFile, dataFiles.map(_._1), 1L)
+      val c1 = commitMorV2(dbFile, 0L, 1L, dataFiles, Seq.empty, Seq.empty)
+
+      def cmsMin(cells: Map[(Long, Long), Long], key: Long): Long =
+        (0 until CmsDepth).map { i =>
+          cells.getOrElse((i.toLong, Hashing.h60Local(s"$i:$key") % CmsWidth), 0L)
+        }.min
+      def addCells(a: Map[(Long, Long), Long], b: Map[(Long, Long), Long]) =
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      def top1Of(rows: Seq[(Long, Long)]): (Long, Long) = {
+        val byKey = rows.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+        byKey.toSeq.sortBy { case (k, c) => (-c, k) }.head
+      }
+
+      def snapRow(step: Long, snap: Long, ok: Boolean) = {
+        val paths = manifestSeq(dbFile, snap).map(_._1)
+        val stale = staleIn(dbFile, paths, "k")
+        val freshPaths = paths.filterNot(stale.toSet)
+        val rejected = scala.util.Try(
+          colNdvRegistersFresh(dbFile, paths, "k")).isFailure
+        val nMan = manifest(dbFile, snap).map(_._2).sum
+        // the FRESH path: fresh files' stat rows + all three families
+        // recomputed over ONLY the masked stale scope
+        val (recTk, recRg, recCms) =
+          if (stale.isEmpty)
+            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
+              Map.empty[(Long, Long), Long])
+          else statsOf(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
+        val (t1k, t1c) = top1Of(colTopkMerged(dbFile, freshPaths, "k") ++ recTk)
+        val ndv = Hll.estimateInt(Hll.mergeRegisters(
+          colNdvRegistersFresh(dbFile, freshPaths, "k"), recRg))
+        val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nMan)).toLong
+        // the NAIVE stale-inclusive path — the audit layer's foil
+        val (n1k, n1c) = top1Of(colTopkMerged(dbFile, paths, "k"))
+        val nNdv = Hll.estimateInt(colNdvRegisters(dbFile, paths, "k"))
+        val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
+        val cmsFresh = cmsMin(
+          addCells(colCmsMerged(dbFile, freshPaths, "k"), recCms), 1L)
+        val cmsNaive = cmsMin(colCmsMerged(dbFile, paths, "k"), 1L)
+        // exact ground truth (the audit layer's only corpus-sized work)
+        val live = morReadV2(spark, dbFile, snap, "k")
+        val ex = live.groupBy("k").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("k")).head()
+        val (exK, exC) = (ex.getLong(0), ex.getLong(1))
+        val a = live.agg(count(lit(1)), countDistinct(col("k")),
+          coalesce(sum(when(col("k") === 1L, 1L).otherwise(0L)), lit(0L))).head()
+        val (nLive, exNdv, hotLive) = (a.getLong(0), a.getLong(1), a.getLong(2))
+        val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
+        (step, nLive, stale.size.toLong,
+          t1k, t1c, ndv, skew, skew >= 800L,
+          n1k, n1c, nSkew, nSkew >= 800L,
+          exK, exC, exSkew >= 800L,
+          cmsFresh, cmsNaive, hotLive,
+          cmsFresh >= hotLive && cmsNaive >= hotLive,
+          (skew >= 800L) == (exSkew >= 800L),
+          rejected == stale.nonEmpty && stale.nonEmpty == (step == 2L), ok)
+      }
+      val row1 = snapRow(1L, 1L, c1)
+
+      // snapshot 2: the hot key's rows purged + the markers riding it
+      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
+        .select(
+          col("_metadata.file_path").as("pd_path"),
+          col("_metadata.row_index").as("pd_pos"),
+          col("k"))
+        .filter(col("k") === 1L)
+        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+      recordSeq(dbFile, pd1.map(_._1), 2L)
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
+      val refs = spark.read.parquet(pd1.map(_._1): _*)
+        .select(col("pd_path")).distinct()
+        .collect() // bounded by the file count — manifest-scale metadata
+        .map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSeq.sorted
+      markStatsStale(dbFile, refs, "k")
+      val row2 = snapRow(2L, 2L, c1 && c2)
+
+      Seq(row1, row2)
+        .toDF("step", "n_live_rows", "n_stale_files",
+          "top1_key", "top1_cnt", "ndv_est", "skew_x100", "salted",
+          "naive_top1_key", "naive_top1_cnt", "naive_skew_x100", "naive_salted",
+          "top1_exact_key", "top1_exact_cnt", "exact_salted",
+          "cms_hot_fresh", "cms_hot_naive", "hot_live",
+          "cms_ge_ok", "decision_ok", "stale_guard_ok", "live_log")
+        .orderBy("step")
+    } else {
+      // honest fallback: direct stats both ways; guard/log flags false
+      // fail the oracle's TRUE
+      def row(step: Long) = {
+        val live = if (step == 1L) o else o.filter(col("k") =!= 1L)
+        val nMan = o.count()
+        def top1(df: DataFrame): (Long, Long) = {
+          val r = df.groupBy("k").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("k")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (t1k, t1c) = top1(live)
+        val ndv = Hll.estimateInt(Hll.registerCensus(live, col("k").cast("string")))
+        val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nMan)).toLong
+        val (n1k, n1c) = top1(o)
+        val nNdv = Hll.estimateInt(Hll.registerCensus(o, col("k").cast("string")))
+        val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
+        val hotLive = live.filter(col("k") === 1L).count()
+        (step, live.count(), if (step == 2L) 1L else 0L,
+          t1k, t1c, ndv, skew, skew >= 800L,
+          n1k, n1c, nSkew, nSkew >= 800L,
+          t1k, t1c, skew >= 800L,
+          hotLive, n1c, hotLive, true, true, false, false)
+      }
+      Seq(row(1L), row(2L))
+        .toDF("step", "n_live_rows", "n_stale_files",
+          "top1_key", "top1_cnt", "ndv_est", "skew_x100", "salted",
+          "naive_top1_key", "naive_top1_cnt", "naive_skew_x100", "naive_salted",
+          "top1_exact_key", "top1_exact_cnt", "exact_salted",
+          "cms_hot_fresh", "cms_hot_naive", "hot_live",
+          "cms_ge_ok", "decision_ok", "stale_guard_ok", "live_log")
         .orderBy("step")
     }
   }

@@ -4220,6 +4220,123 @@ object RelQueries {
           FROM ms CROSS JOIN n CROSS JOIN t1 CROSS JOIN jn CROSS JOIN rc
           ORDER BY ms.salts"""
       }
+    ),
+    // q224: COMPOSITE-KEY NDV — the stat the estimator family was
+    // missing for multi-column joins: under correlation, the
+    // independence product ndv(a)·ndv(b) (even capped at n) misjudges
+    // the pair cardinality, and the join estimate built on it inherits
+    // the miss; a register sketch of the CONCATENATED pair (one more
+    // col_ndv row family, col name "a|b" — h60(a || '|' || b)) answers
+    // the pair NDV directly. THREE pairs bracket the regimes, in-hash:
+    // orders (orderkey, custkey) — functionally determined but the
+    // n-cap rescues the product; lineitem (partkey, suppkey) —
+    // near-independent in this corpus (the product is honest there,
+    // measured +152 bp at sf0.1); and the correlated derived pair
+    // (orderkey%100, orderkey%150) — co-determined with lcm 300, where
+    // the capped product overshoots the 300 true pairs by 50× AND the
+    // join estimate built on it lands ~50× UNDER the true count, while
+    // the pair sketch stays within HLL noise on both. err_prod/err_pair
+    // and err_join_indep/err_join_pair all ride the hash. Integer
+    // BigInt/HUGEINT throughout.
+    //
+    // Scale shape: two ≤64-cell register censuses per pair (single
+    // columns) + one for the composite; at 100 TB the composite rows
+    // ride col_ndv like any column (the name is "a|b"); the exact pair
+    // counts and true joins exist only as this entry's audit layer.
+    Q(
+      "q224_composite_key_ndv",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.Hll
+        def pairRow(name: String, d: org.apache.spark.sql.DataFrame) = {
+          val n = d.count()
+          val ndvA = Hll.estimateInt(Hll.registerCensus(d, col("a").cast("string")))
+          val ndvB = Hll.estimateInt(Hll.registerCensus(d, col("b").cast("string")))
+          val pairEst = Hll.estimateInt(Hll.registerCensus(
+            d, concat(col("a").cast("string"), lit("|"), col("b").cast("string"))))
+          val dim = d.distinct()
+          val nDim = dim.count() // = exact pair NDV
+          val prodCapped =
+            (BigInt(ndvA) * BigInt(ndvB)).min(BigInt(n)).toLong
+          def errBp(e: Long, t: Long): Long =
+            (BigInt(e - t) * 10000 / BigInt(t)).toLong
+          // the composite-key join: df ⋈ its distinct-pair dim on BOTH
+          // columns — true result = every row matches its own pair
+          val trueJoin = d.join(dim, Seq("a", "b")).count()
+          def estJoin(ndvPair: Long): Long =
+            (BigInt(n) * BigInt(nDim) / BigInt(math.max(ndvPair, nDim))).toLong
+          val (eInd, ePair) = (estJoin(prodCapped), estJoin(pairEst))
+          (name, n, ndvA, ndvB, prodCapped, pairEst, nDim,
+            errBp(prodCapped, nDim), errBp(pairEst, nDim),
+            eInd, ePair, trueJoin, errBp(eInd, trueJoin), errBp(ePair, trueJoin))
+        }
+        def keyed(df: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          df.select(a.cast("long").as("a"), b.cast("long").as("b"))
+        Seq(
+          pairRow("ord_cust",
+            keyed(Tables.orders(s, dir), col("o_orderkey"), col("o_custkey"))),
+          pairRow("part_supp",
+            keyed(Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))),
+          pairRow("corr_mod",
+            keyed(Tables.lineitem(s, dir), col("l_orderkey") % 100,
+              col("l_orderkey") % 150)))
+          .toDF("pair", "n_rows", "ndv_a", "ndv_b", "ndv_prod_capped",
+            "pair_est", "pair_exact", "err_prod_bp", "err_pair_bp",
+            "est_join_indep", "est_join_pair", "true_join",
+            "err_join_indep_bp", "err_join_pair_bp")
+          .orderBy("pair")
+      },
+      Some {
+        import graft.oracle.OracleSql.{h60, hllEstimateOverRegs}
+        // register census over an arbitrary key EXPRESSION (hllRegs
+        // takes a bare column; the composite key needs the raw form)
+        def regsExpr(rel: String, keyExpr: String): String = {
+          val h = h60(keyExpr)
+          s"""SELECT ${graft.oracle.OracleSql.hllBucket("h")} AS bucket,
+             CAST(max(${graft.oracle.OracleSql.hllRank("h")}) AS BIGINT) AS mr
+             FROM (SELECT $h AS h FROM $rel) GROUP BY 1"""
+        }
+        def est(regs: String) = hllEstimateOverRegs(regs)
+        def one(name: String, rel: String, a: String, b: String) = {
+          val pairKey = s"CAST($a AS VARCHAR) || '|' || CAST($b AS VARCHAR)"
+          s"""SELECT '$name' AS pair,
+            (SELECT CAST(count(*) AS BIGINT) FROM $rel) AS n_rows,
+            ${est(regsExpr(rel, s"CAST($a AS VARCHAR)"))} AS ndv_a,
+            ${est(regsExpr(rel, s"CAST($b AS VARCHAR)"))} AS ndv_b,
+            ${est(regsExpr(rel, pairKey))} AS pair_est,
+            (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT $a, $b FROM $rel)) AS pair_exact"""
+        }
+        s"""WITH cm AS (SELECT l_orderkey % 100 AS a, l_orderkey % 150 AS b
+            FROM lineitem),
+          u AS (${one("ord_cust", "orders", "o_orderkey", "o_custkey")}
+            UNION ALL ${one("part_supp", "lineitem", "l_partkey", "l_suppkey")}
+            UNION ALL ${one("corr_mod", "cm", "a", "b")}),
+          d AS (SELECT *,
+            CAST(least(CAST(ndv_a AS HUGEINT) * ndv_b, CAST(n_rows AS HUGEINT))
+              AS BIGINT) AS ndv_prod_capped FROM u),
+          e AS (SELECT *,
+            CAST(CAST(n_rows AS HUGEINT) * pair_exact
+              // greatest(ndv_prod_capped, pair_exact) AS BIGINT)
+              AS est_join_indep,
+            CAST(CAST(n_rows AS HUGEINT) * pair_exact
+              // greatest(pair_est, pair_exact) AS BIGINT) AS est_join_pair,
+            n_rows AS true_join
+            FROM d)
+          SELECT pair, n_rows, ndv_a, ndv_b, ndv_prod_capped, pair_est,
+            pair_exact,
+            CAST((CAST(ndv_prod_capped AS HUGEINT) - pair_exact) * 10000
+              // pair_exact AS BIGINT) AS err_prod_bp,
+            CAST((CAST(pair_est AS HUGEINT) - pair_exact) * 10000
+              // pair_exact AS BIGINT) AS err_pair_bp,
+            est_join_indep, est_join_pair, true_join,
+            CAST((CAST(est_join_indep AS HUGEINT) - true_join) * 10000
+              // true_join AS BIGINT) AS err_join_indep_bp,
+            CAST((CAST(est_join_pair AS HUGEINT) - true_join) * 10000
+              // true_join AS BIGINT) AS err_join_pair_bp
+          FROM e ORDER BY pair"""
+      }
     )
   )
 

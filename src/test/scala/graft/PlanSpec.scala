@@ -1271,6 +1271,13 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q224 composite key ndv: pair math lands as a local relation — q210's class") {
+    val p = plan("q224_composite_key_ndv")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q223 salt factor audit: factor math lands as a local relation — q210's class") {
     // the five factor variants execute (streamed censuses + one
     // map-side (key, salt) grouping each) before the frame is built

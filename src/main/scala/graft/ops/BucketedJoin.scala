@@ -58,6 +58,23 @@ object BucketedJoin {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Structural count of sort-merge joins — q226's split-join audit
+    * (one BroadcastHashJoin for the hot-key slice + one SortMergeJoin
+    * for the remainder). Same collected-node discipline as
+    * [[countShuffles]].
+    */
+  def countSortMergeJoins(df: DataFrame): Long = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => 1L
+      }.sum
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Structural count of Generate (explode) nodes — q218's plan audit:
     * the salted join's small-side replication is an explode, so a plan
     * that chose the salted path carries exactly one GenerateExec and the

@@ -2496,6 +2496,212 @@ object StreamDemos {
             TRUE AS stale_guard_ok, TRUE AS live_log
           FROM d ORDER BY step"""
       }
+    ),
+    // s75: compaction heals ALL THREE stat families — s73 re-stats
+    // col_ndv only, so after s74's delete the frequency families stay
+    // in the degraded recompute-tax state forever; here the rewrite
+    // also records fresh col_topk/col_cms rows for the compacted file,
+    // the per-family metadata coverage recovers
+    // (n_topk/ndv/cms_rows_fresh dip at snapshot 2 and return at 3),
+    // the recompute tax ends (n_recompute_files 0 → 1 → 0), and the
+    // naive stale-inclusive path collapses back onto the fresh one
+    // (naive_matches_fresh TRUE → FALSE → TRUE) with the healed salt
+    // decision matching exact. Full lifecycle + scale shape:
+    // SnapshotLog.freqStatsCompactionHeal scaladoc.
+    Q(
+      "s75_freq_stats_heal_on_compaction",
+      (s, dir) => graft.sinks.SnapshotLog.freqStatsCompactionHeal(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val hk = h60("CAST(k AS VARCHAR)")
+        val hCell = h60("CAST(r.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+        val hProbe = h60("CAST(r.i AS VARCHAR) || ':1'")
+        s"""WITH o AS (SELECT CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+              ELSE CAST(o_orderkey AS BIGINT) END AS k FROM orders),
+          og AS (SELECT k, k % 4 AS g FROM o),
+          steps AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS step),
+          rws AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i),
+          nman AS (SELECT t.step, CAST(CASE WHEN t.step = 3
+              THEN (SELECT count(*) FROM og WHERE k <> 1)
+              ELSE (SELECT count(*) FROM og) END AS BIGINT) AS n_man
+            FROM steps t),
+          pf AS (SELECT g, k, CAST(count(*) AS BIGINT) AS c FROM og GROUP BY 1, 2),
+          tk AS (SELECT g, k, c FROM (SELECT g, k, c, row_number()
+              OVER (PARTITION BY g ORDER BY c DESC, k) AS rn FROM pf)
+            WHERE rn <= 8),
+          lv AS (SELECT t.step, og.k, og.g FROM og, steps t
+            WHERE t.step = 1 OR og.k <> 1),
+          lk AS (SELECT step, k, g, CAST(count(*) AS BIGINT) AS c
+            FROM lv GROUP BY 1, 2, 3),
+          rec8 AS (SELECT k, c FROM (SELECT k, c, row_number()
+              OVER (ORDER BY c DESC, k) AS rn
+            FROM (SELECT k, c FROM lk WHERE step = 2 AND g = 1)) WHERE rn <= 8),
+          cand AS (
+            SELECT 1 AS step, k, c FROM tk
+            UNION ALL SELECT s2.step, k, c FROM tk, (SELECT 2 AS step
+              UNION ALL SELECT 3) s2 WHERE g <> 1
+            UNION ALL SELECT s2.step, k, c FROM rec8, (SELECT 2 AS step
+              UNION ALL SELECT 3) s2),
+          mg AS (SELECT step, k, CAST(sum(c) AS BIGINT) AS c
+            FROM cand GROUP BY 1, 2),
+          t1 AS (SELECT step, k AS top1_key, c AS top1_cnt FROM (SELECT step,
+              k, c, row_number() OVER (PARTITION BY step ORDER BY c DESC, k)
+              AS rn FROM mg) WHERE rn = 1),
+          fh AS (SELECT DISTINCT step, $hk AS h FROM lv),
+          fregs AS (SELECT step, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM fh GROUP BY 1, 2),
+          fnd AS (SELECT step, ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT step, $hllSH AS s_h FROM fregs GROUP BY step)),
+          nt1 AS (SELECT k AS nk, c AS nc FROM (SELECT k, c, row_number()
+              OVER (ORDER BY c DESC, k) AS rn FROM
+              (SELECT k, CAST(sum(c) AS BIGINT) AS c FROM tk GROUP BY k))
+            WHERE rn = 1),
+          nregs AS (SELECT ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr
+            FROM (SELECT DISTINCT $hk AS h FROM og) GROUP BY 1),
+          nnd AS (SELECT ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT $hllSH AS s_h FROM nregs)),
+          lcells AS (SELECT lk.step, r.i, ($hCell) % 64 AS j,
+              CAST(sum(lk.c) AS BIGINT) AS cnt
+            FROM lk CROSS JOIN rws r GROUP BY 1, 2, 3),
+          ncells AS (SELECT r.i, ($hCell) % 64 AS j,
+              CAST(sum(c) AS BIGINT) AS cnt
+            FROM (SELECT k, CAST(sum(c) AS BIGINT) AS c FROM pf GROUP BY k)
+            CROSS JOIN rws r GROUP BY 1, 2),
+          pj AS (SELECT r.i, ($hProbe) % 64 AS j FROM rws r),
+          cmsf AS (SELECT s.step, CAST(min(coalesce(lc.cnt, 0)) AS BIGINT) AS v
+            FROM steps s CROSS JOIN pj LEFT JOIN lcells lc
+              ON lc.step = s.step AND lc.i = pj.i AND lc.j = pj.j
+            GROUP BY s.step),
+          cmsn AS (SELECT CAST(min(coalesce(nc.cnt, 0)) AS BIGINT) AS v
+            FROM pj LEFT JOIN ncells nc ON nc.i = pj.i AND nc.j = pj.j),
+          ntk AS (SELECT CAST(count(*) AS BIGINT) AS a,
+              CAST(count(*) FILTER (WHERE g <> 1) AS BIGINT) AS f FROM tk),
+          new8 AS (SELECT CAST(least(8, count(*)) AS BIGINT) AS c FROM rec8),
+          nnd12 AS (SELECT CAST(count(*) AS BIGINT) AS a,
+              CAST(count(*) FILTER (WHERE g <> 1) AS BIGINT) AS f
+            FROM (SELECT DISTINCT g, ${hllBucket(hk)} AS bucket FROM og)),
+          ndnew AS (SELECT CAST(count(DISTINCT ${hllBucket(hk)}) AS BIGINT) AS c
+            FROM og WHERE g = 1 AND k <> 1),
+          ncm12 AS (SELECT CAST(count(*) AS BIGINT) AS a,
+              CAST(count(*) FILTER (WHERE g <> 1) AS BIGINT) AS f
+            FROM (SELECT DISTINCT g, r.i, ($hCell) % 64 AS j
+              FROM (SELECT g, k FROM pf) CROSS JOIN rws r)),
+          cmnew AS (SELECT CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT DISTINCT r.i, ($hCell) % 64 AS j
+              FROM (SELECT k FROM og WHERE g = 1 AND k <> 1 GROUP BY k)
+              CROSS JOIN rws r)),
+          exn AS (SELECT step, CAST(count(DISTINCT k) AS BIGINT) AS exndv,
+              CAST(count(*) AS BIGINT) AS n_live,
+              CAST(coalesce(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS hot
+            FROM lv GROUP BY 1),
+          exg AS (SELECT step, CAST(c AS BIGINT) AS exc FROM
+            (SELECT step, k, sum(c) AS c, row_number() OVER (PARTITION BY step
+              ORDER BY sum(c) DESC, k) AS rn FROM lk GROUP BY step, k)
+            WHERE rn = 1),
+          d AS (SELECT t1.step, exn.n_live,
+              CAST(CASE WHEN t1.step = 2 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_recompute_files,
+              CAST(CASE WHEN t1.step = 1 THEN ntk.a WHEN t1.step = 2 THEN ntk.f
+                ELSE ntk.f + new8.c END AS BIGINT) AS n_topk_rows_fresh,
+              CAST(CASE WHEN t1.step = 1 THEN nnd12.a WHEN t1.step = 2
+                THEN nnd12.f ELSE nnd12.f + ndnew.c END AS BIGINT)
+                AS n_ndv_rows_fresh,
+              CAST(CASE WHEN t1.step = 1 THEN ncm12.a WHEN t1.step = 2
+                THEN ncm12.f ELSE ncm12.f + cmnew.c END AS BIGINT)
+                AS n_cms_rows_fresh,
+              t1.top1_key, t1.top1_cnt, fnd.ndv AS ndv_est,
+              CAST(CAST(t1.top1_cnt AS HUGEINT) * 100 * fnd.ndv
+                // nman.n_man AS BIGINT) AS skew_x100,
+              CAST(CASE WHEN t1.step = 3 THEN t1.top1_cnt ELSE nt1.nc END
+                AS BIGINT) AS naive_top1_cnt,
+              CASE WHEN t1.step = 3 THEN t1.top1_key ELSE nt1.nk END AS nk,
+              CAST(CASE WHEN t1.step = 3
+                THEN CAST(t1.top1_cnt AS HUGEINT) * 100 * fnd.ndv // nman.n_man
+                ELSE CAST(nt1.nc AS HUGEINT) * 100 * nnd.ndv // nman.n_man END
+                AS BIGINT) AS naive_skew,
+              CAST(CAST(exg.exc AS HUGEINT) * 100 * exn.exndv
+                // nman.n_man AS BIGINT) AS exact_skew,
+              cmsf.v AS cms_hot_fresh,
+              CAST(CASE WHEN t1.step = 3 THEN cmsf.v ELSE cmsn.v END AS BIGINT)
+                AS cms_hot_naive,
+              exn.hot
+            FROM t1 JOIN fnd ON t1.step = fnd.step
+            JOIN exn ON t1.step = exn.step JOIN exg ON t1.step = exg.step
+            JOIN cmsf ON t1.step = cmsf.step JOIN nman ON t1.step = nman.step
+            CROSS JOIN nt1 CROSS JOIN nnd CROSS JOIN cmsn
+            CROSS JOIN ntk CROSS JOIN new8 CROSS JOIN nnd12 CROSS JOIN ndnew
+            CROSS JOIN ncm12 CROSS JOIN cmnew)
+          SELECT step, n_live AS n_live_rows, n_recompute_files,
+            n_topk_rows_fresh, n_ndv_rows_fresh, n_cms_rows_fresh,
+            top1_key, top1_cnt, ndv_est, skew_x100,
+            skew_x100 >= 800 AS salted,
+            naive_top1_cnt, naive_skew >= 800 AS naive_salted,
+            exact_skew >= 800 AS exact_salted,
+            cms_hot_fresh, cms_hot_naive, hot AS hot_live,
+            (cms_hot_fresh >= hot AND cms_hot_naive >= hot) AS cms_ge_ok,
+            (skew_x100 >= 800) = (exact_skew >= 800) AS decision_ok,
+            (nk = top1_key AND naive_top1_cnt = top1_cnt
+              AND (naive_skew >= 800) = (skew_x100 >= 800))
+              AS naive_matches_fresh,
+            TRUE AS stale_guard_ok, TRUE AS live_log
+          FROM d ORDER BY step"""
+      }
+    ),
+    // s76: DECISION HISTORY across commits — every planner entry audits
+    // its decision within one run; this lifecycle PERSISTS each
+    // decision (snapshot, edge, inputs, strategy, audit verdict) as
+    // decision_log rows and surfaces the drift-induced FLIP from the
+    // persisted rows alone: a uniform key's shuffle decision at
+    // snapshot 1 turns salted at snapshot 2 after an appended
+    // sentinel-skew delta file (flipped_from_prev FALSE → TRUE, both
+    // audits green, all in-hash). Full lifecycle + scale shape:
+    // SnapshotLog.decisionHistory scaladoc.
+    Q(
+      "s76_decision_history",
+      (s, dir) => graft.sinks.SnapshotLog.decisionHistory(s, dir),
+      Some {
+        import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
+        val hk = h60("CAST(k AS VARCHAR)")
+        s"""WITH fv AS (
+            SELECT 1 AS snap, o_orderkey % 4 AS g,
+              CAST(o_orderkey AS BIGINT) AS k FROM orders
+            UNION ALL SELECT 2, o_orderkey % 4, CAST(o_orderkey AS BIGINT)
+              FROM orders
+            UNION ALL SELECT 2, 4, CAST(1 AS BIGINT) FROM orders
+              WHERE o_orderstatus = 'F'),
+          pf AS (SELECT snap, g, k, CAST(count(*) AS BIGINT) AS c
+            FROM fv GROUP BY 1, 2, 3),
+          tk AS (SELECT snap, g, k, c FROM (SELECT snap, g, k, c, row_number()
+              OVER (PARTITION BY snap, g ORDER BY c DESC, k) AS rn FROM pf)
+            WHERE rn <= 8),
+          mg AS (SELECT snap, k, CAST(sum(c) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2),
+          t1 AS (SELECT snap, k AS t1k, c AS t1c FROM (SELECT snap, k, c,
+              row_number() OVER (PARTITION BY snap ORDER BY c DESC, k) AS rn
+              FROM mg) WHERE rn = 1),
+          n AS (SELECT snap, CAST(count(*) AS BIGINT) AS n_rows
+            FROM fv GROUP BY 1),
+          hh AS (SELECT DISTINCT snap, $hk AS h FROM fv),
+          regs AS (SELECT snap, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM hh GROUP BY 1, 2),
+          nd AS (SELECT snap, ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT snap, $hllSH AS s_h FROM regs GROUP BY snap)),
+          d AS (SELECT t1.snap, n.n_rows, nd.ndv, t1.t1k, t1.t1c,
+              CAST(CAST(t1.t1c AS HUGEINT) * 100 * nd.ndv
+                // n.n_rows AS BIGINT) AS skew
+            FROM t1 JOIN n ON t1.snap = n.snap JOIN nd ON t1.snap = nd.snap)
+          SELECT CAST(snap AS BIGINT) AS snapshot_id, n_rows, ndv AS ndv_est,
+            t1k AS top1_key, t1c AS top1_cnt, skew AS skew_x100,
+            CASE WHEN skew >= 800 THEN 'salted' ELSE 'shuffle' END AS strategy,
+            TRUE AS audit_ok, CAST(2 AS BIGINT) AS n_log_rows,
+            coalesce((CASE WHEN skew >= 800 THEN 'salted' ELSE 'shuffle' END)
+              <> lag(CASE WHEN skew >= 800 THEN 'salted' ELSE 'shuffle' END)
+              OVER (ORDER BY snap), FALSE) AS flipped_from_prev,
+            TRUE AS live_log
+          FROM d ORDER BY snapshot_id"""
+      }
     )
   )
 }

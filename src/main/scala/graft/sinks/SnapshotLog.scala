@@ -429,7 +429,12 @@ object SnapshotLog {
 
   /** Commit with BOTH row-level delete kinds: the same atomic
     * conditional swap, with data, equality-delete and position-delete
-    * manifests written in one transaction.
+    * manifests written in one transaction. `staleMarkers` (path, col)
+    * rows land in `stat_stale` INSIDE that transaction — a delete that
+    * invalidates sketch rows must never become visible without its
+    * markers (a crash between the swap and a follow-up marker insert
+    * would leave col_ndv/col_topk/col_cms looking fresh over rows that
+    * no longer exist — the silent over-count s71/s74 exist to prevent).
     */
   private[graft] def commitMorV2(
       dbFile: String,
@@ -437,7 +442,8 @@ object SnapshotLog {
       snapshotId: Long,
       dataFiles: Seq[(String, Long)],
       eqDeleteFiles: Seq[(String, Long)],
-      posDeleteFiles: Seq[(String, Long)]): Boolean =
+      posDeleteFiles: Seq[(String, Long)],
+      staleMarkers: Seq[(String, String)] = Seq.empty): Boolean =
     DuckDbLive.withConnection(dbFile) { c =>
       c.setAutoCommit(false)
       try {
@@ -456,6 +462,14 @@ object SnapshotLog {
           insertManifests(c, "manifests", snapshotId, dataFiles)
           insertManifests(c, "delete_manifests", snapshotId, eqDeleteFiles)
           insertManifests(c, "position_delete_manifests", snapshotId, posDeleteFiles)
+          if (staleMarkers.nonEmpty) {
+            val ps = c.prepareStatement("INSERT INTO stat_stale VALUES (?, ?)")
+            try staleMarkers.foreach { case (p, cn) =>
+              ps.setString(1, p)
+              ps.setString(2, cn)
+              ps.executeUpdate()
+            } finally ps.close()
+          }
           c.commit()
           true
         } else {
@@ -616,6 +630,15 @@ object SnapshotLog {
     * file — mis-attribution fails the require, never zeroes a manifest
     * row count. (An empty partition writes no file and its observed 0
     * is checked; a listed zero-row file still enters with n_rows = 0.)
+    *
+    * SINGLE-ATTEMPT ASSUMPTION: Observation metrics are accumulator
+    * updates, which Spark does NOT de-duplicate across task retries or
+    * speculative attempts the way it de-dups committed task output — a
+    * retried write task could double-count its rows. Safe here
+    * (local mode, maxFailures = 1, no speculation); on a real cluster
+    * set SPARK_GRAFT_VERIFY_COUNTS=1 to cross-check every attributed
+    * count against a footer-derived per-file census and fail loudly on
+    * divergence before the counts enter a manifest.
     */
   private def writeCounted(
       spark: SparkSession,
@@ -652,7 +675,25 @@ object SnapshotLog {
       unattributed.isEmpty,
       s"writeCounted: partition(s) ${unattributed.mkString(",")} observed rows " +
         s"but wrote no file under $dir — counts would be silently dropped")
-    listed.sortBy(_._2).map { case (i, p) => (p, m(s"n_$i").asInstanceOf[Long]) }
+    val out = listed.sortBy(_._2).map { case (i, p) => (p, m(s"n_$i").asInstanceOf[Long]) }
+    if (sys.env.get("SPARK_GRAFT_VERIFY_COUNTS").contains("1")) {
+      // debug cross-check for retry/speculation environments: the
+      // observed counts must equal a committed-output census
+      val actual = spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // one row per part file — manifest-scale metadata
+        .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+        .toMap
+      out.foreach { case (p, n) =>
+        require(
+          actual.getOrElse(p, 0L) == n,
+          s"writeCounted: observed count $n for $p diverges from the " +
+            s"footer census ${actual.getOrElse(p, 0L)} — duplicate " +
+            "accumulator updates (task retry / speculation)?")
+      }
+    }
+    out
   }
 
   /** The s39 lifecycle (object scaladoc). Output: one row per committed
@@ -1478,10 +1519,18 @@ object SnapshotLog {
         val files = new java.io.File(out)
           .listFiles().filter(_.getName.startsWith("p="))
           .flatMap { pd =>
+            val parts = pd.listFiles().filter(_.getName.endsWith(".parquet"))
+            // the full per-value observed count is attributed to ONE
+            // file; two part files under a value directory would BOTH
+            // enter the manifest with it (double-counted rows) and the
+            // present-set equality below would not notice
+            require(
+              parts.length == 1,
+              s"partitioned write under ${pd.getAbsolutePath} produced " +
+                s"${parts.length} part files — per-value count attribution " +
+                "requires exactly one")
             val v = pd.getName.stripPrefix("p=").toLong
-            pd.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
-              (f.getAbsolutePath, v)
-            }
+            parts.map(f => (f.getAbsolutePath, v))
           }
           .sortBy(_._1).toSeq
         val present =
@@ -2505,7 +2554,9 @@ object SnapshotLog {
     * must be in the declared domain, hold exactly one part file, and
     * the listed bucket set must EQUAL the write-observed present set
     * (partitionBy never writes empty files) — mis-attribution fails
-    * the require, never zeroes a manifest row count.
+    * the require, never zeroes a manifest row count. Same
+    * single-attempt assumption as [[writeCounted]]: accumulator-carried
+    * stats are exact only without task retries / speculation.
     */
   private def writeBucketed(
       spark: SparkSession,
@@ -3265,7 +3316,8 @@ object SnapshotLog {
     * WRITE JOB's Observation (the writeBucketed discipline, no
     * post-write re-scan), attributed by the g= directory value, with
     * the listed value set required to EQUAL the write-observed present
-    * set so mis-attribution fails loudly. */
+    * set so mis-attribution fails loudly. Same single-attempt
+    * assumption as [[writeCounted]]. */
   private def writeBucketed2(
       spark: SparkSession,
       df: DataFrame,
@@ -4274,6 +4326,28 @@ object SnapshotLog {
         .head(0).asInstanceOf[Number].longValue
     }
 
+  /** Stat-table row count of (scope, column) for one family — the
+    * metadata-coverage measure s75 surfaces per family (coverage drops
+    * while a file's stats are stale-excluded and recovers when the
+    * compaction re-stats the rewritten file).
+    */
+  private[graft] def statRowCount(
+      dbFile: String,
+      table: String,
+      paths: Seq[String],
+      colName: String): Long = {
+    require(Set("col_ndv", "col_topk", "col_cms")(table), s"unknown stat table $table")
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRowsBound(
+          c,
+          s"""SELECT count(*) FROM $table
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})""",
+          colName +: paths)
+        .head(0).asInstanceOf[Number].longValue
+    }
+  }
+
   // ------------------------------------------------------------------
   // q218 — per-column HEAVY-HITTER rows in the long-form stat table
   // ------------------------------------------------------------------
@@ -4330,6 +4404,70 @@ object SnapshotLog {
         .head
       (r(0).asInstanceOf[Number].longValue, r(1).asInstanceOf[Number].longValue)
     }
+
+  /** The file-grain top-1 RELIABILITY decision over raw (file, key,
+    * cnt) top-k rows — the theoretical bound behind "merged top-1 is
+    * exact only when the key is genuinely hot". A key absent from file
+    * f's top-k has true count ≤ f's k-th-place count (or 0 when f
+    * listed fewer than k rows — its top-k is exhaustive), so:
+    *   - an unseen key's count is ≤ Σ_f threshold_f,
+    *   - a partially-seen key's count is ≤ observed + Σ over its
+    *     MISSING files' thresholds.
+    * The merged top-1 is CERTAIN to be the true heaviest key iff its
+    * (lower-bound) observed sum beats both bounds. On a uniform column
+    * the bit goes FALSE — exactly the q222-measured underestimate
+    * (merged 11 vs exact 24) a planner must not silently trust.
+    * Pure arithmetic over ≤ k·n_files metadata rows; shared by the
+    * DuckDB reader and q218's no-DuckDB fallback.
+    */
+  private[graft] def top1Reliability(
+      rows: Seq[(String, Long, Long)],
+      k: Int = 8): (Long, Long, Boolean) = {
+    val th: Map[String, Long] = rows.groupBy(_._1).map { case (p, rs) =>
+      (p, if (rs.size >= k) rs.map(_._3).min else 0L)
+    }
+    val totalTh = th.values.sum
+    val obs: Map[Long, Long] =
+      rows.groupBy(_._2).map { case (key, rs) => (key, rs.map(_._3).sum) }
+    val presentBy: Map[Long, Set[String]] =
+      rows.groupBy(_._2).map { case (key, rs) => (key, rs.map(_._1).toSet) }
+    val (t1k, t1c) = obs.toSeq.maxBy { case (key, c) => (c, -key) }
+    val reliable = t1c >= totalTh && obs.forall { case (key, c) =>
+      key == t1k || {
+        val ub = c + th.collect {
+          case (p, t) if !presentBy(key).contains(p) => t
+        }.sum
+        ub <= t1c
+      }
+    }
+    (t1k, t1c, reliable)
+  }
+
+  /** [[colTopkMergedTop1]] with the [[top1Reliability]] bit — reads the
+    * scope's raw top-k rows (≤ k·n_files, bounded) and decides on the
+    * driver. Decisions on a FALSE bit should treat top1_cnt as a lower
+    * bound only (safe for the ≥-threshold salt rule — an underestimate
+    * pushes the ratio down — but not for anything that needs the exact
+    * argmax).
+    */
+  private[graft] def colTopkMergedTop1Checked(
+      dbFile: String,
+      paths: Seq[String],
+      colName: String): (Long, Long, Boolean) = {
+    val rows = DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRowsBound(
+          c,
+          s"""SELECT path, key_val, cnt FROM col_topk
+             WHERE col_name = ? AND path IN (${paths.map(_ => "?").mkString(", ")})
+             ORDER BY path, key_val""",
+          colName +: paths)
+        .map(r => (r(0).asInstanceOf[String],
+          r(1).asInstanceOf[Number].longValue,
+          r(2).asInstanceOf[Number].longValue))
+    }
+    top1Reliability(rows)
+  }
 
   // ------------------------------------------------------------------
   // s71 — stat STALENESS markers (the delete-side contract of col_ndv)
@@ -4497,6 +4635,17 @@ object SnapshotLog {
     }
 
 
+  /** CMS point-frequency probe: min over the depth rows of the key's
+    * cell — the one-sided (never-under) estimate, driver-side over
+    * merged cells (`h60Local` is the bit-identical driver h60). Shared
+    * by s74/s75's staleness audits and q226's split-join sizing.
+    */
+  private[graft] def cmsPointMin(cells: Map[(Long, Long), Long], key: Long): Long =
+    (0 until CmsDepth).map { i =>
+      cells.getOrElse(
+        (i.toLong, graft.ops.Hashing.h60Local(s"$i:$key") % CmsWidth), 0L)
+    }.min
+
   /** q218 — HEAVY-HITTER STATISTICS → AUTOMATIC SALTED-JOIN DECISION:
     * the fourth planner decision, made entirely from the long-form stat
     * table. s09's salting (`ops/Salting.scala`) is applied by HAND; a
@@ -4527,7 +4676,12 @@ object SnapshotLog {
     *     the salted and plain variants (salting must never change
     *     results), the load split the salt bought (max per-key group vs
     *     max per-(key, salt) group — the straggler metric itself), and
-    *     the stat table's top-1 against the exact heaviest key.
+    *     the stat table's top-1 against the exact heaviest key, and
+    *     top1_reliable — the [[top1Reliability]] file-grain bound
+    *     decided by the READER, not just documented: TRUE on the
+    *     genuinely-hot edge, FALSE on the uniform edge, so decisions
+    *     that need the exact argmax carry an explicit
+    *     low-confidence bit (r19 verdict #8).
     *
     * Scale shape: the decision inputs are ≤ 8·n_files + 64·n_files
     * metadata rows; the exact per-key census exists once as the staged
@@ -4631,7 +4785,10 @@ object SnapshotLog {
         def edgeRow(cn: String) = {
           // ---- the decision: long-form stat table + manifest ONLY ----
           val ndv = Hll.estimateInt(colNdvRegisters(dbFile, paths, cn))
-          val (t1k, t1c) = colTopkMergedTop1(dbFile, paths, cn)
+          // the reliability bit rides the decision: a FALSE bit means
+          // top1_cnt is a lower bound only (safe for the ≥-threshold
+          // salt rule; unsafe for anything needing the exact argmax)
+          val (t1k, t1c, t1Rel) = colTopkMergedTop1Checked(dbFile, paths, cn)
           val skewX100 = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
           val salted = skewX100 >= 800L
           // ---- execution: the chosen physical shape ----
@@ -4651,15 +4808,15 @@ object SnapshotLog {
           val (exKey, maxGroup) = (ex.getLong(0), ex.getLong(1))
           val maxSalt = big.groupBy(col(cn), saltCol.as("s"))
             .agg(count(lit(1)).as("c")).agg(max("c")).head().getLong(0)
-          (cn, nRows, ndv, t1k, t1c, skewX100, salted, nJoin, sumCents,
+          (cn, nRows, ndv, t1k, t1c, t1Rel, skewX100, salted, nJoin, sumCents,
             censusMatch, gen, maxGroup, maxSalt, exKey,
             t1k == exKey && t1c == maxGroup, gen == (if (salted) 1L else 0L))
         }
         Seq(edgeRow("pk_skew"), edgeRow("pk_unif"))
           .toDF("edge", "n_rows", "ndv_est", "top1_key", "top1_cnt",
-            "skew_x100", "salted", "n_join", "sum_cents", "census_match",
-            "gen_nodes", "max_group", "max_salt_group", "top1_key_exact",
-            "top1_is_exact", "plan_ok")
+            "top1_reliable", "skew_x100", "salted", "n_join", "sum_cents",
+            "census_match", "gen_nodes", "max_group", "max_salt_group",
+            "top1_key_exact", "top1_is_exact", "plan_ok")
           .orderBy("edge")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
@@ -4671,15 +4828,19 @@ object SnapshotLog {
       def edgeRow(cn: String) = {
         val nRows = bigRel.count()
         val ndv = Hll.estimateInt(Hll.registerCensus(bigRel, col(cn).cast("string")))
-        val t1 = bigRel
+        // raw per-file top-8 rows (≤ 4·8, bounded) — the same frame the
+        // stat table would hold, decided by the shared top1Reliability
+        val tkRows = bigRel
           .select(col("g"), col(cn).as("k"))
           .groupBy("g", "k").agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("g").orderBy(col("c").desc, col("k"))))
           .filter(col("rn") <= 8)
-          .groupBy("k").agg(sum("c").as("c"))
-          .orderBy(col("c").desc, col("k")).head()
-        val (t1k, t1c) = (t1.getLong(0), t1.getLong(1))
+          .select("g", "k", "c")
+          .collect() // ≤ 4·8 stat rows — metadata
+          .map(r => (r.getLong(0).toString, r.getLong(1), r.getLong(2)))
+          .toSeq
+        val (t1k, t1c, t1Rel) = top1Reliability(tkRows)
         val skewX100 = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
         val salted = skewX100 >= 800L
         val r = bigRel.join(dim, col(cn) === col("pk"))
@@ -4688,15 +4849,15 @@ object SnapshotLog {
           .orderBy(col("c").desc, col("k")).head()
         val maxSalt = bigRel.groupBy(col(cn), saltCol.as("s"))
           .agg(count(lit(1)).as("c")).agg(max("c")).head().getLong(0)
-        (cn, nRows, ndv, t1k, t1c, skewX100, salted, r.getLong(0), r.getLong(1),
-          false, if (salted) 1L else 0L, ex.getLong(1), maxSalt, ex.getLong(0),
-          t1k == ex.getLong(0) && t1c == ex.getLong(1), false)
+        (cn, nRows, ndv, t1k, t1c, t1Rel, skewX100, salted, r.getLong(0),
+          r.getLong(1), false, if (salted) 1L else 0L, ex.getLong(1), maxSalt,
+          ex.getLong(0), t1k == ex.getLong(0) && t1c == ex.getLong(1), false)
       }
       Seq(edgeRow("pk_skew"), edgeRow("pk_unif"))
         .toDF("edge", "n_rows", "ndv_est", "top1_key", "top1_cnt",
-          "skew_x100", "salted", "n_join", "sum_cents", "census_match",
-          "gen_nodes", "max_group", "max_salt_group", "top1_key_exact",
-          "top1_is_exact", "plan_ok")
+          "top1_reliable", "skew_x100", "salted", "n_join", "sum_cents",
+          "census_match", "gen_nodes", "max_group", "max_salt_group",
+          "top1_key_exact", "top1_is_exact", "plan_ok")
         .orderBy("edge")
     }
   }
@@ -5020,9 +5181,16 @@ object SnapshotLog {
             else if (skew >= 800L) "salted"
             else "shuffle"
           // ---- execution over the MANIFEST'S OWN files ----
+          // Enforcement threshold from the build side's MEASURED staged
+          // bytes, not the model's abstract units — Spark compares the
+          // threshold against on-disk file statistics, and projection
+          // only ever scales its estimate down from file bytes, so
+          // 4·bytes + 1 always clears it regardless of codec or SF.
           spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold",
-            if (strategy == "broadcast") budget.toString else "-1")
+            if (strategy == "broadcast")
+              (buildPaths.map(p => new java.io.File(p).length()).sum * 4L + 1L).toString
+            else "-1")
           val j = strategy match {
             case "salted" =>
               Salting.saltedJoinWith(ordersDf, build,
@@ -5110,6 +5278,795 @@ object SnapshotLog {
           "n_ndv_rows_read", "n_join", "sum_k", "bhj", "shuffles",
           "generates", "plan_ok", "live_log")
         .orderBy("edge")
+    }
+  }
+
+  /** Pair-NDV with the declared fallback: the composite "a|b" col_ndv
+    * row family when the log carries it (q225's write-time stat), else
+    * the independence product of the single-column estimates capped at
+    * the scope's row count — the only honest estimate a log without
+    * pair stats can offer. Returns (estimate, n_pair_rows_read);
+    * rows_read = 0 marks the fallback path, in-hash at the call sites.
+    */
+  private[graft] def pairNdvOrProduct(
+      dbFile: String,
+      paths: Seq[String],
+      pairName: String,
+      aName: String,
+      bName: String,
+      nRows: Long): (Long, Long) = {
+    val nPairRows = colNdvRowCount(dbFile, paths, pairName)
+    if (nPairRows > 0L)
+      (graft.ops.Hll.estimateInt(colNdvRegisters(dbFile, paths, pairName)), nPairRows)
+    else {
+      val a = graft.ops.Hll.estimateInt(colNdvRegisters(dbFile, paths, aName))
+      val b = graft.ops.Hll.estimateInt(colNdvRegisters(dbFile, paths, bName))
+      ((BigInt(a) * BigInt(b)).min(BigInt(nRows)).toLong, 0L)
+    }
+  }
+
+  /** q225's memoized staging per source dir: (probe files, build files,
+    * col_ndv register rows incl. the composite "a|b" families) — the
+    * write-once stats cost (the q212Staged discipline).
+    */
+  private val q225Staged = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Seq[(String, Long)], Seq[(String, Long)],
+      Seq[(String, String, Long, Long)])]()
+
+  /** q225 — COMPOSITE-KEY PAIR STATS, PERSISTED AND ROUTED (closing
+    * q224's loop): q224 measures that a pair register sketch beats the
+    * independence product on correlated keys, but computes the pair
+    * registers ad hoc; here they are RECORDED as col_ndv rows under
+    * the composite name ("k_cust|k_seg" — one more row family, same
+    * table) at write time, and a TWO-COLUMN join edge is routed
+    * through the persisted decision tree with the capped product as
+    * the declared fallback when the family is absent. Lifecycle:
+    *
+    *   - orders staged as 4 bucket files carrying the correlated pair
+    *     (k_cust = o_custkey, k_seg = o_custkey % 10 — the
+    *     denormalized segment-of-key shape every star schema has);
+    *     customer as 2 files with the matching build pair; ONE
+    *     partitionBy write + ONE stats job per relation records the
+    *     single-column AND composite register rows, with manifest
+    *     counts from the same per-key aggregation;
+    *   - TWO committed logs over the SAME staged files: log A carries
+    *     the composite families, log B does not (yesterday's table) —
+    *     the guarded reader (pairNdvOrProduct) consults the "a|b" rows
+    *     and genuinely falls back to min(ndv_a·ndv_b, n) when none
+    *     exist, so both routing regimes execute;
+    *   - the routed decision, metadata only: est|J| = n_P·n_B /
+    *     max(pair_P, pair_B) for the two-column join J; J is then the
+    *     BUILD side of a second join against orders, broadcastable iff
+    *     est·8 ≤ n_P·8/2. The pair edge estimates |J| ≈ n_P → SHUFFLE
+    *     (correct — J is fact-sized, broadcasting it is the plan that
+    *     dies at 100×); the product edge under-estimates ~5–7×
+    *     (correlation collapses the true pair NDV to ndv(k_cust), the
+    *     product sees ndv·10) → BROADCAST — the classic correlated-key
+    *     planner miss, executed and recorded honestly;
+    *   - the audit, in-hash: pair_rows_probe/build (>0 iff log A — the
+    *     metadata actually consumed), est vs the exact |J| census
+    *     (signed err_bp: the pair path within HLL noise, the product
+    *     path thousands of bp under), both executed second-join plan
+    *     shapes (bhj pinned by plan_ok, shuffle count surfaced), and
+    *     the two paths' second-join censuses (identical — routing
+    *     never changes results).
+    *
+    * Scale shape: the decision is O(stat rows) metadata reads — the
+    * composite family rides col_ndv like any column and was paid once
+    * at write time; only the audit layer (one exact |J| census + one
+    * second-join census per edge) touches data.
+    */
+  def pairStatRoutedDecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{BucketedJoin, Hashing, Hll}
+
+    def probeRel = Tables.orders(spark, dir).select(
+      col("o_custkey").cast("long").as("k_cust"),
+      (col("o_custkey") % 10).cast("long").as("k_seg"),
+      col("o_orderkey").cast("long").as("rid"))
+    def buildRel = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("bk_cust"),
+      (col("c_custkey") % 10).cast("long").as("bk_seg"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_q225_") { tmp =>
+      val (fP, fB, regRows) = q225Staged.computeIfAbsent(
+        dir,
+        _ => {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q225_tbl_").toAbsolutePath.toString
+
+          /** ONE partitionBy write + ONE stats job (the q222 stage
+            * discipline): per-(file, column, key-string) counts feed
+            * the register cells and the manifest counts.
+            */
+          def stage(
+              df: DataFrame,
+              gCol: org.apache.spark.sql.Column,
+              nBkts: Int,
+              keyCols: Seq[(String, org.apache.spark.sql.Column)],
+              out: String): (Seq[(String, Long)],
+                Seq[(String, String, Long, Long)]) = {
+            df.withColumn("g", gCol).repartition(col("g"))
+              .write.partitionBy("g").parquet(out)
+            val bucketRe = "/g=(\\d+)/".r
+            val byG: Map[Long, String] = new java.io.File(out)
+              .listFiles().filter(_.getName.startsWith("g="))
+              .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+              .map(f =>
+                (bucketRe.findFirstMatchIn(f.getAbsolutePath).get.group(1).toLong,
+                  f.getAbsolutePath))
+              .toMap
+            require(byG.size == nBkts, s"expected $nBkts one-file buckets under $out")
+            val perKey = df.withColumn("g", gCol)
+              .select(col("g"), explode(array(keyCols.map { case (n, c) =>
+                struct(lit(n).as("c"), c.cast("string").as("v"))
+              }: _*)).as("kv"))
+              .groupBy(col("g"), col("kv.c").as("cn"), col("kv.v").as("k"))
+              .agg(count(lit(1)).as("c"))
+            val cells = perKey
+              .select(col("g"), col("cn"), Hashing.h60(col("k")).as("h"), col("c"))
+              .select(col("g"), col("cn"), Hll.bucketCol.as("bucket"),
+                Hll.rankCol.as("rk"), col("c"))
+              .groupBy("g", "cn", "bucket")
+              .agg(max("rk").as("mr"), sum("c").as("cnt"))
+              .collect() // ≤ nBkts·n_cols·64 sketch cells — metadata
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                r.getLong(3), r.getLong(4)))
+            val c0 = keyCols.head._1
+            val files = byG.toSeq.sortBy(_._1).map { case (g, p) =>
+              (p, cells.collect { case (gg, cn, _, _, n) if gg == g && cn == c0 => n }.sum)
+            }
+            (files, cells.map { case (g, cn, b, mr, _) => (byG(g), cn, b, mr) }.toSeq)
+          }
+
+          val (p1, rP) = stage(probeRel, col("rid") % 4, 4,
+            Seq(
+              ("k_cust", col("k_cust")),
+              ("k_seg", col("k_seg")),
+              ("k_cust|k_seg", concat(col("k_cust").cast("string"),
+                lit("|"), col("k_seg").cast("string")))),
+            s"$base/probe")
+          val (b1, rB) = stage(buildRel, col("bk_cust") % 2, 2,
+            Seq(
+              ("bk_cust", col("bk_cust")),
+              ("bk_seg", col("bk_seg")),
+              ("bk_cust|bk_seg", concat(col("bk_cust").cast("string"),
+                lit("|"), col("bk_seg").cast("string")))),
+            s"$base/build")
+          (p1, b1, rP ++ rB)
+        })
+
+      // TWO logs over the same staged files: A carries the composite
+      // families, B is yesterday's table (singles only) — the fallback
+      // regime is committed state, not a simulation
+      val dbA = s"$tmp/logA.duckdb"
+      val dbB = s"$tmp/logB.duckdb"
+      Seq(dbA, dbB).foreach { f => initLog(f); initColNdv(f) }
+      recordColNdv(dbA, regRows)
+      recordColNdv(dbB, regRows.filterNot(_._2.contains("|")))
+      require(commit(dbA, 0L, 1L, fP ++ fB), "q225 log A commit rejected")
+      require(commit(dbB, 0L, 1L, fP ++ fB), "q225 log B commit rejected")
+
+      val (pP, pB) = (fP.map(_._1), fB.map(_._1))
+      val probeDf = spark.read.parquet(pP: _*)
+      val buildDf = spark.read.parquet(pB: _*)
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // the two-column join J — executed ONCE as the exact audit both
+        // edges compare their estimates against
+        def jDf = probeDf.join(
+          buildDf,
+          col("k_cust") === col("bk_cust") && col("k_seg") === col("bk_seg"))
+        val exactJ = jDf.agg(count(lit(1))).head().getLong(0)
+
+        def edgeRow(edge: String, dbFile: String) = {
+          // ---- the DECISION: log metadata only, no data touched ----
+          val man = manifest(dbFile, 1L).toMap
+          val nP = fP.map(f => man(f._1)).sum
+          val nB = fB.map(f => man(f._1)).sum
+          val ndvCust = Hll.estimateInt(colNdvRegisters(dbFile, pP, "k_cust"))
+          val ndvSeg = Hll.estimateInt(colNdvRegisters(dbFile, pP, "k_seg"))
+          val (pairP, rowsP) = pairNdvOrProduct(
+            dbFile, pP, "k_cust|k_seg", "k_cust", "k_seg", nP)
+          val (pairB, rowsB) = pairNdvOrProduct(
+            dbFile, pB, "bk_cust|bk_seg", "bk_cust", "bk_seg", nB)
+          val used = if (rowsP > 0L) "pair" else "product"
+          val estJ = (BigInt(nP) * BigInt(nB) /
+            BigInt(math.max(math.max(pairP, pairB), 1L))).toLong
+          val (estBytes, budget) = (estJ * 8L, nP * 8L / 2L)
+          val decision = if (estBytes <= budget) "broadcast" else "shuffle"
+          // ---- execution: the second join J is the build side of ----
+          val probe2 = probeDf.select(col("k_cust").as("p2k"), col("rid"))
+          val j2 =
+            if (decision == "broadcast")
+              probe2.join(broadcast(jDf), col("p2k") === col("k_cust"))
+            else probe2.join(jDf, col("p2k") === col("k_cust"))
+          val (bhj, sh) = (BucketedJoin.countBroadcastHashJoins(j2),
+            BucketedJoin.countShuffles(j2))
+          val r2 = j2.agg(count(lit(1)), sum(col("p2k"))).head()
+          val errBp = (BigInt(estJ - exactJ) * 10000 / BigInt(exactJ)).toLong
+          (edge, used, rowsP, rowsB, nP, nB, ndvCust, ndvSeg, pairP, pairB,
+            estJ, exactJ, errBp, budget, estBytes, decision,
+            r2.getLong(0), r2.getLong(1), bhj, sh,
+            bhj == (if (decision == "broadcast") 1L else 0L), true)
+        }
+        Seq(
+          edgeRow("e1_pair_stats", dbA),
+          edgeRow("e2_no_pair_stats", dbB))
+          .toDF("edge", "used", "pair_rows_probe", "pair_rows_build",
+            "n_probe", "n_build", "ndv_cust", "ndv_seg", "pair_ndv_probe",
+            "pair_ndv_build", "est_join", "exact_join", "err_bp",
+            "budget_bytes", "est_bytes", "decision", "n_second",
+            "sum_second", "bhj", "shuffles", "plan_ok", "live_log")
+          .orderBy("edge")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } else {
+      // honest fallback: the same estimates from direct censuses;
+      // live_log=false fails the oracle's TRUE
+      val probe = probeRel
+      val build = buildRel
+      val (nP, nB) = (probe.count(), build.count())
+      val ndvCust = Hll.estimateInt(
+        Hll.registerCensus(probe, col("k_cust").cast("string")))
+      val ndvSeg = Hll.estimateInt(
+        Hll.registerCensus(probe, col("k_seg").cast("string")))
+      val pairPDirect = Hll.estimateInt(Hll.registerCensus(
+        probe, concat(col("k_cust").cast("string"), lit("|"),
+          col("k_seg").cast("string"))))
+      val pairBDirect = Hll.estimateInt(Hll.registerCensus(
+        build, concat(col("bk_cust").cast("string"), lit("|"),
+          col("bk_seg").cast("string"))))
+      val ndvBc = Hll.estimateInt(
+        Hll.registerCensus(build, col("bk_cust").cast("string")))
+      val ndvBs = Hll.estimateInt(
+        Hll.registerCensus(build, col("bk_seg").cast("string")))
+      val jD = probe.join(
+        build,
+        col("k_cust") === col("bk_cust") && col("k_seg") === col("bk_seg"))
+      val exactJ = jD.agg(count(lit(1))).head().getLong(0)
+      val probe2 = probe.select(col("k_cust").as("p2k"))
+      val r2 = probe2.join(jD, col("p2k") === col("k_cust"))
+        .agg(count(lit(1)), sum(col("p2k"))).head()
+      def edgeRow(edge: String, pairP: Long, pairB: Long, rows: Long) = {
+        val used = if (rows > 0L) "pair" else "product"
+        val estJ = (BigInt(nP) * BigInt(nB) /
+          BigInt(math.max(math.max(pairP, pairB), 1L))).toLong
+        val (estBytes, budget) = (estJ * 8L, nP * 8L / 2L)
+        val decision = if (estBytes <= budget) "broadcast" else "shuffle"
+        val errBp = (BigInt(estJ - exactJ) * 10000 / BigInt(exactJ)).toLong
+        (edge, used, rows, rows, nP, nB, ndvCust, ndvSeg, pairP, pairB,
+          estJ, exactJ, errBp, budget, estBytes, decision,
+          r2.getLong(0), r2.getLong(1),
+          if (decision == "broadcast") 1L else 0L, 0L, false, false)
+      }
+      val prodP = (BigInt(ndvCust) * BigInt(ndvSeg)).min(BigInt(nP)).toLong
+      val prodB = (BigInt(ndvBc) * BigInt(ndvBs)).min(BigInt(nB)).toLong
+      Seq(
+        edgeRow("e1_pair_stats", pairPDirect, pairBDirect, 64L),
+        edgeRow("e2_no_pair_stats", prodP, prodB, 0L))
+        .toDF("edge", "used", "pair_rows_probe", "pair_rows_build",
+          "n_probe", "n_build", "ndv_cust", "ndv_seg", "pair_ndv_probe",
+          "pair_ndv_build", "est_join", "exact_join", "err_bp",
+          "budget_bytes", "est_bytes", "decision", "n_second",
+          "sum_second", "bhj", "shuffles", "plan_ok", "live_log")
+        .orderBy("edge")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // s76 — planner DECISION-HISTORY rows (drift observable across commits)
+  // ------------------------------------------------------------------
+
+  /** The decision-history table: one row per (snapshot, edge) planner
+    * decision — the inputs read, the strategy chosen, and the audit
+    * verdict. q212–q226 each audit a decision WITHIN one entry run;
+    * recording the row makes estimator/stat drift observable ACROSS
+    * commits (the s76 lifecycle replays two commits whose stats drift
+    * and surfaces the flipped decision from the persisted rows alone).
+    */
+  private[graft] def initDecisionLog(dbFile: String): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val st = c.createStatement()
+      try st.execute(
+        """CREATE TABLE IF NOT EXISTS decision_log (
+           snapshot_id BIGINT, edge VARCHAR, n_rows BIGINT, ndv_est BIGINT,
+           top1_key BIGINT, top1_cnt BIGINT, skew_x100 BIGINT,
+           strategy VARCHAR, audit_ok BOOLEAN)""")
+      finally st.close()
+    }
+
+  private[graft] def recordDecision(
+      dbFile: String,
+      snapshotId: Long,
+      edge: String,
+      nRows: Long,
+      ndvEst: Long,
+      top1Key: Long,
+      top1Cnt: Long,
+      skewX100: Long,
+      strategy: String,
+      auditOk: Boolean): Unit =
+    DuckDbLive.withConnection(dbFile) { c =>
+      val ps = c.prepareStatement(
+        "INSERT INTO decision_log VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)")
+      try {
+        ps.setLong(1, snapshotId)
+        ps.setString(2, edge)
+        ps.setLong(3, nRows)
+        ps.setLong(4, ndvEst)
+        ps.setLong(5, top1Key)
+        ps.setLong(6, top1Cnt)
+        ps.setLong(7, skewX100)
+        ps.setString(8, strategy)
+        ps.setBoolean(9, auditOk)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  /** All decision rows for an edge, oldest snapshot first. */
+  private[graft] def decisionRows(
+      dbFile: String,
+      edge: String): Seq[(Long, Long, Long, Long, Long, Long, String, Boolean)] =
+    DuckDbLive.withConnection(dbFile) { c =>
+      DuckDbLive
+        .queryRowsBound(
+          c,
+          """SELECT snapshot_id, n_rows, ndv_est, top1_key, top1_cnt,
+             skew_x100, strategy, audit_ok FROM decision_log
+             WHERE edge = ? ORDER BY snapshot_id""",
+          Seq(edge))
+        .map(r => (r(0).asInstanceOf[Number].longValue,
+          r(1).asInstanceOf[Number].longValue,
+          r(2).asInstanceOf[Number].longValue,
+          r(3).asInstanceOf[Number].longValue,
+          r(4).asInstanceOf[Number].longValue,
+          r(5).asInstanceOf[Number].longValue,
+          r(6).asInstanceOf[String],
+          r(7).asInstanceOf[Boolean]))
+    }
+
+  /** q226's memoized staging per source dir: (build files, probe files,
+    * col_topk rows, col_ndv rows, col_cms rows) — the write-once stats
+    * cost (the q212Staged discipline).
+    */
+  private val q226Staged = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Seq[(String, Long)], Seq[(String, Long)],
+      Seq[(String, String, Long, Long)], Seq[(String, String, Long, Long)],
+      Seq[(String, String, Long, Long, Long)])]()
+
+  /** q226 — BUILD-SIDE SKEW: THE BROADCAST-HOT-KEYS SPLIT JOIN.
+    * `ops/Salting.scala` (q218/q221/q223) handles PROBE-side skew by
+    * replicating the build side across salts; a heavy hitter on the
+    * BUILD side wants the other half of the playbook — split the join,
+    * broadcast the PROBE side's hot-key slice (tiny: the hot key is
+    * hot in the build relation, not the probe), and shuffle the
+    * remainder. Two stat families drive the decision, both persisted:
+    *
+    *   - WHICH keys are hot: merged col_topk + col_ndv + manifest
+    *     counts of the BUILD side (q218's skew ratio per key,
+    *     cnt·100·ndv/n ≥ 800);
+    *   - IS the probe slice broadcastable: col_cms point estimates of
+    *     the hot keys on the PROBE side (q220's one-sided f̂ ≥ f —
+    *     a conservative upper bound is exactly what a broadcast-size
+    *     check wants), est_bytes = Σ f̂·8 ≤ the probe-div-2 budget;
+    *
+    * Lifecycle: lineitem staged as 4 bucket files with bk_skew (the
+    * q218 sentinel pattern — every returned line resolves to key 1,
+    * ~25% of build rows) and bk_flat (l_orderkey, ~4 per key) beside
+    * orders as 2 files carrying k = o_orderkey with col_cms rows; ONE
+    * commit; then per edge the decision reads ONLY stat tables +
+    * manifest counts and routes: e1 bk_skew → SPLIT (executed with
+    * broadcast+AQE off: exactly 1 BroadcastHashJoin on the hot slice +
+    * 1 SortMergeJoin on the remainder, both pinned), e2 bk_flat →
+    * plain shuffle SMJ (0 BHJ / 1 SMJ). In-hash: both routings, the
+    * split census ≡ plain census (splitting never changes results),
+    * the decision inputs (top1/skew/hot-key count/CMS probe estimate/
+    * budget), and both executed plan shapes.
+    *
+    * Scale shape: the decision is O(stat rows) metadata; the hot slice
+    * the split broadcasts is the PROBE side's hot keys only (bounded
+    * by the CMS check before any data moves), and the remainder SMJ
+    * sees per-key groups with the straggler removed — the shape that
+    * survives a 1000-executor shuffle where the plain join stalls on
+    * one task holding 25% of the build.
+    */
+  def buildSkewSplitJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{BucketedJoin, Hashing, Hll}
+    import org.apache.spark.sql.expressions.Window
+
+    def buildRel = Tables
+      .lineitem(spark, dir)
+      .select(
+        (col("l_orderkey") % 4).cast("long").as("g"),
+        when(col("l_returnflag") === "R", lit(1L))
+          .otherwise(col("l_orderkey").cast("long")).as("bk_skew"),
+        col("l_orderkey").cast("long").as("bk_flat"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    def probeRel = Tables
+      .orders(spark, dir)
+      .select(
+        (col("o_custkey") % 2).cast("long").as("g"),
+        col("o_orderkey").cast("long").as("k"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_q226_") { tmp =>
+      val (fB, fP, topkRows, regRows, cmsRows) = q226Staged.computeIfAbsent(
+        dir,
+        _ => {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_q226_tbl_").toAbsolutePath.toString
+          val bucketRe = "/g=(\\d+)/".r
+          def listByG(out: String, n: Int): Map[Long, String] = {
+            val byG = new java.io.File(out)
+              .listFiles().filter(_.getName.startsWith("g="))
+              .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+              .map(f =>
+                (bucketRe.findFirstMatchIn(f.getAbsolutePath).get.group(1).toLong,
+                  f.getAbsolutePath))
+              .toMap
+            require(byG.size == n, s"expected $n one-file buckets under $out")
+            byG
+          }
+          // build side: one write + ONE stats scan for both key columns
+          // (per-(file, column, key) counts → top-8 rows + register
+          // cells + manifest counts — the q218 staging shape)
+          val outB = s"$base/line"
+          buildRel.repartition(col("g")).write.partitionBy("g").parquet(outB)
+          val byGB = listByG(outB, 4)
+          val perKeyB = buildRel
+            .select(col("g"), explode(array(
+              struct(lit("bk_skew").as("c"), col("bk_skew").as("v")),
+              struct(lit("bk_flat").as("c"), col("bk_flat").as("v")))).as("kv"))
+            .groupBy(col("g"), col("kv.c").as("cn"), col("kv.v").as("k"))
+            .agg(count(lit(1)).as("c"))
+          val topk = perKeyB
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("g", "cn").orderBy(col("c").desc, col("k"))))
+            .filter(col("rn") <= 8)
+            .collect() // ≤ 4·2·8 stat rows — metadata
+            .map(r => (byGB(r.getLong(0)), r.getString(1), r.getLong(2), r.getLong(3)))
+            .toSeq
+          val cellsB = perKeyB
+            .select(col("g"), col("cn"),
+              Hashing.h60(col("k").cast("string")).as("h"), col("c"))
+            .select(col("g"), col("cn"), Hll.bucketCol.as("bucket"),
+              Hll.rankCol.as("rk"), col("c"))
+            .groupBy("g", "cn", "bucket")
+            .agg(max("rk").as("mr"), sum("c").as("cnt"))
+            .collect() // ≤ 4·2·64 sketch cells — metadata
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+          val filesB = byGB.toSeq.sortBy(_._1).map { case (g, p) =>
+            (p, cellsB.collect {
+              case (gg, cn, _, _, n) if gg == g && cn == "bk_skew" => n
+            }.sum)
+          }
+          // probe side: one write + ONE stats scan → col_cms cells for
+          // k (the family the split's broadcast-size check consumes)
+          val outP = s"$base/ord"
+          probeRel.repartition(col("g")).write.partitionBy("g").parquet(outP)
+          val byGP = listByG(outP, 2)
+          val perKeyP = probeRel.groupBy(col("g"), col("k"))
+            .agg(count(lit(1)).as("c"))
+          val cmsP = perKeyP
+            .select(col("g"), col("c"), explode(array((0 until CmsDepth).map(i =>
+              struct(lit(i.toLong).as("i"),
+                pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
+                  lit(CmsWidth)).as("j"))): _*)).as("ij"))
+            .groupBy(col("g"), col("ij.i").as("i"), col("ij.j").as("j"))
+            .agg(sum(col("c")).as("cnt"))
+            .collect() // ≤ 2·4·64 sketch cells — metadata
+            .map(r => (byGP(r.getLong(0)), "k", r.getLong(1), r.getLong(2),
+              r.getLong(3)))
+            .toSeq
+          val countP = perKeyP.groupBy("g").agg(sum("c").as("n"))
+            .collect() // one row per file — manifest metadata
+            .map(r => (byGP(r.getLong(0)), r.getLong(1))).toMap
+          val filesP = byGP.toSeq.sortBy(_._1).map { case (_, p) => (p, countP(p)) }
+          (filesB, filesP, topk,
+            cellsB.map { case (g, cn, b, mr, _) => (byGB(g), cn, b, mr) }.toSeq,
+            cmsP)
+        })
+
+      val dbFile = s"$tmp/log.duckdb"
+      initLog(dbFile)
+      initColNdv(dbFile)
+      initColTopk(dbFile)
+      initColCms(dbFile)
+      recordColNdv(dbFile, regRows)
+      recordColTopk(dbFile, topkRows)
+      recordColCms(dbFile, cmsRows)
+      require(commit(dbFile, 0L, 1L, fB ++ fP), "q226 snapshot commit rejected")
+
+      val (pB, pP) = (fB.map(_._1), fP.map(_._1))
+      val man = manifest(dbFile, 1L).toMap
+      val (nB, nP) = (pB.map(man).sum, pP.map(man).sum)
+      val big = spark.read.parquet(pB: _*)
+      val probe = spark.read.parquet(pP: _*)
+
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        // broadcast off + AQE off, scoped-and-restored: the split's one
+        // BroadcastHashJoin must come from ITS OWN broadcast() hint,
+        // and the audited remainder must BE a shuffle SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        def edgeRow(cn: String) = {
+          // ---- the decision: stat tables + manifest counts ONLY ----
+          val ndvB = Hll.estimateInt(colNdvRegisters(dbFile, pB, cn))
+          val hot = colTopkMerged(dbFile, pB, cn)
+            .filter { case (_, c) => BigInt(c) * 100 * BigInt(ndvB) / BigInt(nB) >= 800 }
+            .map(_._1).sorted
+          val (t1k, t1c) = colTopkMergedTop1(dbFile, pB, cn)
+          val skewX100 = (BigInt(t1c) * 100 * BigInt(ndvB) / BigInt(nB)).toLong
+          val cmsP = colCmsMerged(dbFile, pP, "k")
+          val hotEst = hot.map(cmsPointMin(cmsP, _)).sum
+          val (estBytes, budget) = (hotEst * 8L, nP * 8L / 2L)
+          val strategy =
+            if (hot.isEmpty) "shuffle"
+            else if (estBytes <= budget) "split"
+            else "salted"
+          // ---- execution: the chosen physical shape ----
+          def census(j: DataFrame): (Long, Long) = {
+            val r = j.agg(count(lit(1)), sum(col("cents"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          def plainJ = probe.join(big, col("k") === col(cn))
+          def splitJ = {
+            val hotSet = hot
+            val jHot = big.filter(col(cn).isin(hotSet: _*))
+              .join(broadcast(probe.filter(col("k").isin(hotSet: _*))),
+                col("k") === col(cn))
+              .select(col("k"), col(cn), col("cents"))
+            val jRest = probe.filter(!col("k").isin(hotSet: _*))
+              .join(big.filter(!col(cn).isin(hotSet: _*)), col("k") === col(cn))
+              .select(col("k"), col(cn), col("cents"))
+            jHot.unionByName(jRest)
+          }
+          val chosen = if (strategy == "split") splitJ else plainJ
+          val (bhj, smj) = (BucketedJoin.countBroadcastHashJoins(chosen),
+            BucketedJoin.countSortMergeJoins(chosen))
+          val (nJoin, sumCents) = census(chosen)
+          val censusMatch =
+            census(if (strategy == "split") plainJ else splitJ) ==
+              ((nJoin, sumCents))
+          val expected = if (strategy == "split") (1L, 1L) else (0L, 1L)
+          (cn, strategy, nP, nB, ndvB, t1k, t1c, skewX100,
+            hot.size.toLong, hotEst, estBytes, budget,
+            nJoin, sumCents, censusMatch, bhj, smj,
+            (bhj, smj) == expected, true)
+        }
+        Seq(edgeRow("bk_skew"), edgeRow("bk_flat"))
+          .toDF("edge", "strategy", "n_probe", "n_build", "ndv_b",
+            "top1_key", "top1_cnt", "skew_x100", "n_hot_keys",
+            "hot_probe_est", "est_bytes", "budget_bytes",
+            "n_join", "sum_cents", "census_match", "bhj", "smj",
+            "plan_ok", "live_log")
+          .orderBy("edge")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } else {
+      // honest fallback: direct stats; live_log=false fails the
+      // oracle's TRUE
+      val big = buildRel
+      val probe = probeRel
+      val (nB, nP) = (big.count(), probe.count())
+      def edgeRow(cn: String) = {
+        val ndvB = Hll.estimateInt(Hll.registerCensus(big, col(cn).cast("string")))
+        val perKey = big.groupBy(col(cn).as("hk")).agg(count(lit(1)).as("c"))
+        val hot = perKey
+          .filter(col("c") * 100 * ndvB / nB >= 800)
+          .select("hk").collect().map(_.getLong(0)).toSeq.sorted
+        val t1 = perKey.orderBy(col("c").desc, col("hk")).head()
+        val (t1k, t1c) = (t1.getLong(0), t1.getLong(1))
+        val skewX100 = (BigInt(t1c) * 100 * BigInt(ndvB) / BigInt(nB)).toLong
+        val hotEst = if (hot.isEmpty) 0L
+          else probe.filter(col("k").isin(hot: _*)).count()
+        val (estBytes, budget) = (hotEst * 8L, nP * 8L / 2L)
+        val strategy =
+          if (hot.isEmpty) "shuffle"
+          else if (estBytes <= budget) "split"
+          else "salted"
+        val r = probe.join(big, col("k") === col(cn))
+          .agg(count(lit(1)), sum(col("cents"))).head()
+        (cn, strategy, nP, nB, ndvB, t1k, t1c, skewX100,
+          hot.size.toLong, hotEst, estBytes, budget,
+          r.getLong(0), r.getLong(1), false,
+          if (strategy == "split") 1L else 0L, 1L, false, false)
+      }
+      Seq(edgeRow("bk_skew"), edgeRow("bk_flat"))
+        .toDF("edge", "strategy", "n_probe", "n_build", "ndv_b",
+          "top1_key", "top1_cnt", "skew_x100", "n_hot_keys",
+          "hot_probe_est", "est_bytes", "budget_bytes",
+          "n_join", "sum_cents", "census_match", "bhj", "smj",
+          "plan_ok", "live_log")
+        .orderBy("edge")
+    }
+  }
+
+  /** s76 — DECISION HISTORY ACROSS COMMITS: every planner entry
+    * (q212–q226) audits its decision WITHIN one run; if the statistics
+    * drift between commits, a decision silently flips and nothing
+    * records that it used to go the other way. This lifecycle persists
+    * each decision as a `decision_log` row — (snapshot, edge, inputs
+    * read, strategy chosen, audit verdict) — and surfaces the flip
+    * FROM THE PERSISTED ROWS alone:
+    *
+    *   - snapshot 1: orders staged as 4 bucket files keyed by
+    *     k = o_orderkey (uniform — every key count 1), stats recorded
+    *     (col_topk + col_ndv), the fact⋈dim edge decided from merged
+    *     stats (skew ≈ 100 < 800 → plain shuffle join), EXECUTED and
+    *     audited (0 Generate, census vs the salted variant), and the
+    *     decision row inserted;
+    *   - snapshot 2: a skew delta file APPENDED (every status-'F'
+    *     order re-keyed to the sentinel 1 — the unknown-member burst
+    *     that turns a uniform key hot), with its own stat rows; the
+    *     SAME edge re-decided from the now-merged stats (the sentinel's
+    *     count · 100 · ndv / n ≥ 800 → salted), executed, audited
+    *     (exactly 1 Generate), recorded;
+    *   - the output replays the edge's history from `decision_log` —
+    *     both rows' inputs/strategy/audit verdict in-hash, plus
+    *     flipped_from_prev (FALSE, TRUE): the drift made observable
+    *     across commits, which no single-entry audit can see.
+    *
+    * Scale shape: decision rows are O(edges · commits) metadata; the
+    * inputs they record are the same ≤(8+64)·n_files stat rows the
+    * decisions already read; the joins execute once per snapshot as
+    * this entry's audit layer.
+    */
+  def decisionHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{BucketedJoin, Hashing, Hll, Salting}
+    import org.apache.spark.sql.expressions.Window
+
+    val base = Tables
+      .orders(spark, dir)
+      .select(
+        (col("o_orderkey") % 4).cast("long").as("g"),
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderkey").cast("long").as("rid"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def delta = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(
+        lit(1L).as("k"),
+        (col("o_orderkey") + 10000000L).cast("long").as("rid"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val saltCol = pmod(Hashing.h60(col("rid").cast("string")), lit(8)).cast("int")
+
+    if (DuckDbLive.available) withTempTableDir("graft_s76_") { tmp =>
+      val dbFile = s"$tmp/log.duckdb"
+      initLog(dbFile)
+      initColNdv(dbFile)
+      initColTopk(dbFile)
+      initDecisionLog(dbFile)
+
+      /** Stats job of one staged frame (per-key counts → top-8 rows +
+        * register cells per file) — the q218 shape.
+        */
+      def statsFor(df: DataFrame, byG: Map[Long, String]): Unit = {
+        val perKey = df.groupBy(col("g"), col("k")).agg(count(lit(1)).as("c"))
+        val topk = perKey
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("g").orderBy(col("c").desc, col("k"))))
+          .filter(col("rn") <= 8)
+          .collect() // ≤ n_files·8 stat rows — metadata
+          .map(r => (byG(r.getLong(0)), "k", r.getLong(1), r.getLong(2)))
+          .toSeq
+        val cells = perKey
+          .select(col("g"), Hashing.h60(col("k").cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("g", "bucket").agg(max("rk").as("mr"))
+          .collect() // ≤ n_files·64 sketch cells — metadata
+          .map(r => (byG(r.getLong(0)), "k", r.getLong(1), r.getLong(2)))
+          .toSeq
+        recordColTopk(dbFile, topk)
+        recordColNdv(dbFile, cells)
+      }
+
+      val files1 = writeBucketed(spark, base, s"$tmp/data", 0L to 3L)
+      val bucketRe = "/g=(\\d+)/".r
+      val byG1: Map[Long, String] = files1
+        .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
+      statsFor(base, byG1)
+      val c1 = commit(dbFile, 0L, 1L, files1.map(f => (f._1, f._2)))
+
+      // the appended skew delta (snapshot 2): one file, own stat rows
+      val files2 = writeCounted(spark, delta.select("k", "rid", "cents"),
+        s"$tmp/delta", 1)
+      statsFor(
+        spark.read.parquet(files2.map(_._1): _*).withColumn("g", lit(4L)),
+        Map(4L -> files2.head._1))
+      val c2 = commit(
+        dbFile, 1L, 2L, files1.map(f => (f._1, f._2)) ++ files2)
+
+      val dim = base.select(col("k").as("dk")).distinct()
+      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        // the edge stands in for big⋈big: the audited plan must be the
+        // shuffle-join family salting remedies (q218's discipline)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        // one decision per snapshot, from the persisted stats only;
+        // executed, audited, RECORDED
+        Seq(1L, 2L).foreach { snap =>
+          val man = manifest(dbFile, snap)
+          val paths = man.map(_._1)
+          val nRows = man.map(_._2).sum
+          val ndv = Hll.estimateInt(colNdvRegisters(dbFile, paths, "k"))
+          val (t1k, t1c) = colTopkMergedTop1(dbFile, paths, "k")
+          val skewX100 = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nRows)).toLong
+          val strategy = if (skewX100 >= 800L) "salted" else "shuffle"
+          val fact = spark.read.parquet(paths: _*)
+          def census(j: DataFrame): (Long, Long) = {
+            val r = j.agg(count(lit(1)), sum(col("cents"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          val plainJ = fact.join(dim, col("k") === col("dk"))
+          val saltJ =
+            Salting.saltedJoinWith(fact, dim, col("k"), col("dk"), saltCol, 8)
+          val chosen = if (strategy == "salted") saltJ else plainJ
+          val gen = BucketedJoin.countGenerates(chosen)
+          val cen = census(chosen)
+          val auditOk =
+            census(if (strategy == "salted") plainJ else saltJ) == cen &&
+              gen == (if (strategy == "salted") 1L else 0L)
+          recordDecision(dbFile, snap, "fact_dim_k", nRows, ndv, t1k, t1c,
+            skewX100, strategy, auditOk)
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+
+      // the REPLAY: history read back from the persisted rows alone
+      val hist = decisionRows(dbFile, "fact_dim_k")
+      val rows = hist.zipWithIndex.map { case ((snap, n, ndv, t1k, t1c, skew,
+          strat, ok), i) =>
+        val flipped = i > 0 && hist(i - 1)._7 != strat
+        (snap, n, ndv, t1k, t1c, skew, strat, ok,
+          hist.size.toLong, flipped, c1 && c2)
+      }
+      rows.toDF("snapshot_id", "n_rows", "ndv_est", "top1_key", "top1_cnt",
+        "skew_x100", "strategy", "audit_ok", "n_log_rows", "flipped_from_prev",
+        "live_log")
+        .orderBy("snapshot_id")
+    } else {
+      // honest fallback: direct stats per board state; live_log=false
+      // fails the oracle's TRUE
+      def row(snap: Long) = {
+        val fact = if (snap == 1L) base.select("k", "rid", "cents")
+          else base.select("k", "rid", "cents")
+            .unionByName(delta.select("k", "rid", "cents"))
+        val n = fact.count()
+        val ndv = Hll.estimateInt(Hll.registerCensus(fact, col("k").cast("string")))
+        val t1 = fact.groupBy("k").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("k")).head()
+        val (t1k, t1c) = (t1.getLong(0), t1.getLong(1))
+        val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(n)).toLong
+        (snap, n, ndv, t1k, t1c, skew,
+          if (skew >= 800L) "salted" else "shuffle", false, 2L,
+          snap == 2L, false)
+      }
+      Seq(row(1L), row(2L))
+        .toDF("snapshot_id", "n_rows", "ndv_est", "top1_key", "top1_cnt",
+          "skew_x100", "strategy", "audit_ok", "n_log_rows",
+          "flipped_from_prev", "live_log")
+        .orderBy("snapshot_id")
     }
   }
 
@@ -5239,14 +6196,15 @@ object SnapshotLog {
         .filter(delPred)
         .select("pd_path", "pd_pos"), s"$base/pd1", 1)
       recordSeq(dbFile, pd1.map(_._1), 2L)
-      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
-      // referenced data files: read from the delta-sized delete file
+      // referenced data files: read from the delta-sized delete file,
+      // BEFORE the commit — the markers ride the commit's transaction
       val refs = spark.read.parquet(pd1.map(_._1): _*)
         .select(col("pd_path")).distinct()
         .collect() // bounded by the file count — manifest-scale metadata
         .map(r => new java.net.URI(r.getString(0)).getPath)
         .toSeq.sorted
-      markStatsStale(dbFile, refs, "cust")
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
+        staleMarkers = refs.map((_, "cust")))
 
       Seq(row1, snapRow(2L, 2L, c1 && c2))
         .toDF("step", "n_live_rows", "n_files", "n_stale_files",
@@ -5398,13 +6356,13 @@ object SnapshotLog {
         .filter(delPred)
         .select("pd_path", "pd_pos"), s"$base/pd1", 1)
       recordSeq(dbFile, pd1.map(_._1), 2L)
-      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
       val refs = spark.read.parquet(pd1.map(_._1): _*)
         .select(col("pd_path")).distinct()
         .collect() // bounded by the file count — manifest-scale metadata
         .map(r => new java.net.URI(r.getString(0)).getPath)
         .toSeq.sorted
-      markStatsStale(dbFile, refs, "cust")
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
+        staleMarkers = refs.map((_, "cust")))
       val row2 = snapRow(2L, 2L, c1 && c2)
 
       // snapshot 3: COMPACTION of exactly the stale scope + re-stat
@@ -5560,10 +6518,6 @@ object SnapshotLog {
       recordSeq(dbFile, dataFiles.map(_._1), 1L)
       val c1 = commitMorV2(dbFile, 0L, 1L, dataFiles, Seq.empty, Seq.empty)
 
-      def cmsMin(cells: Map[(Long, Long), Long], key: Long): Long =
-        (0 until CmsDepth).map { i =>
-          cells.getOrElse((i.toLong, Hashing.h60Local(s"$i:$key") % CmsWidth), 0L)
-        }.min
       def addCells(a: Map[(Long, Long), Long], b: Map[(Long, Long), Long]) =
         (a.keySet ++ b.keySet).map(k =>
           k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
@@ -5594,9 +6548,9 @@ object SnapshotLog {
         val (n1k, n1c) = top1Of(colTopkMerged(dbFile, paths, "k"))
         val nNdv = Hll.estimateInt(colNdvRegisters(dbFile, paths, "k"))
         val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
-        val cmsFresh = cmsMin(
+        val cmsFresh = cmsPointMin(
           addCells(colCmsMerged(dbFile, freshPaths, "k"), recCms), 1L)
-        val cmsNaive = cmsMin(colCmsMerged(dbFile, paths, "k"), 1L)
+        val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
         // exact ground truth (the audit layer's only corpus-sized work)
         val live = morReadV2(spark, dbFile, snap, "k")
         val ex = live.groupBy("k").agg(count(lit(1)).as("c"))
@@ -5626,13 +6580,13 @@ object SnapshotLog {
         .filter(col("k") === 1L)
         .select("pd_path", "pd_pos"), s"$base/pd1", 1)
       recordSeq(dbFile, pd1.map(_._1), 2L)
-      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1)
       val refs = spark.read.parquet(pd1.map(_._1): _*)
         .select(col("pd_path")).distinct()
         .collect() // bounded by the file count — manifest-scale metadata
         .map(r => new java.net.URI(r.getString(0)).getPath)
         .toSeq.sorted
-      markStatsStale(dbFile, refs, "k")
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
+        staleMarkers = refs.map((_, "k")))
       val row2 = snapRow(2L, 2L, c1 && c2)
 
       Seq(row1, row2)
@@ -5674,6 +6628,247 @@ object SnapshotLog {
           "top1_exact_key", "top1_exact_cnt", "exact_salted",
           "cms_hot_fresh", "cms_hot_naive", "hot_live",
           "cms_ge_ok", "decision_ok", "stale_guard_ok", "live_log")
+        .orderBy("step")
+    }
+  }
+
+  /** s75 — COMPACTION HEALS ALL THREE STAT FAMILIES: s73 closes the
+    * staleness lifecycle for col_ndv only; after s74's delete the
+    * frequency families (col_topk, col_cms) stay in the degraded
+    * recompute-tax state forever — every decision over the scope pays
+    * a masked data scan for the stale file. The production exit is the
+    * same compaction the delete already owes, extended to re-stat ALL
+    * THREE families for the rewritten file. Lifecycle = s74's two
+    * snapshots plus:
+    *
+    *   - snapshot 3: the stale file compacted — its masked rows
+    *     rewritten as one new file (morReadV2 restricted to exactly
+    *     the stale scope; carried files never opened), and ONE
+    *     delta-sized stats pass records fresh col_topk + col_ndv +
+    *     col_cms rows for the new file; position-delete manifests
+    *     dropped, manifest = 3 carried + 1 new;
+    *   - the decision per snapshot, BOTH ways: the fresh path's
+    *     recompute tax (n_recompute_files 0 → 1 → 0 — paid exactly
+    *     while staleness exists) and the per-family metadata coverage
+    *     (n_topk/ndv/cms_rows_fresh dropping at snapshot 2 and
+    *     RECOVERING at snapshot 3 — each family's table healed, not
+    *     just the registers); the NAIVE stale-inclusive path still
+    *     salts the dead key at snapshot 2 (naive_salted TRUE vs exact
+    *     FALSE) and COLLAPSES BACK onto the fresh path at snapshot 3
+    *     (naive_matches_fresh TRUE→FALSE→TRUE — the stale markers now
+    *     reference a path outside the manifest, so there is no stale
+    *     row left to include);
+    *   - in-hash: everything s74 pins per snapshot, the healed salt
+    *     decision matching exact at snapshot 3, the CMS one-sided
+    *     guarantee across all three snapshots, and the guarded reader
+    *     rejecting the scope exactly at snapshot 2.
+    *
+    * Scale shape: compaction cost is |stale files| + |masks| (the
+    * delta the delete created); the re-stat rides the same delta-sized
+    * input; the steady state returns to ≤(8 + 64 + 256)·n_files
+    * metadata rows per column with NO data scan on any decision path.
+    */
+  def freqStatsCompactionHeal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Hashing, Hll}
+
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        when(col("o_orderstatus") === "F", lit(1L))
+          .otherwise(col("o_orderkey").cast("long")).as("k"),
+        col("o_orderkey").cast("long").as("rid"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+    if (DuckDbLive.available) withTempTableDir("graft_s75_") { base =>
+      val dbFile = s"$base/log.duckdb"
+      initLog(dbFile)
+      initMor(dbFile)
+      initPosDeletes(dbFile)
+      initColNdv(dbFile)
+      initColTopk(dbFile)
+      initColCms(dbFile)
+      initStatStale(dbFile)
+
+      val files = writeBucketed(
+        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/data", 0L to 3L)
+      val bucketRe = "/g=(\\d+)/".r
+      val pathOf: Map[Long, String] = files
+        .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
+
+      /** All three stat families of one frame's k column (the s74
+        * shape) — shared by the write-time stats job, the pruned-scope
+        * recompute, and snapshot 3's re-stat of the compacted file.
+        */
+      def statsOf(df: DataFrame): (Seq[(Long, Long)], Seq[(Long, Long)],
+          Map[(Long, Long), Long]) = {
+        val perKey = df.groupBy("k").agg(count(lit(1)).as("c"))
+        val topk = perKey
+          .orderBy(col("c").desc, col("k")).limit(8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val regs = Hll.registerCensus(df, col("k").cast("string"))
+        val cms = perKey
+          .select(col("c"), explode(array((0 until CmsDepth).map(i =>
+            struct(lit(i.toLong).as("i"),
+              pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
+                lit(CmsWidth)).as("j"))): _*)).as("ij"))
+          .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
+          .agg(sum(col("c")).as("cnt"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        (topk, regs, cms)
+      }
+      def recordAll(p: String, tk: Seq[(Long, Long)], rg: Seq[(Long, Long)],
+          cm: Map[(Long, Long), Long]): Unit = {
+        recordColTopk(dbFile, tk.map { case (k, c) => (p, "k", k, c) })
+        recordColNdv(dbFile, rg.map { case (b, mr) => (p, "k", b, mr) })
+        recordColCms(dbFile, cm.toSeq.map { case ((i, j), c) => (p, "k", i, j, c) })
+      }
+
+      (0L to 3L).foreach { g =>
+        val (tk, rg, cm) = statsOf(o.filter(pmod(col("k"), lit(4L)) === g))
+        recordAll(pathOf(g), tk, rg, cm)
+      }
+      val dataFiles = files.map(f => (f._1, f._2))
+      recordSeq(dbFile, dataFiles.map(_._1), 1L)
+      val c1 = commitMorV2(dbFile, 0L, 1L, dataFiles, Seq.empty, Seq.empty)
+
+      def addCells(a: Map[(Long, Long), Long], b: Map[(Long, Long), Long]) =
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      def top1Of(rows: Seq[(Long, Long)]): (Long, Long) = {
+        val byKey = rows.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+        byKey.toSeq.sortBy { case (k, c) => (-c, k) }.head
+      }
+
+      def snapRow(step: Long, snap: Long, ok: Boolean) = {
+        val paths = manifestSeq(dbFile, snap).map(_._1)
+        val stale = staleIn(dbFile, paths, "k")
+        val freshPaths = paths.filterNot(stale.toSet)
+        val rejected = scala.util.Try(
+          colNdvRegistersFresh(dbFile, paths, "k")).isFailure
+        val nMan = manifest(dbFile, snap).map(_._2).sum
+        // fresh path: fresh files' stat rows + all three families
+        // recomputed over ONLY the masked stale scope
+        val (recTk, recRg, recCms) =
+          if (stale.isEmpty)
+            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
+              Map.empty[(Long, Long), Long])
+          else statsOf(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
+        val (t1k, t1c) = top1Of(colTopkMerged(dbFile, freshPaths, "k") ++ recTk)
+        val ndv = Hll.estimateInt(Hll.mergeRegisters(
+          colNdvRegistersFresh(dbFile, freshPaths, "k"), recRg))
+        val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nMan)).toLong
+        val cmsFresh = cmsPointMin(
+          addCells(colCmsMerged(dbFile, freshPaths, "k"), recCms), 1L)
+        // per-family metadata coverage of the FRESH scope — drops at
+        // snapshot 2, recovers at 3 (≤ 8/64/256 rows per file each)
+        val nTk = statRowCount(dbFile, "col_topk", freshPaths, "k")
+        val nNd = statRowCount(dbFile, "col_ndv", freshPaths, "k")
+        val nCm = statRowCount(dbFile, "col_cms", freshPaths, "k")
+        // naive stale-inclusive path over the MANIFEST scope — the
+        // audit foil; after the compaction the stale path is out of
+        // the manifest, so this COLLAPSES onto the fresh path
+        val (n1k, n1c) = top1Of(colTopkMerged(dbFile, paths, "k"))
+        val nNdv = Hll.estimateInt(colNdvRegisters(dbFile, paths, "k"))
+        val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
+        val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
+        // exact ground truth (the audit layer's only corpus-sized work)
+        val live = morReadV2(spark, dbFile, snap, "k")
+        val ex = live.groupBy("k").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("k")).head()
+        val (exK, exC) = (ex.getLong(0), ex.getLong(1))
+        val a = live.agg(count(lit(1)), countDistinct(col("k")),
+          coalesce(sum(when(col("k") === 1L, 1L).otherwise(0L)), lit(0L))).head()
+        val (nLive, exNdv, hotLive) = (a.getLong(0), a.getLong(1), a.getLong(2))
+        val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
+        (step, nLive, stale.size.toLong,
+          nTk, nNd, nCm,
+          t1k, t1c, ndv, skew, skew >= 800L,
+          n1c, nSkew >= 800L,
+          exSkew >= 800L,
+          cmsFresh, cmsNaive, hotLive,
+          cmsFresh >= hotLive && cmsNaive >= hotLive,
+          (skew >= 800L) == (exSkew >= 800L),
+          n1k == t1k && n1c == t1c && (nSkew >= 800L) == (skew >= 800L),
+          rejected == stale.nonEmpty && stale.nonEmpty == (step == 2L), ok)
+      }
+      val row1 = snapRow(1L, 1L, c1)
+
+      // snapshot 2: the hot key's rows purged, markers riding the commit
+      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
+        .select(
+          col("_metadata.file_path").as("pd_path"),
+          col("_metadata.row_index").as("pd_pos"),
+          col("k"))
+        .filter(col("k") === 1L)
+        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+      recordSeq(dbFile, pd1.map(_._1), 2L)
+      val refs = spark.read.parquet(pd1.map(_._1): _*)
+        .select(col("pd_path")).distinct()
+        .collect() // bounded by the file count — manifest-scale metadata
+        .map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSeq.sorted
+      val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
+        staleMarkers = refs.map((_, "k")))
+      val row2 = snapRow(2L, 2L, c1 && c2)
+
+      // snapshot 3: COMPACTION of exactly the stale scope + a re-stat
+      // of ALL THREE families from the same delta-sized input
+      val stale2 = staleIn(dbFile, dataFiles.map(_._1), "k")
+      val compacted = morReadV2(spark, dbFile, 2L, "k", Some(stale2.toSet))
+        .select("k", "rid", "cents")
+      val comp = writeCounted(spark, compacted, s"$base/c1", 1)
+      val (tk3, rg3, cm3) = statsOf(spark.read.parquet(comp.map(_._1): _*))
+      recordAll(comp.head._1, tk3, rg3, cm3)
+      recordSeq(dbFile, comp.map(_._1), 3L)
+      val carried = dataFiles.filterNot(f => stale2.contains(f._1))
+      val c3 = commitMorV2(dbFile, 2L, 3L, carried ++ comp, Seq.empty, Seq.empty)
+      val row3 = snapRow(3L, 3L, c1 && c2 && c3)
+
+      Seq(row1, row2, row3)
+        .toDF("step", "n_live_rows", "n_recompute_files",
+          "n_topk_rows_fresh", "n_ndv_rows_fresh", "n_cms_rows_fresh",
+          "top1_key", "top1_cnt", "ndv_est", "skew_x100", "salted",
+          "naive_top1_cnt", "naive_salted", "exact_salted",
+          "cms_hot_fresh", "cms_hot_naive", "hot_live",
+          "cms_ge_ok", "decision_ok", "naive_matches_fresh",
+          "stale_guard_ok", "live_log")
+        .orderBy("step")
+    } else {
+      // honest fallback: direct stats both ways; guard/log flags false
+      // fail the oracle's TRUE
+      def row(step: Long) = {
+        val live = if (step == 1L) o else o.filter(col("k") =!= 1L)
+        val nMan = o.count()
+        def top1(df: DataFrame): (Long, Long) = {
+          val r = df.groupBy("k").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("k")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (t1k, t1c) = top1(live)
+        val ndv = Hll.estimateInt(Hll.registerCensus(live, col("k").cast("string")))
+        val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nMan)).toLong
+        val naive = if (step == 3L) live else o
+        val (_, n1c) = top1(naive)
+        val nNdv = Hll.estimateInt(Hll.registerCensus(naive, col("k").cast("string")))
+        val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
+        val hotLive = live.filter(col("k") === 1L).count()
+        (step, live.count(),
+          if (step == 2L) 1L else 0L,
+          0L, 0L, 0L,
+          t1k, t1c, ndv, skew, skew >= 800L,
+          n1c, nSkew >= 800L,
+          skew >= 800L,
+          hotLive, n1c, hotLive, true, true, step != 2L, false, false)
+      }
+      Seq(row(1L), row(2L), row(3L))
+        .toDF("step", "n_live_rows", "n_recompute_files",
+          "n_topk_rows_fresh", "n_ndv_rows_fresh", "n_cms_rows_fresh",
+          "top1_key", "top1_cnt", "ndv_est", "skew_x100", "salted",
+          "naive_top1_cnt", "naive_salted", "exact_salted",
+          "cms_hot_fresh", "cms_hot_naive", "hot_live",
+          "cms_ge_ok", "decision_ok", "naive_matches_fresh",
+          "stale_guard_ok", "live_log")
         .orderBy("step")
     }
   }

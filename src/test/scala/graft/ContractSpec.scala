@@ -21,8 +21,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys, with the expected counts") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 298)
-    assert(SparkEntry.oracleSql.size == 298)
+    assert(SparkEntry.queries.size == 302)
+    assert(SparkEntry.oracleSql.size == 302)
   }
 
   test("no oracle uses bare round(x, 6) — engines tie-break differently") {

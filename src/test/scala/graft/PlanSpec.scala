@@ -1271,6 +1271,25 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0)
   }
 
+  test("q226 build skew split join: decision math lands as a local relation — q210's class") {
+    // staging + stats + both audited joins execute before the frame;
+    // the DECISION reads col_topk/col_ndv (build) + col_cms (probe)
+    val p = plan("q226_build_skew_split_join")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
+  test("q225 pair stat routed: decision math lands as a local relation — q210's class") {
+    // staging + stats writes + the audited joins execute before the
+    // frame; the DECISION consumes only col_ndv rows (pair families on
+    // log A, singles on log B) + manifest counts
+    val p = plan("q225_pair_stat_routed")
+    assert(count(p, "LocalTableScan") == 1)
+    assert(count(p, "Join") == 0)
+    assert(count(p, "Window") == 0)
+  }
+
   test("q224 composite key ndv: pair math lands as a local relation — q210's class") {
     val p = plan("q224_composite_key_ndv")
     assert(count(p, "LocalTableScan") == 1)
@@ -1279,8 +1298,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q223 salt factor audit: factor math lands as a local relation — q210's class") {
-    // the five factor variants execute (streamed censuses + one
-    // map-side (key, salt) grouping each) before the frame is built
+    // the factor variants execute (streamed censuses + ONE fused
+    // exploded (factor, key, salt) grouping) before the frame is built
     val p = plan("q223_salt_factor_audit")
     assert(count(p, "LocalTableScan") == 1)
     assert(count(p, "Join") == 0)

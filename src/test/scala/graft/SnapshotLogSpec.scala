@@ -495,4 +495,52 @@ class SnapshotLogSpec extends AnyFunSuite {
       assert(SnapshotLog.colNdvRegistersFresh(db, Seq("fA", "fB"), "k") == Seq((1L, 2L)))
     }
   }
+
+  test("top1Reliability: certain only when the observed sum beats every file-grain upper bound") {
+    import SnapshotLog.top1Reliability
+    // one file, exhaustive top-k (fewer than k rows listed): threshold 0,
+    // nothing unseen can hide — reliable
+    assert(top1Reliability(Seq(("f1", 10L, 5L), ("f1", 11L, 3L))) == ((10L, 5L, true)))
+    // two files, both with FULL top-k lists (k=2): each file's 2nd-place
+    // count is the hiding bound for unseen keys
+    val full = Seq(
+      ("f1", 1L, 100L), ("f1", 2L, 10L),
+      ("f2", 1L, 90L), ("f2", 3L, 9L))
+    // top-1 = key 1 with 190 observed; total threshold = 10 + 9 = 19;
+    // key 2's upper bound = 10 + 9 (unseen in f2) = 19 < 190 — reliable
+    assert(top1Reliability(full, k = 2) == ((1L, 190L, true)))
+    // uniform column: every count ties, an unseen key could match or
+    // beat the merged top-1 — NOT reliable (the q222-measured trap)
+    val unif = Seq(
+      ("f1", 1L, 2L), ("f1", 2L, 2L),
+      ("f2", 3L, 2L), ("f2", 4L, 2L))
+    val (_, _, rel) = top1Reliability(unif, k = 2)
+    assert(!rel)
+    // partially-seen challenger: key 2 observed 80 in f1 only; its bound
+    // 80 + f2's threshold 9 = 89 < 100+90 — key 1 still certain
+    val part = Seq(
+      ("f1", 1L, 100L), ("f1", 2L, 80L),
+      ("f2", 1L, 90L), ("f2", 3L, 9L))
+    assert(top1Reliability(part, k = 2) == ((1L, 190L, true)))
+    // ...but if a challenger's bound can EXCEED the top-1, the bit must
+    // drop: key 2 observed 185 + up to 9 hidden in f2 = 194 > 190
+    val close = Seq(
+      ("f1", 1L, 100L), ("f1", 2L, 185L),
+      ("f2", 1L, 90L), ("f2", 3L, 9L))
+    assert(top1Reliability(close, k = 2) == ((1L, 190L, false)))
+  }
+
+  test("cmsPointMin: min over depth rows; absent cells read as zero") {
+    import SnapshotLog.cmsPointMin
+    import graft.ops.Hashing
+    // cells populated for key 7 on all four rows with different loads —
+    // the probe must take the MIN
+    val cells = (0 until 4).map { i =>
+      ((i.toLong, Hashing.h60Local(s"$i:7") % 64L), 10L + i)
+    }.toMap
+    assert(cmsPointMin(cells, 7L) == 10L)
+    // a key whose cells are absent on any row reads 0 (never negative,
+    // never an exception) — the f̂ ≥ f floor for an unseen key
+    assert(cmsPointMin(Map.empty, 123L) == 0L)
+  }
 }

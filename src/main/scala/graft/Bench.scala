@@ -100,6 +100,9 @@ object Bench {
     */
   private val GateDefaultThreshold = 6.0
   private val GateParRatioTrigger = 1.15
+  // mid-sweep re-probe cadence: ~4-6 probes across a board sweep, ≤ 2%
+  // overhead, fine enough to bracket contention inside one record
+  private val MidProbeInterval = 64
   private def loadGate(parRatioPre: Double): Double = {
     val thr: Option[Double] = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE") match {
       case Some("off") => None
@@ -137,7 +140,15 @@ object Bench {
       // Equal to (calibStart, calibParStart) when the gate never waited —
       // when it DID wait, pre-vs-post is the gated-vs-ungated bracket in
       // one record (r18 verdict #3 / builder candidate (d)).
-      calibPreGate: Double, calibParPreGate: Double)
+      calibPreGate: Double, calibParPreGate: Double,
+      // MID-SWEEP re-arm (r19 verdict #7): the start-of-sweep probe can
+      // miss contention that arrives later (r19's driver record armed
+      // nothing at pregate 1.087 yet finished at par_ratio 1.275).
+      // Every MidProbeInterval queries the parallel probe re-runs
+      // between timed queries; a ratio over the trigger engages the
+      // same load gate mid-sweep. midGateWaitSec sums those waits,
+      // midParRatioMax is the worst mid-sweep probe observed.
+      midGateWaitSec: Double, midParRatioMax: Double)
 
   /** Run the (optionally filtered) board in THIS JVM and return raw run
     * times. `exact` matches whole names (chunk children); otherwise any
@@ -196,11 +207,42 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so compute-heavy projections would be timed as near-zero.
     // The noop write executes the full plan and materializes every row.
+    //
+    // Mid-sweep gate re-arm (r19 verdict #7): contention arriving AFTER
+    // the start-of-sweep probe used to run the whole sweep ungated; now
+    // the parallel probe re-runs every MidProbeInterval queries (between
+    // timed runs, never inside one — ~1.2 s per probe, ≤ 2% of a board
+    // sweep) and engages the same load gate when it exceeds the trigger.
+    val gateOff = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE").contains("off")
+    val midThreshold = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE")
+      .filter(_ != "off").flatMap(_.toDoubleOption).getOrElse(GateDefaultThreshold)
+    var midGateWaitSec = 0.0
+    var midParRatioMax = -1.0
+    var queryIdx = 0
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.isEmpty || (if (exact) only.contains(n) else only.exists(n.startsWith))
       }
       .map { case (name, fn) =>
+        if (!gateOff && queryIdx > 0 && queryIdx % MidProbeInterval == 0) {
+          val c1 = calibrate()
+          val ratio = if (c1 > 0) calibratePar(nCpus) / c1 else -1.0
+          midParRatioMax = math.max(midParRatioMax, ratio)
+          if (ratio > GateParRatioTrigger) {
+            System.err.println(
+              f"[bench] mid-sweep probe at query $queryIdx: par_ratio $ratio%.3f > $GateParRatioTrigger — gating")
+            val t0 = System.nanoTime()
+            var l = loadAvg()
+            while (l >= midThreshold && (System.nanoTime() - t0) < 600e9) {
+              System.err.println(
+                f"[bench] mid-sweep load gate: load_avg $l%.2f >= $midThreshold%.2f, waiting")
+              Thread.sleep(10000)
+              l = loadAvg()
+            }
+            midGateWaitSec += (System.nanoTime() - t0) / 1e9
+          }
+        }
+        queryIdx += 1
         // Untimed warm run(s) per query BEFORE the timed runs: JIT /
         // codegen compilation and any one-time staging memoization land
         // here, so the timed runs measure the query's true repeating
@@ -239,7 +281,7 @@ object Bench {
     spark.stop()
     (results, ChunkMeta(
       loadStart, loadEnd, calibStart, calibEnd, calibParStart, calibParEnd, gateWait,
-      calibPreGate, calibParPreGate))
+      calibPreGate, calibParPreGate, midGateWaitSec, midParRatioMax))
   }
 
   /** CHILD mode (`--chunk <out> <names...>`): sweep exactly `names`,
@@ -251,7 +293,8 @@ object Bench {
     val sb = new StringBuilder
     sb.append(s"#meta\t${m.loadStart}\t${m.loadEnd}\t${m.calibStart}\t${m.calibEnd}" +
       s"\t${m.calibParStart}\t${m.calibParEnd}\t${m.gateWait}" +
-      s"\t${m.calibPreGate}\t${m.calibParPreGate}\n")
+      s"\t${m.calibPreGate}\t${m.calibParPreGate}" +
+      s"\t${m.midGateWaitSec}\t${m.midParRatioMax}\n")
     results.foreach { case (n, ts) => sb.append(s"$n\t${ts.mkString(",")}\n") }
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
   }
@@ -305,7 +348,8 @@ object Bench {
           metas += ChunkMeta(
             parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble,
             parts(5).toDouble, parts(6).toDouble, parts(7).toDouble,
-            parts(8).toDouble, parts(9).toDouble)
+            parts(8).toDouble, parts(9).toDouble,
+            parts(10).toDouble, parts(11).toDouble)
         else merged += (parts(0) -> parts(1).split(",").map(_.toDouble).toSeq)
       }
     }
@@ -377,6 +421,13 @@ object Bench {
     val calibParRatio =
       if (calibMean > 0 && calibParMean > 0) calibParMean / calibMean else -1.0
     val gateWaitTotal = metas.map(_.gateWait).filter(_ > 0).sum
+    // mid-sweep re-arm totals (r19 verdict #7): wait seconds the gate
+    // added inside sweeps, and the worst mid-sweep probe seen (-1 when
+    // no mid probe ran — short isolated sets never reach the interval)
+    val midGateWaitTotal = metas.map(_.midGateWaitSec).filter(_ > 0).sum
+    val midParRatioMax =
+      if (metas.exists(_.midParRatioMax > 0)) metas.map(_.midParRatioMax).max
+      else -1.0
     // pre-gate contention vs post-gate: when the gate waited, this pair
     // quantifies the gate's effect size inside the record itself (r18
     // verdict #3) — calib_par_ratio_pregate is the weather the gate saw,
@@ -403,7 +454,7 @@ object Bench {
       else {
         val cs = metas
           .map(m =>
-            s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}],"calib_par_sec":[${fmt(m.calibParStart)},${fmt(m.calibParEnd)}],"calib_pre_gate":[${fmt(m.calibPreGate)},${fmt(m.calibParPreGate)}],"gate_wait_sec":${fmt(m.gateWait)}}""")
+            s"""{"load_avg":[${fmt(m.loadStart)},${fmt(m.loadEnd)}],"calib_sec":[${fmt(m.calibStart)},${fmt(m.calibEnd)}],"calib_par_sec":[${fmt(m.calibParStart)},${fmt(m.calibParEnd)}],"calib_pre_gate":[${fmt(m.calibPreGate)},${fmt(m.calibParPreGate)}],"gate_wait_sec":${fmt(m.gateWait)},"mid_gate_wait_sec":${fmt(m.midGateWaitSec)},"mid_par_ratio_max":${fmt(m.midParRatioMax)}}""")
           .mkString("[", ",", "]")
         s""""n_jvm_chunks":${metas.size},"chunks":$cs,"""
       }
@@ -412,7 +463,7 @@ object Bench {
       val qs = results.map { case (n, ts) =>
         s""""$n":{"runs":[${ts.map(fmt).mkString(",")}],"median":${fmt(median(ts))},"spread":${fmt(spread(ts))},"spread_raw":${fmt(spreadRaw(ts))}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"calib_par_ratio":${fmt(calibParRatio)},"calib_par_ratio_pregate":${fmt(calibParRatioPre)},"gate_wait_sec":${fmt(gateWaitTotal)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"per_query_calib_norm":${fmt(perQueryCalibNorm)},"spread":${fmt(totalSpread)},"spread_def":"drop_max","spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"calib_sec_start":${fmt(calibStart)},"calib_sec_end":${fmt(calibEnd)},"calib_par_ratio":${fmt(calibParRatio)},"calib_par_ratio_pregate":${fmt(calibParRatioPre)},"gate_wait_sec":${fmt(gateWaitTotal)},"mid_gate_wait_sec":${fmt(midGateWaitTotal)},"mid_par_ratio_max":${fmt(midParRatioMax)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val outPath = java.nio.file.Paths.get("target", "bench_full.json").toAbsolutePath
     java.nio.file.Files.createDirectories(outPath.getParent)
@@ -468,7 +519,7 @@ object Bench {
     val failedJson = failed
       .map(n => s""""${n.takeWhile(_ != '_')}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_par_ratio":${fmt(calibParRatio)},"calib_par_ratio_pregate":${fmt(calibParRatioPre)},"gate_wait_sec":${fmt(gateWaitTotal)},"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
+      s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","value_calib_norm":${fmt(totalCalibNorm)},"per_query_calib_norm":${fmt(perQueryCalibNorm)},"runs":$runs,"nq":${medians.size},"nfailed":${failed.size},"failed":$failedJson,"spread":${fmt(totalSpread)},"spread_raw":${fmt(totalSpreadRaw)},"subtotals":{$subtotalsJson},$chunksJson"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],"calib_sec":[${fmt(calibStart)},${fmt(calibEnd)}],"calib_par_ratio":${fmt(calibParRatio)},"calib_par_ratio_pregate":${fmt(calibParRatioPre)},"gate_wait_sec":${fmt(gateWaitTotal)},"mid_gate_wait_sec":${fmt(midGateWaitTotal)},"mid_par_ratio_max":${fmt(midParRatioMax)},"slowest":$qsCompact,"sf":"$sfDir","file":"$outPath","full_copy":"$repoCopy"}"""
     )
   }
 

@@ -3923,7 +3923,10 @@ object RelQueries {
     // the decision inputs, and all three plan shapes ride the hash.
     // At 100 TB the inputs are col_ndv/col_topk/col_cms + manifest
     // rows (q212/q218/q220); here they are direct censuses — the
-    // audit layer — so the entry stays staging-free.
+    // audit layer — so the entry stays staging-free. The tree's FOURTH
+    // branch (build-side skew → the broadcast-hot-keys split) lives in
+    // the persisted variant q222 (edge e4) and standalone in q226 —
+    // it needs the col_cms family, so it belongs to the staged path.
     //
     // Scale shape: decision inputs are one map-side-combined groupBy
     // per probe key + counts; each executed join is one streamed
@@ -4057,27 +4060,40 @@ object RelQueries {
     ),
     // q222: q221's decision tree recomputed END-TO-END from the
     // PERSISTED tables — the entire decision path reads manifest row
-    // counts + col_ndv register rows + col_topk frequency rows out of
-    // the committed log (zero dataframe aggregation before a strategy
-    // is chosen), and the audited joins execute over the manifest's
-    // own staged files. e1 → broadcast, e2 → shuffle, e3 → salted at
-    // every SF by table-ratio construction; executed plan shapes,
-    // censuses, every decision input, and the metadata row count the
-    // decision consumed (n_ndv_rows_read) all ride the hash. Full
-    // lifecycle + scale shape: SnapshotLog.persistedStrategyDecision
-    // scaladoc.
+    // counts + col_ndv register rows + col_topk frequency rows + (r20)
+    // col_cms cells out of the committed log (zero dataframe
+    // aggregation before a strategy is chosen), and the audited joins
+    // execute over the manifest's own staged files. FOUR branches
+    // since r20: e1 → broadcast, e2 → shuffle, e3 → salted (probe-side
+    // skew), e4 → SPLIT (build-side skew: hot keys from the BUILD
+    // side's col_topk, the probe's hot slice bounded by its col_cms
+    // point estimates, broadcast-hot + shuffle-remainder — q226's
+    // strategy inside the tree), at every SF by construction; executed
+    // plan shapes, censuses, every decision input, and the metadata
+    // row count consumed all ride the hash. Full lifecycle + scale
+    // shape: SnapshotLog.persistedStrategyDecision scaladoc.
     Q(
       "q222_persisted_strategy_decision",
       (s, dir) => graft.sinks.SnapshotLog.persistedStrategyDecision(s, dir),
       Some {
         import graft.oracle.OracleSql.{h60, hllBucket, hllEstimate, hllRank, hllSH}
         val h = h60("CAST(k AS VARCHAR)")
+        val hCell = h60("CAST(r.i AS VARCHAR) || ':' || CAST(bhot.k AS VARCHAR)")
+        val hPCell = h60("CAST(r.i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
         s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS k_cust,
             CAST(o_orderkey AS BIGINT) AS k_ord,
             CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
               ELSE CAST(o_orderkey AS BIGINT) END AS k_skew,
             CAST(o_orderkey AS BIGINT) % 4 AS g
           FROM orders),
+          l AS (SELECT CAST(l_orderkey AS BIGINT) AS lk,
+            CASE WHEN l_returnflag = 'R' THEN CAST(1 AS BIGINT)
+              ELSE CAST(l_orderkey AS BIGINT) END AS lk_skew,
+            CAST(l_orderkey AS BIGINT) % 2 AS g
+          FROM lineitem),
+          cst AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+            CAST(c_custkey AS BIGINT) % 2 AS g FROM customer),
+          rws AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i),
           kv AS (SELECT g, 'k_cust' AS cn, k_cust AS k FROM o
             UNION ALL SELECT g, 'k_ord', k_ord FROM o
             UNION ALL SELECT g, 'k_skew', k_skew FROM o),
@@ -4099,8 +4115,34 @@ object RelQueries {
             (SELECT DISTINCT cn, g, ${hllBucket(h)} AS bucket FROM pf)
             GROUP BY cn),
           n AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM o),
+          bkv AS (SELECT g, 'lk' AS cn, lk AS k FROM l
+            UNION ALL SELECT g, 'lk_skew', lk_skew FROM l
+            UNION ALL SELECT g, 'ck', ck FROM cst),
+          bpf AS (SELECT g, cn, k, CAST(count(*) AS BIGINT) AS c
+            FROM bkv GROUP BY 1, 2, 3),
+          btk AS (SELECT g, cn, k, c FROM (SELECT g, cn, k, c, row_number()
+              OVER (PARTITION BY g, cn ORDER BY c DESC, k) AS rn FROM bpf)
+            WHERE rn <= 8),
+          bmg AS (SELECT cn, k, CAST(sum(c) AS BIGINT) AS c
+            FROM btk GROUP BY 1, 2),
+          bt1 AS (SELECT cn, c AS bt1c FROM (SELECT cn, k, c, row_number()
+              OVER (PARTITION BY cn ORDER BY c DESC, k) AS rn FROM bmg)
+            WHERE rn = 1),
+          bhh AS (SELECT DISTINCT cn, $h AS h FROM bpf),
+          bregs AS (SELECT cn, ${hllBucket("h")} AS bucket,
+              CAST(max(${hllRank("h")}) AS BIGINT) AS mr FROM bhh GROUP BY 1, 2),
+          bnd AS (SELECT cn, ${hllEstimate("s_h")} AS ndv FROM
+            (SELECT cn, $hllSH AS s_h FROM bregs GROUP BY cn)),
+          bn AS (SELECT cn, CAST(count(*) AS BIGINT) AS n FROM bkv GROUP BY 1),
+          bhot AS (SELECT bmg.cn, bmg.k FROM bmg
+            JOIN bnd ON bmg.cn = bnd.cn JOIN bn ON bmg.cn = bn.cn
+            WHERE CAST(bmg.c AS HUGEINT) * 100 * bnd.ndv // bn.n >= 800),
+          gk AS (SELECT cn, k, CAST(sum(c) AS BIGINT) AS c FROM pf GROUP BY 1, 2),
+          pcells AS (SELECT cn, r.i, ($hPCell) % 64 AS j,
+              CAST(sum(c) AS BIGINT) AS cnt
+            FROM gk CROSS JOIN rws r GROUP BY 1, 2, 3),
           e AS (
-            SELECT 'e1_dim' AS edge, 'k_cust' AS cn,
+            SELECT 'e1_dim' AS edge, 'k_cust' AS cn, 'ck' AS bcn,
               (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_build,
               (SELECT CAST(count(*) AS BIGINT) FROM o
                 JOIN customer ON k_cust = c_custkey) AS n_join,
@@ -4109,7 +4151,7 @@ object RelQueries {
               CAST(1 AS BIGINT) AS bhj, CAST(0 AS BIGINT) AS shuffles,
               CAST(0 AS BIGINT) AS generates
             UNION ALL
-            SELECT 'e2_flat', 'k_ord',
+            SELECT 'e2_flat', 'k_ord', 'lk',
               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
               (SELECT CAST(count(*) AS BIGINT) FROM o
                 JOIN lineitem ON k_ord = l_orderkey),
@@ -4117,28 +4159,56 @@ object RelQueries {
                 JOIN lineitem ON k_ord = l_orderkey),
               CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)
             UNION ALL
-            SELECT 'e3_skew', 'k_skew',
+            SELECT 'e3_skew', 'k_skew', 'lk',
               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
               (SELECT CAST(count(*) AS BIGINT) FROM o
                 JOIN lineitem ON k_skew = l_orderkey),
               (SELECT CAST(sum(k_skew) AS BIGINT) FROM o
                 JOIN lineitem ON k_skew = l_orderkey),
-              CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+              CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT 'e4_build_skew', 'k_ord', 'lk_skew',
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+              (SELECT CAST(count(*) AS BIGINT) FROM o
+                JOIN l ON k_ord = lk_skew),
+              (SELECT CAST(sum(k_ord) AS BIGINT) FROM o
+                JOIN l ON k_ord = lk_skew),
+              CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+          nhot AS (SELECT e.edge, CAST(count(bhot.k) AS BIGINT) AS n_hot
+            FROM e LEFT JOIN bhot ON bhot.cn = e.bcn GROUP BY 1),
+          hkmin AS (SELECT e.edge, bhot.k,
+              CAST(min(coalesce(pc.cnt, 0)) AS BIGINT) AS f
+            FROM e JOIN bhot ON bhot.cn = e.bcn
+            CROSS JOIN rws r
+            LEFT JOIN pcells pc ON pc.cn = e.cn AND pc.i = r.i
+              AND pc.j = ($hCell) % 64
+            GROUP BY 1, 2),
+          hest AS (SELECT e.edge, CAST(coalesce(sum(hkmin.f), 0) AS BIGINT) AS est
+            FROM e LEFT JOIN hkmin ON hkmin.edge = e.edge GROUP BY 1),
           d AS (SELECT e.*, n.n_probe,
               CAST(n.n_probe * 8 // 4 AS BIGINT) AS budget_bytes,
               CAST(e.n_build * 8 AS BIGINT) AS build_bytes,
               t1.top1_key, t1.top1_cnt, nd.ndv AS ndv_probe,
               nr.n_ndv_rows AS n_ndv_rows_read,
               CAST(CAST(t1.top1_cnt AS HUGEINT) * 100 * nd.ndv
-                // n.n_probe AS BIGINT) AS skew_x100
+                // n.n_probe AS BIGINT) AS skew_x100,
+              CAST(CAST(bt1.bt1c AS HUGEINT) * 100 * bnd.ndv
+                // bn.n AS BIGINT) AS build_skew_x100,
+              nhot.n_hot, hest.est AS hot_probe_est
             FROM e JOIN t1 ON e.cn = t1.cn JOIN nd ON e.cn = nd.cn
-            JOIN nr ON e.cn = nr.cn CROSS JOIN n)
+            JOIN nr ON e.cn = nr.cn JOIN bt1 ON e.bcn = bt1.cn
+            JOIN bnd ON e.bcn = bnd.cn JOIN bn ON e.bcn = bn.cn
+            JOIN nhot ON e.edge = nhot.edge JOIN hest ON e.edge = hest.edge
+            CROSS JOIN n)
           SELECT edge,
             CASE WHEN build_bytes <= budget_bytes THEN 'broadcast'
               WHEN skew_x100 >= 800 THEN 'salted'
+              WHEN n_hot > 0 AND hot_probe_est * 8 <= n_probe * 8 // 2
+                THEN 'split'
               ELSE 'shuffle' END AS strategy,
             n_probe, n_build, budget_bytes, build_bytes, ndv_probe,
-            top1_key, top1_cnt, skew_x100, n_ndv_rows_read, n_join, sum_k,
+            top1_key, top1_cnt, skew_x100, build_skew_x100, hot_probe_est,
+            n_ndv_rows_read, n_join, sum_k,
             bhj, shuffles, generates, TRUE AS plan_ok, TRUE AS live_log
           FROM d ORDER BY edge"""
       }

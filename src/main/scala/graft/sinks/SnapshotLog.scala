@@ -5024,7 +5024,8 @@ object SnapshotLog {
   private val q222Staged = new java.util.concurrent.ConcurrentHashMap[
     String,
     (Seq[(String, Long)], Seq[(String, Long)], Seq[(String, Long)],
-      Seq[(String, String, Long, Long)], Seq[(String, String, Long, Long)])]()
+      Seq[(String, String, Long, Long)], Seq[(String, String, Long, Long)],
+      Seq[(String, String, Long, Long, Long)])]()
 
   /** q222 — THE STRATEGY DECISION FROM THE PERSISTED TABLES, END TO
     * END: q221 proves the decision tree with direct censuses standing
@@ -5072,18 +5073,23 @@ object SnapshotLog {
     def custRel = Tables.customer(spark, dir)
       .select(col("c_custkey").cast("long").as("ck"))
     def lineRel = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").cast("long").as("lk"))
+      .select(
+        col("l_orderkey").cast("long").as("lk"),
+        // the q226 build-side sentinel: every returned line resolves to
+        // order 1 — the hot BUILD key the fourth branch routes on
+        when(col("l_returnflag") === "R", lit(1L))
+          .otherwise(col("l_orderkey").cast("long")).as("lk_skew"))
 
     if (DuckDbLive.available) withTempTableDir("graft_q222_") { tmp =>
-      val (fO, fC, fL, regRows, topkRows) = q222Staged.computeIfAbsent(
+      val (fO, fC, fL, regRows, topkRows, cmsRows) = q222Staged.computeIfAbsent(
         dir,
         _ => {
           val base = java.nio.file.Files
             .createTempDirectory("graft_q222_tbl_").toAbsolutePath.toString
 
           /** ONE partitionBy write + ONE stats job: per-(file, column,
-            * key) counts feed top-8 rows, register cells, and the
-            * manifest counts.
+            * key) counts feed top-8 rows, register cells, count-min
+            * cells, and the manifest counts.
             */
           def stage(
               df: DataFrame,
@@ -5092,7 +5098,8 @@ object SnapshotLog {
               keyCols: Seq[(String, org.apache.spark.sql.Column)],
               out: String): (Seq[(String, Long)],
                 Seq[(String, String, Long, Long)],
-                Seq[(String, String, Long, Long)]) = {
+                Seq[(String, String, Long, Long)],
+                Seq[(String, String, Long, Long, Long)]) = {
             df.withColumn("g", gCol).repartition(col("g"))
               .write.partitionBy("g").parquet(out)
             val bucketRe = "/g=(\\d+)/".r
@@ -5127,32 +5134,48 @@ object SnapshotLog {
               .collect() // ≤ nB·n_cols·64 sketch cells — metadata
               .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
                 r.getLong(3), r.getLong(4)))
+            // count-min cells from the SAME per-key agg — the family
+            // the fourth branch's broadcast-size check consumes
+            val cms = perKey
+              .select(col("g"), col("cn"), col("c"),
+                explode(array((0 until CmsDepth).map(i =>
+                  struct(lit(i.toLong).as("i"),
+                    pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
+                      lit(CmsWidth)).as("j"))): _*)).as("ij"))
+              .groupBy(col("g"), col("cn"), col("ij.i").as("i"), col("ij.j").as("j"))
+              .agg(sum(col("c")).as("cnt"))
+              .collect() // ≤ nB·n_cols·256 sketch cells — metadata
+              .map(r => (byG(r.getLong(0)), r.getString(1), r.getLong(2),
+                r.getLong(3), r.getLong(4)))
+              .toSeq
             val c0 = keyCols.head._1
             val files = byG.toSeq.sortBy(_._1).map { case (g, p) =>
               (p, cells.collect { case (gg, cn, _, _, n) if gg == g && cn == c0 => n }.sum)
             }
             (files,
               cells.map { case (g, cn, b, mr, _) => (byG(g), cn, b, mr) }.toSeq,
-              topk)
+              topk, cms)
           }
 
-          val (o1, rO, tO) = stage(ordersRel, col("k_ord") % 4, 4,
+          val (o1, rO, tO, mO) = stage(ordersRel, col("k_ord") % 4, 4,
             Seq(("k_cust", col("k_cust")), ("k_ord", col("k_ord")),
               ("k_skew", col("k_skew"))), s"$base/orders")
-          val (c1, rC, tC) = stage(custRel, col("ck") % 2, 2,
+          val (c1, rC, tC, mC) = stage(custRel, col("ck") % 2, 2,
             Seq(("ck", col("ck"))), s"$base/cust")
-          val (l1, rL, tL) = stage(lineRel, col("lk") % 2, 2,
-            Seq(("lk", col("lk"))), s"$base/line")
-          (o1, c1, l1, rO ++ rC ++ rL, tO ++ tC ++ tL)
+          val (l1, rL, tL, mL) = stage(lineRel, col("lk") % 2, 2,
+            Seq(("lk", col("lk")), ("lk_skew", col("lk_skew"))), s"$base/line")
+          (o1, c1, l1, rO ++ rC ++ rL, tO ++ tC ++ tL, mO ++ mC ++ mL)
         })
 
       val dbFile = s"$tmp/log.duckdb"
       initLog(dbFile)
       initColNdv(dbFile)
       initColTopk(dbFile)
+      initColCms(dbFile)
       initStatStale(dbFile) // the guarded reader consults staleness (s71)
       recordColNdv(dbFile, regRows)
       recordColTopk(dbFile, topkRows)
+      recordColCms(dbFile, cmsRows)
       require(commit(dbFile, 0L, 1L, fO ++ fC ++ fL), "q222 snapshot commit rejected")
 
       val man = manifest(dbFile, 1L).toMap
@@ -5176,9 +5199,26 @@ object SnapshotLog {
           val (t1k, t1c) = colTopkMergedTop1(dbFile, pO, probeKey)
           val ndv = Hll.estimateInt(colNdvRegistersFresh(dbFile, pO, probeKey))
           val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nP)).toLong
+          // fourth branch inputs (q226's split, now IN the tree): hot
+          // BUILD keys from the build side's merged col_topk + col_ndv,
+          // the probe's hot slice bounded by its col_cms point
+          // estimates — all committed-log metadata
+          val bNdv = Hll.estimateInt(colNdvRegistersFresh(dbFile, buildPaths, buildKey))
+          val (_, bt1c) = colTopkMergedTop1(dbFile, buildPaths, buildKey)
+          val bSkew = (BigInt(bt1c) * 100 * BigInt(bNdv) / BigInt(nB)).toLong
+          val hot = colTopkMerged(dbFile, buildPaths, buildKey)
+            .filter { case (_, c) => BigInt(c) * 100 * BigInt(bNdv) / BigInt(nB) >= 800 }
+            .map(_._1).sorted
+          val hotEst =
+            if (hot.isEmpty) 0L
+            else {
+              val cmsP = colCmsMerged(dbFile, pO, probeKey)
+              hot.map(cmsPointMin(cmsP, _)).sum
+            }
           val strategy =
             if (buildBytes <= budget) "broadcast"
             else if (skew >= 800L) "salted"
+            else if (hot.nonEmpty && hotEst * 8L <= nP * 8L / 2L) "split"
             else "shuffle"
           // ---- execution over the MANIFEST'S OWN files ----
           // Enforcement threshold from the build side's MEASURED staged
@@ -5196,6 +5236,18 @@ object SnapshotLog {
               Salting.saltedJoinWith(ordersDf, build,
                 col(probeKey), col(buildKey),
                 pmod(Hashing.h60(col("rid").cast("string")), lit(8)).cast("int"), 8)
+            case "split" =>
+              // broadcast the PROBE side's hot-key slice (tiny — the
+              // key is hot in the BUILD relation), shuffle the rest
+              val jHot = build.filter(col(buildKey).isin(hot: _*))
+                .join(broadcast(ordersDf.filter(col(probeKey).isin(hot: _*))),
+                  col(probeKey) === col(buildKey))
+                .select(col(probeKey))
+              val jRest = ordersDf.filter(!col(probeKey).isin(hot: _*))
+                .join(build.filter(!col(buildKey).isin(hot: _*)),
+                  col(probeKey) === col(buildKey))
+                .select(col(probeKey))
+              jHot.unionByName(jRest)
             case _ => ordersDf.join(build, col(probeKey) === col(buildKey))
           }
           val (bhj, sh, gen) = (BucketedJoin.countBroadcastHashJoins(j),
@@ -5205,17 +5257,20 @@ object SnapshotLog {
             case "broadcast" => (1L, 0L, 0L)
             case "shuffle" => (0L, 2L, 0L)
             case "salted" => (0L, 2L, 1L)
+            case "split" => (1L, 2L, 0L)
           }
           (edge, strategy, nP, nB, budget, buildBytes, ndv, t1k, t1c, skew,
-            ndvRowsRead, r.getLong(0), r.getLong(1), bhj, sh, gen,
+            bSkew, hotEst, ndvRowsRead, r.getLong(0), r.getLong(1), bhj, sh, gen,
             (bhj, sh, gen) == expected, true)
         }
         Seq(
           edgeRow("e1_dim", "k_cust", custDf, pC, "ck", fC),
           edgeRow("e2_flat", "k_ord", lineDf, pL, "lk", fL),
-          edgeRow("e3_skew", "k_skew", lineDf, pL, "lk", fL))
+          edgeRow("e3_skew", "k_skew", lineDf, pL, "lk", fL),
+          edgeRow("e4_build_skew", "k_ord", lineDf, pL, "lk_skew", fL))
           .toDF("edge", "strategy", "n_probe", "n_build", "budget_bytes",
             "build_bytes", "ndv_probe", "top1_key", "top1_cnt", "skew_x100",
+            "build_skew_x100", "hot_probe_est",
             "n_ndv_rows_read", "n_join", "sum_k", "bhj", "shuffles",
             "generates", "plan_ok", "live_log")
           .orderBy("edge")
@@ -5244,9 +5299,21 @@ object SnapshotLog {
         val ndv = Hll.estimateInt(
           Hll.registerCensus(probe, col(probeKey).cast("string")))
         val skew = (BigInt(t1c) * 100 * BigInt(ndv) / BigInt(nP)).toLong
+        val bNdv = Hll.estimateInt(
+          Hll.registerCensus(build, col(buildKey).cast("string")))
+        val bPerKey = build.groupBy(col(buildKey).as("hk"))
+          .agg(count(lit(1)).as("c"))
+        val bt1c = bPerKey.agg(max("c")).head().getLong(0)
+        val bSkew = (BigInt(bt1c) * 100 * BigInt(bNdv) / BigInt(nB)).toLong
+        val hot = bPerKey
+          .filter(col("c") * 100 * bNdv / nB >= 800)
+          .select("hk").collect().map(_.getLong(0)).toSeq.sorted
+        val hotEst = if (hot.isEmpty) 0L
+          else probe.filter(col(probeKey).isin(hot: _*)).count()
         val strategy =
           if (buildBytes <= budget) "broadcast"
           else if (skew >= 800L) "salted"
+          else if (hot.nonEmpty && hotEst * 8L <= nP * 8L / 2L) "split"
           else "shuffle"
         val nNdvRows = probe
           .select((col("k_ord") % 4).as("g"),
@@ -5264,17 +5331,20 @@ object SnapshotLog {
           case "broadcast" => (1L, 0L, 0L)
           case "shuffle" => (0L, 2L, 0L)
           case "salted" => (0L, 2L, 1L)
+          case "split" => (1L, 2L, 0L)
         }
         (edge, strategy, nP, nB, budget, buildBytes, ndv, t1k, t1c, skew,
-          nNdvRows, r.getLong(0), r.getLong(1), expected._1, expected._2,
-          expected._3, false, false)
+          bSkew, hotEst, nNdvRows, r.getLong(0), r.getLong(1), expected._1,
+          expected._2, expected._3, false, false)
       }
       Seq(
         edgeRow("e1_dim", "k_cust", custRel, "ck"),
         edgeRow("e2_flat", "k_ord", lineRel, "lk"),
-        edgeRow("e3_skew", "k_skew", lineRel, "lk"))
+        edgeRow("e3_skew", "k_skew", lineRel, "lk"),
+        edgeRow("e4_build_skew", "k_ord", lineRel, "lk_skew"))
         .toDF("edge", "strategy", "n_probe", "n_build", "budget_bytes",
           "build_bytes", "ndv_probe", "top1_key", "top1_cnt", "skew_x100",
+          "build_skew_x100", "hot_probe_est",
           "n_ndv_rows_read", "n_join", "sum_k", "bhj", "shuffles",
           "generates", "plan_ok", "live_log")
         .orderBy("edge")

@@ -1228,6 +1228,7 @@ object RelQueries {
     Q(
       "q124_xml_roundtrip",
       (s, dir) => {
+        import s.implicits._
         val orig = Tables.orders(s, dir)
         val path = graft.sources.XmlSource.stageOrdersXml(s, dir)
         val back = graft.sources.XmlSource.readOrdersXml(s, path, orig.schema)
@@ -1237,18 +1238,23 @@ object RelQueries {
             sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))
           )
           .head()
-        val (co, cb) = (checksum(orig), checksum(back))
+        // ONE pass over the XML read-back: the checksum and the census
+        // aggregates ride the same job (multiline XML is unsplittable —
+        // a second scan re-parses the whole file single-threaded; r20,
+        // guide §2.4). Values are the same aggregates as before.
+        val cb = back.agg(
+          count(lit(1)),
+          sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")),
+          countDistinct(col("o_custkey")),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+          (year(max(col("o_orderdate"))).cast("long") * 10000 +
+            month(max(col("o_orderdate"))).cast("long") * 100 +
+            dayofmonth(max(col("o_orderdate"))).cast("long"))
+        ).head()
+        val co = checksum(orig)
         val matches = co.getLong(0) == cb.getLong(0) && co.getDecimal(1) == cb.getDecimal(1)
-        back
-          .agg(
-            count(lit(1)).as("n_rows"),
-            countDistinct(col("o_custkey")).as("n_cust"),
-            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
-            (year(max(col("o_orderdate"))).cast("long") * 10000 +
-              month(max(col("o_orderdate"))).cast("long") * 100 +
-              dayofmonth(max(col("o_orderdate"))).cast("long")).as("max_day")
-          )
-          .withColumn("checksum_match", lit(matches))
+        Seq((cb.getLong(0), cb.getLong(2), cb.getDouble(3), cb.getLong(4), matches))
+          .toDF("n_rows", "n_cust", "sum_price", "max_day", "checksum_match")
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
@@ -1286,19 +1292,27 @@ object RelQueries {
             sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)"))
           )
           .head()
-        val (co, cb) = (checksum(orig), checksum(back))
+        // ONE pass over the Avro read-back: checksum + census aggregates
+        // in the same job (q124's r20 trim — the read-back was scanned
+        // twice). Values are the same aggregates as before.
+        val cb = back.agg(
+          count(lit(1)),
+          sum(xxhash64(orig.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")),
+          countDistinct(col("o_orderkey")),
+          countDistinct(col("o_orderstatus")),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+          (year(min(col("o_orderdate"))).cast("long") * 10000 +
+            month(min(col("o_orderdate"))).cast("long") * 100 +
+            dayofmonth(min(col("o_orderdate"))).cast("long"))
+        ).head()
+        val co = checksum(orig)
         val matches = co.getLong(0) == cb.getLong(0) && co.getDecimal(1) == cb.getDecimal(1)
-        back
-          .agg(
-            count(lit(1)).as("n_rows"),
-            countDistinct(col("o_orderkey")).as("n_orders"),
-            countDistinct(col("o_orderstatus")).as("n_status"),
-            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
-            (year(min(col("o_orderdate"))).cast("long") * 10000 +
-              month(min(col("o_orderdate"))).cast("long") * 100 +
-              dayofmonth(min(col("o_orderdate"))).cast("long")).as("min_day")
-          )
-          .withColumn("checksum_match", lit(matches))
+        locally { import s.implicits._
+          Seq((cb.getLong(0), cb.getLong(2), cb.getLong(3), cb.getDouble(4),
+            cb.getLong(5), matches))
+            .toDF("n_rows", "n_orders", "n_status", "sum_price", "min_day",
+              "checksum_match")
+        }
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
@@ -3611,21 +3625,46 @@ object RelQueries {
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
         val l = Tables.lineitem(s, dir)
-        def regs(df: org.apache.spark.sql.DataFrame, key: String): Seq[(Long, Long)] =
-          Hll.registerCensus(df, col(key).cast("long").cast("string"))
         def keyed(df: org.apache.spark.sql.DataFrame, key: String) =
           df.select(col(key).cast("long").as("j"))
+        val sides = Seq(
+          ("custkey_o_c", "a", o, "o_custkey"),
+          ("custkey_o_c", "b", c, "c_custkey"),
+          ("orderkey_o_l", "a", o, "o_orderkey"),
+          ("orderkey_o_l", "b", l, "l_orderkey"))
+        // ONE register-census job for all four (pair, side) relations
+        // (previously one job each — guide §2.4); identical registers:
+        // same h60 over the same cast strings, per-(pair, side) bucket max
+        val regsAll: Map[(String, String), Seq[(Long, Long)]] = sides
+          .map { case (p, sd, df, key) =>
+            df.select(lit(p).as("p"), lit(sd).as("sd"),
+              graft.ops.Hashing.h60(col(key).cast("long").cast("string")).as("h"))
+          }
+          .reduce(_ unionByName _)
+          .select(col("p"), col("sd"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("p", "sd", "bucket").agg(max("rk").as("mr"))
+          .collect() // ≤ 4·64 register cells — sketch metadata
+          .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+          .groupBy(_._1)
+          .map { case (k2, cells) => (k2, cells.map(_._2).toSeq.sortBy(_._1)) }
         def pair(
             name: String,
             a: org.apache.spark.sql.DataFrame, ka: String,
             b: org.apache.spark.sql.DataFrame, kb: String) = {
-          val (ra, rb) = (regs(a, ka), regs(b, kb))
+          val (ra, rb) = (regsAll((name, "a")), regsAll((name, "b")))
           val (eA, eB) = (Hll.estimateInt(ra), Hll.estimateInt(rb))
           val eU = Hll.estimateInt(Hll.mergeRegisters(ra, rb))
           val eI = eA + eB - eU // inclusion–exclusion
-          val exU = keyed(a, ka).union(keyed(b, kb)).distinct().count()
-          val exI = keyed(a, ka).distinct()
-            .join(keyed(b, kb).distinct(), Seq("j"), "left_semi").count()
+          // exact union AND intersection from ONE tagged-distinct pass:
+          // |A∪B| = the distinct-key group count, |A∩B| = groups present
+          // on both sides — identical to the union-distinct count and
+          // the distinct semi-join count (previously two jobs)
+          val ex = keyed(a, ka).select(col("j"), lit(1).as("ta"), lit(0).as("tb"))
+            .unionByName(keyed(b, kb).select(col("j"), lit(0).as("ta"), lit(1).as("tb")))
+            .groupBy("j").agg(max("ta").as("ha"), max("tb").as("hb"))
+            .agg(count(lit(1)),
+              sum(when(col("ha") === 1 && col("hb") === 1, 1L).otherwise(0L))).head()
+          val (exU, exI) = (ex.getLong(0), ex.getLong(1))
           (name, eA, eB, eU, exU,
             (BigInt(eU - exU) * 10000 / BigInt(exU)).toLong,
             eI, exI, (BigInt(eI - exI) * 10000 / BigInt(exI)).toLong)
@@ -3800,10 +3839,39 @@ object RelQueries {
             keyed(l.filter(col("l_orderkey") % 16 === 0), col("l_orderkey"))),
           ("r6_disjoint", keyed(o, col("o_orderkey")),
             keyed(o, col("o_orderkey") + 1000000000L)))
+        // ONE stats job for all 12 (regime, side) frames: each side's
+        // row count and register census come from the same per-bucket
+        // aggregation (count = Σ per-bucket counts, registers =
+        // per-bucket max rank — identical to count() + registerCensus
+        // per side, previously 24 separate jobs; guide §2.4). The six
+        // exact join counts stay as the declared audit layer.
+        import graft.ops.Hashing
+        val sideStats: Map[(String, String), (Long, Seq[(Long, Long)])] = regimes
+          .flatMap { case (name, ldf, rdf) =>
+            Seq((name, "l", ldf), (name, "r", rdf))
+          }
+          .map { case (name, side, df) =>
+            df.select(lit(name).as("regime"), lit(side).as("side"),
+              Hashing.h60(col("k").cast("string")).as("h"))
+          }
+          .reduce(_ unionByName _)
+          .select(col("regime"), col("side"),
+            Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("regime", "side", "bucket")
+          .agg(max("rk").as("mr"), count(lit(1)).as("n"))
+          .collect() // ≤ 12·64 register cells — sketch metadata
+          .map(r => ((r.getString(0), r.getString(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4))))
+          .groupBy(_._1)
+          .map { case (key, cells) =>
+            (key, (cells.map(_._2._3).sum,
+              cells.map { case (_, (b, mr, _)) => (b, mr) }.toSeq.sortBy(_._1)))
+          }
         regimes.map { case (name, ldf, rdf) =>
-          val (nL, nR) = (ldf.count(), rdf.count())
-          val ndvL = Hll.estimateInt(Hll.registerCensus(ldf, col("k").cast("string")))
-          val ndvR = Hll.estimateInt(Hll.registerCensus(rdf, col("k").cast("string")))
+          val (nL, regsL) = sideStats((name, "l"))
+          val (nR, regsR) = sideStats((name, "r"))
+          val ndvL = Hll.estimateInt(regsL)
+          val ndvR = Hll.estimateInt(regsR)
           val est = (BigInt(nL) * BigInt(nR) / BigInt(math.max(ndvL, ndvR))).toLong
           val tru = ldf.join(rdf, Seq("k")).count()
           val err = (BigInt(est - tru) * 10000 / BigInt(math.max(tru, 1L))).toLong
@@ -3958,15 +4026,33 @@ object RelQueries {
         val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
         try {
           s.conf.set("spark.sql.adaptive.enabled", "false")
+          // the two build-side counts, computed once and shared by the
+          // three edges (e2/e3 share lineitem — previously one count
+          // job per edge; r20, §2.4)
+          val nBC = buildCust.count()
+          val nBL = buildLine.count()
+          // probe count, top-1 and NDV from ONE per-key aggregation:
+          // nP = Σc, top1 = max c, registers over the distinct keys
+          // equal registers over the raw rows (per-bucket MAX is
+          // duplicate-insensitive) — previously three probe scans
+          def probeStats(probe: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+            val perK = probe.groupBy("k").agg(count(lit(1)).as("c")).persist()
+            try {
+              val a = perK.agg(sum(col("c")), max(col("c"))).head()
+              val regs = perK
+                .select(Hashing.h60(col("k").cast("string")).as("h"))
+                .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+                .groupBy("bucket").agg(max("rk").as("mr"))
+                .collect() // ≤64 register cells — sketch metadata
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq
+              (a.getLong(0), a.getLong(1), Hll.estimateInt(regs))
+            } finally { perK.unpersist(); () }
+          }
           def edgeRow(edge: String, probe: org.apache.spark.sql.DataFrame,
-              build: org.apache.spark.sql.DataFrame, buildSrc: String) = {
+              build: org.apache.spark.sql.DataFrame, nB: Long, buildSrc: String) = {
             // ---- decision inputs: metadata-class statistics ----
-            val (nP, nB) = (probe.count(), build.count())
+            val (nP, t1, ndv) = probeStats(probe)
             val (budget, buildBytes) = (nP * 8L / 4L, nB * 8L)
-            val t1 = probe.groupBy("k").agg(count(lit(1)).as("c"))
-              .agg(max("c")).head().getLong(0)
-            val ndv = Hll.estimateInt(
-              Hll.registerCensus(probe, col("k").cast("string")))
             val skew = (BigInt(t1) * 100 * BigInt(ndv) / BigInt(nP)).toLong
             val strategy =
               if (buildBytes <= budget) "broadcast"
@@ -4005,9 +4091,9 @@ object RelQueries {
               (bhj, sh, gen) == expected)
           }
           Seq(
-            edgeRow("e1_dim", probeCust, buildCust, s"$dir/customer.parquet"),
-            edgeRow("e2_flat", probeFlat, buildLine, s"$dir/lineitem.parquet"),
-            edgeRow("e3_skew", probeSkew, buildLine, s"$dir/lineitem.parquet"))
+            edgeRow("e1_dim", probeCust, buildCust, nBC, s"$dir/customer.parquet"),
+            edgeRow("e2_flat", probeFlat, buildLine, nBL, s"$dir/lineitem.parquet"),
+            edgeRow("e3_skew", probeSkew, buildLine, nBL, s"$dir/lineitem.parquet"))
             .toDF("edge", "strategy", "n_probe", "n_build", "budget_bytes",
               "build_bytes", "ndv_probe", "top1_cnt", "skew_x100",
               "n_join", "sum_k", "bhj", "shuffles", "generates", "plan_ok")
@@ -4248,11 +4334,6 @@ object RelQueries {
           col("o_orderkey").cast("long").as("rid"))
         val build = Tables.lineitem(s, dir)
           .select(col("l_orderkey").cast("long").as("bk"))
-        val nP = probe.count()
-        val top1 = probe.groupBy("k").agg(count(lit(1)).as("c"))
-          .agg(max("c")).head().getLong(0)
-        val target = math.max(1L, (nP + 127L) / 128L)
-        val rec = math.min(32L, (top1 + target - 1L) / target)
         val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
         try {
@@ -4267,16 +4348,24 @@ object RelQueries {
           val (nPlain, sPlain) = census(jPlain)
           // every factor's straggler metric from ONE exploded
           // map-side-combined grouping (same h60 % f split values the
-          // per-factor salt columns produce)
-          val maxSubs: Map[Long, Long] = probe
+          // per-factor salt columns produce); the factor-1 leg's groups
+          // ARE the per-key counts, so n_probe (Σc at salts=1) and
+          // top1_cnt (max c at salts=1) ride the same job — the two
+          // separate probe scans they used to cost are gone (r20, §2.4)
+          val msRows = probe
             .select(col("k"), Hashing.h60(col("rid").cast("string")).as("h"))
             .select(col("k"), col("h"),
               explode(array(factors.map(f => lit(f.toLong)): _*)).as("salts"))
             .groupBy(col("salts"), col("k"), pmod(col("h"), col("salts")).as("s"))
             .agg(count(lit(1)).as("c"))
-            .groupBy("salts").agg(max("c").as("max_sub"))
+            .groupBy("salts").agg(max("c").as("max_sub"), sum("c").as("tot"))
             .collect() // one row per factor — bounded by |factors|
-            .map(r => (r.getLong(0), r.getLong(1))).toMap
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val maxSubs: Map[Long, Long] = msRows.map(r => (r._1, r._2)).toMap
+          val nP = msRows.find(_._1 == 1L).get._3
+          val top1 = maxSubs(1L)
+          val target = math.max(1L, (nP + 127L) / 128L)
+          val rec = math.min(32L, (top1 + target - 1L) / target)
           factors.map { f =>
             val (j, nJ, sJ) =
               if (f == 1) (jPlain, nPlain, sPlain)
@@ -4366,11 +4455,13 @@ object RelQueries {
         import s.implicits._
         import graft.ops.{Hashing, Hll}
         def pairRow(name: String, d: org.apache.spark.sql.DataFrame) = {
-          val n = d.count()
           // ONE scan for all three register censuses (a, b, a|b) via a
           // 3-way explode — bit-identical registers to three separate
           // registerCensus passes (same h60 over the same strings),
-          // at a third of the scan cost (r19 verdict #6 trim)
+          // at a third of the scan cost (r19 verdict #6 trim). The row
+          // count rides the SAME job: every input row contributes
+          // exactly one 'a' struct, so n = Σ per-bucket counts at
+          // cn = 'a' — the separate d.count() job is gone (r20, §2.4).
           val regRows = d.select(explode(array(
               struct(lit("a").as("cn"), col("a").cast("string").as("v")),
               struct(lit("b").as("cn"), col("b").cast("string").as("v")),
@@ -4378,11 +4469,12 @@ object RelQueries {
                 lit("|"), col("b").cast("string")).as("v")))).as("kv"))
             .select(col("kv.cn").as("cn"), Hashing.h60(col("kv.v")).as("h"))
             .select(col("cn"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-            .groupBy("cn", "bucket").agg(max("rk").as("mr"))
+            .groupBy("cn", "bucket").agg(max("rk").as("mr"), count(lit(1)).as("n"))
             .collect() // ≤ 3·64 register cells — sketch metadata
-            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          val n = regRows.collect { case ("a", _, _, cnt) => cnt }.sum
           def est(cn: String): Long = Hll.estimateInt(
-            regRows.collect { case (c, b, mr) if c == cn => (b, mr) }.toSeq)
+            regRows.collect { case (c, b, mr, _) if c == cn => (b, mr) }.toSeq)
           val (ndvA, ndvB, pairEst) = (est("a"), est("b"), est("ab"))
           val nDim = d.distinct().count() // = exact pair NDV
           val prodCapped =

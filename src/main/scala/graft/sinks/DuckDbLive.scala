@@ -154,6 +154,35 @@ object DuckDbLive {
     } finally ps.close()
   }
 
+  /** Execute one INSERT per row through a single prepared statement
+    * inside ONE transaction. Under the autocommit default every
+    * `executeUpdate()` commits (and checkpoints the WAL) per row, which
+    * dominates the metadata-record paths when a stat family inserts
+    * hundreds-to-thousands of rows per call (q222's col_cms alone is
+    * ~4.6k rows per run — measured r20, guide §1). Row order and values
+    * are unchanged; only the commit boundary moves (one commit per
+    * call), which also makes each record call atomic instead of
+    * row-torn on a crash.
+    */
+  def insertRows[A](
+      conn: Connection,
+      sql: String,
+      rows: Seq[A])(bind: (java.sql.PreparedStatement, A) => Unit): Unit =
+    if (rows.nonEmpty) {
+      val prevAuto = conn.getAutoCommit
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement(sql)
+      try {
+        rows.foreach { r => bind(ps, r); ps.executeUpdate() }
+        conn.commit()
+      } catch {
+        case NonFatal(e) => conn.rollback(); throw e
+      } finally {
+        ps.close()
+        conn.setAutoCommit(prevAuto)
+      }
+    }
+
   /** Bytes → DuckDB blob-literal body (`\xHH` per byte): the appender's
     * varchar→BLOB cast decodes exactly this form, so arbitrary binary
     * survives the driver's string-only append surface.

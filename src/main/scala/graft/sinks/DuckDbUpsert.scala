@@ -81,6 +81,12 @@ object DuckDbUpsert {
           val rows = reduceLatest(batch)
           nBatches.incrementAndGet()
           DuckDbLive.withConnection(dbFile) { c =>
+            // ONE transaction per batch: the autocommit default commits
+            // (and checkpoints the WAL) once per row, which dominates a
+            // per-user upsert loop (r20, guide §1). The per-row
+            // executeUpdate() return still counts stale rows; the batch
+            // stays atomic, matching the commit-cadence contract.
+            c.setAutoCommit(false)
             val ps = c.prepareStatement(
               """INSERT INTO latest VALUES (?, ?, ?, ?)
                 |ON CONFLICT (user_id) DO UPDATE SET
@@ -89,13 +95,21 @@ object DuckDbUpsert {
                 |WHERE excluded.ts_us > latest.ts_us
                 |   OR (excluded.ts_us = latest.ts_us AND excluded.event_id > latest.event_id)""".stripMargin
             )
-            try rows.foreach { r =>
-              ps.setLong(1, r.getLong(0))
-              ps.setLong(2, r.getLong(1))
-              ps.setLong(3, r.getLong(2))
-              ps.setDouble(4, r.getDouble(3))
-              if (ps.executeUpdate() == 0) nStale.incrementAndGet()
-            } finally ps.close()
+            try {
+              rows.foreach { r =>
+                ps.setLong(1, r.getLong(0))
+                ps.setLong(2, r.getLong(1))
+                ps.setLong(3, r.getLong(2))
+                ps.setDouble(4, r.getDouble(3))
+                if (ps.executeUpdate() == 0) nStale.incrementAndGet()
+              }
+              c.commit()
+            } catch {
+              case scala.util.control.NonFatal(e) => c.rollback(); throw e
+            } finally {
+              ps.close()
+              c.setAutoCommit(true)
+            }
           }
           ()
         }

@@ -237,12 +237,11 @@ object SnapshotLog {
 
   private[graft] def recordStats(dbFile: String, stats: Seq[(String, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO file_stats VALUES (?, ?)")
-      try stats.foreach { case (p, b) =>
-        ps.setString(1, p)
-        ps.setLong(2, b)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO file_stats VALUES (?, ?)", stats) {
+        case (ps, (p, b)) =>
+          ps.setString(1, p)
+          ps.setLong(2, b)
+      }
     }
 
   /** Named branch refs (Iceberg refs / Nessie branches): a ref is a
@@ -361,12 +360,11 @@ object SnapshotLog {
 
   private[graft] def recordSeq(dbFile: String, paths: Seq[String], seq: Long): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO file_seq VALUES (?, ?)")
-      try paths.foreach { p =>
-        ps.setString(1, p)
-        ps.setLong(2, seq)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO file_seq VALUES (?, ?)", paths) {
+        (ps, p) =>
+          ps.setString(1, p)
+          ps.setLong(2, seq)
+      }
     }
 
   /** Commit with row-level deletes: same atomic conditional swap as
@@ -1427,13 +1425,12 @@ object SnapshotLog {
       dbFile: String,
       stats: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO file_spec VALUES (?, ?, ?)")
-      try stats.foreach { case (p, spec, v) =>
-        ps.setString(1, p)
-        ps.setLong(2, spec)
-        ps.setLong(3, v)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO file_spec VALUES (?, ?, ?)", stats) {
+        case (ps, (p, spec, v)) =>
+          ps.setString(1, p)
+          ps.setLong(2, spec)
+          ps.setLong(3, v)
+      }
     }
 
   /** Spec-aware scan planning: the files of `snapshotId` whose partition
@@ -1676,14 +1673,14 @@ object SnapshotLog {
       schemaId: Long,
       fields: Seq[(Long, String, String)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO schema_fields VALUES (?, ?, ?, ?)")
-      try fields.foreach { case (fid, name, dtype) =>
-        ps.setLong(1, schemaId)
-        ps.setLong(2, fid)
-        ps.setString(3, name)
-        ps.setString(4, dtype)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(
+        c, "INSERT INTO schema_fields VALUES (?, ?, ?, ?)", fields) {
+        case (ps, (fid, name, dtype)) =>
+          ps.setLong(1, schemaId)
+          ps.setLong(2, fid)
+          ps.setString(3, name)
+          ps.setString(4, dtype)
+      }
     }
 
   private[graft] def recordFileSchema(
@@ -1691,12 +1688,11 @@ object SnapshotLog {
       paths: Seq[String],
       schemaId: Long): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO file_schema VALUES (?, ?)")
-      try paths.foreach { p =>
-        ps.setString(1, p)
-        ps.setLong(2, schemaId)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO file_schema VALUES (?, ?)", paths) {
+        (ps, p) =>
+          ps.setString(1, p)
+          ps.setLong(2, schemaId)
+      }
     }
 
   /** Schema N's fields, field-id-ordered: (field_id, name, dtype). */
@@ -2489,14 +2485,13 @@ object SnapshotLog {
       col: String,
       stats: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO col_stats VALUES (?, ?, ?, ?)")
-      try stats.foreach { case (p, mn, mx) =>
-        ps.setString(1, p)
-        ps.setString(2, col)
-        ps.setLong(3, mn)
-        ps.setLong(4, mx)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO col_stats VALUES (?, ?, ?, ?)", stats) {
+        case (ps, (p, mn, mx)) =>
+          ps.setString(1, p)
+          ps.setString(2, col)
+          ps.setLong(3, mn)
+          ps.setLong(4, mx)
+      }
     }
 
   /** Single-column recorder (s52/s55's cents stats → column "c0"). */
@@ -3220,6 +3215,9 @@ object SnapshotLog {
           .select(col("k").as("rk"), col("cents").as("pre_cents"))
         val postDf = spark.read.parquet(added: _*)
           .select(col("k").as("ak"), col("cents").as("post_cents"))
+        // (r20 note: persisting this frame was measured SLOWER than the
+        // recompute — the columnar cache build costs more than the small
+        // diff join; left uncached deliberately)
         val changes = preDf
           .join(postDf, col("rk") === col("ak"), "full_outer")
           .withColumn("change_type",
@@ -4215,13 +4213,12 @@ object SnapshotLog {
 
   private[graft] def recordNdv(dbFile: String, rows: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO file_ndv VALUES (?, ?, ?)")
-      try rows.foreach { case (p, b, mr) =>
-        ps.setString(1, p)
-        ps.setLong(2, b)
-        ps.setLong(3, mr)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO file_ndv VALUES (?, ?, ?)", rows) {
+        case (ps, (p, b, mr)) =>
+          ps.setString(1, p)
+          ps.setLong(2, b)
+          ps.setLong(3, mr)
+      }
     }
 
   private def ndvPathList(paths: Seq[String]): String =
@@ -4282,14 +4279,13 @@ object SnapshotLog {
       dbFile: String,
       rows: Seq[(String, String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO col_ndv VALUES (?, ?, ?, ?)")
-      try rows.foreach { case (p, cn, b, mr) =>
-        ps.setString(1, p)
-        ps.setString(2, cn)
-        ps.setLong(3, b)
-        ps.setLong(4, mr)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO col_ndv VALUES (?, ?, ?, ?)", rows) {
+        case (ps, (p, cn, b, mr)) =>
+          ps.setString(1, p)
+          ps.setString(2, cn)
+          ps.setLong(3, b)
+          ps.setLong(4, mr)
+      }
     }
 
   /** Merged register set of (file scope, column) — per-bucket max over
@@ -4372,14 +4368,13 @@ object SnapshotLog {
       dbFile: String,
       rows: Seq[(String, String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO col_topk VALUES (?, ?, ?, ?)")
-      try rows.foreach { case (p, cn, k, n) =>
-        ps.setString(1, p)
-        ps.setString(2, cn)
-        ps.setLong(3, k)
-        ps.setLong(4, n)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO col_topk VALUES (?, ?, ?, ?)", rows) {
+        case (ps, (p, cn, k, n)) =>
+          ps.setString(1, p)
+          ps.setString(2, cn)
+          ps.setLong(3, k)
+          ps.setLong(4, n)
+      }
     }
 
   /** The merged heaviest key of (file scope, column): per-file top-k
@@ -4495,12 +4490,11 @@ object SnapshotLog {
       paths: Seq[String],
       colName: String): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO stat_stale VALUES (?, ?)")
-      try paths.foreach { p =>
-        ps.setString(1, p)
-        ps.setString(2, colName)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO stat_stale VALUES (?, ?)", paths) {
+        (ps, p) =>
+          ps.setString(1, p)
+          ps.setString(2, colName)
+      }
     }
 
   /** Which of `paths` carry a stale marker for `colName` — the
@@ -4601,15 +4595,14 @@ object SnapshotLog {
       dbFile: String,
       rows: Seq[(String, String, Long, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
-      val ps = c.prepareStatement("INSERT INTO col_cms VALUES (?, ?, ?, ?, ?)")
-      try rows.foreach { case (p, cn, i, j, n) =>
-        ps.setString(1, p)
-        ps.setString(2, cn)
-        ps.setLong(3, i)
-        ps.setLong(4, j)
-        ps.setLong(5, n)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO col_cms VALUES (?, ?, ?, ?, ?)", rows) {
+        case (ps, (p, cn, i, j, n)) =>
+          ps.setString(1, p)
+          ps.setString(2, cn)
+          ps.setLong(3, i)
+          ps.setLong(4, j)
+          ps.setLong(5, n)
+      }
     }
 
   /** The merged sketch of (file scope, column): cell-wise SUM over the
@@ -4802,12 +4795,18 @@ object SnapshotLog {
           val gen = BucketedJoin.countGenerates(chosenJ)
           val (nJoin, sumCents) = census(chosenJ)
           val censusMatch = census(if (salted) plainJ else saltJ) == ((nJoin, sumCents))
-          // ---- the audit layer's exact ground truth ----
-          val ex = big.groupBy(col(cn).as("k")).agg(count(lit(1)).as("c"))
-            .orderBy(col("c").desc, col("k")).head()
-          val (exKey, maxGroup) = (ex.getLong(0), ex.getLong(1))
-          val maxSalt = big.groupBy(col(cn), saltCol.as("s"))
-            .agg(count(lit(1)).as("c")).agg(max("c")).head().getLong(0)
+          // ---- the audit layer's exact ground truth, fused: per-key
+          // top-1 and the per-(key, salt) straggler max both derive
+          // from ONE per-(key, salt) aggregation (Σ over salts = the
+          // per-key count) — previously two full scans (r20, §2.4) ----
+          val perKS = big.groupBy(col(cn).as("k"), saltCol.as("s"))
+            .agg(count(lit(1)).as("c")).persist()
+          val (exKey, maxGroup, maxSalt) = try {
+            val ex = perKS.groupBy("k").agg(sum(col("c")).as("c"))
+              .orderBy(col("c").desc, col("k")).head()
+            (ex.getLong(0), ex.getLong(1),
+              perKS.agg(max("c")).head().getLong(0))
+          } finally { perKS.unpersist(); () }
           (cn, nRows, ndv, t1k, t1c, t1Rel, skewX100, salted, nJoin, sumCents,
             censusMatch, gen, maxGroup, maxSalt, exKey,
             t1k == exKey && t1c == maxGroup, gen == (if (salted) 1L else 0L))
@@ -6027,23 +6026,28 @@ object SnapshotLog {
         * register cells per file) — the q218 shape.
         */
       def statsFor(df: DataFrame, byG: Map[Long, String]): Unit = {
-        val perKey = df.groupBy(col("g"), col("k")).agg(count(lit(1)).as("c"))
-        val topk = perKey
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("g").orderBy(col("c").desc, col("k"))))
-          .filter(col("rn") <= 8)
-          .collect() // ≤ n_files·8 stat rows — metadata
-          .map(r => (byG(r.getLong(0)), "k", r.getLong(1), r.getLong(2)))
-          .toSeq
-        val cells = perKey
-          .select(col("g"), Hashing.h60(col("k").cast("string")).as("h"))
-          .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-          .groupBy("g", "bucket").agg(max("rk").as("mr"))
-          .collect() // ≤ n_files·64 sketch cells — metadata
-          .map(r => (byG(r.getLong(0)), "k", r.getLong(1), r.getLong(2)))
-          .toSeq
-        recordColTopk(dbFile, topk)
-        recordColNdv(dbFile, cells)
+        // the per-(file, key) aggregation is computed ONCE and shared by
+        // both stat families (previously re-aggregated per family)
+        val perKey = df.groupBy(col("g"), col("k"))
+          .agg(count(lit(1)).as("c")).persist()
+        try {
+          val topk = perKey
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("g").orderBy(col("c").desc, col("k"))))
+            .filter(col("rn") <= 8)
+            .collect() // ≤ n_files·8 stat rows — metadata
+            .map(r => (byG(r.getLong(0)), "k", r.getLong(1), r.getLong(2)))
+            .toSeq
+          val cells = perKey
+            .select(col("g"), Hashing.h60(col("k").cast("string")).as("h"))
+            .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+            .groupBy("g", "bucket").agg(max("rk").as("mr"))
+            .collect() // ≤ n_files·64 sketch cells — metadata
+            .map(r => (byG(r.getLong(0)), "k", r.getLong(1), r.getLong(2)))
+            .toSeq
+          recordColTopk(dbFile, topk)
+          recordColNdv(dbFile, cells)
+        } finally { perKey.unpersist(); () }
       }
 
       val files1 = writeBucketed(spark, base, s"$tmp/data", 0L to 3L)
@@ -6062,7 +6066,11 @@ object SnapshotLog {
       val c2 = commit(
         dbFile, 1L, 2L, files1.map(f => (f._1, f._2)) ++ files2)
 
-      val dim = base.select(col("k").as("dk")).distinct()
+      // the dim is probed by FOUR join censuses below (plain + salted at
+      // two snapshots) — persist it so the distinct is computed once,
+      // not once per census (the Generate-count audit is unaffected:
+      // the salted explode sits ABOVE the dim subtree either way)
+      val dim = base.select(col("k").as("dk")).distinct().persist()
       val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       try {
@@ -6101,6 +6109,7 @@ object SnapshotLog {
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        dim.unpersist()
       }
 
       // the REPLAY: history read back from the persisted rows alone
@@ -6240,11 +6249,10 @@ object SnapshotLog {
         val merged = Hll.mergeRegisters(freshRegs, recomputed)
         val est = Hll.estimateInt(merged)
         val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
-        val live = morReadV2(spark, dbFile, snap, "cust")
-        val a = live.agg(count(lit(1)), countDistinct(col("cust"))).head()
-        val (nLive, exact) = (a.getLong(0), a.getLong(1))
-        val regsMatch =
-          merged == Hll.registerCensus(live, col("cust").cast("string"))
+        // exact audit fused into one per-key pass (ndvAudit)
+        val (nLive, exact, liveRegs) =
+          ndvAudit(morReadV2(spark, dbFile, snap, "cust"), "cust")
+        val regsMatch = merged == liveRegs
         (step, nLive, paths.size.toLong, stale.size.toLong,
           colNdvRowCount(dbFile, freshPaths, "cust"), est, naive, exact,
           errBp(est, exact), errBp(naive, exact), regsMatch,
@@ -6404,11 +6412,10 @@ object SnapshotLog {
         val merged = Hll.mergeRegisters(freshRegs, recomputed)
         val est = Hll.estimateInt(merged)
         val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
-        val live = morReadV2(spark, dbFile, snap, "cust")
-        val a = live.agg(count(lit(1)), countDistinct(col("cust"))).head()
-        val (nLive, exact) = (a.getLong(0), a.getLong(1))
-        val regsMatch =
-          merged == Hll.registerCensus(live, col("cust").cast("string"))
+        // exact audit fused into one per-key pass (ndvAudit)
+        val (nLive, exact, liveRegs) =
+          ndvAudit(morReadV2(spark, dbFile, snap, "cust"), "cust")
+        val regsMatch = merged == liveRegs
         (step, nLive, paths.size.toLong, stale.size.toLong, stale.size.toLong,
           posDeleteSeq(dbFile, snap).map(_._1).distinct.size.toLong,
           colNdvRowCount(dbFile, freshPaths, "cust"), est, naive, exact,
@@ -6491,6 +6498,131 @@ object SnapshotLog {
     }
   }
 
+  /** All three frequency-stat families (exact top-8, HLL registers,
+    * count-min cells) of one frame's `k` column from ONE per-key
+    * aggregation: perKey = groupBy(k).count is computed once (persisted
+    * for the three bounded derivations, unpersisted before return), and
+    * every family is provably identical to its standalone form — top-8
+    * is the same (c DESC, k) sort+limit over the same per-key counts;
+    * registers over the DISTINCT keys equal registers over the raw rows
+    * (per-bucket MAX is duplicate-insensitive); count-min cells were
+    * always summed from perKey. Replaces three full input scans + three
+    * per-key aggregations per call with one (guide §2.4 — one exchange
+    * shared by every consumer; §2.3 — aggregate before anything else).
+    */
+  private def freqStatFamilies(df: DataFrame): (Seq[(Long, Long)],
+      Seq[(Long, Long)], Map[(Long, Long), Long]) = {
+    import graft.ops.{Hashing, Hll}
+    val perKey = df.groupBy("k").agg(count(lit(1)).as("c")).persist()
+    try {
+      val topk = perKey
+        .orderBy(col("c").desc, col("k")).limit(8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val regs = perKey
+        .select(Hashing.h60(col("k").cast("string")).as("h"))
+        .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("bucket").agg(max("rk").as("mr"))
+        .collect() // ≤64 register cells — sketch metadata
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      val cms = perKey
+        .select(col("c"), explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i.toLong).as("i"),
+            pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
+              lit(CmsWidth)).as("j"))): _*)).as("ij"))
+        .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
+        .agg(sum(col("c")).as("cnt"))
+        .collect() // ≤ 4·64 sketch cells — metadata
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      (topk, regs, cms)
+    } finally { perKey.unpersist(); () }
+  }
+
+  /** [[freqStatFamilies]] for EVERY `g` bucket of one frame in a single
+    * per-(g, k) aggregation pass — the write-time stats job of s74/s75
+    * (previously one filtered scan per bucket: 4 scans × 3 jobs; now one
+    * shared aggregation + 3 bounded jobs). Per-bucket results are
+    * bit-identical to freqStatFamilies over that bucket's filtered
+    * frame: the window's (c DESC, k) top-8 per g is the same sort+limit,
+    * and registers/cms derive from the same per-key counts.
+    */
+  private def freqStatFamiliesByG(df: DataFrame): Map[Long, (Seq[(Long, Long)],
+      Seq[(Long, Long)], Map[(Long, Long), Long])] = {
+    import graft.ops.{Hashing, Hll}
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(col("g"), col("k")).agg(count(lit(1)).as("c")).persist()
+    try {
+      val topk = perKey
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("c").desc, col("k"))))
+        .filter(col("rn") <= 8).select("g", "k", "c")
+        .collect() // ≤ n_buckets·8 stat rows — metadata
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+      val regs = perKey
+        .select(col("g"), Hashing.h60(col("k").cast("string")).as("h"))
+        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("g", "bucket").agg(max("rk").as("mr"))
+        .collect() // ≤ n_buckets·64 sketch cells — metadata
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+      val cms = perKey
+        .select(col("g"), col("c"), explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i.toLong).as("i"),
+            pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
+              lit(CmsWidth)).as("j"))): _*)).as("ij"))
+        .groupBy(col("g"), col("ij.i").as("i"), col("ij.j").as("j"))
+        .agg(sum(col("c")).as("cnt"))
+        .collect() // ≤ n_buckets·4·64 sketch cells — metadata
+        .map(r => (r.getLong(0), ((r.getLong(1), r.getLong(2)), r.getLong(3)))).toSeq
+      val gs = (topk.map(_._1) ++ regs.map(_._1) ++ cms.map(_._1)).distinct
+      gs.map { g =>
+        g -> ((
+          topk.collect { case (`g`, kc) => kc }.sortBy { case (k, c) => (-c, k) },
+          regs.collect { case (`g`, bm) => bm }.sortBy(_._1),
+          cms.collect { case (`g`, cell) => cell }.toMap))
+      }.toMap
+    } finally { perKey.unpersist(); () }
+  }
+
+  /** Exact per-key audit frame of one live scope, fused: top-1 (c DESC,
+    * k tie-break), row count, exact NDV and the hot-key (k = 1) count
+    * all derive from ONE groupBy(k) pass — count(*) = Σc, exact NDV =
+    * |perKey| (countDistinct over the raw rows), hot count = c at k=1.
+    * Previously two full scans of the (MOR-masked) live frame.
+    */
+  private def exactKeyAudit(live: DataFrame): (Long, Long, Long, Long, Long) = {
+    val perKey = live.groupBy("k").agg(count(lit(1)).as("c")).persist()
+    try {
+      val ex = perKey.orderBy(col("c").desc, col("k")).head()
+      val a = perKey.agg(sum(col("c")), count(lit(1)),
+        coalesce(sum(when(col("k") === 1L, col("c"))), lit(0L))).head()
+      (ex.getLong(0), ex.getLong(1), a.getLong(0), a.getLong(1), a.getLong(2))
+    } finally { perKey.unpersist(); () }
+  }
+
+  /** Exact NDV audit of one live scope, fused: row count, exact distinct
+    * count and the direct register census all derive from ONE
+    * groupBy(key) pass — count(*) = Σc, countDistinct = |perKey|, and
+    * registers over the DISTINCT keys equal registers over the raw rows
+    * (per-bucket MAX is duplicate-insensitive; same sort order as
+    * Hll.registerCensus). Previously two full scans of the MOR-masked
+    * live frame (s71/s73's audit layer).
+    */
+  private def ndvAudit(
+      live: DataFrame,
+      keyCol: String): (Long, Long, Seq[(Long, Long)]) = {
+    import graft.ops.{Hashing, Hll}
+    val perKey = live.groupBy(keyCol).agg(count(lit(1)).as("c")).persist()
+    try {
+      val a = perKey.agg(sum(col("c")), count(lit(1))).head()
+      val regs = perKey
+        .select(Hashing.h60(col(keyCol).cast("string")).as("h"))
+        .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("bucket").agg(max("rk").as("mr"))
+        .collect() // ≤64 register cells — sketch metadata
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      (a.getLong(0), a.getLong(1), regs)
+    } finally { perKey.unpersist(); () }
+  }
+
   /** s74 — FREQUENCY-STAT STALENESS: s71's delete-side contract
     * extended to the stats that DRIVE the salt decision. Top-k rows
     * and count-min cells can't decrement any more than HLL registers
@@ -6552,33 +6684,13 @@ object SnapshotLog {
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
 
-      /** All three stat families of one frame's k column, from one
-        * per-key aggregation — shared by the write-time stats job and
-        * the pruned-scope recompute.
-        */
-      def statsOf(df: DataFrame): (Seq[(Long, Long)], Seq[(Long, Long)],
-          Map[(Long, Long), Long]) = {
-        val perKey = df.groupBy("k").agg(count(lit(1)).as("c"))
-        // top-8 as a distributed sort+limit (TakeOrdered), never a
-        // partition-less window over the NDV-sized per-key frame
-        val topk = perKey
-          .orderBy(col("c").desc, col("k")).limit(8)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val regs = Hll.registerCensus(df, col("k").cast("string"))
-        val cms = perKey
-          .select(col("c"), explode(array((0 until CmsDepth).map(i =>
-            struct(lit(i.toLong).as("i"),
-              pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
-                lit(CmsWidth)).as("j"))): _*)).as("ij"))
-          .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
-          .agg(sum(col("c")).as("cnt"))
-          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-        (topk, regs, cms)
-      }
-
-      // ONE write-time stats job per file (delta-sized frames)
+      // write-time stats for ALL FOUR files from ONE per-(g, k)
+      // aggregation pass (freqStatFamiliesByG — bit-identical per-bucket
+      // families; previously 4 filtered scans × 3 jobs)
+      val statsAll = freqStatFamiliesByG(
+        o.withColumn("g", pmod(col("k"), lit(4L))))
       (0L to 3L).foreach { g =>
-        val (tk, rg, cm) = statsOf(o.filter(pmod(col("k"), lit(4L)) === g))
+        val (tk, rg, cm) = statsAll(g)
         val p = pathOf(g)
         recordColTopk(dbFile, tk.map { case (k, c) => (p, "k", k, c) })
         recordColNdv(dbFile, rg.map { case (b, mr) => (p, "k", b, mr) })
@@ -6609,7 +6721,7 @@ object SnapshotLog {
           if (stale.isEmpty)
             (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
               Map.empty[(Long, Long), Long])
-          else statsOf(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
+          else freqStatFamilies(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
         val (t1k, t1c) = top1Of(colTopkMerged(dbFile, freshPaths, "k") ++ recTk)
         val ndv = Hll.estimateInt(Hll.mergeRegisters(
           colNdvRegistersFresh(dbFile, freshPaths, "k"), recRg))
@@ -6621,14 +6733,10 @@ object SnapshotLog {
         val cmsFresh = cmsPointMin(
           addCells(colCmsMerged(dbFile, freshPaths, "k"), recCms), 1L)
         val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
-        // exact ground truth (the audit layer's only corpus-sized work)
-        val live = morReadV2(spark, dbFile, snap, "k")
-        val ex = live.groupBy("k").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("k")).head()
-        val (exK, exC) = (ex.getLong(0), ex.getLong(1))
-        val a = live.agg(count(lit(1)), countDistinct(col("k")),
-          coalesce(sum(when(col("k") === 1L, 1L).otherwise(0L)), lit(0L))).head()
-        val (nLive, exNdv, hotLive) = (a.getLong(0), a.getLong(1), a.getLong(2))
+        // exact ground truth (the audit layer's only corpus-sized work),
+        // fused into one per-key pass (exactKeyAudit)
+        val (exK, exC, nLive, exNdv, hotLive) =
+          exactKeyAudit(morReadV2(spark, dbFile, snap, "k"))
         val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
         (step, nLive, stale.size.toLong,
           t1k, t1c, ndv, skew, skew >= 800L,
@@ -6766,27 +6874,6 @@ object SnapshotLog {
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
 
-      /** All three stat families of one frame's k column (the s74
-        * shape) — shared by the write-time stats job, the pruned-scope
-        * recompute, and snapshot 3's re-stat of the compacted file.
-        */
-      def statsOf(df: DataFrame): (Seq[(Long, Long)], Seq[(Long, Long)],
-          Map[(Long, Long), Long]) = {
-        val perKey = df.groupBy("k").agg(count(lit(1)).as("c"))
-        val topk = perKey
-          .orderBy(col("c").desc, col("k")).limit(8)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val regs = Hll.registerCensus(df, col("k").cast("string"))
-        val cms = perKey
-          .select(col("c"), explode(array((0 until CmsDepth).map(i =>
-            struct(lit(i.toLong).as("i"),
-              pmod(Hashing.h60(concat(lit(s"$i:"), col("k").cast("string"))),
-                lit(CmsWidth)).as("j"))): _*)).as("ij"))
-          .groupBy(col("ij.i").as("i"), col("ij.j").as("j"))
-          .agg(sum(col("c")).as("cnt"))
-          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-        (topk, regs, cms)
-      }
       def recordAll(p: String, tk: Seq[(Long, Long)], rg: Seq[(Long, Long)],
           cm: Map[(Long, Long), Long]): Unit = {
         recordColTopk(dbFile, tk.map { case (k, c) => (p, "k", k, c) })
@@ -6794,8 +6881,13 @@ object SnapshotLog {
         recordColCms(dbFile, cm.toSeq.map { case ((i, j), c) => (p, "k", i, j, c) })
       }
 
+      // write-time stats for ALL FOUR files from ONE per-(g, k) pass
+      // (freqStatFamiliesByG — bit-identical per-bucket families;
+      // previously 4 filtered scans × 3 jobs)
+      val statsAll = freqStatFamiliesByG(
+        o.withColumn("g", pmod(col("k"), lit(4L))))
       (0L to 3L).foreach { g =>
-        val (tk, rg, cm) = statsOf(o.filter(pmod(col("k"), lit(4L)) === g))
+        val (tk, rg, cm) = statsAll(g)
         recordAll(pathOf(g), tk, rg, cm)
       }
       val dataFiles = files.map(f => (f._1, f._2))
@@ -6823,7 +6915,7 @@ object SnapshotLog {
           if (stale.isEmpty)
             (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
               Map.empty[(Long, Long), Long])
-          else statsOf(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
+          else freqStatFamilies(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
         val (t1k, t1c) = top1Of(colTopkMerged(dbFile, freshPaths, "k") ++ recTk)
         val ndv = Hll.estimateInt(Hll.mergeRegisters(
           colNdvRegistersFresh(dbFile, freshPaths, "k"), recRg))
@@ -6842,14 +6934,10 @@ object SnapshotLog {
         val nNdv = Hll.estimateInt(colNdvRegisters(dbFile, paths, "k"))
         val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
         val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
-        // exact ground truth (the audit layer's only corpus-sized work)
-        val live = morReadV2(spark, dbFile, snap, "k")
-        val ex = live.groupBy("k").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("k")).head()
-        val (exK, exC) = (ex.getLong(0), ex.getLong(1))
-        val a = live.agg(count(lit(1)), countDistinct(col("k")),
-          coalesce(sum(when(col("k") === 1L, 1L).otherwise(0L)), lit(0L))).head()
-        val (nLive, exNdv, hotLive) = (a.getLong(0), a.getLong(1), a.getLong(2))
+        // exact ground truth (the audit layer's only corpus-sized work),
+        // fused into one per-key pass (exactKeyAudit)
+        val (exK, exC, nLive, exNdv, hotLive) =
+          exactKeyAudit(morReadV2(spark, dbFile, snap, "k"))
         val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
         (step, nLive, stale.size.toLong,
           nTk, nNd, nCm,
@@ -6888,7 +6976,7 @@ object SnapshotLog {
       val compacted = morReadV2(spark, dbFile, 2L, "k", Some(stale2.toSet))
         .select("k", "rid", "cents")
       val comp = writeCounted(spark, compacted, s"$base/c1", 1)
-      val (tk3, rg3, cm3) = statsOf(spark.read.parquet(comp.map(_._1): _*))
+      val (tk3, rg3, cm3) = freqStatFamilies(spark.read.parquet(comp.map(_._1): _*))
       recordAll(comp.head._1, tk3, rg3, cm3)
       recordSeq(dbFile, comp.map(_._1), 3L)
       val carried = dataFiles.filterNot(f => stale2.contains(f._1))
@@ -6996,11 +7084,30 @@ object SnapshotLog {
         .groupBy("f", "bucket").agg(max("rk").as("mr"))
         .collect() // ≤256 sketch cells (64 × 4 files) — stats metadata
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val files = (0L to 3L).flatMap { b =>
-        val pf = writeCounted(spark, o.filter(col("k") % 4 === b), s"$base/f$b", 1)
-        recordStats(dbFile, pf.map(p => (p._1, b)))
+      // ONE partitionBy write for all four files (previously one
+      // filtered write job per residue — 4 scans of o; r20, §2.4), with
+      // the per-file counts carried by the write job's own Observation
+      // (the writeBucketed / commit-carried-counts discipline)
+      val obs = org.apache.spark.sql.Observation()
+      val cAggs = (0L to 3L).map(b =>
+        sum(when(col("f") === b, lit(1L)).otherwise(lit(0L))).as(s"n_$b"))
+      o.withColumn("f", col("k") % 4)
+        .observe(obs, cAggs.head, cAggs.tail: _*)
+        .repartition(col("f")).write.partitionBy("f").parquet(s"$base/data")
+      val m = obs.get
+      val fRe = "/f=(\\d+)/".r
+      val byF: Map[Long, String] = new java.io.File(s"$base/data")
+        .listFiles().filter(_.getName.startsWith("f="))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => (fRe.findFirstMatchIn(f.getAbsolutePath).get.group(1).toLong,
+          f.getAbsolutePath))
+        .toMap
+      require(byF.size == 4, s"expected 4 one-file buckets under $base/data")
+      val files = (0L to 3L).map { b =>
+        val pf = (byF(b), m(s"n_$b").asInstanceOf[Long])
+        recordStats(dbFile, Seq((pf._1, b)))
         recordNdv(dbFile, perFileRegs.collect {
-          case (f, bkt, mr) if f == b => (pf.head._1, bkt, mr)
+          case (f, bkt, mr) if f == b => (pf._1, bkt, mr)
         })
         pf
       }
@@ -7010,8 +7117,10 @@ object SnapshotLog {
         val paths = prunePaths(dbFile, 1L, buckets)
         val merged = ndvRegisters(dbFile, paths) // plan-time: metadata only
         val est = estimate(merged)
-        val (exact, direct) =
-          exactAndDirect(spark.read.parquet(paths: _*)) // the audit scan
+        // audit scan, fused: exact NDV + direct census from ONE
+        // per-key pass (ndvAudit — previously two scans per scope)
+        val (_, exact, direct) =
+          ndvAudit(spark.read.parquet(paths: _*), "cust")
         (scope, paths.size.toLong, ndvRowCount(dbFile, paths), est, exact,
           math.abs(est - exact) * 10000L / exact,
           merged.sortBy(_._1) == direct, true)
@@ -7166,17 +7275,33 @@ object SnapshotLog {
       // ---- plan time: manifest row counts + col_ndv register merges ----
       val man = manifest(dbFile, 1L).toMap
       def nRows(files: Seq[(String, Long)]): Long = files.map(f => man(f._1)).sum
-      def side(paths: Seq[String], cn: String, df: DataFrame, key: String) = {
+      // the regs_match audit's four direct censuses from ONE union job
+      // (identical registers: same h60 over the same cast strings,
+      // per-column bucket max — previously one full-scan job each; r20)
+      val directRegs: Map[String, Seq[(Long, Long)]] = Seq(
+        ("o_custkey", orders, "cust"), ("c_custkey", custT, "ck"),
+        ("o_orderkey", orders, "k"), ("l_orderkey", lineT, "lk"))
+        .map { case (cn, df, key) =>
+          df.select(lit(cn).as("cn"), Hashing.h60(col(key).cast("string")).as("h"))
+        }
+        .reduce(_ unionByName _)
+        .select(col("cn"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+        .groupBy("cn", "bucket").agg(max("rk").as("mr"))
+        .collect() // ≤ 4·64 register cells — sketch metadata
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1)
+        .map { case (cn, cells) => (cn, cells.map(_._2).toSeq.sortBy(_._1)) }
+      def side(paths: Seq[String], cn: String) = {
         val merged = colNdvRegisters(dbFile, paths, cn)
         (Hll.estimateInt(merged), colNdvRowCount(dbFile, paths, cn),
-          merged == Hll.registerCensus(df, col(key).cast("string")))
+          merged == directRegs(cn))
       }
       val (pO, pC, pL) = (fO.map(_._1), fC.map(_._1), fL.map(_._1))
       val (nO, nC, nL) = (nRows(fO), nRows(fC), nRows(fL))
-      val (ndvOc, sOc, mOc) = side(pO, "o_custkey", orders, "cust")
-      val (ndvC, sC, mC) = side(pC, "c_custkey", custT, "ck")
-      val (ndvOk, sOk, mOk) = side(pO, "o_orderkey", orders, "k")
-      val (ndvL2, sL, mL) = side(pL, "l_orderkey", lineT, "lk")
+      val (ndvOc, sOc, mOc) = side(pO, "o_custkey")
+      val (ndvC, sC, mC) = side(pC, "c_custkey")
+      val (ndvOk, sOk, mOk) = side(pO, "o_orderkey")
+      val (ndvL2, sL, mL) = side(pL, "l_orderkey")
       val e1 = estJoin(nO, nC, ndvOc, ndvC)
       val e2 = estJoin(nO, nL, ndvOk, ndvL2)
       Seq(
@@ -7291,7 +7416,9 @@ object SnapshotLog {
       def scopeRow(scope: String, paths: Seq[String]) = {
         val merged = colNdvRegisters(dbFile, paths, "cust") // metadata only
         val est = Hll.estimateInt(merged)
-        val (exact, direct) = exactAndDirect(spark.read.parquet(paths: _*)) // audit scan
+        // audit scan, fused: exact NDV + direct census from ONE
+        // per-key pass (ndvAudit — previously two scans per scope)
+        val (_, exact, direct) = ndvAudit(spark.read.parquet(paths: _*), "cust")
         (scope, paths.size.toLong, est, exact,
           math.abs(est - exact) * 10000L / exact, merged == direct, true)
       }
@@ -7663,13 +7790,12 @@ object SnapshotLog {
         s"""INSERT INTO manifest_groups VALUES ($snapshotId, $groupId,
            ${entries.map(_._2).min}, ${entries.map(_._2).max}, ${entries.size})""")
       finally st.close()
-      val ps = c.prepareStatement("INSERT INTO group_entries VALUES (?, ?, ?)")
-      try entries.foreach { case (p, b) =>
-        ps.setLong(1, groupId)
-        ps.setString(2, p)
-        ps.setLong(3, b)
-        ps.executeUpdate()
-      } finally ps.close()
+      DuckDbLive.insertRows(c, "INSERT INTO group_entries VALUES (?, ?, ?)", entries) {
+        case (ps, (p, b)) =>
+          ps.setLong(1, groupId)
+          ps.setString(2, p)
+          ps.setLong(3, b)
+      }
     }
 
   /** s65 — TWO-LEVEL MANIFEST PRUNING: the metadata-scalability layer

@@ -2413,11 +2413,16 @@ object SnapshotLog {
       val carriedEntries = manifest(dbFile, 4L).filter(f => carried.contains(f._1))
       val c5 = commitMorV2(dbFile, 4L, 5L, carriedEntries ++ comp, Seq.empty, Seq.empty)
 
-      // time-travel censuses of ALL FIVE snapshots through the v2 read
-      val census = (1L to 5L).map { snap =>
-        val agg = read(snap).agg(count(lit(1)), sum(col("cents"))).head()
-        (snap, (agg.getLong(0), agg.getLong(1)))
-      }.toMap
+      // time-travel censuses of ALL FIVE snapshots through the v2 read,
+      // fused into ONE tagged job (previously one job per snapshot —
+      // five separate masked-union scans; r20, guide §2.4; per-snapshot
+      // count/sum values are unchanged)
+      val census: Map[Long, (Long, Long)] = (1L to 5L)
+        .map(snap => read(snap).select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 5 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
       val posOk = c1 && c2 && c3 && c4 && c5 &&
         affected.size == 2 && carried.size == 4 &&
         currentSnapshot(dbFile) == 5L &&

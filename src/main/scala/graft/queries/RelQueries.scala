@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.Tables
 import graft.ops.Ckpt.RichCkpt
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** q23-q28 — the relational capability surface (SURVEY.md §2.2/§2.3):
@@ -3418,23 +3419,25 @@ object RelQueries {
         val c = Tables.customer(s, dir)
         val o = Tables.orders(s, dir)
         val l = Tables.lineitem(s, dir)
-        val (nC, nO, nL) = (c.count(), o.count(), l.count())
         def ndv(df: org.apache.spark.sql.DataFrame, key: String): Long =
           Hll.estimateInt(Hll.registerCensus(df, col(key).cast("long").cast("string")))
-        val ndvC = ndv(c, "c_custkey")
-        val ndvOc = ndv(o, "o_custkey")
-        val ndvOk = ndv(o, "o_orderkey")
-        val ndvL = ndv(l, "l_orderkey")
-        def est(nA: Long, nB: Long, dA: Long, dB: Long): Long =
-          (BigInt(nA) * BigInt(nB) / BigInt(math.max(dA, dB))).toLong
-        val estCO = est(nC, nO, ndvC, ndvOc)
-        val estOL = est(nO, nL, ndvOk, ndvL)
         def trueJoin(a: org.apache.spark.sql.DataFrame, ka: String,
             b: org.apache.spark.sql.DataFrame, kb: String): Long =
           a.select(col(ka).cast("long").as("j"))
             .join(b.select(col(kb).cast("long").as("j")), Seq("j")).count()
-        val trueCO = trueJoin(c, "c_custkey", o, "o_custkey")
-        val trueOL = trueJoin(o, "o_orderkey", l, "l_orderkey")
+        // all nine inputs (3 counts, 4 register censuses, 2 exact joins)
+        // are independent actions — overlapped (guide §2.6, r21)
+        val Seq(nC, nO, nL, ndvC, ndvOc, ndvOk, ndvL, trueCO, trueOL) =
+          graft.ops.Par.run(Seq[() => Long](
+            () => c.count(), () => o.count(), () => l.count(),
+            () => ndv(c, "c_custkey"), () => ndv(o, "o_custkey"),
+            () => ndv(o, "o_orderkey"), () => ndv(l, "l_orderkey"),
+            () => trueJoin(c, "c_custkey", o, "o_custkey"),
+            () => trueJoin(o, "o_orderkey", l, "l_orderkey")), maxThreads = 9)
+        def est(nA: Long, nB: Long, dA: Long, dB: Long): Long =
+          (BigInt(nA) * BigInt(nB) / BigInt(math.max(dA, dB))).toLong
+        val estCO = est(nC, nO, ndvC, ndvOc)
+        val estOL = est(nO, nL, ndvOk, ndvL)
         def errBp(e: Long, t: Long): Long = (BigInt(e - t) * 10000 / BigInt(t)).toLong
         val chosen = if (estCO <= estOL) "customer_orders_first" else "orders_lineitem_first"
         val optimal = if (trueCO <= trueOL) "customer_orders_first" else "orders_lineitem_first"
@@ -3634,8 +3637,10 @@ object RelQueries {
           ("orderkey_o_l", "b", l, "l_orderkey"))
         // ONE register-census job for all four (pair, side) relations
         // (previously one job each — guide §2.4); identical registers:
-        // same h60 over the same cast strings, per-(pair, side) bucket max
-        val regsAll: Map[(String, String), Seq[(Long, Long)]] = sides
+        // same h60 over the same cast strings, per-(pair, side) bucket
+        // max. The stats job and each pair's exact tagged-distinct pass
+        // are independent — overlapped (guide §2.6, r21).
+        def regsJob(): Map[(String, String), Seq[(Long, Long)]] = sides
           .map { case (p, sd, df, key) =>
             df.select(lit(p).as("p"), lit(sd).as("sd"),
               graft.ops.Hashing.h60(col(key).cast("long").cast("string")).as("h"))
@@ -3647,14 +3652,9 @@ object RelQueries {
           .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
           .groupBy(_._1)
           .map { case (k2, cells) => (k2, cells.map(_._2).toSeq.sortBy(_._1)) }
-        def pair(
-            name: String,
+        def exactPair(
             a: org.apache.spark.sql.DataFrame, ka: String,
-            b: org.apache.spark.sql.DataFrame, kb: String) = {
-          val (ra, rb) = (regsAll((name, "a")), regsAll((name, "b")))
-          val (eA, eB) = (Hll.estimateInt(ra), Hll.estimateInt(rb))
-          val eU = Hll.estimateInt(Hll.mergeRegisters(ra, rb))
-          val eI = eA + eB - eU // inclusion–exclusion
+            b: org.apache.spark.sql.DataFrame, kb: String): (Long, Long) = {
           // exact union AND intersection from ONE tagged-distinct pass:
           // |A∪B| = the distinct-key group count, |A∩B| = groups present
           // on both sides — identical to the union-distinct count and
@@ -3664,14 +3664,33 @@ object RelQueries {
             .groupBy("j").agg(max("ta").as("ha"), max("tb").as("hb"))
             .agg(count(lit(1)),
               sum(when(col("ha") === 1 && col("hb") === 1, 1L).otherwise(0L))).head()
-          val (exU, exI) = (ex.getLong(0), ex.getLong(1))
+          (ex.getLong(0), ex.getLong(1))
+        }
+        val (regsAll, exacts) = graft.ops.Par.run2(
+          () => regsJob(),
+          () => graft.ops.Par.run(Seq(
+            () => exactPair(o, "o_custkey", c, "c_custkey"),
+            () => exactPair(o, "o_orderkey", l, "l_orderkey"))))
+        def pair(
+            name: String,
+            exact: (Long, Long)) = {
+          // empty-side default: an absent (pair, side) group means that
+          // side had zero rows — the old per-side registerCensus
+          // returned Seq.empty there, not a NoSuchElementException
+          // (ADVICE r20)
+          val (ra, rb) = (regsAll.getOrElse((name, "a"), Seq.empty),
+            regsAll.getOrElse((name, "b"), Seq.empty))
+          val (eA, eB) = (Hll.estimateInt(ra), Hll.estimateInt(rb))
+          val eU = Hll.estimateInt(Hll.mergeRegisters(ra, rb))
+          val eI = eA + eB - eU // inclusion–exclusion
+          val (exU, exI) = exact
           (name, eA, eB, eU, exU,
             (BigInt(eU - exU) * 10000 / BigInt(exU)).toLong,
             eI, exI, (BigInt(eI - exI) * 10000 / BigInt(exI)).toLong)
         }
         Seq(
-          pair("custkey_o_c", o, "o_custkey", c, "c_custkey"),
-          pair("orderkey_o_l", o, "o_orderkey", l, "l_orderkey"))
+          pair("custkey_o_c", exacts(0)),
+          pair("orderkey_o_l", exacts(1)))
           .toDF("pair", "est_left", "est_right", "est_union", "exact_union",
             "err_union_bp", "est_intersect", "exact_intersect", "err_intersect_bp")
           .orderBy("pair")
@@ -3846,34 +3865,44 @@ object RelQueries {
         // per side, previously 24 separate jobs; guide §2.4). The six
         // exact join counts stay as the declared audit layer.
         import graft.ops.Hashing
-        val sideStats: Map[(String, String), (Long, Seq[(Long, Long)])] = regimes
-          .flatMap { case (name, ldf, rdf) =>
-            Seq((name, "l", ldf), (name, "r", rdf))
-          }
-          .map { case (name, side, df) =>
-            df.select(lit(name).as("regime"), lit(side).as("side"),
-              Hashing.h60(col("k").cast("string")).as("h"))
-          }
-          .reduce(_ unionByName _)
-          .select(col("regime"), col("side"),
-            Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-          .groupBy("regime", "side", "bucket")
-          .agg(max("rk").as("mr"), count(lit(1)).as("n"))
-          .collect() // ≤ 12·64 register cells — sketch metadata
-          .map(r => ((r.getString(0), r.getString(1)),
-            (r.getLong(2), r.getLong(3), r.getLong(4))))
-          .groupBy(_._1)
-          .map { case (key, cells) =>
-            (key, (cells.map(_._2._3).sum,
-              cells.map { case (_, (b, mr, _)) => (b, mr) }.toSeq.sortBy(_._1)))
-          }
-        regimes.map { case (name, ldf, rdf) =>
-          val (nL, regsL) = sideStats((name, "l"))
-          val (nR, regsR) = sideStats((name, "r"))
+        // the stats union job and the six exact join counts are all
+        // independent actions — overlapped (guide §2.6, r21): the six
+        // audit joins back-fill each other's straggler tails instead of
+        // running end-to-end after the stats job
+        val (sideStats, trues) = graft.ops.Par.run2(
+          () => regimes
+            .flatMap { case (name, ldf, rdf) =>
+              Seq((name, "l", ldf), (name, "r", rdf))
+            }
+            .map { case (name, side, df) =>
+              df.select(lit(name).as("regime"), lit(side).as("side"),
+                Hashing.h60(col("k").cast("string")).as("h"))
+            }
+            .reduce(_ unionByName _)
+            .select(col("regime"), col("side"),
+              Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+            .groupBy("regime", "side", "bucket")
+            .agg(max("rk").as("mr"), count(lit(1)).as("n"))
+            .collect() // ≤ 12·64 register cells — sketch metadata
+            .map(r => ((r.getString(0), r.getString(1)),
+              (r.getLong(2), r.getLong(3), r.getLong(4))))
+            .groupBy(_._1)
+            .map { case (key, cells) =>
+              (key, (cells.map(_._2._3).sum,
+                cells.map { case (_, (b, mr, _)) => (b, mr) }.toSeq.sortBy(_._1)))
+            },
+          () => graft.ops.Par.run(regimes.map { case (_, ldf, rdf) =>
+            () => ldf.join(rdf, Seq("k")).count()
+          }))
+        regimes.zip(trues).map { case ((name, _, _), tru) =>
+          // absent group = empty side: 0 rows / empty registers, the old
+          // per-side count()/registerCensus semantics (ADVICE r20)
+          val empty = (0L, Seq.empty[(Long, Long)])
+          val (nL, regsL) = sideStats.getOrElse((name, "l"), empty)
+          val (nR, regsR) = sideStats.getOrElse((name, "r"), empty)
           val ndvL = Hll.estimateInt(regsL)
           val ndvR = Hll.estimateInt(regsR)
           val est = (BigInt(nL) * BigInt(nR) / BigInt(math.max(ndvL, ndvR))).toLong
-          val tru = ldf.join(rdf, Seq("k")).count()
           val err = (BigInt(est - tru) * 10000 / BigInt(math.max(tru, 1L))).toLong
           (name, nL, nR, ndvL, ndvR, est, tru, err)
         }
@@ -4004,33 +4033,29 @@ object RelQueries {
       (s, dir) => {
         import s.implicits._
         import graft.ops.{BucketedJoin, Hashing, Hll, Salting}
-        val o = Tables.orders(s, dir)
-        val l = Tables.lineitem(s, dir)
-        val c = Tables.customer(s, dir)
-        val probeCust = o.select(
+        val probeCust = (ss: SparkSession) => Tables.orders(ss, dir).select(
           col("o_custkey").cast("long").as("k"),
           col("o_orderkey").cast("long").as("rid"))
-        val probeFlat = o.select(
+        val probeFlat = (ss: SparkSession) => Tables.orders(ss, dir).select(
           col("o_orderkey").cast("long").as("k"),
           col("o_orderkey").cast("long").as("rid"))
         // the sentinel hot key: ~half the orders (status 'F') resolve
         // to order 1 — q218's unknown-member pattern on the join key
-        val probeSkew = o.select(
+        val probeSkew = (ss: SparkSession) => Tables.orders(ss, dir).select(
           when(col("o_orderstatus") === "F", lit(1L))
             .otherwise(col("o_orderkey").cast("long")).as("k"),
           col("o_orderkey").cast("long").as("rid"))
-        val buildCust = c.select(col("c_custkey").cast("long").as("bk"))
-        val buildLine = l.select(col("l_orderkey").cast("long").as("bk"))
+        val buildCust = (ss: SparkSession) =>
+          Tables.customer(ss, dir).select(col("c_custkey").cast("long").as("bk"))
+        val buildLine = (ss: SparkSession) =>
+          Tables.lineitem(ss, dir).select(col("l_orderkey").cast("long").as("bk"))
 
-        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-        try {
-          s.conf.set("spark.sql.adaptive.enabled", "false")
+        locally {
           // the two build-side counts, computed once and shared by the
           // three edges (e2/e3 share lineitem — previously one count
-          // job per edge; r20, §2.4)
-          val nBC = buildCust.count()
-          val nBL = buildLine.count()
+          // job per edge; r20, §2.4), overlapped with each other
+          val (nBC, nBL) = graft.ops.Par.run2(
+            () => buildCust(s).count(), () => buildLine(s).count())
           // probe count, top-1 and NDV from ONE per-key aggregation:
           // nP = Σc, top1 = max c, registers over the distinct keys
           // equal registers over the raw rows (per-bucket MAX is
@@ -4048,8 +4073,18 @@ object RelQueries {
               (a.getLong(0), a.getLong(1), Hll.estimateInt(regs))
             } finally { perK.unpersist(); () }
           }
-          def edgeRow(edge: String, probe: org.apache.spark.sql.DataFrame,
-              build: org.apache.spark.sql.DataFrame, nB: Long, buildSrc: String) = {
+          // each edge runs in its OWN sub-session (shared SparkContext,
+          // isolated SQL conf): the per-edge broadcast-threshold
+          // enforcement and AQE-off pin stop being shared session state,
+          // so the three independent edges OVERLAP (guide §2.6, r21)
+          def edgeRow(edge: String,
+              probeOf: SparkSession => org.apache.spark.sql.DataFrame,
+              buildOf: SparkSession => org.apache.spark.sql.DataFrame,
+              nB: Long, buildSrc: String) = {
+            val se = s.newSession()
+            se.conf.set("spark.sql.session.timeZone", "UTC")
+            se.conf.set("spark.sql.adaptive.enabled", "false")
+            val (probe, build) = (probeOf(se), buildOf(se))
             // ---- decision inputs: metadata-class statistics ----
             val (nP, t1, ndv) = probeStats(probe)
             val (budget, buildBytes) = (nP * 8L / 4L, nB * 8L)
@@ -4067,7 +4102,7 @@ object RelQueries {
             // build side's measured source bytes (projection only ever
             // scales Spark's estimate DOWN from file bytes), so the
             // audited routing can't flip with the codec or SF.
-            s.conf.set(
+            se.conf.set(
               "spark.sql.autoBroadcastJoinThreshold",
               if (strategy == "broadcast")
                 (parquetBytes(buildSrc) * 4L + 1L).toString
@@ -4090,17 +4125,14 @@ object RelQueries {
               r.getLong(0), r.getLong(1), bhj, sh, gen,
               (bhj, sh, gen) == expected)
           }
-          Seq(
-            edgeRow("e1_dim", probeCust, buildCust, nBC, s"$dir/customer.parquet"),
-            edgeRow("e2_flat", probeFlat, buildLine, nBL, s"$dir/lineitem.parquet"),
-            edgeRow("e3_skew", probeSkew, buildLine, nBL, s"$dir/lineitem.parquet"))
+          graft.ops.Par.run(Seq(
+            () => edgeRow("e1_dim", probeCust, buildCust, nBC, s"$dir/customer.parquet"),
+            () => edgeRow("e2_flat", probeFlat, buildLine, nBL, s"$dir/lineitem.parquet"),
+            () => edgeRow("e3_skew", probeSkew, buildLine, nBL, s"$dir/lineitem.parquet")))
             .toDF("edge", "strategy", "n_probe", "n_build", "budget_bytes",
               "build_bytes", "ndv_probe", "top1_cnt", "skew_x100",
               "n_join", "sum_k", "bhj", "shuffles", "generates", "plan_ok")
             .orderBy("edge")
-        } finally {
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
         }
       },
       Some {
@@ -4345,14 +4377,26 @@ object RelQueries {
           }
           val factors = Seq(1, 4, 8, 16)
           val jPlain = probe.join(build, col("k") === col("bk"))
-          val (nPlain, sPlain) = census(jPlain)
+          val joins: Map[Int, org.apache.spark.sql.DataFrame] =
+            factors.map { f =>
+              f -> (if (f == 1) jPlain
+                else {
+                  val saltCol =
+                    pmod(Hashing.h60(col("rid").cast("string")), lit(f)).cast("int")
+                  Salting.saltedJoinWith(probe, build, col("k"), col("bk"), saltCol, f)
+                })
+            }.toMap
           // every factor's straggler metric from ONE exploded
           // map-side-combined grouping (same h60 % f split values the
           // per-factor salt columns produce); the factor-1 leg's groups
           // ARE the per-key counts, so n_probe (Σc at salts=1) and
           // top1_cnt (max c at salts=1) ride the same job — the two
-          // separate probe scans they used to cost are gone (r20, §2.4)
-          val msRows = probe
+          // separate probe scans they used to cost are gone (r20, §2.4).
+          // The four join censuses and the subgroup pass are independent
+          // actions — overlapped (guide §2.6, r21): the salted legs'
+          // straggler tails back-fill each other instead of running
+          // end-to-end.
+          val msThunk: () => Seq[(Long, Long, Long)] = () => probe
             .select(col("k"), Hashing.h60(col("rid").cast("string")).as("h"))
             .select(col("k"), col("h"),
               explode(array(factors.map(f => lit(f.toLong)): _*)).as("salts"))
@@ -4360,23 +4404,21 @@ object RelQueries {
             .agg(count(lit(1)).as("c"))
             .groupBy("salts").agg(max("c").as("max_sub"), sum("c").as("tot"))
             .collect() // one row per factor — bounded by |factors|
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          val acts: Seq[() => AnyRef] =
+            msThunk +: factors.map(f => () => census(joins(f)): AnyRef)
+          val done = graft.ops.Par.run(acts)
+          val msRows = done.head.asInstanceOf[Seq[(Long, Long, Long)]]
+          val censuses: Map[Int, (Long, Long)] = factors.zip(
+            done.tail.map(_.asInstanceOf[(Long, Long)])).toMap
+          val (nPlain, sPlain) = censuses(1)
           val maxSubs: Map[Long, Long] = msRows.map(r => (r._1, r._2)).toMap
           val nP = msRows.find(_._1 == 1L).get._3
           val top1 = maxSubs(1L)
           val target = math.max(1L, (nP + 127L) / 128L)
           val rec = math.min(32L, (top1 + target - 1L) / target)
           factors.map { f =>
-            val (j, nJ, sJ) =
-              if (f == 1) (jPlain, nPlain, sPlain)
-              else {
-                val saltCol =
-                  pmod(Hashing.h60(col("rid").cast("string")), lit(f)).cast("int")
-                val jj = Salting.saltedJoinWith(
-                  probe, build, col("k"), col("bk"), saltCol, f)
-                val (a, b) = census(jj)
-                (jj, a, b)
-              }
+            val (j, (nJ, sJ)) = (joins(f), censuses(f))
             val gen = BucketedJoin.countGenerates(j)
             val maxSub = maxSubs(f.toLong)
             (f.toLong, nP, top1, maxSub,
@@ -4455,28 +4497,40 @@ object RelQueries {
         import s.implicits._
         import graft.ops.{Hashing, Hll}
         def pairRow(name: String, d: org.apache.spark.sql.DataFrame) = {
-          // ONE scan for all three register censuses (a, b, a|b) via a
-          // 3-way explode — bit-identical registers to three separate
-          // registerCensus passes (same h60 over the same strings),
-          // at a third of the scan cost (r19 verdict #6 trim). The row
-          // count rides the SAME job: every input row contributes
-          // exactly one 'a' struct, so n = Σ per-bucket counts at
-          // cn = 'a' — the separate d.count() job is gone (r20, §2.4).
+          // ONE job for EVERYTHING (r21, guide §2.3/§2.4): the exploded
+          // (cn, v) rows collapse to DISTINCT VALUES first (map-side
+          // combine does most of it before the exchange), and the
+          // registers, per-bucket row counts AND the exact pair NDV all
+          // derive from the distinct values — registers over distinct
+          // values equal registers over raw rows (per-bucket MAX is
+          // duplicate-insensitive), per-bucket row counts are Σc, and
+          // the exact pair NDV is the count of distinct 'ab' values
+          // (the '|' separator keys the (a, b) pair injectively for
+          // these non-null integer columns, so it equals the old
+          // d.distinct().count() — that second full-scan job is gone).
+          // h60's md5 now hashes each DISTINCT value once instead of
+          // every exploded row — the same trim at 100 TB, where the
+          // value domain is orders of magnitude below the row count.
           val regRows = d.select(explode(array(
               struct(lit("a").as("cn"), col("a").cast("string").as("v")),
               struct(lit("b").as("cn"), col("b").cast("string").as("v")),
               struct(lit("ab").as("cn"), concat(col("a").cast("string"),
                 lit("|"), col("b").cast("string")).as("v")))).as("kv"))
-            .select(col("kv.cn").as("cn"), Hashing.h60(col("kv.v")).as("h"))
-            .select(col("cn"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-            .groupBy("cn", "bucket").agg(max("rk").as("mr"), count(lit(1)).as("n"))
+            .groupBy(col("kv.cn").as("cn"), col("kv.v").as("v"))
+            .agg(count(lit(1)).as("c"))
+            .select(col("cn"), Hashing.h60(col("v")).as("h"), col("c"))
+            .select(col("cn"), Hll.bucketCol.as("bucket"),
+              Hll.rankCol.as("rk"), col("c"))
+            .groupBy("cn", "bucket")
+            .agg(max("rk").as("mr"), sum("c").as("n"), count(lit(1)).as("nd"))
             .collect() // ≤ 3·64 register cells — sketch metadata
-            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          val n = regRows.collect { case ("a", _, _, cnt) => cnt }.sum
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+          val n = regRows.collect { case ("a", _, _, cnt, _) => cnt }.sum
           def est(cn: String): Long = Hll.estimateInt(
-            regRows.collect { case (c, b, mr, _) if c == cn => (b, mr) }.toSeq)
+            regRows.collect { case (c, b, mr, _, _) if c == cn => (b, mr) }.toSeq)
           val (ndvA, ndvB, pairEst) = (est("a"), est("b"), est("ab"))
-          val nDim = d.distinct().count() // = exact pair NDV
+          val nDim = regRows.collect { case ("ab", _, _, _, nd) => nd }.sum
           val prodCapped =
             (BigInt(ndvA) * BigInt(ndvB)).min(BigInt(n)).toLong
           def errBp(e: Long, t: Long): Long =
@@ -4497,14 +4551,16 @@ object RelQueries {
         def keyed(df: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.Column,
             b: org.apache.spark.sql.Column) =
           df.select(a.cast("long").as("a"), b.cast("long").as("b"))
-        Seq(
-          pairRow("ord_cust",
+        // the three pairs are independent single-job censuses — overlap
+        // them (guide §2.6); each thunk's result keeps its slot
+        graft.ops.Par.run(Seq(
+          () => pairRow("ord_cust",
             keyed(Tables.orders(s, dir), col("o_orderkey"), col("o_custkey"))),
-          pairRow("part_supp",
+          () => pairRow("part_supp",
             keyed(Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))),
-          pairRow("corr_mod",
+          () => pairRow("corr_mod",
             keyed(Tables.lineitem(s, dir), col("l_orderkey") % 100,
-              col("l_orderkey") % 150)))
+              col("l_orderkey") % 150))))
           .toDF("pair", "n_rows", "ndv_a", "ndv_b", "ndv_prod_capped",
             "pair_est", "pair_exact", "err_prod_bp", "err_pair_bp",
             "est_join_indep", "est_join_pair", "true_join",

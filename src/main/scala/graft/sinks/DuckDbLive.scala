@@ -94,14 +94,48 @@ object DuckDbLive {
 
   def available: Boolean = driver.isDefined
 
-  def withConnection[A](dbFile: String)(f: Connection => A): A = {
+  private def openConnection(dbFile: String): Connection = {
     val d = driver.getOrElse(
       throw new IllegalStateException("duckdb_jdbc not present in the local artifact cache")
     )
-    val conn = d.connect(s"jdbc:duckdb:$dbFile", new java.util.Properties)
-    try f(conn)
-    finally conn.close()
+    d.connect(s"jdbc:duckdb:$dbFile", new java.util.Properties)
   }
+
+  /** Scoped per-dbFile connection reuse. A metadata lifecycle makes
+    * dozens of `withConnection` calls against the SAME file; under the
+    * default each call pays a full DuckDB open (catalog + WAL replay) and
+    * close (WAL checkpoint) — measured r20/r21 as a large share of the
+    * lifecycle entries' driver gap. Inside `cachingScope`, calls reuse
+    * ONE open connection per dbFile (access serialized on the
+    * connection — callers from streaming callback threads reuse the same
+    * session instead of racing a second native open), and every cached
+    * connection is closed when the OUTERMOST scope exits — before the
+    * scope owner deletes the files. Transaction boundaries are untouched:
+    * each call still commits exactly where it used to (autocommit per
+    * statement, or the call's own explicit transaction).
+    */
+  private val cacheDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val cachedConns = new java.util.concurrent.ConcurrentHashMap[String, Connection]()
+
+  def cachingScope[A](body: => A): A = {
+    cacheDepth.incrementAndGet()
+    try body
+    finally if (cacheDepth.decrementAndGet() == 0) {
+      val it = cachedConns.values().iterator()
+      while (it.hasNext) { val c = it.next(); try c.close() catch { case NonFatal(_) => () } }
+      cachedConns.clear()
+    }
+  }
+
+  def withConnection[A](dbFile: String)(f: Connection => A): A =
+    if (cacheDepth.get > 0) {
+      val conn = cachedConns.computeIfAbsent(dbFile, openConnection(_))
+      conn.synchronized(f(conn))
+    } else {
+      val conn = openConnection(dbFile)
+      try f(conn)
+      finally conn.close()
+    }
 
   def execute(conn: Connection, sql: String): Unit = {
     val st = conn.createStatement()

@@ -86,6 +86,7 @@ object DuckDbUpsert {
             // per-user upsert loop (r20, guide §1). The per-row
             // executeUpdate() return still counts stale rows; the batch
             // stays atomic, matching the commit-cadence contract.
+            val prevAuto = c.getAutoCommit // restore, not hardcode (ADVICE r20)
             c.setAutoCommit(false)
             val ps = c.prepareStatement(
               """INSERT INTO latest VALUES (?, ?, ?, ?)
@@ -108,7 +109,7 @@ object DuckDbUpsert {
               case scala.util.control.NonFatal(e) => c.rollback(); throw e
             } finally {
               ps.close()
-              c.setAutoCommit(true)
+              c.setAutoCommit(prevAuto)
             }
           }
           ()

@@ -81,7 +81,9 @@ object SnapshotLog {
     */
   private def withTempTableDir[A](prefix: String)(body: java.nio.file.Path => A): A = {
     val base = java.nio.file.Files.createTempDirectory(prefix)
-    try body(base)
+    // connection reuse for the lifecycle's metadata calls; the scope
+    // closes every cached connection BEFORE the finally deletes the files
+    try DuckDbLive.cachingScope(body(base))
     finally {
       try {
         import scala.jdk.CollectionConverters._
@@ -2350,33 +2352,32 @@ object SnapshotLog {
       recordSeq(dbFile, baseFiles.map(_._1), 1L)
       val c1 = commitMorV2(dbFile, 0L, 1L, baseFiles, Seq.empty, Seq.empty)
 
-      // snapshot 2 (seq 2): POSITION DELETE of k≡6 (mod 20) — the dead
-      // rows' (file, ordinal) identities come from scanning the base
-      // files WITH the metadata columns (the writer-knows-the-offset
-      // path); no data file is touched
-      val pd1 = writeCounted(spark, spark.read.parquet(baseFiles.map(_._1): _*)
-        .select(
-          col("_metadata.file_path").as("pd_path"),
-          col("_metadata.row_index").as("pd_pos"),
-          col("k"))
-        .filter(delPred)
-        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
-      recordSeq(dbFile, pd1.map(_._1), 2L)
-      val c2 = commitMorV2(dbFile, 1L, 2L, baseFiles, Seq.empty, pd1)
-
-      // snapshot 3 (seq 3): s44's EQUALITY update — delete(old k≡2 mod
-      // 20 versions) + insert(new versions) in one commit; the strict
-      // seq rule keeps the delete off its own inserts
-      val del1 = writeCounted(spark, o.filter(updPred).select("k"), s"$base/d1", 1)
-      val ins1 = writeCounted(spark, o.filter(updPred).withColumn("cents", col("cents") + 1000L), s"$base/i1", 1)
-      recordSeq(dbFile, (del1 ++ ins1).map(_._1), 3L)
-      recordStats(dbFile, ins1.map(p => (p._1, 2L)))
-      val c3 = commitMorV2(dbFile, 2L, 3L, baseFiles ++ ins1, del1, pd1)
-
-      // snapshot 4 (seq 4): data file + the position deletes masking 4
-      // of ITS OWN 10 rows, in ONE commit — pseq >= fseq must bite
-      val ins2 = writeCounted(spark, inserts, s"$base/i2", 1)
-      recordStats(dbFile, ins2.map(p => (p._1, 2L)))
+      // The four delta-file WRITES of snapshots 2–4 are independent of
+      // one another (each depends only on the base files / source
+      // relation already on disk) — overlapped (guide §2.6, r21). The
+      // COMMITS stay strictly ordered below; only the file staging
+      // overlaps.
+      //   pd1: POSITION DELETE of k≡6 (mod 20) — the dead rows'
+      //     (file, ordinal) identities from scanning the base files
+      //     WITH the metadata columns (the writer-knows-the-offset
+      //     path); no data file is touched.
+      //   del1/ins1: s44's EQUALITY update halves.
+      //   ins2: snapshot 4's data file (pd2 — the position deletes
+      //     masking 4 of ITS OWN 10 rows — depends on ins2 and follows
+      //     sequentially; it scans one 10-row file).
+      val Seq(pd1, del1, ins1, ins2) = graft.ops.Par.run(Seq(
+        () => writeCounted(spark, spark.read.parquet(baseFiles.map(_._1): _*)
+          .select(
+            col("_metadata.file_path").as("pd_path"),
+            col("_metadata.row_index").as("pd_pos"),
+            col("k"))
+          .filter(delPred)
+          .select("pd_path", "pd_pos"), s"$base/pd1", 1),
+        () => writeCounted(spark, o.filter(updPred).select("k"), s"$base/d1", 1),
+        () => writeCounted(spark,
+          o.filter(updPred).withColumn("cents", col("cents") + 1000L),
+          s"$base/i1", 1),
+        () => writeCounted(spark, inserts, s"$base/i2", 1)))
       val pd2 = writeCounted(spark, spark.read.parquet(ins2.map(_._1): _*)
         .select(
           col("_metadata.file_path").as("pd_path"),
@@ -2384,6 +2385,19 @@ object SnapshotLog {
           col("cents"))
         .filter(insDelPred)
         .select("pd_path", "pd_pos"), s"$base/pd2", 1)
+
+      // snapshot 2 (seq 2)
+      recordSeq(dbFile, pd1.map(_._1), 2L)
+      val c2 = commitMorV2(dbFile, 1L, 2L, baseFiles, Seq.empty, pd1)
+
+      // snapshot 3 (seq 3): delete(old) + insert(new) in one commit; the
+      // strict seq rule keeps the delete off its own inserts
+      recordSeq(dbFile, (del1 ++ ins1).map(_._1), 3L)
+      recordStats(dbFile, ins1.map(p => (p._1, 2L)))
+      val c3 = commitMorV2(dbFile, 2L, 3L, baseFiles ++ ins1, del1, pd1)
+
+      // snapshot 4 (seq 4): pseq >= fseq must bite
+      recordStats(dbFile, ins2.map(p => (p._1, 2L)))
       recordSeq(dbFile, (ins2 ++ pd2).map(_._1), 4L)
       val c4 = commitMorV2(dbFile, 3L, 4L, baseFiles ++ ins1 ++ ins2, del1, pd1 ++ pd2)
 
@@ -3955,14 +3969,26 @@ object SnapshotLog {
         java.nio.file.Files.move(part.toPath, dst.toPath)
         dst.setLastModified(mtime)
       }
-      val c2 = changes(2L, 3L).withColumn("batch_id", lit(2L))
-      stageOne(changes(1L, 2L).withColumn("batch_id", lit(1L)), "d1", 1000000L)
-      stageOne(c2, "d2", 2000000L)
-      stageOne(c2, "d3", 3000000L) // injected at-least-once redelivery
-
-      // replica bootstrap: full copy of snapshot 1, its OWN layout
-      spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
-        .repartition(2).write.parquet(s"$base/rep1")
+      // the two changelog stagings and the replica bootstrap are
+      // independent jobs — overlapped (guide §2.6, r21); the injected
+      // at-least-once REDELIVERY d3 is by definition the same delivery
+      // payload as d2, so it is a byte-identical file COPY (mtime moved
+      // for the source order), not a third change-extraction job
+      graft.ops.Par.run(Seq(
+        () => stageOne(changes(1L, 2L).withColumn("batch_id", lit(1L)), "d1", 1000000L),
+        () => stageOne(changes(2L, 3L).withColumn("batch_id", lit(2L)), "d2", 2000000L),
+        () => {
+          // replica bootstrap: full copy of snapshot 1, its OWN layout
+          spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+            .repartition(2).write.parquet(s"$base/rep1")
+        }))
+      locally {
+        val d3 = new java.io.File(s"$stage/d3.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stage/d2.parquet"), d3.toPath)
+        d3.setLastModified(3000000L)
+        ()
+      }
 
       // ---- the consumer stream ----
       val schema = s.read.parquet(s"$stage/d1.parquet").schema
@@ -4798,25 +4824,34 @@ object SnapshotLog {
           val saltJ = Salting.saltedJoinWith(big, dim, col(cn), col("pk"), saltCol, 8)
           val chosenJ = if (salted) saltJ else plainJ
           val gen = BucketedJoin.countGenerates(chosenJ)
-          val (nJoin, sumCents) = census(chosenJ)
-          val censusMatch = census(if (salted) plainJ else saltJ) == ((nJoin, sumCents))
-          // ---- the audit layer's exact ground truth, fused: per-key
-          // top-1 and the per-(key, salt) straggler max both derive
-          // from ONE per-(key, salt) aggregation (Σ over salts = the
-          // per-key count) — previously two full scans (r20, §2.4) ----
-          val perKS = big.groupBy(col(cn).as("k"), saltCol.as("s"))
-            .agg(count(lit(1)).as("c")).persist()
-          val (exKey, maxGroup, maxSalt) = try {
-            val ex = perKS.groupBy("k").agg(sum(col("c")).as("c"))
-              .orderBy(col("c").desc, col("k")).head()
-            (ex.getLong(0), ex.getLong(1),
-              perKS.agg(max("c")).head().getLong(0))
-          } finally { perKS.unpersist(); () }
+          // the two join censuses and the exact audit are independent
+          // actions — overlapped (guide §2.6, r21). Exact ground truth
+          // stays fused: per-key top-1 and the per-(key, salt) straggler
+          // max both derive from ONE per-(key, salt) aggregation
+          // (Σ over salts = the per-key count; r20, §2.4).
+          val ((nJoin, sumCents), (otherCensus, (exKey, maxGroup, maxSalt))) =
+            graft.ops.Par.run2(
+              () => census(chosenJ),
+              () => graft.ops.Par.run2(
+                () => census(if (salted) plainJ else saltJ),
+                () => {
+                  val perKS = big.groupBy(col(cn).as("k"), saltCol.as("s"))
+                    .agg(count(lit(1)).as("c")).persist()
+                  try {
+                    val ex = perKS.groupBy("k").agg(sum(col("c")).as("c"))
+                      .orderBy(col("c").desc, col("k")).head()
+                    (ex.getLong(0), ex.getLong(1),
+                      perKS.agg(max("c")).head().getLong(0))
+                  } finally { perKS.unpersist(); () }
+                }))
+          val censusMatch = otherCensus == ((nJoin, sumCents))
           (cn, nRows, ndv, t1k, t1c, t1Rel, skewX100, salted, nJoin, sumCents,
             censusMatch, gen, maxGroup, maxSalt, exKey,
             t1k == exKey && t1c == maxGroup, gen == (if (salted) 1L else 0L))
         }
-        Seq(edgeRow("pk_skew"), edgeRow("pk_unif"))
+        // both edges run under the SAME scoped conf (broadcast off, AQE
+        // off) — no per-edge conf difference, so they overlap safely
+        graft.ops.Par.run(Seq(() => edgeRow("pk_skew"), () => edgeRow("pk_unif")))
           .toDF("edge", "n_rows", "ndv_est", "top1_key", "top1_cnt",
             "top1_reliable", "skew_x100", "salted", "n_join", "sum_cents",
             "census_match", "gen_nodes", "max_group", "max_salt_group",
@@ -5185,17 +5220,23 @@ object SnapshotLog {
       val man = manifest(dbFile, 1L).toMap
       def nRows(files: Seq[(String, Long)]): Long = files.map(f => man(f._1)).sum
       val (pO, pC, pL) = (fO.map(_._1), fC.map(_._1), fL.map(_._1))
-      val ordersDf = spark.read.parquet(pO: _*)
-      val custDf = spark.read.parquet(pC: _*)
-      val lineDf = spark.read.parquet(pL: _*)
 
-      val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      try {
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      locally {
+        // Each edge runs in its OWN sub-session (shared SparkContext,
+        // isolated SQL conf): the per-edge broadcast-threshold
+        // enforcement and the AQE-off plan pin stop being a shared
+        // mutable session conf, so the four independent
+        // decision+execution edges can OVERLAP (guide §2.6, r21) —
+        // previously they ran end-to-end on one session. Plans are
+        // unchanged: same files, same conf values, per session.
         def edgeRow(edge: String, probeKey: String,
-            build: DataFrame, buildPaths: Seq[String], buildKey: String,
+            buildPaths: Seq[String], buildKey: String,
             buildFiles: Seq[(String, Long)]) = {
+          val se = spark.newSession()
+          se.conf.set("spark.sql.session.timeZone", "UTC")
+          se.conf.set("spark.sql.adaptive.enabled", "false")
+          val ordersDf = se.read.parquet(pO: _*)
+          val build = se.read.parquet(buildPaths: _*)
           // ---- the DECISION: log metadata only, no data touched ----
           val (nP, nB) = (nRows(fO), nRows(buildFiles))
           val (budget, buildBytes) = (nP * 8L / 4L, nB * 8L)
@@ -5230,7 +5271,7 @@ object SnapshotLog {
           // threshold against on-disk file statistics, and projection
           // only ever scales its estimate down from file bytes, so
           // 4·bytes + 1 always clears it regardless of codec or SF.
-          spark.conf.set(
+          se.conf.set(
             "spark.sql.autoBroadcastJoinThreshold",
             if (strategy == "broadcast")
               (buildPaths.map(p => new java.io.File(p).length()).sum * 4L + 1L).toString
@@ -5267,20 +5308,17 @@ object SnapshotLog {
             bSkew, hotEst, ndvRowsRead, r.getLong(0), r.getLong(1), bhj, sh, gen,
             (bhj, sh, gen) == expected, true)
         }
-        Seq(
-          edgeRow("e1_dim", "k_cust", custDf, pC, "ck", fC),
-          edgeRow("e2_flat", "k_ord", lineDf, pL, "lk", fL),
-          edgeRow("e3_skew", "k_skew", lineDf, pL, "lk", fL),
-          edgeRow("e4_build_skew", "k_ord", lineDf, pL, "lk_skew", fL))
+        graft.ops.Par.run(Seq(
+          () => edgeRow("e1_dim", "k_cust", pC, "ck", fC),
+          () => edgeRow("e2_flat", "k_ord", pL, "lk", fL),
+          () => edgeRow("e3_skew", "k_skew", pL, "lk", fL),
+          () => edgeRow("e4_build_skew", "k_ord", pL, "lk_skew", fL)))
           .toDF("edge", "strategy", "n_probe", "n_build", "budget_bytes",
             "build_bytes", "ndv_probe", "top1_key", "top1_cnt", "skew_x100",
             "build_skew_x100", "hot_probe_est",
             "n_ndv_rows_read", "n_join", "sum_k", "bhj", "shuffles",
             "generates", "plan_ok", "live_log")
           .orderBy("edge")
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     } else {
       // honest fallback: direct censuses stand in for the stat tables
@@ -6085,8 +6123,12 @@ object SnapshotLog {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
         // one decision per snapshot, from the persisted stats only;
-        // executed, audited, RECORDED
-        Seq(1L, 2L).foreach { snap =>
+        // executed, audited, RECORDED. The two snapshots' decision+audit
+        // legs are independent (decisionRows orders by snapshot_id, so
+        // insertion order is immaterial), and within each the chosen and
+        // foil censuses are independent — all overlapped (guide §2.6,
+        // r21); both run under the SAME scoped conf values.
+        graft.ops.Par.run(Seq(1L, 2L).map(snap => () => {
           val man = manifest(dbFile, snap)
           val paths = man.map(_._1)
           val nRows = man.map(_._2).sum
@@ -6104,13 +6146,14 @@ object SnapshotLog {
             Salting.saltedJoinWith(fact, dim, col("k"), col("dk"), saltCol, 8)
           val chosen = if (strategy == "salted") saltJ else plainJ
           val gen = BucketedJoin.countGenerates(chosen)
-          val cen = census(chosen)
+          val (cen, foil) = graft.ops.Par.run2(
+            () => census(chosen),
+            () => census(if (strategy == "salted") plainJ else saltJ))
           val auditOk =
-            census(if (strategy == "salted") plainJ else saltJ) == cen &&
-              gen == (if (strategy == "salted") 1L else 0L)
+            foil == cen && gen == (if (strategy == "salted") 1L else 0L)
           recordDecision(dbFile, snap, "fact_dim_k", nRows, ndv, t1k, t1c,
             skewX100, strategy, auditOk)
-        }
+        }))
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -6217,20 +6260,22 @@ object SnapshotLog {
       initStatStale(dbFile)
 
       // snapshot 1: one immutable file per cust%4 bucket + ONE stats
-      // job recording each file's cust registers
-      val files = writeBucketed(
-        spark, o.withColumn("g", pmod(col("cust"), lit(4L))), s"$base/data", 0L to 3L)
+      // job recording each file's cust registers — two independent
+      // scans of the same input, overlapped (guide §2.6, r21)
+      val (files, rawCells) = graft.ops.Par.run2(
+        () => writeBucketed(
+          spark, o.withColumn("g", pmod(col("cust"), lit(4L))), s"$base/data", 0L to 3L),
+        () => o
+          .select(pmod(col("cust"), lit(4L)).as("g"),
+            Hashing.h60(col("cust").cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("g", "bucket").agg(max("rk").as("mr"))
+          .collect() // ≤ 4·64 sketch cells — stats metadata
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
       val bucketRe = "/g=(\\d+)/".r
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
-      val cells = o
-        .select(pmod(col("cust"), lit(4L)).as("g"),
-          Hashing.h60(col("cust").cast("string")).as("h"))
-        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-        .groupBy("g", "bucket").agg(max("rk").as("mr"))
-        .collect() // ≤ 4·64 sketch cells — stats metadata
-        .map(r => (pathOf(r.getLong(0)), "cust", r.getLong(1), r.getLong(2)))
-        .toSeq
+      val cells = rawCells.map { case (g, b, mr) => (pathOf(g), "cust", b, mr) }
       recordColNdv(dbFile, cells)
       val dataFiles = files.map(f => (f._1, f._2))
       recordSeq(dbFile, dataFiles.map(_._1), 1L)
@@ -6245,18 +6290,19 @@ object SnapshotLog {
         val rejected = scala.util.Try(
           colNdvRegistersFresh(dbFile, paths, "cust")).isFailure
         val freshRegs = colNdvRegistersFresh(dbFile, freshPaths, "cust")
-        // pruned-scope recompute: scan ONLY the stale files, masked
-        val recomputed =
-          if (stale.isEmpty) Seq.empty[(Long, Long)]
-          else Hll.registerCensus(
-            morReadV2(spark, dbFile, snap, "cust", Some(stale.toSet)),
-            col("cust").cast("string"))
+        // the pruned-scope recompute (ONLY the stale files, masked) and
+        // the exact audit (ndvAudit's one per-key pass) are independent
+        // scans — overlapped (guide §2.6, r21)
+        val (recomputed, (nLive, exact, liveRegs)) = graft.ops.Par.run2(
+          () =>
+            if (stale.isEmpty) Seq.empty[(Long, Long)]
+            else Hll.registerCensus(
+              morReadV2(spark, dbFile, snap, "cust", Some(stale.toSet)),
+              col("cust").cast("string")),
+          () => ndvAudit(morReadV2(spark, dbFile, snap, "cust"), "cust"))
         val merged = Hll.mergeRegisters(freshRegs, recomputed)
         val est = Hll.estimateInt(merged)
         val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
-        // exact audit fused into one per-key pass (ndvAudit)
-        val (nLive, exact, liveRegs) =
-          ndvAudit(morReadV2(spark, dbFile, snap, "cust"), "cust")
         val regsMatch = merged == liveRegs
         (step, nLive, paths.size.toLong, stale.size.toLong,
           colNdvRowCount(dbFile, freshPaths, "cust"), est, naive, exact,
@@ -6384,19 +6430,22 @@ object SnapshotLog {
       initColNdv(dbFile)
       initStatStale(dbFile)
 
-      val files = writeBucketed(
-        spark, o.withColumn("g", pmod(col("cust"), lit(4L))), s"$base/data", 0L to 3L)
+      // bucketed write + write-time register job: independent scans of
+      // the same input, overlapped (guide §2.6, r21)
+      val (files, rawCells) = graft.ops.Par.run2(
+        () => writeBucketed(
+          spark, o.withColumn("g", pmod(col("cust"), lit(4L))), s"$base/data", 0L to 3L),
+        () => o
+          .select(pmod(col("cust"), lit(4L)).as("g"),
+            Hashing.h60(col("cust").cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("g", "bucket").agg(max("rk").as("mr"))
+          .collect() // ≤ 4·64 sketch cells — stats metadata
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
       val bucketRe = "/g=(\\d+)/".r
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
-      val cells = o
-        .select(pmod(col("cust"), lit(4L)).as("g"),
-          Hashing.h60(col("cust").cast("string")).as("h"))
-        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-        .groupBy("g", "bucket").agg(max("rk").as("mr"))
-        .collect() // ≤ 4·64 sketch cells — stats metadata
-        .map(r => (pathOf(r.getLong(0)), "cust", r.getLong(1), r.getLong(2)))
-        .toSeq
+      val cells = rawCells.map { case (g, b, mr) => (pathOf(g), "cust", b, mr) }
       recordColNdv(dbFile, cells)
       val dataFiles = files.map(f => (f._1, f._2))
       recordSeq(dbFile, dataFiles.map(_._1), 1L)
@@ -6409,17 +6458,18 @@ object SnapshotLog {
         val rejected = scala.util.Try(
           colNdvRegistersFresh(dbFile, paths, "cust")).isFailure
         val freshRegs = colNdvRegistersFresh(dbFile, freshPaths, "cust")
-        val recomputed =
-          if (stale.isEmpty) Seq.empty[(Long, Long)]
-          else Hll.registerCensus(
-            morReadV2(spark, dbFile, snap, "cust", Some(stale.toSet)),
-            col("cust").cast("string"))
+        // the pruned-scope recompute and the exact audit are independent
+        // scans — overlapped (guide §2.6, r21)
+        val (recomputed, (nLive, exact, liveRegs)) = graft.ops.Par.run2(
+          () =>
+            if (stale.isEmpty) Seq.empty[(Long, Long)]
+            else Hll.registerCensus(
+              morReadV2(spark, dbFile, snap, "cust", Some(stale.toSet)),
+              col("cust").cast("string")),
+          () => ndvAudit(morReadV2(spark, dbFile, snap, "cust"), "cust"))
         val merged = Hll.mergeRegisters(freshRegs, recomputed)
         val est = Hll.estimateInt(merged)
         val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
-        // exact audit fused into one per-key pass (ndvAudit)
-        val (nLive, exact, liveRegs) =
-          ndvAudit(morReadV2(spark, dbFile, snap, "cust"), "cust")
         val regsMatch = merged == liveRegs
         (step, nLive, paths.size.toLong, stale.size.toLong, stale.size.toLong,
           posDeleteSeq(dbFile, snap).map(_._1).distinct.size.toLong,
@@ -6584,6 +6634,10 @@ object SnapshotLog {
           regs.collect { case (`g`, bm) => bm }.sortBy(_._1),
           cms.collect { case (`g`, cell) => cell }.toMap))
       }.toMap
+        // absent bucket = empty scope: the old per-bucket statsOf over an
+        // empty filtered scan returned empty families, not a
+        // NoSuchElementException (ADVICE r20)
+        .withDefaultValue((Seq.empty, Seq.empty, Map.empty))
     } finally { perKey.unpersist(); () }
   }
 
@@ -6683,17 +6737,17 @@ object SnapshotLog {
       initColCms(dbFile)
       initStatStale(dbFile)
 
-      val files = writeBucketed(
-        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/data", 0L to 3L)
+      // the bucketed write and the write-time stats job are independent
+      // scans of the same input — overlapped (guide §2.6, r21); the
+      // stats job (freqStatFamiliesByG: ONE per-(g, k) pass for all four
+      // files' three families) is bit-identical to the per-bucket path
+      val (files, statsAll) = graft.ops.Par.run2(
+        () => writeBucketed(
+          spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/data", 0L to 3L),
+        () => freqStatFamiliesByG(o.withColumn("g", pmod(col("k"), lit(4L)))))
       val bucketRe = "/g=(\\d+)/".r
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
-
-      // write-time stats for ALL FOUR files from ONE per-(g, k)
-      // aggregation pass (freqStatFamiliesByG — bit-identical per-bucket
-      // families; previously 4 filtered scans × 3 jobs)
-      val statsAll = freqStatFamiliesByG(
-        o.withColumn("g", pmod(col("k"), lit(4L))))
       (0L to 3L).foreach { g =>
         val (tk, rg, cm) = statsAll(g)
         val p = pathOf(g)
@@ -6720,13 +6774,18 @@ object SnapshotLog {
         val rejected = scala.util.Try(
           colNdvRegistersFresh(dbFile, paths, "k")).isFailure
         val nMan = manifest(dbFile, snap).map(_._2).sum
-        // the FRESH path: fresh files' stat rows + all three families
-        // recomputed over ONLY the masked stale scope
-        val (recTk, recRg, recCms) =
-          if (stale.isEmpty)
-            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
-              Map.empty[(Long, Long), Long])
-          else freqStatFamilies(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
+        // the FRESH path's recompute (all three families over ONLY the
+        // masked stale scope) and the exact ground-truth audit are
+        // independent scans — overlapped (guide §2.6, r21)
+        val ((recTk, recRg, recCms), (exK, exC, nLive, exNdv, hotLive)) =
+          graft.ops.Par.run2(
+            () =>
+              if (stale.isEmpty)
+                (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
+                  Map.empty[(Long, Long), Long])
+              else freqStatFamilies(
+                morReadV2(spark, dbFile, snap, "k", Some(stale.toSet))),
+            () => exactKeyAudit(morReadV2(spark, dbFile, snap, "k")))
         val (t1k, t1c) = top1Of(colTopkMerged(dbFile, freshPaths, "k") ++ recTk)
         val ndv = Hll.estimateInt(Hll.mergeRegisters(
           colNdvRegistersFresh(dbFile, freshPaths, "k"), recRg))
@@ -6738,10 +6797,6 @@ object SnapshotLog {
         val cmsFresh = cmsPointMin(
           addCells(colCmsMerged(dbFile, freshPaths, "k"), recCms), 1L)
         val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
-        // exact ground truth (the audit layer's only corpus-sized work),
-        // fused into one per-key pass (exactKeyAudit)
-        val (exK, exC, nLive, exNdv, hotLive) =
-          exactKeyAudit(morReadV2(spark, dbFile, snap, "k"))
         val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
         (step, nLive, stale.size.toLong,
           t1k, t1c, ndv, skew, skew >= 800L,
@@ -6873,8 +6928,14 @@ object SnapshotLog {
       initColCms(dbFile)
       initStatStale(dbFile)
 
-      val files = writeBucketed(
-        spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/data", 0L to 3L)
+      // the bucketed write and the write-time stats job are independent
+      // scans of the same input — overlapped (guide §2.6, r21); the
+      // stats job (freqStatFamiliesByG: ONE per-(g, k) pass for all four
+      // files' three families) is bit-identical to the per-bucket path
+      val (files, statsAll) = graft.ops.Par.run2(
+        () => writeBucketed(
+          spark, o.withColumn("g", pmod(col("k"), lit(4L))), s"$base/data", 0L to 3L),
+        () => freqStatFamiliesByG(o.withColumn("g", pmod(col("k"), lit(4L)))))
       val bucketRe = "/g=(\\d+)/".r
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
@@ -6885,12 +6946,6 @@ object SnapshotLog {
         recordColNdv(dbFile, rg.map { case (b, mr) => (p, "k", b, mr) })
         recordColCms(dbFile, cm.toSeq.map { case ((i, j), c) => (p, "k", i, j, c) })
       }
-
-      // write-time stats for ALL FOUR files from ONE per-(g, k) pass
-      // (freqStatFamiliesByG — bit-identical per-bucket families;
-      // previously 4 filtered scans × 3 jobs)
-      val statsAll = freqStatFamiliesByG(
-        o.withColumn("g", pmod(col("k"), lit(4L))))
       (0L to 3L).foreach { g =>
         val (tk, rg, cm) = statsAll(g)
         recordAll(pathOf(g), tk, rg, cm)
@@ -6914,13 +6969,18 @@ object SnapshotLog {
         val rejected = scala.util.Try(
           colNdvRegistersFresh(dbFile, paths, "k")).isFailure
         val nMan = manifest(dbFile, snap).map(_._2).sum
-        // fresh path: fresh files' stat rows + all three families
-        // recomputed over ONLY the masked stale scope
-        val (recTk, recRg, recCms) =
-          if (stale.isEmpty)
-            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
-              Map.empty[(Long, Long), Long])
-          else freqStatFamilies(morReadV2(spark, dbFile, snap, "k", Some(stale.toSet)))
+        // the fresh path's recompute (families over ONLY the masked
+        // stale scope) and the exact ground-truth audit are independent
+        // scans — overlapped (guide §2.6, r21)
+        val ((recTk, recRg, recCms), (exK, exC, nLive, exNdv, hotLive)) =
+          graft.ops.Par.run2(
+            () =>
+              if (stale.isEmpty)
+                (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
+                  Map.empty[(Long, Long), Long])
+              else freqStatFamilies(
+                morReadV2(spark, dbFile, snap, "k", Some(stale.toSet))),
+            () => exactKeyAudit(morReadV2(spark, dbFile, snap, "k")))
         val (t1k, t1c) = top1Of(colTopkMerged(dbFile, freshPaths, "k") ++ recTk)
         val ndv = Hll.estimateInt(Hll.mergeRegisters(
           colNdvRegistersFresh(dbFile, freshPaths, "k"), recRg))
@@ -6939,10 +6999,6 @@ object SnapshotLog {
         val nNdv = Hll.estimateInt(colNdvRegisters(dbFile, paths, "k"))
         val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
         val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
-        // exact ground truth (the audit layer's only corpus-sized work),
-        // fused into one per-key pass (exactKeyAudit)
-        val (exK, exC, nLive, exNdv, hotLive) =
-          exactKeyAudit(morReadV2(spark, dbFile, snap, "k"))
         val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
         (step, nLive, stale.size.toLong,
           nTk, nNd, nCm,
@@ -7101,13 +7157,20 @@ object SnapshotLog {
         .repartition(col("f")).write.partitionBy("f").parquet(s"$base/data")
       val m = obs.get
       val fRe = "/f=(\\d+)/".r
-      val byF: Map[Long, String] = new java.io.File(s"$base/data")
+      // group per bucket BEFORE building the map: toMap would silently
+      // keep only the last file of a multi-file bucket (e.g. under
+      // spark.sql.files.maxRecordsPerFile), committing one file while
+      // its sibling's rows sit unregistered on disk (ADVICE r20)
+      val grouped: Map[Long, Seq[String]] = new java.io.File(s"$base/data")
         .listFiles().filter(_.getName.startsWith("f="))
         .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
         .map(f => (fRe.findFirstMatchIn(f.getAbsolutePath).get.group(1).toLong,
           f.getAbsolutePath))
-        .toMap
-      require(byF.size == 4, s"expected 4 one-file buckets under $base/data")
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      require(grouped.size == 4 && grouped.forall(_._2.size == 1),
+        s"expected 4 one-file buckets under $base/data, got " +
+          grouped.view.mapValues(_.size).toMap)
+      val byF: Map[Long, String] = grouped.view.mapValues(_.head).toMap
       val files = (0L to 3L).map { b =>
         val pf = (byF(b), m(s"n_$b").asInstanceOf[Long])
         recordStats(dbFile, Seq((pf._1, b)))
@@ -7201,10 +7264,11 @@ object SnapshotLog {
     val custT = Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("ck"))
     val lineT = Tables.lineitem(spark, dir).select(col("l_orderkey").cast("long").as("lk"))
 
-    // ground truth — the audit layer's only corpus-sized work
-    val trueOC = orders.select(col("cust").as("j"))
+    // ground truth — the audit layer's only corpus-sized work (thunks:
+    // overlapped with the direct-census job below, guide §2.6 r21)
+    def trueOCJob(): Long = orders.select(col("cust").as("j"))
       .join(custT.select(col("ck").as("j")), Seq("j")).count()
-    val trueOL = orders.select(col("k").as("j"))
+    def trueOLJob(): Long = orders.select(col("k").as("j"))
       .join(lineT.select(col("lk").as("j")), Seq("j")).count()
 
     def estJoin(nL: Long, nR: Long, ndvL: Long, ndvR: Long): Long =
@@ -7282,20 +7346,24 @@ object SnapshotLog {
       def nRows(files: Seq[(String, Long)]): Long = files.map(f => man(f._1)).sum
       // the regs_match audit's four direct censuses from ONE union job
       // (identical registers: same h60 over the same cast strings,
-      // per-column bucket max — previously one full-scan job each; r20)
-      val directRegs: Map[String, Seq[(Long, Long)]] = Seq(
-        ("o_custkey", orders, "cust"), ("c_custkey", custT, "ck"),
-        ("o_orderkey", orders, "k"), ("l_orderkey", lineT, "lk"))
-        .map { case (cn, df, key) =>
-          df.select(lit(cn).as("cn"), Hashing.h60(col(key).cast("string")).as("h"))
-        }
-        .reduce(_ unionByName _)
-        .select(col("cn"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-        .groupBy("cn", "bucket").agg(max("rk").as("mr"))
-        .collect() // ≤ 4·64 register cells — sketch metadata
-        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
-        .groupBy(_._1)
-        .map { case (cn, cells) => (cn, cells.map(_._2).toSeq.sortBy(_._1)) }
+      // per-column bucket max — previously one full-scan job each; r20),
+      // overlapped with the two exact ground-truth joins (guide §2.6)
+      val (directRegs, trues) = graft.ops.Par.run2(
+        () => Seq(
+          ("o_custkey", orders, "cust"), ("c_custkey", custT, "ck"),
+          ("o_orderkey", orders, "k"), ("l_orderkey", lineT, "lk"))
+          .map { case (cn, df, key) =>
+            df.select(lit(cn).as("cn"), Hashing.h60(col(key).cast("string")).as("h"))
+          }
+          .reduce(_ unionByName _)
+          .select(col("cn"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("cn", "bucket").agg(max("rk").as("mr"))
+          .collect() // ≤ 4·64 register cells — sketch metadata
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1)
+          .map { case (cn, cells) => (cn, cells.map(_._2).toSeq.sortBy(_._1)) },
+        () => graft.ops.Par.run(Seq(() => trueOCJob(), () => trueOLJob())))
+      val Seq(trueOC, trueOL) = trues
       def side(paths: Seq[String], cn: String) = {
         val merged = colNdvRegisters(dbFile, paths, cn)
         (Hll.estimateInt(merged), colNdvRowCount(dbFile, paths, cn),
@@ -7328,6 +7396,7 @@ object SnapshotLog {
           .distinct().count()
       def ndvOf(df: DataFrame, key: String): Long =
         Hll.estimateInt(Hll.registerCensus(df, col(key).cast("string")))
+      val (trueOC, trueOL) = (trueOCJob(), trueOLJob())
       val (nO, nC, nL) = (orders.count(), custT.count(), lineT.count())
       val (ndvOc, ndvC) = (ndvOf(orders, "cust"), ndvOf(custT, "ck"))
       val (ndvOk, ndvL2) = (ndvOf(orders, "k"), ndvOf(lineT, "lk"))

@@ -188,31 +188,59 @@ object DuckDbLive {
     } finally ps.close()
   }
 
-  /** Execute one INSERT per row through a single prepared statement
-    * inside ONE transaction. Under the autocommit default every
-    * `executeUpdate()` commits (and checkpoints the WAL) per row, which
-    * dominates the metadata-record paths when a stat family inserts
-    * hundreds-to-thousands of rows per call (q222's col_cms alone is
-    * ~4.6k rows per run — measured r20, guide §1). Row order and values
-    * are unchanged; only the commit boundary moves (one commit per
-    * call), which also makes each record call atomic instead of
-    * row-torn on a crash.
+  /** Rows per multi-row INSERT statement. 200 × (≤8 cols) stays far
+    * under any parameter-count concern while cutting JDBC round trips
+    * ~200×.
+    */
+  private val InsertChunk = 200
+
+  /** Insert rows through CHUNKED multi-row prepared statements inside
+    * ONE transaction. r20 moved the commit boundary from per-row to
+    * per-call (one transaction); r21 measurement (q222 JobProfile)
+    * showed the remaining cost is the per-`executeUpdate` JDBC→native
+    * round trip itself (~4.6k calls ≈ 1.4 s of the entry's 4.8 s), so
+    * rows are now bound 200-at-a-time into a `VALUES (...),(...)...`
+    * statement — ~25 native calls instead of ~4.6k. Row order, values
+    * and the single commit boundary are unchanged; `bind` receives the
+    * parameter-index BASE for its row (0 for the first row in a
+    * statement, `arity` for the second, ...).
+    *
+    * `sql` must have the shape `INSERT INTO <t> VALUES (?, ...)` —
+    * the template after VALUES is replicated per chunk row.
     */
   def insertRows[A](
       conn: Connection,
       sql: String,
-      rows: Seq[A])(bind: (java.sql.PreparedStatement, A) => Unit): Unit =
+      rows: Seq[A])(bind: (java.sql.PreparedStatement, Int, A) => Unit): Unit =
     if (rows.nonEmpty) {
+      val vIdx = sql.toUpperCase.indexOf("VALUES")
+      require(vIdx >= 0, s"insertRows needs an INSERT ... VALUES statement, got: $sql")
+      val prefix = sql.substring(0, vIdx + "VALUES".length)
+      val template = sql.substring(vIdx + "VALUES".length).trim
+      val arity = template.count(_ == '?')
       val prevAuto = conn.getAutoCommit
       conn.setAutoCommit(false)
-      val ps = conn.prepareStatement(sql)
       try {
-        rows.foreach { r => bind(ps, r); ps.executeUpdate() }
+        var prepared: (Int, java.sql.PreparedStatement) = (0, null)
+        def stmtFor(n: Int): java.sql.PreparedStatement = {
+          if (prepared._1 != n) {
+            if (prepared._2 != null) prepared._2.close()
+            prepared = (n, conn.prepareStatement(
+              prefix + " " + Seq.fill(n)(template).mkString(", ")))
+          }
+          prepared._2
+        }
+        try {
+          rows.grouped(InsertChunk).foreach { chunk =>
+            val ps = stmtFor(chunk.size)
+            chunk.zipWithIndex.foreach { case (r, i) => bind(ps, i * arity, r) }
+            ps.executeUpdate()
+          }
+        } finally if (prepared._2 != null) prepared._2.close()
         conn.commit()
       } catch {
         case NonFatal(e) => conn.rollback(); throw e
       } finally {
-        ps.close()
         conn.setAutoCommit(prevAuto)
       }
     }

@@ -240,9 +240,9 @@ object SnapshotLog {
   private[graft] def recordStats(dbFile: String, stats: Seq[(String, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO file_stats VALUES (?, ?)", stats) {
-        case (ps, (p, b)) =>
-          ps.setString(1, p)
-          ps.setLong(2, b)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setLong(o + 2, r._2)
       }
     }
 
@@ -363,9 +363,9 @@ object SnapshotLog {
   private[graft] def recordSeq(dbFile: String, paths: Seq[String], seq: Long): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO file_seq VALUES (?, ?)", paths) {
-        (ps, p) =>
-          ps.setString(1, p)
-          ps.setLong(2, seq)
+        (ps, o, p) =>
+          ps.setString(o + 1, p)
+          ps.setLong(o + 2, seq)
       }
     }
 
@@ -1428,10 +1428,10 @@ object SnapshotLog {
       stats: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO file_spec VALUES (?, ?, ?)", stats) {
-        case (ps, (p, spec, v)) =>
-          ps.setString(1, p)
-          ps.setLong(2, spec)
-          ps.setLong(3, v)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setLong(o + 2, r._2)
+          ps.setLong(o + 3, r._3)
       }
     }
 
@@ -1677,11 +1677,11 @@ object SnapshotLog {
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(
         c, "INSERT INTO schema_fields VALUES (?, ?, ?, ?)", fields) {
-        case (ps, (fid, name, dtype)) =>
-          ps.setLong(1, schemaId)
-          ps.setLong(2, fid)
-          ps.setString(3, name)
-          ps.setString(4, dtype)
+        (ps, o, r) =>
+          ps.setLong(o + 1, schemaId)
+          ps.setLong(o + 2, r._1)
+          ps.setString(o + 3, r._2)
+          ps.setString(o + 4, r._3)
       }
     }
 
@@ -1691,9 +1691,9 @@ object SnapshotLog {
       schemaId: Long): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO file_schema VALUES (?, ?)", paths) {
-        (ps, p) =>
-          ps.setString(1, p)
-          ps.setLong(2, schemaId)
+        (ps, o, p) =>
+          ps.setString(o + 1, p)
+          ps.setLong(o + 2, schemaId)
       }
     }
 
@@ -2505,11 +2505,11 @@ object SnapshotLog {
       stats: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO col_stats VALUES (?, ?, ?, ?)", stats) {
-        case (ps, (p, mn, mx)) =>
-          ps.setString(1, p)
-          ps.setString(2, col)
-          ps.setLong(3, mn)
-          ps.setLong(4, mx)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setString(o + 2, col)
+          ps.setLong(o + 3, r._2)
+          ps.setLong(o + 4, r._3)
       }
     }
 
@@ -4245,10 +4245,10 @@ object SnapshotLog {
   private[graft] def recordNdv(dbFile: String, rows: Seq[(String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO file_ndv VALUES (?, ?, ?)", rows) {
-        case (ps, (p, b, mr)) =>
-          ps.setString(1, p)
-          ps.setLong(2, b)
-          ps.setLong(3, mr)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setLong(o + 2, r._2)
+          ps.setLong(o + 3, r._3)
       }
     }
 
@@ -4311,11 +4311,11 @@ object SnapshotLog {
       rows: Seq[(String, String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO col_ndv VALUES (?, ?, ?, ?)", rows) {
-        case (ps, (p, cn, b, mr)) =>
-          ps.setString(1, p)
-          ps.setString(2, cn)
-          ps.setLong(3, b)
-          ps.setLong(4, mr)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setString(o + 2, r._2)
+          ps.setLong(o + 3, r._3)
+          ps.setLong(o + 4, r._4)
       }
     }
 
@@ -4400,11 +4400,11 @@ object SnapshotLog {
       rows: Seq[(String, String, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO col_topk VALUES (?, ?, ?, ?)", rows) {
-        case (ps, (p, cn, k, n)) =>
-          ps.setString(1, p)
-          ps.setString(2, cn)
-          ps.setLong(3, k)
-          ps.setLong(4, n)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setString(o + 2, r._2)
+          ps.setLong(o + 3, r._3)
+          ps.setLong(o + 4, r._4)
       }
     }
 
@@ -4522,9 +4522,9 @@ object SnapshotLog {
       colName: String): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO stat_stale VALUES (?, ?)", paths) {
-        (ps, p) =>
-          ps.setString(1, p)
-          ps.setString(2, colName)
+        (ps, o, p) =>
+          ps.setString(o + 1, p)
+          ps.setString(o + 2, colName)
       }
     }
 
@@ -4627,12 +4627,12 @@ object SnapshotLog {
       rows: Seq[(String, String, Long, Long, Long)]): Unit =
     DuckDbLive.withConnection(dbFile) { c =>
       DuckDbLive.insertRows(c, "INSERT INTO col_cms VALUES (?, ?, ?, ?, ?)", rows) {
-        case (ps, (p, cn, i, j, n)) =>
-          ps.setString(1, p)
-          ps.setString(2, cn)
-          ps.setLong(3, i)
-          ps.setLong(4, j)
-          ps.setLong(5, n)
+        (ps, o, r) =>
+          ps.setString(o + 1, r._1)
+          ps.setString(o + 2, r._2)
+          ps.setLong(o + 3, r._3)
+          ps.setLong(o + 4, r._4)
+          ps.setLong(o + 5, r._5)
       }
     }
 
@@ -6312,26 +6312,36 @@ object SnapshotLog {
       }
       // step 1 is read BEFORE the delete commit exists — staleness is
       // part of the log's timeline, and snapshot 1's planner never saw
-      // the marker
-      val row1 = snapRow(1L, 1L, c1)
-
-      // snapshot 2: position delete (all target rows live in bucket
-      // 2's file) + the stale markers riding the same commit
-      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
-        .select(
-          col("_metadata.file_path").as("pd_path"),
-          col("_metadata.row_index").as("pd_pos"),
-          col("cust"))
-        .filter(delPred)
-        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
-      recordSeq(dbFile, pd1.map(_._1), 2L)
-      // referenced data files: read from the delta-sized delete file,
-      // BEFORE the commit — the markers ride the commit's transaction
-      val refs = spark.read.parquet(pd1.map(_._1): _*)
-        .select(col("pd_path")).distinct()
-        .collect() // bounded by the file count — manifest-scale metadata
-        .map(r => new java.net.URI(r.getString(0)).getPath)
-        .toSeq.sorted
+      // the marker. The snapshot-1 reads and the snapshot-2 delete
+      // STAGING (pd file write + ref listing — no commit) are
+      // independent, so they overlap (guide §2.6, r21); the commit
+      // itself stays strictly after both.
+      val (row1, (pd1, refs)) = graft.ops.Par.run2(
+        () => snapRow(1L, 1L, c1),
+        () => {
+          // snapshot 2 staging: position delete + its referenced files.
+          // PARTITION PRUNING (guide §6): the table is partitioned by
+          // g = cust % 4 and delPred requires cust % 4 = 2, so only the
+          // g=2 file can hold matching rows — the delete scans that one
+          // file instead of the full scope (rows elsewhere can't match).
+          val pd = writeCounted(spark, spark.read.parquet(pathOf(2L))
+            .select(
+              col("_metadata.file_path").as("pd_path"),
+              col("_metadata.row_index").as("pd_pos"),
+              col("cust"))
+            .filter(delPred)
+            .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+          recordSeq(dbFile, pd.map(_._1), 2L)
+          // referenced data files: read from the delta-sized delete
+          // file, BEFORE the commit — the markers ride the commit's
+          // transaction
+          val rf = spark.read.parquet(pd.map(_._1): _*)
+            .select(col("pd_path")).distinct()
+            .collect() // bounded by the file count — manifest-scale metadata
+            .map(r => new java.net.URI(r.getString(0)).getPath)
+            .toSeq.sorted
+          (pd, rf)
+        })
       val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
         staleMarkers = refs.map((_, "cust")))
 
@@ -6471,45 +6481,63 @@ object SnapshotLog {
         val est = Hll.estimateInt(merged)
         val naive = Hll.estimateInt(colNdvRegisters(dbFile, paths, "cust"))
         val regsMatch = merged == liveRegs
-        (step, nLive, paths.size.toLong, stale.size.toLong, stale.size.toLong,
+        ((step, nLive, paths.size.toLong, stale.size.toLong, stale.size.toLong,
           posDeleteSeq(dbFile, snap).map(_._1).distinct.size.toLong,
           colNdvRowCount(dbFile, freshPaths, "cust"), est, naive, exact,
           errBp(est, exact), errBp(naive, exact), regsMatch,
-          rejected == stale.nonEmpty, ok)
+          rejected == stale.nonEmpty, ok), recomputed)
       }
-      val row1 = snapRow(1L, 1L, c1)
-
-      // snapshot 2: the s71 delete + stale markers
-      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
-        .select(
-          col("_metadata.file_path").as("pd_path"),
-          col("_metadata.row_index").as("pd_pos"),
-          col("cust"))
-        .filter(delPred)
-        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
-      recordSeq(dbFile, pd1.map(_._1), 2L)
-      val refs = spark.read.parquet(pd1.map(_._1): _*)
-        .select(col("pd_path")).distinct()
-        .collect() // bounded by the file count — manifest-scale metadata
-        .map(r => new java.net.URI(r.getString(0)).getPath)
-        .toSeq.sorted
+      // snapshot-1 reads overlap the snapshot-2 delete STAGING (pd file
+      // write + ref listing — no commit): independent work, guide §2.6
+      val ((row1, _), (pd1, refs)) = graft.ops.Par.run2(
+        () => snapRow(1L, 1L, c1),
+        () => {
+          // PARTITION PRUNING (guide §6): the table is partitioned by
+          // g = cust % 4 and delPred requires cust % 4 = 2, so only the
+          // g=2 file can hold matching rows
+          val pd = writeCounted(spark, spark.read.parquet(pathOf(2L))
+            .select(
+              col("_metadata.file_path").as("pd_path"),
+              col("_metadata.row_index").as("pd_pos"),
+              col("cust"))
+            .filter(delPred)
+            .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+          recordSeq(dbFile, pd.map(_._1), 2L)
+          val rf = spark.read.parquet(pd.map(_._1): _*)
+            .select(col("pd_path")).distinct()
+            .collect() // bounded by the file count — manifest-scale metadata
+            .map(r => new java.net.URI(r.getString(0)).getPath)
+            .toSeq.sorted
+          (pd, rf)
+        })
       val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
         staleMarkers = refs.map((_, "cust")))
-      val row2 = snapRow(2L, 2L, c1 && c2)
 
-      // snapshot 3: COMPACTION of exactly the stale scope + re-stat
+      // snapshot 3: COMPACTION of exactly the stale scope + re-stat.
+      // The snapshot-2 reads and the compaction REWRITE (file write — no
+      // commit, no stats yet) are independent scans of snapshot-2 state,
+      // overlapped (guide §2.6, r21).
       val stale2 = staleIn(dbFile, dataFiles.map(_._1), "cust")
-      val compacted = morReadV2(spark, dbFile, 2L, "cust", Some(stale2.toSet))
-        .select("k", "cents", "cust")
-      val comp = writeCounted(spark, compacted, s"$base/c1", 1)
-      // fresh registers for the new file, from the same delta-sized input
-      val newRegs = Hll.registerCensus(
-        spark.read.parquet(comp.map(_._1): _*), col("cust").cast("string"))
+      val ((row2, rec2), comp) = graft.ops.Par.run2(
+        () => snapRow(2L, 2L, c1 && c2),
+        () => writeCounted(
+          spark,
+          morReadV2(spark, dbFile, 2L, "cust", Some(stale2.toSet))
+            .select("k", "cents", "cust"),
+          s"$base/c1", 1))
+      // fresh registers for the new file = snapshot 2's pruned-scope
+      // recompute: the compacted file holds EXACTLY the masked live rows
+      // of the stale scope at snapshot 2 (the same morReadV2 frame the
+      // recompute scanned), and registerCensus is a pure function of the
+      // cust multiset — recording the already-computed registers drops a
+      // full re-scan of the new file (guide §2.4: don't recompute what a
+      // completed pass already produced).
+      val newRegs = rec2
       recordColNdv(dbFile, newRegs.map { case (b, mr) => (comp.head._1, "cust", b, mr) })
       recordSeq(dbFile, comp.map(_._1), 3L)
       val carried = dataFiles.filterNot(f => stale2.contains(f._1))
       val c3 = commitMorV2(dbFile, 2L, 3L, carried ++ comp, Seq.empty, Seq.empty)
-      val row3 = snapRow(3L, 3L, c1 && c2 && c3)
+      val (row3, _) = snapRow(3L, 3L, c1 && c2 && c3)
 
       Seq(row1, row2, row3)
         .toDF("step", "n_live_rows", "n_files", "n_stale_files",
@@ -6807,22 +6835,30 @@ object SnapshotLog {
           (skew >= 800L) == (exSkew >= 800L),
           rejected == stale.nonEmpty && stale.nonEmpty == (step == 2L), ok)
       }
-      val row1 = snapRow(1L, 1L, c1)
-
-      // snapshot 2: the hot key's rows purged + the markers riding it
-      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
-        .select(
-          col("_metadata.file_path").as("pd_path"),
-          col("_metadata.row_index").as("pd_pos"),
-          col("k"))
-        .filter(col("k") === 1L)
-        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
-      recordSeq(dbFile, pd1.map(_._1), 2L)
-      val refs = spark.read.parquet(pd1.map(_._1): _*)
-        .select(col("pd_path")).distinct()
-        .collect() // bounded by the file count — manifest-scale metadata
-        .map(r => new java.net.URI(r.getString(0)).getPath)
-        .toSeq.sorted
+      // snapshot-1 reads overlap the snapshot-2 delete STAGING (pd file
+      // write + ref listing — no commit): independent work, guide §2.6
+      val (row1, (pd1, refs)) = graft.ops.Par.run2(
+        () => snapRow(1L, 1L, c1),
+        () => {
+          // snapshot 2 staging: the hot key's rows purged. PARTITION
+          // PRUNING (guide §6): the table is partitioned by g = k % 4
+          // and the purge predicate is k = 1, so only the g=1 file can
+          // hold matching rows — scan that one file, not the full scope.
+          val pd = writeCounted(spark, spark.read.parquet(pathOf(1L))
+            .select(
+              col("_metadata.file_path").as("pd_path"),
+              col("_metadata.row_index").as("pd_pos"),
+              col("k"))
+            .filter(col("k") === 1L)
+            .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+          recordSeq(dbFile, pd.map(_._1), 2L)
+          val rf = spark.read.parquet(pd.map(_._1): _*)
+            .select(col("pd_path")).distinct()
+            .collect() // bounded by the file count — manifest-scale metadata
+            .map(r => new java.net.URI(r.getString(0)).getPath)
+            .toSeq.sorted
+          (pd, rf)
+        })
       val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
         staleMarkers = refs.map((_, "k")))
       val row2 = snapRow(2L, 2L, c1 && c2)
@@ -7000,7 +7036,7 @@ object SnapshotLog {
         val nSkew = (BigInt(n1c) * 100 * BigInt(nNdv) / BigInt(nMan)).toLong
         val cmsNaive = cmsPointMin(colCmsMerged(dbFile, paths, "k"), 1L)
         val exSkew = (BigInt(exC) * 100 * BigInt(exNdv) / BigInt(nMan)).toLong
-        (step, nLive, stale.size.toLong,
+        ((step, nLive, stale.size.toLong,
           nTk, nNd, nCm,
           t1k, t1c, ndv, skew, skew >= 800L,
           n1c, nSkew >= 800L,
@@ -7009,40 +7045,61 @@ object SnapshotLog {
           cmsFresh >= hotLive && cmsNaive >= hotLive,
           (skew >= 800L) == (exSkew >= 800L),
           n1k == t1k && n1c == t1c && (nSkew >= 800L) == (skew >= 800L),
-          rejected == stale.nonEmpty && stale.nonEmpty == (step == 2L), ok)
+          rejected == stale.nonEmpty && stale.nonEmpty == (step == 2L), ok),
+          (recTk, recRg, recCms))
       }
-      val row1 = snapRow(1L, 1L, c1)
-
-      // snapshot 2: the hot key's rows purged, markers riding the commit
-      val pd1 = writeCounted(spark, spark.read.parquet(dataFiles.map(_._1): _*)
-        .select(
-          col("_metadata.file_path").as("pd_path"),
-          col("_metadata.row_index").as("pd_pos"),
-          col("k"))
-        .filter(col("k") === 1L)
-        .select("pd_path", "pd_pos"), s"$base/pd1", 1)
-      recordSeq(dbFile, pd1.map(_._1), 2L)
-      val refs = spark.read.parquet(pd1.map(_._1): _*)
-        .select(col("pd_path")).distinct()
-        .collect() // bounded by the file count — manifest-scale metadata
-        .map(r => new java.net.URI(r.getString(0)).getPath)
-        .toSeq.sorted
+      // snapshot-1 reads overlap the snapshot-2 delete STAGING (pd file
+      // write + ref listing — no commit): independent work, guide §2.6
+      val ((row1, _), (pd1, refs)) = graft.ops.Par.run2(
+        () => snapRow(1L, 1L, c1),
+        () => {
+          // snapshot 2 staging: the hot key's rows purged. PARTITION
+          // PRUNING (guide §6): the table is partitioned by g = k % 4
+          // and the purge predicate is k = 1, so only the g=1 file can
+          // hold matching rows — scan that one file, not the full scope.
+          val pd = writeCounted(spark, spark.read.parquet(pathOf(1L))
+            .select(
+              col("_metadata.file_path").as("pd_path"),
+              col("_metadata.row_index").as("pd_pos"),
+              col("k"))
+            .filter(col("k") === 1L)
+            .select("pd_path", "pd_pos"), s"$base/pd1", 1)
+          recordSeq(dbFile, pd.map(_._1), 2L)
+          val rf = spark.read.parquet(pd.map(_._1): _*)
+            .select(col("pd_path")).distinct()
+            .collect() // bounded by the file count — manifest-scale metadata
+            .map(r => new java.net.URI(r.getString(0)).getPath)
+            .toSeq.sorted
+          (pd, rf)
+        })
       val c2 = commitMorV2(dbFile, 1L, 2L, dataFiles, Seq.empty, pd1,
         staleMarkers = refs.map((_, "k")))
-      val row2 = snapRow(2L, 2L, c1 && c2)
 
-      // snapshot 3: COMPACTION of exactly the stale scope + a re-stat
-      // of ALL THREE families from the same delta-sized input
+      // snapshot 3: COMPACTION of exactly the stale scope + a re-stat of
+      // ALL THREE families from the same delta-sized input. The
+      // snapshot-2 reads and the compaction REWRITE (file write — no
+      // commit, no stats yet) are independent scans of snapshot-2 state,
+      // overlapped (guide §2.6, r21).
       val stale2 = staleIn(dbFile, dataFiles.map(_._1), "k")
-      val compacted = morReadV2(spark, dbFile, 2L, "k", Some(stale2.toSet))
-        .select("k", "rid", "cents")
-      val comp = writeCounted(spark, compacted, s"$base/c1", 1)
-      val (tk3, rg3, cm3) = freqStatFamilies(spark.read.parquet(comp.map(_._1): _*))
+      val ((row2, rec2), comp) = graft.ops.Par.run2(
+        () => snapRow(2L, 2L, c1 && c2),
+        () => writeCounted(
+          spark,
+          morReadV2(spark, dbFile, 2L, "k", Some(stale2.toSet))
+            .select("k", "rid", "cents"),
+          s"$base/c1", 1))
+      // the new file's three families = snapshot 2's recompute: the
+      // compacted file holds EXACTLY the masked live rows of the stale
+      // scope at snapshot 2 (the same morReadV2 frame the recompute
+      // scanned), and freqStatFamilies is a pure function of the k
+      // multiset — recording the already-computed families drops a full
+      // re-scan of the new file (guide §2.4).
+      val (tk3, rg3, cm3) = rec2
       recordAll(comp.head._1, tk3, rg3, cm3)
       recordSeq(dbFile, comp.map(_._1), 3L)
       val carried = dataFiles.filterNot(f => stale2.contains(f._1))
       val c3 = commitMorV2(dbFile, 2L, 3L, carried ++ comp, Seq.empty, Seq.empty)
-      val row3 = snapRow(3L, 3L, c1 && c2 && c3)
+      val (row3, _) = snapRow(3L, 3L, c1 && c2 && c3)
 
       Seq(row1, row2, row3)
         .toDF("step", "n_live_rows", "n_recompute_files",
@@ -7865,10 +7922,10 @@ object SnapshotLog {
            ${entries.map(_._2).min}, ${entries.map(_._2).max}, ${entries.size})""")
       finally st.close()
       DuckDbLive.insertRows(c, "INSERT INTO group_entries VALUES (?, ?, ?)", entries) {
-        case (ps, (p, b)) =>
-          ps.setLong(1, groupId)
-          ps.setString(2, p)
-          ps.setLong(3, b)
+        (ps, o, r) =>
+          ps.setLong(o + 1, groupId)
+          ps.setString(o + 2, r._1)
+          ps.setLong(o + 3, r._2)
       }
     }
 

@@ -4053,26 +4053,46 @@ object RelQueries {
         locally {
           // the two build-side counts, computed once and shared by the
           // three edges (e2/e3 share lineitem — previously one count
-          // job per edge; r20, §2.4), overlapped with each other
-          val (nBC, nBL) = graft.ops.Par.run2(
-            () => buildCust(s).count(), () => buildLine(s).count())
-          // probe count, top-1 and NDV from ONE per-key aggregation:
-          // nP = Σc, top1 = max c, registers over the distinct keys
-          // equal registers over the raw rows (per-bucket MAX is
-          // duplicate-insensitive) — previously three probe scans
-          def probeStats(probe: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
-            val perK = probe.groupBy("k").agg(count(lit(1)).as("c")).persist()
+          // job per edge; r20, §2.4), overlapped with the fused probe
+          // stats below (guide §2.6)
+          // ALL THREE edges' probe stats from ONE pass over orders
+          // (r21, guide §2.4 — previously one per-key aggregation scan
+          // PER EDGE): the explode emits exactly one (edge, key) struct
+          // per edge per row, so the per-(edge, key) counts equal each
+          // edge's own groupBy(k) counts; nP = Σc, top1 = max c, and
+          // registers over the distinct keys equal registers over the
+          // raw rows (per-bucket MAX is duplicate-insensitive).
+          def probeStatsAll(): Map[String, (Long, Long, Long)] = {
+            val perEK = Tables.orders(s, dir)
+              .select(explode(array(
+                struct(lit("e1").as("e"), col("o_custkey").cast("long").as("k")),
+                struct(lit("e2").as("e"), col("o_orderkey").cast("long").as("k")),
+                struct(lit("e3").as("e"),
+                  when(col("o_orderstatus") === "F", lit(1L))
+                    .otherwise(col("o_orderkey").cast("long")).as("k")))).as("ek"))
+              .groupBy(col("ek.e").as("e"), col("ek.k").as("k"))
+              .agg(count(lit(1)).as("c")).persist()
             try {
-              val a = perK.agg(sum(col("c")), max(col("c"))).head()
-              val regs = perK
-                .select(Hashing.h60(col("k").cast("string")).as("h"))
-                .select(Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-                .groupBy("bucket").agg(max("rk").as("mr"))
-                .collect() // ≤64 register cells — sketch metadata
-                .map(r => (r.getLong(0), r.getLong(1))).toSeq
-              (a.getLong(0), a.getLong(1), Hll.estimateInt(regs))
-            } finally { perK.unpersist(); () }
+              val (aggRows, regRows) = graft.ops.Par.run2(
+                () => perEK.groupBy("e")
+                  .agg(sum(col("c")).as("n"), max(col("c")).as("t1"))
+                  .collect() // 3 rows — decision metadata
+                  .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap,
+                () => perEK
+                  .select(col("e"), Hashing.h60(col("k").cast("string")).as("h"))
+                  .select(col("e"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+                  .groupBy("e", "bucket").agg(max("rk").as("mr"))
+                  .collect() // ≤ 3·64 register cells — sketch metadata
+                  .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+                  .groupBy(_._1).view
+                  .mapValues(cs => Hll.estimateInt(cs.map(_._2).toSeq)).toMap)
+              aggRows.map { case (e, (n, t1)) => (e, (n, t1, regRows(e))) }
+            } finally { perEK.unpersist(); () }
           }
+          val (probeStatsByEdge, (nBC, nBL)) = graft.ops.Par.run2(
+            () => probeStatsAll(),
+            () => graft.ops.Par.run2(
+              () => buildCust(s).count(), () => buildLine(s).count()))
           // each edge runs in its OWN sub-session (shared SparkContext,
           // isolated SQL conf): the per-edge broadcast-threshold
           // enforcement and AQE-off pin stop being shared session state,
@@ -4085,8 +4105,9 @@ object RelQueries {
             se.conf.set("spark.sql.session.timeZone", "UTC")
             se.conf.set("spark.sql.adaptive.enabled", "false")
             val (probe, build) = (probeOf(se), buildOf(se))
-            // ---- decision inputs: metadata-class statistics ----
-            val (nP, t1, ndv) = probeStats(probe)
+            // ---- decision inputs: metadata-class statistics (from the
+            // fused one-pass probe stats; key = the edge prefix) ----
+            val (nP, t1, ndv) = probeStatsByEdge(edge.takeWhile(_ != '_'))
             val (budget, buildBytes) = (nP * 8L / 4L, nB * 8L)
             val skew = (BigInt(t1) * 100 * BigInt(ndv) / BigInt(nP)).toLong
             val strategy =

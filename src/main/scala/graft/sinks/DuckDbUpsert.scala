@@ -67,7 +67,11 @@ object DuckDbUpsert {
       )
       .collect() // bounded by the key domain = the upsert target's size
 
-    if (DuckDbLive.available) {
+    if (DuckDbLive.available) DuckDbLive.cachingScope {
+      // one native DuckDB open for the whole lifecycle (DDL + one
+      // upsert transaction per micro-batch + the final state read)
+      // instead of an open/close — each with a WAL checkpoint — per
+      // call (r21; the cachingScope discipline of withTempTableDir)
       DuckDbLive.withConnection(dbFile) { c =>
         DuckDbLive.execute(
           c,

@@ -735,11 +735,18 @@ object SnapshotLog {
       // time-travel read: reconstruct each snapshot FROM THE LOG ALONE
       // and census the actual parquet read (not the manifest counts) —
       // the hash proves the historical state is bit-reconstructible
+      // both snapshots' censuses fused into ONE tagged union job (the
+      // s49 r20 pattern, guide §2.4; per-snapshot values unchanged)
+      val census: Map[Long, (Long, Long)] = Seq(1L, 2L)
+        .map(snap => spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 2 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
       val rows = Seq(1L, 2L).map { snap =>
-        val mf = manifest(dbFile, snap)
-        val df = spark.read.parquet(mf.map(_._1): _*)
-        val agg = df.agg(count(lit(1)), sum(col("cents"))).head()
-        (snap, mf.size.toLong, agg.getLong(0), agg.getLong(1),
+        (snap, manifest(dbFile, snap).size.toLong,
+          census(snap)._1, census(snap)._2,
           snap == currentSnapshot(dbFile), conflictRejected)
       }
       rows
@@ -827,11 +834,18 @@ object SnapshotLog {
       val exactlyOnce = commits.asScala.values.forall(identity) &&
         commits.size == 3 && !retry && currentSnapshot(dbFile) == 3L
 
+      // the three snapshots' censuses fused into ONE tagged union job
+      // (the s49 r20 pattern, guide §2.4; per-snapshot values unchanged)
+      val census: Map[Long, (Long, Long)] = Seq(1L, 2L, 3L)
+        .map(snap => spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 3 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
       val rows = Seq(1L, 2L, 3L).map { snap =>
-        val mf = manifest(dbFile, snap)
-        val agg = spark.read.parquet(mf.map(_._1): _*)
-          .agg(count(lit(1)), sum(col("cents"))).head()
-        (snap, mf.size.toLong, agg.getLong(0), agg.getLong(1),
+        (snap, manifest(dbFile, snap).size.toLong,
+          census(snap)._1, census(snap)._2,
           snap == currentSnapshot(dbFile), exactlyOnce)
       }
       rows
@@ -1143,11 +1157,13 @@ object SnapshotLog {
       val c2 = commit(dbFile, 1L, 2L, carried ++ newFiles)
 
       // post-merge census from snapshot 2, pre-merge TIME TRAVEL from
-      // snapshot 1 — both read after the merge committed
-      val post = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
-        .agg(count(lit(1)), sum(col("cents"))).head()
-      val pre = spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
-        .agg(count(lit(1)), sum(col("cents"))).head()
+      // snapshot 1 — both read after the merge committed; independent
+      // scans, overlapped (guide §2.6, r21)
+      val (post, pre) = graft.ops.Par.run2(
+        () => spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head(),
+        () => spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head())
       val mergeOk = c1 && c2 &&
         affected.size == 1 && carried.size == 3 &&
         currentSnapshot(dbFile) == 2L &&
@@ -1555,15 +1571,18 @@ object SnapshotLog {
 
       // plan k%8 == 5 across both specs: 5 under spec 2, 5 mod 4 under 1
       val pruned = pruneAcrossSpecs(dbFile, 2L, Map(1L -> (5L % 4L), 2L -> 5L))
-      val sel = spark.read.parquet(pruned: _*)
-        .filter(col("k") % 8 === 5)
-        .agg(count(lit(1)), sum(col("cents"))).head()
-      // the full-scan answer the pruned read must reproduce
-      val full = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
-        .filter(col("k") % 8 === 5)
-        .agg(count(lit(1)), sum(col("cents"))).head()
-      val snap1 = spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
-        .agg(count(lit(1)), sum(col("cents"))).head()
+      // the pruned read, its full-scan foil, and the snapshot-1 time
+      // travel are independent scans — overlapped (guide §2.6, r21)
+      val Seq(sel, full, snap1) = graft.ops.Par.run(Seq(
+        () => spark.read.parquet(pruned: _*)
+          .filter(col("k") % 8 === 5)
+          .agg(count(lit(1)), sum(col("cents"))).head(),
+        // the full-scan answer the pruned read must reproduce
+        () => spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+          .filter(col("k") % 8 === 5)
+          .agg(count(lit(1)), sum(col("cents"))).head(),
+        () => spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head()))
       val evolutionOk = c1 && c2 &&
         currentSnapshot(dbFile) == 2L &&
         files1.forall(f => manifest(dbFile, 2L).contains(f)) && // never rewritten
@@ -1929,34 +1948,53 @@ object SnapshotLog {
         (a.getLong(0), a.getLong(1))
       }
 
-      val files1 = writeCounted(spark, slice(0), s"$base/b1", 2)
+      // the three slice stagings are independent writes — overlapped
+      // (guide §2.6, r21); the commits stay strictly ordered below
+      val Seq(files1, files2, files3) = graft.ops.Par.run(Seq(
+        () => writeCounted(spark, slice(0), s"$base/b1", 2),
+        () => writeCounted(spark, slice(1), s"$base/b2", 2),
+        () => writeCounted(spark, slice(2), s"$base/b3", 2)))
       val c1 = commit(dbFile, 0L, 1L, files1)
       recordTimestamp(dbFile, 1L, 1000L)
-      val files2 = writeCounted(spark, slice(1), s"$base/b2", 2)
       val c2 = commit(dbFile, 1L, 2L, files1 ++ files2)
       recordTimestamp(dbFile, 2L, 2000L)
-      val files3 = writeCounted(spark, slice(2), s"$base/b3", 2)
       val c3 = commit(dbFile, 2L, 3L, files1 ++ files2 ++ files3)
       recordTimestamp(dbFile, 3L, 3000L)
 
       // FOR TIMESTAMP AS OF: mid-history instant and pre-table instant
       val asOf2500 = resolveAsOf(dbFile, 2500L)
       val preTable = resolveAsOf(dbFile, 500L)
-      val asOfCensus = census(asOf2500.getOrElse(0L))
 
       // ROLLBACK 3 → 1 (the bad-deploy recovery), then: current serves
       // snapshot 1, the abandoned head still time-travels, and a retry
       // claiming it is rejected
       val rb = rollback(dbFile, expectedCurrent = 3L, to = 1L)
-      val currentCensus = census(currentSnapshot(dbFile))
-      val historyCensus = census(3L)
+      // the pointer is read HERE (between rollback and redo — the value
+      // under audit); the census scan itself runs fused below, over
+      // immutable committed files
+      val curSnap = currentSnapshot(dbFile)
       val staleRetry = commit(dbFile, 3L, 9L, files3)
 
       // REDO on the rolled-back head: re-ingest slice 1 as NEW files
       val files4 = writeCounted(spark, slice(1), s"$base/b4", 2)
       val c4 = commit(dbFile, 1L, 4L, files1 ++ files4)
       recordTimestamp(dbFile, 4L, 4000L)
-      val redoCensus = census(4L)
+
+      // the four read-surface censuses fused into ONE tagged union job
+      // (the s49 r20 pattern, guide §2.4) — every snapshot's files are
+      // immutable, so reading them after the pointer ops is identical
+      val censusOf: Map[Long, (Long, Long)] =
+        Seq(asOf2500.getOrElse(0L), curSnap, 3L, 4L).distinct
+          .map(snap => spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+            .select(lit(snap).as("snap"), col("cents")))
+          .reduce(_ unionByName _)
+          .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+          .collect() // ≤4 rows — one census per read surface
+          .map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getLong(2)))).toMap
+      val asOfCensus = censusOf(asOf2500.getOrElse(0L))
+      val currentCensus = censusOf(curSnap)
+      val historyCensus = censusOf(3L)
+      val redoCensus = censusOf(4L)
 
       val ok = c1 && c2 && c3 && rb && !staleRetry && c4 &&
         asOf2500.contains(2L) && preTable.isEmpty &&
@@ -2047,8 +2085,12 @@ object SnapshotLog {
             .groupBy(col("user_id"))
             .agg(max(struct(col("event_id"), col("cents"))).as("w"))
             .select(col("user_id"), col("w.cents").as("cents"))
-          val dataF = writeCounted(s, up, s"$base/u$epoch", 1)
-          val delF = writeCounted(s, up.select(col("user_id")), s"$base/k$epoch", 1)
+          // the data-file and delete-file writes are independent jobs
+          // over the same winners frame — overlapped (guide §2.6, r21);
+          // the commit stays strictly after both
+          val (dataF, delF) = graft.ops.Par.run2(
+            () => writeCounted(s, up, s"$base/u$epoch", 1),
+            () => writeCounted(s, up.select(col("user_id")), s"$base/k$epoch", 1))
           recordSeq(dbFile, (dataF ++ delF).map(_._1), seqNo)
           commits.put(
             epoch,
@@ -2087,11 +2129,18 @@ object SnapshotLog {
       import scala.jdk.CollectionConverters._
       val ok = commits.asScala.values.forall(identity) && commits.size == 3 &&
         currentSnapshot(dbFile) == 3L
+      // the three snapshots' MOR censuses fused into ONE tagged union
+      // job (the s49 r20 pattern, guide §2.4; values unchanged)
+      val census: Map[Long, (Long, Long)] = (1L to 3L)
+        .map(snap => morRead(snap).select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 3 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
       (1L to 3L).map { snap =>
-        val agg = morRead(snap).agg(count(lit(1)), sum(col("cents"))).head()
         (snap, manifest(dbFile, snap).size.toLong,
           deleteSeq(dbFile, snap).size.toLong,
-          agg.getLong(0), agg.getLong(1), ok)
+          census(snap)._1, census(snap)._2, ok)
       }
         .toDF("snapshot_id", "n_data_files", "n_delete_files", "n_users",
           "sum_cents", "upsert_ok")
@@ -2201,16 +2250,23 @@ object SnapshotLog {
       recordSeq(dbFile, baseFiles.map(_._1), 1L)
       val c1 = commitMor(dbFile, 0L, 1L, baseFiles, Seq.empty)
 
+      // The three delta-file WRITES of snapshots 2–3 depend only on the
+      // source relation — independent, overlapped (guide §2.6, r21);
+      // the commits stay strictly ordered below.
+      val Seq(del1, del2, ins1) = graft.ops.Par.run(Seq(
+        () => writeCounted(spark, o.filter(delPred).select("k"), s"$base/d1", 1),
+        () => writeCounted(spark, o.filter(updPred).select("k"), s"$base/d2", 1),
+        () => writeCounted(spark,
+          o.filter(updPred).withColumn("cents", col("cents") + 1000L),
+          s"$base/i1", 1)))
+
       // snapshot 2 (seq 2): MOR DELETE — dead keys land in an equality-
       // delete file; no data file is touched
-      val del1 = writeCounted(spark, o.filter(delPred).select("k"), s"$base/d1", 1)
       recordSeq(dbFile, del1.map(_._1), 2L)
       val c2 = commitMor(dbFile, 1L, 2L, baseFiles, del1)
 
       // snapshot 3 (seq 3): MOR UPDATE = delete(old) + insert(new) in
       // one commit; the seq rule keeps the delete off the new versions
-      val del2 = writeCounted(spark, o.filter(updPred).select("k"), s"$base/d2", 1)
-      val ins1 = writeCounted(spark, o.filter(updPred).withColumn("cents", col("cents") + 1000L), s"$base/i1", 1)
       recordSeq(dbFile, (del2 ++ ins1).map(_._1), 3L)
       recordStats(dbFile, ins1.map(p => (p._1, 2L))) // all updated keys ≡ 2 (mod 4)
       val c3 = commitMor(dbFile, 2L, 3L, baseFiles ++ ins1, del1 ++ del2)
@@ -2245,11 +2301,16 @@ object SnapshotLog {
       val carriedEntries = manifest(dbFile, 3L).filter(f => carried.contains(f._1))
       val c4 = commitMor(dbFile, 3L, 4L, carriedEntries ++ comp, Seq.empty)
 
-      // time-travel censuses of ALL FOUR snapshots through the MOR read
-      val census = (1L to 4L).map { snap =>
-        val agg = morRead(snap).agg(count(lit(1)), sum(col("cents"))).head()
-        (snap, (agg.getLong(0), agg.getLong(1)))
-      }.toMap
+      // time-travel censuses of ALL FOUR snapshots through the MOR read,
+      // fused into ONE tagged union job (the s49 r20 pattern, guide
+      // §2.4 — previously one job per snapshot; per-snapshot values
+      // unchanged)
+      val census: Map[Long, (Long, Long)] = (1L to 4L)
+        .map(snap => morRead(snap).select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 4 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
       val morOk = c1 && c2 && c3 && c4 &&
         affected.size == 2 && carried.size == 3 &&
         currentSnapshot(dbFile) == 4L &&
@@ -2717,15 +2778,17 @@ object SnapshotLog {
       recordColStats(dbFile, f2.map(f => (f._1, f._3, f._4)))
       val c2 = commit(dbFile, 1L, 2L, f2.map(f => (f._1, f._2)))
       val scan2 = pruneByRange(dbFile, 2L, lo, hi)
-      val sel2 = spark.read.parquet(scan2: _*)
-        .filter(col("cents").between(lo, hi))
-        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
-
-      val full2 = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
-        .agg(count(lit(1)), sum(col("cents"))).head()
-      val direct = o.filter(col("cents").between(lo, hi))
-        .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
-      val total = o.agg(count(lit(1)), sum(col("cents"))).head()
+      // the four audit censuses are independent scans — overlapped
+      // (guide §2.6, r21)
+      val Seq(sel2, full2, direct, total) = graft.ops.Par.run(Seq(
+        () => spark.read.parquet(scan2: _*)
+          .filter(col("cents").between(lo, hi))
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head(),
+        () => spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head(),
+        () => o.filter(col("cents").between(lo, hi))
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head(),
+        () => o.agg(count(lit(1)), sum(col("cents"))).head()))
 
       val skipOk = c1 && c2 && currentSnapshot(dbFile) == 2L &&
         sel1.getLong(0) == direct.getLong(0) &&
@@ -2851,9 +2914,12 @@ object SnapshotLog {
       initLog(dbFile)
       initRefs(dbFile)
 
-      val f1 = writeCounted(spark, o.filter(col("k") % 4 < 2), s"$base/f1", 2)
+      // the two generation stagings are independent writes — overlapped
+      // (guide §2.6, r21); commits stay strictly ordered
+      val (f1, f2) = graft.ops.Par.run2(
+        () => writeCounted(spark, o.filter(col("k") % 4 < 2), s"$base/f1", 2),
+        () => writeCounted(spark, o.filter(col("k") % 4 >= 2), s"$base/f2", 1))
       val c1 = commit(dbFile, 0L, 1L, f1)
-      val f2 = writeCounted(spark, o.filter(col("k") % 4 >= 2), s"$base/f2", 1)
       val c2 = commit(dbFile, 1L, 2L, f1 ++ f2)
       createRef(dbFile, "audit-snap1", 1L)
       // snapshot 3: compaction — every row rewritten into one new file
@@ -3094,11 +3160,15 @@ object SnapshotLog {
       def depth(s: Long): Long =
         if (s == 0L) 0L else 1L + depth(parentOf(s))
 
-      val audits = (1L to 3L).map { snap =>
-        val c = spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
-          .agg(count(lit(1)), sum(col("cents"))).head()
-        snap -> (c.getLong(0), c.getLong(1))
-      }.toMap
+      // the three snapshots' audit censuses fused into ONE tagged union
+      // job (the s49 r20 pattern, guide §2.4; values unchanged)
+      val audits: Map[Long, (Long, Long)] = (1L to 3L)
+        .map(snap => spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 3 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
 
       val metaBase = filesMeta
         .join(added, Seq("snapshot_id"))
@@ -3186,20 +3256,26 @@ object SnapshotLog {
       .select(
         col("o_orderkey").cast("long").as("k"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val mx = o.agg(max(col("k"))).head().getLong(0)
-    val mxb = mx - mx % 4
+    // lazy so the live path can overlap this probe with the base write
+    // (guide §2.6) — the fallback path forces it on first use
+    lazy val mx = o.agg(max(col("k"))).head().getLong(0)
+    lazy val mxb = mx - mx % 4
     // snapshot-2 / snapshot-3 insert batches (keys past mx, in the
     // rewritten file's bucket so each commit stays one-file-wide)
-    val ins1 = (0 until 10).map(i => (mxb + 4L * (i + 1) + 2L, 1000000L + 7L * i))
-    val ins2 = (0 until 5).map(i => (mxb + 4L * (i + 1) + 1L, 2000000L + 11L * i))
+    lazy val ins1 = (0 until 10).map(i => (mxb + 4L * (i + 1) + 2L, 1000000L + 7L * i))
+    lazy val ins2 = (0 until 5).map(i => (mxb + 4L * (i + 1) + 1L, 2000000L + 11L * i))
 
     if (DuckDbLive.available) withTempTableDir("graft_s56_") { base =>
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
       initStats(dbFile)
 
-      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
-        .map(f => (f._1, f._2))
+      // base write and the max-key probe: independent scans of the same
+      // input, overlapped (guide §2.6, r21)
+      val (baseFiles, _) = graft.ops.Par.run2(
+        () => writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+          .map(f => (f._1, f._2)),
+        () => mxb)
       commit(dbFile, 0L, 1L, baseFiles)
 
       def rewrite(
@@ -3216,12 +3292,18 @@ object SnapshotLog {
         recordStats(dbFile, nf.map(p => (p._1, bucket)))
         commit(dbFile, parent, snap, carried ++ nf)
       }
-      rewrite(1L, 2L, 2L, 6L, 2L, 1000L, ins1, s"$base/m1")
-      rewrite(2L, 3L, 1L, 13L, 17L, 500L, ins2, s"$base/m2")
-
-      // replica bootstrap: full copy of snapshot 1, its OWN layout
-      spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
-        .repartition(2).write.parquet(s"$base/rep1")
+      // the rewrite chain (strictly ordered commits) and the replica
+      // bootstrap (reads only snapshot 1, already committed) are
+      // independent — overlapped (guide §2.6, r21)
+      graft.ops.Par.run2(
+        () => {
+          rewrite(1L, 2L, 2L, 6L, 2L, 1000L, ins1, s"$base/m1")
+          rewrite(2L, 3L, 1L, 13L, 17L, 500L, ins2, s"$base/m2")
+        },
+        () =>
+          // replica bootstrap: full copy of snapshot 1, its OWN layout
+          spark.read.parquet(manifest(dbFile, 1L).map(_._1): _*)
+            .repartition(2).write.parquet(s"$base/rep1"))
 
       def applyStep(
           step: Long, pre: Long, post: Long,
@@ -3245,21 +3327,31 @@ object SnapshotLog {
               .when(col("pre_cents") =!= col("post_cents"), lit("update"))
               .otherwise(lit("noop")))
           .filter(col("change_type") =!= "noop")
-        spark.read.parquet(repIn)
-          .join(
-            changes.filter(col("change_type").isin("delete", "update"))
-              .select(col("rk").as("k")),
-            Seq("k"), "left_anti")
-          .unionByName(
-            changes.filter(col("change_type").isin("insert", "update"))
-              .select(col("ak").as("k"), col("post_cents").as("cents")))
-          .repartition(2).write.parquet(repOut)
-        val cc = changes.groupBy(col("change_type")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val repC = spark.read.parquet(repOut)
-          .agg(count(lit(1)), sum(col("cents"))).head()
-        val srcC = spark.read.parquet(manifest(dbFile, post).map(_._1): _*)
-          .agg(count(lit(1)), sum(col("cents"))).head()
+        // the replica write→read-back, the change-type census and the
+        // source census are three independent action chains of one step
+        // — overlapped (guide §2.6, r21; values unchanged: each is a
+        // deterministic read of already-staged or committed files)
+        val Seq(repCA, ccA, srcCA) = graft.ops.Par.run(Seq[() => Any](
+          () => {
+            spark.read.parquet(repIn)
+              .join(
+                changes.filter(col("change_type").isin("delete", "update"))
+                  .select(col("rk").as("k")),
+                Seq("k"), "left_anti")
+              .unionByName(
+                changes.filter(col("change_type").isin("insert", "update"))
+                  .select(col("ak").as("k"), col("post_cents").as("cents")))
+              .repartition(2).write.parquet(repOut)
+            spark.read.parquet(repOut)
+              .agg(count(lit(1)), sum(col("cents"))).head()
+          },
+          () => changes.groupBy(col("change_type")).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap,
+          () => spark.read.parquet(manifest(dbFile, post).map(_._1): _*)
+            .agg(count(lit(1)), sum(col("cents"))).head()))
+        val repC = repCA.asInstanceOf[org.apache.spark.sql.Row]
+        val cc = ccA.asInstanceOf[Map[String, Long]]
+        val srcC = srcCA.asInstanceOf[org.apache.spark.sql.Row]
         (step,
           cc.getOrElse("delete", 0L), cc.getOrElse("update", 0L),
           cc.getOrElse("insert", 0L), (removed.size + added.size).toLong,
@@ -3449,23 +3541,32 @@ object SnapshotLog {
       val c2 = commit(dbFile, 1L, 2L, f2.map(f => (f._1, f._2)))
       val committed = c1 && c2 && currentSnapshot(dbFile) == 2L
 
-      val rows = for {
+      // the DIRECT ground-truth census depends only on the query box,
+      // not the layout — computed once per query (was once per
+      // (layout, query): 4 scans → 2; guide §2.4), and the two queries'
+      // censuses overlap (guide §2.6)
+      val directs: Map[String, org.apache.spark.sql.Row] = graft.ops.Par
+        .run(queries.map { case (qn, xlo, xhi, ylo, yhi) => () =>
+          qn -> d.filter(col("x").between(xlo, xhi) && col("y").between(ylo, yhi))
+            .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+        }).toMap
+      // the four pruned-scan audits are independent — overlapped
+      val rows = graft.ops.Par.run(for {
         (layout, snap) <- Seq(("linear", 1L), ("zorder", 2L))
         (qn, xlo, xhi, ylo, yhi) <- queries
-      } yield {
+      } yield { () =>
         val scanned = pruneByBox(dbFile, snap, xlo, xhi, ylo, yhi)
         val boxPred = col("x").between(xlo, xhi) && col("y").between(ylo, yhi)
         val sel = spark.read.parquet(scanned: _*)
           .filter(boxPred)
           .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
-        val direct = d.filter(boxPred)
-          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L))).head()
+        val direct = directs(qn)
         val ok = committed &&
           sel.getLong(0) == direct.getLong(0) &&
           sel.getLong(1) == direct.getLong(1)
         (layout, qn, manifest(dbFile, snap).size.toLong, scanned.size.toLong,
           direct.getLong(0), direct.getLong(1), ok)
-      }
+      })
       rows
         .toDF("layout", "query", "n_files", "n_scanned", "n_sel", "sum_sel",
           "scan_ok")
@@ -3569,15 +3670,25 @@ object SnapshotLog {
       initLog(dbFile)
       initStats(dbFile)
 
-      val small = for (b <- 0L to 1L; sub <- 0L to 3L) yield {
-        val out = s"$base/f${b}_$sub"
-        val pf = writeCounted(spark, o.filter(col("k") % 3 === b && expr("(k div 3) % 4") === sub), out, 1)
-        recordStats(dbFile, pf.map(p => (p._1, b)))
-        pf
-      }
-      val big = writeCounted(spark, o.filter(col("k") % 3 === 2), s"$base/f2", 1)
-      recordStats(dbFile, big.map(p => (p._1, 2L)))
-      val s1Files = small.flatten ++ big
+      // the nine ingest-footprint writes are independent jobs over the
+      // same source — overlapped (guide §2.6, r21); stat rows are keyed
+      // by path, so recording order is immaterial to every reader
+      val small = graft.ops.Par.run(
+        (for (b <- 0L to 1L; sub <- 0L to 3L) yield { () =>
+          val out = s"$base/f${b}_$sub"
+          val pf = writeCounted(
+            spark,
+            o.filter(col("k") % 3 === b && expr("(k div 3) % 4") === sub),
+            out, 1)
+          recordStats(dbFile, pf.map(p => (p._1, b)))
+          pf
+        }).toSeq :+ { () =>
+          val pf = writeCounted(spark, o.filter(col("k") % 3 === 2), s"$base/f2", 1)
+          recordStats(dbFile, pf.map(p => (p._1, 2L)))
+          pf
+        })
+      val big = small.last
+      val s1Files = small.flatten
       val c1 = commit(dbFile, 0L, 1L, s1Files)
 
       // metadata-only planning
@@ -3587,21 +3698,25 @@ object SnapshotLog {
       val planned = plan.flatMap(_._2).toSet
       val carried = manifest(dbFile, 1L).filterNot(f => planned.contains(f._1))
 
-      // the rewrite: one file per group, large file untouched
-      val packed = plan.flatMap { case (b, paths) =>
+      // the rewrite: one file per group, large file untouched; the
+      // per-group rewrites are independent — overlapped (guide §2.6)
+      val packed = graft.ops.Par.run(plan.map { case (b, paths) => () =>
         val out = s"$base/packed_$b"
         val pf = writeCounted(spark, spark.read.parquet(paths: _*), out, 1)
         recordStats(dbFile, pf.map(p => (p._1, b)))
         pf
-      }
+      }).flatten
       val c2 = commit(dbFile, 1L, 2L, carried ++ packed)
 
-      val census2 = spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
-        .agg(count(lit(1)), sum(col("cents"))).head()
       val tt1 = manifest(dbFile, 1L)
-      val census1 = spark.read.parquet(tt1.map(_._1): _*)
-        .agg(count(lit(1)), sum(col("cents"))).head()
-      val direct = o.agg(count(lit(1)), sum(col("cents"))).head()
+      // the three audit censuses (snapshot 2, time-travel snapshot 1,
+      // direct recompute) are independent scans — overlapped (§2.6)
+      val Seq(census2, census1, direct) = graft.ops.Par.run(Seq(
+        () => spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head(),
+        () => spark.read.parquet(tt1.map(_._1): _*)
+          .agg(count(lit(1)), sum(col("cents"))).head(),
+        () => o.agg(count(lit(1)), sum(col("cents"))).head()))
       val bigCarried = big.forall(f =>
         manifest(dbFile, 2L).exists(_._1 == f._1))
       val ok = c1 && c2 && currentSnapshot(dbFile) == 2L && bigCarried &&
@@ -3671,13 +3786,16 @@ object SnapshotLog {
       val dbFile = s"$base/log.duckdb"
       initLog(dbFile)
 
-      val baseFiles = (0L to 1L).flatMap(b =>
-        writeCounted(spark, o.filter(col("k") % 2 === b), s"$base/f$b", 1))
+      // the two base-bucket writes and both writers' staged appends are
+      // four independent write jobs — overlapped (guide §2.6, r21);
+      // commit ordering below is unchanged
+      val Seq(b0, b1, fa, fb) = graft.ops.Par.run(Seq(
+        () => writeCounted(spark, o.filter(col("k") % 2 === 0L), s"$base/f0", 1),
+        () => writeCounted(spark, o.filter(col("k") % 2 === 1L), s"$base/f1", 1),
+        () => writeCounted(spark, insA.toDF("k", "cents"), s"$base/a", 1),
+        () => writeCounted(spark, insB.toDF("k", "cents"), s"$base/b", 1)))
+      val baseFiles = b0 ++ b1
       val c1 = commit(dbFile, 0L, 1L, baseFiles)
-
-      // both writers stage against parent 1 — files written ONCE
-      val fa = writeCounted(spark, insA.toDF("k", "cents"), s"$base/a", 1)
-      val fb = writeCounted(spark, insB.toDF("k", "cents"), s"$base/b", 1)
       val planParentB = 1L
 
       val cA = commit(dbFile, 1L, 2L, manifest(dbFile, 1L) ++ fa)
@@ -3688,17 +3806,16 @@ object SnapshotLog {
       val head = currentSnapshot(dbFile)
       val bRebase = !bFirst && commit(dbFile, head, 3L, manifest(dbFile, head) ++ fb)
 
-      def census(snap: Long) = {
-        val r = spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
-          .agg(count(lit(1)), sum(col("cents"))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val (n2, s2) = census(2L)
-      val (n3, s3) = census(3L)
-      val (nb, sb) = {
-        val r = o.agg(count(lit(1)), sum(col("cents"))).head()
-        (r.getLong(0), r.getLong(1))
-      }
+      // the three audit censuses are independent scans — overlapped
+      // (guide §2.6, r21)
+      val Seq((n2, s2), (n3, s3), (nb, sb)) = graft.ops.Par.run(
+        Seq(
+          () => spark.read.parquet(manifest(dbFile, 2L).map(_._1): _*)
+            .agg(count(lit(1)), sum(col("cents"))).head(),
+          () => spark.read.parquet(manifest(dbFile, 3L).map(_._1): _*)
+            .agg(count(lit(1)), sum(col("cents"))).head(),
+          () => o.agg(count(lit(1)), sum(col("cents"))).head())
+          .map(t => () => { val r = t(); (r.getLong(0), r.getLong(1)) }))
       val ok = c1 && cA && !bFirst && bRebase && currentSnapshot(dbFile) == 3L &&
         n2 == nb + insA.size && s2 == sb + insA.map(_._2).sum &&
         n3 == nb + insA.size + insB.size &&
@@ -3800,11 +3917,18 @@ object SnapshotLog {
       val loopOk = oks.asScala.values.forall(identity) && oks.size == 3 &&
         currentSnapshot(dbFile) == 4L && compactions.keySet.asScala == Set(3L)
 
+      // the four snapshots' censuses fused into ONE tagged union job
+      // (the s49 r20 pattern, guide §2.4; per-snapshot values unchanged)
+      val census: Map[Long, (Long, Long)] = (1L to 4L)
+        .map(snap => spark.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+          .select(lit(snap).as("snap"), col("cents")))
+        .reduce(_ unionByName _)
+        .groupBy("snap").agg(count(lit(1)), sum(col("cents")))
+        .collect() // 4 rows — one census per snapshot
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
       val rows = (1L to 4L).map { snap =>
-        val mf = manifest(dbFile, snap)
-        val agg = spark.read.parquet(mf.map(_._1): _*)
-          .agg(count(lit(1)), sum(col("cents"))).head()
-        (snap, mf.size.toLong, agg.getLong(0), agg.getLong(1),
+        (snap, manifest(dbFile, snap).size.toLong,
+          census(snap)._1, census(snap)._2,
           compactions.containsKey(snap), snap == currentSnapshot(dbFile),
           loopOk)
       }
@@ -3902,10 +4026,12 @@ object SnapshotLog {
       .select(
         col("o_orderkey").cast("long").as("k"),
         expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val mx = o.agg(max(col("k"))).head().getLong(0)
-    val mxb = mx - mx % 4
-    val ins1 = (0 until 10).map(i => (mxb + 4L * (i + 1) + 2L, 1000000L + 7L * i))
-    val ins2 = (0 until 5).map(i => (mxb + 4L * (i + 1) + 1L, 2000000L + 11L * i))
+    // lazy so the live path can overlap this probe with the base write
+    // (guide §2.6) — the fallback path forces it on first use
+    lazy val mx = o.agg(max(col("k"))).head().getLong(0)
+    lazy val mxb = mx - mx % 4
+    lazy val ins1 = (0 until 10).map(i => (mxb + 4L * (i + 1) + 2L, 1000000L + 7L * i))
+    lazy val ins2 = (0 until 5).map(i => (mxb + 4L * (i + 1) + 1L, 2000000L + 11L * i))
 
     if (DuckDbLive.available) withTempTableDir("graft_s62_") { base =>
       val dbFile = s"$base/log.duckdb"
@@ -3914,8 +4040,12 @@ object SnapshotLog {
       initApplyLog(dbFile)
 
       // ---- producer: s56's three snapshots ----
-      val baseFiles = writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
-        .map(f => (f._1, f._2))
+      // base write and the max-key probe: independent scans of the same
+      // input, overlapped (guide §2.6, r21)
+      val (baseFiles, _) = graft.ops.Par.run2(
+        () => writeBaseBuckets(spark, dbFile, o, s"$base/data", 4)
+          .map(f => (f._1, f._2)),
+        () => mxb)
       commit(dbFile, 0L, 1L, baseFiles)
       def rewrite(
           parent: Long, snap: Long, bucket: Long,
@@ -3995,6 +4125,14 @@ object SnapshotLog {
       val results = new java.util.concurrent.ConcurrentHashMap[
         Long, (Long, Long, Long, Long, Boolean, Long, Long, Long, Long)]()
       @volatile var repStep = 1L
+      // the SOURCE census per snapshot is a deterministic read of
+      // committed immutable files; the redelivered batch 3 asks for the
+      // same snapshot-3 census batch 2 already computed — memoized
+      // within this run (the REPLICA census is re-read every batch on
+      // purpose: proving the replica didn't move on a rejected
+      // redelivery is the point)
+      val srcCCache = new java.util.concurrent.ConcurrentHashMap[
+        Long, org.apache.spark.sql.Row]()
       val q = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -4003,10 +4141,14 @@ object SnapshotLog {
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (b: DataFrame, epoch: Long) =>
           val batch = b.persist()
-          // bounded collects: 1 row (max) + ≤3 rows (change-type domain)
-          val bid = batch.agg(max(col("batch_id"))).head().getLong(0)
-          val cc = batch.groupBy(col("change_type")).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          // ONE bounded collect (≤3 rows): per-change-type counts AND
+          // the batch id (constant per staged file, so the max over
+          // group maxes equals the old whole-batch max)
+          val hdr = batch.groupBy(col("change_type"))
+            .agg(count(lit(1)).as("c"), max(col("batch_id")).as("mb"))
+            .collect()
+          val bid = hdr.map(_.getLong(2)).max
+          val cc = hdr.map(r => r.getString(0) -> r.getLong(1)).toMap
           val claimed = claimApply(dbFile, bid)
           if (claimed) {
             val repOut = s"$base/rep${repStep + 1}"
@@ -4021,10 +4163,15 @@ object SnapshotLog {
               .repartition(2).write.parquet(repOut)
             repStep += 1
           }
-          val repC = s.read.parquet(s"$base/rep$repStep")
-            .agg(count(lit(1)), sum(col("cents"))).head()
-          val srcC = s.read.parquet(manifest(dbFile, repStep).map(_._1): _*)
-            .agg(count(lit(1)), sum(col("cents"))).head()
+          // replica census and (memoized) source census are independent
+          // reads — overlapped (guide §2.6, r21)
+          val (repC, srcC) = graft.ops.Par.run2(
+            () => s.read.parquet(s"$base/rep$repStep")
+              .agg(count(lit(1)), sum(col("cents"))).head(),
+            () => srcCCache.computeIfAbsent(
+              repStep,
+              snap => s.read.parquet(manifest(dbFile, snap).map(_._1): _*)
+                .agg(count(lit(1)), sum(col("cents"))).head()))
           results.put(epoch, (bid,
             cc.getOrElse("delete", 0L), cc.getOrElse("update", 0L),
             cc.getOrElse("insert", 0L), claimed,
@@ -7523,25 +7670,29 @@ object SnapshotLog {
       initColStats(dbFile)
       initColNdv(dbFile)
 
-      val files = writeBucketed(
-        spark,
-        o.withColumn("g", expr(s"(cents - $mn) div $bw")),
-        s"$base/data",
-        0L to 3L)
+      // the bucketed write and the write-time stats job are independent
+      // scans of the same input — overlapped (guide §2.6, r21); the
+      // g→path attribution happens client-side after both finish
+      val (files, rawCells) = graft.ops.Par.run2(
+        () => writeBucketed(
+          spark,
+          o.withColumn("g", expr(s"(cents - $mn) div $bw")),
+          s"$base/data",
+          0L to 3L),
+        () => o
+          .select(
+            expr(s"(cents - $mn) div $bw").as("g"),
+            Hashing.h60(col("cust").cast("string")).as("h"))
+          .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
+          .groupBy("g", "bucket").agg(max("rk").as("mr"))
+          .collect() // ≤256 sketch cells — stats metadata
+          .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSeq)
       recordColStats(dbFile, files.map(f => (f._1, f._3, f._4)))
-      // ONE stats job: per-file custkey register cells (≤ 4·64)
       val bucketRe = "/g=(\\d+)/".r
       val pathOf: Map[Long, String] = files
         .map(f => (bucketRe.findFirstMatchIn(f._1).get.group(1).toLong, f._1)).toMap
-      val cells = o
-        .select(
-          expr(s"(cents - $mn) div $bw").as("g"),
-          Hashing.h60(col("cust").cast("string")).as("h"))
-        .select(col("g"), Hll.bucketCol.as("bucket"), Hll.rankCol.as("rk"))
-        .groupBy("g", "bucket").agg(max("rk").as("mr"))
-        .collect() // ≤256 sketch cells — stats metadata
-        .map(r2 => (pathOf(r2.getLong(0)), "cust", r2.getLong(1), r2.getLong(2)))
-      recordColNdv(dbFile, cells.toSeq)
+      val cells = rawCells.map { case (g, b, mr) => (pathOf(g), "cust", b, mr) }
+      recordColNdv(dbFile, cells)
       require(commit(dbFile, 0L, 1L, files.map(f => (f._1, f._2))), "q215 commit rejected")
 
       def scopeRow(scope: String, paths: Seq[String]) = {
@@ -7558,7 +7709,12 @@ object SnapshotLog {
       // non-empty by quartile construction — an empty prune is a stats
       // defect, failed loudly instead of dividing by zero below
       require(pruned.nonEmpty, "q215: range prune returned no files")
-      Seq(scopeRow("all", files.map(_._1)), scopeRow("pruned", pruned))
+      // the two scope audits are independent scans — overlapped
+      // (guide §2.6, r21)
+      val (rowAll, rowPruned) = graft.ops.Par.run2(
+        () => scopeRow("all", files.map(_._1)),
+        () => scopeRow("pruned", pruned))
+      Seq(rowAll, rowPruned)
         .toDF("scope", "n_files", "est_ndv", "exact_ndv", "err_bp",
           "regs_match", "composed_ok")
         .orderBy("scope")
